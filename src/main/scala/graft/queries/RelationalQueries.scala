@@ -1,0 +1,429 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational core: scans, filters, aggregations, joins, windows, top-k,
+  * set ops, grouping sets — the engine capabilities SURVEY.md §2.4-§2.8
+  * derives from the reference's relational data model
+  * (reference: house ⋈ village on 小区ID, lianjia.py:95-99,130).
+  *
+  * Scale notes (100 TB): every query here is a declarative DataFrame chain,
+  * so Catalyst gets predicate pushdown + column pruning into the parquet
+  * scan for free; dims (region/nation/customer/supplier/part) are
+  * explicitly `broadcast()` so the fact-table join never shuffles the big
+  * side; fact⋈fact joins (lineitem⋈orders) are left to sort-merge + AQE.
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1 shape: filter → hash-agg (partial+final) → sort.
+    * SURVEY §2.5. The groupBy key is 2 low-cardinality columns, so the
+    * partial (map-side) aggregate collapses ~everything before shuffle. */
+  val q01PricingSummary = Q(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 2) AS avg_qty,
+      |  round(avg(l_extendedprice), 2) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Broadcast-join star: fact ⋈ two tiny dims (SURVEY §2.4 "broadcast
+    * hash"). nation (25 rows) and region (5 rows) are broadcast — no
+    * shuffle of customer at any scale. */
+  val q02RegionActivity = Q(
+    "q02_region_activity",
+    """SELECT r_name, n_name,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  round(avg(c_acctbal), 2) AS avg_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), round(avg(col("c_acctbal")), 2).as("avg_bal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** TPC-H Q3 shape: 3-way join, filter both sides, agg, top-10.
+    * customer is broadcast (dim-sized); lineitem⋈orders is the fact join
+    * Catalyst plans as sort-merge/shuffled-hash + AQE. Ordering on the
+    * ROUNDED revenue keeps both dialects' tie-breaks identical. */
+  val q03ShippingPriority = Q(
+    "q03_shipping_priority",
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  o_orderdate
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1996-03-15 00:00:00").cast("timestamp"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") < lit("1998-03-15 00:00:00").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Left-semi join = EXISTS (SURVEY §2.4). */
+  val q04SemiJoin = Q(
+    "q04_semi_join",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir).filter(col("l_quantity") > 45),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Left-anti join = NOT EXISTS — the orphan-detection shape SURVEY §2.4
+    * calls out (houses whose 小区ID has no village row). */
+  val q05AntiJoin = Q(
+    "q05_anti_join",
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_inactive
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_totalprice > 150000)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 150000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_inactive"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** TPC-H Q6 shape: highly selective filter → global agg. All three
+    * predicates push into the parquet scan (verify: PushedFilters). */
+  val q06ForecastRevenue = Q(
+    "q06_forecast_revenue",
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp")
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Top-k without total sort: orderBy+limit plans TakeOrderedAndProject
+    * (SURVEY §2.7) — each partition keeps k rows, driver merges k·p. No
+    * arithmetic on the sort key → raw doubles hash-match. */
+  val q07TopOrders = Q(
+    "q07_top_orders",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Snapshot-latest via row_number (SURVEY §2.6) — the dedup the
+    * reference's repeated-crawl 采集时间 stamping implies
+    * (lianjia.py:89,156,217): newest row per key wins. */
+  val q08LatestOrderPerCustomer = Q(
+    "q08_latest_order_per_customer",
+    """SELECT c_custkey, o_orderkey, o_orderdate FROM (
+      |  SELECT c_custkey, o_orderkey, o_orderdate,
+      |    row_number() OVER (PARTITION BY c_custkey
+      |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM customer JOIN orders ON c_custkey = o_custkey) t
+      |WHERE rn = 1
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("c_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Analytic window frame: running revenue + lag delta per supplier
+    * (SURVEY §2.6). Unique total order (shipdate, orderkey, linenumber)
+    * makes the running sum deterministic in both engines. */
+  val q09RunningRevenue = Q(
+    "q09_running_revenue",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  round(sum(l_extendedprice) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev,
+      |  round(l_extendedprice - lag(l_extendedprice, 1, 0.0) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber), 2) AS delta_prev
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1998-06-01 00:00:00").cast("timestamp"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(sum(col("l_extendedprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_rev"),
+        round(col("l_extendedprice") - lag(col("l_extendedprice"), 1, 0.0).over(w), 2)
+          .as("delta_prev"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Set operations (SURVEY §2.8): intersect / except / union distinct on
+    * customer key-sets, reduced to counts so the result is tiny and
+    * order-stable. */
+  val q10SetOps = Q(
+    "q10_set_ops",
+    """SELECT 'big_and_building' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000) t1
+      |UNION ALL
+      |SELECT 'building_no_big' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000) t2
+      |UNION ALL
+      |SELECT 'either' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  UNION
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000) t3
+      |ORDER BY op""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+    val big = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 100000).select(col("o_custkey").as("k"))
+    val inter = building.intersect(big).agg(count(lit(1)).as("n"))
+      .select(lit("big_and_building").as("op"), $"n")
+    val exc = building.except(big).agg(count(lit(1)).as("n"))
+      .select(lit("building_no_big").as("op"), $"n")
+    val uni = building.union(big).distinct().agg(count(lit(1)).as("n"))
+      .select(lit("either").as("op"), $"n")
+    inter.unionByName(exc).unionByName(uni).orderBy(col("op"))
+  }
+
+  /** ROLLUP with GROUPING() disambiguation (SURVEY §2.5). */
+  val q11Rollup = Q(
+    "q11_rollup",
+    """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+      |  coalesce(l_linestatus, '(all)') AS linestatus,
+      |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+      |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY g_flag, g_status, returnflag, linestatus""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("g_flag"), col("g_status"), col("sum_qty"), col("n"))
+      .orderBy(col("g_flag"), col("g_status"), col("returnflag"), col("linestatus"))
+  }
+
+  /** CUBE (SURVEY §2.5). */
+  val q12Cube = Q(
+    "q12_cube",
+    """SELECT coalesce(o_orderstatus, '(all)') AS orderstatus,
+      |  coalesce(o_orderpriority, '(all)') AS orderpriority,
+      |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_prio, orderstatus, orderpriority""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("orderpriority"),
+        col("g_status"), col("g_prio"), col("n"), col("total"))
+      .orderBy(col("g_status"), col("g_prio"), col("orderstatus"), col("orderpriority"))
+  }
+
+  /** Exact distinct counts (SURVEY §2.5). Two count-distincts in one agg →
+    * Catalyst plans expand + two-phase agg. */
+  val q13Distinct = Q(
+    "q13_distinct",
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+      |  CAST(count(*) AS BIGINT) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Exact interpolated percentiles (SURVEY §2.5): Spark `percentile` ↔
+    * DuckDB `quantile_cont` — both linear interpolation over the sorted
+    * set, so values match to fp noise; rounded to 4. */
+  val q14Percentiles = Q(
+    "q14_percentiles",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.50)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Range (non-equi) join against a tiny in-memory band dim (SURVEY §2.4
+    * "theta/range"): the band side is broadcast, so Catalyst plans
+    * BroadcastNestedLoopJoin — the only sane physical shape for a
+    * band-bucketing join at scale. */
+  val q15RangeJoinBands = Q(
+    "q15_range_join_bands",
+    """SELECT band, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(l_extendedprice), 2) AS total_price
+      |FROM lineitem
+      |JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 25.0), ('high', 25.0, 100.0))
+      |  bands(band, lo, hi)
+      |ON l_quantity >= lo AND l_quantity < hi
+      |GROUP BY band
+      |ORDER BY band""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val bands = Seq(("low", 0.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 100.0))
+      .toDF("band", "lo", "hi")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(bands), col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("total_price"))
+      .orderBy(col("band"))
+  }
+
+  /** Fan-out via sequence+explode — the Spark form of the reference's
+    * pagination loop `range(2, totalPage+1)` (lianjia.py:117-119; SURVEY
+    * §2.3 G5/G7, §2.9 C13). One row per synthetic page 2..n_pages. */
+  val q16FanoutPagination = Q(
+    "q16_fanout_pagination",
+    """SELECT o_orderkey, CAST(page AS INT) AS page,
+      |  'p' || CAST(o_orderkey AS VARCHAR) || '_' || CAST(page AS VARCHAR) AS page_url
+      |FROM (SELECT o_orderkey, o_orderkey % 4 + 2 AS n_pages FROM orders
+      |      WHERE o_orderkey % 20 = 0) o,
+      |  unnest(range(2, n_pages + 1)) AS t(page)
+      |ORDER BY o_orderkey, page""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey"), (col("o_orderkey") % 4 + 2).as("n_pages"))
+      .select(col("o_orderkey"),
+        explode(sequence(lit(2L), col("n_pages"))).as("page"))
+      .select(col("o_orderkey"), col("page").cast("int").as("page"),
+        concat(lit("p"), col("o_orderkey").cast("string"), lit("_"),
+          col("page").cast("string")).as("page_url"))
+      .orderBy(col("o_orderkey"), col("page"))
+  }
+
+  /** unionByName(allowMissingColumns) + snapshot-latest — the on-sale ∪
+    * sold shape (SURVEY §2.8: same item type from two chains,
+    * lianjia.py:125/185, sold rows lack on-sale-only fields). */
+  val q17UnionSnapshot = Q(
+    "q17_union_snapshot",
+    """SELECT status, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(coalesce(price, 0.0)), 2) AS total_price,
+      |  CAST(count(follows) AS BIGINT) AS n_with_follows
+      |FROM (
+      |  SELECT 'onsale' AS status, o_totalprice AS price, o_custkey AS follows
+      |  FROM orders WHERE o_orderstatus = 'O'
+      |  UNION ALL
+      |  SELECT 'sold' AS status, o_totalprice AS price, NULL AS follows
+      |  FROM orders WHERE o_orderstatus = 'F') t
+      |GROUP BY status
+      |ORDER BY status""".stripMargin) { (spark, dir) =>
+    val orders = Tables.orders(spark, dir)
+    val onsale = orders.filter(col("o_orderstatus") === "O")
+      .select(lit("onsale").as("status"), col("o_totalprice").as("price"),
+        col("o_custkey").as("follows"))
+    // sold rows genuinely lack the `follows` column — unionByName fills null
+    val sold = orders.filter(col("o_orderstatus") === "F")
+      .select(lit("sold").as("status"), col("o_totalprice").as("price"))
+    onsale.unionByName(sold, allowMissingColumns = true)
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(coalesce(col("price"), lit(0.0))), 2).as("total_price"),
+        count(col("follows")).as("n_with_follows"))
+      .orderBy(col("status"))
+  }
+
+  val all: Seq[Q] = Seq(
+    q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
+    q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
+    q09RunningRevenue, q10SetOps, q11Rollup, q12Cube, q13Distinct,
+    q14Percentiles, q15RangeJoinBands, q16FanoutPagination, q17UnionSnapshot)
+}
