@@ -15,7 +15,8 @@ object SparkEntry {
 
   /** Every registered query, in registration order. */
   val registry: Seq[Q] =
-    RelationalQueries.all
+    RelationalQueries.all ++ EventQueries.all ++ TextQueries.all ++
+      VectorQueries.all ++ MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

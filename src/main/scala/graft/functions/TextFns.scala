@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-data-pipeline surface
+  * (SURVEY §2.11 "text analysis"): tokenization, shingling, quality
+  * signals, language-ID heuristics, fingerprinting.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` —
+  * codegen'd built-ins and higher-order array functions, zero UDFs — so
+  * whole-stage codegen survives and the same logic is expressible in the
+  * DuckDB oracle dialect.
+  */
+object TextFns {
+
+  /** Lowercased whitespace tokenization. `split` on \s+ mirrors
+    * DuckDB's `string_split_regex(lower(x), '\s+')`. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles as space-joined strings; empty array when the
+    * document has fewer than n tokens. 1-based `element_at` matches
+    * DuckDB's 1-based list indexing. */
+  def shingles(toks: Column, n: Int): Column = {
+    // guard: sequence(1, 0) would generate DESCENDING [1,0], not empty
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct shingle set — the input to Jaccard/MinHash dedup. */
+  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(tokens(text), n))
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^.!?,;:]", "")).cast("double") / length(text))
+
+  /** Count of tokens that hit a fixed marker list (stopwords, per-language
+    * markers). Pure higher-order filter — no UDF, no join. */
+  def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => markers.map(m => t === lit(m)).reduce(_ || _)))
+
+  /** Ratio of stopword tokens to total tokens. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(markerHits(toks, stopwords).cast("double") / size(toks))
+  }
+
+  /** Deterministic document fingerprint: md5 over whitespace-normalized
+    * lowercase text. Matches DuckDB `md5(...)` byte-for-byte. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** 64-bit SimHash from token xxhash64s: ±1 vote per bit per token, sign
+    * of the vote total becomes the bit. Constant shift amounts keep every
+    * term a plain codegen'd expression. (xxhash64 is Spark-specific — no
+    * DuckDB twin, so SimHash queries are rows-only checks.) */
+  def simhash64(toks: Column): Column = {
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val bitSigns = array((0 until 64).map { i =>
+          when(shiftright(xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)
+        }: _*)
+        zip_with(acc, bitSigns, (a, s) => a + s)
+      })
+    (0 until 64).map { i =>
+      when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

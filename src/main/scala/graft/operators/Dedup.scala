@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Deduplication operators for the LLM-data-pipeline surface (SURVEY
+  * §2.11): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is a hash groupBy — one shuffle on the dedup key;
+  *  - Jaccard/MinHash never compare all pairs: candidates come from an
+  *    equi-join on shingle / LSH-band keys, so the shuffle is on those
+  *    keys and hot keys are capped (`maxDocFreq`) before the join —
+  *    the standard guard against a quadratic blow-up on boilerplate
+  *    shingles;
+  *  - all pair generation enforces `id_a < id_b` so each pair shuffles
+  *    once, not twice.
+  */
+object Dedup {
+
+  /** Keep one row per key: the minimum id, plus the duplicate count.
+    * Exact-dedup as a pure hash aggregation (map-side partial → final). */
+  def exactGroups(df: DataFrame, key: Column, id: Column): DataFrame =
+    df.groupBy(key.as("dedup_key"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Snapshot-latest dedup: newest row per key wins (the reference's
+    * repeated-crawl 采集时间 semantics, lianjia.py:89,156,217). */
+  def latestSnapshot(df: DataFrame, keys: Seq[String], ts: String, tiebreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).desc, col(tiebreak).desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs.
+    *
+    * @param docs       (id LONG, text STRING) input
+    * @param n          shingle width in tokens
+    * @param threshold  minimum Jaccard similarity to report
+    * @param maxDocFreq drop shingles occurring in more than this many docs
+    *                   before pairing (kills the quadratic hot-key path;
+    *                   also drops no true pair whose remaining overlap
+    *                   still clears the threshold)
+    * @return (id_a, id_b, jaccard) with id_a < id_b
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDocFreq: Int): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), explode(TextFns.shingleSet(col(textCol), n)).as("sh"))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq && col("df") >= 2)
+    val shRare = sh.join(rare.select("sh"), Seq("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = shRare.as("a").join(shRare.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signature: k independent min-hashes over the shingle set.
+    * Hash family h_i(s) = xxhash64(i·s) — cheap, stateless, no fitted
+    * model. Returns (id, sig ARRAY<LONG>). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(TextFns.shingleSet(col(textCol), n)).as("sh"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH banding: docs whose signatures collide in ≥1 of
+    * `bands` bands become candidate pairs; candidates are then verified
+    * with the estimated Jaccard (fraction of matching signature slots).
+    *
+    * With k = bands·rowsPerBand, collision probability of a pair with
+    * true Jaccard j is 1-(1-j^r)^b — the classic S-curve.
+    * @return (id_a, id_b, est_jaccard) with id_a < id_b
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k)
+    // band key = hash of the band's slice of the signature
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",", (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
+      }: _*)).as(Seq("band", "bkey")))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / k)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit signatures, candidates blocked on
+    * 16-bit sub-bands (a pair within hamming distance 3 must agree on at
+    * least one of the 4 bands — pigeonhole), then verified exactly.
+    * @return (id_a, id_b, hamming) with id_a < id_b
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"),
+      TextFns.simhash64(TextFns.tokens(col(textCol))).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bkey")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        TextFns.hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators beyond the built-ins (SURVEY §2.4).
+  *
+  * The as-of join here is the "union + last(ignoreNulls) window" plan: it
+  * needs exactly ONE shuffle (by key) and one sort within partitions —
+  * no broadcast of either side, no range explosion — which is the shape
+  * that survives 100 TB. A sort-merge-based custom SparkPlan would save
+  * the union's extra columns but not the shuffle, so built-in composition
+  * wins (preference order (a) in the build brief).
+  */
+object Joins {
+
+  /** As-of join: for every left row, attach the payload of the latest
+    * right row with the same key and strictly earlier timestamp
+    * (SURVEY §2.4 "as-of (nearest prior event)": match a 成交 row to the
+    * last prior listing state).
+    *
+    * @param left      probe side (id must be unique per row)
+    * @param right     reference side whose latest-prior payload is wanted
+    * @param key       equi-join key column name (same on both sides)
+    * @param ts        event-time column name (same on both sides)
+    * @param payload   right-side columns to carry; appear as `asof_<name>`
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String]): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+    val r = right.select((key +: ts +: payload).map(col): _*).withColumn("__side", lit(2))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // at equal ts a right row sorts AFTER the left row, so the frame's -1
+    // bound excludes it — strictly-prior semantics (ts_r < ts_l)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withPayload = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        last(when(col("__side") === 2, col(c)), ignoreNulls = true).over(w))
+    }
+    val dropRight = payload.filterNot(left.columns.contains)
+    withPayload.filter(col("__side") === 1)
+      .drop("__side").drop(dropRight: _*)
+  }
+}

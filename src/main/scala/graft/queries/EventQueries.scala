@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Joins, Sessionize}
+import graft.sources.Tables
+
+/** Event-stream capabilities over the `events` table: JSON extraction
+  * (SURVEY §2.9 C9 — the reference's `json.loads` of page-data,
+  * lianjia.py:54,114,174), event-time windows, sessionization, and the
+  * as-of join (§2.4). All batch-mode; the windowing constructs
+  * (`window`, `session_window`) are the same ones Structured Streaming
+  * uses, so these queries are streaming-ready by construction.
+  */
+object EventQueries {
+
+  /** JSON prop extraction + aggregation. `get_json_object` ↔ DuckDB
+    * `json_extract_string`. */
+  val q18JsonProps = Q(
+    "q18_json_props",
+    """SELECT event_type,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(sum(get_json_object(col("props"), "$.k").cast("int")).as("sum_k"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Tumbling event-time windows (batch mode). `window(ts, '1 hour')`
+    * aligns to the epoch, so its start equals `date_trunc('hour', ts)`. */
+  val q19HourlyAgg = Q(
+    "q19_hourly_agg",
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(value), 2) AS total_value
+      |FROM events
+      |WHERE event_type IN ('purchase', 'error')
+      |GROUP BY 1, 2
+      |ORDER BY hour_start, event_type""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "error"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  /** Sliding windows: 2-hour window sliding by 1 hour — each event lands
+    * in exactly 2 windows. Oracle reproduces via explicit double-count. */
+  val q20SlidingAgg = Q(
+    "q20_sliding_agg",
+    """SELECT w_start, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
+      |FROM (
+      |  SELECT ts, value, date_trunc('hour', ts) AS w_start FROM events
+      |  UNION ALL
+      |  SELECT ts, value, date_trunc('hour', ts) - INTERVAL 1 HOUR AS w_start FROM events) t
+      |WHERE w_start >= TIMESTAMP '2024-01-01 00:00:00'
+      |GROUP BY w_start
+      |ORDER BY w_start""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .select(window(col("ts"), "2 hours", "1 hour").as("w"), col("value"))
+      .select(col("w.start").as("w_start"), col("value"))
+      .filter(col("w_start") >= lit("2024-01-01 00:00:00").cast("timestamp"))
+      .groupBy(col("w_start"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("w_start"))
+  }
+
+  /** Sessionization with a 30-minute gap: sessions per user.
+    * Spark side uses the built-in `session_window`; the oracle rebuilds
+    * sessions with lag + cumulative sum (split when gap ≥ 30 min —
+    * session_window merges only strictly-overlapping windows). */
+  val q21Sessions = Q(
+    "q21_sessions",
+    """WITH gaps AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events)
+      |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM gaps GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    Sessionize.sessionWindows(Tables.events(spark, dir),
+        col("user_id"), col("ts"), "30 minutes")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** As-of join (SURVEY §2.4): each purchase gets the value of the same
+    * user's latest strictly-prior view event. Oracle uses DuckDB's native
+    * ASOF JOIN; the Spark plan is Joins.asOf's single-shuffle union+window. */
+  val q22AsofViewPurchase = Q(
+    "q22_asof_view_purchase",
+    """SELECT p.event_id, p.user_id, round(p.value, 2) AS purchase_value,
+      |  round(v.value, 2) AS prior_view_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND v.ts < p.ts
+      |ORDER BY p.event_id""".stripMargin) { (spark, dir) =>
+    val events = Tables.events(spark, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+    val views = events.filter(col("event_type") === "view").select("user_id", "ts", "value")
+    Joins.asOf(purchases, views, key = "user_id", ts = "ts", payload = Seq("value"))
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("purchase_value"),
+        round(col("asof_value"), 2).as("prior_view_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[Q] = Seq(q18JsonProps, q19HourlyAgg, q20SlidingAgg, q21Sessions, q22AsofViewPurchase)
+}

@@ -27,8 +27,8 @@ object RelationalQueries {
       |  round(sum(l_extendedprice), 2) AS sum_base_price,
       |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
       |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-      |  round(avg(l_quantity), 2) AS avg_qty,
-      |  round(avg(l_extendedprice), 2) AS avg_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
       |  round(avg(l_discount), 4) AS avg_disc,
       |  CAST(count(*) AS BIGINT) AS count_order
       |FROM lineitem
@@ -43,8 +43,8 @@ object RelationalQueries {
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -57,7 +57,7 @@ object RelationalQueries {
     "q02_region_activity",
     """SELECT r_name, n_name,
       |  CAST(count(*) AS BIGINT) AS n_customers,
-      |  round(avg(c_acctbal), 2) AS avg_bal
+      |  round(avg(c_acctbal), 4) AS avg_bal
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
@@ -67,7 +67,7 @@ object RelationalQueries {
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(count(lit(1)).as("n_customers"), round(avg(col("c_acctbal")), 2).as("avg_bal"))
+      .agg(count(lit(1)).as("n_customers"), round(avg(col("c_acctbal")), 4).as("avg_bal"))
       .orderBy(col("r_name"), col("n_name"))
   }
 
@@ -127,11 +127,11 @@ object RelationalQueries {
       |FROM customer
       |WHERE NOT EXISTS (SELECT 1 FROM orders
       |                  WHERE o_custkey = c_custkey
-      |                    AND o_totalprice > 150000)
+      |                    AND o_totalprice > 400000)
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
     Tables.customer(spark, dir)
-      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 150000),
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 400000),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_inactive"))

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Text-analysis + deduplication over the `documents` table (SURVEY
+  * §2.11, BASELINE.json north star: dedup, text analysis for
+  * training-data pipelines).
+  */
+object TextQueries {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for")
+
+  /** Exact dedup by full text: keep min doc_id per text, count copies.
+    * One hash groupBy — the 100 TB shape (map-side partial collapses
+    * exact copies early). */
+  val q23DedupExact = Q(
+    "q23_dedup_exact",
+    """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+      |FROM documents
+      |GROUP BY text
+      |ORDER BY keep_id""".stripMargin) { (spark, dir) =>
+    Dedup.exactGroups(Tables.documents(spark, dir), col("text"), col("doc_id"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** Token counting (whitespace tokenizer) per language. */
+  val q24TokenStats = Q(
+    "q24_token_stats",
+    """SELECT lang,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(avg(len(string_split_regex(lower(text), '\s+'))), 4) AS avg_tokens,
+      |  CAST(max(len(string_split_regex(lower(text), '\s+'))) AS INT) AS max_tokens
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", TextFns.tokenCount(col("text")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"),
+        max(col("n_tokens")).cast("int").as("max_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** Quality scoring + filter: keep docs by token count, punctuation
+    * ratio and stopword ratio; count survivors per source. */
+  val q25QualityFilter = Q(
+    "q25_quality_filter",
+    """WITH scored AS (
+      |  SELECT source,
+      |    len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |         ELSE CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+      |              / length(text) END AS punct_ratio,
+      |    CASE WHEN len(string_split_regex(lower(text), '\s+')) = 0 THEN 0.0
+      |         ELSE CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |                t -> list_contains(['the','a','of','and','to','in','is','on','for'], t)))
+      |              AS DOUBLE) / len(string_split_regex(lower(text), '\s+')) END AS stop_ratio
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+      |  round(avg(stop_ratio), 4) AS avg_stop_ratio
+      |FROM scored
+      |WHERE n_tokens BETWEEN 10 AND 5000 AND punct_ratio < 0.2 AND stop_ratio >= 0.02
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", TextFns.tokenCount(col("text")))
+      .withColumn("punct_ratio", TextFns.punctRatio(col("text")))
+      .withColumn("stop_ratio", TextFns.stopwordRatio(col("text"), Stopwords))
+      .filter(col("n_tokens").between(10, 5000)
+        && col("punct_ratio") < 0.2 && col("stop_ratio") >= 0.02)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), round(avg(col("stop_ratio")), 4).as("avg_stop_ratio"))
+      .orderBy(col("source"))
+  }
+
+  /** Language-ID n-gram/marker heuristic: score each doc against
+    * per-language marker lists, predict the argmax (deterministic
+    * precedence on ties), report the confusion vs the labeled lang. */
+  val q26LangId = Q(
+    "q26_langid",
+    """WITH t AS (SELECT lang, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      |scores AS (
+      |  SELECT lang,
+      |    len(list_filter(toks, x -> list_contains(['the','and','of','is'], x))) AS s_en,
+      |    len(list_filter(toks, x -> list_contains(['el','la','de','que'], x))) AS s_es,
+      |    len(list_filter(toks, x -> list_contains(['le','et','un','est'], x))) AS s_fr,
+      |    len(list_filter(toks, x -> list_contains(['der','und','die','ist'], x))) AS s_de
+      |  FROM t)
+      |SELECT lang,
+      |  CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+      |       WHEN s_en >= greatest(s_es, s_fr, s_de) THEN 'en'
+      |       WHEN s_es >= greatest(s_fr, s_de) THEN 'es'
+      |       WHEN s_fr >= s_de THEN 'fr'
+      |       ELSE 'de' END AS predicted,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM scores
+      |GROUP BY 1, 2
+      |ORDER BY lang, predicted""".stripMargin) { (spark, dir) =>
+    val toks = TextFns.tokens(col("text"))
+    val sEn = TextFns.markerHits(toks, Seq("the", "and", "of", "is"))
+    val sEs = TextFns.markerHits(toks, Seq("el", "la", "de", "que"))
+    val sFr = TextFns.markerHits(toks, Seq("le", "et", "un", "est"))
+    val sDe = TextFns.markerHits(toks, Seq("der", "und", "die", "ist"))
+    Tables.documents(spark, dir)
+      .withColumn("s_en", sEn).withColumn("s_es", sEs)
+      .withColumn("s_fr", sFr).withColumn("s_de", sDe)
+      .withColumn("predicted",
+        when(greatest(col("s_en"), col("s_es"), col("s_fr"), col("s_de")) === 0, "und")
+          .when(col("s_en") >= greatest(col("s_es"), col("s_fr"), col("s_de")), "en")
+          .when(col("s_es") >= greatest(col("s_fr"), col("s_de")), "es")
+          .when(col("s_fr") >= col("s_de"), "fr")
+          .otherwise("de"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** Content fingerprinting: md5 over normalized text; distinct
+    * fingerprints and dup mass per source. */
+  val q27Fingerprint = Q(
+    "q27_fingerprint",
+    """SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+      |    AS BIGINT) AS n_fingerprints
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .withColumn("fp", TextFns.fingerprint(col("text")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_fingerprints"))
+      .orderBy(col("source"))
+  }
+
+  /** Exact 3-gram Jaccard near-dup pairs (threshold 0.5) on a
+    * deterministic 1-in-5 doc sample, hot shingles capped at df≤100.
+    * The oracle rebuilds the identical pipeline in SQL. */
+  val q28JaccardPairs = Q(
+    "q28_jaccard_pairs",
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM docs,
+      |    unnest(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(s)
+      |  WHERE len(t) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 100),
+      |shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0)
+    Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 100)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** MinHash+LSH near-dup candidates (16 bands × 4 rows = 64 hashes).
+    * xxhash64-based — not reproducible in DuckDB → rows-only check. */
+  val q29MinhashPairs = Q.noOracle("q29_minhash_pairs") { (spark, dir) =>
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0)
+    Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures),
+    * pigeonhole-blocked on 16-bit bands. Rows-only check. */
+  val q30SimhashPairs = Q.noOracle("q30_simhash_pairs") { (spark, dir) =>
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0)
+    Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
+    q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs)
+}

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFns
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (SURVEY §2.11,
+  * north-star "similarity search"): brute-force cosine top-k as the
+  * exact baseline, LSH-bucketed ANN as the scale path.
+  *
+  * Scale design: the brute-force query broadcasts the single probe
+  * vector (a 1-row dim), so the scan side never shuffles — at 100 TB it
+  * is one pass + a TakeOrderedAndProject. The ANN variant buckets by a
+  * deterministic random-hyperplane signature: candidate generation is an
+  * equi-join on the bucket id — shuffle by bucket, no cross join.
+  */
+object VectorQueries {
+
+  private val Dim = 64
+
+  /** Brute-force cosine top-k against the vec_id=0 probe vector.
+    * Higher-order zip_with/aggregate in DOUBLE ↔ DuckDB
+    * list_cosine_similarity over ::DOUBLE[]. */
+  val q31CosineTopK = Q(
+    "q31_cosine_topk",
+    """SELECT e.vec_id, e.label,
+      |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                               CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+      |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      |WHERE e.vec_id <> 0
+      |ORDER BY cos_sim DESC, e.vec_id
+      |LIMIT 20""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** Per-label centroid norms: element-wise mean via posexplode +
+    * two-level agg — the fully-distributed centroid shape (no
+    * collect, no UDAF buffer bigger than one dimension per row). */
+  val q32CentroidNorms = Q(
+    "q32_centroid_norms",
+    """WITH comps AS (
+      |  SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+      |  FROM embeddings, range(1, 65) t(i)
+      |  GROUP BY label, i)
+      |SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm
+      |FROM comps
+      |GROUP BY label
+      |ORDER BY label""".stripMargin) { (spark, dir) =>
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"))
+      .orderBy(col("label"))
+  }
+
+  /** ANN via random-hyperplane LSH: 12-bit bucket signature, then exact
+    * cosine only within the probe's bucket. Deterministic hyperplanes →
+    * reproducible, but xxhash-free math is Spark-side only → rows-only
+    * check. This is the plan shape that replaces the O(N²) cross join at
+    * scale. */
+  val q33AnnLshTopK = Q.noOracle("q33_ann_lsh_topk") { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", VectorFns.lshBucket(col("embedding"), Dim, nBits = 6))
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("bucket").as("q_bucket"), col("embedding").as("q_emb"))
+    emb.filter(col("vec_id") =!= 0)
+      .join(broadcast(probe), col("bucket") === col("q_bucket"))
+      .select(col("vec_id"), col("label"),
+        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs sharing
+    * a bucket with cosine ≥ 0.95. Bucket equi-join = shuffle by bucket;
+    * no cross join. Rows-only check. */
+  val q34EmbeddingNearDups = Q.noOracle("q34_embedding_near_dups") { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorFns.lshBucket(col("embedding"), Dim, nBits = 8).as("bucket"))
+    emb.as("a").join(emb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(VectorFns.cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val all: Seq[Q] = Seq(q31CosineTopK, q32CentroidNorms, q33AnnLshTopK, q34EmbeddingNearDups)
+}
