@@ -55,7 +55,7 @@ object Multimodal {
     df.withColumn("n_frames",
         (length(col(payloadCol)) % 240 + 1).cast("int")) // STUB frame count
       .withColumn("frame_idx",
-        explode(sequence(lit(0), (col("n_frames") - 1) / everyNth)))
+        explode(sequence(lit(0), floor((col("n_frames") - 1) / everyNth).cast("int"))))
       .withColumn("frame_offset", col("frame_idx") * everyNth)
       .drop("frame_idx")
 }

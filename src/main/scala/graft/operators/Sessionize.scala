@@ -20,8 +20,9 @@ object Sessionize {
 
   /** Explicit sessionization: tags every event with a session id
     * (1-based, per key, in time order). A new session starts when the
-    * gap since the previous event is ≥ `gapSeconds` — the same split
-    * rule as `session_window` (windows merge only while they overlap). */
+    * gap since the previous event is strictly > `gapSeconds` — the same
+    * split rule as `session_window` (verified in SessionizeSpec: an
+    * event landing exactly at prev+gap still merges). */
   def tagSessions(events: DataFrame, key: String, ts: String,
       tiebreak: String, gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
@@ -29,7 +30,7 @@ object Sessionize {
       .withColumn("__prev_ts", lag(col(ts), 1).over(w))
       .withColumn("__new_session",
         when(col("__prev_ts").isNull ||
-          col(ts).cast("double") - col("__prev_ts").cast("double") >= gapSeconds, 1L)
+          col(ts).cast("double") - col("__prev_ts").cast("double") > gapSeconds, 1L)
           .otherwise(0L))
       .withColumn("session_id",
         sum(col("__new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))

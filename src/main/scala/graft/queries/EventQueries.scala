@@ -72,15 +72,16 @@ object EventQueries {
 
   /** Sessionization with a 30-minute gap: sessions per user.
     * Spark side uses the built-in `session_window`; the oracle rebuilds
-    * sessions with lag + cumulative sum (split when gap ≥ 30 min —
-    * session_window merges only strictly-overlapping windows). */
+    * sessions with lag + cumulative sum. Split rule is strictly
+    * gap > 30 min: session_window merges an event landing exactly at
+    * prev+gap (verified in SessionizeSpec). */
   val q21Sessions = Q(
     "q21_sessions",
     """WITH gaps AS (
       |  SELECT user_id, ts,
       |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
       |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-      |              >= INTERVAL 30 MINUTE
+      |              > INTERVAL 30 MINUTE
       |         THEN 1 ELSE 0 END AS new_s
       |  FROM events)
       |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,

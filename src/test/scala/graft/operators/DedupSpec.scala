@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "spark window join filter group table scan merge sort hash " +
+    "batch stream row column value key order limit page data"
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base),                                    // exact dup of 1
+    (3L, base.replace("merge", "shuffle")),        // near dup of 1
+    (4L, "totally different content about houses villages districts " +
+         "prices areas floors years decoration elevators")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups keeps min id and counts copies") {
+    val got = Dedup.exactGroups(docs, col("text"), col("doc_id"))
+      .orderBy("keep_id").select("keep_id", "n_copies").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("latestSnapshot keeps newest row per key") {
+    val snaps = Seq(
+      ("h1", "2024-01-01 00:00:00", "old"),
+      ("h1", "2024-02-01 00:00:00", "new"),
+      ("h2", "2024-01-15 00:00:00", "only")
+    ).toDF("id", "ts", "state").withColumn("ts", col("ts").cast("timestamp"))
+    val got = Dedup.latestSnapshot(snaps, Seq("id"), "ts", "state")
+      .orderBy("id").select("id", "state").as[(String, String)].collect()
+    assert(got.toSeq === Seq(("h1", "new"), ("h2", "only")))
+  }
+
+  test("jaccardPairs finds exact and near dups, not unrelated docs") {
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3, maxDocFreq = 10)
+      .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect()
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(got.find(t => (t._1, t._2) == ((1L, 2L))).get._3 === 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhashLshPairs surfaces the exact-dup pair with est_jaccard 1.0") {
+    val got = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val exact = got.find(t => t._1 == 1L && t._2 == 2L)
+    assert(exact.nonEmpty && exact.get._3 === 1.0)
+  }
+
+  test("simhashPairs: exact dups at hamming 0; unrelated doc absent") {
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    val exact = got.find(t => t._1 == 1L && t._2 == 2L)
+    assert(exact.nonEmpty && exact.get._3 === 0)
+    assert(!got.exists(t => t._1 == 4L || t._2 == 4L))
+  }
+}

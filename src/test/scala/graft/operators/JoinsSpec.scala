@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOf attaches latest strictly-prior payload per key") {
+    val left = Seq(
+      (1L, 10L, "2024-01-01 10:00:00"),
+      (2L, 10L, "2024-01-01 12:00:00"),
+      (3L, 20L, "2024-01-01 09:00:00")
+    ).toDF("event_id", "user_id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val right = Seq(
+      (10L, "2024-01-01 09:30:00", 1.0),
+      (10L, "2024-01-01 11:00:00", 2.0),
+      (10L, "2024-01-01 13:00:00", 9.0),  // after both left rows — never used
+      (20L, "2024-01-01 09:00:00", 5.0)   // equal ts — strictly-prior excludes
+    ).toDF("user_id", "ts", "value").withColumn("ts", col("ts").cast("timestamp"))
+
+    val got = Joins.asOf(left, right, "user_id", "ts", Seq("value"))
+      .orderBy("event_id").select("event_id", "asof_value")
+      .as[(Long, Option[Double])].collect()
+    assert(got.toSeq === Seq(
+      (1L, Some(1.0)),   // latest prior of 09:30/11:00/13:00 before 10:00
+      (2L, Some(2.0)),   // 11:00 wins before 12:00
+      (3L, None)))       // equal-ts right row excluded (strict <)
+  }
+
+  test("asOf keeps left columns intact and drops right-only nulls") {
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"), 42.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val right = Seq((10L, ts("2024-01-01 09:00:00"), 7.0))
+      .toDF("user_id", "ts", "value")
+    val got = Joins.asOf(left, right, "user_id", "ts", Seq("value"))
+    assert(got.columns.sorted.toSeq === Seq("asof_value", "event_id", "ts", "user_id", "value"))
+    val row = got.select("value", "asof_value").as[(Double, Double)].head()
+    assert(row === ((42.0, 7.0))) // left's own `value` survives the union trick
+  }
+}
