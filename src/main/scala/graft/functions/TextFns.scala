@@ -56,24 +56,14 @@ object TextFns {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
-  /** 64-bit SimHash from token xxhash64s: ±1 vote per bit per token, sign
-    * of the vote total becomes the bit. Constant shift amounts keep every
-    * term a plain codegen'd expression. (xxhash64 is Spark-specific — no
-    * DuckDB twin, so SimHash queries are rows-only checks.) */
-  def simhash64(toks: Column): Column = {
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val bitSigns = array((0 until 64).map { i =>
-          when(shiftright(xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)
-        }: _*)
-        zip_with(acc, bitSigns, (a, s) => a + s)
-      })
-    (0 until 64).map { i =>
-      when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** 64-bit SimHash from per-token XXH64 (seed 42, same core as the
+    * built-in `xxhash64`): ±1 vote per bit per token, sign of the vote
+    * total becomes the bit. Backed by the native Catalyst expression
+    * `graft.plans.SimHash64Expr` — the higher-order-function formulation
+    * allocated two 64-wide arrays per token, interpreted (62 s at sf0.1
+    * vs sub-second for the tight-loop expression). Spark-specific hash →
+    * no DuckDB twin, so SimHash queries are rows-only checks. */
+  def simhash64(toks: Column): Column = graft.plans.SimHash64Expr.simhash64(toks)
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -45,10 +45,26 @@ object Dedup {
     *                   still clears the threshold)
     * @return (id_a, id_b, jaccard) with id_a < id_b
     */
+  /** Shingle-set exploded view: (id, sh) one row per distinct shingle.
+    *
+    * Two staging decisions that matter at any scale:
+    *  - tokens are materialized as a column BEFORE shingling — composing
+    *    shingles(split(text)) as one expression inlines the regex split
+    *    into every element_at (3 splits per shingle ⇒ O(tokens²) regex
+    *    work per doc; observed 40-120s stalls at sf0.1);
+    *  - repartition by id before the ~100× explode fan-out — the
+    *    explosion must happen AFTER spreading rows across cores/executors,
+    *    not on however few partitions the scan produced.
+    */
+  private def shingleView(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .repartition(col(idCol))
+      .select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(array_distinct(TextFns.shingles(col("toks"), n))).as("sh"))
+
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Int): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("id"), explode(TextFns.shingleSet(col(textCol), n)).as("sh"))
+    val sh = shingleView(docs, idCol, textCol, n)
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq && col("df") >= 2)
     val shRare = sh.join(rare.select("sh"), Seq("sh"))
@@ -71,8 +87,7 @@ object Dedup {
     * model. Returns (id, sig ARRAY<LONG>). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      explode(TextFns.shingleSet(col(textCol), n)).as("sh"))
+    val sh = shingleView(docs, idCol, textCol, n)
     val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
@@ -117,8 +132,10 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"),
-      TextFns.simhash64(TextFns.tokens(col(textCol))).as("sig"))
+    val sigs = docs
+      .repartition(col(idCol))
+      .select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("toks"))
+      .select(col("id"), TextFns.simhash64(col("toks")).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))

@@ -67,10 +67,17 @@ object TextQueries {
       |WHERE n_tokens BETWEEN 10 AND 5000 AND punct_ratio < 0.2 AND stop_ratio >= 0.02
       |GROUP BY source
       |ORDER BY source""".stripMargin) { (spark, dir) =>
+    // tokens materialized ONCE, scores in a second projection: keeps the
+    // expression tree small and stable (the single-expression form
+    // re-inlines split() into every consumer — bench showed 10-100×
+    // slower with high variance from codegen churn)
     Tables.documents(spark, dir)
-      .withColumn("n_tokens", TextFns.tokenCount(col("text")))
-      .withColumn("punct_ratio", TextFns.punctRatio(col("text")))
-      .withColumn("stop_ratio", TextFns.stopwordRatio(col("text"), Stopwords))
+      .select(col("source"), col("text"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("source"),
+        size(col("toks")).as("n_tokens"),
+        TextFns.punctRatio(col("text")).as("punct_ratio"),
+        (TextFns.markerHits(col("toks"), Stopwords).cast("double") /
+          greatest(size(col("toks")), lit(1))).as("stop_ratio"))
       .filter(col("n_tokens").between(10, 5000)
         && col("punct_ratio") < 0.2 && col("stop_ratio") >= 0.02)
       .groupBy(col("source"))
@@ -101,14 +108,13 @@ object TextQueries {
       |FROM scores
       |GROUP BY 1, 2
       |ORDER BY lang, predicted""".stripMargin) { (spark, dir) =>
-    val toks = TextFns.tokens(col("text"))
-    val sEn = TextFns.markerHits(toks, Seq("the", "and", "of", "is"))
-    val sEs = TextFns.markerHits(toks, Seq("el", "la", "de", "que"))
-    val sFr = TextFns.markerHits(toks, Seq("le", "et", "un", "est"))
-    val sDe = TextFns.markerHits(toks, Seq("der", "und", "die", "ist"))
     Tables.documents(spark, dir)
-      .withColumn("s_en", sEn).withColumn("s_es", sEs)
-      .withColumn("s_fr", sFr).withColumn("s_de", sDe)
+      .select(col("lang"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("lang"),
+        TextFns.markerHits(col("toks"), Seq("the", "and", "of", "is")).as("s_en"),
+        TextFns.markerHits(col("toks"), Seq("el", "la", "de", "que")).as("s_es"),
+        TextFns.markerHits(col("toks"), Seq("le", "et", "un", "est")).as("s_fr"),
+        TextFns.markerHits(col("toks"), Seq("der", "und", "die", "ist")).as("s_de"))
       .withColumn("predicted",
         when(greatest(col("s_en"), col("s_es"), col("s_fr"), col("s_de")) === 0, "und")
           .when(col("s_en") >= greatest(col("s_es"), col("s_fr"), col("s_de")), "en")

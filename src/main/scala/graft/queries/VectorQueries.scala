@@ -84,9 +84,13 @@ object VectorQueries {
     * a bucket with cosine ≥ 0.95. Bucket equi-join = shuffle by bucket;
     * no cross join. Rows-only check. */
   val q34EmbeddingNearDups = Q.noOracle("q34_embedding_near_dups") { (spark, dir) =>
+    // repartition by bucket: spreads the signature computation across
+    // cores AND makes both self-join sides identical shuffles, so
+    // ReuseExchange computes the LSH signatures once, not twice
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         VectorFns.lshBucket(col("embedding"), Dim, nBits = 8).as("bucket"))
+      .repartition(col("bucket"))
     emb.as("a").join(emb.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
