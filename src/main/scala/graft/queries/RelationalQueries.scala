@@ -421,9 +421,21 @@ object RelationalQueries {
       .orderBy(col("status"))
   }
 
+  /** HLL++ approximate distinct (SURVEY §2.5 "approx distinct") — sketch
+    * implementations differ across engines, so no value oracle; the
+    * rows-only check plus the exact-distinct twin (q13) covers it. */
+  val q38ApproxDistinct = Q.noOracle("q38_approx_distinct") { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
     q09RunningRevenue, q10SetOps, q11Rollup, q12Cube, q13Distinct,
-    q14Percentiles, q15RangeJoinBands, q16FanoutPagination, q17UnionSnapshot)
+    q14Percentiles, q15RangeJoinBands, q16FanoutPagination, q17UnionSnapshot,
+    q38ApproxDistinct)
 }

@@ -193,6 +193,47 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** TF-IDF top terms per language, entirely in relational algebra
+    * (explode → tf, df, smooth idf, window top-k) — no fitted model, no
+    * ML pipeline, so it runs identically at any scale and in DuckDB. */
+  val q37TfidfTopTerms = Q(
+    "q37_tfidf_top_terms",
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split_regex(lower(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, lang, term, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.lang, tf.term,
+      |    sum(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0)) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n
+      |  GROUP BY 1, 2)
+      |SELECT lang, term, round(score, 4) AS score, rk FROM (
+      |  SELECT lang, term, score,
+      |    row_number() OVER (PARTITION BY lang ORDER BY round(score, 4) DESC, term) AS rk
+      |  FROM scored) t
+      |WHERE rk <= 3
+      |ORDER BY lang, rk""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"), explode(TextFns.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = docs.count() // tiny scalar; at scale this is a cheap count job
+    val scored = tf.join(df, "term")
+      .groupBy(col("lang"), col("term"))
+      .agg(sum(col("tf") * (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0)).as("score"))
+    val w = Window.partitionBy(col("lang")).orderBy(round(col("score"), 4).desc, col("term"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("lang"), col("term"), round(col("score"), 4).as("score"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
-    q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs)
+    q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms)
 }

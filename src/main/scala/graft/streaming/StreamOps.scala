@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (SURVEY §2.10). The reference is a finite
+  * batch crawl, so streaming is engine capability beyond parity: the same
+  * event-time constructs the batch queries use (`window`,
+  * `session_window`) run unchanged under `readStream` — these helpers
+  * wire watermarks + sinks around them.
+  *
+  * Scale notes: watermark bounds state; windowed aggregations shuffle by
+  * (window, key) exactly like their batch twins; dedup-within-watermark
+  * is the streaming form of `dropDuplicates` with bounded state.
+  */
+object StreamOps {
+
+  /** File-source stream over a directory of parquet (schema must be
+    * supplied — streaming sources cannot infer). */
+  def parquetStream(spark: SparkSession, schema: StructType, path: String,
+      filesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(path)
+
+  /** Tumbling event-time counts with a watermark — the streaming twin of
+    * EventQueries.q19HourlyAgg. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Session windows with watermark — streaming twin of q21Sessions. */
+  def userSessions(events: DataFrame, gap: String, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Exactly-once event dedup with bounded state: drops events whose key
+    * re-appears within the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Run a streaming DataFrame to completion against a memory sink and
+    * return the materialized result — the harness that lets ScalaTest (or
+    * any batch caller) execute a streaming query synchronously. */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+      outputMode: String = "update"): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+}

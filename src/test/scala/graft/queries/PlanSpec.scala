@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan shape assertions: the properties that make these plans
+  * survive a 100 TB scale-up, pinned as tests so a refactor that silently
+  * drops a pushdown or broadcast fails CI, not the cluster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(q: Q): String = {
+    val df = q.run(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q06 pushes all scan predicates into the parquet reader") {
+    val p = plan(RelationalQueries.q06ForecastRevenue)
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), "shipdate range not pushed:\n" + p)
+    assert(p.contains("l_discount"), "discount band not pushed:\n" + p)
+    assert(p.contains("l_quantity"), "quantity bound not pushed:\n" + p)
+  }
+
+  test("q06 prunes columns: scan reads only the 4 needed of 11") {
+    val p = plan(RelationalQueries.q06ForecastRevenue)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice") && readSchema.contains("l_discount"))
+    assert(!readSchema.contains("l_orderkey"), "unneeded column read:\n" + readSchema)
+    assert(!readSchema.contains("l_returnflag"), "unneeded column read:\n" + readSchema)
+  }
+
+  test("q02 star join broadcasts both dims — no shuffle of the fact side") {
+    val p = plan(RelationalQueries.q02RegionActivity)
+    assert("BroadcastHashJoin".r.findAllIn(p).length === 2, p)
+    assert(!p.contains("SortMergeJoin"), "dim join degraded to SMJ:\n" + p)
+  }
+
+  test("q07 top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(RelationalQueries.q07TopOrders)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01 aggregation is two-phase (partial before the exchange)") {
+    val p = plan(RelationalQueries.q01PricingSummary)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("partial_sum"), "no map-side partial aggregation:\n" + p)
+  }
+
+  test("q31 brute-force cosine broadcasts the probe — scan side never shuffles") {
+    val p = plan(VectorQueries.q31CosineTopK)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), "top-k degraded to full sort:\n" + p)
+  }
+
+  test("q04/q05 exist/not-exists plan as semi/anti joins, not inner+distinct") {
+    assert(plan(RelationalQueries.q04SemiJoin).contains("LeftSemi"))
+    assert(plan(RelationalQueries.q05AntiJoin).contains("LeftAnti"))
+  }
+}

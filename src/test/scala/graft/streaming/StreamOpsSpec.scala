@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Streaming/batch parity: the same event-time operators must produce the
+  * batch answer when fed the same data incrementally. */
+class StreamOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // static events, materialized to a temp dir so the file source can
+  // stream it (events.parquet itself is TIMESTAMP(NANOS) — route through
+  // Tables.events' micros conversion first)
+  private lazy val stagedDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("stream-events").toString
+    Tables.events(spark, sfDir).coalesce(2).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming hourly counts equal the batch aggregation") {
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"))
+      .orderBy("hour_start", "event_type")
+      .collect()
+
+    val staticSchema = spark.read.parquet(stagedDir).schema
+    val streamed = StreamOps.hourlyCounts(
+      StreamOps.parquetStream(spark, staticSchema, stagedDir))
+    val got = StreamOps.runToMemory(spark, streamed, "hourly_test")
+      .select("hour_start", "event_type", "n")
+      .orderBy("hour_start", "event_type")
+      .collect()
+
+    assert(got.length === batch.length)
+    assert(got.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+  }
+
+  test("dedupWithinWatermark drops duplicate keys") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream-dup").toString
+    Seq(
+      (1L, "2024-01-01 10:00:00", "a"),
+      (1L, "2024-01-01 10:05:00", "a-dup"),
+      (2L, "2024-01-01 10:10:00", "b")
+    ).toDF("k", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val schema = spark.read.parquet(dir).schema
+    val deduped = StreamOps.dedupWithinWatermark(
+      StreamOps.parquetStream(spark, schema, dir), Seq("k"))
+    val got = StreamOps.runToMemory(spark, deduped, "dedup_test", outputMode = "append")
+    assert(got.count() === 2)
+    assert(got.select("k").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+}
