@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// sun.jnu.encoding (filesystem path encoding) is derived from the process
+// locale at JVM start — -D flags alone don't stick; Chinese partition
+// directories (状态=成交/) need a UTF-8 locale in the forked JVMs
+Test / envVars ++= Map("LANG" -> "C.UTF-8", "LC_ALL" -> "C.UTF-8")
+run / envVars ++= Map("LANG" -> "C.UTF-8", "LC_ALL" -> "C.UTF-8")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Chinese column values as partition directory names (状态=成交/) need a
+  // UTF-8 filesystem encoding; the container default is POSIX/ASCII
+  "-Dfile.encoding=UTF-8",
+  "-Dsun.jnu.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").map(_.split(" ").toSeq).getOrElse(Seq.empty)
