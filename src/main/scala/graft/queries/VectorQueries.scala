@@ -99,5 +99,31 @@ object VectorQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  val all: Seq[Q] = Seq(q31CosineTopK, q32CentroidNorms, q33AnnLshTopK, q34EmbeddingNearDups)
+  /** Same answer as q32, different physical plan: the typed Aggregator
+    * (graft.functions.VectorAgg) keeps one dim-sized buffer per group —
+    * shuffle is groups×dim, vs q32's posexplode shuffle of rows×dim.
+    * Oracle identical to q32's, so the driver cross-checks both plans
+    * against the same truth. */
+  val q39CentroidAggregator = Q(
+    "q39_centroid_aggregator",
+    """WITH comps AS (
+      |  SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+      |  FROM embeddings, range(1, 65) t(i)
+      |  GROUP BY label, i)
+      |SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm
+      |FROM comps
+      |GROUP BY label
+      |ORDER BY label""".stripMargin) { (spark, dir) =>
+    import graft.functions.VectorAgg
+    Tables.embeddings(spark, dir)
+      .groupBy(col("label"))
+      .agg(VectorAgg.centroid(col("embedding")).as("c"))
+      .select(col("label"),
+        round(sqrt(aggregate(col("c"), lit(0.0), (acc, x) => acc + x * x)), 6)
+          .as("centroid_norm"))
+      .orderBy(col("label"))
+  }
+
+  val all: Seq[Q] = Seq(q31CosineTopK, q32CentroidNorms, q33AnnLshTopK,
+    q34EmbeddingNearDups, q39CentroidAggregator)
 }

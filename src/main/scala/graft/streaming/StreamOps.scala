@@ -48,6 +48,27 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Custom keyed state via flatMapGroupsWithState (SURVEY §2.10 "custom
+    * state"): running per-user event count + value total, one update row
+    * emitted per user per micro-batch. State is one (count,total) pair
+    * per user — bounded, mergeable, timeout-evictable. */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val typed = events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          var (n, total) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { case (_, v) => n += 1; total += v }
+          state.update((n, total))
+          Iterator((uid, n, total))
+      }
+      .toDF("user_id", "n_events", "total_value")
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result — the harness that lets ScalaTest (or
     * any batch caller) execute a streaming query synchronously. */

@@ -39,6 +39,24 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.map(_.toString).toSeq === batch.map(_.toString).toSeq)
   }
 
+  test("flatMapGroupsWithState running totals converge to the batch answer") {
+    import spark.implicits._
+    val batch = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .as[(Long, Long)].collect().toMap
+
+    val staticSchema = spark.read.parquet(stagedDir).schema
+    val streamed = StreamOps.runningUserTotals(spark,
+      StreamOps.parquetStream(spark, staticSchema, stagedDir))
+    val updates = StreamOps.runToMemory(spark, streamed, "state_test")
+    // update mode emits one row per user per micro-batch; the running
+    // count is monotone, so the max per user is the final state
+    val got = updates.groupBy("user_id").agg(max("n_events").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === batch)
+  }
+
   test("dedupWithinWatermark drops duplicate keys") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("stream-dup").toString
