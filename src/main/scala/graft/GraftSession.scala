@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entry point: a SparkSession configured the way every graft
+  * operator expects (UTC, AQE, sane local shuffle parallelism), plus SQL
+  * registration of the engine's custom expressions so pure-SQL users get
+  * the same surface as the DataFrame API.
+  */
+object GraftSession {
+
+  /** Build a local session. `cores` drives both the master thread count
+    * and shuffle partitions — on a real cluster, drop `master` and size
+    * `spark.sql.shuffle.partitions` to ~2-3× total executor cores. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors(),
+      appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    registerFunctions(spark)
+    spark
+  }
+
+  /** Register graft's custom expressions in the session's function
+    * registry: `SELECT graft_simhash64(tokens) FROM ...` from plain SQL. */
+  def registerFunctions(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64",
+      exprs => graft.plans.SimHash64Expr(exprs.head),
+      "built-in")
+  }
+}
