@@ -85,8 +85,19 @@ object Pipeline {
     Extract.xpathFirst(col("html"), "//li[span='建筑结构']/text()").as("建筑结构"),
     Extract.xpathFirst(col("html"), "//li[span='梯户比例']/text()").as("梯户比例"),
     Extract.xpathFirst(col("html"), "//li[span='配备电梯']/text()").as("配备电梯"),
+    Extract.xpathFirst(col("html"), "//li[span='供暖方式']/text()").as("供暖方式"),
+    Extract.xpathFirst(col("html"), "//li[span='建成年代']/text()").as("建成年代_raw"),
+    Extract.xpathFirst(col("html"), "//li[span='挂牌时间']/text()").as("挂牌时间_raw"),
+    Extract.xpathFirst(col("html"), "//li[span='上次交易']/text()").as("上次交易_raw"),
     Extract.xpathFirst(col("html"), "//li[span='交易权属']/text()").as("交易权属"),
     Extract.xpathFirst(col("html"), "//li[span='房屋用途']/text()").as("房屋用途"),
+    Extract.xpathFirst(col("html"), "//li[span='房屋年限']/text()").as("房屋年限"),
+    Extract.xpathFirst(col("html"), "//li[span='产权所属']/text()").as("产权所属"),
+    Extract.xpathFirst(col("html"), "//li[span='房权所属']/text()").as("房权所属"),
+    Extract.xpathFirst(col("html"), "//li[span='抵押信息']/text()").as("抵押信息"),
+    Extract.xpathFirst(col("html"), "//li[span='房源核验码']/text()").as("房源核验码"),
+    Extract.xpathFirst(col("html"), "//li[span='房本备件']/text()").as("房本备件"),
+    Extract.xpathFirst(col("html"), "//li[span='产权年限']/text()").as("产权年限"),
     Extract.scrapeTime().as("采集时间"))
 
   /** G6: on-sale house detail page → one bronze house row (状态=在售).
@@ -96,8 +107,6 @@ object Pipeline {
       Extract.urlKey(col("url"), Base + "/ershoufang/", ".html").as("房屋Id"),
       Extract.xpathFirst(col("html"), "//span[@class='total']/text()").as("售价_raw"),
       Extract.xpathFirst(col("html"), "//div[@class='communityName']/a[@class='info']/@href").as("小区href"),
-      Extract.xpathFirst(col("html"), "//li[span='挂牌时间']/text()").as("挂牌时间_raw"),
-      Extract.xpathFirst(col("html"), "//li[span='上次交易']/text()").as("上次交易_raw"),
       Extract.xpathFirst(col("html"), "//span[@class='count']/text()").as("关注人数_raw"),
       Extract.xpathFirst(col("html"), "//li[span='链家编号']/text()").as("链家编号"),
       lit("在售").as("状态")) ++ houseCommon(pages): _*)
@@ -140,6 +149,7 @@ object Pipeline {
       .withColumn("售价", Extract.leadingDouble(col("售价_raw")).cast("decimal(12,2)")).drop("售价_raw")
       .withColumn("挂牌时间", to_date(col("挂牌时间_raw"))).drop("挂牌时间_raw")
       .withColumn("上次交易", to_date(col("上次交易_raw"))).drop("上次交易_raw")
+      .withColumn("建成年代", Extract.leadingInt(col("建成年代_raw"))).drop("建成年代_raw")
     val sold = Seq("成交价_raw", "成交时间_raw", "关注人数_raw")
       .filter(withCommon.columns.contains)
     sold.foldLeft(withCommon) {
