@@ -432,10 +432,80 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** TPC-H Q5 shape: 6-table star — two fact-side joins plus a chain of
+    * broadcast dims; Catalyst's join reorder + broadcast selection do
+    * the planning work (verify in PlanSpec: only lineitem⋈orders may
+    * shuffle). */
+  val q40LocalSupplierVolume = Q(
+    "q40_local_supplier_volume",
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+            && col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Ranking-function suite (SURVEY §2.6): dense_rank, ntile, first/last
+    * over an explicit frame — one query exercising the whole family. */
+  val q41RankingSuite = Q(
+    "q41_ranking_suite",
+    """SELECT o_custkey, o_orderkey,
+      |  dense_rank() OVER w AS drk,
+      |  ntile(4) OVER w AS quartile,
+      |  first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW) AS first_ok,
+      |  round(max(o_totalprice) OVER (PARTITION BY o_custkey)
+      |    - o_totalprice, 2) AS gap_to_max
+      |FROM orders
+      |WHERE o_custkey % 10 = 0
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, drk, o_orderkey""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wp = Window.partitionBy(col("o_custkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 10 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        dense_rank().over(w).as("drk"),
+        ntile(4).over(w).as("quartile"),
+        first(col("o_orderkey"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_ok"),
+        // max is selection, not arithmetic: the gap is a difference of two
+        // 2-decimal values — always ≥5e-3 from a rounding boundary, unlike
+        // avg-based deltas which land exactly on the grid for power-of-2
+        // group sizes (observed 1e-4 cross-engine diffs)
+        round(max(col("o_totalprice")).over(wp) - col("o_totalprice"), 2)
+          .as("gap_to_max"))
+      .orderBy(col("o_custkey"), col("drk"), col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
     q09RunningRevenue, q10SetOps, q11Rollup, q12Cube, q13Distinct,
     q14Percentiles, q15RangeJoinBands, q16FanoutPagination, q17UnionSnapshot,
-    q38ApproxDistinct)
+    q38ApproxDistinct, q40LocalSupplierVolume, q41RankingSuite)
 }

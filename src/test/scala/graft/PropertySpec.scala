@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.TextFns
+import graft.operators.Dedup
+
+/** ScalaCheck properties (SURVEY §5.2.3): algebraic laws the operators
+  * must satisfy on arbitrary inputs, not just fixtures. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sampler: the scalatest-scalacheck bridge isn't in the
+    * offline cache, so drive Gen directly with fixed seeds. */
+  private def forAll[A](g: Gen[A], n: Int = 15)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(body: (A, B) => Unit): Unit =
+    (1 to 15).foreach { i =>
+      for {
+        a <- ga.apply(Gen.Parameters.default, Seed(i.toLong))
+        b <- gb.apply(Gen.Parameters.default, Seed(i.toLong + 1000))
+      } body(a, b)
+    }
+
+  private val word = Gen.oneOf("spark", "join", "filter", "scan", "merge",
+    "sort", "hash", "row", "key", "value")
+  private val doc = Gen.listOfN(12, word).map(_.mkString(" "))
+  private val docsGen = Gen.listOfN(8, doc)
+
+  test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    forAll(docsGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val once = df.dropDuplicates("text")
+      val twice = once.dropDuplicates("text")
+      assert(once.count() === twice.count())
+      // and group counts are conserved: sum of n_copies == row count
+      val groups = Dedup.exactGroups(df, col("text"), col("id"))
+      assert(groups.agg(sum("n_copies")).as[Long].head() === texts.length.toLong)
+    }
+  }
+
+  test("union row-count arithmetic: |A ∪all B| = |A| + |B|") {
+    forAll(Gen.chooseNum(0, 20), Gen.chooseNum(0, 20)) { (a, b) =>
+      val da = (0 until a).map(i => (i.toLong, "a")).toDF("id", "src")
+      val db = (0 until b).map(i => (i.toLong, "b")).toDF("id", "src")
+      assert(da.unionByName(db).count() === (a + b).toLong)
+    }
+  }
+
+  test("guarded sequence(2, n) cardinality equals the reference's range(2, n+1) loop") {
+    // the F3 guard (totalPage > 1) is load-bearing: without it Spark's
+    // sequence(2, 1) generates DESCENDING [2, 1] instead of empty —
+    // exactly why Pipeline.paginationLinks filters before exploding
+    forAll(Gen.chooseNum(1, 30)) { n =>
+      val got = Seq(n).toDF("n")
+        .filter(col("n") > 1)
+        .select(explode(sequence(lit(2), col("n"))).as("p"))
+        .count()
+      // lianjia.py:117: for page in range(2, totalPage+1) → max(n-1, 0) pages
+      assert(got === math.max(n - 1, 0).toLong)
+    }
+  }
+
+  test("shingle count law: |shingles(toks, k)| = max(|toks|-k+1, 0)") {
+    forAll(Gen.nonEmptyListOf(word), Gen.chooseNum(1, 5)) { (toks, k) =>
+      {
+        val got = Seq(toks.mkString(" ")).toDF("text")
+          .select(size(TextFns.shingles(TextFns.tokens(col("text")), k)).as("n"))
+          .as[Int].head()
+        assert(got === math.max(toks.length - k + 1, 0))
+      }
+    }
+  }
+
+  test("date reformat roundtrip (C11): yyyy.M.d → DATE → ISO is stable") {
+    val dateGen = for {
+      y <- Gen.chooseNum(1995, 2024); m <- Gen.chooseNum(1, 12); d <- Gen.chooseNum(1, 28)
+    } yield (y, m, d)
+    forAll(dateGen) { (ymd: (Int, Int, Int)) =>
+      val (y, m, d) = ymd
+      val raw = f"$y%d.$m%d.$d%d 成交"
+      val got = Seq(raw).toDF("s")
+        .select(graft.lianjia.Extract.dealDate(col("s")).cast("string"))
+        .as[String].head()
+      assert(got === f"$y%04d-$m%02d-$d%02d")
+    }
+  }
+}
