@@ -13,16 +13,17 @@ object TextQueries {
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for")
 
-  /** Exact dedup by full text: keep min doc_id per text, count copies.
-    * One hash groupBy — the 100 TB shape (map-side partial collapses
-    * exact copies early). */
+  /** Exact dedup: keep min doc_id per content fingerprint, count copies.
+    * One hash groupBy with map-side partials — and the group key is the
+    * 16-byte md5, NOT the document text: grouping by text would shuffle
+    * the full corpus at 100 TB, grouping by digest shuffles ~nothing. */
   val q23DedupExact = Q(
     "q23_dedup_exact",
     """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
       |FROM documents
-      |GROUP BY text
+      |GROUP BY md5(text)
       |ORDER BY keep_id""".stripMargin) { (spark, dir) =>
-    Dedup.exactGroups(Tables.documents(spark, dir), col("text"), col("doc_id"))
+    Dedup.exactGroups(Tables.documents(spark, dir), md5(col("text")), col("doc_id"))
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
   }

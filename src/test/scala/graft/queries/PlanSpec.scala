@@ -54,6 +54,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-k degraded to full sort:\n" + p)
   }
 
+  test("q22 as-of join needs exactly one keyed shuffle (union+window plan)") {
+    val p = plan(EventQueries.q22AsofViewPurchase)
+    val keyedShuffles = "hashpartitioning".r.findAllIn(p).length
+    assert(keyedShuffles === 1,
+      s"as-of should shuffle once on the key, found $keyedShuffles:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of degraded to a product join:\n" + p)
+  }
+
   test("q04/q05 exist/not-exists plan as semi/anti joins, not inner+distinct") {
     assert(plan(RelationalQueries.q04SemiJoin).contains("LeftSemi"))
     assert(plan(RelationalQueries.q05AntiJoin).contains("LeftAnti"))
