@@ -43,23 +43,40 @@ object Pipeline {
       .select(col("ref"), concat(col("ref"), lit("pg"), col("pg")).as("url"))
 
   /** G4 (item half): village detail page → one village row (bronze:
-    * all-string, null on extraction miss — FIXTURES A1). */
-  def villageItems(pages: DataFrame): DataFrame =
-    pages.select(
-      Extract.urlKey(col("url"), Base + "/xiaoqu/", "/").as("id"),
-      Extract.xpathFirst(col("html"), "//h1[@class='detailTitle']/text()").as("name"),
-      Extract.zoneArray(col("html")).as("zone"),
-      Extract.xpathFirst(col("html"), "//div[@class='detailDesc']/text()").as("address"),
-      Extract.geoLat(col("html")).as("latitude"),
-      Extract.geoLng(col("html")).as("longitude"),
-      Extract.xpathFirst(col("html"), "//span[@class='xiaoquInfoContent year']/text()").as("year_raw"),
-      Extract.xpathFirst(col("html"), "//li[span='建筑类型']/text()").as("build_type"),
-      Extract.xpathFirst(col("html"), "//li[span='物业费用']/text()").as("property_costs"),
-      Extract.xpathFirst(col("html"), "//li[span='物业公司']/text()").as("property_company"),
-      Extract.xpathFirst(col("html"), "//li[span='开发商']/text()").as("developers"),
-      Extract.xpathFirst(col("html"), "//li[span='楼栋总数']/text()").as("buildings_raw"),
-      Extract.xpathFirst(col("html"), "//li[span='房屋总数']/text()").as("total_house_raw"),
-      Extract.scrapeTime().as("采集时间"))
+    * all-string, null on extraction miss — FIXTURES A1).
+    *
+    * All XPath fields come from ONE `XPathStructExpr` — one DOM parse per
+    * page instead of one per field (SURVEY §2.11's "single most important
+    * perf decision"); regex-based fields (id, zone, geo) don't need the
+    * DOM at all. */
+  def villageItems(pages: DataFrame): DataFrame = {
+    val fields = Seq(
+      "name" -> "//h1[@class='detailTitle']/text()",
+      "address" -> "//div[@class='detailDesc']/text()",
+      "year_raw" -> "//span[@class='xiaoquInfoContent year']/text()",
+      "build_type" -> "//li[span='建筑类型']/text()",
+      "property_costs" -> "//li[span='物业费用']/text()",
+      "property_company" -> "//li[span='物业公司']/text()",
+      "developers" -> "//li[span='开发商']/text()",
+      "buildings_raw" -> "//li[span='楼栋总数']/text()",
+      "total_house_raw" -> "//li[span='房屋总数']/text()")
+    pages
+      .select(
+        Extract.urlKey(col("url"), Base + "/xiaoqu/", "/").as("id"),
+        graft.plans.XPathStructExpr.xpathStruct(col("html"), fields).as("x"),
+        Extract.zoneArray(col("html")).as("zone"),
+        Extract.geoLat(col("html")).as("latitude"),
+        Extract.geoLng(col("html")).as("longitude"),
+        Extract.scrapeTime().as("采集时间"))
+      .select(col("id"), col("x.name").as("name"), col("zone"),
+        col("x.address").as("address"), col("latitude"), col("longitude"),
+        col("x.year_raw").as("year_raw"), col("x.build_type").as("build_type"),
+        col("x.property_costs").as("property_costs"),
+        col("x.property_company").as("property_company"),
+        col("x.developers").as("developers"),
+        col("x.buildings_raw").as("buildings_raw"),
+        col("x.total_house_raw").as("total_house_raw"), col("采集时间"))
+  }
 
   /** G4 (fan-out half): village page → its two house-listing child urls
     * (`/ershoufang/c<id>` + `/chengjiao/c<id>`, lianjia.py:95-99) — the
@@ -71,59 +88,71 @@ object Pipeline {
         concat(lit(Base + "/ershoufang/c"), col("village_id")),
         concat(lit(Base + "/chengjiao/c"), col("village_id")))).as("url"))
 
-  private def houseCommon(pages: DataFrame) = Seq(
-    Extract.xpathFirst(col("html"), "//h1[@class='main']/text()").as("标题"),
-    Extract.xpathFirst(col("html"), "//div[@class='communityName']/a[1]/text()").as("小区"),
-    Extract.xpathFirst(col("html"), "//li[span='房屋户型']/text()").as("房屋户型"),
-    Extract.xpathFirst(col("html"), "//li[span='所在楼层']/text()").as("所在楼层"),
-    Extract.xpathFirst(col("html"), "//li[span='建筑面积']/text()").as("建筑面积_raw"),
-    Extract.xpathFirst(col("html"), "//li[span='户型结构']/text()").as("户型结构"),
-    Extract.xpathFirst(col("html"), "//li[span='套内面积']/text()").as("套内面积_raw"),
-    Extract.xpathFirst(col("html"), "//li[span='建筑类型']/text()").as("建筑类型"),
-    Extract.xpathFirst(col("html"), "//li[span='房屋朝向']/text()").as("房屋朝向"),
-    Extract.xpathFirst(col("html"), "//li[span='装修情况']/text()").as("装修情况"),
-    Extract.xpathFirst(col("html"), "//li[span='建筑结构']/text()").as("建筑结构"),
-    Extract.xpathFirst(col("html"), "//li[span='梯户比例']/text()").as("梯户比例"),
-    Extract.xpathFirst(col("html"), "//li[span='配备电梯']/text()").as("配备电梯"),
-    Extract.xpathFirst(col("html"), "//li[span='供暖方式']/text()").as("供暖方式"),
-    Extract.xpathFirst(col("html"), "//li[span='建成年代']/text()").as("建成年代_raw"),
-    Extract.xpathFirst(col("html"), "//li[span='挂牌时间']/text()").as("挂牌时间_raw"),
-    Extract.xpathFirst(col("html"), "//li[span='上次交易']/text()").as("上次交易_raw"),
-    Extract.xpathFirst(col("html"), "//li[span='交易权属']/text()").as("交易权属"),
-    Extract.xpathFirst(col("html"), "//li[span='房屋用途']/text()").as("房屋用途"),
-    Extract.xpathFirst(col("html"), "//li[span='房屋年限']/text()").as("房屋年限"),
-    Extract.xpathFirst(col("html"), "//li[span='产权所属']/text()").as("产权所属"),
-    Extract.xpathFirst(col("html"), "//li[span='房权所属']/text()").as("房权所属"),
-    Extract.xpathFirst(col("html"), "//li[span='抵押信息']/text()").as("抵押信息"),
-    Extract.xpathFirst(col("html"), "//li[span='房源核验码']/text()").as("房源核验码"),
-    Extract.xpathFirst(col("html"), "//li[span='房本备件']/text()").as("房本备件"),
-    Extract.xpathFirst(col("html"), "//li[span='产权年限']/text()").as("产权年限"),
-    Extract.scrapeTime().as("采集时间"))
+  /** The label-sibling field block shared by on-sale and sold pages
+    * (lianjia.py:131-153 / 192-214) — (column name, xpath) pairs feeding
+    * one XPathStructExpr. */
+  private val houseCommonFields: Seq[(String, String)] = Seq(
+    "标题" -> "//h1[@class='main']/text()",
+    "小区" -> "//div[@class='communityName']/a[1]/text()",
+    "小区href" -> "//div[@class='communityName']/a[@class='info']/@href",
+    "房屋户型" -> "//li[span='房屋户型']/text()",
+    "所在楼层" -> "//li[span='所在楼层']/text()",
+    "建筑面积_raw" -> "//li[span='建筑面积']/text()",
+    "户型结构" -> "//li[span='户型结构']/text()",
+    "套内面积_raw" -> "//li[span='套内面积']/text()",
+    "建筑类型" -> "//li[span='建筑类型']/text()",
+    "房屋朝向" -> "//li[span='房屋朝向']/text()",
+    "装修情况" -> "//li[span='装修情况']/text()",
+    "建筑结构" -> "//li[span='建筑结构']/text()",
+    "梯户比例" -> "//li[span='梯户比例']/text()",
+    "配备电梯" -> "//li[span='配备电梯']/text()",
+    "供暖方式" -> "//li[span='供暖方式']/text()",
+    "建成年代_raw" -> "//li[span='建成年代']/text()",
+    "挂牌时间_raw" -> "//li[span='挂牌时间']/text()",
+    "上次交易_raw" -> "//li[span='上次交易']/text()",
+    "交易权属" -> "//li[span='交易权属']/text()",
+    "房屋用途" -> "//li[span='房屋用途']/text()",
+    "房屋年限" -> "//li[span='房屋年限']/text()",
+    "产权所属" -> "//li[span='产权所属']/text()",
+    "房权所属" -> "//li[span='房权所属']/text()",
+    "抵押信息" -> "//li[span='抵押信息']/text()",
+    "房源核验码" -> "//li[span='房源核验码']/text()",
+    "房本备件" -> "//li[span='房本备件']/text()",
+    "产权年限" -> "//li[span='产权年限']/text()")
 
-  /** G6: on-sale house detail page → one bronze house row (状态=在售).
-    * 34-column wide select — ONE page parse feeding many extracts. */
+  /** One-parse extraction: id/status/regex columns + ALL xpath fields via
+    * a single struct, expanded to the 34-column bronze schema. */
+  private def houseItems(pages: DataFrame, urlPrefix: String,
+      status: String, extraFields: Seq[(String, String)]): DataFrame = {
+    val fields = extraFields ++ houseCommonFields
+    pages
+      .select(
+        Extract.urlKey(col("url"), Base + urlPrefix, ".html").as("房屋Id"),
+        lit(status).as("状态"),
+        graft.plans.XPathStructExpr.xpathStruct(col("html"), fields).as("x"),
+        Extract.scrapeTime().as("采集时间"))
+      .select(Seq(col("房屋Id"), col("状态")) ++
+        fields.map { case (name, _) => col(s"x.$name").as(name) } :+
+        col("采集时间"): _*)
+      .withColumn("小区ID", Extract.urlKey(col("小区href"), "/xiaoqu/", "/"))
+      .drop("小区href")
+  }
+
+  /** G6: on-sale house detail page → one bronze house row (状态=在售). */
   def onsaleHouseItems(pages: DataFrame): DataFrame =
-    pages.select(Seq(
-      Extract.urlKey(col("url"), Base + "/ershoufang/", ".html").as("房屋Id"),
-      Extract.xpathFirst(col("html"), "//span[@class='total']/text()").as("售价_raw"),
-      Extract.xpathFirst(col("html"), "//div[@class='communityName']/a[@class='info']/@href").as("小区href"),
-      Extract.xpathFirst(col("html"), "//span[@class='count']/text()").as("关注人数_raw"),
-      Extract.xpathFirst(col("html"), "//li[span='链家编号']/text()").as("链家编号"),
-      lit("在售").as("状态")) ++ houseCommon(pages): _*)
-    .withColumn("小区ID", Extract.urlKey(col("小区href"), "/xiaoqu/", "/")).drop("小区href")
+    houseItems(pages, "/ershoufang/", "在售", Seq(
+      "售价_raw" -> "//span[@class='total']/text()",
+      "关注人数_raw" -> "//span[@class='count']/text()",
+      "链家编号" -> "//li[span='链家编号']/text()"))
 
   /** G8: sold house detail page → one bronze house row (状态=成交).
     * Sold rows fill 成交价/成交时间, lack 关注人数/链家编号 — the sparse
     * union shape (FIXTURES A2). */
   def soldHouseItems(pages: DataFrame): DataFrame =
-    pages.select(Seq(
-      Extract.urlKey(col("url"), Base + "/chengjiao/", ".html").as("房屋Id"),
-      Extract.xpathFirst(col("html"), "//span[@class='dealTotalPrice']/i/text()").as("成交价_raw"),
-      Extract.xpathFirst(col("html"), "//div[@class='price']/b/text()").as("售价_raw"),
-      Extract.xpathFirst(col("html"), "//div[@class='wrapper']/text()").as("成交时间_raw"),
-      Extract.xpathFirst(col("html"), "//div[@class='communityName']/a[@class='info']/@href").as("小区href"),
-      lit("成交").as("状态")) ++ houseCommon(pages): _*)
-    .withColumn("小区ID", Extract.urlKey(col("小区href"), "/xiaoqu/", "/")).drop("小区href")
+    houseItems(pages, "/chengjiao/", "成交", Seq(
+      "成交价_raw" -> "//span[@class='dealTotalPrice']/i/text()",
+      "售价_raw" -> "//div[@class='price']/b/text()",
+      "成交时间_raw" -> "//div[@class='wrapper']/text()"))
 
   /** on-sale ∪ sold into the single house table (SURVEY §2.8 union;
     * missing columns null-filled). */
