@@ -502,10 +502,36 @@ object RelationalQueries {
       .orderBy(col("o_custkey"), col("drk"), col("o_orderkey"))
   }
 
+  /** Explicit GROUPING SETS through the spark.sql entry point (SURVEY
+    * §2.5) — asymmetric sets that neither rollup nor cube express:
+    * (returnflag, linestatus), (returnflag), (linestatus alone is NOT
+    * included) plus grand total. */
+  val q42GroupingSets = Q(
+    "q42_grouping_sets",
+    """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+      |  coalesce(l_linestatus, '(all)') AS linestatus,
+      |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+      |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY g_flag, g_status, returnflag, linestatus""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+        |  coalesce(l_linestatus, '(all)') AS linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  count(1) AS n
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_flag, g_status, returnflag, linestatus""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
     q09RunningRevenue, q10SetOps, q11Rollup, q12Cube, q13Distinct,
     q14Percentiles, q15RangeJoinBands, q16FanoutPagination, q17UnionSnapshot,
-    q38ApproxDistinct, q40LocalSupplierVolume, q41RankingSuite)
+    q38ApproxDistinct, q40LocalSupplierVolume, q41RankingSuite, q42GroupingSets)
 }
