@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's single JSON stdout line; sbt's default logger
+// prefixes every forked-process line with [info]/[error], which breaks
+// that parse (BENCH_r01.json recorded "parsed": null). StdoutOutput pipes
+// the forked JVM's stdout/stderr through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // sun.jnu.encoding (filesystem path encoding) is derived from the process
 // locale at JVM start — -D flags alone don't stick; Chinese partition
 // directories (状态=成交/) need a UTF-8 locale in the forked JVMs
