@@ -15,10 +15,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        // coalesce(1) alone would pull the whole narrow pipeline into a
+        // single task (no shuffle boundary above it) — q29/q31 ran 20-45s
+        // single-threaded. persist+count materializes with full
+        // parallelism; the 1-task write then just drains the cache in
+        // partition order, preserving each query's ORDER BY.
+        val res = fn(spark, sfDir).persist()
+        res.count()
+        res.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        res.unpersist()
+        System.err.println(f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -34,14 +34,21 @@ object VectorFns {
   def lshBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
     val v = d(vec)
     val bits = (0 until nBits).map { b =>
-      // deterministic ±1 coefficient per (bit, dim) from a splitmix-style mix
-      val coefs = array((0 until dim).map { i =>
-        val h = scala.util.hashing.MurmurHash3.productHash((b, i, seed))
-        lit(if ((h & 1) == 0) 1.0 else -1.0)
-      }: _*)
+      val coefs = array(lshCoefs(b, dim, seed).map(lit): _*)
       val proj = aggregate(zip_with(v, coefs, (x, c) => x * c), lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce((x, y) => x.bitwiseOR(y))
   }
+
+  /** The ±1 hyperplane coefficients for bit `b` — deterministic per
+    * (bit, dimension) from a splitmix-style mix. Public so the DuckDB
+    * oracle SQL can inline the IDENTICAL planes as list literals: both
+    * engines then bucket every vector the same way and the approximate
+    * ANN result is exactly reproducible. */
+  def lshCoefs(b: Int, dim: Int, seed: Long = 42L): Seq[Double] =
+    (0 until dim).map { i =>
+      val h = scala.util.hashing.MurmurHash3.productHash((b, i, seed))
+      if ((h & 1) == 0) 1.0 else -1.0
+    }
 }

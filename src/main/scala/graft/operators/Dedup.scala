@@ -82,13 +82,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** MinHash signature: k independent min-hashes over the shingle set.
-    * Hash family h_i(s) = xxhash64(i·s) — cheap, stateless, no fitted
-    * model. Returns (id, sig ARRAY<LONG>). */
+  /** Mersenne prime 2^31-1 — modulus of the portable min-hash family. */
+  val MinhashP: Long = 2147483647L
+
+  /** Deterministic (a_i, b_i) affine parameters for the portable
+    * min-hash family, from a splitmix64 stream: a_i ∈ [1, P-1],
+    * b_i ∈ [0, P-1]. Public so the DuckDB oracle SQL inlines the SAME
+    * constants — both engines then produce identical signatures. */
+  def minhashParams(k: Int): Seq[(Long, Long)] = {
+    var s = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    (0 until k).map { _ =>
+      val a = Math.floorMod(next(), MinhashP - 1) + 1
+      val b = Math.floorMod(next(), MinhashP)
+      (a, b)
+    }
+  }
+
+  /** Portable 31-bit shingle hash: first 60 bits of md5 as a
+    * non-negative long, reduced mod P. md5 is identical everywhere, so
+    * DuckDB's `('0x' || substr(md5(s),1,15))::BIGINT % P` produces the
+    * same value — the whole min-hash pipeline becomes oracle-checkable.
+    * One md5 per distinct shingle; the k per-hash values are then k
+    * multiply-adds on that single long (cheaper than k string hashes). */
+  def portableShingleHash(sh: Column): Column =
+    conv(substring(md5(sh), 1, 15), 16, 10).cast("long") % MinhashP
+
+  /** MinHash signature: k independent min-hashes over the shingle set,
+    * h_i(s) = (a_i·H(s) + b_i) mod P over the portable base hash H.
+    * Returns (id, sig ARRAY<LONG>). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
     val sh = shingleView(docs, idCol, textCol, n)
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+      .select(col("id"), portableShingleHash(col("sh")).as("xm"))
+    val mins = minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("xm") + lit(b)) % MinhashP).as(s"h$i")
+    }
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
@@ -105,11 +140,13 @@ object Dedup {
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val k = bands * rowsPerBand
     val sigs = minhashSignatures(docs, idCol, textCol, n, k)
-    // band key = hash of the band's slice of the signature
+    // band key = the band's slice of the signature, comma-joined — an
+    // engine-neutral join key (a hashed key would shuffle fewer bytes at
+    // scale, but these are 4 ints ≈ the hash width anyway)
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws(",", (0 until rowsPerBand).map(r =>
-          element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
+        concat_ws(",", (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
       }: _*)).as(Seq("band", "bkey")))
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

@@ -177,9 +177,49 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** MinHash+LSH near-dup candidates (16 bands × 4 rows = 64 hashes).
-    * xxhash64-based — not reproducible in DuckDB → rows-only check. */
-  val q29MinhashPairs = Q.noOracle("q29_minhash_pairs") { (spark, dir) =>
+  /** DuckDB twin of `Dedup.minhashLshPairs`: identical portable base
+    * hash (60 bits of md5 mod P), identical affine (a_i, b_i) constants
+    * inlined from `Dedup.minhashParams`, identical banding — so the
+    * whole approximate pipeline is hash-checked, not rows-only. */
+  private def minhashOracle(bands: Int, rowsPerBand: Int, threshold: Double): String = {
+    val k = bands * rowsPerBand
+    val p = Dedup.MinhashP
+    val mins = Dedup.minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a*xm+$b)%$p) AS h$i"
+    }.mkString(", ")
+    val sigList = (0 until k).map(i => s"h$i").mkString("[", ",", "]")
+    val bandSels = (0 until bands).map { b =>
+      val slots = (0 until rowsPerBand).map(r => s"sig[${b * rowsPerBand + r + 1}]").mkString(", ")
+      s"SELECT doc_id, sig, $b AS band, concat_ws(',', $slots) AS bkey FROM sigl"
+    }.mkString(" UNION ALL ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM docs,
+       |    unnest(list_transform(range(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(s)
+       |  WHERE len(t) >= 3),
+       |hx AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % $p AS xm FROM sh),
+       |sigs AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id),
+       |sigl AS (SELECT doc_id, $sigList AS sig FROM sigs),
+       |bands AS ($bandSels),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  round(len(list_filter(range(1, ${k + 1}), i -> sa[i] = sb[i])) / $k.0, 4) AS est_jaccard
+       |FROM cands
+       |WHERE len(list_filter(range(1, ${k + 1}), i -> sa[i] = sb[i])) / $k.0 >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** MinHash+LSH near-dup candidates (16 bands × 4 rows = 64 hashes),
+    * portable hash family → fully oracle-checked. */
+  val q29MinhashPairs = Q(
+    "q29_minhash_pairs",
+    minhashOracle(bands = 16, rowsPerBand = 4, threshold = 0.5)) { (spark, dir) =>
     val docs = Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0)
     Dedup.minhashLshPairs(docs, "doc_id", "text",
         n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)

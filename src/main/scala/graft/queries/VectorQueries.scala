@@ -62,12 +62,36 @@ object VectorQueries {
       .orderBy(col("label"))
   }
 
-  /** ANN via random-hyperplane LSH: 12-bit bucket signature, then exact
-    * cosine only within the probe's bucket. Deterministic hyperplanes →
-    * reproducible, but xxhash-free math is Spark-side only → rows-only
-    * check. This is the plan shape that replaces the O(N²) cross join at
-    * scale. */
-  val q33AnnLshTopK = Q.noOracle("q33_ann_lsh_topk") { (spark, dir) =>
+  /** DuckDB expression computing the identical LSH bucket id as
+    * `VectorFns.lshBucket(..., dim, nBits)`: the same ±1 hyperplane
+    * coefficients are inlined as DOUBLE[] literals, the same sign-bit →
+    * 2^b weights are summed. Both engines fold the dot product
+    * left-to-right in DOUBLE, so the sign — and hence the bucket — is
+    * bit-identical. */
+  private def duckBucketExpr(embCol: String, nBits: Int): String =
+    (0 until nBits).map { b =>
+      val coefs = VectorFns.lshCoefs(b, Dim).mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(CAST($embCol AS DOUBLE[]), CAST($coefs AS DOUBLE[])) >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** ANN via random-hyperplane LSH: 6-bit bucket signature, then exact
+    * cosine only within the probe's bucket. Hyperplanes are deterministic
+    * and inlined into the DuckDB twin (`duckBucketExpr`) → full
+    * hash-checked oracle despite being an approximate operator. This is
+    * the plan shape that replaces the O(N²) cross join at scale. */
+  val q33AnnLshTopK = Q(
+    "q33_ann_lsh_topk",
+    s"""WITH buck AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+       |    ${duckBucketExpr("embedding", 6)} AS bucket
+       |  FROM embeddings)
+       |SELECT v.vec_id, v.label,
+       |  round(list_cosine_similarity(v.e, q.e), 6) AS cos_sim
+       |FROM buck v JOIN (SELECT bucket, e FROM buck WHERE vec_id = 0) q
+       |  ON v.bucket = q.bucket
+       |WHERE v.vec_id <> 0
+       |ORDER BY cos_sim DESC, v.vec_id
+       |LIMIT 20""".stripMargin) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
       .withColumn("bucket", VectorFns.lshBucket(col("embedding"), Dim, nBits = 6))
     val probe = emb.filter(col("vec_id") === 0)
@@ -81,9 +105,20 @@ object VectorQueries {
   }
 
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs sharing
-    * a bucket with cosine ≥ 0.95. Bucket equi-join = shuffle by bucket;
-    * no cross join. Rows-only check. */
-  val q34EmbeddingNearDups = Q.noOracle("q34_embedding_near_dups") { (spark, dir) =>
+    * an 8-bit bucket with cosine ≥ 0.2. Bucket equi-join = shuffle by
+    * bucket; no cross join. Deterministic hyperplanes → oracle-checked
+    * like q33. */
+  val q34EmbeddingNearDups = Q(
+    "q34_embedding_near_dups",
+    s"""WITH buck AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    ${duckBucketExpr("embedding", 8)} AS bucket
+       |  FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+       |FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.2
+       |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
     // repartition by bucket: spreads the signature computation across
     // cores AND makes both self-join sides identical shuffles, so
     // ReuseExchange computes the LSH signatures once, not twice
