@@ -162,6 +162,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
+  /** Winnowing fingerprints (MOSS-style): hash every `w`-char gram of
+    * the whitespace-normalized text, keep the min hash of every
+    * `k`-gram window. Near-duplicate documents share selected hashes; a
+    * join on the fingerprint column finds them with a ~1/k-sized index.
+    * Gram hash = 60 bits of md5 → portable to the DuckDB oracle.
+    * @return (id, fp) one row per distinct selected fingerprint
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val grams = docs
+      .select(col(idCol).as("id"), norm.as("norm"))
+      .filter(length(col("norm")) >= w)
+      .repartition(col("id"))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(1), length(col("norm")) - (w - 1)),
+          i => conv(substring(md5(col("norm").substr(i, lit(w))), 1, 15), 16, 10)
+            .cast("long"))).as(Seq("pos", "gh")))
+    val byDoc = Window.partitionBy(col("id"))
+    grams
+      .withColumn("fp", min(col("gh")).over(byDoc.orderBy(col("pos")).rowsBetween(0, k - 1)))
+      .withColumn("npos", count(lit(1)).over(byDoc))
+      // only full windows: the first npos-(k-1) start positions (pos is 0-based)
+      .filter(col("pos") <= col("npos") - k)
+      .select(col("id"), col("fp")).distinct()
+  }
+
   /** SimHash near-dup pairs: 64-bit signatures, candidates blocked on
     * 16-bit sub-bands (a pair within hamming distance 3 must agree on at
     * least one of the 4 bands — pigeonhole), then verified exactly.

@@ -275,6 +275,95 @@ object TextQueries {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** BPE-ish pre-tokenizer regex (GPT-2 style, simplified to the RE2
+    * subset both engines share — no lookahead): a token is an optional
+    * leading space plus a letter run, digit run, or punctuation run. */
+  private val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+
+  /** Token counting with the BPE-ish regex tokenizer (north-star "token
+    * counting: whitespace + a BPE-ish regex"; whitespace variant is q24). */
+  val q43BpeTokens = Q(
+    "q43_bpe_tokens",
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  round(avg(len(regexp_extract_all(lower(text), '$BpePattern'))), 4) AS avg_bpe_tokens,
+       |  CAST(max(len(regexp_extract_all(lower(text), '$BpePattern'))) AS INT) AS max_bpe_tokens
+       |FROM documents
+       |GROUP BY source
+       |ORDER BY source""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .withColumn("n_bpe",
+        size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_bpe")), 4).as("avg_bpe_tokens"),
+        max(col("n_bpe")).cast("int").as("max_bpe_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** Winnowing document fingerprints (the rolling-hash fingerprint
+    * family, MOSS-style): hash every 8-char gram of the normalized text,
+    * keep the minimum hash of every 4-gram window — a deterministic
+    * ~1/4 sample of the gram hashes that near-duplicate documents share.
+    * The per-window min is a window-frame aggregate, so the whole
+    * operator is one explode + one window + one groupBy — no UDF, fully
+    * distributed, and byte-identical in DuckDB via the md5-based gram
+    * hash. */
+  val q44WinnowFingerprint = Q(
+    "q44_winnow_fingerprint",
+    """WITH nrm AS (
+      |  SELECT doc_id, source, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, source, i AS pos,
+      |    ('0x' || substr(md5(substr(norm, i, 8)), 1, 15))::BIGINT AS gh
+      |  FROM nrm, unnest(range(1, length(norm) - 6)) AS t(i)
+      |  WHERE length(norm) >= 8),
+      |w AS (
+      |  SELECT doc_id, source, pos, gh,
+      |    min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+      |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+      |    count(*) OVER (PARTITION BY doc_id) AS npos
+      |  FROM g),
+      |sels AS (SELECT DISTINCT doc_id, source, sel FROM w WHERE pos <= npos - 3),
+      |per AS (SELECT doc_id, source, count(*) AS n_fp FROM sels GROUP BY 1, 2)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(avg(n_fp), 4) AS avg_fps, CAST(max(n_fp) AS INT) AS max_fps
+      |FROM per
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    Dedup.winnowFingerprints(docs, "doc_id", "text", w = 8, k = 4)
+      .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+      .groupBy(col("id"), col("source")).agg(count(lit(1)).as("n_fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_fp")), 4).as("avg_fps"),
+        max(col("n_fp")).cast("int").as("max_fps"))
+      .orderBy(col("source"))
+  }
+
+  /** Pivot: doc counts per lang × source — Spark `groupBy().pivot()`
+    * against DuckDB FILTER aggregates. The source list is static (the
+    * pivot contract: column set must be known without a scan). */
+  val q46PivotLangs: Q = {
+    val srcs = (0 until 20).map(i => s"src$i")
+    Q("q46_pivot_langs",
+      s"""SELECT lang,
+         |  ${srcs.map(s => s"CAST(count(*) FILTER (WHERE source = '$s') AS BIGINT) AS $s").mkString(",\n  ")}
+         |FROM documents
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin) { (spark, dir) =>
+      val pivoted = Tables.documents(spark, dir)
+        .groupBy(col("lang"))
+        .pivot("source", srcs)
+        .agg(count(lit(1)))
+      // pivot leaves null (not 0) for absent (lang, source) combos
+      pivoted.select(col("lang") +: srcs.map(s => coalesce(col(s), lit(0L)).as(s)): _*)
+        .orderBy(col("lang"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
-    q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms)
+    q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
+    q43BpeTokens, q44WinnowFingerprint, q46PivotLangs)
 }

@@ -159,6 +159,67 @@ object VectorQueries {
       .orderBy(col("label"))
   }
 
+  /** IVF-style ANN (the coarse-quantizer scale path, vs q33's LSH):
+    * 8 deterministic cells seeded by vec_id % 8, cell centroids as
+    * element-wise means, every vector re-assigned to its nearest
+    * centroid by cosine, then the probe searches ONLY its own cell —
+    * at 100 TB the assignment is one broadcast join against 8 rows and
+    * the search scans 1/8th of the corpus (nprobe=1). Deterministic
+    * end-to-end → full DuckDB oracle despite being approximate. */
+  val q45IvfAnn = Q(
+    "q45_ivf_ann",
+    """WITH cent0 AS (
+      |  SELECT vec_id % 8 AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+      |  FROM embeddings, range(1, 65) t(i)
+      |  GROUP BY 1, 2),
+      |cent AS (SELECT cell, list(m ORDER BY i) AS c FROM cent0 GROUP BY cell),
+      |sims AS (
+      |  SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v, cent.cell,
+      |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cent.c) AS sim
+      |  FROM embeddings e CROSS JOIN cent),
+      |assign AS (
+      |  SELECT vec_id, label, v, cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+      |    FROM sims) t
+      |  WHERE rn = 1),
+      |probe AS (SELECT cell, v FROM assign WHERE vec_id = 0)
+      |SELECT a.vec_id, a.label, round(list_cosine_similarity(a.v, p.v), 6) AS cos_sim
+      |FROM assign a JOIN probe p ON a.cell = p.cell
+      |WHERE a.vec_id <> 0
+      |ORDER BY cos_sim DESC, a.vec_id
+      |LIMIT 10""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    // centroids: element-wise mean per cell, assembled in dimension
+    // order (mirrors the oracle's avg-then-list so fp rounding matches)
+    val cent = emb
+      .select(pmod(col("vec_id"), lit(8)).as("cell"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+      .groupBy(col("cell"), col("i")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        s => s.getField("m")).as("c"))
+    val sims = emb
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(cent))
+      .withColumn("sim", VectorFns.dot(col("v"), col("c")) /
+        (VectorFns.norm2(col("v")) * VectorFns.norm2(col("c"))))
+    val assign = sims
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("cell"))
+    val probe = assign.filter(col("vec_id") === 0)
+      .select(col("cell").as("p_cell"), col("v").as("p_v"))
+    assign.join(broadcast(probe), col("cell") === col("p_cell"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        round(VectorFns.dot(col("v"), col("p_v")) /
+          (VectorFns.norm2(col("v")) * VectorFns.norm2(col("p_v"))), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(q31CosineTopK, q32CentroidNorms, q33AnnLshTopK,
-    q34EmbeddingNearDups, q39CentroidAggregator)
+    q34EmbeddingNearDups, q39CentroidAggregator, q45IvfAnn)
 }

@@ -51,6 +51,25 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty && exact.get._3 === 1.0)
   }
 
+  test("winnowFingerprints: dups share all fingerprints, count bounded by windows") {
+    val got = Dedup.winnowFingerprints(docs, "doc_id", "text", w = 8, k = 4)
+      .as[(Long, Long)].collect()
+    val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // exact dup pair selects identical fingerprint sets
+    assert(byDoc(1L) === byDoc(2L))
+    // winnowing selects ≤ one hash per window start: n_grams - k + 1 windows
+    val nGrams = base.trim.replaceAll("\\s+", " ").length - 8 + 1
+    assert(byDoc(1L).nonEmpty && byDoc(1L).size <= nGrams - 4 + 1)
+    // unrelated doc shares nothing with the dup cluster
+    assert((byDoc(1L) & byDoc(4L)).isEmpty)
+  }
+
+  test("minhash signature slots stay within [0, P)") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = 8)
+      .select(explode(col("sig"))).as[Long].collect()
+    assert(sigs.nonEmpty && sigs.forall(h => h >= 0 && h < Dedup.MinhashP))
+  }
+
   test("simhashPairs: exact dups at hamming 0; unrelated doc absent") {
     val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .as[(Long, Long, Int)].collect()
