@@ -44,4 +44,34 @@ object Sinks {
     df.write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }
+
+  /** CSV sink/source pair — the flat-file interchange surface. Header
+    * carried in-band; reads take an explicit schema (inference is a
+    * full extra pass over 100 TB — never default to it). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** ORC sink/source pair — the other columnar format; same pushdown +
+    * pruning semantics as parquet under Spark's vectorized reader. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Bucketed managed table: pre-shuffles once at write time so every
+    * later equi-join/agg on the bucket columns runs WITHOUT an exchange
+    * — at 100 TB this converts the recurring fact⋈fact shuffle into a
+    * one-time layout cost. sortBy makes each bucket file sort-merge-ready
+    * (no per-task sort either). */
+  def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
 }

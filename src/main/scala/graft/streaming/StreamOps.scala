@@ -69,6 +69,23 @@ object StreamOps {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** Stream-stream interval join: rows of `left` join rows of `right`
+    * with the same key whose event time lands in [leftTs + lower,
+    * leftTs + upper]. Both sides carry watermarks so the join state is
+    * bounded — Spark evicts buffered rows once the watermark passes the
+    * interval's reach (the unbounded-state trap of naive stream joins). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, lower: String, upper: String,
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") + expr(s"INTERVAL $lower") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $upper"))
+      .drop(col(s"r.$key"))
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result — the harness that lets ScalaTest (or
     * any batch caller) execute a streaming query synchronously. */

@@ -29,6 +29,42 @@ class SinksSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"), plan)
   }
 
+  test("CSV sink/source round-trips with explicit schema") {
+    val dir = tmp()
+    val df = Seq((1L, "a,b", 1.5), (2L, "plain", -0.25)).toDF("id", "s", "v")
+    Sinks.writeCsv(df, dir)
+    val back = Sinks.readCsv(spark, StructType.fromDDL("id BIGINT, s STRING, v DOUBLE"), dir)
+    assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+  }
+
+  test("ORC sink/source round-trips and pushes filters") {
+    val dir = tmp()
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "y")).toDF("id", "s")
+    Sinks.writeOrc(df, dir)
+    val q = Sinks.readOrc(spark, dir).filter($"id" > 1)
+    assert(q.count() === 2)
+    assert(q.queryExecution.executedPlan.toString.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"))
+  }
+
+  test("bucketed tables join without an exchange") {
+    val facts = (1L to 100L).map(i => (i % 10, i)).toDF("k", "v")
+    val dims = (0L to 9L).map(i => (i, s"d$i")).toDF("k", "name")
+    Sinks.writeBucketed(facts, "b_facts", nBuckets = 4, bucketCols = Seq("k"), sortCols = Seq("k"))
+    Sinks.writeBucketed(dims, "b_dims", nBuckets = 4, bucketCols = Seq("k"), sortCols = Seq("k"))
+    try {
+      // disable broadcast so the join would shuffle if bucketing didn't align
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_facts").join(spark.table("b_dims"), "k")
+      assert(joined.count() === 100)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_facts")
+      spark.sql("DROP TABLE IF EXISTS b_dims")
+    }
+  }
+
   test("S3 permissive read: malformed rows land in _corrupt_record, job survives") {
     val dir = tmp()
     java.nio.file.Files.writeString(

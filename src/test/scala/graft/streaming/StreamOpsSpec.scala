@@ -57,6 +57,32 @@ class StreamOpsSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("stream-stream interval join matches keys within the window only") {
+    import spark.implicits._
+    val ldir = java.nio.file.Files.createTempDirectory("stream-imp").toString
+    val rdir = java.nio.file.Files.createTempDirectory("stream-clk").toString
+    Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 10:00:00"))
+      .toDF("k", "its").withColumn("its", col("its").cast("timestamp"))
+      .coalesce(1).write.mode("overwrite").parquet(ldir)
+    Seq(
+      (1L, "2024-01-01 10:20:00"),   // within [0s, 30m] of impression 1 → joins
+      (2L, "2024-01-01 11:00:00"),   // 60m later → outside the interval
+      (3L, "2024-01-01 10:10:00")    // no matching impression key
+    ).toDF("k", "cts").withColumn("cts", col("cts").cast("timestamp"))
+      .coalesce(1).write.mode("overwrite").parquet(rdir)
+
+    val ls = spark.read.parquet(ldir).schema
+    val rs = spark.read.parquet(rdir).schema
+    val joined = StreamOps.intervalJoin(
+      StreamOps.parquetStream(spark, ls, ldir),
+      StreamOps.parquetStream(spark, rs, rdir),
+      key = "k", leftTs = "its", rightTs = "cts",
+      lower = "0 seconds", upper = "30 minutes")
+    val got = StreamOps.runToMemory(spark, joined, "ssjoin_test", outputMode = "append")
+    assert(got.count() === 1)
+    assert(got.select("k").as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("dedupWithinWatermark drops duplicate keys") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("stream-dup").toString
