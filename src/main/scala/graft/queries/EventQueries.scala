@@ -115,5 +115,27 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
-  val all: Seq[Q] = Seq(q18JsonProps, q19HourlyAgg, q20SlidingAgg, q21Sessions, q22AsofViewPurchase)
+  /** Map-typed column surface: props parsed into MAP<STRING,BIGINT>,
+    * read with element_at / map_keys (q18 reads the same JSON with
+    * string-path extraction — this is the typed-map path). */
+  val q50MapFuncs = Q(
+    "q50_map_funcs",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+      |  CAST(max(len(json_keys(props))) AS INT) AS max_keys
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.{MapType, StringType, LongType}
+    Tables.events(spark, dir)
+      .withColumn("m", from_json(col("props"), MapType(StringType, LongType)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(element_at(col("m"), "k")), 4).as("avg_k"),
+        max(size(map_keys(col("m")))).cast("int").as("max_keys"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(q18JsonProps, q19HourlyAgg, q20SlidingAgg, q21Sessions,
+    q22AsofViewPurchase, q50MapFuncs)
 }

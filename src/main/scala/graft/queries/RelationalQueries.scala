@@ -528,10 +528,52 @@ object RelationalQueries {
         |ORDER BY g_flag, g_status, returnflag, linestatus""".stripMargin)
   }
 
+  /** Unpivot (wide → long): three lineitem measures melt into
+    * (measure, val) rows via Dataset.unpivot — the DuckDB twin is the
+    * portable UNION ALL expansion. */
+  val q47Unpivot = Q(
+    "q47_unpivot",
+    """WITH u AS (
+      |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+      |SELECT l_returnflag, measure, round(sum(val), 2) AS total
+      |FROM u
+      |GROUP BY l_returnflag, measure
+      |ORDER BY l_returnflag, measure""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "val")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(round(sum(col("val")), 2).as("total"))
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
+  /** Deterministic hash sampling (stable train/test splits): ~10% of
+    * orders by md5 bucket of the key — identical row selection in any
+    * engine, unlike seed+partition-dependent TABLESAMPLE. */
+  val q49HashSample = Q(
+    "q49_hash_sample",
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 100 < 10
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+    import graft.functions.Sampling
+    Sampling.hashSample(Tables.orders(spark, dir), col("o_orderkey"), pct = 10)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
     q09RunningRevenue, q10SetOps, q11Rollup, q12Cube, q13Distinct,
     q14Percentiles, q15RangeJoinBands, q16FanoutPagination, q17UnionSnapshot,
-    q38ApproxDistinct, q40LocalSupplierVolume, q41RankingSuite, q42GroupingSets)
+    q38ApproxDistinct, q40LocalSupplierVolume, q41RankingSuite, q42GroupingSets,
+    q47Unpivot, q49HashSample)
 }

@@ -363,7 +363,31 @@ object TextQueries {
     }
   }
 
+  /** explode_outer: fan out the long-token array but KEEP documents with
+    * no long tokens as a null row (plain explode drops them). The oracle
+    * states the same semantics arithmetically: every doc contributes
+    * max(len, 1) rows and len non-null terms. */
+  val q48ExplodeOuter = Q(
+    "q48_explode_outer",
+    """WITH t AS (
+      |  SELECT source,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 12) AS l
+      |  FROM documents)
+      |SELECT source,
+      |  CAST(sum(greatest(len(l), 1)) AS BIGINT) AS n_rows,
+      |  CAST(sum(len(l)) AS BIGINT) AS n_terms
+      |FROM t
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        explode_outer(filter(TextFns.tokens(col("text")), t => length(t) > 12)).as("term"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"), count(col("term")).as("n_terms"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
-    q43BpeTokens, q44WinnowFingerprint, q46PivotLangs)
+    q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter)
 }
