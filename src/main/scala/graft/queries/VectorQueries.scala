@@ -188,34 +188,36 @@ object VectorQueries {
       |WHERE a.vec_id <> 0
       |ORDER BY cos_sim DESC, a.vec_id
       |LIMIT 10""".stripMargin) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, dir)
-    // centroids: element-wise mean per cell, assembled in dimension
-    // order (mirrors the oracle's avg-then-list so fp rounding matches)
-    val cent = emb
+    // codebook: element-wise mean per cell, assembled in dimension order
+    // (mirrors the oracle's avg-then-list so fp values match), then
+    // COLLECTED — an IVF codebook is tiny by definition (8×64 doubles
+    // here; a few MB for real nlist), so it ships to every task as a
+    // literal and vector→cell assignment is a fully NARROW argmax: no
+    // cross join, no window shuffle, one pass over the corpus.
+    val codebook = emb
       .select(pmod(col("vec_id"), lit(8)).as("cell"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
       .groupBy(col("cell"), col("i")).agg(avg(col("x")).as("m"))
       .groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
         s => s.getField("m")).as("c"))
-    val sims = emb
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-      .crossJoin(broadcast(cent))
-      .withColumn("sim", VectorFns.dot(col("v"), col("c")) /
-        (VectorFns.norm2(col("v")) * VectorFns.norm2(col("c"))))
-    val assign = sims
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("v"), col("cell"))
+      .orderBy(col("cell"))
+      .collect()
+      .map(_.getSeq[Double](1))
+    val cb = array(codebook.map(c => array(c.map(lit): _*)): _*)
+    val v = col("embedding").cast("array<double>")
+    // first index holding the max similarity = lowest cell on ties —
+    // identical to the oracle's ORDER BY sim DESC, cell
+    val simArr = transform(cb, c => VectorFns.cosine(v, c))
+    val assign = emb.select(col("vec_id"), col("label"), v.as("v"),
+      (array_position(simArr, array_max(simArr)) - 1).cast("int").as("cell"))
     val probe = assign.filter(col("vec_id") === 0)
       .select(col("cell").as("p_cell"), col("v").as("p_v"))
     assign.join(broadcast(probe), col("cell") === col("p_cell"))
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("label"),
-        round(VectorFns.dot(col("v"), col("p_v")) /
-          (VectorFns.norm2(col("v")) * VectorFns.norm2(col("p_v"))), 6).as("cos_sim"))
+        round(VectorFns.cosine(col("v"), col("p_v")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
