@@ -33,5 +33,9 @@ object GraftSession {
       "graft_simhash64",
       exprs => graft.plans.SimHash64Expr(exprs.head),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine_sim",
+      exprs => graft.plans.CosineSimExpr(exprs.head, exprs(1)),
+      "built-in")
   }
 }

@@ -22,7 +22,17 @@ object VectorFns {
   def norm2(a: Column): Column =
     sqrt(aggregate(d(a), lit(0.0), (acc, x) => acc + x * x))
 
+  /** Cosine similarity — backed by the native one-pass codegen
+    * expression (`graft.plans.CosineSimExpr`): the HOF formulation
+    * evaluates an interpreted lambda per element (~400 ns/element,
+    * measured in tools/DiagCos), which is the inner loop of every
+    * similarity operator at corpus scale. Same values, same null
+    * semantics (cosineHof retained for the parity spec). */
   def cosine(a: Column, b: Column): Column =
+    graft.plans.CosineSimExpr.cosineSim(d(a), d(b))
+
+  /** The zip_with/aggregate formulation cosine() replaced. */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))
 
   /** Random-hyperplane LSH bucket id: `nBits` sign bits of projections

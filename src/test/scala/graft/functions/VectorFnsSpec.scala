@@ -26,6 +26,23 @@ class VectorFnsSpec extends SparkSpec {
     assert(math.abs(n - 5.0) < 1e-12)
   }
 
+  test("native cosine matches the HOF formulation bit-for-bit; null semantics agree") {
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(200)((Array.fill(64)(rnd.nextFloat() - 0.5f),
+      Array.fill(64)(rnd.nextFloat() - 0.5f))).toDF("a", "b")
+    val got = vecs.select(VectorFns.cosine(col("a"), col("b")).as("n"),
+      VectorFns.cosineHof(col("a"), col("b")).as("h")).as[(Double, Double)].collect()
+    assert(got.forall { case (n, h) => n == h })  // exact, not approx
+
+    // length mismatch and null element → null, like zip_with+aggregate
+    val weird = Seq(
+      (Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](1.0f)),
+      (Array[java.lang.Float](1.0f, null), Array[java.lang.Float](1.0f, 2.0f))
+    ).toDF("a", "b")
+    val nulls = weird.select(VectorFns.cosine(col("a"), col("b"))).collect()
+    assert(nulls.forall(_.isNullAt(0)))
+  }
+
   test("lshBucket is deterministic and within bit range") {
     val vecs = Seq.tabulate(20)(i => Tuple1(Array.tabulate(8)(j => (i * 8 + j).toFloat / 100 - 0.7f)))
       .toDF("v")
