@@ -162,6 +162,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
+  /** Connected components over near-duplicate pair edges — the step
+    * that turns pairwise dedup output into "keep one per cluster".
+    * Min-label propagation: every node repeatedly adopts the smallest
+    * label among itself and its neighbors; converges in O(diameter)
+    * rounds (dup clusters are shallow — a handful). Each round is one
+    * shuffle (join + groupBy min); lineage is cut per round with
+    * localCheckpoint, the standard guard for iterative Spark plans
+    * (same pattern as operators/Iterate.fixpoint). For adversarial
+    * high-diameter graphs swap in large-star/small-star; for dup
+    * clusters this is the cheaper shape.
+    *
+    * @param edges (id_a, id_b) undirected pair edges
+    * @return (node, comp) where comp = min node id in the component
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = sym.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+      val next = labels
+        .join(prop, col("node") === col("src"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("comp", "old"), "node")
+        .filter(col("comp") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** Winnowing fingerprints (MOSS-style): hash every `w`-char gram of
     * the whitespace-normalized text, keep the min hash of every
     * `k`-gram window. Near-duplicate documents share selected hashes; a

@@ -104,24 +104,11 @@ object VectorQueries {
       .limit(20)
   }
 
-  /** Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs sharing
-    * an 8-bit bucket with cosine ≥ 0.2. Bucket equi-join = shuffle by
-    * bucket; no cross join. Deterministic hyperplanes → oracle-checked
-    * like q33. */
-  val q34EmbeddingNearDups = Q(
-    "q34_embedding_near_dups",
-    s"""WITH buck AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-       |    ${duckBucketExpr("embedding", 8)} AS bucket
-       |  FROM embeddings)
-       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |  round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
-       |FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.2
-       |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
-    // repartition by bucket: spreads the signature computation across
-    // cores AND makes both self-join sides identical shuffles, so
-    // ReuseExchange computes the LSH signatures once, not twice
+  /** Shared by q34 and q51: LSH-bucketed near-dup pairs (unordered).
+    * repartition by bucket spreads the signature computation across
+    * cores AND makes both self-join sides identical shuffles, so
+    * ReuseExchange computes the LSH signatures once, not twice. */
+  private def nearDupPairs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         VectorFns.lshBucket(col("embedding"), Dim, nBits = 8).as("bucket"))
@@ -131,7 +118,59 @@ object VectorQueries {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(VectorFns.cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= 0.2)
-      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The q34/q51 pair-generation CTEs in DuckDB form. */
+  private def duckPairsCtes: String =
+    s"""buck AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    ${duckBucketExpr("embedding", 8)} AS bucket
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+       |  FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.2)""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs sharing
+    * an 8-bit bucket with cosine ≥ 0.2. Bucket equi-join = shuffle by
+    * bucket; no cross join. Deterministic hyperplanes → oracle-checked
+    * like q33. */
+  val q34EmbeddingNearDups = Q(
+    "q34_embedding_near_dups",
+    s"""WITH $duckPairsCtes
+       |SELECT id_a, id_b, cos_sim FROM pairs
+       |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    nearDupPairs(spark, dir).orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Dedup clustering: near-dup pairs → connected components → cluster
+    * sizes — the step that turns pairwise output into "keep one per
+    * cluster". Spark iterates min-label propagation
+    * (Dedup.connectedComponents: one shuffle per round, checkpointed);
+    * the oracle computes the same components with a recursive CTE,
+    * viable exactly because sf0.01 is small — which is why the
+    * distributed formulation exists. */
+  val q51DedupClusters = Q(
+    "q51_dedup_clusters",
+    s"""WITH RECURSIVE $duckPairsCtes,
+       |sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+       |comp AS (SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a)
+       |SELECT comp AS cluster_id, CAST(count(*) AS BIGINT) AS n_members
+       |FROM comp
+       |GROUP BY comp
+       |ORDER BY cluster_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.Dedup
+    Dedup.connectedComponents(nearDupPairs(spark, dir).select(col("id_a"), col("id_b")))
+      .groupBy(col("comp").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("cluster_id"))
   }
 
   /** Same answer as q32, different physical plan: the typed Aggregator
@@ -223,5 +262,5 @@ object VectorQueries {
   }
 
   val all: Seq[Q] = Seq(q31CosineTopK, q32CentroidNorms, q33AnnLshTopK,
-    q34EmbeddingNearDups, q39CentroidAggregator, q45IvfAnn)
+    q34EmbeddingNearDups, q39CentroidAggregator, q45IvfAnn, q51DedupClusters)
 }

@@ -64,6 +64,16 @@ class DedupSpec extends SparkSpec {
     assert((byDoc(1L) & byDoc(4L)).isEmpty)
   }
 
+  test("connectedComponents: chain, triangle, and pair resolve to min labels") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("minhash signature slots stay within [0, P)") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = 8)
       .select(explode(col("sig"))).as[Long].collect()
