@@ -136,6 +136,35 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Batch interval join (time-window theta join): views within the 30
+    * minutes before each purchase, same user. Distinct from q15 (value
+    * bands) and q22 (as-of nearest-prior): this is the bounded-window
+    * COUNT shape. The equi-key (user_id) carries the shuffle; the time
+    * bounds are post-join filters — at scale the join stays a plain
+    * sort-merge on user, never a cross product. Batch twin of
+    * StreamOps.intervalJoin. */
+  val q52IntervalJoin = Q(
+    "q52_interval_join",
+    """SELECT p.event_id, CAST(count(v.event_id) AS BIGINT) AS n_prior_views
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id
+      |  AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts < p.ts
+      |GROUP BY p.event_id
+      |ORDER BY p.event_id""".stripMargin) { (spark, dir) =>
+    val events = Tables.events(spark, dir)
+    val p = events.filter(col("event_type") === "purchase").alias("p")
+    val v = events.filter(col("event_type") === "view").alias("v")
+    p.join(v,
+        col("p.user_id") === col("v.user_id") &&
+          col("v.ts") >= col("p.ts") - expr("INTERVAL 30 MINUTES") &&
+          col("v.ts") < col("p.ts"),
+        "left")
+      .groupBy(col("p.event_id").as("event_id"))
+      .agg(count(col("v.event_id")).as("n_prior_views"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(q18JsonProps, q19HourlyAgg, q20SlidingAgg, q21Sessions,
-    q22AsofViewPurchase, q50MapFuncs)
+    q22AsofViewPurchase, q50MapFuncs, q52IntervalJoin)
 }

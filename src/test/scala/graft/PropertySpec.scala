@@ -76,6 +76,16 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile brackets the exact percentile (SURVEY §2.5)") {
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val (apx, lo, hi) = li.select(
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)),
+        expr("percentile(l_extendedprice, 0.45)"),
+        expr("percentile(l_extendedprice, 0.55)"))
+      .as[(Double, Double, Double)].head()
+    assert(apx >= lo && apx <= hi, s"approx median $apx outside [$lo, $hi]")
+  }
+
   test("date reformat roundtrip (C11): yyyy.M.d → DATE → ISO is stable") {
     val dateGen = for {
       y <- Gen.chooseNum(1995, 2024); m <- Gen.chooseNum(1, 12); d <- Gen.chooseNum(1, 28)
