@@ -67,4 +67,26 @@ class PlanSpec extends SparkSpec {
     assert(plan(RelationalQueries.q04SemiJoin).contains("LeftSemi"))
     assert(plan(RelationalQueries.q05AntiJoin).contains("LeftAnti"))
   }
+
+  test("q45 IVF assignment is narrow: no window, no cross join, broadcast probe only") {
+    val p = plan(VectorQueries.q45IvfAnn)
+    assert(!p.contains("Window"), "argmax degraded to a window shuffle:\n" + p)
+    assert(!p.contains("CartesianProduct"), "assignment degraded to a product:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "probe-cell join not broadcast:\n" + p)
+  }
+
+  test("q52 interval join is an equi-key join, not a product join") {
+    val p = plan(EventQueries.q52IntervalJoin)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "time bounds became the join key — product join:\n" + p)
+  }
+
+  test("q25 quality scan reads only the 2 needed document columns") {
+    val p = plan(TextQueries.q25QualityFilter)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("text") && readSchema.contains("source"), readSchema)
+    assert(!readSchema.contains("lang"), "unneeded column read:\n" + readSchema)
+  }
 }
