@@ -58,4 +58,22 @@ object Multimodal {
         explode(sequence(lit(0), floor((col("n_frames") - 1) / everyNth).cast("int"))))
       .withColumn("frame_offset", col("frame_idx") * everyNth)
       .drop("frame_idx")
+
+  /** Resize shape: payload → transformed payload + target-dimension
+    * meta. STUB transform (truncate to half length — deterministic on
+    * the input bytes); the real version swaps in a codec inside the
+    * same mapPartitions body. Output schema: input columns with the
+    * payload replaced and a `resized_meta` struct appended. */
+  def resizeImage(df: DataFrame, payloadCol: String, w: Int, h: Int): DataFrame = {
+    val idx = df.schema.fieldIndex(payloadCol)
+    val schema = StructType(df.schema.fields :+ StructField("resized_meta", MetaSchema))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val out = if (bytes == null) null else bytes.take(math.max(1, bytes.length / 2))
+        Row.fromSeq(row.toSeq.updated(idx, out) :+ Row(w, h, "png"))
+      }
+    }(enc)
+  }
 }

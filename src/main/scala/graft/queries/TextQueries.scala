@@ -387,7 +387,42 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Character-distribution entropy per document (the computable
+    * feature-extract of the multimodal verb list, and a standard
+    * compression-estimate quality signal): explode characters, count
+    * per (doc, char), Shannon entropy per doc, average per source.
+    * Fully distributed — the char fan-out happens after spreading by
+    * doc_id, entropy is a plain grouped sum. */
+  val q53CharEntropy = Q(
+    "q53_char_entropy",
+    """WITH ch AS (
+      |  SELECT doc_id, source, unnest(string_split(text, '')) AS c FROM documents),
+      |cnt AS (SELECT doc_id, source, c, count(*) AS n FROM ch GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS t FROM cnt GROUP BY 1),
+      |ent AS (
+      |  SELECT cnt.doc_id, cnt.source, -sum((n / t) * log2(n / t)) AS h
+      |  FROM cnt JOIN tot USING (doc_id)
+      |  GROUP BY 1, 2)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(avg(h), 4) AS avg_entropy
+      |FROM ent
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (spark, dir) =>
+    val cnt = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("source"), explode(split(col("text"), "")).as("c"))
+      .groupBy(col("doc_id"), col("source"), col("c"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("doc_id")).agg(sum(col("n")).cast("double").as("t"))
+    cnt.join(tot, "doc_id")
+      .groupBy(col("doc_id"), col("source"))
+      .agg((-sum((col("n") / col("t")) * log2(col("n") / col("t")))).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("h")), 4).as("avg_entropy"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
-    q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter)
+    q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy)
 }

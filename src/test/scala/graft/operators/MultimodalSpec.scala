@@ -27,6 +27,16 @@ class MultimodalSpec extends SparkSpec {
     assert(run() === run())
   }
 
+  test("resizeImage replaces the payload in place and appends target meta") {
+    val got = Multimodal.resizeImage(payloads, "payload", w = 32, h = 32)
+    assert(got.columns.toSeq === Seq("id", "payload", "resized_meta"))
+    val rows = got.orderBy("id")
+      .select(length(col("payload")), col("resized_meta.width"), col("resized_meta.height"))
+      .as[(Int, Int, Int)].collect()
+    // stub halves the byte length; meta carries the requested dims
+    assert(rows.toSeq === Seq((2, 32, 32), (3, 32, 32)))
+  }
+
   test("sampleFrames fans out one row per sampled frame") {
     val got = Multimodal.sampleFrames(payloads, "payload", everyNth = 2)
     // n_frames = len%240+1 → abcd:5, abcdef:7 → frames sampled: ceil(5/2)=3, ceil(7/2)=4
