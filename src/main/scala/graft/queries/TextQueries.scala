@@ -422,7 +422,43 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Token-repetition quality signals (Gopher-style): duplicate-token
+    * ratio and most-common-token mass per document, averaged per lang —
+    * the repetition filters a pretraining pipeline runs alongside q25's
+    * length/punct/stopword gates. One explode + two grouped aggs. */
+  val q54RepetitionSignals = Q(
+    "q54_repetition_signals",
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split_regex(lower(text), '\s+')) AS t
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, lang, t, count(*) AS n FROM toks GROUP BY 1, 2, 3),
+      |per AS (
+      |  SELECT doc_id, lang, CAST(sum(n) AS DOUBLE) AS total,
+      |    count(*) AS n_distinct, max(n) AS top_n
+      |  FROM cnt GROUP BY 1, 2)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(avg(1 - n_distinct / total), 4) AS avg_dup_ratio,
+      |  round(avg(top_n / total), 4) AS avg_top_frac
+      |FROM per
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    val cnt = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"), explode(TextFns.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("lang"), col("t"))
+      .agg(count(lit(1)).as("n"))
+    cnt.groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("n")).cast("double").as("total"),
+        count(lit(1)).as("n_distinct"), max(col("n")).as("top_n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(lit(1) - col("n_distinct") / col("total")), 4).as("avg_dup_ratio"),
+        round(avg(col("top_n") / col("total")), 4).as("avg_top_frac"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
-    q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy)
+    q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
+    q54RepetitionSignals)
 }

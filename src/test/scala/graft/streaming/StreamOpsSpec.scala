@@ -83,6 +83,25 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.select("k").as[Long].collect().toSeq === Seq(1L))
   }
 
+  test("stateless text operators run unchanged on a stream") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream-docs").toString
+    graft.sources.Tables.documents(spark, sfDir).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    // the same quality-signal projection q25 uses, applied to readStream
+    def score(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      graft.functions.TextFns.tokenCount(col("text")).as("n_tokens"),
+      graft.functions.TextFns.punctRatio(col("text")).as("punct_ratio"))
+    val streamed = StreamOps.runToMemory(spark,
+      score(StreamOps.parquetStream(spark, schema, dir)), "textops_test",
+      outputMode = "append")
+    val batch = score(spark.read.parquet(dir))
+    assert(streamed.orderBy("doc_id").collect().toSeq
+      === batch.orderBy("doc_id").collect().toSeq)
+  }
+
   test("dedupWithinWatermark drops duplicate keys") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("stream-dup").toString
