@@ -38,4 +38,12 @@ object GraftSession {
       exprs => graft.plans.CosineSimExpr(exprs.head, exprs(1)),
       "built-in")
   }
+
+  /** Register every testdata table from `dir` as a temp view, so the
+    * whole engine surface is reachable from `spark.sql(...)` alone. */
+  def registerTables(spark: SparkSession, dir: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      graft.sources.Tables.byName(spark, dir, t).createOrReplaceTempView(t)
+    }
 }

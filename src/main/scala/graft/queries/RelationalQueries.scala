@@ -569,11 +569,34 @@ object RelationalQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Full outer join: daily order counts vs daily shipment counts —
+    * dates present on either side survive with nulls on the other
+    * (coalesced to 0 for a deterministic comparison). */
+  val q55FullOuter = Q(
+    "q55_full_outer",
+    """WITH o AS (SELECT o_orderdate AS d, count(*) AS n_orders FROM orders GROUP BY 1),
+      |s AS (SELECT l_shipdate AS d, count(*) AS n_ships FROM lineitem GROUP BY 1)
+      |SELECT coalesce(o.d, s.d) AS d,
+      |  CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+      |  CAST(coalesce(n_ships, 0) AS BIGINT) AS n_ships
+      |FROM o FULL OUTER JOIN s ON o.d = s.d
+      |ORDER BY d""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").as("od")).agg(count(lit(1)).as("n_orders"))
+    val s = Tables.lineitem(spark, dir)
+      .groupBy(col("l_shipdate").as("sd")).agg(count(lit(1)).as("n_ships"))
+    o.join(s, col("od") === col("sd"), "full_outer")
+      .select(coalesce(col("od"), col("sd")).as("d"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_ships"), lit(0L)).as("n_ships"))
+      .orderBy(col("d"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
     q09RunningRevenue, q10SetOps, q11Rollup, q12Cube, q13Distinct,
     q14Percentiles, q15RangeJoinBands, q16FanoutPagination, q17UnionSnapshot,
     q38ApproxDistinct, q40LocalSupplierVolume, q41RankingSuite, q42GroupingSets,
-    q47Unpivot, q49HashSample)
+    q47Unpivot, q49HashSample, q55FullOuter)
 }
