@@ -592,11 +592,37 @@ object RelationalQueries {
       .orderBy(col("d"))
   }
 
+  /** Analytic window suite: lag/lead/percent_rank/cume_dist per
+    * customer (q41 covers the ranking family; this is the offset +
+    * distribution family). The window orders by (price, orderkey) — the
+    * unique tiebreaker that makes lag/lead deterministic under ties. */
+  val q56AnalyticSuite = Q(
+    "q56_analytic_suite",
+    """SELECT o_orderkey, o_custkey,
+      |  round(coalesce(lag(o_totalprice) OVER w, 0), 2) AS prev_price,
+      |  round(coalesce(lead(o_totalprice) OVER w, 0), 2) AS next_price,
+      |  round(percent_rank() OVER w, 6) AS pr,
+      |  round(cume_dist() OVER w, 6) AS cd
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        round(coalesce(lag(col("o_totalprice"), 1).over(w), lit(0)), 2).as("prev_price"),
+        round(coalesce(lead(col("o_totalprice"), 1).over(w), lit(0)), 2).as("next_price"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
     q09RunningRevenue, q10SetOps, q11Rollup, q12Cube, q13Distinct,
     q14Percentiles, q15RangeJoinBands, q16FanoutPagination, q17UnionSnapshot,
     q38ApproxDistinct, q40LocalSupplierVolume, q41RankingSuite, q42GroupingSets,
-    q47Unpivot, q49HashSample, q55FullOuter)
+    q47Unpivot, q49HashSample, q55FullOuter, q56AnalyticSuite)
 }
