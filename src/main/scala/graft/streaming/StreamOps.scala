@@ -86,6 +86,23 @@ object StreamOps {
       .drop(col(s"r.$key"))
   }
 
+  /** foreachBatch sink: each micro-batch lands as a batch write with
+    * its batch id — the production pattern for sinks Structured
+    * Streaming doesn't speak natively (JDBC, multi-table fan-out,
+    * merge/upsert). The checkpoint dir gives exactly-once per batch id:
+    * a replayed batch overwrites its own partition instead of
+    * duplicating. Runs to completion (AvailableNow-style drain). */
+  def sinkParquetBatches(streamed: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q = streamed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result — the harness that lets ScalaTest (or
     * any batch caller) execute a streaming query synchronously. */

@@ -83,6 +83,23 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.select("k").as[Long].collect().toSeq === Seq(1L))
   }
 
+  test("foreachBatch sink lands every micro-batch, total rows conserved") {
+    val src = java.nio.file.Files.createTempDirectory("fb-src").toString
+    val out = java.nio.file.Files.createTempDirectory("fb-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("fb-ckpt").toString
+    // repartition (not coalesce — the source may be 1 partition) so the
+    // file stream genuinely sees multiple files
+    spark.read.parquet(stagedDir).repartition(2)
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    StreamOps.sinkParquetBatches(
+      StreamOps.parquetStream(spark, schema, src), out, ckpt)
+    val landed = spark.read.parquet(out)
+    assert(landed.count() === spark.read.parquet(src).count())
+    // maxFilesPerTrigger=1 over 2 staged files → at least 2 batch partitions
+    assert(landed.select("batch_id").distinct().count() >= 2)
+  }
+
   test("stateless text operators run unchanged on a stream") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("stream-docs").toString
