@@ -618,11 +618,32 @@ object RelationalQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Salted skew join, oracle-proof that salting is semantically
+    * invisible: the DuckDB twin is the PLAIN join — same rows, same
+    * aggregates — while the Spark side spreads each (potentially hot)
+    * order key over 8 salt buckets before joining. */
+  val q57SkewJoin = Q(
+    "q57_skew_join",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+      |  round(sum(l_extendedprice), 2) AS total
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    import graft.operators.SkewJoin
+    val li = Tables.lineitem(spark, dir).withColumnRenamed("l_orderkey", "okey")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    SkewJoin.saltedJoin(li, o, key = "okey", saltFactor = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), round(sum(col("l_extendedprice")), 2).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
     q09RunningRevenue, q10SetOps, q11Rollup, q12Cube, q13Distinct,
     q14Percentiles, q15RangeJoinBands, q16FanoutPagination, q17UnionSnapshot,
     q38ApproxDistinct, q40LocalSupplierVolume, q41RankingSuite, q42GroupingSets,
-    q47Unpivot, q49HashSample, q55FullOuter, q56AnalyticSuite)
+    q47Unpivot, q49HashSample, q55FullOuter, q56AnalyticSuite, q57SkewJoin)
 }
