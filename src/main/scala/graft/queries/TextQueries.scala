@@ -457,8 +457,29 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** Heavy-hitter tokens per lang via the Misra-Gries sketch (k=32
+    * counters per group, one k-sized buffer shuffled per group — vs
+    * q37's exact path that shuffles the whole vocabulary). Rows-only:
+    * the survivor set near the N/k boundary is encounter-order
+    * dependent (inherent to the sketch); FreqSketchSpec asserts the
+    * mathematical guarantees instead. */
+  val q58HeavyHitters = Q.noOracle("q58_heavy_hitters") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.FreqSketch
+    val hh = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("lang"), explode(TextFns.tokens(col("text"))).as("t"))
+      .groupBy(col("lang"))
+      .agg(FreqSketch.heavyHitters(col("t"), 32).as("hh"))
+      .select(col("lang"), explode(col("hh")).as(Seq("token", "est")))
+    val w = Window.partitionBy(col("lang")).orderBy(col("est").desc, col("token"))
+    hh.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .orderBy(col("lang"), col("rk"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
-    q54RepetitionSignals)
+    q54RepetitionSignals, q58HeavyHitters)
 }
