@@ -142,12 +142,17 @@ object Dedup {
     val sigs = minhashSignatures(docs, idCol, textCol, n, k)
     // band key = the band's slice of the signature, comma-joined — an
     // engine-neutral join key (a hashed key would shuffle fewer bytes at
-    // scale, but these are 4 ints ≈ the hash width anyway)
+    // scale, but these are 4 ints ≈ the hash width anyway).
+    // repartition by the join key: both self-join sides become IDENTICAL
+    // shuffles, so ReuseExchange computes the whole signature pipeline
+    // (scan → shingle → md5 → k-way min agg) ONCE — without it the plan
+    // recomputes everything per side (seen in .explain).
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map { b =>
         concat_ws(",", (0 until rowsPerBand).map(r =>
           element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
       }: _*)).as(Seq("band", "bkey")))
+      .repartition(col("band"), col("bkey"))
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
@@ -208,25 +213,31 @@ object Dedup {
     * Gram hash = 60 bits of md5 → portable to the DuckDB oracle.
     * @return (id, fp) one row per distinct selected fingerprint
     */
+  /** @param carry metadata columns to ride along (one value per doc) —
+    *              carrying them beats joining them back on at the end
+    *              (the join's build side is unbounded at corpus scale) */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
-      w: Int, k: Int): DataFrame = {
+      w: Int, k: Int, carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val carryCols = carry.map(col)
     val grams = docs
-      .select(col(idCol).as("id"), norm.as("norm"))
+      .select(col(idCol).as("id") +: carryCols :+ norm.as("norm"): _*)
       .filter(length(col("norm")) >= w)
       .repartition(col("id"))
-      .select(col("id"),
+      // npos (gram count) is pure arithmetic on the text length — no
+      // count-over-partition Window needed downstream
+      .select(col("id") +: carryCols :+
+        (length(col("norm")) - (w - 1)).as("npos") :+
         posexplode(transform(sequence(lit(1), length(col("norm")) - (w - 1)),
           i => conv(substring(md5(col("norm").substr(i, lit(w))), 1, 15), 16, 10)
-            .cast("long"))).as(Seq("pos", "gh")))
-    val byDoc = Window.partitionBy(col("id"))
+            .cast("long"))).as(Seq("pos", "gh")): _*)
+    val win = Window.partitionBy(col("id")).orderBy(col("pos")).rowsBetween(0, k - 1)
     grams
-      .withColumn("fp", min(col("gh")).over(byDoc.orderBy(col("pos")).rowsBetween(0, k - 1)))
-      .withColumn("npos", count(lit(1)).over(byDoc))
+      .withColumn("fp", min(col("gh")).over(win))
       // only full windows: the first npos-(k-1) start positions (pos is 0-based)
       .filter(col("pos") <= col("npos") - k)
-      .select(col("id"), col("fp")).distinct()
+      .select(col("id") +: carryCols :+ col("fp"): _*).distinct()
   }
 
   /** SimHash near-dup pairs: 64-bit signatures, candidates blocked on
@@ -244,6 +255,7 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band", "bkey")))
+      .repartition(col("band"), col("bkey")) // ReuseExchange: see minhashLshPairs
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))

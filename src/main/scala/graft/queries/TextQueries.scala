@@ -332,8 +332,7 @@ object TextQueries {
       |GROUP BY source
       |ORDER BY source""".stripMargin) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
-    Dedup.winnowFingerprints(docs, "doc_id", "text", w = 8, k = 4)
-      .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+    Dedup.winnowFingerprints(docs, "doc_id", "text", w = 8, k = 4, carry = Seq("source"))
       .groupBy(col("id"), col("source")).agg(count(lit(1)).as("n_fp"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
