@@ -206,6 +206,19 @@ object Dedup {
     labels
   }
 
+  /** Keep one document per near-duplicate cluster: the min-id member of
+    * each component survives, every other member is dropped, documents
+    * in no cluster pass through untouched. The composition endpoint of
+    * the dedup pipeline — pairs (jaccardPairs / minhashLshPairs /
+    * simhashPairs / embedding buckets) → connectedComponents → this.
+    * One anti join on the (small) loser set. */
+  def dropNearDuplicates(docs: DataFrame, idCol: String, edges: DataFrame): DataFrame = {
+    val losers = connectedComponents(edges)
+      .filter(col("node") =!= col("comp"))
+      .select(col("node"))
+    docs.join(losers, docs(idCol) === col("node"), "left_anti")
+  }
+
   /** Winnowing fingerprints (MOSS-style): hash every `w`-char gram of
     * the whitespace-normalized text, keep the min hash of every
     * `k`-gram window. Near-duplicate documents share selected hashes; a

@@ -151,17 +151,22 @@ object VectorQueries {
     * the oracle computes the same components with a recursive CTE,
     * viable exactly because sf0.01 is small — which is why the
     * distributed formulation exists. */
+  /** Recursive-CTE connected components over the pair CTEs (shared by
+    * q51 and q59). */
+  private def duckComponentsCtes: String =
+    """sym AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT src, dst FROM sym
+      |  UNION
+      |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+      |comp AS (SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a)""".stripMargin
+
   val q51DedupClusters = Q(
     "q51_dedup_clusters",
     s"""WITH RECURSIVE $duckPairsCtes,
-       |sym AS (
-       |  SELECT id_a AS src, id_b AS dst FROM pairs
-       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
-       |reach(a, b) AS (
-       |  SELECT src, dst FROM sym
-       |  UNION
-       |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
-       |comp AS (SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a)
+       |$duckComponentsCtes
        |SELECT comp AS cluster_id, CAST(count(*) AS BIGINT) AS n_members
        |FROM comp
        |GROUP BY comp
@@ -171,6 +176,28 @@ object VectorQueries {
       .groupBy(col("comp").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("cluster_id"))
+  }
+
+  /** The dedup composition endpoint, value-verified: drop every
+    * non-canonical near-dup cluster member, count survivors per label.
+    * Spark side is pairs → connectedComponents → anti join
+    * (Dedup.dropNearDuplicates); the oracle derives the same loser set
+    * with the recursive CTE. */
+  val q59DedupKeep = Q(
+    "q59_dedup_keep",
+    s"""WITH RECURSIVE $duckPairsCtes,
+       |$duckComponentsCtes
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_kept
+       |FROM embeddings
+       |WHERE vec_id NOT IN (SELECT node FROM comp WHERE node <> comp)
+       |GROUP BY label
+       |ORDER BY label""".stripMargin) { (spark, dir) =>
+    import graft.operators.Dedup
+    Dedup.dropNearDuplicates(Tables.embeddings(spark, dir), "vec_id",
+        nearDupPairs(spark, dir).select(col("id_a"), col("id_b")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("label"))
   }
 
   /** Same answer as q32, different physical plan: the typed Aggregator
@@ -262,5 +289,6 @@ object VectorQueries {
   }
 
   val all: Seq[Q] = Seq(q31CosineTopK, q32CentroidNorms, q33AnnLshTopK,
-    q34EmbeddingNearDups, q39CentroidAggregator, q45IvfAnn, q51DedupClusters)
+    q34EmbeddingNearDups, q39CentroidAggregator, q45IvfAnn, q51DedupClusters,
+    q59DedupKeep)
 }

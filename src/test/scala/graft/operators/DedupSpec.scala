@@ -74,6 +74,14 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("dropNearDuplicates keeps one doc per cluster plus all singletons") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.dropNearDuplicates(docs, "doc_id", edges)
+      .select("doc_id").as[Long].collect().sorted
+    // cluster {1,2,3} → keep 1; doc 4 untouched
+    assert(got.toSeq === Seq(1L, 4L))
+  }
+
   test("minhash signature slots stay within [0, P)") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = 8)
       .select(explode(col("sig"))).as[Long].collect()
