@@ -193,14 +193,17 @@ object Dedup {
     while (!converged && i < maxIter) {
       val prop = sym.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+      // the changed flag rides inside the checkpointed round result, so
+      // the convergence probe is a filter on cached data — not an extra
+      // join job per round
       val next = labels
         .join(prop, col("node") === col("src"), "left")
-        .select(col("node"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .withColumn("__new", least(col("comp"), coalesce(col("ncomp"), col("comp"))))
+        .select(col("node"), col("__new").as("comp"),
+          (col("__new") =!= col("comp")).as("__changed"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("comp", "old"), "node")
-        .filter(col("comp") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("__changed")).isEmpty
+      labels = next.select(col("node"), col("comp"))
       i += 1
     }
     labels
