@@ -76,6 +76,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents agrees with union-find on random graphs") {
+    val edgeGen = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)).suchThat(p => p._1 != p._2))
+    forAll(edgeGen, n = 5) { edges =>
+      if (edges.nonEmpty) {
+        // reference: driver-side union-find with min-label roots
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val expected = parent.keys.map(x => x -> find(x)).toMap
+        val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got === expected)
+      }
+    }
+  }
+
   test("approx_percentile brackets the exact percentile (SURVEY §2.5)") {
     val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val (apx, lo, hi) = li.select(
