@@ -105,14 +105,19 @@ object Dedup {
     }
   }
 
-  /** Portable 31-bit shingle hash: first 60 bits of md5 as a
-    * non-negative long, reduced mod P. md5 is identical everywhere, so
-    * DuckDB's `('0x' || substr(md5(s),1,15))::BIGINT % P` produces the
-    * same value — the whole min-hash pipeline becomes oracle-checkable.
-    * One md5 per distinct shingle; the k per-hash values are then k
-    * multiply-adds on that single long (cheaper than k string hashes). */
+  /** First 60 bits of md5 as a non-negative long. md5 is identical
+    * everywhere, so DuckDB's `('0x' || substr(md5(s),1,15))::BIGINT`
+    * produces the same value — the base of every oracle-checkable
+    * approximate operator here. */
+  def portableHash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Portable 31-bit shingle hash: portableHash60 reduced mod P — the
+    * whole min-hash pipeline becomes oracle-checkable. One md5 per
+    * distinct shingle; the k per-hash values are then k multiply-adds
+    * on that single long (cheaper than k string hashes). */
   def portableShingleHash(sh: Column): Column =
-    conv(substring(md5(sh), 1, 15), 16, 10).cast("long") % MinhashP
+    portableHash60(sh) % MinhashP
 
   /** MinHash signature: k independent min-hashes over the shingle set,
     * h_i(s) = (a_i·H(s) + b_i) mod P over the portable base hash H.
@@ -267,9 +272,44 @@ object Dedup {
       .repartition(col(idCol))
       .select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("toks"))
       .select(col("id"), TextFns.simhash64(col("toks")).as("sig"))
+    simhashBandPairs(sigs, nBands = 4, bandBits = 16, maxHamming)
+  }
+
+  /** Portable SimHash signature over the 60-bit md5 token hash,
+    * computed RELATIONALLY: explode tokens, 60 ±1-vote sum aggregates
+    * (map-side partials, like any grouped agg), sign → bit. Same
+    * semantics as `SimHash64Expr` but over a hash both engines share —
+    * so the pair query is hash-checked against DuckDB. The native
+    * expression stays the cheaper single-pass path when oracle parity
+    * isn't required. Returns (id, sig) with sig in [0, 2^60). */
+  def simhashPortableSigs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = docs
+      .repartition(col(idCol))
+      .select(col(idCol).as("id"), explode(TextFns.tokens(col(textCol))).as("t"))
+      .select(col("id"), portableHash60(col("t")).as("x"))
+    val votes = (0 until 60).map(b =>
+      sum(when(shiftright(col("x"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$b"))
+    tk.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 60).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+  }
+
+  /** SimHash near-dup pairs over the portable signature (15-bit bands ×
+    * 4 — pigeonhole still holds for hamming ≤ 3 on the 60-bit sig). */
+  def simhashPairsPortable(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame =
+    simhashBandPairs(simhashPortableSigs(docs, idCol, textCol),
+      nBands = 4, bandBits = 15, maxHamming)
+
+  /** Shared banding + candidate verification for both SimHash variants. */
+  private def simhashBandPairs(sigs: DataFrame, nBands: Int, bandBits: Int,
+      maxHamming: Int): DataFrame = {
     val banded = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      posexplode(array((0 until nBands).map(b =>
+        shiftrightunsigned(col("sig"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1))): _*))
         .as(Seq("band", "bkey")))
       .repartition(col("band"), col("bkey")) // ReuseExchange: see minhashLshPairs
     banded.as("a").join(banded.as("b"),

@@ -227,10 +227,51 @@ object TextQueries {
   }
 
   /** SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures),
-    * pigeonhole-blocked on 16-bit bands. Rows-only check. */
+    * pigeonhole-blocked on 16-bit bands. Rows-only check — the native
+    * XXH64 codegen loop is the fast path; its oracle-checked twin over
+    * the portable hash is q60. */
   val q30SimhashPairs = Q.noOracle("q30_simhash_pairs") { (spark, dir) =>
     val docs = Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0)
     Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** DuckDB twin of the portable SimHash pipeline: identical 60-bit md5
+    * token hash, identical ±1 bit votes, identical 15-bit banding. */
+  private def simhashPortableOracle(maxHamming: Int): String = {
+    val votes = (0 until 60).map(b =>
+      s"sum(CASE WHEN ((x >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+    val sig = (0 until 60).map(b =>
+      s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |tk AS (
+       |  SELECT doc_id, ('0x' || substr(md5(u.tok), 1, 15))::BIGINT AS x
+       |  FROM docs, unnest(t) AS u(tok)),
+       |votes AS (SELECT doc_id, $votes FROM tk GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, $sig AS sig FROM votes),
+       |bands AS (
+       |  SELECT doc_id, sig, b.band, (sig >> (b.band * 15)) & 32767 AS bkey
+       |  FROM sigs, (VALUES (0), (1), (2), (3)) b(band)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    bit_count(xor(a.sig, b.sig)) AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+       |FROM pairs
+       |WHERE hamming <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Portable SimHash near-dup pairs — fully oracle-checked. */
+  val q60SimhashPortable = Q(
+    "q60_simhash_portable",
+    simhashPortableOracle(maxHamming = 3)) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0)
+    Dedup.simhashPairsPortable(docs, "doc_id", "text", maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -480,5 +521,5 @@ object TextQueries {
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
-    q54RepetitionSignals, q58HeavyHitters)
+    q54RepetitionSignals, q58HeavyHitters, q60SimhashPortable)
 }
