@@ -639,11 +639,35 @@ object RelationalQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Stable train/val/test assignment (Sampling.splitColumn): every
+    * order lands in exactly one split by md5 bucket of its key —
+    * reproducible across engines, reruns, and repartitioning. */
+  val q61SplitLabels = Q(
+    "q61_split_labels",
+    """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM (
+      |  SELECT o_totalprice,
+      |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+      |  FROM orders) t
+      |GROUP BY 1
+      |ORDER BY split""".stripMargin) { (spark, dir) =>
+    import graft.functions.Sampling
+    Tables.orders(spark, dir)
+      .withColumn("split", Sampling.splitColumn(col("o_orderkey"),
+        Seq(("train", 80), ("val", 90), ("test", 100))))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("split"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
     q09RunningRevenue, q10SetOps, q11Rollup, q12Cube, q13Distinct,
     q14Percentiles, q15RangeJoinBands, q16FanoutPagination, q17UnionSnapshot,
     q38ApproxDistinct, q40LocalSupplierVolume, q41RankingSuite, q42GroupingSets,
-    q47Unpivot, q49HashSample, q55FullOuter, q56AnalyticSuite, q57SkewJoin)
+    q47Unpivot, q49HashSample, q55FullOuter, q56AnalyticSuite, q57SkewJoin,
+    q61SplitLabels)
 }
