@@ -165,6 +165,39 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Funnel analysis: users progressing view → click → purchase, by
+    * first-occurrence ordering. One conditional-min aggregation per
+    * stage — a single shuffle on user_id, no joins, no window — the
+    * shape that holds at any event volume. NULL stage times drop out of
+    * the < comparisons identically in both engines. */
+  val q62Funnel = Q(
+    "q62_funnel",
+    """WITH f AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+      |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS BIGINT) AS n_view,
+      |  CAST(count(CASE WHEN t_view < t_click THEN 1 END) AS BIGINT) AS n_view_click,
+      |  CAST(count(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 END)
+      |    AS BIGINT) AS n_full_funnel
+      |FROM f""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(when(col("t_view").isNotNull, 1)).as("n_view"),
+        count(when(col("t_view") < col("t_click"), 1)).as("n_view_click"),
+        count(when(col("t_view") < col("t_click") && col("t_click") < col("t_purchase"), 1))
+          .as("n_full_funnel"))
+  }
+
   val all: Seq[Q] = Seq(q18JsonProps, q19HourlyAgg, q20SlidingAgg, q21Sessions,
-    q22AsofViewPurchase, q50MapFuncs, q52IntervalJoin)
+    q22AsofViewPurchase, q50MapFuncs, q52IntervalJoin, q62Funnel)
 }
