@@ -198,6 +198,32 @@ object EventQueries {
           .as("n_full_funnel"))
   }
 
+  /** Cohort retention: users grouped by first-active week, activity
+    * counted per week offset. The cohort label is a window min over
+    * user — ONE shuffle (by user) instead of the aggregate-then-join
+    * shape's two. Week truncation is Monday-start in both engines. */
+  val q63Retention = Q(
+    "q63_retention",
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
+      |lab AS (SELECT user_id, w, min(w) OVER (PARTITION BY user_id) AS cw FROM act)
+      |SELECT cw AS cohort_week, CAST((w - cw) / 7 AS INT) AS week_offset,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM lab
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, week_offset""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("w"))
+      .distinct()
+    act
+      .withColumn("cw", min(col("w")).over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("cw").as("cohort_week"),
+        (datediff(col("w"), col("cw")) / 7).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   val all: Seq[Q] = Seq(q18JsonProps, q19HourlyAgg, q20SlidingAgg, q21Sessions,
-    q22AsofViewPurchase, q50MapFuncs, q52IntervalJoin, q62Funnel)
+    q22AsofViewPurchase, q50MapFuncs, q52IntervalJoin, q62Funnel, q63Retention)
 }

@@ -662,6 +662,27 @@ object RelationalQueries {
       .orderBy(col("split"))
   }
 
+  /** Fixed-width histogram by floor arithmetic (identical expression in
+    * both dialects — DuckDB 1.0 lacks width_bucket; the arithmetic IS
+    * the portable form of it). Overflow values clamp into the top
+    * bucket. */
+  val q64Histogram = Q(
+    "q64_histogram",
+    """SELECT CAST(least(floor(o_totalprice / 50000.0), 11) AS INT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(min(o_totalprice), 2) AS lo,
+      |  round(max(o_totalprice), 2) AS hi
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy(least(floor(col("o_totalprice") / 50000.0), lit(11)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -669,5 +690,5 @@ object RelationalQueries {
     q14Percentiles, q15RangeJoinBands, q16FanoutPagination, q17UnionSnapshot,
     q38ApproxDistinct, q40LocalSupplierVolume, q41RankingSuite, q42GroupingSets,
     q47Unpivot, q49HashSample, q55FullOuter, q56AnalyticSuite, q57SkewJoin,
-    q61SplitLabels)
+    q61SplitLabels, q64Histogram)
 }
