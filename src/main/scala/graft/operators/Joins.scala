@@ -44,4 +44,26 @@ object Joins {
     withPayload.filter(col("__side") === 1)
       .drop("__side").drop(dropRight: _*)
   }
+
+  /** Forward as-of join: the EARLIEST right row strictly later than each
+    * left row (next event after). Same one-shuffle union+window plan as
+    * `asOf`, mirrored: right rows sort BEFORE left rows at equal ts, so
+    * the frame's +1 lower bound excludes them — strict ts_r > ts_l.
+    * Payload appears as `asofnext_<name>`. */
+  def asOfNext(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String]): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+    val r = right.select((key +: ts +: payload).map(col): _*).withColumn("__side", lit(2))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side").desc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val withPayload = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asofnext_$c",
+        first(when(col("__side") === 2, col(c)), ignoreNulls = true).over(w))
+    }
+    val dropRight = payload.filterNot(left.columns.contains)
+    withPayload.filter(col("__side") === 1)
+      .drop("__side").drop(dropRight: _*)
+  }
 }

@@ -224,6 +224,27 @@ object EventQueries {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Forward as-of: the next view AFTER each purchase (post-purchase
+    * re-engagement) — q22's mirror, same one-shuffle union+window plan
+    * via Joins.asOfNext, vs DuckDB ASOF with the reversed inequality. */
+  val q65AsofNextView = Q(
+    "q65_asof_next_view",
+    """SELECT p.event_id, p.user_id,
+      |  round(v.value, 2) AS next_view_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND v.ts > p.ts
+      |ORDER BY p.event_id""".stripMargin) { (spark, dir) =>
+    val events = Tables.events(spark, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+    val views = events.filter(col("event_type") === "view").select("user_id", "ts", "value")
+    Joins.asOfNext(purchases, views, key = "user_id", ts = "ts", payload = Seq("value"))
+      .select(col("event_id"), col("user_id"),
+        round(col("asofnext_value"), 2).as("next_view_value"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(q18JsonProps, q19HourlyAgg, q20SlidingAgg, q21Sessions,
-    q22AsofViewPurchase, q50MapFuncs, q52IntervalJoin, q62Funnel, q63Retention)
+    q22AsofViewPurchase, q50MapFuncs, q52IntervalJoin, q62Funnel, q63Retention,
+    q65AsofNextView)
 }

@@ -30,6 +30,28 @@ class JoinsSpec extends SparkSpec {
       (3L, None)))       // equal-ts right row excluded (strict <)
   }
 
+  test("asOfNext attaches earliest strictly-later payload per key") {
+    val left = Seq(
+      (1L, 10L, "2024-01-01 10:00:00"),
+      (2L, 10L, "2024-01-01 12:30:00"),
+      (3L, 20L, "2024-01-01 09:00:00")
+    ).toDF("event_id", "user_id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val right = Seq(
+      (10L, "2024-01-01 09:30:00", 1.0),  // before both left rows — never used
+      (10L, "2024-01-01 11:00:00", 2.0),
+      (10L, "2024-01-01 13:00:00", 9.0),
+      (20L, "2024-01-01 09:00:00", 5.0)   // equal ts — strictly-later excludes
+    ).toDF("user_id", "ts", "value").withColumn("ts", col("ts").cast("timestamp"))
+
+    val got = Joins.asOfNext(left, right, "user_id", "ts", Seq("value"))
+      .orderBy("event_id").select("event_id", "asofnext_value")
+      .as[(Long, Option[Double])].collect()
+    assert(got.toSeq === Seq(
+      (1L, Some(2.0)),   // earliest following of 11:00/13:00 after 10:00
+      (2L, Some(9.0)),   // 13:00 after 12:30
+      (3L, None)))       // equal-ts right row excluded (strict >)
+  }
+
   test("asOf keeps left columns intact and drops right-only nulls") {
     val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"), 42.0))
       .toDF("event_id", "user_id", "ts", "value")
