@@ -83,6 +83,14 @@ class PlanSpec extends SparkSpec {
       "time bounds became the join key — product join:\n" + p)
   }
 
+  test("no registered query plans a CartesianProduct") {
+    graft.SparkEntry.registry.foreach { q =>
+      val p = q.run(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name} plans a non-broadcast cartesian product")
+    }
+  }
+
   test("q25 quality scan reads only the 2 needed document columns") {
     val p = plan(TextQueries.q25QualityFilter)
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
