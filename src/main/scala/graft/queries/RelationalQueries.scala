@@ -683,6 +683,28 @@ object RelationalQueries {
       .orderBy(col("bucket"))
   }
 
+  /** Percent-of-total: a window over the AGGREGATED relation (global
+    * empty frame) — sum(sum(x)) OVER () — the ratio_to_report shape.
+    * The window input is the handful of group rows, not the fact table,
+    * so the "global" frame costs nothing at any scale. */
+  val q66RevenueShare = Q(
+    "q66_revenue_share",
+    """SELECT o_orderpriority,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  round(sum(o_totalprice) / sum(sum(o_totalprice)) OVER (), 6) AS share
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("o_totalprice")).as("t"))
+      .select(col("o_orderpriority"),
+        round(col("t"), 2).as("total"),
+        round(col("t") / sum(col("t")).over(Window.partitionBy()), 6).as("share"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -690,5 +712,5 @@ object RelationalQueries {
     q14Percentiles, q15RangeJoinBands, q16FanoutPagination, q17UnionSnapshot,
     q38ApproxDistinct, q40LocalSupplierVolume, q41RankingSuite, q42GroupingSets,
     q47Unpivot, q49HashSample, q55FullOuter, q56AnalyticSuite, q57SkewJoin,
-    q61SplitLabels, q64Histogram)
+    q61SplitLabels, q64Histogram, q66RevenueShare)
 }
