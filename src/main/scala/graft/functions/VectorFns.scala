@@ -51,6 +51,43 @@ object VectorFns {
     bits.reduce((x, y) => x.bitwiseOR(y))
   }
 
+  /** Banded random-hyperplane signature: `nBands` independent bucket
+    * keys, each from `bitsPerBand` sign bits (band b uses plane indices
+    * b·bitsPerBand+r, so no plane is shared between bands). Pairs that
+    * collide in ≥1 band are LSH candidates — the same OR-of-ANDs
+    * S-curve structure as MinHash banding (Dedup.minhashLshPairs).
+    *
+    * Scale: within-band bucket population is N / 2^bitsPerBand, so
+    * callers hold the pair-join linear by growing bitsPerBand with the
+    * corpus (bitsForCorpus); nBands buys back the recall that longer
+    * keys cost. A single fixed-width bucket (the shape this replaces)
+    * is quadratic at 100× — population grows linearly, pairs as its
+    * square.
+    *
+    * The sign bit is computed from the NATIVE one-pass cosine
+    * (CosineSimExpr — codegen'd, ~10× the interpreted HOF lambda);
+    * sign(cosine) ≡ sign(dot) since norms are positive, and the DuckDB
+    * oracle mirrors the identical `list_cosine_similarity(...) >= 0`
+    * predicate so the buckets are bit-identical across engines. */
+  def lshBandKeys(vec: Column, dim: Int, nBands: Int, bitsPerBand: Int,
+      seed: Long = 42L): Column = {
+    val v = d(vec)
+    array((0 until nBands).map { b =>
+      (0 until bitsPerBand).map { r =>
+        val coefs = array(lshCoefs(b * bitsPerBand + r, dim, seed).map(lit): _*)
+        when(graft.plans.CosineSimExpr.cosineSim(v, coefs) >= 0,
+          lit(1L << r)).otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y))
+    }: _*)
+  }
+
+  /** bitsPerBand needed to hold within-band buckets at ~`targetBucket`
+    * members for an `n`-vector corpus: log₂(n / targetBucket). The
+    * registered queries pin constants (the oracle SQL is static); a
+    * 100 TB caller derives bits from its corpus estimate instead. */
+  def bitsForCorpus(n: Long, targetBucket: Int = 64): Int =
+    math.max(4, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+
   /** The ±1 hyperplane coefficients for bit `b` — deterministic per
     * (bit, dimension) from a splitmix-style mix. Public so the DuckDB
     * oracle SQL can inline the IDENTICAL planes as list literals: both

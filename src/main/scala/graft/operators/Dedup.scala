@@ -174,14 +174,20 @@ object Dedup {
 
   /** Connected components over near-duplicate pair edges — the step
     * that turns pairwise dedup output into "keep one per cluster".
-    * Min-label propagation: every node repeatedly adopts the smallest
-    * label among itself and its neighbors; converges in O(diameter)
-    * rounds (dup clusters are shallow — a handful). Each round is one
-    * shuffle (join + groupBy min); lineage is cut per round with
+    * Min-label propagation PLUS path halving: every round each node
+    * first adopts the smallest label in its closed neighborhood, then
+    * pointer-jumps to its label's label (comp ← comp(comp)). The jump
+    * halves label-chain lengths each round, so convergence is
+    * O(log diameter) instead of O(diameter) — plain propagation hit
+    * maxIter unconverged on the sf0.1 near-dup graph (chain-shaped
+    * components of length > 20), and a path-shaped component at corpus
+    * scale would be unboundedly worse. Both steps only ever lower a
+    * node's label to another id inside its own component, so the
+    * fixpoint is exactly comp = min id of component (the propagation
+    * fixpoint argument is unchanged by the extra jump).
+    * Each round is two keyed shuffles; lineage is cut per round with
     * localCheckpoint, the standard guard for iterative Spark plans
-    * (same pattern as operators/Iterate.fixpoint). For adversarial
-    * high-diameter graphs swap in large-star/small-star; for dup
-    * clusters this is the cheaper shape.
+    * (same pattern as operators/Iterate.fixpoint).
     *
     * @param edges (id_a, id_b) undirected pair edges
     * @return (node, comp) where comp = min node id in the component
@@ -198,19 +204,36 @@ object Dedup {
     while (!converged && i < maxIter) {
       val prop = sym.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+      val stepped = labels
+        .join(prop, col("node") === col("src"), "left")
+        .select(col("node"), col("comp"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("half"))
+      // path halving: look up the label's own label and adopt the
+      // smaller — labels are node ids, and every node is in `labels`,
+      // so the self-join resolves every pointer
+      val jump = stepped.select(col("node").as("jnode"), col("half").as("jcomp"))
       // the changed flag rides inside the checkpointed round result, so
       // the convergence probe is a filter on cached data — not an extra
       // join job per round
-      val next = labels
-        .join(prop, col("node") === col("src"), "left")
-        .withColumn("__new", least(col("comp"), coalesce(col("ncomp"), col("comp"))))
+      val next = stepped
+        .join(jump, col("half") === col("jnode"), "left")
+        .withColumn("__new", least(col("half"), coalesce(col("jcomp"), col("half"))))
         .select(col("node"), col("__new").as("comp"),
           (col("__new") =!= col("comp")).as("__changed"))
         .localCheckpoint()
       converged = next.filter(col("__changed")).isEmpty
       labels = next.select(col("node"), col("comp"))
       i += 1
+      if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $i done t=${System.nanoTime() / 1e9}")
     }
+    if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] rounds=$i converged=$converged")
+    if (!converged)
+      // an unconverged result silently merges fewer clusters than the
+      // true components — surface it loudly rather than return it quietly
+      System.err.println(
+        s"[graft] WARN connectedComponents hit maxIter=$maxIter unconverged; raise maxIter")
     labels
   }
 

@@ -11,9 +11,14 @@ import graft.sources.Tables
   *
   * Scale notes (100 TB): every query here is a declarative DataFrame chain,
   * so Catalyst gets predicate pushdown + column pruning into the parquet
-  * scan for free; dims (region/nation/customer/supplier/part) are
-  * explicitly `broadcast()` so the fact-table join never shuffles the big
-  * side; fact⋈fact joins (lineitem⋈orders) are left to sort-merge + AQE.
+  * scan for free. Broadcast policy: only BOUNDED dims carry an explicit
+  * `broadcast()` hint (nation = 25 rows, region = 5 rows, literal band
+  * tables — cardinality independent of scale factor). Fact-proportional
+  * tables (customer/supplier/orders/part grow linearly with SF) are left
+  * unhinted so AQE + spark.sql.autoBroadcastJoinThreshold pick broadcast
+  * only when the runtime size actually fits — a hard-coded hint there
+  * overrides Catalyst's size check and OOMs executors at 100×. PlanSpec
+  * pins this policy ("no unbounded table is hint-broadcast").
   */
 object RelationalQueries {
 
@@ -72,9 +77,12 @@ object RelationalQueries {
   }
 
   /** TPC-H Q3 shape: 3-way join, filter both sides, agg, top-10.
-    * customer is broadcast (dim-sized); lineitem⋈orders is the fact join
-    * Catalyst plans as sort-merge/shuffled-hash + AQE. Ordering on the
-    * ROUNDED revenue keeps both dialects' tie-breaks identical. */
+    * customer is fact-proportional (150k × SF), so it carries NO broadcast
+    * hint: AQE + autoBroadcastJoinThreshold broadcast it when its runtime
+    * size fits and fall back to shuffle when it doesn't. lineitem⋈orders
+    * is the fact join Catalyst plans as sort-merge/shuffled-hash + AQE.
+    * Ordering on the ROUNDED revenue keeps both dialects' tie-breaks
+    * identical. */
   val q03ShippingPriority = Q(
     "q03_shipping_priority",
     """SELECT l_orderkey,
@@ -93,7 +101,7 @@ object RelationalQueries {
       .join(Tables.orders(spark, dir)
           .filter(col("o_orderdate") < lit("1998-03-15 00:00:00").cast("timestamp")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")),
+      .join(Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING"),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
@@ -432,10 +440,11 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"))
   }
 
-  /** TPC-H Q5 shape: 6-table star — two fact-side joins plus a chain of
-    * broadcast dims; Catalyst's join reorder + broadcast selection do
-    * the planning work (verify in PlanSpec: only lineitem⋈orders may
-    * shuffle). */
+  /** TPC-H Q5 shape: 6-table star. Only the bounded dims (nation 25 rows,
+    * region 5 rows) carry broadcast hints; customer and supplier grow with
+    * SF, so their joins are unhinted — AQE broadcasts them while they fit
+    * and degrades to shuffle joins at scale instead of OOMing on a forced
+    * multi-GB broadcast. */
   val q40LocalSupplierVolume = Q(
     "q40_local_supplier_volume",
     """SELECT n_name,
@@ -457,8 +466,8 @@ object RelationalQueries {
           .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
             && col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))

@@ -304,10 +304,14 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), explode(TextFns.tokens(col("text"))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("lang"), col("term")).agg(count(lit(1)).as("tf"))
     val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
-    val nDocs = docs.count() // tiny scalar; at scale this is a cheap count job
+    // n_docs as a 1-row aggregate cross-joined in (Catalyst broadcasts it):
+    // keeps the whole query a single job instead of a separate driver-side
+    // count() action before the main plan.
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "term")
+      .join(broadcast(nDocs))
       .groupBy(col("lang"), col("term"))
-      .agg(sum(col("tf") * (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0)).as("score"))
+      .agg(sum(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0)).as("score"))
     val w = Window.partitionBy(col("lang")).orderBy(round(col("score"), 4).desc, col("term"))
     scored
       .withColumn("rk", row_number().over(w))

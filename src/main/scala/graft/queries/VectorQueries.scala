@@ -104,38 +104,80 @@ object VectorQueries {
       .limit(20)
   }
 
-  /** Shared by q34 and q51: LSH-bucketed near-dup pairs (unordered).
-    * repartition by bucket spreads the signature computation across
-    * cores AND makes both self-join sides identical shuffles, so
-    * ReuseExchange computes the LSH signatures once, not twice. */
+  /** Near-dup banding parameters for the registered q34/q51/q59 queries.
+    * Constants because the oracle SQL is a static string; a production
+    * caller derives bitsPerBand from its corpus size instead
+    * (VectorFns.bitsForCorpus — within-band bucket population is
+    * N / 2^bitsPerBand, so growing bits with log₂N holds the self-join
+    * linear where the old single fixed 256-bucket signature went
+    * quadratic). 4 bands buy back the recall the longer keys cost —
+    * the same OR-of-ANDs S-curve as Dedup.minhashLshPairs. */
+  private val NdBands = 4
+  private val NdBits = 10
+
+  /** Shared by q34/q51/q59: banded-LSH near-dup candidate pairs
+    * (unordered), verified by exact cosine ≥ threshold. posexplode emits
+    * one (band, bkey) row per band; repartition by the join key makes
+    * both self-join sides IDENTICAL shuffles, so ReuseExchange computes
+    * the 40 hyperplane projections once, not twice. dropDuplicates
+    * collapses pairs that collide in several bands before the exact
+    * cosine is spent on them. */
   private def nearDupPairs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
-    val emb = Tables.embeddings(spark, dir)
+    val banded = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
-        VectorFns.lshBucket(col("embedding"), Dim, nBits = 8).as("bucket"))
-      .repartition(col("bucket"))
-    emb.as("a").join(emb.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        posexplode(VectorFns.lshBandKeys(col("embedding"), Dim, NdBands, NdBits))
+          .as(Seq("band", "bkey")))
+      .repartition(col("band"), col("bkey"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(VectorFns.cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+        col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(VectorFns.cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= 0.2)
   }
 
-  /** The q34/q51 pair-generation CTEs in DuckDB form. */
-  private def duckPairsCtes: String =
+  /** One band's bucket key in DuckDB form — the IDENTICAL hyperplanes
+    * (VectorFns.lshCoefs) inlined as DOUBLE[] literals, and the
+    * IDENTICAL sign predicate (list_cosine_similarity ≥ 0 ≡ the Spark
+    * side's CosineSimExpr ≥ 0; sign(cos) = sign(dot)). */
+  private def duckBandExpr(embCol: String, band: Int, bits: Int): String =
+    (0 until bits).map { r =>
+      val coefs = VectorFns.lshCoefs(band * bits + r, Dim).mkString("[", ",", "]")
+      s"(CASE WHEN list_cosine_similarity(CAST($embCol AS DOUBLE[]), CAST($coefs AS DOUBLE[])) >= 0 THEN ${1L << r} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** The q34/q51/q59 pair-generation CTEs in DuckDB form (mirrors
+    * nearDupPairs: per-band keys, ≥1-band collision, DISTINCT pair,
+    * exact-cosine verify). */
+  private def duckPairsCtes: String = {
+    val bandRows = (0 until NdBands).map { b =>
+      s"SELECT vec_id, e, $b AS band, k$b AS bkey FROM buck"
+    }.mkString("\n  UNION ALL ")
+    val keyCols = (0 until NdBands).map { b =>
+      s"    ${duckBandExpr("embedding", b, NdBits)} AS k$b"
+    }.mkString(",\n")
     s"""buck AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-       |    ${duckBucketExpr("embedding", 8)} AS bucket
+       |$keyCols
        |  FROM embeddings),
+       |bands AS (
+       |  $bandRows),
        |pairs AS (
-       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
        |    round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
-       |  FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
        |  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.2)""".stripMargin
+  }
 
-  /** Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs sharing
-    * an 8-bit bucket with cosine ≥ 0.2. Bucket equi-join = shuffle by
-    * bucket; no cross join. Deterministic hyperplanes → oracle-checked
-    * like q33. */
+  /** Embedding-cosine near-duplicate pairs, banded-LSH: pairs that
+    * collide in ≥1 of 4 band keys (10 sign bits each) with exact
+    * cosine ≥ 0.2. Candidate generation is a band-key equi-join —
+    * shuffle by (band, bkey), no cross join, bucket width tunable to
+    * corpus size. Deterministic hyperplanes → oracle-checked like q33. */
   val q34EmbeddingNearDups = Q(
     "q34_embedding_near_dups",
     s"""WITH $duckPairsCtes

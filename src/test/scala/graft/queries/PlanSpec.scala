@@ -91,6 +91,54 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("no registered query hint-broadcasts an unbounded table") {
+    // A broadcast() HINT overrides Catalyst's size check, so it is only
+    // safe on relations whose cardinality does not grow with the scale
+    // factor. Bounded means: every leaf is a literal relation or one of
+    // the fixed-cardinality dims (nation=25, region=5), OR the subtree
+    // collapses through a global aggregate (1 row), OR it is a
+    // point-lookup on a unique key (the ANN probe row). customer /
+    // supplier / orders / lineitem / part / documents / embeddings scans
+    // must reach a join UNHINTED so AQE can fall back to shuffle at
+    // scale. (Round-2 verdict: forced broadcast(customer) OOMs at 100×.)
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LeafNode, LocalRelation, LogicalPlan, OneRowRelation, ResolvedHint}
+    val uniqueKeys = Set("vec_id", "doc_id")
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def boundedLeaf(l: LogicalPlan): Boolean = l match {
+      case _: LocalRelation | _: OneRowRelation => true
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val paths = fs.location.rootPaths.map(_.toString)
+          paths.nonEmpty && paths.forall(p =>
+            p.contains("nation.parquet") || p.contains("region.parquet"))
+        case _ => false
+      }
+      case _ => false
+    }
+    def bounded(p: LogicalPlan): Boolean = {
+      val globalAgg = p.collectFirst {
+        case a: Aggregate if a.groupingExpressions.isEmpty => a }.nonEmpty
+      val keyLookup = p.collectFirst {
+        case f: Filter if f.condition.find {
+          // literal side may carry an implicit Cast — "foldable" covers it
+          case EqualTo(a: Attribute, v) if v.foldable => uniqueKeys(a.name)
+          case EqualTo(v, a: Attribute) if v.foldable => uniqueKeys(a.name)
+          case _ => false
+        }.nonEmpty => f }.nonEmpty
+      globalAgg || keyLookup || p.collectLeaves().forall(boundedLeaf)
+    }
+    graft.SparkEntry.registry.foreach { q =>
+      val analyzed = q.run(spark, sfDir).queryExecution.analyzed
+      analyzed.foreach {
+        case h: ResolvedHint if h.hints.strategy.nonEmpty =>
+          assert(bounded(h.child),
+            s"${q.name} unconditionally broadcasts an unbounded subtree:\n${h.child}")
+        case _ => ()
+      }
+    }
+  }
+
   test("q25 quality scan reads only the 2 needed document columns") {
     val p = plan(TextQueries.q25QualityFilter)
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
