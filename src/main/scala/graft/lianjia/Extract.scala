@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
   * reference's parsel/CSS/XPath extraction surface (SURVEY §2.2 P1/P2,
   * §2.9 C1-C15).
   *
-  * Design: pure built-in expressions (`regexp_extract`, `xpath_string`,
-  * `from_json`, `regexp_extract_all`) — codegen'd, null-safe (extraction
-  * miss → null/empty, the reference's `extract_first() → None` semantics,
-  * F4), and expressible without any UDF. `xpath_string` needs well-formed
-  * markup; ingest of tag-soup HTML would add a cleanup pass in front
-  * (documented trade-off; the extraction fixtures are XHTML).
+  * Design: pure built-in expressions (`regexp_extract`, `from_json`,
+  * `regexp_extract_all`) plus the native one-parse XPath expressions
+  * (`XPathStructExpr`/`XPathArrayExpr`) — codegen'd or parse-dominated,
+  * null-safe (extraction miss → null/empty, the reference's
+  * `extract_first() → None` semantics, F4), no UDFs. The XPath
+  * expressions parse strictly first and fall back to the `HtmlSoup`
+  * tag-soup repair pass, so broken real-world markup (unclosed tags,
+  * bare `&`, HTML entities) extracts like parsel/lxml does in the
+  * reference. CSS selectors (`cssFirst`/`cssAll`) translate to XPath at
+  * plan time via `Css.toXPath`.
   */
 object Extract {
 
@@ -28,11 +32,24 @@ object Extract {
     filter(hrefs(html), u => u.rlike(urlPattern))
 
   /** First text content of an element matched by XPath (reference's
-    * label-sibling lookups, lianjia.py:131-153: `li[span="房屋户型"]`). */
-  def xpathFirst(html: Column, xpath: String): Column = {
-    val raw = xpath_string(html, lit(xpath))
-    when(raw === "", null).otherwise(trim(raw))
-  }
+    * label-sibling lookups, lianjia.py:131-153: `li[span="房屋户型"]`).
+    * Backed by the lenient-parse struct expression (1 field), so tag-soup
+    * pages extract instead of nulling out; built-in `xpath_string` would
+    * die on the first unclosed tag. */
+  def xpathFirst(html: Column, xpath: String): Column =
+    graft.plans.XPathStructExpr.xpathStruct(html, Seq("v" -> xpath)).getField("v")
+
+  /** First text/attr matched by a CSS selector (reference's
+    * `css('.resultDes .total span::text').extract_first()`,
+    * lianjia.py:77-88,105,127-130). The selector compiles to XPath at
+    * plan time — P1 class-scoped extraction, not just href-regex. */
+  def cssFirst(html: Column, selector: String): Column =
+    xpathFirst(html, Css.toXPath(selector))
+
+  /** ALL matches of a CSS selector (reference's `.extract()` list form,
+    * lianjia.py:32,48,63,109) as ARRAY<STRING>; explode downstream. */
+  def cssAll(html: Column, selector: String): Column =
+    graft.plans.XPathStructExpr.xpathAll(html, Css.toXPath(selector))
 
   /** The `page-data='{"curPage":1,"totalPage":3}'` pagination descriptor
     * (lianjia.py:53-54,113-114,173-174): attribute regex + from_json →

@@ -714,6 +714,38 @@ object RelationalQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** TPC-H Q14 shape (promo revenue share by ship month): the
+    * part⋈lineitem fact join. The part-side predicate (p_size ≤ 25) is
+    * pushed into the parquet scan (pinned in PlanSpec); part grows with
+    * SF, so per the broadcast policy above its join is unhinted — AQE
+    * broadcasts it while it fits. The conditional aggregate computes
+    * promo and total revenue in ONE pass over the join output. */
+  val q67PromoRevenue = Q(
+    "q67_promo_revenue",
+    """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+      |  round(sum(CASE WHEN p_type = 'PROMO'
+      |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS promo_revenue,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+      |  round(sum(CASE WHEN p_type = 'PROMO'
+      |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+      |    / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size <= 25
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val promoRev = when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).filter(col("p_size") <= 25),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("ship_month"))
+      .agg(
+        round(sum(promoRev), 2).as("promo_revenue"),
+        round(sum(rev), 2).as("total_revenue"),
+        round(sum(promoRev) / sum(rev), 6).as("promo_share"))
+      .orderBy(col("ship_month"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -721,5 +753,5 @@ object RelationalQueries {
     q14Percentiles, q15RangeJoinBands, q16FanoutPagination, q17UnionSnapshot,
     q38ApproxDistinct, q40LocalSupplierVolume, q41RankingSuite, q42GroupingSets,
     q47Unpivot, q49HashSample, q55FullOuter, q56AnalyticSuite, q57SkewJoin,
-    q61SplitLabels, q64Histogram, q66RevenueShare)
+    q61SplitLabels, q64Histogram, q66RevenueShare, q67PromoRevenue)
 }

@@ -74,6 +74,64 @@ class PipelineSpec extends SparkSpec {
     assert(row.getAs[String]("build_type") === "板楼")
   }
 
+  test("villageItems on TAG SOUP: same fields as the well-formed fixture") {
+    // the same village page as real-world tag soup: no doctype close, an
+    // unclosed <li> chain, <br>, bare &, &nbsp;, unquoted attrs — the
+    // markup parsel/lxml accepts (lianjia.py:131-153); HtmlSoup repairs
+    // it in front of the strict parser
+    val soup =
+      """<!DOCTYPE html><html><body>
+        |<h1 class=detailTitle>仁恒河滨城</h1><br>
+        |<div class="detailDesc">浦东 联洋 &nbsp;芳甸路333弄</div>
+        |<a class="crumb">浦东</a><a class="crumb">联洋</a>
+        |<span class="xiaoquInfoContent year">2003年建成</span>
+        |<ul>
+        |<li><span>建筑类型</span>板楼
+        |<li><span>物业费用</span>2.5元/平米/月
+        |<li><span>物业公司</span>仁恒物业 & 合作方
+        |<li><span>开发商</span>仁恒置地
+        |<li><span>楼栋总数</span>51栋
+        |<li><span>房屋总数</span>2350户
+        |</ul>
+        |<script>resblockPosition:'121.552,31.238',resblockName</script>
+        |</body></html>""".stripMargin
+    val pages = Seq((s"$B/xiaoqu/5011000012345/", soup)).toDF("url", "html")
+    val row = Pipeline.typedVillages(Pipeline.villageItems(pages)).head()
+    assert(row.getAs[String]("id") === "5011000012345")
+    assert(row.getAs[String]("name") === "仁恒河滨城")
+    assert(row.getAs[String]("build_type") === "板楼")
+    assert(row.getAs[String]("property_company") === "仁恒物业 & 合作方")
+    assert(row.getAs[Int]("year") === 2003)
+    assert(row.getAs[Int]("buildings") === 51)
+    assert(row.getAs[Int]("total_house") === 2350)
+    assert(row.getAs[Double]("longitude") === 121.552)
+  }
+
+  test("onsale house on TAG SOUP extracts the same G6 fields") {
+    val soup =
+      """<html><body>
+        |<h1 class=main>满五唯一 & 高区view</h1>
+        |<span class="total">1250</span>
+        |<div class="communityName"><a class="info" href="/xiaoqu/42/">仁恒河滨城</a>
+        |<ul>
+        |<li><span>房屋户型</span>3室2厅1厨2卫
+        |<li><span>建筑面积</span>142.3㎡
+        |<li><span>挂牌时间</span>2021-03-01
+        |</ul>
+        |<span class="count">89</span>
+        |</body></html>""".stripMargin
+    val houses = Pipeline.typedHouses(Pipeline.onsaleHouseItems(
+      Seq((s"$B/ershoufang/107100001.html", soup)).toDF("url", "html")))
+    val on = houses.head()
+    assert(on.getAs[String]("房屋Id") === "107100001")
+    assert(on.getAs[String]("标题") === "满五唯一 & 高区view")
+    assert(on.getAs[String]("小区ID") === "42")
+    assert(on.getAs[java.math.BigDecimal]("售价").doubleValue() === 1250.0)
+    assert(on.getAs[Double]("建筑面积") === 142.3)
+    assert(on.getAs[java.sql.Date]("挂牌时间").toString === "2021-03-01")
+    assert(on.getAs[Int]("关注人数") === 89)
+  }
+
   test("villageItems: extraction miss → null (F4), geo 0-sentinel → null") {
     val pages = Seq((s"$B/xiaoqu/1/",
       "<html><body><script>resblockPosition:'0,0'</script></body></html>"))

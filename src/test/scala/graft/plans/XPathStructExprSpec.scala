@@ -50,6 +50,12 @@ class XPathStructExprSpec extends SparkSpec {
     val got = Seq(evil).toDF("html")
       .select(XPathStructExpr.xpathStruct(col("html"), fields).as("x"))
       .select("x.title").as[Option[String]].head()
-    assert(got === None) // doctype rejected → parse fails → null, not file contents
+    // The strict parser rejects the DOCTYPE outright; the tag-soup repair
+    // then strips it and neutralizes the entity reference into inert
+    // literal text ("&xxe;"). Either way the external entity must never
+    // be RESOLVED — the assertion is on the security property, not the
+    // recovery path.
+    assert(got === Some("&xxe;"))
+    assert(!got.get.contains("root:"))
   }
 }

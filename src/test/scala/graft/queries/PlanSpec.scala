@@ -139,6 +139,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q67 pushes the part-side size filter into the parquet scan") {
+    val p = plan(RelationalQueries.q67PromoRevenue)
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("p_size"), "part size filter not pushed:\n" + p)
+  }
+
   test("q25 quality scan reads only the 2 needed document columns") {
     val p = plan(TextQueries.q25QualityFilter)
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
