@@ -1,0 +1,125 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFns
+import graft.operators.Dedup
+
+/** Empirical scaling probe for the heavy-tail operators (not part of the
+  * driver contract): runs the q28/q29/q44/q34+q51/q59 operator shapes on
+  * ×k replicated corpora and reports the growth exponent
+  * ln(t_k / t_prev) / ln(k / prev) per operator — ~1.0 = linear,
+  * ~2.0 = quadratic (the failure mode the banded LSH exists to prevent).
+  *
+  * Replication preserves the workload's internal structure instead of
+  * synthesizing new data:
+  *  - documents: every token in replica r is prefixed with "r<r>x", so
+  *    each replica keeps the original's exact shingle/dup structure but
+  *    shares NO shingles across replicas — a ×k corpus of the same
+  *    density, the honest linear-scaling testbed.
+  *  - embeddings: replica r is multiplied element-wise by a
+  *    deterministic ±1 pattern (a diagonal orthogonal transform), which
+  *    preserves every intra-replica cosine EXACTLY (d_i² = 1) while
+  *    decorrelating replicas — same geometry per replica, ×k corpus.
+  *
+  * Usage: SPARK_GRAFT_SCALE_KS="1,2,4" runMain graft.tools.DiagScale
+  */
+object DiagScale {
+
+  private def replicateDocs(docs: DataFrame, k: Int): DataFrame =
+    (0 until k).map { r =>
+      docs.select(
+        (col("doc_id") * k + r).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"r${r}x$$1").as("text"))
+    }.reduce(_ union _)
+
+  private def replicateEmb(emb: DataFrame, k: Int): DataFrame =
+    (0 until k).map { r =>
+      // ±1 per (replica, dimension) from the same deterministic hash
+      // family the LSH planes use
+      val signs = array(VectorFns.lshCoefs(1000 + r, 64).map(lit): _*)
+      emb.select(
+        (col("vec_id") * k + r).as("vec_id"),
+        zip_with(col("embedding").cast("array<double>"), signs,
+          (x, s) => x * s).as("embedding"),
+        col("label"))
+    }.reduce(_ union _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val ks = sys.env.getOrElse("SPARK_GRAFT_SCALE_KS", "1,2,4")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val docs0 = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+      .persist(); docs0.count()
+    val emb0 = graft.sources.Tables.embeddings(spark, sfDir)
+      .persist(); emb0.count()
+
+    // (operator label, k → row-producing DataFrame) — mirrors the
+    // registered heavy queries' parameters exactly
+    def ops(docs: DataFrame, emb: DataFrame): Seq[(String, () => Long)] = {
+      def nearDupEdges() = {
+        val banded = emb.select(col("vec_id"), col("embedding"),
+            posexplode(VectorFns.lshBandKeys(col("embedding"), 64, 4, 10))
+              .as(Seq("band", "bkey")))
+          .repartition(col("band"), col("bkey"))
+        banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+            col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"))
+          .dropDuplicates("id_a", "id_b")
+          .select(col("id_a"), col("id_b"),
+            round(VectorFns.cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.2)
+      }
+      Seq(
+        "q28_jaccard" -> (() =>
+          Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5,
+            maxDocFreq = 100).count()),
+        "q29_minhash" -> (() =>
+          Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, bands = 16,
+            rowsPerBand = 4, threshold = 0.5).count()),
+        "q44_winnow" -> (() =>
+          Dedup.winnowFingerprints(docs, "doc_id", "text", w = 8, k = 4)
+            .groupBy("id").count().count()),
+        "q34_emb_pairs" -> (() => nearDupEdges().count()),
+        "q51_components" -> (() =>
+          Dedup.connectedComponents(
+            nearDupEdges().select(col("id_a"), col("id_b"))).count()))
+    }
+
+    val results = scala.collection.mutable.Map[(String, Int), Double]()
+    for (k <- ks) {
+      val docsK = replicateDocs(docs0, k).repartition(cpus.toInt).persist()
+      val embK = replicateEmb(emb0, k).repartition(cpus.toInt).persist()
+      val (nd, ne) = (docsK.count(), embK.count())
+      println(s"[scale] k=$k docs=$nd emb=$ne")
+      for ((name, f) <- ops(docsK, embK)) {
+        val t0 = System.nanoTime()
+        val rows = f()
+        val sec = (System.nanoTime() - t0) / 1e9
+        results((name, k)) = sec
+        println(f"[scale] k=$k $name%-16s $sec%8.2f s  rows=$rows")
+      }
+      docsK.unpersist(); embK.unpersist()
+    }
+    println("[scale] growth exponents (ln time ratio / ln size ratio):")
+    for (name <- results.keys.map(_._1).toSeq.distinct.sorted;
+         Seq(k1, k2) <- ks.sliding(2).toSeq) {
+      val e = math.log(results((name, k2)) / results((name, k1))) /
+        math.log(k2.toDouble / k1)
+      println(f"[scale] $name%-16s k=$k1%d->$k2%d exponent=$e%5.2f")
+    }
+    spark.stop()
+  }
+}
