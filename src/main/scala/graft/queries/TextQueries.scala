@@ -181,7 +181,7 @@ object TextQueries {
     * hash (60 bits of md5 mod P), identical affine (a_i, b_i) constants
     * inlined from `Dedup.minhashParams`, identical banding — so the
     * whole approximate pipeline is hash-checked, not rows-only. */
-  private def minhashOracle(bands: Int, rowsPerBand: Int, threshold: Double): String = {
+  private def minhashCtes(bands: Int, rowsPerBand: Int): String = {
     val k = bands * rowsPerBand
     val p = Dedup.MinhashP
     val mins = Dedup.minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
@@ -192,7 +192,7 @@ object TextQueries {
       val slots = (0 until rowsPerBand).map(r => s"sig[${b * rowsPerBand + r + 1}]").mkString(", ")
       s"SELECT doc_id, sig, $b AS band, concat_ws(',', $slots) AS bkey FROM sigl"
     }.mkString(" UNION ALL ")
-    s"""WITH docs AS (
+    s"""docs AS (
        |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
        |  FROM documents WHERE doc_id % 5 = 0),
        |sh AS (
@@ -207,7 +207,12 @@ object TextQueries {
        |cands AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private def minhashOracle(bands: Int, rowsPerBand: Int, threshold: Double): String = {
+    val k = bands * rowsPerBand
+    s"""WITH ${minhashCtes(bands, rowsPerBand)}
        |SELECT id_a, id_b,
        |  round(len(list_filter(range(1, ${k + 1}), i -> sa[i] = sb[i])) / $k.0, 4) AS est_jaccard
        |FROM cands
@@ -522,8 +527,138 @@ object TextQueries {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** Benchmark-contamination check — the decontamination step every
+    * training-data pipeline runs before a model sees the corpus: docs
+    * sharing ≥ 3 distinct word-3-gram shingles with a held-out benchmark
+    * set (here doc_id % 97 = 0) are flagged, reported as a per-source
+    * rate. The overlap test is a shingle equi-join: shuffle by shingle,
+    * benchmark side collapsed to DISTINCT shingles first (benchmarks are
+    * tiny relative to the corpus, so AQE broadcasts that side — no hint,
+    * per the broadcast policy). */
+  val q68Contamination = Q(
+    "q68_contamination",
+    """WITH docs AS (
+      |  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, source, s FROM docs,
+      |    unnest(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(s)
+      |  WHERE len(t) >= 3),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+      |train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+      |flagged AS (
+      |  SELECT doc_id, source FROM train JOIN bench USING (s)
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |tr AS (SELECT source, CAST(count(*) AS BIGINT) AS n_train
+      |       FROM documents WHERE doc_id % 97 <> 0 GROUP BY source),
+      |fl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated
+      |       FROM flagged GROUP BY source)
+      |SELECT source, n_train,
+      |  CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+      |  round(coalesce(n_contaminated, 0) / CAST(n_train AS DOUBLE), 4) AS contamination_rate
+      |FROM tr LEFT JOIN fl USING (source)
+      |ORDER BY source""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val sh = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(TextFns.shingles(TextFns.tokens(col("text")), 3))).as("s"))
+    val bench = sh.filter(col("doc_id") % 97 === 0).select(col("s")).distinct()
+    val flagged = sh.filter(col("doc_id") % 97 =!= 0)
+      .join(bench, "s")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_train"))
+    train
+      .join(flagged.groupBy(col("source")).agg(count(lit(1)).as("nc")), Seq("source"), "left")
+      .select(col("source"), col("n_train"),
+        coalesce(col("nc"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("nc"), lit(0L)) / col("n_train").cast("double"), 4)
+          .as("contamination_rate"))
+      .orderBy(col("source"))
+  }
+
+  /** Sequence packing — greedy contiguous packing of documents into
+    * fixed token budgets (the batch-construction step of LLM training).
+    * Docs are sharded deterministically (doc_id % 16), each shard packs
+    * independently with a running-sum window: chunk = exclusive-prefix
+    * tokens ÷ budget. Sharding is the scale design: a global ORDER BY
+    * window would serialize into one task; per-shard windows run one
+    * partition each, and chunk ids are namespaced by shard. */
+  val q69PackChunks = Q(
+    "q69_pack_chunks",
+    """WITH toks AS (
+      |  SELECT doc_id, doc_id % 16 AS shard,
+      |    len(string_split_regex(lower(text), '\s+')) AS n_tok
+      |  FROM documents),
+      |packed AS (
+      |  SELECT shard, n_tok,
+      |    CAST(floor((sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) - n_tok) / 512.0) AS BIGINT) AS chunk
+      |  FROM toks)
+      |SELECT shard, chunk, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+      |FROM packed
+      |GROUP BY shard, chunk
+      |ORDER BY shard, chunk""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 16).as("shard"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("chunk",
+        floor((sum(col("n_tok")).over(w) - col("n_tok")) / 512.0).cast("long"))
+      .groupBy(col("shard"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("sum_tokens"))
+      .orderBy(col("shard"), col("chunk"))
+  }
+
+  /** The text-dedup ENDPOINT, end to end: MinHash+LSH pairs (q29's exact
+    * parameters) → connected components → drop non-canonical members →
+    * per-source survivor counts. The oracle replays the identical
+    * portable-hash pipeline and resolves components with a recursive
+    * CTE — the full "dedup a corpus" composition is hash-checked, not
+    * just its stages. */
+  val q70DocDedupKeep = Q(
+    "q70_doc_dedup_keep", {
+      val k = 16 * 4
+      s"""WITH RECURSIVE ${minhashCtes(16, 4)},
+         |pairs AS (
+         |  SELECT id_a, id_b FROM cands
+         |  WHERE len(list_filter(range(1, ${k + 1}), i -> sa[i] = sb[i])) / $k.0 >= 0.5),
+         |sym AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+         |comp AS (SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+         |FROM documents
+         |WHERE doc_id % 5 = 0
+         |  AND doc_id NOT IN (SELECT node FROM comp WHERE node <> comp)
+         |GROUP BY source
+         |ORDER BY source""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
-    q54RepetitionSignals, q58HeavyHitters, q60SimhashPortable)
+    q54RepetitionSignals, q58HeavyHitters, q60SimhashPortable, q68Contamination,
+    q69PackChunks, q70DocDedupKeep)
 }
