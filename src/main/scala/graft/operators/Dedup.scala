@@ -189,13 +189,30 @@ object Dedup {
     * localCheckpoint, the standard guard for iterative Spark plans
     * (same pattern as operators/Iterate.fixpoint).
     *
+    * Size-gated hybrid: dup-cluster edge sets are usually MUCH smaller
+    * than the corpus (each edge already cost an LSH collision + verify),
+    * so when the edge count is below `localEdgeThreshold` the components
+    * are solved with a driver-side union-find on the collected edges —
+    * the same size-gating Spark itself applies when it broadcasts a
+    * small join side, and it removes ~25 per-round driver jobs for tiny
+    * graphs. Above the threshold (up to ~16 MB of edge ids per 1M
+    * default) the distributed fixpoint below engages unchanged. Both
+    * paths produce the identical (node, min-id) labeling —
+    * PropertySpec runs them against each other on random graphs.
+    *
     * @param edges (id_a, id_b) undirected pair edges
     * @return (node, comp) where comp = min node id in the component
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+      localEdgeThreshold: Long = 1L << 20): DataFrame = {
+    // materialize the (possibly expensive) pair pipeline exactly once:
+    // the union below would otherwise execute it per branch, and the
+    // size gate needs a count anyway
+    val e = edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .localCheckpoint()
+    if (e.count() <= localEdgeThreshold) return localComponents(e)
+    val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(e.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint()
@@ -235,6 +252,29 @@ object Dedup {
       System.err.println(
         s"[graft] WARN connectedComponents hit maxIter=$maxIter unconverged; raise maxIter")
     labels
+  }
+
+  /** Driver-side union-find (path compression + min-root union) for
+    * edge sets under the size gate. Exactly the reference algorithm the
+    * distributed fixpoint is property-tested against. */
+  private def localComponents(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.LongMap[Long]()
+    // iterative find + full path compression (a chain of 10^6 nodes
+    // would blow the stack recursively)
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElseUpdate(root, root) != root) root = parent(root)
+      var cur = x
+      while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    e.collect().foreach { row =>
+      val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.toSeq.sorted.map(x => (x, find(x))).toDF("node", "comp")
   }
 
   /** Keep one document per near-duplicate cluster: the min-id member of

@@ -92,9 +92,16 @@ class PropertySpec extends SparkSpec {
           if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
         }
         val expected = parent.keys.map(x => x -> find(x)).toMap
-        val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        // size-gated LOCAL path (threshold default covers 12 edges)
+        val gotLocal = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
           .as[(Long, Long)].collect().toMap
-        assert(got === expected)
+        assert(gotLocal === expected)
+        // DISTRIBUTED fixpoint path, forced via a zero threshold — both
+        // paths must produce the identical min-id labeling
+        val gotDist = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+            localEdgeThreshold = 0L)
+          .as[(Long, Long)].collect().toMap
+        assert(gotDist === expected)
       }
     }
   }
