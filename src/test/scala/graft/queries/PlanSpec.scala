@@ -145,6 +145,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("p_size"), "part size filter not pushed:\n" + p)
   }
 
+  test("q69 packing windows are sharded — no single-partition global sort") {
+    val p = plan(TextQueries.q69PackChunks)
+    // a Window without PARTITION BY plans Exchange SinglePartition — the
+    // one-task serialization the shard key exists to prevent
+    assert(!p.contains("SinglePartition"), "packing serialized into one task:\n" + p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q68 contamination join is an equi-join on the shingle, not a product") {
+    val p = plan(TextQueries.q68Contamination)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "shingle overlap degraded to a product join:\n" + p)
+  }
+
   test("q25 quality scan reads only the 2 needed document columns") {
     val p = plan(TextQueries.q25QualityFilter)
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
