@@ -27,17 +27,15 @@ object GraftSession {
   }
 
   /** Register graft's custom expressions in the session's function
-    * registry: `SELECT graft_simhash64(tokens) FROM ...` from plain SQL. */
-  def registerFunctions(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash64",
-      exprs => graft.plans.SimHash64Expr(exprs.head),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine_sim",
-      exprs => graft.plans.CosineSimExpr(exprs.head, exprs(1)),
-      "built-in")
-  }
+    * registry: `SELECT graft_simhash64(tokens) FROM ...` from plain SQL.
+    * Same function set as the `GraftExtensions` session-extension entry
+    * point (which covers spark-submit-time installation); this covers
+    * already-running sessions. */
+  def registerFunctions(spark: SparkSession): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 
   /** Register every testdata table from `dir` as a temp view, so the
     * whole engine surface is reachable from `spark.sql(...)` alone. */

@@ -17,6 +17,46 @@ class GraftSessionSpec extends SparkSpec {
     assert(viaSql === viaCol)
   }
 
+  test("extraction surface from pure SQL: css/xpath first + all") {
+    GraftSession.registerFunctions(spark)
+    import spark.implicits._
+    // tag soup on purpose — the lenient parse rides along into SQL
+    Seq("""<div class=resultDes><h2 class="total">共<span> 42 </span>套 & more""")
+      .toDF("html").createOrReplaceTempView("pages")
+    assert(spark.sql(
+      "SELECT graft_css_first(html, '.resultDes .total span::text') v FROM pages")
+      .as[String].head() === "42")
+    assert(spark.sql(
+      "SELECT graft_xpath_first(html, '//h2/span/text()') v FROM pages")
+      .as[String].head() === "42")
+    assert(spark.sql(
+      "SELECT graft_css_all(html, '.resultDes span::text') v FROM pages")
+      .as[Seq[String]].head() === Seq("42"))
+    // non-literal selector is a planning error, not a per-row surprise
+    intercept[Exception](spark.sql(
+      "SELECT graft_css_first(html, html) FROM pages").collect())
+  }
+
+  test("GraftExtensions installs the same functions at session build time") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      val c = s2.sql(
+        "SELECT graft_cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) c")
+        .head().getDouble(0)
+      assert(math.abs(c - 1.0) < 1e-12)
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("registerTables exposes the whole surface to pure SQL, custom exprs included") {
     GraftSession.registerFunctions(spark)
     GraftSession.registerTables(spark, "/root/testdata/sf0.001")
