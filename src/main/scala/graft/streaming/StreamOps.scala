@@ -34,6 +34,17 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** Sliding event-time counts — streaming twin of q20SlidingAgg. Each
+    * event lands in windowSize/slide windows; state per (window, type)
+    * is evicted once the watermark passes the window end. */
+  def slidingCounts(events: DataFrame, windowSize: String, slide: String,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowSize, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+
   /** Session windows with watermark — streaming twin of q21Sessions. */
   def userSessions(events: DataFrame, gap: String, watermark: String = "2 hours"): DataFrame =
     events

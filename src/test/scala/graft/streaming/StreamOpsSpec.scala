@@ -39,6 +39,43 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.map(_.toString).toSeq === batch.map(_.toString).toSeq)
   }
 
+  test("streaming sliding windows equal the batch aggregation") {
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+      .orderBy("win_start", "event_type")
+      .collect()
+    val staticSchema = spark.read.parquet(stagedDir).schema
+    val got = StreamOps.runToMemory(spark,
+        StreamOps.slidingCounts(
+          StreamOps.parquetStream(spark, staticSchema, stagedDir), "2 hours", "1 hour"),
+        "sliding_test")
+      .orderBy("win_start", "event_type")
+      .collect()
+    assert(got.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+  }
+
+  test("streaming session windows equal the batch session_window answer") {
+    val batch = graft.operators.Sessionize
+      .sessionWindows(Tables.events(spark, sfDir), col("user_id"),
+        col("ts"), "30 minutes")
+      .select(col("user_id"), col("session_window.start").as("s"), col("n_events"))
+      .orderBy("user_id", "s")
+      .collect()
+    val staticSchema = spark.read.parquet(stagedDir).schema
+    // session-window aggregation rejects update mode (sessions can merge
+    // retroactively); complete mode re-emits the full result per batch
+    val got = StreamOps.runToMemory(spark,
+        StreamOps.userSessions(
+          StreamOps.parquetStream(spark, staticSchema, stagedDir), "30 minutes"),
+        "session_test", outputMode = "complete")
+      .select(col("user_id"), col("session_window.start").as("s"), col("n_events"))
+      .orderBy("user_id", "s")
+      .collect()
+    assert(got.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+  }
+
   test("flatMapGroupsWithState running totals converge to the batch answer") {
     import spark.implicits._
     val batch = Tables.events(spark, sfDir)
