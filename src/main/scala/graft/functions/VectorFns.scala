@@ -45,8 +45,11 @@ object VectorFns {
     val v = d(vec)
     val bits = (0 until nBits).map { b =>
       val coefs = array(lshCoefs(b, dim, seed).map(lit): _*)
-      val proj = aggregate(zip_with(v, coefs, (x, c) => x * c), lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+      // sign via the native one-pass cosine (codegen'd): sign(cos) ≡
+      // sign(dot) since norms are positive — the oracle's
+      // list_dot_product >= 0 test matches bit for bit
+      when(graft.plans.CosineSimExpr.cosineSim(v, coefs) >= 0,
+        lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce((x, y) => x.bitwiseOR(y))
   }
