@@ -295,6 +295,18 @@ object Dedup {
     * `k`-gram window. Near-duplicate documents share selected hashes; a
     * join on the fingerprint column finds them with a ~1/k-sized index.
     * Gram hash = 60 bits of md5 → portable to the DuckDB oracle.
+    *
+    * Winnowing is a PER-DOCUMENT function, so the whole selection runs
+    * as array expressions inside one narrow projection: gram hashes via
+    * transform, per-window minima via transform+slice, per-doc dedup
+    * via array_distinct, and only the selected ~1/k of positions ever
+    * explode into rows. Zero shuffles, zero sorts — the previous
+    * formulation exploded one row per character position through a
+    * repartition + window sort + distinct (three exchanges) and was the
+    * slowest query in the bench. Local cost is md5-bound either way;
+    * the exchange-free shape is what survives the 100× corpus. The
+    * per-doc gram array costs 8 bytes/char while the row is in flight —
+    * chunk pathological multi-hundred-MB documents upstream.
     * @return (id, fp) one row per distinct selected fingerprint
     */
   /** @param carry metadata columns to ride along (one value per doc) —
@@ -302,26 +314,20 @@ object Dedup {
     *              (the join's build side is unbounded at corpus scale) */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       w: Int, k: Int, carry: Seq[String] = Nil): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
     val carryCols = carry.map(col)
-    val grams = docs
+    docs
       .select(col(idCol).as("id") +: carryCols :+ norm.as("norm"): _*)
-      .filter(length(col("norm")) >= w)
-      .repartition(col("id"))
-      // npos (gram count) is pure arithmetic on the text length — no
-      // count-over-partition Window needed downstream
+      // need at least one FULL k-gram window: npos = len-(w-1) >= k
+      .filter(length(col("norm")) >= w + k - 1)
       .select(col("id") +: carryCols :+
-        (length(col("norm")) - (w - 1)).as("npos") :+
-        posexplode(transform(sequence(lit(1), length(col("norm")) - (w - 1)),
+        transform(sequence(lit(1), length(col("norm")) - (w - 1)),
           i => conv(substring(md5(col("norm").substr(i, lit(w))), 1, 15), 16, 10)
-            .cast("long"))).as(Seq("pos", "gh")): _*)
-    val win = Window.partitionBy(col("id")).orderBy(col("pos")).rowsBetween(0, k - 1)
-    grams
-      .withColumn("fp", min(col("gh")).over(win))
-      // only full windows: the first npos-(k-1) start positions (pos is 0-based)
-      .filter(col("pos") <= col("npos") - k)
-      .select(col("id") +: carryCols :+ col("fp"): _*).distinct()
+            .cast("long")).as("gh"): _*)
+      .select(col("id") +: carryCols :+
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("gh")) - (k - 1)),
+          j => array_min(slice(col("gh"), j, lit(k)))))).as("fp"): _*)
   }
 
   /** SimHash near-dup pairs: 64-bit signatures, candidates blocked on
