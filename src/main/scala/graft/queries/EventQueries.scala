@@ -244,7 +244,72 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Gap-filled hourly series: the dense (hour × event_type) grid with
+    * zero-filled counts — the resample step every time-series consumer
+    * needs before charting/joining. The hour spine derives from a 1-row
+    * min/max aggregate (bounded → safe to hint-broadcast); the grid is
+    * spine × distinct-types, then a left join fills observed counts.
+    * At 100 TB the spine is still only span-hours rows — the only
+    * full-scan work is the same grouped count q19 does. */
+  val q71GapfillHourly = Q(
+    "q71_gapfill_hourly",
+    """WITH bounds AS (
+      |  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      |  FROM events),
+      |hours AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |counts AS (
+      |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT t.event_type AS event_type, h.hour, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      |FROM types t CROSS JOIN hours h
+      |LEFT JOIN counts c ON c.hour = h.hour AND c.event_type = t.event_type
+      |ORDER BY t.event_type, h.hour""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val spine = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+    val types = ev.select(col("event_type")).distinct()
+    val counts = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    types.crossJoin(broadcast(spine))
+      .join(counts.withColumnRenamed("hour", "c_hour")
+          .withColumnRenamed("event_type", "c_type"),
+        col("hour") === col("c_hour") && col("event_type") === col("c_type"), "left")
+      .select(col("event_type"), col("hour"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  /** Event-transition matrix: for each user's time-ordered stream,
+    * count (event → next event) pairs — the path-analysis primitive
+    * behind sankey/markov views. One shuffle on user_id; the lead()
+    * window sorts within partitions only. */
+  val q72Transitions = Q(
+    "q72_transitions",
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events)
+      |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |FROM seq
+      |WHERE to_type IS NOT NULL
+      |GROUP BY from_type, to_type
+      |ORDER BY from_type, to_type""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val all: Seq[Q] = Seq(q18JsonProps, q19HourlyAgg, q20SlidingAgg, q21Sessions,
     q22AsofViewPurchase, q50MapFuncs, q52IntervalJoin, q62Funnel, q63Retention,
-    q65AsofNextView)
+    q65AsofNextView, q71GapfillHourly, q72Transitions)
 }
