@@ -72,6 +72,26 @@ class HtmlSoupSpec extends AnyFunSuite {
     assert(doc.getElementsByTagName("p").getLength === 2)
   }
 
+  test("fuzz: clean() of arbitrary markup soup always parses as XML") {
+    // deterministic pseudo-random soup from markup-ish fragments — the
+    // property is total: whatever a crawler fetches, the repair pass
+    // must yield a parseable document (worst case: all text)
+    val frags = Array(
+      "<div>", "</div>", "<li>", "</li>", "<p class=", "x\">", "'y'>",
+      "<br>", "<img src=foo>", "&", "&amp;", "&nbsp;", "&#65;", "&bogus;",
+      "<", ">", "</", "<!--", "-->", "<!DOCTYPE html>", "<![CDATA[", "]]>",
+      "<script>", "</script>", "a<b", "q=\"r\"", "text 文本 ", "<3 ", "=",
+      "<span", " id=1 id=2>", "</wrong>", "<a href='u'>", "")
+    val rnd = new scala.util.Random(42)
+    (1 to 300).foreach { i =>
+      val soup = Seq.fill(rnd.nextInt(40) + 1)(frags(rnd.nextInt(frags.length))).mkString
+      val doc = try cleanParses(soup) catch {
+        case e: Exception => fail(s"iteration $i failed on soup:\n$soup\n${e.getMessage}")
+      }
+      assert(doc != null)
+    }
+  }
+
   test("the reference page shapes: label-sibling li rows in tag soup") {
     // lianjia.py:131-153 extracts li[span=...] — real pages leave li open
     val doc = cleanParses(
