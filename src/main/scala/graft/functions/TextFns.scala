@@ -67,4 +67,23 @@ object TextFns {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** PII patterns, restricted to the regex subset where java.util.regex
+    * and RE2 (the DuckDB oracle) agree: greedy quantifiers over character
+    * classes only — no alternation at a shared prefix, no backrefs, no
+    * lookaround — so both engines match the identical spans. */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Pattern = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  val PhonePattern = "\\+\\d[\\d-]{6,}\\d"
+
+  /** Redact PII spans with typed placeholders — the scrub step every
+    * training-data pipeline runs before a corpus ships. Email runs first
+    * (its local part may contain dots and digits that the narrower
+    * patterns would otherwise chew into). */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
 }

@@ -656,9 +656,185 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** PII scrubbing. The synthetic corpus carries no PII, so the query
+    * plants a deterministic contact line per document (email + IPv4 +
+    * phone derived from doc_id), scrubs it with `TextFns.scrubPii`, and
+    * proves the redaction: per-type match counts before the scrub, zero
+    * residual matches after, and the exact character mass of the cleaned
+    * text (placeholder spelling included) — all hash-checked against
+    * DuckDB running the same RE2-safe patterns. */
+  val q73PiiScrub: Q = {
+    val (em, ip, ph) = (TextFns.EmailPattern, TextFns.Ipv4Pattern, TextFns.PhonePattern)
+    Q("q73_pii_scrub",
+      s"""WITH injected AS (
+         |  SELECT source,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'
+         |      || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR)
+         |      || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+         |  FROM documents),
+         |scrubbed AS (
+         |  SELECT source, t,
+         |    regexp_replace(regexp_replace(regexp_replace(t,
+         |      '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g') AS clean
+         |  FROM injected)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(regexp_extract_all(t, '$em'))) AS BIGINT) AS n_emails,
+         |  CAST(sum(len(regexp_extract_all(t, '$ip'))) AS BIGINT) AS n_ips,
+         |  CAST(sum(len(regexp_extract_all(t, '$ph'))) AS BIGINT) AS n_phones,
+         |  CAST(sum(len(regexp_extract_all(clean, '$em'))
+         |         + len(regexp_extract_all(clean, '$ip'))
+         |         + len(regexp_extract_all(clean, '$ph'))) AS BIGINT) AS n_residual,
+         |  CAST(sum(length(clean)) AS BIGINT) AS clean_chars
+         |FROM scrubbed
+         |GROUP BY source
+         |ORDER BY source""".stripMargin) { (spark, dir) =>
+      val injected = Tables.documents(spark, dir)
+        .select(col("source"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com from 10.0."), (col("doc_id") % 200).cast("string"),
+            lit("."), (col("doc_id") % 250).cast("string"),
+            lit(" call +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+            .as("t"))
+      injected
+        .withColumn("clean", TextFns.scrubPii(col("t")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(regexp_count(col("t"), lit(em))).as("n_emails"),
+          sum(regexp_count(col("t"), lit(ip))).as("n_ips"),
+          sum(regexp_count(col("t"), lit(ph))).as("n_phones"),
+          sum(regexp_count(col("clean"), lit(em))
+            + regexp_count(col("clean"), lit(ip))
+            + regexp_count(col("clean"), lit(ph))).as("n_residual"),
+          sum(length(col("clean"))).as("clean_chars"))
+        .orderBy(col("source"))
+    }
+  }
+
+  /** Boilerplate n-gram detection (the CCNet/RefinedWeb shape): a word
+    * 3-gram occurring in ≥ 5 distinct documents is boilerplate; each doc
+    * reports the fraction of its gram POSITIONS covered by boilerplate.
+    * Scale shape: gram positions shuffle once by gram string to meet the
+    * document-frequency relation; that relation is filtered to the
+    * (small) boilerplate vocabulary before the join, so AQE broadcasts
+    * it — corpus-sized × corpus-sized never happens. */
+  val q74BoilerplateNgrams = Q(
+    "q74_boilerplate_ngrams",
+    """WITH docs AS (
+      |  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, source, s FROM docs,
+      |    unnest(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(s)
+      |  WHERE len(t) >= 3),
+      |boiler AS (
+      |  SELECT s FROM g GROUP BY s HAVING count(DISTINCT doc_id) >= 5),
+      |per AS (
+      |  SELECT g.doc_id, g.source, count(*) AS n_pos,
+      |    sum(CASE WHEN boiler.s IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+      |  FROM g LEFT JOIN boiler ON g.s = boiler.s
+      |  GROUP BY 1, 2)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(avg(n_boiler / CAST(n_pos AS DOUBLE)), 4) AS avg_boiler_frac,
+      |  CAST(sum(n_boiler) AS BIGINT) AS total_boiler
+      |FROM per
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (spark, dir) =>
+    val g = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        explode(TextFns.shingles(TextFns.tokens(col("text")), 3)).as("s"))
+    val boiler = g.groupBy(col("s")).agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 5)
+      .select(col("s"), lit(1).as("is_boiler"))
+    g.join(boiler, Seq("s"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_pos"), sum(coalesce(col("is_boiler"), lit(0))).as("n_boiler"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_boiler") / col("n_pos").cast("double")), 4).as("avg_boiler_frac"),
+        sum(col("n_boiler")).as("total_boiler"))
+      .orderBy(col("source"))
+  }
+
+  /** Unigram language-model scoring: every doc's mean token log-prob
+    * under the corpus unigram distribution — the cheap perplexity proxy
+    * pipelines use to rank docs for quality/outlier filtering. Token
+    * positions join the (vocabulary-sized, AQE-broadcastable) frequency
+    * relation; total mass rides a 1-row aggregate, so the whole score is
+    * one job. */
+  val q75LmDocScore = Q(
+    "q75_lm_doc_score",
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split_regex(lower(text), '\s+')) AS t
+      |  FROM documents),
+      |freq AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+      |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM freq),
+      |per AS (
+      |  SELECT doc_id, lang, count(*) AS n_tokens,
+      |    sum(ln(freq.c / tot.total)) / count(*) AS avg_lp
+      |  FROM toks JOIN freq USING (t) CROSS JOIN tot
+      |  GROUP BY doc_id, lang)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(avg(avg_lp), 4) AS mean_lp,
+      |  round(min(avg_lp), 4) AS min_lp,
+      |  round(max(avg_lp), 4) AS max_lp
+      |FROM per
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    val toks = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"), explode(TextFns.tokens(col("text"))).as("t"))
+    val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum(col("c")).cast("double").as("total"))
+    toks.join(freq, "t")
+      .join(broadcast(tot))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(log(col("c") / col("total"))) / count(lit(1))).as("avg_lp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("avg_lp")), 4).as("mean_lp"),
+        round(min(col("avg_lp")), 4).as("min_lp"),
+        round(max(col("avg_lp")), 4).as("max_lp"))
+      .orderBy(col("lang"))
+  }
+
+  /** Stratified deterministic sampling — per-language keep rates (down-
+    * sample the dominant language, keep the rest), the data-mixing step
+    * of corpus construction. Same portable md5 bucket as q49/q61, so the
+    * selected ROW SET is engine-independent, not just the rates. */
+  val q77StratifiedSample = Q(
+    "q77_stratified_sample",
+    """WITH b AS (
+      |  SELECT lang,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket,
+      |    n_chars
+      |  FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+      |  CAST(sum(CASE WHEN bucket < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN bucket < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+      |    THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      |FROM b
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import graft.functions.Sampling
+    val frac = when(col("lang") === "en", 10).otherwise(50)
+    val kept = (Sampling.hashBucket(col("doc_id")) < frac).cast("long")
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(kept).as("n_kept"),
+        sum(when(kept === 1, col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
     q54RepetitionSignals, q58HeavyHitters, q60SimhashPortable, q68Contamination,
-    q69PackChunks, q70DocDedupKeep)
+    q69PackChunks, q70DocDedupKeep, q73PiiScrub, q74BoilerplateNgrams, q75LmDocScore,
+    q77StratifiedSample)
 }
