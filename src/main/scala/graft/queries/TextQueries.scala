@@ -562,8 +562,12 @@ object TextQueries {
     val docs = Tables.documents(spark, dir)
     val sh = docs
       .repartition(col("doc_id"))
+      // tokens as their own projection BEFORE shingling — inlining the
+      // split into every element_at is O(tokens²) regex work per doc
+      // (see Dedup.shingleView)
+      .select(col("doc_id"), col("source"), TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"),
-        explode(array_distinct(TextFns.shingles(TextFns.tokens(col("text")), 3))).as("s"))
+        explode(array_distinct(TextFns.shingles(col("toks"), 3))).as("s"))
     val bench = sh.filter(col("doc_id") % 97 === 0).select(col("s")).distinct()
     val flagged = sh.filter(col("doc_id") % 97 =!= 0)
       .join(bench, "s")
@@ -741,10 +745,17 @@ object TextQueries {
       |FROM per
       |GROUP BY source
       |ORDER BY source""".stripMargin) { (spark, dir) =>
+    // ONE wide exchange of the gram positions, laid out by gram: the
+    // document-frequency aggregate and the coverage join both consume it
+    // (ReuseExchange), and hash-by-s co-location satisfies the distinct
+    // agg's (s, doc_id) clustering, so no second position-sized shuffle
     val g = Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
+      // tokens as their own projection BEFORE shingling (see
+      // Dedup.shingleView: inlined split is O(tokens²) per doc)
+      .select(col("doc_id"), col("source"), TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"),
-        explode(TextFns.shingles(TextFns.tokens(col("text")), 3)).as("s"))
+        explode(TextFns.shingles(col("toks"), 3)).as("s"))
+      .repartition(col("s"))
     val boiler = g.groupBy(col("s")).agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 5)
       .select(col("s"), lit(1).as("is_boiler"))
