@@ -82,6 +82,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Edit-distance near-dup pairs: shingle-blocked candidates (same
+    * rare-shingle structure as `jaccardPairs` — NEVER all-pairs), then a
+    * length-band prefilter (|len_a − len_b| > k rules the pair out
+    * without touching the texts — edit distance is bounded below by the
+    * length gap), then the threshold Levenshtein, whose banded DP is
+    * O(len·k) with early exit instead of O(len²).
+    *
+    * Scale shape: candidate generation is the df-capped shingle
+    * equi-join; only surviving candidate pairs rejoin the corpus for
+    * their texts, so full documents ride exactly two (candidate-sized)
+    * shuffles and the quadratic DP runs on the blocked pair set only.
+    *
+    * @return (id_a, id_b, lev) with id_a < id_b and lev ≤ maxDist
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDist: Int, maxDocFreq: Int): DataFrame = {
+    val sh = shingleView(docs, idCol, textCol, n)
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq && col("df") >= 2)
+    val shRare = sh.join(rare.select("sh"), Seq("sh"))
+    val cand = shRare.as("a").join(shRare.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val t = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    cand
+      .join(t.as("ta"), col("id_a") === col("ta.id"))
+      .join(t.as("tb"), col("id_b") === col("tb.id"))
+      .filter(abs(length(col("ta.txt")) - length(col("tb.txt"))) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta.txt"), col("tb.txt"), maxDist).as("lev"))
+      .filter(col("lev") >= 0) // threshold variant returns -1 past maxDist
+  }
+
   /** Mersenne prime 2^31-1 — modulus of the portable min-hash family. */
   val MinhashP: Long = 2147483647L
 

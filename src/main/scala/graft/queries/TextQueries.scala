@@ -842,10 +842,43 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** Edit-distance near-dup pairs (`Dedup.editDistancePairs`): rare-
+    * shingle blocking, length-band prefilter, threshold Levenshtein.
+    * Every corpus byte here is ASCII, so DuckDB's byte-based levenshtein
+    * and Spark's codepoint-based one count identical edits; the oracle
+    * mirrors the blocking CTE-for-CTE so the candidate sets — not just
+    * the distance math — are proven equal. */
+  val q78EditDistancePairs = Q(
+    "q78_edit_distance_pairs",
+    """WITH docs AS (
+      |  SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM docs,
+      |    unnest(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(s)
+      |  WHERE len(t) >= 3),
+      |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 100),
+      |shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, CAST(levenshtein(da.text, db.text) AS INT) AS lev
+      |FROM cand
+      |JOIN docs da ON da.doc_id = id_a
+      |JOIN docs db ON db.doc_id = id_b
+      |WHERE abs(length(da.text) - length(db.text)) <= 30
+      |  AND levenshtein(da.text, db.text) <= 30
+      |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    Dedup.editDistancePairs(Tables.documents(spark, dir), "doc_id", "text",
+        n = 3, maxDist = 30, maxDocFreq = 100)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
     q54RepetitionSignals, q58HeavyHitters, q60SimhashPortable, q68Contamination,
     q69PackChunks, q70DocDedupKeep, q73PiiScrub, q74BoilerplateNgrams, q75LmDocScore,
-    q77StratifiedSample)
+    q77StratifiedSample, q78EditDistancePairs)
 }

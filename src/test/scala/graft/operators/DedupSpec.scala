@@ -82,6 +82,27 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq === Seq(1L, 4L))
   }
 
+  test("editDistancePairs: exact dup at 0, near dup at word distance, unrelated absent") {
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text",
+        n = 3, maxDist = 10, maxDocFreq = 10)
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect()
+    val byPair = got.map(t => (t._1, t._2) -> t._3).toMap
+    assert(byPair((1L, 2L)) === 0)
+    // "merge" -> "shuffle": 6 edits (4 substitutions + 2 insertions)
+    assert(byPair((1L, 3L)) === 6 && byPair((2L, 3L)) === 6)
+    assert(!byPair.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("editDistancePairs: length-band prefilter excludes past-threshold pairs") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta " + ("pad " * 20))
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(d, "doc_id", "text",
+      n = 3, maxDist = 10, maxDocFreq = 10)
+    assert(got.count() === 0) // shares shingles, but 80 chars longer
+  }
+
   test("minhash signature slots stay within [0, P)") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = 8)
       .select(explode(col("sig"))).as[Long].collect()
