@@ -16,7 +16,7 @@ object SparkEntry {
   /** Every registered query, in registration order. */
   val registry: Seq[Q] =
     RelationalQueries.all ++ EventQueries.all ++ TextQueries.all ++
-      VectorQueries.all ++ MultimodalQueries.all ++ GraphQueries.all
+      VectorQueries.all ++ MultimodalQueries.all ++ GraphQueries.all ++ WebQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

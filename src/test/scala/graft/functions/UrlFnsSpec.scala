@@ -1,0 +1,39 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UrlFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parts(url: String): (String, String, String, Int, String) =
+    Seq(url).toDF("u").select(
+      UrlFns.host(col("u")), UrlFns.path(col("u")),
+      UrlFns.registrableDomain(col("u")), UrlFns.pathDepth(col("u")),
+      UrlFns.queryParam(col("u"), "pg"))
+      .as[(String, String, String, Int, String)].head()
+
+  test("decomposes a listing URL like the reference's pagination space") {
+    val (host, path, domain, depth, pg) =
+      parts("https://sh.lianjia.com/xiaoqu/pudong/?pg=2&order=asc")
+    assert(host === "sh.lianjia.com")
+    assert(path === "/xiaoqu/pudong/")
+    assert(domain === "lianjia.com")
+    assert(depth === 2)
+    assert(pg === "2")
+  }
+
+  test("absent query param is null, root path depth is 0") {
+    val (host, path, domain, depth, pg) = parts("https://example.org/")
+    assert(host === "example.org" && domain === "example.org")
+    assert(path === "/" && depth === 0)
+    assert(pg == null)
+  }
+
+  test("malformed URL yields nulls, not garbage") {
+    val got = Seq("not a url at all").toDF("u")
+      .select(UrlFns.host(col("u")), UrlFns.queryParam(col("u"), "pg"))
+      .as[(String, String)].head()
+    assert(got._1 == null && got._2 == null)
+  }
+}
