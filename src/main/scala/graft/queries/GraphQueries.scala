@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.PageRank
+import graft.operators.{PageRank, Triangles}
 import graft.sources.Tables
 
 /** Graph analytics over the order graph (customer ↔ supplier via
@@ -76,5 +76,61 @@ object GraphQueries {
       .orderBy(col("node"))
   }
 
-  val all: Seq[Q] = Seq(q76Pagerank)
+  /** Triangle census of the supplier co-purchase graph (suppliers
+    * linked when ≥ 4 recent customers of nation 1 bought from both) —
+    * community structure in a trade graph. The engine side enumerates
+    * via `Triangles.triangles` (degree-ordered, O(m^1.5) wedge bound);
+    * the oracle counts id-ordered edge triples — two different
+    * enumeration orders that must land on the same census. */
+  val q80TriangleCensus = Q(
+    "q80_triangle_census",
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  WHERE c_nationkey = 1 AND o_orderdate >= DATE '$SinceDate'),
+       |e AS (
+       |  SELECT a.s AS a, b.s AS b FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+       |  GROUP BY 1, 2 HAVING count(*) >= 4),
+       |deg AS (
+       |  SELECT n, count(*) AS deg
+       |  FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n),
+       |tri AS (
+       |  SELECT count(*) AS t FROM e e1
+       |  JOIN e e2 ON e2.a = e1.b
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
+       |    CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+       |  FROM deg)
+       |SELECT n_nodes, n_edges, n_wedges, CAST(t AS BIGINT) AS n_triangles,
+       |  round(3.0 * t / n_wedges, 4) AS global_cc
+       |FROM s CROSS JOIN tri""".stripMargin) { (spark, dir) =>
+    val cs = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(SinceDate).cast("date"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).filter(col("c_nationkey") === 1),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    val e = cs.as("x").join(cs.as("y"),
+        col("x.c") === col("y.c") && col("x.s") < col("y.s"))
+      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 4)
+      .select(col("a"), col("b"))
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("deg")) / 2).cast("long").as("n_edges"),
+      sum((col("deg") * (col("deg") - 1) / 2).cast("long")).as("n_wedges"))
+    val tri = Triangles.triangles(e).agg(count(lit(1)).as("n_triangles"))
+    stats.join(broadcast(tri)) // both single-row
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4).as("global_cc"))
+  }
+
+  val all: Seq[Q] = Seq(q76Pagerank, q80TriangleCensus)
 }
