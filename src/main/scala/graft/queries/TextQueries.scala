@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.functions.TextFns
+import graft.functions.{QualityModel, TextFns}
 import graft.operators.Dedup
 import graft.sources.Tables
 
@@ -875,10 +875,44 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Hashed-feature linear classifier scores (`QualityModel`): the
+    * fastText-shaped quality gate as a fully narrow plan — HOF fold per
+    * row, zero shuffles before the final per-language rollup. Weights
+    * and the md5 bucket hash are shared with the oracle, so per-doc
+    * scores agree bit-for-bit across engines. */
+  val q81ClassifierScores = Q(
+    "q81_classifier_scores",
+    s"""WITH scored AS (
+       |  SELECT lang,
+       |    list_sum(list_transform(string_split_regex(lower(text), '\\s+'),
+       |      x -> (${QualityModel.weightsSqlList})[
+       |        ('0x' || substr(md5(x), 1, 15))::BIGINT % ${QualityModel.Dim} + 1]))
+       |      / len(string_split_regex(lower(text), '\\s+')) + ${QualityModel.Bias} AS score
+       |  FROM documents)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |  round(avg(score), 4) AS mean_score,
+       |  round(min(score), 4) AS min_score,
+       |  round(max(score), 4) AS max_score
+       |FROM scored
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("lang"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("lang"), QualityModel.score(col("toks")).as("score"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") > 0, 1).otherwise(0)).as("n_pass"),
+        round(avg(col("score")), 4).as("mean_score"),
+        round(min(col("score")), 4).as("min_score"),
+        round(max(col("score")), 4).as("max_score"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
     q54RepetitionSignals, q58HeavyHitters, q60SimhashPortable, q68Contamination,
     q69PackChunks, q70DocDedupKeep, q73PiiScrub, q74BoilerplateNgrams, q75LmDocScore,
-    q77StratifiedSample, q78EditDistancePairs)
+    q77StratifiedSample, q78EditDistancePairs, q81ClassifierScores)
 }
