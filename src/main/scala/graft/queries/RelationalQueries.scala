@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.BloomJoin
 import graft.sources.Tables
 
 /** Relational core: scans, filters, aggregations, joins, windows, top-k,
@@ -746,6 +747,35 @@ object RelationalQueries {
       .orderBy(col("ship_month"))
   }
 
+  /** Bloom-prefiltered semi-join (`BloomJoin.bloomSemiJoin`): urgent-
+    * order revenue by ship month. The bloom filter is pure execution
+    * strategy — it drops non-candidate lineitems before their shuffle
+    * and the real semi-join removes its false positives — so the oracle
+    * is the PLAIN `IN` subquery: the result must be identical with the
+    * accelerator on. */
+  val q82BloomSemiJoin = Q(
+    "q82_bloom_semi_join",
+    """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey IN (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT'
+      |    AND o_orderdate >= DATE '1997-01-01')
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT"
+        && col("o_orderdate") >= lit("1997-01-01").cast("date"))
+    BloomJoin.bloomSemiJoin(Tables.lineitem(spark, dir), urgent,
+        "l_orderkey", "o_orderkey")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("ship_month"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -753,5 +783,5 @@ object RelationalQueries {
     q14Percentiles, q15RangeJoinBands, q16FanoutPagination, q17UnionSnapshot,
     q38ApproxDistinct, q40LocalSupplierVolume, q41RankingSuite, q42GroupingSets,
     q47Unpivot, q49HashSample, q55FullOuter, q56AnalyticSuite, q57SkewJoin,
-    q61SplitLabels, q64Histogram, q66RevenueShare, q67PromoRevenue)
+    q61SplitLabels, q64Histogram, q66RevenueShare, q67PromoRevenue, q82BloomSemiJoin)
 }
