@@ -116,6 +116,53 @@ object Dedup {
       .filter(col("lev") >= 0) // threshold variant returns -1 past maxDist
   }
 
+  /** Cross-document duplicated-span coverage — the exact-substring
+    * dedup signal of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better"): for every document, how many of
+    * its tokens sit inside a `spanTokens`-token run that occurs at
+    * least twice in the corpus.
+    *
+    * Plan shape:
+    *  - per doc, ALL span hashes are produced inside one row (a
+    *    transform over the token array, md5 over the joined slice) and
+    *    posexploded — tokens are never re-split per span;
+    *  - span rows are laid out by hash ONCE; the duplicate-hash filter
+    *    and the span⋈dup join both consume that exchange;
+    *  - overlapping duplicated spans are merged per doc with the
+    *    classic interval-union window (running max of span ends), so a
+    *    token inside five overlapping dup spans counts once.
+    *
+    * @return (id, dup_tokens): docs with ≥1 duplicated span only
+    */
+  def duplicatedSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = spanTokens
+    val sp = docs
+      .repartition(col(idCol))
+      .select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("toks"))
+      // the size guard lives INSIDE the expression (not just a separate
+      // row filter): optimizer rules may evaluate the projection on rows
+      // a sibling filter would drop (e.g. ConvertToLocalRelation), and
+      // sequence(1, 0) descends into slice(toks, 0, _) — an error
+      .select(col("id"), when(size(col("toks")) >= k, transform(
+        sequence(lit(1), size(col("toks")) - (k - 1)),
+        i => md5(concat_ws(" ", slice(col("toks"), i, lit(k))))))
+        .otherwise(array()).as("hs"))
+      .select(col("id"), posexplode(col("hs")))
+      .select(col("id"), (col("pos") + 1).as("s"), (col("pos") + k).as("e"), col("col").as("h"))
+      .repartition(col("h"))
+    val dup = sp.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("h"))
+    val w = Window.partitionBy(col("id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sp.join(dup, "h")
+      .withColumn("prev_end", coalesce(max(col("e")).over(w), lit(0L)))
+      .withColumn("c", greatest(col("e") - greatest(col("prev_end"), col("s") - 1), lit(0L)))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("dup_tokens"))
+  }
+
   /** Mersenne prime 2^31-1 — modulus of the portable min-hash family. */
   val MinhashP: Long = 2147483647L
 

@@ -909,10 +909,52 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** Exact-substring dedup signal (`Dedup.duplicatedSpanCoverage`, the
+    * Lee et al. 2022 shape): per source, how many tokens sit inside a
+    * 20-token run occurring ≥ 2× in the corpus, with overlapping spans
+    * union-merged per doc by the interval window. */
+  val q83DupSpanCoverage = Q(
+    "q83_dup_span_coverage",
+    """WITH docs AS (
+      |  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents),
+      |sp AS (
+      |  SELECT doc_id, i AS s, i + 19 AS e,
+      |    md5(list_aggregate(t[i:i+19], 'string_agg', ' ')) AS h
+      |  FROM docs, unnest(range(1, len(t) - 18)) AS u(i)
+      |  WHERE len(t) >= 20),
+      |dup AS (SELECT h FROM sp GROUP BY h HAVING count(*) >= 2),
+      |ds AS (SELECT doc_id, s, e FROM sp JOIN dup USING (h)),
+      |cov AS (
+      |  SELECT doc_id,
+      |    greatest(e - greatest(coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), s - 1), 0) AS c
+      |  FROM ds),
+      |per AS (SELECT doc_id, sum(c) AS dup_tokens FROM cov GROUP BY 1),
+      |tok AS (SELECT doc_id, source, len(t) AS n_tokens FROM docs)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_dup_docs,
+      |  CAST(sum(dup_tokens) AS BIGINT) AS dup_tokens,
+      |  round(avg(dup_tokens / CAST(n_tokens AS DOUBLE)), 4) AS avg_dup_frac
+      |FROM per JOIN tok USING (doc_id)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val cov = Dedup.duplicatedSpanCoverage(docs, "doc_id", "text", 20)
+    val tok = docs.select(col("doc_id"), col("source"),
+      size(TextFns.tokens(col("text"))).as("n_tokens"))
+    cov.join(tok, col("id") === col("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_dup_docs"),
+        sum(col("dup_tokens")).as("dup_tokens"),
+        round(avg(col("dup_tokens").cast("double") / col("n_tokens")), 4).as("avg_dup_frac"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
     q54RepetitionSignals, q58HeavyHitters, q60SimhashPortable, q68Contamination,
     q69PackChunks, q70DocDedupKeep, q73PiiScrub, q74BoilerplateNgrams, q75LmDocScore,
-    q77StratifiedSample, q78EditDistancePairs, q81ClassifierScores)
+    q77StratifiedSample, q78EditDistancePairs, q81ClassifierScores, q83DupSpanCoverage)
 }

@@ -103,6 +103,37 @@ class DedupSpec extends SparkSpec {
     assert(got.count() === 0) // shares shingles, but 80 chars longer
   }
 
+  test("duplicatedSpanCoverage union-merges overlapping spans") {
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e g"),
+      (3L, "x y z w v u")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpanCoverage(d, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toMap
+    // shared 3-grams: "a b c","b c d","c d e" at s=1,2,3 → union [1,5]
+    assert(got === Map(1L -> 5L, 2L -> 5L))
+  }
+
+  test("duplicatedSpanCoverage ignores docs shorter than the span") {
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),
+      (3L, "a b") // shorter than the span: must not error or appear
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpanCoverage(d, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 6L, 2L -> 6L))
+  }
+
+  test("duplicatedSpanCoverage counts intra-doc repeats too") {
+    val d = Seq((1L, "p q r x x p q r")).toDF("doc_id", "text")
+    // "p q r" occurs twice inside one doc → spans [1,3] and [6,8]
+    val got = Dedup.duplicatedSpanCoverage(d, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 6L))
+  }
+
   test("minhash signature slots stay within [0, P)") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = 8)
       .select(explode(col("sig"))).as[Long].collect()
