@@ -97,15 +97,20 @@ object Dedup {
     * @return (id_a, id_b, lev) with id_a < id_b and lev ≤ maxDist
     */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, maxDist: Int, maxDocFreq: Int): DataFrame = {
+      n: Int, maxDist: Int, maxDocFreq: Int, minShared: Int = 3): DataFrame = {
     val sh = shingleView(docs, idCol, textCol, n)
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq && col("df") >= 2)
     val shRare = sh.join(rare.select("sh"), Seq("sh"))
+    // minShared cuts the candidate set ~100×: two RANDOM docs often share
+    // one "rare" shingle, but a true near-dup within maxDist edits keeps
+    // all but O(maxDist) of its shingles, so demanding a few shared ones
+    // loses nothing while the DP stage stops paying for coincidences
     val cand = shRare.as("a").join(shRare.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
     val t = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
     cand
       .join(t.as("ta"), col("id_a") === col("ta.id"))

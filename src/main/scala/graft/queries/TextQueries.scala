@@ -861,8 +861,9 @@ object TextQueries {
       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 100),
       |shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
       |cand AS (
-      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id)
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 3)
       |SELECT id_a, id_b, CAST(levenshtein(da.text, db.text) AS INT) AS lev
       |FROM cand
       |JOIN docs da ON da.doc_id = id_a
