@@ -131,8 +131,11 @@ object Dedup {
     *  - per doc, ALL span hashes are produced inside one row (a
     *    transform over the token array, md5 over the joined slice) and
     *    posexploded — tokens are never re-split per span;
-    *  - span rows are laid out by hash ONCE; the duplicate-hash filter
-    *    and the span⋈dup join both consume that exchange;
+    *  - the duplicate test is count-over-window ON the hash layout, not
+    *    a groupBy+self-join: a join would need the span pipeline twice
+    *    (column pruning diverges the two subtrees, so ReuseExchange
+    *    cannot deduplicate them), whereas the window rides the single
+    *    exchange and sorts within partitions;
     *  - overlapping duplicated spans are merged per doc with the
     *    classic interval-union window (running max of span ends), so a
     *    token inside five overlapping dup spans counts once.
@@ -156,12 +159,12 @@ object Dedup {
         .otherwise(array()).as("hs"))
       .select(col("id"), posexplode(col("hs")))
       .select(col("id"), (col("pos") + 1).as("s"), (col("pos") + k).as("e"), col("col").as("h"))
-      .repartition(col("h"))
-    val dup = sp.groupBy(col("h")).agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select(col("h"))
+    val ds = sp
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("n") >= 2)
     val w = Window.partitionBy(col("id")).orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    sp.join(dup, "h")
+    ds
       .withColumn("prev_end", coalesce(max(col("e")).over(w), lit(0L)))
       .withColumn("c", greatest(col("e") - greatest(col("prev_end"), col("s") - 1), lit(0L)))
       .groupBy(col("id"))
