@@ -159,6 +159,36 @@ class PlanSpec extends SparkSpec {
       "shingle overlap degraded to a product join:\n" + p)
   }
 
+  test("q82 bloom probe filters the fact side BEFORE the semi-join") {
+    val p = plan(RelationalQueries.q82BloomSemiJoin)
+    assert(p.contains("might_contain"), "bloom runtime filter missing:\n" + p)
+    assert(p.contains("LeftSemi"), "exactness join missing:\n" + p)
+    // the probe must sit on the scan side (below the join), not above it
+    val probeLine = p.linesIterator.indexWhere(l =>
+      l.contains("might_contain") && l.contains("l_orderkey"))
+    val joinLine = p.linesIterator.indexWhere(_.contains("LeftSemi"))
+    assert(probeLine > joinLine, "probe not below the semi-join:\n" + p)
+  }
+
+  test("q81 classifier scoring is narrow: no explode, single keyed shuffle") {
+    val p = plan(TextQueries.q81ClassifierScores)
+    assert(!p.contains("Generate"), "HOF fold degraded to explode:\n" + p)
+    assert("hashpartitioning".r.findAllIn(p).length === 1,
+      "scoring should shuffle only for the final rollup:\n" + p)
+  }
+
+  test("q79 URL analytics never reads the document text column") {
+    val p = plan(WebQueries.q79DomainBudget)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), "text read for URL analytics:\n" + readSchema)
+  }
+
+  test("q83 span pipeline is computed once (single posexplode)") {
+    val p = plan(TextQueries.q83DupSpanCoverage)
+    assert("posexplode".r.findAllIn(p).length === 1,
+      "span pipeline duplicated — ReuseExchange regression:\n" + p)
+  }
+
   test("q25 quality scan reads only the 2 needed document columns") {
     val p = plan(TextQueries.q25QualityFilter)
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
