@@ -23,6 +23,22 @@ object Sampling {
   def hashSample(df: DataFrame, key: Column, pct: Int): DataFrame =
     df.filter(hashBucket(key) < pct)
 
+  /** Deterministic uniform in [0, 1) from the first 60 bits of md5 of
+    * the key's string form — the portable stand-in for rand() that both
+    * engines compute identically (long→double rounding is IEEE
+    * round-to-nearest in both JVMs and DuckDB). */
+  def hashUniform(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("double") /
+      lit((1L << 60).toDouble)
+
+  /** Efraimidis–Spirakis weighted-reservoir sort key: ranking rows by
+    * ln(u)/w DESCENDING draws a weighted sample without replacement —
+    * P(selected) proportional to weight — yet is fully deterministic
+    * given the keys (same rows selected on any engine, any partitioning,
+    * any run). Top-k per group = one window; no state, no RNG. */
+  def weightedSampleKey(key: Column, weight: Column): Column =
+    log(hashUniform(key)) / weight
+
   /** Assign each row a stable split label by key: boundaries are
     * cumulative percentages, e.g. Seq(("train", 80), ("test", 100)). */
   def splitColumn(key: Column, boundaries: Seq[(String, Int)]): Column = {

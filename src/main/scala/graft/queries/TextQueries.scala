@@ -952,10 +952,42 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis via
+    * `Sampling.weightedSampleKey`): top-5 docs per language with
+    * selection probability ∝ n_chars. The md5 uniform makes the SAMPLED
+    * ROW SET engine-portable — the oracle re-derives the same keys and
+    * must pick the identical docs. */
+  val q84WeightedSample = Q(
+    "q84_weighted_sample",
+    """WITH keyed AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    ln(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |       / 1152921504606846976.0) / n_chars AS k
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rk
+      |  FROM keyed)
+      |SELECT lang, CAST(rk AS INT) AS rk, doc_id, n_chars
+      |FROM ranked WHERE rk <= 5
+      |ORDER BY lang, rk""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Sampling
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("k").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        Sampling.weightedSampleKey(col("doc_id"), col("n_chars")).as("k"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
     q54RepetitionSignals, q58HeavyHitters, q60SimhashPortable, q68Contamination,
     q69PackChunks, q70DocDedupKeep, q73PiiScrub, q74BoilerplateNgrams, q75LmDocScore,
-    q77StratifiedSample, q78EditDistancePairs, q81ClassifierScores, q83DupSpanCoverage)
+    q77StratifiedSample, q78EditDistancePairs, q81ClassifierScores, q83DupSpanCoverage, q84WeightedSample)
 }

@@ -18,6 +18,27 @@ class SamplingSpec extends SparkSpec {
     assert(a.subsetOf(wider))
   }
 
+  test("hashUniform lands in [0,1) and is deterministic") {
+    val u = df.select(Sampling.hashUniform(col("id"))).as[Double].collect()
+    assert(u.forall(x => x >= 0.0 && x < 1.0))
+    assert(math.abs(u.sum / u.length - 0.5) < 0.05) // ~uniform mean
+  }
+
+  test("weightedSampleKey: selection probability tracks the weight") {
+    // one heavy item among 999 light ones: ln(u)/w → 0⁻ as w grows, so
+    // the heavy item must rank first by key
+    val weighted = (1L to 1000L).map(i => (i, if (i == 500L) 1e12 else 1.0))
+      .toDF("id", "w")
+    val top = weighted
+      .select(col("id"), Sampling.weightedSampleKey(col("id"), col("w")).as("k"))
+      .orderBy(col("k").desc).select("id").as[Long].head()
+    assert(top === 500L)
+    // and across equal weights, ranking is a deterministic permutation
+    val k1 = df.select(Sampling.weightedSampleKey(col("id"), lit(1.0))).as[Double].collect()
+    val k2 = df.select(Sampling.weightedSampleKey(col("id"), lit(1.0))).as[Double].collect()
+    assert(k1.toSeq === k2.toSeq)
+  }
+
   test("splitColumn labels every row into exactly one split") {
     val got = df.select(Sampling.splitColumn(col("id"),
         Seq(("train", 80), ("val", 90), ("test", 100))).as("split"))
