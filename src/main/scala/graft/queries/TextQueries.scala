@@ -984,10 +984,78 @@ object TextQueries {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** Sparse TF-IDF cosine similarity join — the inverted-index
+    * ("term-at-a-time") form: pair dot products accumulate over an
+    * equi-join on the term, so candidate generation is the posting-list
+    * join, never all-pairs. Terms are word 3-grams (the corpus draws
+    * from a ~31-word vocabulary, so unigram TF-IDF is degenerate —
+    * shingles give the sparse, doc-discriminating space). The vector
+    * space is the df ∈ [2, 100] shingle vocabulary (df=1 terms can't
+    * contribute to any pair; df>100 terms are the hot-posting quadratic
+    * risk, exactly the jaccard df-cap), and weights/norms are computed
+    * over that same vocabulary, so the cosine is exact in the filtered
+    * space. Complements the DENSE embedding cosine path (q31/q33/q34). */
+  val q85TfidfCosinePairs = Q(
+    "q85_tfidf_cosine_pairs",
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, s AS t FROM docs,
+      |    unnest(list_transform(range(1, len(tk) - 1),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS u(s)
+      |  WHERE len(tk) >= 3),
+      |tf AS (SELECT doc_id, t, count(*) AS cnt FROM toks GROUP BY 1, 2),
+      |vocab AS (
+      |  SELECT t, count(*) AS df FROM tf GROUP BY t
+      |  HAVING count(*) BETWEEN 2 AND 100),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      |w AS (
+      |  SELECT doc_id, tf.t, tf.cnt * ln(n.n_docs / vocab.df) AS wgt
+      |  FROM tf JOIN vocab ON tf.t = vocab.t CROSS JOIN n),
+      |nrm AS (SELECT doc_id, sqrt(sum(wgt * wgt)) AS nr FROM w GROUP BY doc_id),
+      |dots AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.wgt * b.wgt) AS dot
+      |  FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, round(dot / (na.nr * nb.nr), 4) AS cos
+      |FROM dots
+      |JOIN nrm na ON na.doc_id = id_a
+      |JOIN nrm nb ON nb.doc_id = id_b
+      |WHERE dot / (na.nr * nb.nr) >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(TextFns.shingles(col("toks"), 3)).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
+    val vocab = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 100))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = tf.join(vocab, "t")
+      .join(broadcast(n)) // 1-row bounded
+      .select(col("doc_id"), col("t"),
+        (col("cnt") * log(col("n_docs") / col("df"))).as("wgt"))
+      .repartition(col("t")) // one posting-list layout, reused by both join sides
+    val nrm = w.groupBy(col("doc_id")).agg(sqrt(sum(col("wgt") * col("wgt"))).as("nr"))
+    val dots = w.as("a").join(w.as("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(sum(col("a.wgt") * col("b.wgt")).as("dot"))
+    dots
+      .join(nrm.select(col("doc_id").as("id_a"), col("nr").as("na")), Seq("id_a"))
+      .join(nrm.select(col("doc_id").as("id_b"), col("nr").as("nb")), Seq("id_b"))
+      .filter(col("dot") / (col("na") * col("nb")) >= 0.3)
+      .select(col("id_a"), col("id_b"),
+        round(col("dot") / (col("na") * col("nb")), 4).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
     q54RepetitionSignals, q58HeavyHitters, q60SimhashPortable, q68Contamination,
     q69PackChunks, q70DocDedupKeep, q73PiiScrub, q74BoilerplateNgrams, q75LmDocScore,
-    q77StratifiedSample, q78EditDistancePairs, q81ClassifierScores, q83DupSpanCoverage, q84WeightedSample)
+    q77StratifiedSample, q78EditDistancePairs, q81ClassifierScores, q83DupSpanCoverage, q84WeightedSample, q85TfidfCosinePairs)
 }
