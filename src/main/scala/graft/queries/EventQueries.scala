@@ -309,7 +309,49 @@ object EventQueries {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Volume-anomaly detection: z-score every (event_type, hour) count
+    * against that type's own hourly mean/stddev, surface the 3 most
+    * anomalous hours per type. Two window-free aggregations plus one
+    * type-keyed window — the classic monitoring query, exact on both
+    * engines (sample stddev, deterministic tiebreak on the hour). */
+  val q86VolumeAnomalies = Q(
+    "q86_volume_anomalies",
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma
+      |  FROM hourly GROUP BY event_type),
+      |z AS (
+      |  SELECT h.event_type, h.h, h.n,
+      |    (h.n - s.mu) / s.sigma AS zs
+      |  FROM hourly h JOIN stats s ON h.event_type = s.event_type),
+      |ranked AS (
+      |  SELECT event_type, h, n, zs,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY abs(zs) DESC, h) AS rk
+      |  FROM z)
+      |SELECT event_type, CAST(rk AS INT) AS rk, h AS hour_start,
+      |  CAST(n AS BIGINT) AS n, round(zs, 4) AS z
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY event_type, rk""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(avg(col("n")).as("mu"), stddev_samp(col("n")).as("sigma"))
+    val w = Window.partitionBy(col("event_type")).orderBy(abs(col("zs")).desc, col("h"))
+    hourly.join(stats, "event_type")
+      .withColumn("zs", (col("n") - col("mu")) / col("sigma"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("event_type"), col("rk"), col("h").as("hour_start"),
+        col("n"), round(col("zs"), 4).as("z"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
   val all: Seq[Q] = Seq(q18JsonProps, q19HourlyAgg, q20SlidingAgg, q21Sessions,
     q22AsofViewPurchase, q50MapFuncs, q52IntervalJoin, q62Funnel, q63Retention,
-    q65AsofNextView, q71GapfillHourly, q72Transitions)
+    q65AsofNextView, q71GapfillHourly, q72Transitions, q86VolumeAnomalies)
 }
