@@ -1033,22 +1033,28 @@ object TextQueries {
     val vocab = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 100))
     val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-    val w = tf.join(vocab, "t")
+    // Normalize BEFORE the posting-list join (unit vectors), so the pair
+    // aggregation IS the cosine — no norm table and no per-pair norm joins
+    // after the (much larger) pair set exists. The norm is a window
+    // aggregate riding one doc_id exchange, not a groupBy + self-join: the
+    // latter would consume the tf⋈vocab pipeline twice (column pruning
+    // diverges the subtrees, so ReuseExchange can't merge them — the q83
+    // lesson). Numerically, Σ (a/|a|)(b/|b|) reassociates the oracle's
+    // (Σ ab)/(|a||b|); at round(…,4) both dialects agree (oracle-checked).
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val wn = tf.join(vocab, "t")
       .join(broadcast(n)) // 1-row bounded
       .select(col("doc_id"), col("t"),
         (col("cnt") * log(col("n_docs") / col("df"))).as("wgt"))
+      .select(col("doc_id"), col("t"),
+        (col("wgt") / sqrt(sum(col("wgt") * col("wgt")).over(byDoc))).as("u"))
       .repartition(col("t")) // one posting-list layout, reused by both join sides
-    val nrm = w.groupBy(col("doc_id")).agg(sqrt(sum(col("wgt") * col("wgt"))).as("nr"))
-    val dots = w.as("a").join(w.as("b"),
+    wn.as("a").join(wn.as("b"),
         col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(sum(col("a.wgt") * col("b.wgt")).as("dot"))
-    dots
-      .join(nrm.select(col("doc_id").as("id_a"), col("nr").as("na")), Seq("id_a"))
-      .join(nrm.select(col("doc_id").as("id_b"), col("nr").as("nb")), Seq("id_b"))
-      .filter(col("dot") / (col("na") * col("nb")) >= 0.3)
-      .select(col("id_a"), col("id_b"),
-        round(col("dot") / (col("na") * col("nb")), 4).as("cos"))
+      .agg(sum(col("a.u") * col("b.u")).as("cos_raw"))
+      .filter(col("cos_raw") >= 0.3)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -50,6 +50,9 @@ object DiagScale {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val ks = sys.env.getOrElse("SPARK_GRAFT_SCALE_KS", "1,2,4")
       .split(",").map(_.trim.toInt).toSeq
+    // comma-separated substrings; empty = all ops
+    val opFilter = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -95,7 +98,39 @@ object DiagScale {
         "q34_emb_pairs" -> (() => nearDupEdges().count()),
         "q51_components" -> (() =>
           Dedup.connectedComponents(
-            nearDupEdges().select(col("id_a"), col("id_b"))).count()))
+            nearDupEdges().select(col("id_a"), col("id_b"))).count()),
+        "q78_editdist" -> (() =>
+          Dedup.editDistancePairs(docs, "doc_id", "text", n = 3, maxDist = 30,
+            maxDocFreq = 100).count()),
+        "q83_spans" -> (() =>
+          Dedup.duplicatedSpanCoverage(docs, "doc_id", "text", spanTokens = 20).count()),
+        "q85_tfidf" -> (() => {
+          // the registered q85 shape: shingle terms, df∈[2,100] vocab,
+          // unit-normalized weights (window over doc_id), posting-list
+          // self-join whose pair sum IS the cosine
+          import graft.functions.TextFns
+          import org.apache.spark.sql.expressions.Window
+          val tf = docs.repartition(col("doc_id"))
+            .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+            .select(col("doc_id"), explode(TextFns.shingles(col("toks"), 3)).as("t"))
+            .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
+          val vocab = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+            .filter(col("df").between(2, 100))
+          val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+          val byDoc = Window.partitionBy(col("doc_id"))
+          val wn = tf.join(vocab, "t").join(broadcast(n))
+            .select(col("doc_id"), col("t"),
+              (col("cnt") * log(col("n_docs") / col("df"))).as("wgt"))
+            .select(col("doc_id"), col("t"),
+              (col("wgt") / sqrt(sum(col("wgt") * col("wgt")).over(byDoc))).as("u"))
+            .repartition(col("t"))
+          wn.as("a").join(wn.as("b"),
+              col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+            .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+            .agg(sum(col("a.u") * col("b.u")).as("cos_raw"))
+            .filter(col("cos_raw") >= 0.3)
+            .count()
+        }))
     }
 
     val results = scala.collection.mutable.Map[(String, Int), Double]()
@@ -104,7 +139,8 @@ object DiagScale {
       val embK = replicateEmb(emb0, k).repartition(cpus.toInt).persist()
       val (nd, ne) = (docsK.count(), embK.count())
       println(s"[scale] k=$k docs=$nd emb=$ne")
-      for ((name, f) <- ops(docsK, embK)) {
+      for ((name, f) <- ops(docsK, embK)
+           if opFilter.isEmpty || opFilter.exists(name.contains)) {
         val t0 = System.nanoTime()
         val rows = f()
         val sec = (System.nanoTime() - t0) / 1e9
