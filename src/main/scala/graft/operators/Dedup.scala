@@ -153,9 +153,14 @@ object Dedup {
       // row filter): optimizer rules may evaluate the projection on rows
       // a sibling filter would drop (e.g. ConvertToLocalRelation), and
       // sequence(1, 0) descends into slice(toks, 0, _) — an error
+      // xxhash64, not md5: the hash never leaves this operator (the
+      // duplicate test is hash-equality; the oracle derives its own spans),
+      // so an 8-byte codegen'd long beats a 32-char digest string — the
+      // h-partitioned count window below shuffles and sorts ~(tokens−k+1)
+      // rows per doc, and the key is most of each row
       .select(col("id"), when(size(col("toks")) >= k, transform(
         sequence(lit(1), size(col("toks")) - (k - 1)),
-        i => md5(concat_ws(" ", slice(col("toks"), i, lit(k))))))
+        i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(k))))))
         .otherwise(array()).as("hs"))
       .select(col("id"), posexplode(col("hs")))
       .select(col("id"), (col("pos") + 1).as("s"), (col("pos") + k).as("e"), col("col").as("h"))
