@@ -351,7 +351,47 @@ object EventQueries {
       .orderBy(col("event_type"), col("rk"))
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) history build — the
+    * warehouse temporal pattern: collapse each user's event-type stream
+    * into validity intervals [valid_from, valid_to) with an is_current
+    * flag on the open one. Gaps-and-islands WITHOUT the groupBy: a run
+    * is identified by its first row (lag change test), valid_to is the
+    * NEXT run's start (lead) — so both window passes ride ONE user_id
+    * exchange and ONE (ts, event_id) sort; a groupBy(user, run) would
+    * add a second exchange on the wider key. Deterministic under ts
+    * ties via the event_id tiebreak. */
+  val q87Scd2Intervals = Q(
+    "q87_scd2_intervals",
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_type AS state, ts AS valid_from, event_id
+      |  FROM o WHERE prev IS NULL OR prev <> event_type),
+      |iv AS (
+      |  SELECT user_id, state, valid_from,
+      |    lead(valid_from) OVER (PARTITION BY user_id
+      |      ORDER BY valid_from, event_id) AS valid_to
+      |  FROM s)
+      |SELECT user_id, state, valid_from, valid_to,
+      |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+      |FROM iv ORDER BY user_id, valid_from""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(byUser).as("valid_to"))
+      .withColumn("is_current", when(col("valid_to").isNull, 1).otherwise(0))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
   val all: Seq[Q] = Seq(q18JsonProps, q19HourlyAgg, q20SlidingAgg, q21Sessions,
     q22AsofViewPurchase, q50MapFuncs, q52IntervalJoin, q62Funnel, q63Retention,
-    q65AsofNextView, q71GapfillHourly, q72Transitions, q86VolumeAnomalies)
+    q65AsofNextView, q71GapfillHourly, q72Transitions, q86VolumeAnomalies,
+    q87Scd2Intervals)
 }

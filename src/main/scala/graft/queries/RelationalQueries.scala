@@ -776,6 +776,53 @@ object RelationalQueries {
       .orderBy(col("ship_month"))
   }
 
+  /** Z-order layout statistics (`operators/ZOrder`) — the lakehouse
+    * `OPTIMIZE ZORDER BY` shape: Morton-interleave (l_partkey,
+    * l_suppkey), split the curve into 16 equal z-ranges (what
+    * `zorderRepartition` makes physical partitions), and report each
+    * range's bounding box in BOTH key dimensions. The narrow per-bucket
+    * min/max spans are the data-skipping story: a predicate on EITHER
+    * key prunes most buckets, which a lexicographic sort only offers
+    * for its leading column. All bit arithmetic is built-in
+    * (`shiftleft`/`&`/`|`, codegen'd) and the oracle replays the exact
+    * spread masks; bucketing uses integer division (`DIV` / `//`) so
+    * both engines bucket identically. */
+  val q88ZorderLayout = Q(
+    "q88_zorder_layout",
+    """WITH a AS (
+      |  SELECT CAST(l_partkey & 65535 AS BIGINT) AS x,
+      |         CAST(l_suppkey & 65535 AS BIGINT) AS y FROM lineitem),
+      |s1 AS (SELECT x, y, ((x | (x << 8)) & 16711935) AS x1,
+      |                    ((y | (y << 8)) & 16711935) AS y1 FROM a),
+      |s2 AS (SELECT x, y, ((x1 | (x1 << 4)) & 252645135) AS x2,
+      |                    ((y1 | (y1 << 4)) & 252645135) AS y2 FROM s1),
+      |s3 AS (SELECT x, y, ((x2 | (x2 << 2)) & 858993459) AS x3,
+      |                    ((y2 | (y2 << 2)) & 858993459) AS y3 FROM s2),
+      |s4 AS (SELECT x, y, ((x3 | (x3 << 1)) & 1431655765) AS x4,
+      |                    ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3),
+      |z AS (SELECT x, y, x4 | (y4 << 1) AS zv FROM s4),
+      |mx AS (SELECT max(zv) AS zmax FROM z),
+      |b AS (SELECT CAST(zv * 16 // (zmax + 1) AS INT) AS bucket, x, y
+      |      FROM z CROSS JOIN mx)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+      |  min(x) AS min_part, max(x) AS max_part,
+      |  min(y) AS min_supp, max(y) AS max_supp
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (spark, dir) =>
+    import graft.operators.ZOrder
+    val z = Tables.lineitem(spark, dir).select(
+      ZOrder.zValue2(col("l_partkey"), col("l_suppkey")).as("zv"),
+      col("l_partkey").bitwiseAND(lit(65535)).cast("long").as("x"),
+      col("l_suppkey").bitwiseAND(lit(65535)).cast("long").as("y"))
+    val mx = z.agg(max(col("zv")).as("zmax")) // 1-row bounded
+    z.join(broadcast(mx))
+      .withColumn("bucket", expr("CAST((zv * 16) DIV (zmax + 1) AS INT)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_part"), max(col("x")).as("max_part"),
+        min(col("y")).as("min_supp"), max(col("y")).as("max_supp"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -783,5 +830,6 @@ object RelationalQueries {
     q14Percentiles, q15RangeJoinBands, q16FanoutPagination, q17UnionSnapshot,
     q38ApproxDistinct, q40LocalSupplierVolume, q41RankingSuite, q42GroupingSets,
     q47Unpivot, q49HashSample, q55FullOuter, q56AnalyticSuite, q57SkewJoin,
-    q61SplitLabels, q64Histogram, q66RevenueShare, q67PromoRevenue, q82BloomSemiJoin)
+    q61SplitLabels, q64Histogram, q66RevenueShare, q67PromoRevenue, q82BloomSemiJoin,
+    q88ZorderLayout)
 }
