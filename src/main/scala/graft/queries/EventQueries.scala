@@ -390,8 +390,52 @@ object EventQueries {
       .orderBy(col("user_id"), col("valid_from"))
   }
 
+  /** Top clickstream paths — full-path analytics over gap sessions
+    * (q72's transition matrix is the 2-gram marginal of this): each
+    * session's ordered event-type sequence becomes one path string, then
+    * paths are counted corpus-wide. The ORDERED aggregation is the
+    * interesting surface: Spark has no `string_agg(... ORDER BY)`, so
+    * determinism comes from sorting `struct(ts, event_id, type)` — a
+    * struct array sorts lexicographically by field position, making the
+    * tiebreak explicit — INSIDE the collected array, not from collect
+    * order (collect_list is partition-order-dependent). One user_id
+    * exchange covers sessionization and path assembly. */
+  val q89TopPaths = Q(
+    "q89_top_paths",
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM g),
+      |p AS (
+      |  SELECT user_id, sid,
+      |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      |  FROM s GROUP BY user_id, sid)
+      |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      |FROM p GROUP BY path
+      |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin) { (spark, dir) =>
+    val tagged = Sessionize.tagSessions(Tables.events(spark, dir),
+      key = "user_id", ts = "ts", tiebreak = "event_id", gapSeconds = 1800)
+    tagged
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          e => e.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(q18JsonProps, q19HourlyAgg, q20SlidingAgg, q21Sessions,
     q22AsofViewPurchase, q50MapFuncs, q52IntervalJoin, q62Funnel, q63Retention,
     q65AsofNextView, q71GapfillHourly, q72Transitions, q86VolumeAnomalies,
-    q87Scd2Intervals)
+    q87Scd2Intervals, q89TopPaths)
 }

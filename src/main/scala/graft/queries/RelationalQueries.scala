@@ -823,6 +823,46 @@ object RelationalQueries {
       .orderBy(col("bucket"))
   }
 
+  /** Equi-depth (quantile) binning — feature discretization for
+    * training pipelines: nine exact decile cutpoints of
+    * l_extendedprice, each row assigned bin = #cutpoints below its
+    * value via an `aggregate` fold over the broadcast cutpoint array
+    * (zero extra shuffles — the fold is codegen'd per row; q64 is the
+    * fixed-WIDTH twin of this fixed-DEPTH histogram). The exact
+    * percentile is a parallel aggregate in Spark (no global sort);
+    * bin-boundary stability across engines holds because an
+    * interpolated cutpoint lies strictly between two adjacent data
+    * values (or IS a data value when (n-1)p is integral), so `value >
+    * cut` agrees even if the interpolation differs in the last ulp. */
+  val q90EquidepthBins = Q(
+    "q90_equidepth_bins",
+    """WITH cuts AS (
+      |  SELECT quantile_cont(l_extendedprice,
+      |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT CAST(list_sum(list_transform(cs,
+      |      c -> CASE WHEN l_extendedprice > c THEN 1 ELSE 0 END)) AS INT) AS bin,
+      |    l_extendedprice AS v
+      |  FROM lineitem CROSS JOIN cuts)
+      |SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+      |  round(min(v), 2) AS lo, round(max(v), 2) AS hi,
+      |  round(sum(v), 2) AS mass
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+    val cuts = li.agg(percentile(col("l_extendedprice"),
+      array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cs"))
+    li.join(broadcast(cuts)) // 1-row bounded
+      .select(col("l_extendedprice").as("v"),
+        aggregate(col("cs"), lit(0),
+          (acc, c) => acc + when(col("l_extendedprice") > c, 1).otherwise(0)).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(min(col("v")), 2).as("lo"), round(max(col("v")), 2).as("hi"),
+        round(sum(col("v")), 2).as("mass"))
+      .orderBy(col("bin"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -831,5 +871,5 @@ object RelationalQueries {
     q38ApproxDistinct, q40LocalSupplierVolume, q41RankingSuite, q42GroupingSets,
     q47Unpivot, q49HashSample, q55FullOuter, q56AnalyticSuite, q57SkewJoin,
     q61SplitLabels, q64Histogram, q66RevenueShare, q67PromoRevenue, q82BloomSemiJoin,
-    q88ZorderLayout)
+    q88ZorderLayout, q90EquidepthBins)
 }
