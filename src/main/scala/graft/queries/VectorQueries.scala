@@ -330,7 +330,102 @@ object VectorQueries {
       .limit(10)
   }
 
+  /** k-means parameters for q91/q92. Constants because the oracle SQL is
+    * a static unrolled string; a production caller passes its own k and
+    * iteration budget to KMeans.fit. */
+  private val KmK = 8
+  private val KmIters = 2
+  /** SemDeDup redundancy threshold — ≈ p75 of cos-to-centroid on this
+    * corpus, so the screen actually bites in the test data. */
+  private val SemTau = 0.30
+
+  /** DuckDB twin of KMeans.fit: the identical unrolled Lloyd rounds —
+    * id%k seeding, per-dimension avg rounded to 6 dp (bit-identical
+    * across engines: means of float-precision inputs are exact doubles),
+    * cosine argmax with ties to the lowest cell (ORDER BY s DESC, cell ≡
+    * the Spark side's array_position-of-max). */
+  private def duckKmeansCtes(k: Int, iters: Int): String = {
+    val parts = Seq(
+      s"""assign0 AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |    CAST(vec_id % $k AS INT) AS cell
+         |  FROM embeddings)""".stripMargin) ++
+      (1 to iters).map { it =>
+        val p = it - 1
+        s"""cent${it}c AS (
+           |  SELECT cell, i, round(avg(v[i]), 6) AS m
+           |  FROM assign$p, range(1, ${Dim + 1}) t(i)
+           |  GROUP BY cell, i),
+           |cent$it AS (SELECT cell, list(m ORDER BY i) AS c FROM cent${it}c GROUP BY cell),
+           |sims$it AS (
+           |  SELECT a.vec_id, a.label, a.v, c.cell,
+           |    list_cosine_similarity(a.v, c.c) AS s
+           |  FROM assign0 a CROSS JOIN cent$it c),
+           |assign$it AS (
+           |  SELECT vec_id, label, v, cell FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+           |    FROM sims$it) t
+           |  WHERE rn = 1)""".stripMargin
+      }
+    parts.mkString(",\n")
+  }
+
+  /** Distributed spherical k-means (operators/KMeans): 2 Lloyd rounds,
+    * k=8, id%k seeding. Per round only the k×dim codebook crosses the
+    * driver (a few KB); assignment is a narrow argmax against the
+    * literal codebook and the centroid update is one partial+final agg —
+    * the only k-means shape that survives 100 TB. Deterministic
+    * end-to-end → full DuckDB oracle despite being an iterative
+    * approximate algorithm. */
+  val q91KmeansClusters = Q(
+    "q91_kmeans_clusters",
+    s"""WITH ${duckKmeansCtes(KmK, KmIters)}
+       |SELECT a.cell AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  round(avg(list_cosine_similarity(a.v, c.c)), 6) AS avg_cos
+       |FROM assign$KmIters a JOIN cent$KmIters c ON a.cell = c.cell
+       |GROUP BY a.cell
+       |ORDER BY a.cell""".stripMargin) { (spark, dir) =>
+    import graft.operators.KMeans
+    val (assigned, codebook) =
+      KMeans.fit(Tables.embeddings(spark, dir), "vec_id", "embedding", KmK, KmIters)
+    assigned
+      .withColumn("cos_c", KMeans.cosToCentroid(col("v"), col("cell"), codebook))
+      .groupBy(col("cell").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), round(avg(col("cos_c")), 6).as("avg_cos"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023): cluster first, then screen ONLY
+    * within each cluster — rows in the dense core (cos-to-centroid ≥ τ)
+    * are redundant except one representative; the tail is informative
+    * and kept. One window per cell replaces the O(|cell|²) pairwise
+    * cosine join. Composition endpoint over q91's clustering,
+    * value-verified per label. */
+  val q92SemDedupKeep = Q(
+    "q92_semdedup_keep",
+    s"""WITH ${duckKmeansCtes(KmK, KmIters)},
+       |scored AS (
+       |  SELECT a.vec_id, a.label, a.cell, list_cosine_similarity(a.v, c.c) AS cos_c
+       |  FROM assign$KmIters a JOIN cent$KmIters c ON a.cell = c.cell),
+       |keep AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cell ORDER BY cos_c DESC, vec_id) AS rn
+       |    FROM scored) t
+       |  WHERE cos_c < $SemTau OR rn = 1)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_kept
+       |FROM keep
+       |GROUP BY label
+       |ORDER BY label""".stripMargin) { (spark, dir) =>
+    import graft.operators.KMeans
+    val (assigned, codebook) =
+      KMeans.fit(Tables.embeddings(spark, dir), "vec_id", "embedding", KmK, KmIters)
+    KMeans.semDedupKeep(assigned, "vec_id", codebook, SemTau)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[Q] = Seq(q31CosineTopK, q32CentroidNorms, q33AnnLshTopK,
     q34EmbeddingNearDups, q39CentroidAggregator, q45IvfAnn, q51DedupClusters,
-    q59DedupKeep)
+    q59DedupKeep, q91KmeansClusters, q92SemDedupKeep)
 }
