@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFns
 import graft.sources.Tables
@@ -425,7 +426,87 @@ object VectorQueries {
       .orderBy(col("label"))
   }
 
+  /** Product-quantization geometry for q93: 8 subspaces × 8 dims, 16
+    * codes per subspace (vec_id%16-seeded one-shot means, like q45's IVF
+    * codebook). 64 codebook vectors total — a PQ code is 8 bytes per
+    * corpus vector, the memory shape that lets ANN indexes hold
+    * billion-vector corpora. */
+  private val PqM = 8
+  private val PqSub = 8
+  private val PqC = 16
+
+  /** PQ + asymmetric-distance (ADC) top-k (Jégou et al. 2011): encode
+    * every vector as 8 argmin sub-codes against a 6-dp-rounded codebook,
+    * then rank candidates by the sum of the PROBE's exact per-subspace
+    * distances to each candidate's codeword. Both the encode and the ADC
+    * are fully NARROW passes against literal codebooks (the only
+    * shuffle-free ANN scan shape at 100 TB: corpus → 8-byte codes, probe
+    * → 128-double distance table, one map). Deterministic end-to-end →
+    * full DuckDB oracle despite double quantization. */
+  val q93PqAnn = Q(
+    "q93_pq_ann",
+    """WITH base AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cbc AS (
+      |  SELECT CAST((i - 1) // 8 AS INT) AS m, CAST(vec_id % 16 AS INT) AS j, i,
+      |    round(avg(v[i]), 6) AS c
+      |  FROM base, range(1, 65) t(i)
+      |  GROUP BY 1, 2, i),
+      |dists AS (
+      |  SELECT b.vec_id, cb.m, cb.j, sum((b.v[cb.i] - cb.c) * (b.v[cb.i] - cb.c)) AS d
+      |  FROM base b JOIN cbc cb ON true
+      |  GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id, m, j AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, j) AS rn
+      |    FROM dists) t
+      |  WHERE rn = 1),
+      |adc AS (
+      |  SELECT c.vec_id, sum(pd.d) AS ad
+      |  FROM codes c JOIN (SELECT m, j, d FROM dists WHERE vec_id = 0) pd
+      |    ON pd.m = c.m AND pd.j = c.code
+      |  WHERE c.vec_id <> 0
+      |  GROUP BY c.vec_id)
+      |SELECT a.vec_id, b.label, round(a.ad, 6) AS approx_dist
+      |FROM adc a JOIN base b ON a.vec_id = b.vec_id
+      |ORDER BY round(a.ad, 6), a.vec_id
+      |LIMIT 10""".stripMargin) { (spark, dir) =>
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    // codebook: 16×64 means, COLLECTED (1024 doubles — a real PQ codebook
+    // is M·C·sub ≈ KBs even at billion scale) and re-shipped as literals
+    val cbRows = base
+      .select(pmod(col("vec_id"), lit(PqC)).cast("int").as("j"),
+        posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("j"), col("i")).agg(round(avg(col("x")), 6).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val cbLit: Array[Column] = Array.tabulate(PqM) { m =>
+      array((0 until PqC).map { j =>
+        array((0 until PqSub).map(kk => lit(cbRows((j, m * PqSub + kk)))): _*)
+      }: _*)
+    }
+    // same fold as the oracle's sum((v-c)*(v-c)): left-to-right in DOUBLE
+    def sqdist(a: Column, c: Column): Column =
+      aggregate(zip_with(a, c, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    def blockOf(vc: Column, m: Int): Column = slice(vc, m * PqSub + 1, PqSub)
+    // encode: argmin code per subspace, first-index-of-min ≡ ties → lowest j
+    def codeCol(vc: Column, m: Int): Column = {
+      val dArr = transform(cbLit(m), c => sqdist(blockOf(vc, m), c))
+      (array_position(dArr, array_min(dArr)) - 1).cast("int")
+    }
+    val probe = base.filter(col("vec_id") === 0).select(col("v").as("p_v"))
+    val adc = (0 until PqM).map { m =>
+      val pdArr = transform(cbLit(m), c => sqdist(blockOf(col("p_v"), m), c))
+      element_at(pdArr, codeCol(col("v"), m) + 1)
+    }.reduce(_ + _)
+    base.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"), round(adc, 6).as("approx_dist"))
+      .orderBy(col("approx_dist"), col("vec_id"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(q31CosineTopK, q32CentroidNorms, q33AnnLshTopK,
     q34EmbeddingNearDups, q39CentroidAggregator, q45IvfAnn, q51DedupClusters,
-    q59DedupKeep, q91KmeansClusters, q92SemDedupKeep)
+    q59DedupKeep, q91KmeansClusters, q92SemDedupKeep, q93PqAnn)
 }

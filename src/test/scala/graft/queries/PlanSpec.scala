@@ -195,4 +195,13 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("text") && readSchema.contains("source"), readSchema)
     assert(!readSchema.contains("lang"), "unneeded column read:\n" + readSchema)
   }
+
+  test("q93 PQ encode+ADC is narrow: probe broadcast, top-k without a global sort") {
+    val p = plan(VectorQueries.q93PqAnn)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "probe not broadcast:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), "top-k degraded to full sort:\n" + p)
+    // the corpus side is never hash-repartitioned — encode and ADC are maps
+    assert(!p.contains("hashpartitioning"), "PQ scan side shuffled:\n" + p)
+  }
 }
