@@ -266,6 +266,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
+  /** Incremental-ingest dedup: flag each INCOMING doc that near-
+    * duplicates the EXISTING corpus — the shape every production
+    * pipeline actually runs (a daily crawl delta against a 100 TB
+    * reference), where the full self-join (`minhashLshPairs`) would
+    * re-pay the whole corpus every batch.
+    *
+    * Both sides get banded MinHash signatures; candidates are an
+    * equi-join on (band, band-key); candidates are verified by
+    * signature agreement ≥ `threshold`. Returns every incoming id with
+    * its canonical duplicate target (`dup_of` = min matching reference
+    * id) or NULL if novel — a left join, so the caller can either keep
+    * the novel rows or audit the flagged ones.
+    *
+    * Scale note: the reference side's banded signatures are a pure
+    * function of the corpus — at 100 TB a deployment materializes them
+    * ONCE (bucketed by (band, bkey), see Sinks.writeBucketed) and each
+    * delta batch shuffles only itself; the per-batch cost is then
+    * O(delta), not O(corpus). Computed inline here because the gate
+    * reads from parquet directly.
+    *
+    * @return (id, dup_of) — one row per distinct incoming id */
+  def minhashCrossCorpusDups(newDocs: DataFrame, refDocs: DataFrame,
+      idCol: String, textCol: String, n: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val k = bands * rowsPerBand
+    def banded(df: DataFrame) =
+      minhashSignatures(df, idCol, textCol, n, k)
+        .select(col("id"), col("sig"),
+          posexplode(array((0 until bands).map { b =>
+            concat_ws(",", (0 until rowsPerBand).map(r =>
+              element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+          }: _*)).as(Seq("band", "bkey")))
+    val cands = banded(newDocs).as("n")
+      .join(banded(refDocs).as("r"),
+        col("n.band") === col("r.band") && col("n.bkey") === col("r.bkey"))
+      .select(col("n.id").as("nid"), col("r.id").as("rid"),
+        col("n.sig").as("sig_n"), col("r.sig").as("sig_r"))
+      .dropDuplicates("nid", "rid")
+    val verified = cands
+      .filter(size(filter(zip_with(col("sig_n"), col("sig_r"), (x, y) => x === y),
+        b => b)).cast("double") / k >= threshold)
+      .groupBy(col("nid")).agg(min(col("rid")).as("dup_of"))
+    newDocs.select(col(idCol).as("id")).distinct()
+      .join(verified, col("id") === col("nid"), "left")
+      .select(col("id"), col("dup_of"))
+  }
+
   /** Connected components over near-duplicate pair edges — the step
     * that turns pairwise dedup output into "keep one per cluster".
     * Min-label propagation PLUS path halving: every round each node

@@ -231,6 +231,64 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** DuckDB twin of `Dedup.minhashCrossCorpusDups` over the doc_id%10
+    * incoming/reference split: the identical portable signature pipeline
+    * as `minhashCtes`, but candidates join INCOMING bands to REFERENCE
+    * bands instead of self-joining, and every incoming doc comes back
+    * with its canonical duplicate target or NULL. */
+  private def crossCorpusOracle(bands: Int, rowsPerBand: Int, threshold: Double): String = {
+    val k = bands * rowsPerBand
+    val p = Dedup.MinhashP
+    val mins = Dedup.minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a*xm+$b)%$p) AS h$i"
+    }.mkString(", ")
+    val sigList = (0 until k).map(i => s"h$i").mkString("[", ",", "]")
+    val bandSels = (0 until bands).map { b =>
+      val slots = (0 until rowsPerBand).map(r => s"sig[${b * rowsPerBand + r + 1}]").mkString(", ")
+      s"SELECT doc_id, sig, $b AS band, concat_ws(',', $slots) AS bkey FROM sigl"
+    }.mkString(" UNION ALL ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM docs,
+       |    unnest(list_transform(range(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(s)
+       |  WHERE len(t) >= 3),
+       |hx AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % $p AS xm FROM sh),
+       |sigs AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id),
+       |sigl AS (SELECT doc_id, $sigList AS sig FROM sigs),
+       |bands AS ($bandSels),
+       |cands AS (
+       |  SELECT DISTINCT n.doc_id AS nid, r.doc_id AS rid, n.sig AS sa, r.sig AS sb
+       |  FROM bands n JOIN bands r ON n.band = r.band AND n.bkey = r.bkey
+       |  WHERE n.doc_id % 10 >= 8 AND r.doc_id % 10 < 8),
+       |verified AS (
+       |  SELECT nid, min(rid) AS dup_of
+       |  FROM cands
+       |  WHERE len(list_filter(range(1, ${k + 1}), i -> sa[i] = sb[i])) / $k.0 >= $threshold
+       |  GROUP BY nid)
+       |SELECT d.doc_id, v.dup_of
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+       |LEFT JOIN verified v ON d.doc_id = v.nid
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Incremental-ingest dedup (Dedup.minhashCrossCorpusDups): the 20%
+    * "incoming" slice flagged against the 80% "reference" corpus by
+    * banded MinHash collision + signature verify — the daily-delta
+    * production shape where the reference side's band index is
+    * precomputed and only the delta shuffles. */
+  val q94CrossCorpusDedup = Q(
+    "q94_cross_corpus_dedup",
+    crossCorpusOracle(bands = 16, rowsPerBand = 4, threshold = 0.5)) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    Dedup.minhashCrossCorpusDups(
+        docs.filter(col("doc_id") % 10 >= 8), docs.filter(col("doc_id") % 10 < 8),
+        "doc_id", "text", n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .select(col("id").as("doc_id"), col("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures),
     * pigeonhole-blocked on 16-bit bands. Rows-only check — the native
     * XXH64 codegen loop is the fast path; its oracle-checked twin over
@@ -1063,5 +1121,6 @@ object TextQueries {
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
     q54RepetitionSignals, q58HeavyHitters, q60SimhashPortable, q68Contamination,
     q69PackChunks, q70DocDedupKeep, q73PiiScrub, q74BoilerplateNgrams, q75LmDocScore,
-    q77StratifiedSample, q78EditDistancePairs, q81ClassifierScores, q83DupSpanCoverage, q84WeightedSample, q85TfidfCosinePairs)
+    q77StratifiedSample, q78EditDistancePairs, q81ClassifierScores, q83DupSpanCoverage,
+    q84WeightedSample, q85TfidfCosinePairs, q94CrossCorpusDedup)
 }

@@ -140,6 +140,20 @@ class DedupSpec extends SparkSpec {
     assert(sigs.nonEmpty && sigs.forall(h => h >= 0 && h < Dedup.MinhashP))
   }
 
+  test("minhashCrossCorpusDups: duplicate flagged with min ref id, novel doc NULL") {
+    val ref = Seq((1L, base), (2L, base), (4L, docs.where("doc_id = 4")
+      .select("text").as[String].head())).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base),                                   // dup of both 1 and 2 → dup_of = 1
+      (11L, "completely novel words nothing shares any shingle here at all " +
+            "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashCrossCorpusDups(incoming, ref, "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(10L -> 1L, 11L -> -1L))
+  }
+
   test("simhashPairs: exact dups at hamming 0; unrelated doc absent") {
     val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .as[(Long, Long, Int)].collect()
