@@ -289,6 +289,40 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** RAG/context chunking: overlapping token windows (50-token chunks,
+    * stride 40 → 10-token overlap), the retrieval-corpus preparation
+    * step. Fully narrow — chunk starts come from a per-row `sequence`,
+    * the fan-out is one posexplode, and nothing shuffles until the
+    * caller aggregates: at 100 TB this is a pure map over the corpus.
+    * Contrast with q69 (sequence PACKING, which needs a running-sum
+    * window); chunking is stateless per document. */
+  val q95ChunkDocuments = Q(
+    "q95_chunk_documents",
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, CAST((s - 1) // 40 AS BIGINT) AS chunk_idx,
+      |    array_to_string(t[s : s + 49], ' ') AS chunk_text,
+      |    CAST(least(len(t) - s + 1, 50) AS BIGINT) AS n_tokens
+      |  FROM docs, unnest(range(1, len(t) + 1, 40)) AS u(s)
+      |  WHERE len(t) > 0)
+      |SELECT doc_id, chunk_idx, chunk_text, n_tokens
+      |FROM chunks
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, dir) =>
+    val ChunkSize = 50
+    val Stride = 40
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        posexplode(sequence(lit(0), size(col("t")) - 1, lit(Stride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(slice(col("t"), col("start") + 1, lit(ChunkSize)), " ").as("chunk_text"),
+        least(size(col("t")) - col("start"), lit(ChunkSize)).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures),
     * pigeonhole-blocked on 16-bit bands. Rows-only check — the native
     * XXH64 codegen loop is the fast path; its oracle-checked twin over
@@ -1122,5 +1156,5 @@ object TextQueries {
     q54RepetitionSignals, q58HeavyHitters, q60SimhashPortable, q68Contamination,
     q69PackChunks, q70DocDedupKeep, q73PiiScrub, q74BoilerplateNgrams, q75LmDocScore,
     q77StratifiedSample, q78EditDistancePairs, q81ClassifierScores, q83DupSpanCoverage,
-    q84WeightedSample, q85TfidfCosinePairs, q94CrossCorpusDedup)
+    q84WeightedSample, q85TfidfCosinePairs, q94CrossCorpusDedup, q95ChunkDocuments)
 }
