@@ -323,6 +323,64 @@ object TextQueries {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Count-min geometry for q96: 4 rows × 256 buckets, affine params
+    * from the shared splitmix stream. */
+  private val CmDepth = 4
+  private val CmWidth = 256
+  private val CmKeys = Seq("join", "hash", "row", "scan", "filter")
+
+  /** Count-min sketch per-language token frequencies
+    * (functions/CountMin): mergeable depth×width buffer per group —
+    * vocabulary-independent state where exact counting shuffles the
+    * whole vocabulary. The sketch is a pure function of the input
+    * multiset over the portable hash family, so the oracle reproduces
+    * every estimate EXACTLY (integer arithmetic end-to-end): per-row
+    * bucket counts relationally, min over rows, same (a, b) constants
+    * and key buckets inlined. */
+  val q96CountMinFreqs = Q(
+    "q96_countmin_freqs", {
+      val params = Dedup.minhashParams(CmDepth)
+      val p = Dedup.MinhashP
+      val rowSels = (0 until CmDepth).map { r =>
+        val (a, b) = params(r)
+        s"SELECT lang, $r AS r, (($a*x+$b)%$p)%$CmWidth AS bucket, CAST(count(*) AS BIGINT) AS cnt FROM hx GROUP BY 1, 3"
+      }.mkString("\n  UNION ALL ")
+      val keyRows = CmKeys.flatMap { k =>
+        (0 until CmDepth).map { r =>
+          s"('$k', $r, ${graft.functions.CountMin.keyBucket(k, r, CmWidth, params, p)})"
+        }
+      }.mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT lang, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+         |  FROM documents),
+         |hx AS (SELECT lang, ('0x' || substr(md5(tok), 1, 15))::BIGINT % $p AS x FROM toks),
+         |bh AS (
+         |  $rowSels),
+         |keys(token, r, bucket) AS (VALUES $keyRows)
+         |SELECT b.lang, k.token, min(b.cnt) AS est
+         |FROM keys k JOIN bh b ON b.r = k.r AND b.bucket = k.bucket
+         |GROUP BY b.lang, k.token
+         |ORDER BY lang, token""".stripMargin
+    }) { (spark, dir) =>
+    import graft.functions.CountMin
+    val params = Dedup.minhashParams(CmDepth)
+    val p = Dedup.MinhashP
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .select(col("lang"), Dedup.portableShingleHash(col("tok")).as("x"))
+    val sk = toks.groupBy("lang")
+      .agg(CountMin.sketch(col("x"), CmDepth, CmWidth, params, p).as("sk"))
+    val estStructs = array(CmKeys.map { k =>
+      val est = (0 until CmDepth).map { r =>
+        element_at(col("sk"), r * CmWidth + CountMin.keyBucket(k, r, CmWidth, params, p) + 1)
+      }.reduce((a, b) => least(a, b))
+      struct(lit(k).as("token"), est.as("est"))
+    }: _*)
+    sk.select(col("lang"), explode(estStructs).as("e"))
+      .select(col("lang"), col("e.token").as("token"), col("e.est").as("est"))
+      .orderBy(col("lang"), col("token"))
+  }
+
   /** SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures),
     * pigeonhole-blocked on 16-bit bands. Rows-only check — the native
     * XXH64 codegen loop is the fast path; its oracle-checked twin over
@@ -1156,5 +1214,6 @@ object TextQueries {
     q54RepetitionSignals, q58HeavyHitters, q60SimhashPortable, q68Contamination,
     q69PackChunks, q70DocDedupKeep, q73PiiScrub, q74BoilerplateNgrams, q75LmDocScore,
     q77StratifiedSample, q78EditDistancePairs, q81ClassifierScores, q83DupSpanCoverage,
-    q84WeightedSample, q85TfidfCosinePairs, q94CrossCorpusDedup, q95ChunkDocuments)
+    q84WeightedSample, q85TfidfCosinePairs, q94CrossCorpusDedup, q95ChunkDocuments,
+    q96CountMinFreqs)
 }
