@@ -57,7 +57,7 @@ object PageRank {
 
     var ranks = nodes.select($"node", (lit(1.0) / $"n_nodes").as("pr"))
       .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val inbound = adj.join(ranks, adj("src") === ranks("node"))
         .select(explode($"dsts").as("dst"), ($"pr" / $"deg").as("w"))
         .groupBy($"dst")
@@ -67,7 +67,11 @@ object PageRank {
         .select($"node",
           (lit(1.0 - damping) / $"n_nodes" +
             lit(damping) * coalesce($"mass", lit(0.0))).as("pr"))
-        .localCheckpoint(true)
+      // checkpoint every SECOND round (and the last): lineage stays
+      // bounded (≤ a 2-round plan tree) while paying half the eager
+      // materializations — per-round checkpointing dominated the
+      // wall-clock of small-graph runs
+      if (i % 2 == 0 || i == iterations) ranks = ranks.localCheckpoint(true)
     }
     // the eager checkpoints above fully materialized the result, so the
     // working caches can be released before handing the ranks back

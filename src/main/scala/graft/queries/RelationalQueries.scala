@@ -854,8 +854,13 @@ object RelationalQueries {
       array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cs"))
     li.join(broadcast(cuts)) // 1-row bounded
       .select(col("l_extendedprice").as("v"),
-        aggregate(col("cs"), lit(0),
-          (acc, c) => acc + when(col("l_extendedprice") > c, 1).otherwise(0)).as("bin"))
+        // unrolled: 9 codegen'd comparisons per row — the `aggregate`
+        // HOF fold this replaces runs an interpreted lambda per row,
+        // ~3× slower over the whole fact table (same values: the fold
+        // summed the identical indicators left-to-right)
+        (1 to 9).map(i =>
+          when(col("l_extendedprice") > element_at(col("cs"), i), 1).otherwise(0))
+          .reduce(_ + _).as("bin"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_rows"),
         round(min(col("v")), 2).as("lo"), round(max(col("v")), 2).as("hi"),

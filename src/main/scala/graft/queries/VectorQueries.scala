@@ -480,27 +480,44 @@ object VectorQueries {
         posexplode(col("v")).as(Seq("i", "x")))
       .groupBy(col("j"), col("i")).agg(round(avg(col("x")), 6).as("c"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
-    val cbLit: Array[Column] = Array.tabulate(PqM) { m =>
-      array((0 until PqC).map { j =>
-        array((0 until PqSub).map(kk => lit(cbRows((j, m * PqSub + kk)))): _*)
-      }: _*)
-    }
-    // same fold as the oracle's sum((v-c)*(v-c)): left-to-right in DOUBLE
-    def sqdist(a: Column, c: Column): Column =
-      aggregate(zip_with(a, c, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
-    def blockOf(vc: Column, m: Int): Column = slice(vc, m * PqSub + 1, PqSub)
+    // squared L2 of vector block m to codeword (m, j), UNROLLED: 8
+    // codegen'd subtract-square terms summed left-to-right — the exact
+    // fold order of the oracle's sum((v-c)*(v-c)) and of the HOF
+    // formulation this replaces (which ran an interpreted lambda per
+    // element — 3× the scan cost at corpus scale)
+    def sqdistTo(vc: Column, m: Int, j: Int): Column =
+      (0 until PqSub).map { kk =>
+        val diff = element_at(vc, m * PqSub + kk + 1) - lit(cbRows((j, m * PqSub + kk)))
+        diff * diff
+      }.reduce(_ + _)
     // encode: argmin code per subspace, first-index-of-min ≡ ties → lowest j
     def codeCol(vc: Column, m: Int): Column = {
-      val dArr = transform(cbLit(m), c => sqdist(blockOf(vc, m), c))
+      val dArr = array((0 until PqC).map(j => sqdistTo(vc, m, j)): _*)
       (array_position(dArr, array_min(dArr)) - 1).cast("int")
     }
-    val probe = base.filter(col("vec_id") === 0).select(col("v").as("p_v"))
+    // the probe's distance table is 8×16 doubles — computed DRIVER-side
+    // from the collected probe row (the ADC lookup-table trick: at query
+    // time a real index computes this once per probe, never per
+    // candidate) with the same left-to-right fold
+    val pVec = base.filter(col("vec_id") === 0).select(col("v"))
+      .head().getSeq[Double](0)
+    val pd: Array[Array[Double]] = Array.tabulate(PqM) { m =>
+      Array.tabulate(PqC) { j =>
+        var s = 0.0
+        var kk = 0
+        while (kk < PqSub) {
+          val diff = pVec(m * PqSub + kk) - cbRows((j, m * PqSub + kk))
+          s += diff * diff
+          kk += 1
+        }
+        s
+      }
+    }
     val adc = (0 until PqM).map { m =>
-      val pdArr = transform(cbLit(m), c => sqdist(blockOf(col("p_v"), m), c))
+      val pdArr = array((0 until PqC).map(j => lit(pd(m)(j))): _*)
       element_at(pdArr, codeCol(col("v"), m) + 1)
     }.reduce(_ + _)
     base.filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(probe))
       .select(col("vec_id"), col("label"), round(adc, 6).as("approx_dist"))
       .orderBy(col("approx_dist"), col("vec_id"))
       .limit(10)

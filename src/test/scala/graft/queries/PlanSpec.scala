@@ -196,12 +196,11 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("lang"), "unneeded column read:\n" + readSchema)
   }
 
-  test("q93 PQ encode+ADC is narrow: probe broadcast, top-k without a global sort") {
+  test("q93 PQ encode+ADC is one joinless narrow pass + top-k") {
     val p = plan(VectorQueries.q93PqAnn)
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      "probe not broadcast:\n" + p)
     assert(p.contains("TakeOrderedAndProject"), "top-k degraded to full sort:\n" + p)
-    // the corpus side is never hash-repartitioned — encode and ADC are maps
+    // encode + ADC are maps against literal tables: no join, no shuffle
+    assert(!p.contains("Join"), "PQ scan pays a join:\n" + p)
     assert(!p.contains("hashpartitioning"), "PQ scan side shuffled:\n" + p)
   }
 }
