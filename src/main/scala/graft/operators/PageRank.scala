@@ -36,7 +36,7 @@ object PageRank {
     * @return           one row per node with out-edges: (node, pr)
     */
   def run(edges: DataFrame, iterations: Int, damping: Double = 0.85,
-          maxFanout: Int = 1 << 16): DataFrame = {
+          maxFanout: Int = 1 << 16, checkpointEvery: Int = 2): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -67,11 +67,13 @@ object PageRank {
         .select($"node",
           (lit(1.0 - damping) / $"n_nodes" +
             lit(damping) * coalesce($"mass", lit(0.0))).as("pr"))
-      // checkpoint every SECOND round (and the last): lineage stays
-      // bounded (≤ a 2-round plan tree) while paying half the eager
-      // materializations — per-round checkpointing dominated the
-      // wall-clock of small-graph runs
-      if (i % 2 == 0 || i == iterations) ranks = ranks.localCheckpoint(true)
+      // checkpoint every `checkpointEvery` rounds (and the last):
+      // lineage stays bounded (≤ a checkpointEvery-round plan tree)
+      // while paying a fraction of the eager materializations —
+      // per-round checkpointing dominated the wall-clock of small-graph
+      // runs
+      if (i % checkpointEvery == 0 || i == iterations)
+        ranks = ranks.localCheckpoint(true)
     }
     // the eager checkpoints above fully materialized the result, so the
     // working caches can be released before handing the ranks back

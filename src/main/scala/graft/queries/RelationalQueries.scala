@@ -868,6 +868,34 @@ object RelationalQueries {
       .orderBy(col("bin"))
   }
 
+  /** Top-k per group via the bounded-heap typed Aggregator
+    * (functions/TopK) instead of a row_number window: the map-side
+    * partial trims every partition's contribution to k rows BEFORE the
+    * exchange, so the shuffle carries ≤ k·partitions rows per group
+    * where the window shape shuffles-and-sorts the whole table. Total
+    * order (price DESC, orderkey ASC) is deterministic → the oracle
+    * mirrors it with row_number exactly. */
+  val q97TopkPerGroup = Q(
+    "q97_topk_per_group",
+    """WITH ranked AS (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders)
+      |SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_orderkey,
+      |  round(o_totalprice, 2) AS price
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY o_orderpriority, rk""".stripMargin) { (spark, dir) =>
+    import graft.functions.TopK
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(TopK.topK(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("idx", "t")))
+      .select(col("o_orderpriority"), (col("idx") + 1).cast("long").as("rk"),
+        col("t.i").as("o_orderkey"), round(col("t.s"), 2).as("price"))
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -876,5 +904,5 @@ object RelationalQueries {
     q38ApproxDistinct, q40LocalSupplierVolume, q41RankingSuite, q42GroupingSets,
     q47Unpivot, q49HashSample, q55FullOuter, q56AnalyticSuite, q57SkewJoin,
     q61SplitLabels, q64Histogram, q66RevenueShare, q67PromoRevenue, q82BloomSemiJoin,
-    q88ZorderLayout, q90EquidepthBins)
+    q88ZorderLayout, q90EquidepthBins, q97TopkPerGroup)
 }

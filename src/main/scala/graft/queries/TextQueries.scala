@@ -381,6 +381,48 @@ object TextQueries {
       .orderBy(col("lang"), col("token"))
   }
 
+  /** Degeneration/loop detection (the decoding-loop quality filter):
+    * per-document longest run of consecutive identical tokens and run
+    * count, computed entirely with ARRAY expressions — run starts are a
+    * filtered index list, run lengths are successive-start differences.
+    * ZERO shuffles before the final sort: where the windowed
+    * gaps-and-islands formulation (q87's shape) pays a per-doc
+    * partition-sort exchange, this is a pure map — at 100 TB the
+    * difference is a corpus shuffle vs none. */
+  val q98TokenRuns = Q(
+    "q98_token_runs",
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |narrow AS (
+      |  SELECT doc_id,
+      |    list_filter(range(1, len(t) + 1), i -> i = 1 OR t[i] <> t[i - 1]) AS starts,
+      |    len(t) AS n
+      |  FROM docs WHERE len(t) > 0)
+      |SELECT doc_id,
+      |  CAST(list_max(list_transform(range(1, len(starts) + 1),
+      |    k -> (CASE WHEN k = len(starts) THEN n + 1 ELSE starts[k + 1] END) - starts[k]))
+      |    AS BIGINT) AS max_run,
+      |  CAST(len(starts) AS BIGINT) AS n_runs
+      |FROM narrow
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val t = col("t")
+    val starts = col("starts")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("t"))
+      .filter(size(t) > 0)
+      .select(col("doc_id"),
+        filter(sequence(lit(1), size(t)),
+          i => i === 1 || element_at(t, i) =!= element_at(t, i - 1)).as("starts"),
+        size(t).as("n"))
+      .select(col("doc_id"),
+        array_max(transform(sequence(lit(1), size(starts)),
+          k => when(k === size(starts), col("n") + 1)
+            .otherwise(element_at(starts, k + 1)) - element_at(starts, k)))
+          .cast("long").as("max_run"),
+        size(starts).cast("long").as("n_runs"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures),
     * pigeonhole-blocked on 16-bit bands. Rows-only check — the native
     * XXH64 codegen loop is the fast path; its oracle-checked twin over
@@ -1215,5 +1257,5 @@ object TextQueries {
     q69PackChunks, q70DocDedupKeep, q73PiiScrub, q74BoilerplateNgrams, q75LmDocScore,
     q77StratifiedSample, q78EditDistancePairs, q81ClassifierScores, q83DupSpanCoverage,
     q84WeightedSample, q85TfidfCosinePairs, q94CrossCorpusDedup, q95ChunkDocuments,
-    q96CountMinFreqs)
+    q96CountMinFreqs, q98TokenRuns)
 }
