@@ -434,8 +434,37 @@ object EventQueries {
       .limit(10)
   }
 
+  /** Time-interval RANGE window frame: per event, the count and value
+    * mass of the SAME TYPE within the trailing hour — the "how hot is
+    * this key right now" rolling feature. The frame is value-based
+    * (RANGE over epoch seconds), not row-based: ties and gaps are
+    * handled by time, not row position — the one window-frame kind the
+    * suite didn't yet pin. One shuffle by event_type; both engines
+    * order by the same integer seconds so frames are identical. */
+  val q99RollingHour = Q(
+    "q99_rolling_hour",
+    """SELECT event_id, event_type,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_hour,
+      |  round(sum(value) OVER w, 2) AS mass_hour
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("tsec"))
+      .rangeBetween(-3600, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        unix_timestamp(col("ts")).as("tsec"))
+      .select(col("event_id"), col("event_type"),
+        count(lit(1)).over(w).as("n_hour"),
+        round(sum(col("value")).over(w), 2).as("mass_hour"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(q18JsonProps, q19HourlyAgg, q20SlidingAgg, q21Sessions,
     q22AsofViewPurchase, q50MapFuncs, q52IntervalJoin, q62Funnel, q63Retention,
     q65AsofNextView, q71GapfillHourly, q72Transitions, q86VolumeAnomalies,
-    q87Scd2Intervals, q89TopPaths)
+    q87Scd2Intervals, q89TopPaths, q99RollingHour)
 }

@@ -423,6 +423,43 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic negative sampling (contrastive-training pairs): each
+    * document draws 3 pseudo-random partners via the portable md5 hash
+    * of (doc_id, draw) mod corpus size — partition-independent, stable
+    * across engines AND across reruns (a `rand()` formulation is
+    * neither), self-pairs dropped. Candidate generation is a narrow map
+    * (one 1-row count broadcast); the only shuffle is the partner-
+    * metadata equi-join, which at 100 TB is the unavoidable lookup of
+    * the negatives' features. */
+  val q100NegativeSamples = Q(
+    "q100_negative_samples",
+    """WITH nn AS (SELECT count(*) AS n_docs FROM documents),
+      |cand AS (
+      |  SELECT d.doc_id, CAST(j AS BIGINT) AS draw,
+      |    ('0x' || substr(md5(d.doc_id || '#' || j), 1, 15))::BIGINT % n_docs AS neg_id
+      |  FROM documents d CROSS JOIN nn, range(0, 3) t(j))
+      |SELECT c.doc_id, c.draw, c.neg_id, n.lang AS neg_lang
+      |FROM cand c JOIN documents n ON c.neg_id = n.doc_id
+      |WHERE c.neg_id <> c.doc_id
+      |ORDER BY c.doc_id, c.draw""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val cand = docs.select(col("doc_id"))
+      .join(broadcast(nDocs))
+      .select(col("doc_id"),
+        posexplode(array((0 until 3).map { j =>
+          pmod(Dedup.portableHash60(
+            concat_ws("#", col("doc_id").cast("string"), lit(j.toString))),
+            col("n_docs"))
+        }: _*)).as(Seq("draw", "neg_id")))
+      .filter(col("neg_id") =!= col("doc_id"))
+      .select(col("doc_id"), col("draw").cast("long").as("draw"), col("neg_id"))
+    cand.join(docs.select(col("doc_id").as("neg_id"), col("lang").as("neg_lang")),
+        "neg_id")
+      .select(col("doc_id"), col("draw"), col("neg_id"), col("neg_lang"))
+      .orderBy(col("doc_id"), col("draw"))
+  }
+
   /** SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures),
     * pigeonhole-blocked on 16-bit bands. Rows-only check — the native
     * XXH64 codegen loop is the fast path; its oracle-checked twin over
@@ -1257,5 +1294,5 @@ object TextQueries {
     q69PackChunks, q70DocDedupKeep, q73PiiScrub, q74BoilerplateNgrams, q75LmDocScore,
     q77StratifiedSample, q78EditDistancePairs, q81ClassifierScores, q83DupSpanCoverage,
     q84WeightedSample, q85TfidfCosinePairs, q94CrossCorpusDedup, q95ChunkDocuments,
-    q96CountMinFreqs, q98TokenRuns)
+    q96CountMinFreqs, q98TokenRuns, q100NegativeSamples)
 }

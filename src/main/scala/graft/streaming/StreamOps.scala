@@ -97,6 +97,23 @@ object StreamOps {
       .drop(col(s"r.$key"))
   }
 
+  /** Streaming count-min sketch of event types — mergeable sketches are
+    * the canonical unbounded-stream aggregate: state is depth×width
+    * longs FOREVER, independent of key cardinality, and micro-batch
+    * partials merge exactly like map-side partials in batch (same
+    * CountMin.agg merge path), so the streamed sketch is bit-identical
+    * to the batch sketch over the same rows. Contrast with exact
+    * per-key streaming counts, whose state grows with the key space. */
+  def sketchedTypeCounts(events: DataFrame, depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    import graft.operators.Dedup
+    import graft.functions.CountMin
+    events
+      .select(Dedup.portableShingleHash(col("event_type")).as("x"))
+      .agg(CountMin.sketch(col("x"), depth, width,
+        Dedup.minhashParams(depth), Dedup.MinhashP).as("sk"))
+  }
+
   /** foreachBatch sink: each micro-batch lands as a batch write with
     * its batch id — the production pattern for sinks Structured
     * Streaming doesn't speak natively (JDBC, multi-table fan-out,

@@ -156,6 +156,31 @@ class StreamOpsSpec extends SparkSpec {
       === batch.orderBy("doc_id").collect().toSeq)
   }
 
+  test("streaming count-min sketch is bit-identical to the batch sketch") {
+    import graft.operators.Dedup
+    import graft.functions.CountMin
+    val batchSketch = Tables.events(spark, sfDir)
+      .select(Dedup.portableShingleHash(col("event_type")).as("x"))
+      .agg(CountMin.sketch(col("x"), 4, 256, Dedup.minhashParams(4), Dedup.MinhashP)
+        .as("sk"))
+      .select("sk").collect().head.getSeq[Long](0)
+    val staticSchema = spark.read.parquet(stagedDir).schema
+    val streamedSketch = StreamOps.runToMemory(spark,
+        StreamOps.sketchedTypeCounts(
+          StreamOps.parquetStream(spark, staticSchema, stagedDir)),
+        "cms_test", outputMode = "complete")
+      .select("sk").collect().head.getSeq[Long](0)
+    assert(streamedSketch === batchSketch)
+    // and the sketch answers exact type frequencies on this low-cardinality key
+    val truth = Tables.events(spark, sfDir).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    truth.foreach { case (tpe, n) =>
+      val est = (0 until 4).map(r => streamedSketch(
+        r * 256 + CountMin.keyBucket(tpe, r, 256, Dedup.minhashParams(4), Dedup.MinhashP))).min
+      assert(est >= n)
+    }
+  }
+
   test("dedupWithinWatermark drops duplicate keys") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("stream-dup").toString
