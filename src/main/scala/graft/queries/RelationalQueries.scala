@@ -896,6 +896,68 @@ object RelationalQueries {
       .orderBy(col("o_orderpriority"), col("rk"))
   }
 
+  /** Data-quality constraint suite (the Deequ shape): completeness,
+    * uniqueness, range, domain and referential-integrity checks over
+    * the fact table as ONE multi-metric aggregate pass plus one
+    * semi-join count — at 100 TB the whole assertion suite costs a
+    * single scan, not one job per check; results come back in long form
+    * (check, metric, passed) for a quality dashboard or a pipeline
+    * gate. */
+  val q102QualityChecks = Q(
+    "q102_quality_checks",
+    """WITH m AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(count(o_custkey) AS DOUBLE) AS n_ck,
+      |    CAST(count(DISTINCT o_orderkey) AS DOUBLE) AS n_ok,
+      |    min(o_totalprice) AS minp,
+      |    CAST(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+      |      AS DOUBLE) AS n_st
+      |  FROM orders),
+      |ri AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n_matched
+      |  FROM orders o
+      |  WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |SELECT * FROM (
+      |  SELECT 'completeness_custkey' AS check_name, round(n_ck / n, 6) AS metric,
+      |    n_ck = n AS passed FROM m
+      |  UNION ALL SELECT 'min_totalprice_positive', round(minp, 6), minp > 0 FROM m
+      |  UNION ALL SELECT 'ref_integrity_custkey', round(ri.n_matched / m.n, 6),
+      |    ri.n_matched = m.n FROM m, ri
+      |  UNION ALL SELECT 'status_in_domain', round(n_st / n, 6), n_st = n FROM m
+      |  UNION ALL SELECT 'uniqueness_orderkey', round(n_ok / n, 6), n_ok = n FROM m)
+      |ORDER BY check_name""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+    val m = o.agg(
+      count(lit(1)).cast("double").as("n"),
+      count(col("o_custkey")).cast("double").as("n_ck"),
+      countDistinct(col("o_orderkey")).cast("double").as("n_ok"),
+      min(col("o_totalprice")).as("minp"),
+      sum(when(col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0))
+        .cast("double").as("n_st"))
+    val ri = o.join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .agg(count(lit(1)).cast("double").as("n_matched"))
+    m.crossJoin(ri)
+      .select(explode(array(
+        struct(lit("completeness_custkey").as("check_name"),
+          round(col("n_ck") / col("n"), 6).as("metric"),
+          (col("n_ck") === col("n")).as("passed")),
+        struct(lit("min_totalprice_positive").as("check_name"),
+          round(col("minp"), 6).as("metric"), (col("minp") > 0).as("passed")),
+        struct(lit("ref_integrity_custkey").as("check_name"),
+          round(col("n_matched") / col("n"), 6).as("metric"),
+          (col("n_matched") === col("n")).as("passed")),
+        struct(lit("status_in_domain").as("check_name"),
+          round(col("n_st") / col("n"), 6).as("metric"),
+          (col("n_st") === col("n")).as("passed")),
+        struct(lit("uniqueness_orderkey").as("check_name"),
+          round(col("n_ok") / col("n"), 6).as("metric"),
+          (col("n_ok") === col("n")).as("passed")))).as("c"))
+      .select(col("c.check_name").as("check_name"), col("c.metric").as("metric"),
+        col("c.passed").as("passed"))
+      .orderBy(col("check_name"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -904,5 +966,5 @@ object RelationalQueries {
     q38ApproxDistinct, q40LocalSupplierVolume, q41RankingSuite, q42GroupingSets,
     q47Unpivot, q49HashSample, q55FullOuter, q56AnalyticSuite, q57SkewJoin,
     q61SplitLabels, q64Histogram, q66RevenueShare, q67PromoRevenue, q82BloomSemiJoin,
-    q88ZorderLayout, q90EquidepthBins, q97TopkPerGroup)
+    q88ZorderLayout, q90EquidepthBins, q97TopkPerGroup, q102QualityChecks)
 }

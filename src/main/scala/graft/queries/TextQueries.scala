@@ -460,6 +460,63 @@ object TextQueries {
       .orderBy(col("doc_id"), col("draw"))
   }
 
+  /** PMI phrase mining (collocation detection): pointwise mutual
+    * information of adjacent token pairs vs their unigram independence
+    * assumption — the classic phrase-vocabulary builder (word2vec's
+    * phrase pass). Bigram generation is a narrow array transform (no
+    * self-join); the corpus-level statistics are two hash aggregates
+    * (bigram, unigram) plus 1-row totals broadcast back; the unigram
+    * lookup is an equi-join on the token. Same PMI expression tree in
+    * both dialects, rounded to 6 dp. */
+  val q101PmiPhrases = Q(
+    "q101_pmi_phrases",
+    """WITH docs AS (
+      |  SELECT string_split_regex(lower(text), '\s+') AS t FROM documents
+      |  WHERE len(string_split_regex(lower(text), '\s+')) >= 2),
+      |big AS (
+      |  SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS c_ab FROM docs,
+      |    unnest(list_transform(range(1, len(t)),
+      |      i -> struct_pack(a := t[i], b := t[i + 1]))) AS u(p)
+      |  GROUP BY 1, 2),
+      |uni AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM docs, unnest(t) AS v(tok)
+      |  GROUP BY 1),
+      |tot AS (
+      |  SELECT (SELECT sum(c_ab) FROM big) AS nb, (SELECT sum(c) FROM uni) AS nt)
+      |SELECT g.a, g.b, g.c_ab,
+      |  round(ln((g.c_ab / t.nb) / ((ua.c / t.nt) * (ub.c / t.nt))), 6) AS pmi
+      |FROM big g
+      |JOIN uni ua ON g.a = ua.tok
+      |JOIN uni ub ON g.b = ub.tok
+      |CROSS JOIN tot t
+      |WHERE g.c_ab >= 5
+      |ORDER BY pmi DESC, g.a, g.b
+      |LIMIT 15""".stripMargin) { (spark, dir) =>
+    val toks = Tables.documents(spark, dir)
+      .select(split(lower(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
+    val big = toks
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("a"),
+          element_at(col("t"), i + 1).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val uni = toks.select(explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = big.agg(sum(col("c_ab")).as("nb"))
+      .crossJoin(uni.agg(sum(col("c")).as("nt")))
+    big
+      .join(uni.select(col("tok").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("tok").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(tot))
+      .filter(col("c_ab") >= 5)
+      .select(col("a"), col("b"), col("c_ab"),
+        round(log((col("c_ab") / col("nb")) /
+          ((col("c_a") / col("nt")) * (col("c_b") / col("nt")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(15)
+  }
+
   /** SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures),
     * pigeonhole-blocked on 16-bit bands. Rows-only check — the native
     * XXH64 codegen loop is the fast path; its oracle-checked twin over
@@ -1294,5 +1351,5 @@ object TextQueries {
     q69PackChunks, q70DocDedupKeep, q73PiiScrub, q74BoilerplateNgrams, q75LmDocScore,
     q77StratifiedSample, q78EditDistancePairs, q81ClassifierScores, q83DupSpanCoverage,
     q84WeightedSample, q85TfidfCosinePairs, q94CrossCorpusDedup, q95ChunkDocuments,
-    q96CountMinFreqs, q98TokenRuns, q100NegativeSamples)
+    q96CountMinFreqs, q98TokenRuns, q100NegativeSamples, q101PmiPhrases)
 }
