@@ -523,7 +523,52 @@ object VectorQueries {
       .limit(10)
   }
 
+  /** ANN index-quality evaluation: recall@10 of the LSH (q33) and IVF
+    * (q45) approximate searches against the exact brute-force top-10
+    * (q31) — the measurement every production ANN deployment runs
+    * before trusting an index. All three pipelines are deterministic,
+    * so even the EVALUATION is oracle-checked; the oracle composes the
+    * registered q31/q33/q45 oracle strings verbatim (they can never
+    * drift from the queries they grade).
+    *
+    * On THIS corpus recall is low (~0.0-0.1) and that is the correct
+    * answer, not a bug: the synthetic embeddings are near-isotropic
+    * random vectors, so the "true" top-10 are barely above the noise
+    * floor and single-probe LSH/IVF partitions can't separate them —
+    * exactly what this eval exists to reveal before an index ships. */
+  val q103AnnRecall = Q(
+    "q103_ann_recall",
+    s"""WITH brute10 AS (
+       |  SELECT vec_id FROM (
+       |${q31CosineTopK.oracle.get}
+       |  ) ORDER BY cos_sim DESC, vec_id LIMIT 10),
+       |lsh10 AS (
+       |  SELECT vec_id FROM (
+       |${q33AnnLshTopK.oracle.get}
+       |  ) ORDER BY cos_sim DESC, vec_id LIMIT 10),
+       |ivf10 AS (
+       |  SELECT vec_id FROM (
+       |${q45IvfAnn.oracle.get}
+       |  ) ORDER BY cos_sim DESC, vec_id LIMIT 10)
+       |SELECT * FROM (
+       |  SELECT 'ivf' AS method, round(count(*) / 10.0, 4) AS recall
+       |  FROM ivf10 WHERE vec_id IN (SELECT vec_id FROM brute10)
+       |  UNION ALL
+       |  SELECT 'lsh', round(count(*) / 10.0, 4)
+       |  FROM lsh10 WHERE vec_id IN (SELECT vec_id FROM brute10))
+       |ORDER BY method""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.DataFrame
+    val brute = q31CosineTopK.run(spark, dir).limit(10).select(col("vec_id"))
+    def recallOf(name: String, ann: DataFrame) =
+      ann.select(col("vec_id")).join(brute, "vec_id")
+        .agg(round(count(lit(1)) / 10.0, 4).as("recall"))
+        .select(lit(name).as("method"), col("recall"))
+    recallOf("ivf", q45IvfAnn.run(spark, dir))
+      .unionByName(recallOf("lsh", q33AnnLshTopK.run(spark, dir).limit(10)))
+      .orderBy(col("method"))
+  }
+
   val all: Seq[Q] = Seq(q31CosineTopK, q32CentroidNorms, q33AnnLshTopK,
     q34EmbeddingNearDups, q39CentroidAggregator, q45IvfAnn, q51DedupClusters,
-    q59DedupKeep, q91KmeansClusters, q92SemDedupKeep, q93PqAnn)
+    q59DedupKeep, q91KmeansClusters, q92SemDedupKeep, q93PqAnn, q103AnnRecall)
 }
