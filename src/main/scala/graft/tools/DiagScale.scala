@@ -104,6 +104,42 @@ object DiagScale {
             maxDocFreq = 100).count()),
         "q83_spans" -> (() =>
           Dedup.duplicatedSpanCoverage(docs, "doc_id", "text", spanTokens = 20).count()),
+        "q91_kmeans" -> (() => {
+          val (a, _) = graft.operators.KMeans.fit(emb, "vec_id", "embedding", 8, 2)
+          a.groupBy("cell").count().count()
+        }),
+        "q93_pq_encode" -> (() => {
+          // the q93 corpus-side path: one-shot codebook collect + fully
+          // narrow unrolled argmin encode over every vector
+          val base = emb.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+          val cbRows = base
+            .select(pmod(col("vec_id"), lit(16)).cast("int").as("j"),
+              posexplode(col("v")).as(Seq("i", "x")))
+            .groupBy(col("j"), col("i")).agg(round(avg(col("x")), 6).as("c"))
+            .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+          def sqdistTo(m: Int, j: Int) =
+            (0 until 8).map { kk =>
+              val diff = element_at(col("v"), m * 8 + kk + 1) - lit(cbRows((j, m * 8 + kk)))
+              diff * diff
+            }.reduce(_ + _)
+          def codeCol(m: Int) = {
+            val dArr = array((0 until 16).map(j => sqdistTo(m, j)): _*)
+            (array_position(dArr, array_min(dArr)) - 1).cast("int")
+          }
+          base.select(col("vec_id"),
+              array((0 until 8).map(codeCol): _*).as("codes"))
+            .groupBy(col("codes")).count().count()
+        }),
+        "q94_crossdup" -> (() =>
+          // hash-based 20/80 split: replicated ids are orig·k+r with
+          // orig ≡ 0 (mod 5), so any small-modulus residue split
+          // degenerates at some k — a hash residue is uniform at all k
+          Dedup.minhashCrossCorpusDups(
+            docs.filter(pmod(xxhash64(col("doc_id")), lit(5)) === 4),
+            docs.filter(pmod(xxhash64(col("doc_id")), lit(5)) =!= 4),
+            "doc_id", "text", n = 3, bands = 16, rowsPerBand = 4,
+            threshold = 0.5).count()),
         "q85_tfidf" -> (() => {
           // the registered q85 shape: shingle terms, df∈[2,100] vocab,
           // unit-normalized weights (window over doc_id), posting-list
