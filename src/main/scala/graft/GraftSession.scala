@@ -23,7 +23,23 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     registerFunctions(spark)
+    registerAggregates(spark)
     spark
+  }
+
+  /** Register the engine's typed aggregators for pure-SQL callers. SQL
+    * function signatures can't carry constructor parameters, so the
+    * common parameterizations are pre-bound under suffixed names (the
+    * DataFrame API takes arbitrary k/geometry via functions.TopK /
+    * functions.CountMin directly). */
+  def registerAggregates(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.udaf
+    import graft.functions.{CountMin, TopK}
+    import graft.operators.Dedup
+    spark.udf.register("graft_topk3", udaf(TopK.topKAgg(3)))
+    spark.udf.register("graft_topk10", udaf(TopK.topKAgg(10)))
+    spark.udf.register("graft_cms_4x256",
+      udaf(CountMin.agg(4, 256, Dedup.minhashParams(4), Dedup.MinhashP)))
   }
 
   /** Register graft's custom expressions in the session's function

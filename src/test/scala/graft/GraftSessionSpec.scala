@@ -73,4 +73,25 @@ class GraftSessionSpec extends SparkSpec {
     assert(sims.count() === 5)
     assert(!sims.filter("s > 1.0000001 OR s < -1.0000001").take(1).nonEmpty)
   }
+
+  test("registered SQL aggregates: graft_topk3 equals the window top-3") {
+    GraftSession.registerAggregates(spark)
+    GraftSession.registerTables(spark, "/root/testdata/sf0.001")
+    val viaAgg = spark.sql(
+      """SELECT o_orderpriority, t.i AS k, t.s AS v
+        |FROM (SELECT o_orderpriority,
+        |        graft_topk3(CAST(o_totalprice AS DOUBLE), o_orderkey) AS top
+        |      FROM orders GROUP BY o_orderpriority)
+        |LATERAL VIEW explode(top) AS t
+        |ORDER BY o_orderpriority, v DESC, k""".stripMargin)
+      .collect().map(_.toString).toSeq
+    val viaWindow = spark.sql(
+      """SELECT o_orderpriority, o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS v
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, v DESC, k""".stripMargin)
+      .collect().map(_.toString).toSeq
+    assert(viaAgg === viaWindow)
+  }
 }

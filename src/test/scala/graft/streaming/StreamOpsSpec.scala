@@ -181,6 +181,22 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming bounded top-k equals the batch top-k") {
+    import graft.functions.TopK
+    val batch = Tables.events(spark, sfDir)
+      .agg(TopK.topK(col("value"), col("event_id"), 5).as("top"))
+      .select(explode(col("top")).as("t")).select("t.s", "t.i")
+      .collect().map(_.toString).toSeq
+    val staticSchema = spark.read.parquet(stagedDir).schema
+    val got = StreamOps.runToMemory(spark,
+        StreamOps.parquetStream(spark, staticSchema, stagedDir)
+          .agg(TopK.topK(col("value"), col("event_id"), 5).as("top")),
+        "topk_test", outputMode = "complete")
+      .select(explode(col("top")).as("t")).select("t.s", "t.i")
+      .collect().map(_.toString).toSeq
+    assert(got === batch)
+  }
+
   test("dedupWithinWatermark drops duplicate keys") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("stream-dup").toString
