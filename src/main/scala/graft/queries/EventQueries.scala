@@ -463,8 +463,29 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** HLL sketch ROLLUP (DataSketches via Spark's hll_* functions): one
+    * pass builds per-(type, day) distinct-user sketches; coarser grains
+    * (weeks here; months, totals) come from hll_union_agg over the
+    * SKETCHES — no second scan of the raw events, the warehouse pattern
+    * that makes distinct-count dashboards affordable at 100 TB (exact
+    * distinct can't pre-aggregate: distincts don't add). Rows-only:
+    * DataSketches register layouts have no DuckDB twin; the estimate's
+    * accuracy and the union≡direct identity are spec-tested
+    * (HllRollupSpec). */
+  val q105HllRollup = Q.noOracle("q105_hll_rollup") { (spark, dir) =>
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    daily
+      .groupBy(col("event_type"), date_trunc("week", col("day")).as("week"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est_users"),
+        count(lit(1)).as("n_days"))
+      .orderBy(col("event_type"), col("week"))
+  }
+
   val all: Seq[Q] = Seq(q18JsonProps, q19HourlyAgg, q20SlidingAgg, q21Sessions,
     q22AsofViewPurchase, q50MapFuncs, q52IntervalJoin, q62Funnel, q63Retention,
     q65AsofNextView, q71GapfillHourly, q72Transitions, q86VolumeAnomalies,
-    q87Scd2Intervals, q89TopPaths, q99RollingHour)
+    q87Scd2Intervals, q89TopPaths, q99RollingHour, q105HllRollup)
 }

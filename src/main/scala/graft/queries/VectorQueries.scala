@@ -568,7 +568,47 @@ object VectorQueries {
       .orderBy(col("method"))
   }
 
+  /** Multi-probe LSH ANN (Lv et al. 2007): search the probe's bucket
+    * PLUS every bucket at Hamming distance 1 (one sign-bit flip) —
+    * 7 of 64 buckets instead of 1, recovering the recall a single
+    * probe loses to boundary effects while still scanning ~11% of the
+    * corpus. The probe set stays an EQUI-join: the 7 bucket ids are
+    * generated on the probe side (explode of 7 literals-worth of XORs),
+    * so candidate lookup is the same shuffle-by-bucket as q33 — never a
+    * Hamming-distance theta-join against the corpus. */
+  val q104MultiprobeLsh = Q(
+    "q104_multiprobe_lsh",
+    s"""WITH buck AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+       |    ${duckBucketExpr("embedding", 6)} AS bucket
+       |  FROM embeddings),
+       |probes AS (
+       |  SELECT xor(bucket, f) AS pb, e AS qe FROM buck,
+       |    unnest([0, 1, 2, 4, 8, 16, 32]) AS t(f)
+       |  WHERE vec_id = 0)
+       |SELECT v.vec_id, v.label,
+       |  round(list_cosine_similarity(v.e, p.qe), 6) AS cos_sim
+       |FROM buck v JOIN probes p ON v.bucket = p.pb
+       |WHERE v.vec_id <> 0
+       |ORDER BY cos_sim DESC, v.vec_id
+       |LIMIT 20""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", VectorFns.lshBucket(col("embedding"), Dim, nBits = 6))
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(explode(array((Seq(0L) ++ (0 until 6).map(1L << _)).map(lit): _*))
+          .as("f"),
+        col("bucket"), col("embedding").as("q_emb"))
+      .select(col("bucket").bitwiseXOR(col("f")).as("p_bucket"), col("q_emb"))
+    emb.filter(col("vec_id") =!= 0)
+      .join(broadcast(probe), col("bucket") === col("p_bucket"))
+      .select(col("vec_id"), col("label"),
+        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(q31CosineTopK, q32CentroidNorms, q33AnnLshTopK,
     q34EmbeddingNearDups, q39CentroidAggregator, q45IvfAnn, q51DedupClusters,
-    q59DedupKeep, q91KmeansClusters, q92SemDedupKeep, q93PqAnn, q103AnnRecall)
+    q59DedupKeep, q91KmeansClusters, q92SemDedupKeep, q93PqAnn, q103AnnRecall,
+    q104MultiprobeLsh)
 }
