@@ -484,8 +484,80 @@ object EventQueries {
       .orderBy(col("event_type"), col("week"))
   }
 
+  /** Robust outlier detection via MAD (median absolute deviation): the
+    * 3σ z-score screen (q86's shape) is itself corrupted by the
+    * outliers it hunts; median/MAD are 50%-breakdown robust. Two exact
+    * grouped percentile aggregates (Spark's percentile is a parallel
+    * partial+final agg, no global sort) with the per-type medians
+    * joined back — the group table is type-cardinality-sized, so AQE
+    * broadcasts it unhinted. Interpolated medians are (a+b)/2 of the
+    * same two doubles in both engines → exact parity (the q14
+    * precedent). */
+  val q106MadOutliers = Q(
+    "q106_mad_outliers",
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type),
+      |mad AS (
+      |  SELECT e.event_type, any_value(m.med) AS med,
+      |    quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      |  FROM events e JOIN med m ON e.event_type = m.event_type
+      |  GROUP BY e.event_type)
+      |SELECT e.event_type, round(any_value(m.med), 4) AS med,
+      |  round(any_value(m.mad), 4) AS mad,
+      |  CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM events e JOIN mad m ON e.event_type = m.event_type
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val mad = ev.join(med, "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("med")).as("med"),
+        percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+    ev.join(mad, "event_type")
+      .groupBy(col("event_type"))
+      .agg(round(first(col("med")), 4).as("med"),
+        round(first(col("mad")), 4).as("mad"),
+        sum(when(abs(col("value") - col("med")) > lit(3 * 1.4826) * col("mad"), 1)
+          .otherwise(0)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Exponential time-decay features (half-life weighting): per user,
+    * the recency-weighted value mass sum(v·exp(−age/86400 s)) against
+    * the corpus max timestamp — the standard "how active lately"
+    * feature that a plain windowed count misstates. One 1-row max-ts
+    * aggregate broadcast back, then a single grouped agg; exp products
+    * are summed in double and rounded to 4 dp on both sides. */
+  val q107DecayedActivity = Q(
+    "q107_decayed_activity",
+    """WITH mx AS (SELECT max(ts) AS tmax FROM events)
+      |SELECT user_id,
+      |  round(sum(value * exp(-(epoch(tmax) - epoch(ts)) / 86400.0)), 4) AS decayed_mass,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM events CROSS JOIN mx
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val mx = ev.agg(max(col("ts")).as("tmax"))
+    ev.crossJoin(broadcast(mx))
+      .groupBy(col("user_id"))
+      // cast("double") keeps the fractional seconds — unix_timestamp
+      // floors where DuckDB's epoch() doesn't (the q99 lesson, but here
+      // the seconds feed exp(), so truncating would change the VALUE)
+      .agg(round(sum(col("value") *
+          exp(-(col("tmax").cast("double") - col("ts").cast("double")) / 86400.0)), 4)
+          .as("decayed_mass"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[Q] = Seq(q18JsonProps, q19HourlyAgg, q20SlidingAgg, q21Sessions,
     q22AsofViewPurchase, q50MapFuncs, q52IntervalJoin, q62Funnel, q63Retention,
     q65AsofNextView, q71GapfillHourly, q72Transitions, q86VolumeAnomalies,
-    q87Scd2Intervals, q89TopPaths, q99RollingHour, q105HllRollup)
+    q87Scd2Intervals, q89TopPaths, q99RollingHour, q105HllRollup,
+    q106MadOutliers, q107DecayedActivity)
 }

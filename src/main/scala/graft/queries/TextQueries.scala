@@ -517,6 +517,40 @@ object TextQueries {
       .limit(15)
   }
 
+  /** Skip-gram co-occurrence counts (word2vec's training statistic):
+    * (center, context) pairs within a ±2 window, generated NARROWLY
+    * from each token array (explode position × offset, bounds-filtered)
+    * — the corpus shuffles once, on the pair key, for the count. Top 20
+    * by count with full tiebreak. Complements q101: PMI scores ADJACENT
+    * pairs; this materializes the windowed co-occurrence table that
+    * embedding trainers and distributional-similarity models consume. */
+  val q108SkipgramPairs = Q(
+    "q108_skipgram_pairs",
+    """WITH docs AS (
+      |  SELECT string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |pairs AS (
+      |  SELECT t[i] AS center, t[i + o] AS context
+      |  FROM docs, unnest(range(1, len(t) + 1)) u(i), unnest([-2, -1, 1, 2]) v(o)
+      |  WHERE i + o BETWEEN 1 AND len(t))
+      |SELECT center, context, CAST(count(*) AS BIGINT) AS n
+      |FROM pairs
+      |GROUP BY center, context
+      |ORDER BY n DESC, center, context
+      |LIMIT 20""".stripMargin) { (spark, dir) =>
+    val t = col("t")
+    Tables.documents(spark, dir)
+      .select(split(lower(col("text")), "\\s+").as("t"))
+      .select(t, posexplode(t).as(Seq("p", "center")))
+      .select(t, (col("p") + 1).as("i"), col("center"),
+        explode(array(Seq(-2, -1, 1, 2).map(lit): _*)).as("o"))
+      .filter((col("i") + col("o")).between(lit(1), size(t)))
+      .select(col("center"), element_at(t, (col("i") + col("o")).cast("int")).as("context"))
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("center"), col("context"))
+      .limit(20)
+  }
+
   /** SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures),
     * pigeonhole-blocked on 16-bit bands. Rows-only check — the native
     * XXH64 codegen loop is the fast path; its oracle-checked twin over
@@ -1351,5 +1385,6 @@ object TextQueries {
     q69PackChunks, q70DocDedupKeep, q73PiiScrub, q74BoilerplateNgrams, q75LmDocScore,
     q77StratifiedSample, q78EditDistancePairs, q81ClassifierScores, q83DupSpanCoverage,
     q84WeightedSample, q85TfidfCosinePairs, q94CrossCorpusDedup, q95ChunkDocuments,
-    q96CountMinFreqs, q98TokenRuns, q100NegativeSamples, q101PmiPhrases)
+    q96CountMinFreqs, q98TokenRuns, q100NegativeSamples, q101PmiPhrases,
+    q108SkipgramPairs)
 }
