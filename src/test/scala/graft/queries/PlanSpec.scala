@@ -196,6 +196,28 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("lang"), "unneeded column read:\n" + readSchema)
   }
 
+  test("q97 top-k aggregator is two-phase: partial buffers trim before the exchange") {
+    val p = plan(RelationalQueries.q97TopkPerGroup)
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "typed top-k agg lost its partial phase:\n" + p)
+    assert(!p.contains("Window"), "top-k fell back to a window sort:\n" + p)
+  }
+
+  test("q98 token-run analysis is shuffle-free before its final sort") {
+    val p = plan(TextQueries.q98TokenRuns)
+    assert(!p.contains("hashpartitioning"),
+      "narrow run-length analysis gained a keyed shuffle:\n" + p)
+  }
+
+  test("q108 skip-gram pairs shuffle once, on the pair key, reading only text") {
+    val p = plan(TextQueries.q108SkipgramPairs)
+    val keyed = "hashpartitioning".r.findAllIn(p).length
+    assert(keyed === 1, s"expected 1 keyed shuffle, got $keyed:\n" + p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      "unneeded columns read:\n" + readSchema)
+  }
+
   test("q93 PQ encode+ADC is one joinless narrow pass + top-k") {
     val p = plan(VectorQueries.q93PqAnn)
     assert(p.contains("TakeOrderedAndProject"), "top-k degraded to full sort:\n" + p)
