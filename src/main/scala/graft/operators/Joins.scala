@@ -25,16 +25,22 @@ object Joins {
     * @param key       equi-join key column name (same on both sides)
     * @param ts        event-time column name (same on both sides)
     * @param payload   right-side columns to carry; appear as `asof_<name>`
+    * @param inclusive false → strictly-prior (ts_r < ts_l, the market-
+    *                  data convention); true → ts_r ≤ ts_l (the SCD2
+    *                  "effective as of" convention, where a version
+    *                  starting AT the probe instant already applies)
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String], inclusive: Boolean = false): DataFrame = {
     val l = left.withColumn("__side", lit(1))
     val r = right.select((key +: ts +: payload).map(col): _*).withColumn("__side", lit(2))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    // at equal ts a right row sorts AFTER the left row, so the frame's -1
-    // bound excludes it — strictly-prior semantics (ts_r < ts_l)
+    // strict: at equal ts a right row sorts AFTER the left row, so the
+    // frame's -1 bound excludes it (ts_r < ts_l). inclusive: right rows
+    // sort BEFORE left at equal ts and land inside the frame (ts_r ≤ ts_l).
+    val sideOrder = if (inclusive) col("__side").desc else col("__side").asc
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side"))
+      .orderBy(col(ts), sideOrder)
       .rowsBetween(Window.unboundedPreceding, -1)
     val withPayload = payload.foldLeft(unioned) { (df, c) =>
       df.withColumn(s"asof_$c",

@@ -555,9 +555,54 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** SCD2 point-in-time lookup: each purchase joined to the dimension
+    * version EFFECTIVE at its timestamp. The oracle states it as the
+    * natural interval-membership join (valid_from ≤ ts < valid_to); the
+    * engine implements it as an INCLUSIVE as-of join against the
+    * version-start table — the same one-shuffle union+window plan as
+    * q22, where the interval formulation is a range join that explodes
+    * at scale. Run-start intervals partition each user's timeline, so
+    * the two formulations are provably the same lookup. */
+  val q109Scd2Lookup = Q(
+    "q109_scd2_lookup",
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events WHERE event_type <> 'purchase'),
+      |s AS (
+      |  SELECT user_id, event_type AS state, ts AS valid_from, event_id
+      |  FROM o WHERE prev IS NULL OR prev <> event_type),
+      |iv AS (
+      |  SELECT user_id, state, valid_from,
+      |    lead(valid_from) OVER (PARTITION BY user_id
+      |      ORDER BY valid_from, event_id) AS valid_to
+      |  FROM s),
+      |f AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT coalesce(d.state, '(none)') AS state,
+      |  CAST(count(*) AS BIGINT) AS n_purchases
+      |FROM f LEFT JOIN iv d ON f.user_id = d.user_id AND f.ts >= d.valid_from
+      |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+      |GROUP BY 1
+      |ORDER BY state""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dims = ev.filter(col("event_type") =!= "purchase")
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id"), col("event_type").as("state"), col("ts"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    Joins.asOf(facts, dims, "user_id", "ts", Seq("state"), inclusive = true)
+      .groupBy(coalesce(col("asof_state"), lit("(none)")).as("state"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy(col("state"))
+  }
+
   val all: Seq[Q] = Seq(q18JsonProps, q19HourlyAgg, q20SlidingAgg, q21Sessions,
     q22AsofViewPurchase, q50MapFuncs, q52IntervalJoin, q62Funnel, q63Retention,
     q65AsofNextView, q71GapfillHourly, q72Transitions, q86VolumeAnomalies,
     q87Scd2Intervals, q89TopPaths, q99RollingHour, q105HllRollup,
-    q106MadOutliers, q107DecayedActivity)
+    q106MadOutliers, q107DecayedActivity, q109Scd2Lookup)
 }

@@ -30,6 +30,21 @@ class JoinsSpec extends SparkSpec {
       (3L, None)))       // equal-ts right row excluded (strict <)
   }
 
+  test("asOf inclusive mode admits the equal-ts version (SCD2 effective-as-of)") {
+    val left = Seq((1L, 10L, "2024-01-01 10:00:00"))
+      .toDF("event_id", "user_id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val right = Seq(
+      (10L, "2024-01-01 09:00:00", 1.0),
+      (10L, "2024-01-01 10:00:00", 2.0)   // starts AT the probe instant
+    ).toDF("user_id", "ts", "value").withColumn("ts", col("ts").cast("timestamp"))
+    val strict = Joins.asOf(left, right, "user_id", "ts", Seq("value"))
+      .select("asof_value").as[Double].head()
+    val incl = Joins.asOf(left, right, "user_id", "ts", Seq("value"), inclusive = true)
+      .select("asof_value").as[Double].head()
+    assert(strict === 1.0)
+    assert(incl === 2.0)
+  }
+
   test("asOfNext attaches earliest strictly-later payload per key") {
     val left = Seq(
       (1L, 10L, "2024-01-01 10:00:00"),
