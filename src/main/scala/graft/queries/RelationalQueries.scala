@@ -958,6 +958,87 @@ object RelationalQueries {
       .orderBy(col("check_name"))
   }
 
+  /** Whole-table column profiling (operators/Profile): every column's
+    * row/null/distinct counts and numeric min/max from ONE aggregate
+    * job (schema-driven agg generation; the multi-distinct plans
+    * through a single Expand+shuffle, not k scans). The first thing a
+    * pipeline runs against an unknown 100 TB delivery. */
+  val q110ProfileOrders = Q(
+    "q110_profile_orders",
+    """WITH m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(o_orderkey) AS BIGINT) AS nn1, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd1,
+      |    round(CAST(min(o_orderkey) AS DOUBLE), 4) AS mn1, round(CAST(max(o_orderkey) AS DOUBLE), 4) AS mx1,
+      |    CAST(count(o_custkey) AS BIGINT) AS nn2, CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd2,
+      |    round(CAST(min(o_custkey) AS DOUBLE), 4) AS mn2, round(CAST(max(o_custkey) AS DOUBLE), 4) AS mx2,
+      |    CAST(count(o_orderstatus) AS BIGINT) AS nn3, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd3,
+      |    CAST(count(o_totalprice) AS BIGINT) AS nn4, CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd4,
+      |    round(min(o_totalprice), 4) AS mn4, round(max(o_totalprice), 4) AS mx4,
+      |    CAST(count(o_orderdate) AS BIGINT) AS nn5, CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd5,
+      |    CAST(count(o_orderpriority) AS BIGINT) AS nn6, CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd6
+      |  FROM orders)
+      |SELECT * FROM (
+      |  SELECT 'o_orderkey' AS column_name, n AS n_rows, n - nn1 AS n_nulls,
+      |    nd1 AS n_distinct, mn1 AS min_num, mx1 AS max_num FROM m
+      |  UNION ALL SELECT 'o_custkey', n, n - nn2, nd2, mn2, mx2 FROM m
+      |  UNION ALL SELECT 'o_orderstatus', n, n - nn3, nd3, NULL, NULL FROM m
+      |  UNION ALL SELECT 'o_totalprice', n, n - nn4, nd4, mn4, mx4 FROM m
+      |  UNION ALL SELECT 'o_orderdate', n, n - nn5, nd5, NULL, NULL FROM m
+      |  UNION ALL SELECT 'o_orderpriority', n, n - nn6, nd6, NULL, NULL FROM m)
+      |ORDER BY column_name""".stripMargin) { (spark, dir) =>
+    graft.operators.Profile.profile(Tables.orders(spark, dir))
+      .orderBy(col("column_name"))
+  }
+
+  /** Market-basket 2-itemsets (association mining): part pairs
+    * co-purchased in the same order, with support and lift. The
+    * pair-generation self-join keys on l_orderkey — per-order item
+    * lists are small, so pairs are ~|order|² per order, never corpus² —
+    * and both sides repartition identically for ReuseExchange. Lift's
+    * independence denominator rides two order-count lookups + a 1-row
+    * total broadcast (the q101 PMI shape lifted from token windows to
+    * baskets). */
+  val q111BasketPairs = Q(
+    "q111_basket_pairs",
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pairs AS (
+      |  SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS n_ab
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2),
+      |singles AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY pk),
+      |tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM items)
+      |SELECT p.part_a, p.part_b, p.n_ab,
+      |  round((p.n_ab * t.n_orders) / (CAST(sa.n AS DOUBLE) * sb.n), 4) AS lift
+      |FROM pairs p
+      |JOIN singles sa ON p.part_a = sa.pk
+      |JOIN singles sb ON p.part_b = sb.pk
+      |CROSS JOIN tot t
+      |WHERE p.n_ab >= 2
+      |ORDER BY p.n_ab DESC, p.part_a, p.part_b
+      |LIMIT 20""".stripMargin) { (spark, dir) =>
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .repartition(col("ok"))
+    val pairs = items.as("a").join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val singles = items.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    val tot = items.agg(countDistinct(col("ok")).as("n_orders"))
+    pairs
+      .join(singles.select(col("pk").as("part_a"), col("n").as("n_a")), "part_a")
+      .join(singles.select(col("pk").as("part_b"), col("n").as("n_b")), "part_b")
+      .crossJoin(broadcast(tot))
+      .filter(col("n_ab") >= 2)
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        round((col("n_ab") * col("n_orders")) /
+          (col("n_a").cast("double") * col("n_b")), 4).as("lift"))
+      .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -966,5 +1047,6 @@ object RelationalQueries {
     q38ApproxDistinct, q40LocalSupplierVolume, q41RankingSuite, q42GroupingSets,
     q47Unpivot, q49HashSample, q55FullOuter, q56AnalyticSuite, q57SkewJoin,
     q61SplitLabels, q64Histogram, q66RevenueShare, q67PromoRevenue, q82BloomSemiJoin,
-    q88ZorderLayout, q90EquidepthBins, q97TopkPerGroup, q102QualityChecks)
+    q88ZorderLayout, q90EquidepthBins, q97TopkPerGroup, q102QualityChecks,
+    q110ProfileOrders, q111BasketPairs)
 }
