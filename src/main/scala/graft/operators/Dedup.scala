@@ -227,6 +227,25 @@ object Dedup {
       .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** Per-row NARROW MinHash signature — the same k-vector
+    * `minhashSignatures` computes with a groupBy, as a pure array
+    * expression: shingle → portable hash → per-slot min fold, entirely
+    * inside the row. No shuffle, which is what lets a STREAMING
+    * pipeline band-and-dedup (a stateful operator cannot follow an
+    * aggregation in Structured Streaming) and lets batch callers fuse
+    * signatures into any narrow stage. NULL when the doc has no
+    * shingles (< n tokens) — mirroring the agg form, where such docs
+    * simply have no rows. */
+  def minhashSigExpr(text: Column, n: Int, k: Int): Column = {
+    val sh = array_distinct(TextFns.shingles(TextFns.tokens(text), n))
+    val xm = transform(sh, s => portableShingleHash(s))
+    val sig = array(minhashParams(k).map { case (a, b) =>
+      aggregate(xm, lit(MinhashP),
+        (acc, x) => least(acc, (lit(a) * x + lit(b)) % MinhashP))
+    }: _*)
+    when(size(sh) > 0, sig)
+  }
+
   /** MinHash + LSH banding: docs whose signatures collide in ≥1 of
     * `bands` bands become candidate pairs; candidates are then verified
     * with the estimated Jaccard (fraction of matching signature slots).

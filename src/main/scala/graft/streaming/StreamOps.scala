@@ -80,6 +80,50 @@ object StreamOps {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** Streaming near-duplicate filter: MinHash band buckets as KEYED
+    * STATE. Each document's signature is computed NARROWLY per row
+    * (Dedup.minhashSigExpr — a stateful operator cannot follow an
+    * aggregation), banded, and every (band, bucket) group remembers its
+    * CANONICAL first document (min id within the first batch that
+    * touches the bucket, then sticky across batches). Each arriving doc
+    * is verdict-ed against its buckets' keepers: signature agreement ≥
+    * `threshold` in any band flags it as a duplicate of that keeper —
+    * the streaming shape of q94's delta-vs-reference dedup, with the
+    * reference index living IN the stream state. State per bucket is one
+    * id + one k-long signature, bounded by the bucket space.
+    * Emits one verdict row per (doc, band). */
+  def nearDupBandVerdicts(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val k = bands * rowsPerBand
+    import graft.operators.Dedup
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"),
+        Dedup.minhashSigExpr(col(textCol), n, k).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("id"), col("sig"),
+        posexplode(array((0 until bands).map { b =>
+          concat_ws(",", (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+        }: _*)).as(Seq("band", "bkey")))
+      .as[(Long, Seq[Long], Int, String)]
+    banded.groupByKey(d => (d._3, d._4))
+      .flatMapGroupsWithState[(Long, Seq[Long]), (Long, Int, Long, Double, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), rows: Iterator[(Long, Seq[Long], Int, String)],
+            state: GroupState[(Long, Seq[Long])]) =>
+          val rs = rows.toSeq.sortBy(_._1)
+          val keeper = state.getOption.getOrElse((rs.head._1, rs.head._2))
+          if (!state.exists) state.update(keeper)
+          rs.iterator.map { case (id, sig, band, _) =>
+            val est = sig.zip(keeper._2).count { case (x, y) => x == y }.toDouble / k
+            (id, band, keeper._1, est, id != keeper._1 && est >= threshold)
+          }
+      }
+      .toDF("doc_id", "band", "keeper_id", "est_jaccard", "is_dup")
+  }
+
   /** Stream-stream interval join: rows of `left` join rows of `right`
     * with the same key whose event time lands in [leftTs + lower,
     * leftTs + upper]. Both sides carry watermarks so the join state is

@@ -197,6 +197,61 @@ class StreamOpsSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("streaming near-dup band verdicts equal the batch min-id-keeper answer") {
+    import graft.operators.Dedup
+    val docsDir = java.nio.file.Files.createTempDirectory("stream-docs").toString
+    Tables.documents(spark, sfDir).select("doc_id", "text")
+      .coalesce(2).write.mode("overwrite").parquet(docsDir)
+    val (n, bands, rpb, thr) = (3, 8, 2, 0.5)
+    val k = bands * rpb
+
+    // batch twin with the IDENTICAL narrow signature + min-id keeper rule
+    def banded(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id").cast("long").as("id"),
+        Dedup.minhashSigExpr(col("text"), n, k).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("id"), col("sig"),
+        posexplode(array((0 until bands).map { b =>
+          concat_ws(",", (0 until rpb).map(r =>
+            element_at(col("sig"), b * rpb + r + 1)): _*)
+        }: _*)).as(Seq("band", "bkey")))
+    val b = banded(spark.read.parquet(docsDir))
+    val keepers = b.groupBy("band", "bkey").agg(min("id").as("keeper_id"))
+    val kSig = b.select(col("id").as("keeper_id"), col("band"), col("bkey"),
+      col("sig").as("ksig"))
+    val expected = b
+      .join(keepers, Seq("band", "bkey"))
+      .join(kSig, Seq("keeper_id", "band", "bkey"))
+      .select(col("id").as("doc_id"), col("band"), col("keeper_id"),
+        (size(filter(zip_with(col("sig"), col("ksig"), (x, y) => x === y),
+          bo => bo)).cast("double") / k).as("est_jaccard"))
+      .withColumn("is_dup",
+        col("doc_id") =!= col("keeper_id") && col("est_jaccard") >= thr)
+      .collect().map(_.toString).sorted.toSeq
+
+    val staticSchema = spark.read.parquet(docsDir).schema
+    val got = StreamOps.runToMemory(spark,
+        StreamOps.nearDupBandVerdicts(
+          StreamOps.parquetStream(spark, staticSchema, docsDir),
+          "doc_id", "text", n, bands, rpb, thr),
+        "neardup_test", outputMode = "append")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty)
+    assert(got === expected)
+  }
+
+  test("minhashSigExpr matches the aggregated signature") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val narrow = docs.select(col("doc_id").cast("long").as("id"),
+      Dedup.minhashSigExpr(col("text"), 3, 16).as("sig_n"))
+    val agged = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16)
+      .select(col("id").cast("long").as("id"), col("sig").as("sig_a"))
+    val joined = narrow.filter(col("sig_n").isNotNull).join(agged, "id")
+    assert(joined.count() === agged.count())
+    assert(joined.filter(col("sig_n") =!= col("sig_a")).count() === 0)
+  }
+
   test("dedupWithinWatermark drops duplicate keys") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("stream-dup").toString
