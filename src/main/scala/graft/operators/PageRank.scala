@@ -37,6 +37,37 @@ object PageRank {
     */
   def run(edges: DataFrame, iterations: Int, damping: Double = 0.85,
           maxFanout: Int = 1 << 16, checkpointEvery: Int = 2): DataFrame = {
+    import edges.sparkSession.implicits._
+    loop(edges, iterations, damping, maxFanout, checkpointEvery,
+      init = lit(1.0) / $"n_nodes",
+      teleport = lit(1.0 - damping) / $"n_nodes")
+  }
+
+  /** Personalized PageRank: the teleport mass restarts at `seeds`
+    * instead of everywhere, so ranks measure proximity to the seed set
+    * (the "related items / similar users" graph feature). Identical
+    * one-adjacency-join-per-round plan; only the two rank expressions
+    * differ. */
+  def runPersonalized(edges: DataFrame, iterations: Int, seeds: Seq[Long],
+      damping: Double = 0.85, maxFanout: Int = 1 << 16,
+      checkpointEvery: Int = 2): DataFrame = {
+    require(seeds.nonEmpty, "personalized PageRank needs a seed set")
+    import edges.sparkSession.implicits._
+    val seedMass = 1.0 / seeds.size
+    loop(edges, iterations, damping, maxFanout, checkpointEvery,
+      init = when($"node".isin(seeds: _*), lit(seedMass)).otherwise(lit(0.0)),
+      teleport = when($"node".isin(seeds: _*), lit((1.0 - damping) * seedMass))
+        .otherwise(lit(0.0)))
+  }
+
+  /** Shared power-iteration loop. `init` and `teleport` are expressions
+    * over the node relation's columns (`node`, `n_nodes`); uniform
+    * values give classic PageRank, seed-indicator values give the
+    * personalized variant. */
+  private def loop(edges: DataFrame, iterations: Int, damping: Double,
+      maxFanout: Int, checkpointEvery: Int,
+      init: org.apache.spark.sql.Column,
+      teleport: org.apache.spark.sql.Column): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -55,7 +86,7 @@ object PageRank {
       .join(broadcast(nNodes))
       .cache()
 
-    var ranks = nodes.select($"node", (lit(1.0) / $"n_nodes").as("pr"))
+    var ranks = nodes.select($"node", init.as("pr"))
       .localCheckpoint(true)
     for (i <- 1 to iterations) {
       val inbound = adj.join(ranks, adj("src") === ranks("node"))
@@ -65,8 +96,7 @@ object PageRank {
       ranks = nodes
         .join(inbound, nodes("node") === inbound("dst"), "left")
         .select($"node",
-          (lit(1.0 - damping) / $"n_nodes" +
-            lit(damping) * coalesce($"mass", lit(0.0))).as("pr"))
+          (teleport + lit(damping) * coalesce($"mass", lit(0.0))).as("pr"))
       // checkpoint every `checkpointEvery` rounds (and the last):
       // lineage stays bounded (≤ a checkpointEvery-round plan tree)
       // while paying a fraction of the eager materializations —

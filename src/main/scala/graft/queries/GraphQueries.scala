@@ -47,6 +47,65 @@ object GraphQueries {
        |FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** Personalized teleport: customer 1 (parity-encoded node 2). */
+  private val SeedNode = 2L
+
+  /** DuckDB twin of the personalized variant: same unrolled rounds, with
+    * the uniform teleport replaced by a seed indicator. */
+  private def pprOracle(iters: Int, damping: Double, seed: Long): String = {
+    val tele = 1.0 - damping
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT d.src AS node,
+         |    (CASE WHEN d.src = $seed THEN $tele ELSE 0.0 END)
+         |      + $damping * coalesce(m.mass, 0.0) AS pr
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.dst AS dst, sum(r.pr / d2.deg) AS mass
+         |    FROM edges e JOIN r${k - 1} r ON r.node = e.src JOIN deg d2 ON d2.src = e.src
+         |    GROUP BY e.dst) m ON m.dst = d.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE o_orderdate >= DATE '$SinceDate'),
+       |edges AS (
+       |  SELECT cn AS src, sn AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT sn AS src, cn AS dst FROM pairs),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT src AS node,
+       |  CASE WHEN src = $seed THEN 1.0 ELSE 0.0 END AS pr FROM deg),
+       |$rounds
+       |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+       |            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+       |  round(pr, 7) AS pr
+       |FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** Personalized PageRank seeded at customer 1: ranks are proximity to
+    * that customer in the trade graph — the "similar users / related
+    * items" graph feature, on the identical per-round plan as q76 (only
+    * the two rank expressions change; see PageRank.runPersonalized). */
+  val q112PersonalizedPagerank = Q(
+    "q112_personalized_pagerank",
+    pprOracle(Iters, Damping, SeedNode)) { (spark, dir) =>
+    val pairs = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(SinceDate).cast("date"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("cn"), (col("l_suppkey") * 2 + 1).as("sn"))
+      .distinct()
+      .cache()
+    val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
+      .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+    val pr = PageRank.runPersonalized(edges, Iters, Seq(SeedNode), Damping)
+    pairs.unpersist(false)
+    pr.select(
+        concat(when(col("node") % 2 === 0, "c").otherwise("s"),
+          expr("node div 2").cast("string")).as("node"),
+        round(col("pr"), 7).as("pr"))
+      .orderBy(col("node"))
+  }
+
   /** PageRank over the symmetrized customer↔supplier purchase graph
     * (who-trades-with-whom importance), scoped to the recent-order
     * window. Symmetrizing removes dangling nodes, so rank mass is
@@ -132,5 +191,5 @@ object GraphQueries {
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4).as("global_cc"))
   }
 
-  val all: Seq[Q] = Seq(q76Pagerank, q80TriangleCensus)
+  val all: Seq[Q] = Seq(q76Pagerank, q80TriangleCensus, q112PersonalizedPagerank)
 }
