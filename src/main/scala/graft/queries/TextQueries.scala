@@ -551,6 +551,44 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Temperature-scaled mixture sampling (the data-mixing step of an
+    * LLM training pipeline): per-source sampling weights ∝ n_s^(1/τ)
+    * with τ=2 — upsampling rare sources relative to their natural
+    * frequency (τ=1 is proportional, τ→∞ uniform) — then a target
+    * budget of 200 docs split across sources and drawn DETERMINISTICALLY
+    * by the portable md5-uniform (same rows selected on any engine,
+    * partitioning, or rerun; rand() is none of those). Rates derive
+    * from per-source counts relationally, so the whole mixture spec is
+    * one small agg + one broadcastable rate table against the corpus —
+    * no per-source jobs. */
+  val q113MixtureSample = Q(
+    "q113_mixture_sample",
+    """WITH counts AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source),
+      |rates AS (
+      |  SELECT source, n_s,
+      |    least(1.0, 200 * (pow(n_s, 0.5) / sum(pow(n_s, 0.5)) OVER ()) / n_s) AS keep_rate
+      |  FROM counts)
+      |SELECT d.doc_id, d.source
+      |FROM documents d JOIN rates r ON d.source = r.source
+      |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |        / 1152921504606846976.0 < r.keep_rate
+      |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Sampling
+    val docs = Tables.documents(spark, dir)
+    val rates = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_s"))
+      .withColumn("keep_rate",
+        least(lit(1.0),
+          lit(200) * (pow(col("n_s"), 0.5) /
+            sum(pow(col("n_s"), 0.5)).over(Window.partitionBy())) / col("n_s")))
+    docs.join(rates, "source")
+      .filter(Sampling.hashUniform(col("doc_id")) < col("keep_rate"))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures),
     * pigeonhole-blocked on 16-bit bands. Rows-only check — the native
     * XXH64 codegen loop is the fast path; its oracle-checked twin over
@@ -1386,5 +1424,5 @@ object TextQueries {
     q77StratifiedSample, q78EditDistancePairs, q81ClassifierScores, q83DupSpanCoverage,
     q84WeightedSample, q85TfidfCosinePairs, q94CrossCorpusDedup, q95ChunkDocuments,
     q96CountMinFreqs, q98TokenRuns, q100NegativeSamples, q101PmiPhrases,
-    q108SkipgramPairs)
+    q108SkipgramPairs, q113MixtureSample)
 }
