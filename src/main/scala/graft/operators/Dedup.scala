@@ -300,25 +300,46 @@ object Dedup {
     *
     * Scale note: the reference side's banded signatures are a pure
     * function of the corpus — at 100 TB a deployment materializes them
-    * ONCE (bucketed by (band, bkey), see Sinks.writeBucketed) and each
-    * delta batch shuffles only itself; the per-batch cost is then
-    * O(delta), not O(corpus). Computed inline here because the gate
-    * reads from parquet directly.
+    * ONCE via [[minhashBandIndex]] bucketed by (band, bkey)
+    * (Sinks.writeBucketed) and joins each delta batch against the
+    * stored index with [[minhashCrossCorpusDupsAgainstIndex]]: the
+    * bucketed layout satisfies the join's clustering, so ZERO exchange
+    * lands on the reference side and the per-batch cost is O(delta),
+    * not O(corpus) — PlanSpec pins exactly that plan. Computed inline
+    * here because the gate reads from parquet directly.
     *
     * @return (id, dup_of) — one row per distinct incoming id */
   def minhashCrossCorpusDups(newDocs: DataFrame, refDocs: DataFrame,
       idCol: String, textCol: String, n: Int, bands: Int, rowsPerBand: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    minhashCrossCorpusDupsAgainstIndex(newDocs,
+      minhashBandIndex(refDocs, idCol, textCol, n, bands, rowsPerBand),
+      idCol, textCol, n, bands, rowsPerBand, threshold)
+
+  /** The banded MinHash signature index of a corpus:
+    * (id, sig, band, bkey) — one row per (doc, band). A pure function
+    * of the corpus, so a deployment materializes it once (bucketed by
+    * (band, bkey)) and amortizes it over every delta batch. */
+  def minhashBandIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    minhashSignatures(docs, idCol, textCol, n, bands * rowsPerBand)
+      .select(col("id"), col("sig"),
+        posexplode(array((0 until bands).map { b =>
+          concat_ws(",", (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+        }: _*)).as(Seq("band", "bkey")))
+
+  /** The daily-delta join: incoming docs are signed and banded fresh;
+    * the reference side arrives as a PRECOMPUTED [[minhashBandIndex]]
+    * (typically a bucketed table, so the join plans with no exchange
+    * under it). Same verify + left-join contract as
+    * [[minhashCrossCorpusDups]]. */
+  def minhashCrossCorpusDupsAgainstIndex(newDocs: DataFrame,
+      refIndex: DataFrame, idCol: String, textCol: String, n: Int,
+      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val k = bands * rowsPerBand
-    def banded(df: DataFrame) =
-      minhashSignatures(df, idCol, textCol, n, k)
-        .select(col("id"), col("sig"),
-          posexplode(array((0 until bands).map { b =>
-            concat_ws(",", (0 until rowsPerBand).map(r =>
-              element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
-          }: _*)).as(Seq("band", "bkey")))
-    val cands = banded(newDocs).as("n")
-      .join(banded(refDocs).as("r"),
+    val cands = minhashBandIndex(newDocs, idCol, textCol, n, bands, rowsPerBand).as("n")
+      .join(refIndex.as("r"),
         col("n.band") === col("r.band") && col("n.bkey") === col("r.bkey"))
       .select(col("n.id").as("nid"), col("r.id").as("rid"),
         col("n.sig").as("sig_n"), col("r.sig").as("sig_r"))

@@ -1,28 +1,41 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** PageRank by power iteration over an edge list — the standard
   * importance measure for crawl/link graphs (Page et al. 1999), here as
   * a pure DataFrame loop so Catalyst plans every step.
   *
-  * Scale design (the GraphX/Pregel adjacency shape, relationally):
-  *  - edges are collapsed ONCE into a cached adjacency relation
-  *    `(src, dsts: array, deg)` partitioned by `src`; each iteration
-  *    joins it with the node-sized rank relation and explodes the
-  *    neighbor arrays NARROWLY — the per-round shuffle is rank-sized
-  *    (nodes), never edge-sized, and the big relation is never re-sorted
-  *    (the naive edge⋈rank join pays a 10⁶-row sort-merge every round);
-  *  - hub skew is bounded: a node whose degree exceeds `maxFanout` has
-  *    its adjacency list salted across ceil(deg/maxFanout) rows, so no
-  *    single row (or task) owns a whole celebrity node;
-  *  - ranks are `localCheckpoint`ed each round: lineage stays O(1) and
-  *    the optimizer replans a 2-join tree per round instead of a
-  *    2^k-join tree (the connected-components lesson — see
-  *    `Dedup.connectedComponents`);
-  *  - node count rides a broadcast 1-row aggregate instead of a
-  *    driver-side `.count()`.
+  * Scale design:
+  *  - the edge relation is joined ONCE with out-degrees and cached
+  *    hash-partitioned by `src` — the layout every iteration's rank
+  *    join then streams from, so no round ever exchanges or sorts
+  *    edge-scale data. (An earlier adjacency-array variant collapsed
+  *    edges into `(src, dsts: array)` rows; the arrays bought nothing —
+  *    the per-round gather's map-side partial aggregation on `dst`
+  *    yields the same shuffle reduction either way — and cost an
+  *    ObjectHashAggregate + explode that break whole-stage codegen.
+  *    Plain rows keep the whole round codegen'd.)
+  *  - the per-round join STRATEGY is pinned by construction, not left
+  *    to statistics: after `localCheckpoint` the rank relation is a
+  *    `LogicalRDD` whose size statistics default to "unknown = maximum",
+  *    so a stats-driven planner picks `SortMergeJoin` and re-sorts the
+  *    cached edges EVERY round (r3 verdict measured erratic edge-scale
+  *    rounds from exactly this). Instead the node-sized side is hinted:
+  *    `broadcast` when the node count fits an executor (zero exchange,
+  *    zero sort), else `shuffle_hash` (the exchange is rank-sized and
+  *    the edges stream unsorted from their cached layout into the hash
+  *    join). PlanSpec pins the round plan: no SortMergeJoin, at most
+  *    the one rank-sized exchange beyond the gather.
+  *  - the per-round shuffle is the mass gather on `dst`: partial
+  *    aggregation collapses each partition's contribution before the
+  *    exchange, so shuffle bytes are bounded by distinct-dst-per-
+  *    partition, never raw edge count;
+  *  - ranks are `localCheckpoint`ed every `checkpointEvery` rounds:
+  *    lineage stays bounded and the optimizer replans a small tree
+  *    instead of a 2^k-join tree (the connected-components lesson — see
+  *    `Dedup.connectedComponents`).
   *
   * Dangling nodes (out-degree 0) are not produced by symmetric graphs;
   * for directed input the caller symmetrizes or accepts rank leakage —
@@ -30,15 +43,20 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** @param edges     directed edges, columns (src, dst); duplicates
-    *                   count as parallel edges (weight = multiplicity)
-    * @param maxFanout  max neighbors per adjacency row (hub salting)
-    * @return           one row per node with out-edges: (node, pr)
+  /** Above this node count the rank relation stops being broadcast and
+    * the per-round joins fall back to shuffled-hash (rank-sized
+    * exchange, edges still never sorted). ~4M (node, double) rows
+    * ≈ 100 MB serialized — the conventional broadcast ceiling. */
+  val BroadcastNodeLimit: Long = 4L << 20
+
+  /** @param edges directed edges, columns (src, dst); duplicates
+    *              count as parallel edges (weight = multiplicity)
+    * @return      one row per node with out-edges: (node, pr)
     */
   def run(edges: DataFrame, iterations: Int, damping: Double = 0.85,
-          maxFanout: Int = 1 << 16, checkpointEvery: Int = 2): DataFrame = {
+          checkpointEvery: Int = 2): DataFrame = {
     import edges.sparkSession.implicits._
-    loop(edges, iterations, damping, maxFanout, checkpointEvery,
+    loop(edges, iterations, damping, checkpointEvery,
       init = lit(1.0) / $"n_nodes",
       teleport = lit(1.0 - damping) / $"n_nodes")
   }
@@ -46,18 +64,63 @@ object PageRank {
   /** Personalized PageRank: the teleport mass restarts at `seeds`
     * instead of everywhere, so ranks measure proximity to the seed set
     * (the "related items / similar users" graph feature). Identical
-    * one-adjacency-join-per-round plan; only the two rank expressions
-    * differ. */
+    * one-join-per-round plan; only the two rank expressions differ. */
   def runPersonalized(edges: DataFrame, iterations: Int, seeds: Seq[Long],
-      damping: Double = 0.85, maxFanout: Int = 1 << 16,
-      checkpointEvery: Int = 2): DataFrame = {
+      damping: Double = 0.85, checkpointEvery: Int = 2): DataFrame = {
     require(seeds.nonEmpty, "personalized PageRank needs a seed set")
     import edges.sparkSession.implicits._
     val seedMass = 1.0 / seeds.size
-    loop(edges, iterations, damping, maxFanout, checkpointEvery,
+    loop(edges, iterations, damping, checkpointEvery,
       init = when($"node".isin(seeds: _*), lit(seedMass)).otherwise(lit(0.0)),
       teleport = when($"node".isin(seeds: _*), lit((1.0 - damping) * seedMass))
         .otherwise(lit(0.0)))
+  }
+
+  /** The prepared graph a rank loop iterates over: cached degree-
+    * annotated edges (partitioned by `src`), cached node relation (with
+    * `n_nodes`), the driver-known node count, and the join-strategy
+    * hint every node-sized relation gets (`broadcast` below
+    * [[BroadcastNodeLimit]], `shuffle_hash` above). */
+  private[graft] final case class Graph(adj: DataFrame, nodes: DataFrame,
+      nNodes: Long, hintNodeSized: DataFrame => DataFrame)
+
+  /** Annotate edges with out-degree and pick the per-round join
+    * strategy. `deg` is node-sized, so its join gets a shuffle-hash
+    * hint: the edge relation is exchanged by `src` exactly once (the
+    * layout the cache preserves and every round reuses) and never
+    * sorted. The one driver-side action is a node-sized `count` that
+    * both populates the caches and supplies `n_nodes` without a second
+    * aggregate job. */
+  private[graft] def prepare(edges: DataFrame,
+      broadcastNodeLimit: Long = BroadcastNodeLimit): Graph = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val adj = edges.join(deg.hint("shuffle_hash"), "src").cache()
+    val nNodes = adj.select($"src").distinct().count() // populates adj cache
+    val nodes = adj.select($"src".as("node")).distinct()
+      .withColumn("n_nodes", lit(nNodes.toDouble))
+      .cache()
+    val hint: DataFrame => DataFrame =
+      if (nNodes <= broadcastNodeLimit) broadcast else _.hint("shuffle_hash")
+    Graph(adj, nodes, nNodes, hint)
+  }
+
+  /** One power-iteration round: scatter rank mass along the edges,
+    * gather per destination, apply teleport. Both joins carry the
+    * node-sized-side hint so the edge relation is never sorted or
+    * re-exchanged (PlanSpec pins this shape). */
+  private[graft] def round(g: Graph, ranks: DataFrame, damping: Double,
+      teleport: Column): DataFrame = {
+    import g.adj.sparkSession.implicits._
+    val inbound = g.adj.join(g.hintNodeSized(ranks), g.adj("src") === ranks("node"))
+      .select($"dst", ($"pr" / $"deg").as("w"))
+      .groupBy($"dst")
+      .agg(sum($"w").as("mass"))
+    g.nodes
+      .join(g.hintNodeSized(inbound), g.nodes("node") === inbound("dst"), "left")
+      .select($"node",
+        (teleport + lit(damping) * coalesce($"mass", lit(0.0))).as("pr"))
   }
 
   /** Shared power-iteration loop. `init` and `teleport` are expressions
@@ -65,38 +128,13 @@ object PageRank {
     * values give classic PageRank, seed-indicator values give the
     * personalized variant. */
   private def loop(edges: DataFrame, iterations: Int, damping: Double,
-      maxFanout: Int, checkpointEvery: Int,
-      init: org.apache.spark.sql.Column,
-      teleport: org.apache.spark.sql.Column): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-    val adj = edges.join(deg, "src")
-      .withColumn("salt",
-        pmod(hash($"dst"), greatest(ceil($"deg" / maxFanout), lit(1))).cast("int"))
-      .groupBy($"src", $"salt")
-      .agg(collect_list($"dst").as("dsts"), first($"deg").as("deg"))
-      .drop("salt")
-      .repartition($"src") // the layout every iteration's rank join reuses
-      .cache()
-    val nNodes = adj.select($"src").distinct()
-      .agg(count(lit(1)).cast("double").as("n_nodes"))
-    val nodes = adj.select($"src".as("node")).distinct()
-      .join(broadcast(nNodes))
-      .cache()
-
-    var ranks = nodes.select($"node", init.as("pr"))
+      checkpointEvery: Int, init: Column, teleport: Column): DataFrame = {
+    import edges.sparkSession.implicits._
+    val g = prepare(edges)
+    var ranks = g.nodes.select($"node", init.as("pr"))
       .localCheckpoint(true)
     for (i <- 1 to iterations) {
-      val inbound = adj.join(ranks, adj("src") === ranks("node"))
-        .select(explode($"dsts").as("dst"), ($"pr" / $"deg").as("w"))
-        .groupBy($"dst")
-        .agg(sum($"w").as("mass"))
-      ranks = nodes
-        .join(inbound, nodes("node") === inbound("dst"), "left")
-        .select($"node",
-          (teleport + lit(damping) * coalesce($"mass", lit(0.0))).as("pr"))
+      ranks = round(g, ranks, damping, teleport)
       // checkpoint every `checkpointEvery` rounds (and the last):
       // lineage stays bounded (≤ a checkpointEvery-round plan tree)
       // while paying a fraction of the eager materializations —
@@ -107,8 +145,8 @@ object PageRank {
     }
     // the eager checkpoints above fully materialized the result, so the
     // working caches can be released before handing the ranks back
-    adj.unpersist(false)
-    nodes.unpersist(false)
+    g.adj.unpersist(false)
+    g.nodes.unpersist(false)
     ranks
   }
 }

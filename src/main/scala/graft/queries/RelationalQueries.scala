@@ -991,13 +991,16 @@ object RelationalQueries {
   }
 
   /** Market-basket 2-itemsets (association mining): part pairs
-    * co-purchased in the same order, with support and lift. The
-    * pair-generation self-join keys on l_orderkey — per-order item
-    * lists are small, so pairs are ~|order|² per order, never corpus² —
-    * and both sides repartition identically for ReuseExchange. Lift's
-    * independence denominator rides two order-count lookups + a 1-row
-    * total broadcast (the q101 PMI shape lifted from token windows to
-    * baskets). */
+    * co-purchased in the same order, with support and lift. Pair
+    * generation is NARROW (r3 verdict item 4): one shuffle collapses
+    * lineitem into per-order sorted distinct item arrays, then each
+    * basket emits its C(n,2) pairs via nested array `transform`s —
+    * baskets are small (≤ ~7 items), so the expansion is bounded per
+    * row and pairs never pay a join (the previous items⋈items self-join
+    * was semantically basket-bounded but physically a full 600k-row
+    * SMJ: 15.7s warm). All three legs (pairs, singles, total) hang off
+    * the same basket aggregate, so ReuseExchange scans lineitem once.
+    * Lift's independence denominator rides a 1-row total broadcast. */
   val q111BasketPairs = Q(
     "q111_basket_pairs",
     """WITH items AS (
@@ -1017,16 +1020,23 @@ object RelationalQueries {
       |WHERE p.n_ab >= 2
       |ORDER BY p.n_ab DESC, p.part_a, p.part_b
       |LIMIT 20""".stripMargin) { (spark, dir) =>
-    val items = Tables.lineitem(spark, dir)
+    // one shuffle on the order key; distinct-per-basket via array_distinct
+    val baskets = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-      .repartition(col("ok"))
-    val pairs = items.as("a").join(items.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .groupBy(col("ok"))
+      .agg(sort_array(array_distinct(collect_list(col("pk")))).as("pks"))
+    // C(n,2) pairs generated narrowly per basket: for element i, pair it
+    // with every later element (arrays are sorted, so part_a < part_b)
+    val pairs = baskets
+      .select(explode(expr(
+        "flatten(transform(pks, (x, i) -> " +
+          "transform(slice(pks, i + 2, size(pks)), y -> " +
+          "struct(x AS part_a, y AS part_b))))")).as("p"))
+      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
       .agg(count(lit(1)).as("n_ab"))
-    val singles = items.groupBy(col("pk")).agg(count(lit(1)).as("n"))
-    val tot = items.agg(countDistinct(col("ok")).as("n_orders"))
+    val singles = baskets.select(explode(col("pks")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    val tot = baskets.agg(count(lit(1)).as("n_orders"))
     pairs
       .join(singles.select(col("pk").as("part_a"), col("n").as("n_a")), "part_a")
       .join(singles.select(col("pk").as("part_b"), col("n").as("n_b")), "part_b")

@@ -146,13 +146,17 @@ object TextQueries {
   }
 
   /** Exact 3-gram Jaccard near-dup pairs (threshold 0.5) on a
-    * deterministic 1-in-5 doc sample, hot shingles capped at df≤100.
-    * The oracle rebuilds the identical pipeline in SQL. */
+    * deterministic 1-in-2 doc sample, hot shingles capped at df≤100.
+    * The oracle rebuilds the identical pipeline in SQL. (The sample was
+    * 1-in-5 through r3, which left only 1/25 of dup pairs eligible and
+    * made the sf0.01 gate vacuously pass on 0 rows — r3 verdict item 6;
+    * 1-in-2 yields rows at sf0.01 while still exercising the sampled
+    * path.) */
   val q28JaccardPairs = Q(
     "q28_jaccard_pairs",
     """WITH docs AS (
       |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
-      |  FROM documents WHERE doc_id % 5 = 0),
+      |  FROM documents WHERE doc_id % 2 = 0),
       |sh AS (
       |  SELECT DISTINCT doc_id, s FROM docs,
       |    unnest(list_transform(range(1, len(t) - 1),
@@ -172,7 +176,7 @@ object TextQueries {
       |JOIN sizes sb ON sb.doc_id = id_b
       |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
-    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)
     Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 100)
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -194,7 +198,7 @@ object TextQueries {
     }.mkString(" UNION ALL ")
     s"""docs AS (
        |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
-       |  FROM documents WHERE doc_id % 5 = 0),
+       |  FROM documents WHERE doc_id % 2 = 0),
        |sh AS (
        |  SELECT DISTINCT doc_id, s FROM docs,
        |    unnest(list_transform(range(1, len(t) - 1),
@@ -225,7 +229,7 @@ object TextQueries {
   val q29MinhashPairs = Q(
     "q29_minhash_pairs",
     minhashOracle(bands = 16, rowsPerBand = 4, threshold = 0.5)) { (spark, dir) =>
-    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)
     Dedup.minhashLshPairs(docs, "doc_id", "text",
         n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
@@ -594,7 +598,7 @@ object TextQueries {
     * XXH64 codegen loop is the fast path; its oracle-checked twin over
     * the portable hash is q60. */
   val q30SimhashPairs = Q.noOracle("q30_simhash_pairs") { (spark, dir) =>
-    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)
     Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -608,7 +612,7 @@ object TextQueries {
       s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
     s"""WITH docs AS (
        |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
-       |  FROM documents WHERE doc_id % 5 = 0),
+       |  FROM documents WHERE doc_id % 2 = 0),
        |tk AS (
        |  SELECT doc_id, ('0x' || substr(md5(u.tok), 1, 15))::BIGINT AS x
        |  FROM docs, unnest(t) AS u(tok)),
@@ -632,7 +636,7 @@ object TextQueries {
   val q60SimhashPortable = Q(
     "q60_simhash_portable",
     simhashPortableOracle(maxHamming = 3)) { (spark, dir) =>
-    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)
     Dedup.simhashPairsPortable(docs, "doc_id", "text", maxHamming = 3)
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
       .orderBy(col("id_a"), col("id_b"))
@@ -1003,12 +1007,12 @@ object TextQueries {
          |comp AS (SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_kept
          |FROM documents
-         |WHERE doc_id % 5 = 0
+         |WHERE doc_id % 2 = 0
          |  AND doc_id NOT IN (SELECT node FROM comp WHERE node <> comp)
          |GROUP BY source
          |ORDER BY source""".stripMargin
     }) { (spark, dir) =>
-    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
         n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
       .select(col("id_a"), col("id_b"))

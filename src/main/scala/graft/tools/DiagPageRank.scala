@@ -6,9 +6,10 @@ import graft.operators.PageRank
 import graft.sources.Tables
 
 /** Phase-level timing for q76's PageRank (not part of the driver
-  * contract): edge construction vs the iterate loop (PageRank.run's
-  * eager checkpoints mean run() returns only after every round has
-  * executed) vs final sort+collect.
+  * contract): graph prepare (adjacency collapse + caches) vs each
+  * power-iteration round (checkpointed eagerly here so every round is
+  * individually timed) vs final sort+collect. Uses the production
+  * PageRank.prepare/round path.
   */
 object DiagPageRank {
   def main(args: Array[String]): Unit = {
@@ -28,47 +29,24 @@ object DiagPageRank {
       r
     }
 
+    import spark.implicits._
     val pairs = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("date"))
       .join(Tables.lineitem(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey"), col("l_suppkey"))
+      .select((col("o_custkey") * 2).as("cn"), (col("l_suppkey") * 2 + 1).as("sn"))
       .distinct()
-      .select(concat(lit("c"), col("o_custkey").cast("string")).as("cn"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("sn"))
+      .cache()
+    time("pairs materialize")(println(s"  pairs=${pairs.count()}"))
     val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
       .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst")))
-      .cache()
-    time("edges materialize")(println(s"  edges=${edges.count()}"))
-    import spark.implicits._
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-    val adj = edges.join(deg, "src")
-      .withColumn("salt",
-        pmod(hash($"dst"), greatest(ceil($"deg" / 65536), lit(1))).cast("int"))
-      .groupBy($"src", $"salt")
-      .agg(collect_list($"dst").as("dsts"), first($"deg").as("deg"))
-      .drop("salt")
-      .repartition($"src")
-      .cache()
-    time("adj materialize")(println(s"  adj=${adj.count()}"))
-    val nNodes = adj.select($"src").distinct()
-      .agg(count(lit(1)).cast("double").as("n_nodes"))
-    val nodes = adj.select($"src".as("node")).distinct()
-      .join(broadcast(nNodes))
-      .cache()
-    time("nodes materialize")(println(s"  nodes=${nodes.count()}"))
-    var ranks = time("round 0")(nodes.select($"node", (lit(1.0) / $"n_nodes").as("pr"))
-      .localCheckpoint(true))
+
+    val g = time("prepare (adj+nodes+count)")(PageRank.prepare(edges))
+    println(s"  nNodes=${g.nNodes}")
+    var ranks = time("round 0 (init ckpt)")(
+      g.nodes.select($"node", (lit(1.0) / $"n_nodes").as("pr")).localCheckpoint(true))
     for (k <- 1 to 8) {
-      ranks = time(s"round $k") {
-        val inbound = adj.join(ranks, adj("src") === ranks("node"))
-          .select(explode($"dsts").as("dst"), ($"pr" / $"deg").as("w"))
-          .groupBy($"dst")
-          .agg(sum($"w").as("mass"))
-        nodes
-          .join(inbound, nodes("node") === inbound("dst"), "left")
-          .select($"node",
-            (lit(0.15) / $"n_nodes" + lit(0.85) * coalesce($"mass", lit(0.0))).as("pr"))
-          .localCheckpoint(true)
-      }
+      ranks = time(s"round $k")(
+        PageRank.round(g, ranks, 0.85, lit(0.15) / $"n_nodes").localCheckpoint(true))
     }
     time("final orderBy+collect")(println(s"  out=${ranks.orderBy(col("node")).collect().length}"))
     spark.stop()

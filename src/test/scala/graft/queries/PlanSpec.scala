@@ -218,6 +218,115 @@ class PlanSpec extends SparkSpec {
       "unneeded columns read:\n" + readSchema)
   }
 
+  // Walk the physical plan WITHOUT descending into InMemoryRelation's
+  // stored child plan (its build-time joins would pollute node counts),
+  // but DO descend through AQE wrappers and materialized query stages.
+  private def flatNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: flatNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: flatNodes(q.plan)
+    case _ => p +: p.children.flatMap(flatNodes)
+  }
+
+  test("PageRank round never sorts or re-exchanges the adjacency (r3 fix)") {
+    // Reproduce the production shape exactly: ranks arrive as a
+    // localCheckpoint'd LogicalRDD whose size statistics are unknown
+    // (= maximum) — the configuration that made a stats-driven planner
+    // pick SortMergeJoin and re-sort the cached adjacency every round.
+    // The hint pins it: two BroadcastHashJoins, no SortMergeJoin, and
+    // the only shuffle is the rank-sized gather on `dst`.
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions._
+    import graft.operators.PageRank
+    val edges = spark.range(3000)
+      .select((col("id") % 500).as("src"), ((col("id") * 7) % 500).as("dst"))
+    val g = PageRank.prepare(edges)
+    val ranks = g.nodes.select(col("node"), (lit(1.0) / col("n_nodes")).as("pr"))
+      .localCheckpoint(true)
+    val nodes = flatNodes(PageRank.round(g, ranks, 0.85, lit(0.15) / col("n_nodes"))
+      .queryExecution.executedPlan)
+    val render = nodes.map(_.nodeName).mkString("\n")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "round degraded to SMJ:\n" + render)
+    assert(nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) === 2,
+      "node-sized sides not broadcast:\n" + render)
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles <= 1,
+      s"round should shuffle once (rank-sized gather), found $shuffles:\n$render")
+    g.adj.unpersist(true); g.nodes.unpersist(true)
+  }
+
+  test("PageRank above the broadcast limit falls back to shuffled-hash, still unsorted") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.functions._
+    import graft.operators.PageRank
+    val edges = spark.range(3000)
+      .select((col("id") % 500).as("src"), ((col("id") * 7) % 500).as("dst"))
+    val g = PageRank.prepare(edges, broadcastNodeLimit = 10)
+    val ranks = g.nodes.select(col("node"), (lit(1.0) / col("n_nodes")).as("pr"))
+      .localCheckpoint(true)
+    val nodes = flatNodes(PageRank.round(g, ranks, 0.85, lit(0.15) / col("n_nodes"))
+      .queryExecution.executedPlan)
+    val render = nodes.map(_.nodeName).mkString("\n")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "big-graph round degraded to SMJ:\n" + render)
+    assert(nodes.exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      "shuffle_hash fallback not applied:\n" + render)
+    g.adj.unpersist(true); g.nodes.unpersist(true)
+  }
+
+  test("incremental dedup: bucketed reference band index joins with zero Exchange on the reference side") {
+    // The q94 scale claim, proven: materialize the reference corpus's
+    // band index bucketed by (band, bkey), then join a delta against
+    // it — the candidate join must read the index in bucket layout
+    // with NO shuffle under the reference side, so a daily batch costs
+    // O(delta), never O(corpus).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    import graft.sources.{Sinks, Tables}
+    val docs = Tables.documents(spark, sfDir)
+    val refIdx = Dedup.minhashBandIndex(
+      docs.filter(col("doc_id") % 10 < 8), "doc_id", "text", n = 3,
+      bands = 16, rowsPerBand = 4)
+    Sinks.writeBucketed(refIdx, "ref_band_idx", nBuckets = 4,
+      bucketCols = Seq("band", "bkey"), sortCols = Seq("band", "bkey"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Dedup.minhashCrossCorpusDupsAgainstIndex(
+        docs.filter(col("doc_id") % 10 >= 8), spark.table("ref_band_idx"),
+        "doc_id", "text", n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      // the DEEPEST join containing the index scan is the candidate
+      // band join (ancestors — the final left join — also contain it)
+      val candJoin = flatNodes(joined.queryExecution.executedPlan)
+        .collect {
+          case j: BaseJoinExec if flatNodes(j).exists {
+            case s: FileSourceScanExec => s.relation.location.rootPaths
+              .exists(_.toString.contains("ref_band_idx"))
+            case _ => false
+          } => j
+        }.lastOption
+      assert(candJoin.nonEmpty, "candidate join over the index not found")
+      val refSide = candJoin.get.children.find(c => flatNodes(c).exists {
+        case s: FileSourceScanExec => s.relation.location.rootPaths
+          .exists(_.toString.contains("ref_band_idx"))
+        case _ => false
+      })
+      assert(refSide.nonEmpty)
+      assert(!flatNodes(refSide.get).exists(_.isInstanceOf[ShuffleExchangeExec]),
+        "reference side of the delta join shuffles — bucketing not used:\n" +
+          refSide.get.toString)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS ref_band_idx")
+    }
+  }
+
   test("q93 PQ encode+ADC is one joinless narrow pass + top-k") {
     val p = plan(VectorQueries.q93PqAnn)
     assert(p.contains("TakeOrderedAndProject"), "top-k degraded to full sort:\n" + p)

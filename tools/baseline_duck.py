@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Driver-baseline denominator (r3 verdict, missing item 1).
+
+BASELINE.md defines the perf contract as "within 2x of the driver
+baseline" but no baseline figure existed in any artifact. This script
+produces one: it times the DuckDB oracle side of every registered query
+(the same SQL the correctness gate runs) on the same parquet tables, and
+persists BASELINE_duck.json so every future bench discussion has a
+denominator.
+
+Usage:
+    python3 tools/baseline_duck.py <sfDir> <oracle_sql.json> [reps] [out]
+
+oracle_sql.json comes from a graft.Verify run (Verify dumps it even when
+its query filter matches nothing:
+    sbt "runMain graft.Verify /root/testdata/sf0.1 /tmp/v zzz").
+
+Reps are interleaved across queries (rep 1 of every query, then rep 2)
+for the same contention-proofing the Scala bench uses; the JSON records
+min + per-rep times. Queries with no oracle (rows-only) are absent from
+the output by construction.
+"""
+import sys, json, time
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main(sf_dir, oracle_path, reps=2, out="BASELINE_duck.json"):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(oracle_path))
+    names = sorted(oracle)
+    times = {n: [] for n in names}
+    errs = {}
+    # warm-up: touch every table once so cold file reads don't land on
+    # whichever query happens to scan a table first
+    for t in TABLES:
+        con.execute(f"SELECT count(*) FROM {t}").fetchall()
+    for r in range(reps):
+        for n in names:
+            if n in errs:
+                continue
+            t0 = time.time()
+            try:
+                con.execute(oracle[n]).fetchall()
+                times[n].append(time.time() - t0)
+            except Exception as e:
+                errs[n] = str(e)[:200]
+    queries = {n: min(ts) for n, ts in times.items() if ts}
+    result = {
+        "metric": "duckdb_oracle_total",
+        "value": sum(queries.values()),
+        "unit": "sec",
+        "sf": sf_dir,
+        "duckdb_version": duckdb.__version__,
+        "reps": {n: ts for n, ts in times.items() if ts},
+        "queries": queries,
+        "errors": errs,
+        "n_queries": len(queries),
+    }
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    print(json.dumps({"total_sec": result["value"], "n": len(queries),
+                      "errors": len(errs)}))
+    return 0
+
+if __name__ == "__main__":
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    out = sys.argv[4] if len(sys.argv) > 4 else "BASELINE_duck.json"
+    sys.exit(main(sys.argv[1], sys.argv[2], reps, out))
