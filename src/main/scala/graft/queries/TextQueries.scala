@@ -1420,6 +1420,65 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Gopher-style quality rule battery (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", §A1.1): the canonical pretraining
+    * heuristics — word-count bounds, mean-word-length bounds,
+    * alphabetic-word fraction, minimum stopword hits — each reported as
+    * a per-source FAIL count plus the all-rules pass count, the
+    * accounting view a pipeline uses to tune thresholds before
+    * filtering. One narrow projection computes every per-doc metric from
+    * a single tokenization (the q25 lesson: materialize `toks` once or
+    * codegen re-inlines the regex split into each consumer), then one
+    * hash aggregate by source; no joins, no second scan — at 100 TB this
+    * is a map-side-combined single-shuffle shape like q24/q25. Rules
+    * that never fire on this synthetic corpus (mean word length, alpha
+    * fraction) still verify their computation through `avg_mwl` and the
+    * pass count. */
+  val q114GopherRules = Q(
+    "q114_gopher_rules",
+    """WITH t AS (
+      |  SELECT source, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      |m AS (
+      |  SELECT source, len(toks) AS wc,
+      |    list_avg(list_transform(toks, x -> length(x))) AS mwl,
+      |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+      |      / len(toks) AS alpha_frac,
+      |    len(list_filter(toks, x -> list_contains(['the','of','and','to','in'], x)))
+      |      AS stop_hits
+      |  FROM t)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(*) FILTER (wc < 30 OR wc > 5000) AS BIGINT) AS f_wordcount,
+      |  CAST(count(*) FILTER (mwl < 3 OR mwl > 10) AS BIGINT) AS f_meanwordlen,
+      |  CAST(count(*) FILTER (alpha_frac < 0.9) AS BIGINT) AS f_alpha,
+      |  CAST(count(*) FILTER (stop_hits < 2) AS BIGINT) AS f_stopword,
+      |  CAST(count(*) FILTER (wc BETWEEN 30 AND 5000 AND mwl BETWEEN 3 AND 10
+      |       AND alpha_frac >= 0.9 AND stop_hits >= 2) AS BIGINT) AS n_pass,
+      |  round(avg(mwl), 4) AS avg_mwl
+      |FROM m GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    val gopherStops = Seq("the", "of", "and", "to", "in")
+    val m = Tables.documents(spark, dir)
+      .select(col("source"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("source"),
+        size(col("toks")).as("wc"),
+        (aggregate(transform(col("toks"), t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x).cast("double") / size(col("toks"))).as("mwl"),
+        (size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double") /
+          size(col("toks"))).as("alpha_frac"),
+        TextFns.markerHits(col("toks"), gopherStops).as("stop_hits"))
+    def failCount(cond: org.apache.spark.sql.Column) =
+      sum(when(cond, 1L).otherwise(0L))
+    m.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        failCount(col("wc") < 30 || col("wc") > 5000).as("f_wordcount"),
+        failCount(col("mwl") < 3 || col("mwl") > 10).as("f_meanwordlen"),
+        failCount(col("alpha_frac") < 0.9).as("f_alpha"),
+        failCount(col("stop_hits") < 2).as("f_stopword"),
+        failCount(col("wc").between(30, 5000) && col("mwl").between(3, 10)
+          && col("alpha_frac") >= 0.9 && col("stop_hits") >= 2).as("n_pass"),
+        round(avg(col("mwl")), 4).as("avg_mwl"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -1428,5 +1487,5 @@ object TextQueries {
     q77StratifiedSample, q78EditDistancePairs, q81ClassifierScores, q83DupSpanCoverage,
     q84WeightedSample, q85TfidfCosinePairs, q94CrossCorpusDedup, q95ChunkDocuments,
     q96CountMinFreqs, q98TokenRuns, q100NegativeSamples, q101PmiPhrases,
-    q108SkipgramPairs, q113MixtureSample)
+    q108SkipgramPairs, q113MixtureSample, q114GopherRules)
 }
