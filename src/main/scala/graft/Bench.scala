@@ -44,6 +44,14 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       times(name) = times.getOrElse(name, Nil) :+ dt
+      // UNTIMED inter-query hygiene: drop any cache a query leaked past
+      // its end and nudge the ContextCleaner to reap dereferenced
+      // checkpoint/broadcast blocks. Without this, a 113-query session
+      // accumulates pinned memory that inflates later entries' GC time —
+      // each timed run should start from the same no-pinned-state
+      // baseline it would see in isolation.
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      System.gc()
     }
     val results = ordered.map { case (name, _) => name -> times(name) }
     val qs = results.map { case (k, ts) => "\"" + k + "\":" + ts.min }

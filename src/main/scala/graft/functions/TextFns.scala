@@ -34,6 +34,24 @@ object TextFns {
   /** Distinct shingle set — the input to Jaccard/MinHash dedup. */
   def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(tokens(text), n))
 
+  /** Shingle start positions (1-based), for the codegen-narrow shingle
+    * shape: `explode(shinglePositions(toks, n))` then
+    * [[shingleAt]]`(toks, pos, n)` per row. [[shingles]] builds the
+    * array with a `transform` HOF, which falls out of whole-stage
+    * codegen into interpreted eval (~10× slower per element, measured
+    * in tools/DiagSpan2); the exploded-positions form keeps every
+    * expression codegen'd. Use when the shingles feed a row stream
+    * anyway; keep [[shingles]]/[[shingleSet]] when an in-row array (or
+    * in-row `array_distinct`) is the point. */
+  def shinglePositions(toks: Column, n: Int): Column =
+    when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+
+  /** The shingle starting at 1-based position `pos` — a plain row-level
+    * concat over `element_at`, whole-stage-codegen friendly. */
+  def shingleAt(toks: Column, pos: Column, n: Int): Column =
+    concat_ws(" ", (0 until n).map(o => element_at(toks, pos + o)): _*)
+
   /** Ratio of punctuation characters to total characters. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, 0.0)

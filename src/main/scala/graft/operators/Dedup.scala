@@ -47,20 +47,32 @@ object Dedup {
     */
   /** Shingle-set exploded view: (id, sh) one row per distinct shingle.
     *
-    * Two staging decisions that matter at any scale:
+    * Staging decisions that matter at any scale:
     *  - tokens are materialized as a column BEFORE shingling — composing
     *    shingles(split(text)) as one expression inlines the regex split
     *    into every element_at (3 splits per shingle ⇒ O(tokens²) regex
     *    work per doc; observed 40-120s stalls at sf0.1);
     *  - repartition by id before the ~100× explode fan-out — the
     *    explosion must happen AFTER spreading rows across cores/executors,
-    *    not on however few partitions the scan produced.
+    *    not on however few partitions the scan produced;
+    *  - shingles are generated codegen-narrow (explode positions, build
+    *    each shingle with row-level `element_at` concat — see
+    *    TextFns.shinglePositions) instead of an in-row
+    *    `array_distinct(transform(...))`: higher-order functions run
+    *    interpreted, ~10× slower per element (tools/DiagSpan2). The
+    *    per-doc dedup the array_distinct provided becomes a
+    *    `groupBy(id, sh)` — EXCHANGE-FREE, because hash(id) from the
+    *    repartition above already clusters (id, sh), and the agg output
+    *    keeps that same partitioning for downstream per-id consumers.
     */
   private def shingleView(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
       .repartition(col(idCol))
       .select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("toks"))
-      .select(col("id"), explode(array_distinct(TextFns.shingles(col("toks"), n))).as("sh"))
+      .select(col("id"), col("toks"),
+        explode(TextFns.shinglePositions(col("toks"), n)).as("i"))
+      .select(col("id"), TextFns.shingleAt(col("toks"), col("i"), n).as("sh"))
+      .dropDuplicates(Seq("id", "sh"))
 
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Int): DataFrame = {
@@ -128,9 +140,16 @@ object Dedup {
     * least twice in the corpus.
     *
     * Plan shape:
-    *  - per doc, ALL span hashes are produced inside one row (a
-    *    transform over the token array, md5 over the joined slice) and
-    *    posexploded — tokens are never re-split per span;
+    *  - span hashes are generated CODEGEN-NARROW: explode the span
+    *    START POSITIONS (a sequence), then hash `slice(toks, pos, k)`
+    *    as a row-level expression. An earlier form built the hash array
+    *    with a `transform` HOF inside one row; higher-order functions
+    *    fall out of whole-stage codegen into interpreted eval, and the
+    *    measured cost was ~25µs/span vs ~2µs for the codegen'd
+    *    explode+slice shape (10-15× on the same data, tools/DiagSpan2).
+    *    Tokens are split once per doc either way; the exploded rows
+    *    carry (id, pos, hash) only — the token array never crosses the
+    *    shuffle;
     *  - the duplicate test is count-over-window ON the hash layout, not
     *    a groupBy+self-join: a join would need the span pipeline twice
     *    (column pruning diverges the two subtrees, so ReuseExchange
@@ -152,18 +171,19 @@ object Dedup {
       // the size guard lives INSIDE the expression (not just a separate
       // row filter): optimizer rules may evaluate the projection on rows
       // a sibling filter would drop (e.g. ConvertToLocalRelation), and
-      // sequence(1, 0) descends into slice(toks, 0, _) — an error
+      // sequence(1, n) with n ≤ 0 yields a DESCENDING sequence — bogus
+      // out-of-range span positions, not an empty list
+      .select(col("id"), col("toks"),
+        explode(when(size(col("toks")) >= k,
+          sequence(lit(1), size(col("toks")) - (k - 1)))
+          .otherwise(array())).as("s"))
       // xxhash64, not md5: the hash never leaves this operator (the
       // duplicate test is hash-equality; the oracle derives its own spans),
       // so an 8-byte codegen'd long beats a 32-char digest string — the
       // h-partitioned count window below shuffles and sorts ~(tokens−k+1)
       // rows per doc, and the key is most of each row
-      .select(col("id"), when(size(col("toks")) >= k, transform(
-        sequence(lit(1), size(col("toks")) - (k - 1)),
-        i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(k))))))
-        .otherwise(array()).as("hs"))
-      .select(col("id"), posexplode(col("hs")))
-      .select(col("id"), (col("pos") + 1).as("s"), (col("pos") + k).as("e"), col("col").as("h"))
+      .select(col("id"), col("s"), (col("s") + (k - 1)).as("e"),
+        xxhash64(concat_ws(" ", slice(col("toks"), col("s"), lit(k)))).as("h"))
     val ds = sp
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("n") >= 2)

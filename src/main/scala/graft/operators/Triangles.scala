@@ -42,7 +42,14 @@ object Triangles {
         when($"ka" < $"kb", $"a").otherwise($"b").as("src"),
         when($"ka" < $"kb", $"b").otherwise($"a").as("dst"),
         when($"ka" < $"kb", $"kb").otherwise($"ka").as("kdst"))
-      .cache() // consumed three times: two wedge sides + the closing probe
+      // consumed three times (two wedge sides + the closing probe), so
+      // materialize once — as an eager localCheckpoint, NOT cache():
+      // the operator returns a lazy plan over this relation, so it can
+      // never unpersist it itself, and a cache() entry stays pinned in
+      // CacheManager for the session's lifetime (a leak per call in a
+      // long-lived service). Checkpoint blocks are reference-tracked
+      // and reclaimed by ContextCleaner once the result is dropped.
+      .localCheckpoint(true)
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.kdst") < col("e2.kdst"))
       .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))

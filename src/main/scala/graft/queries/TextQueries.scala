@@ -928,8 +928,14 @@ object TextQueries {
       // split into every element_at is O(tokens²) regex work per doc
       // (see Dedup.shingleView)
       .select(col("doc_id"), col("source"), TextFns.tokens(col("text")).as("toks"))
+      // codegen-narrow shingling + exchange-free per-doc distinct (the
+      // repartition(doc_id) above clusters (doc_id, s) already — see
+      // Dedup.shingleView)
+      .select(col("doc_id"), col("source"), col("toks"),
+        explode(TextFns.shinglePositions(col("toks"), 3)).as("i"))
       .select(col("doc_id"), col("source"),
-        explode(array_distinct(TextFns.shingles(col("toks"), 3))).as("s"))
+        TextFns.shingleAt(col("toks"), col("i"), 3).as("s"))
+      .dropDuplicates(Seq("doc_id", "s"))
     val bench = sh.filter(col("doc_id") % 97 === 0).select(col("s")).distinct()
     val flagged = sh.filter(col("doc_id") % 97 =!= 0)
       .join(bench, "s")
@@ -1115,8 +1121,12 @@ object TextQueries {
       // tokens as their own projection BEFORE shingling (see
       // Dedup.shingleView: inlined split is O(tokens²) per doc)
       .select(col("doc_id"), col("source"), TextFns.tokens(col("text")).as("toks"))
+      // codegen-narrow shingling: explode positions, concat per row
+      // (TextFns.shinglePositions scaladoc has the HOF-vs-codegen numbers)
+      .select(col("doc_id"), col("source"), col("toks"),
+        explode(TextFns.shinglePositions(col("toks"), 3)).as("i"))
       .select(col("doc_id"), col("source"),
-        explode(TextFns.shingles(col("toks"), 3)).as("s"))
+        TextFns.shingleAt(col("toks"), col("i"), 3).as("s"))
       .repartition(col("s"))
     val boiler = g.groupBy(col("s")).agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 5)
@@ -1390,7 +1400,10 @@ object TextQueries {
     val tf = docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(TextFns.shingles(col("toks"), 3)).as("t"))
+      // codegen-narrow shingling (see TextFns.shinglePositions)
+      .select(col("doc_id"), col("toks"),
+        explode(TextFns.shinglePositions(col("toks"), 3)).as("i"))
+      .select(col("doc_id"), TextFns.shingleAt(col("toks"), col("i"), 3).as("t"))
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
     val vocab = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 100))

@@ -183,10 +183,15 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("text"), "text read for URL analytics:\n" + readSchema)
   }
 
-  test("q83 span pipeline is computed once (single posexplode)") {
+  test("q83 span pipeline is computed once (single explode) and codegen-narrow") {
     val p = plan(TextQueries.q83DupSpanCoverage)
-    assert("posexplode".r.findAllIn(p).length === 1,
+    assert("Generate explode".r.findAllIn(p).length === 1,
       "span pipeline duplicated — ReuseExchange regression:\n" + p)
+    // the span hash must be a row-level expression after the explode,
+    // not a transform HOF before it (HOFs run interpreted — 10× slower,
+    // see Dedup.duplicatedSpanCoverage / tools/DiagSpan2)
+    assert(!p.contains("lambdafunction"),
+      "span hashing regressed to an interpreted higher-order function:\n" + p)
   }
 
   test("q25 quality scan reads only the 2 needed document columns") {
