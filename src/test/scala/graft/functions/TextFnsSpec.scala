@@ -21,6 +21,28 @@ class TextFnsSpec extends SparkSpec {
     assert(got(2) === Seq.empty)
   }
 
+  test("shinglePositions+shingleAt (codegen shape) ≡ shingles (HOF shape)") {
+    val texts = Seq("a b c d e f", "a b", "", "x y z", "one two three four")
+    for (n <- Seq(2, 3, 4)) {
+      val hof = texts.toDF("t")
+        .select(TextFns.shingles(TextFns.tokens(col("t")), n).as("s"))
+        .as[Seq[String]].collect().toSeq
+      val narrow = texts.toDF("t")
+        .select(TextFns.tokens(col("t")).as("toks"))
+        .select(col("toks"),
+          explode_outer(TextFns.shinglePositions(col("toks"), n)).as("i"))
+        .select(when(col("i").isNotNull,
+          TextFns.shingleAt(col("toks"), col("i"), n)).as("sh"))
+        .as[Option[String]].collect().toSeq
+      // every HOF shingle appears, in order, in the exploded stream
+      assert(narrow.flatten === hof.flatten, s"n=$n")
+      // short/empty docs contribute a single null row, no garbage
+      // shingles (split("") yields [""] — one token, still < n)
+      assert(narrow.count(_.isEmpty) ===
+        texts.count(_.split("\\s+").length < n), s"n=$n nulls")
+    }
+  }
+
   test("punctRatio and stopwordRatio") {
     val df = Seq("the cat, the hat!").toDF("t")
     val (p, s) = df.select(
