@@ -77,10 +77,18 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Int): DataFrame = {
     val sh = shingleView(docs, idCol, textCol, n)
-    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq && col("df") >= 2)
-    val shRare = sh.join(rare.select("sh"), Seq("sh"))
+    // sizes branches off the id-partitioned view (exchange-free agg);
+    // every OTHER consumer needs the sh layout, so repartition by sh
+    // ONCE and let ReuseExchange feed the df-count and both self-join
+    // sides from the same corpus exchange — without it the physical
+    // plan replicates the whole scan→shingle→dedup pipeline per
+    // consumer (5× corpus scans at any scale; seen in .explain, same
+    // lesson as q29's banded self-join)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val shBySh = sh.repartition(col("sh"))
+    val rare = shBySh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq && col("df") >= 2)
+    val shRare = shBySh.join(rare.select("sh"), Seq("sh"))
     val inter = shRare.as("a").join(shRare.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -110,10 +118,12 @@ object Dedup {
     */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, maxDist: Int, maxDocFreq: Int, minShared: Int = 3): DataFrame = {
-    val sh = shingleView(docs, idCol, textCol, n)
-    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // one sh-layout exchange shared by the df count and both self-join
+    // sides (ReuseExchange) — see jaccardPairs
+    val shBySh = shingleView(docs, idCol, textCol, n).repartition(col("sh"))
+    val rare = shBySh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq && col("df") >= 2)
-    val shRare = sh.join(rare.select("sh"), Seq("sh"))
+    val shRare = shBySh.join(rare.select("sh"), Seq("sh"))
     // minShared cuts the candidate set ~100×: two RANDOM docs often share
     // one "rare" shingle, but a true near-dup within maxDist edits keeps
     // all but O(maxDist) of its shingles, so demanding a few shared ones

@@ -194,6 +194,19 @@ class PlanSpec extends SparkSpec {
       "span hashing regressed to an interpreted higher-order function:\n" + p)
   }
 
+  test("q28 shingle pipeline is shared: the sh-layout exchange is reused at runtime") {
+    // jaccardPairs repartitions the shingle view by sh ONCE so the
+    // df-count and both self-join sides consume the same exchange;
+    // without it the scan→shingle→dedup pipeline replicates per
+    // consumer (5× corpus scans). AQE materializes the reuse, so drive
+    // THIS df's QueryExecution and inspect the final plan.
+    val df = TextQueries.q28JaccardPairs.run(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      "shingle exchange not reused — pipeline replicated per consumer:\n" + p)
+  }
+
   test("q25 quality scan reads only the 2 needed document columns") {
     val p = plan(TextQueries.q25QualityFilter)
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
