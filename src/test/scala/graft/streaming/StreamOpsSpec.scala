@@ -156,6 +156,32 @@ class StreamOpsSpec extends SparkSpec {
       === batch.orderBy("doc_id").collect().toSeq)
   }
 
+  test("q114's Gopher rule metrics run unchanged on a stream (per-doc parity)") {
+    // the quality-rule battery is a stateless narrow projection, so the
+    // per-doc metrics must be identical batch vs stream — the per-source
+    // rollup then composes on either side (here asserted at doc grain,
+    // the stronger check)
+    import org.apache.spark.sql.functions.{aggregate => hofAggregate, _}
+    val dir = java.nio.file.Files.createTempDirectory("stream-gopher").toString
+    graft.sources.Tables.documents(spark, sfDir).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    def metrics(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("wc"),
+        (hofAggregate(transform(col("toks"), t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x).cast("double") / size(col("toks"))).as("mwl"),
+        graft.functions.TextFns.markerHits(col("toks"),
+          Seq("the", "of", "and", "to", "in")).as("stop_hits"))
+    val streamed = StreamOps.runToMemory(spark,
+      metrics(StreamOps.parquetStream(spark, schema, dir)), "gopher_test",
+      outputMode = "append")
+    val batch = metrics(spark.read.parquet(dir))
+    assert(streamed.orderBy("doc_id").collect().toSeq
+      === batch.orderBy("doc_id").collect().toSeq)
+  }
+
   test("streaming count-min sketch is bit-identical to the batch sketch") {
     import graft.operators.Dedup
     import graft.functions.CountMin
