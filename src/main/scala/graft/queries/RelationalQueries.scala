@@ -1025,14 +1025,16 @@ object RelationalQueries {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy(col("ok"))
       .agg(sort_array(array_distinct(collect_list(col("pk")))).as("pks"))
-    // C(n,2) pairs generated narrowly per basket: for element i, pair it
-    // with every later element (arrays are sorted, so part_a < part_b)
+    // C(n,2) pairs generated narrowly per basket: posexplode the basket,
+    // then pair element i with every later element via a second explode
+    // of slice(pks, i+2, …) — arrays are sorted, so part_a < part_b.
+    // Two codegen'd Generate nodes, not a nested transform HOF (HOFs run
+    // interpreted, ~10× slower per element — TextFns.shinglePositions)
     val pairs = baskets
-      .select(explode(expr(
-        "flatten(transform(pks, (x, i) -> " +
-          "transform(slice(pks, i + 2, size(pks)), y -> " +
-          "struct(x AS part_a, y AS part_b))))")).as("p"))
-      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      .select(col("pks"), posexplode(col("pks")).as(Seq("i", "part_a")))
+      .select(col("part_a"),
+        explode(slice(col("pks"), col("i") + 2, size(col("pks")))).as("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_ab"))
     val singles = baskets.select(explode(col("pks")).as("pk"))
       .groupBy(col("pk")).agg(count(lit(1)).as("n"))
