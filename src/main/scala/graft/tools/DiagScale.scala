@@ -70,9 +70,9 @@ object DiagScale {
     // (operator label, k → row-producing DataFrame) — mirrors the
     // registered heavy queries' parameters exactly
     def ops(docs: DataFrame, emb: DataFrame): Seq[(String, () => Long)] = {
-      def nearDupEdges() = {
+      def nearDupEdgesWith(bits: Int) = {
         val banded = emb.select(col("vec_id"), col("embedding"),
-            posexplode(VectorFns.lshBandKeys(col("embedding"), 64, 4, 10))
+            posexplode(VectorFns.lshBandKeys(col("embedding"), 64, 4, bits))
               .as(Seq("band", "bkey")))
           .repartition(col("band"), col("bkey"))
         banded.as("a").join(banded.as("b"),
@@ -85,6 +85,22 @@ object DiagScale {
             round(VectorFns.cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
           .filter(col("cos_sim") >= 0.2)
       }
+      // the registered q34's shape: bits pinned at 10 (the oracle SQL
+      // is static) — candidate pairs per bucket grow quadratically once
+      // the corpus outgrows the bucket count, which is exactly what the
+      // fixed-bits probe shows at k=8
+      def nearDupEdges() = nearDupEdgesWith(10)
+      // the 100 TB shape: bits derived from the corpus size
+      // (VectorFns.bitsForCorpus), holding expected bucket occupancy
+      // constant so candidates stay linear — the documented scaling
+      // lever, measured here instead of claimed
+      def nearDupEdgesAdaptive() = {
+        // targetBucket=4 so the bit count actually moves across the
+        // probe's 2k→16k range (the default 64 only starts growing past
+        // 65k vectors): 2k→9 bits, 16k→12 bits, ~4 vectors/bucket held
+        val bits = VectorFns.bitsForCorpus(emb.count(), targetBucket = 4)
+        nearDupEdgesWith(bits)
+      }
       Seq(
         "q28_jaccard" -> (() =>
           Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5,
@@ -96,6 +112,10 @@ object DiagScale {
           Dedup.winnowFingerprints(docs, "doc_id", "text", w = 8, k = 4)
             .groupBy("id").count().count()),
         "q34_emb_pairs" -> (() => nearDupEdges().count()),
+        "q34_adaptive" -> (() => nearDupEdgesAdaptive().count()),
+        "q51_adaptive" -> (() =>
+          Dedup.connectedComponents(
+            nearDupEdgesAdaptive().select(col("id_a"), col("id_b"))).count()),
         "q51_components" -> (() =>
           Dedup.connectedComponents(
             nearDupEdges().select(col("id_a"), col("id_b"))).count()),
