@@ -207,6 +207,17 @@ class PlanSpec extends SparkSpec {
       "shingle exchange not reused — pipeline replicated per consumer:\n" + p)
   }
 
+  test("q29 banded self-join reuses the signature pipeline at runtime") {
+    // minhashLshPairs repartitions by the band key so both self-join
+    // sides are the identical exchange — the scan→shingle→signature
+    // pipeline must execute once, not per side
+    val df = TextQueries.q29MinhashPairs.run(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      "signature exchange not reused — pipeline runs per join side:\n" + p)
+  }
+
   test("q25 quality scan reads only the 2 needed document columns") {
     val p = plan(TextQueries.q25QualityFilter)
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
