@@ -77,15 +77,16 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Int): DataFrame = {
     val sh = shingleView(docs, idCol, textCol, n)
-    // sizes branches off the id-partitioned view (exchange-free agg);
-    // every OTHER consumer needs the sh layout, so repartition by sh
-    // ONCE and let ReuseExchange feed the df-count and both self-join
-    // sides from the same corpus exchange — without it the physical
-    // plan replicates the whole scan→shingle→dedup pipeline per
-    // consumer (5× corpus scans at any scale; seen in .explain, same
-    // lesson as q29's banded self-join)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    // repartition by sh ONCE and let ReuseExchange feed EVERY consumer
+    // — the df-count, both self-join sides, and the per-doc sizes —
+    // from the same corpus exchange. Without it the physical plan
+    // replicates the whole scan→shingle→dedup pipeline per consumer
+    // (5× corpus scans at any scale; seen in .explain, same lesson as
+    // q29's banded self-join). sizes pays an id-sized partials exchange
+    // on top of the shared layout, which at corpus scale is noise next
+    // to the second full scan+shingle pass it replaces.
     val shBySh = sh.repartition(col("sh"))
+    val sizes = shBySh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val rare = shBySh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq && col("df") >= 2)
     val shRare = shBySh.join(rare.select("sh"), Seq("sh"))
