@@ -49,6 +49,7 @@ object DiagPageRank {
         PageRank.round(g, ranks, 0.85, lit(0.15) / $"n_nodes").localCheckpoint(true))
     }
     time("final orderBy+collect")(println(s"  out=${ranks.orderBy(col("node")).collect().length}"))
+    g.release()
     spark.stop()
   }
 }

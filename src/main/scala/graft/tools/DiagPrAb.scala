@@ -31,7 +31,9 @@ object DiagPrAb {
 
     for (rep <- 1 to 3; ce <- Seq(1, 2, 4)) {
       val t0 = System.nanoTime()
-      PageRank.run(edges, 8, checkpointEvery = ce).count()
+      // localEdgeLimit = 0: this diagnostic A/Bs the DISTRIBUTED loop's
+      // checkpoint cadence, so the driver-local gate must not engage
+      PageRank.run(edges, 8, checkpointEvery = ce, localEdgeLimit = 0).count()
       println(f"[ab] rep $rep checkpointEvery=$ce ${(System.nanoTime() - t0) / 1e9}%7.2f s")
     }
     spark.stop()

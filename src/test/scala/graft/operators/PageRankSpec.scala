@@ -6,9 +6,48 @@ import org.apache.spark.sql.functions._
 class PageRankSpec extends SparkSpec {
   import spark.implicits._
 
-  private def ranks(edges: Seq[(String, String)], iters: Int = 20): Map[String, Double] =
-    PageRank.run(edges.toDF("src", "dst"), iters)
+  // localEdgeLimit = 0 forces the distributed loop; the default gate
+  // sends these tiny graphs down the driver-local path, so the semantic
+  // battery below runs against BOTH implementations
+  private def ranks(edges: Seq[(String, String)], iters: Int = 20,
+      localLimit: Long = PageRank.LocalEdgeLimit): Map[String, Double] =
+    PageRank.run(edges.toDF("src", "dst"), iters, localEdgeLimit = localLimit)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("local and distributed paths agree on every rank") {
+    val pairs = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a", "a" -> "c",
+      "e" -> "a", "e" -> "b")
+    val sym = pairs ++ pairs.map(_.swap)
+    val local = ranks(sym, iters = 8)
+    val dist = ranks(sym, iters = 8, localLimit = 0)
+    assert(local.keySet == dist.keySet)
+    local.keys.foreach(k => assert(math.abs(local(k) - dist(k)) < 1e-12,
+      s"node $k: local=${local(k)} dist=${dist(k)}"))
+  }
+
+  test("personalized paths agree and localize mass around the seed") {
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 1L -> 3L, 5L -> 4L)
+    val sym = pairs ++ pairs.map(_.swap)
+    def ppr(limit: Long): Map[Long, Double] =
+      PageRank.runPersonalized(sym.toDF("src", "dst"), 6, Seq(1L),
+          localEdgeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val local = ppr(PageRank.LocalEdgeLimit)
+    val dist = ppr(0)
+    assert(local.keySet == dist.keySet)
+    local.keys.foreach(k => assert(math.abs(local(k) - dist(k)) < 1e-12))
+    // teleport restarts only at the seed, so the seed dominates
+    assert(local(1L) == local.values.max)
+  }
+
+  test("the distributed loop passes the semantic battery too") {
+    val cycle = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a")
+    val r = ranks(cycle, localLimit = 0)
+    r.values.foreach(v => assert(math.abs(v - 0.25) < 1e-9))
+    val pairs = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a", "a" -> "c")
+    val sym = pairs ++ pairs.map(_.swap)
+    assert(math.abs(ranks(sym, localLimit = 0).values.sum - 1.0) < 1e-9)
+  }
 
   test("rank mass is conserved (sums to 1) on a symmetric graph") {
     val pairs = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a", "a" -> "c")
