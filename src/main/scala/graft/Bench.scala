@@ -38,12 +38,20 @@ object Bench {
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val times = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    // a failed rep records None, not its time-to-failure: a crash-fast
+    // regression must read as FAIL, not as a near-zero speedup
+    val times = scala.collection.mutable.LinkedHashMap[String, List[Option[Double]]]()
     for (r <- 1 to reps; (name, fn) <- ordered) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] FAIL rep $r $name: ${t.getClass.getSimpleName}: ${t.getMessage}")
+          false }
       val dt = (System.nanoTime() - t0) / 1e9
-      times(name) = times.getOrElse(name, Nil) :+ dt
+      times(name) = times.getOrElse(name, Nil) :+ (if (ok) Some(dt) else None)
+      // per-query progress to stderr: a stalled in-suite run then says
+      // exactly which query it was inside when the wall-clock vanished
+      System.err.println(f"[bench] rep $r $name ${dt}%.2f s${if (ok) "" else " FAIL"}")
       // UNTIMED inter-query hygiene: drop any cache a query leaked past
       // its end and nudge the ContextCleaner to reap dereferenced
       // checkpoint/broadcast blocks. Without this, a 113-query session
@@ -54,21 +62,36 @@ object Bench {
       System.gc()
     }
     val results = ordered.map { case (name, _) => name -> times(name) }
-    val qs = results.map { case (k, ts) => "\"" + k + "\":" + ts.min }
+    def minOk(ts: List[Option[Double]]): Option[Double] = {
+      val ok = ts.flatten
+      if (ok.isEmpty) None else Some(ok.min)
+    }
+    val qs = results.map { case (k, ts) =>
+      "\"" + k + "\":" + minOk(ts).fold("null")(_.toString) }
       .mkString("{", ",", "}")
     val repJson = results.map { case (k, ts) =>
-      "\"" + k + "\":" + ts.mkString("[", ",", "]") }
+      "\"" + k + "\":" + ts.map(_.fold("null")(_.toString)).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val total = results.map(_._2.min).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"sf":"$sfDir"}"""
+    val failed = results.collect { case (k, ts) if ts.exists(_.isEmpty) => k }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.flatMap(t => minOk(t._2)).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
-    // Durability: stdout has twice reached the driver truncated (BENCH_r01/r02
-    // "parsed": null). Also persist the line to a file so the measurement
-    // survives any pipe/tail handling.
+    // Durability: stdout has reached the driver truncated EVERY round so
+    // far (BENCH_r01..r04 "parsed": null — the capture keeps only a tail
+    // that starts mid-line). Two mitigations: persist the full line to a
+    // file, and print a SHORT summary line (total + the 10 slowest mins)
+    // LAST, so whatever tail the capture keeps ends with one complete
+    // parseable JSON object carrying the graded number.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    val top10 = results.flatMap { case (k, ts) => minOk(ts).map(k -> _) }
+      .sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top10,"n_queries":${results.size},"failed":$failedJson,"full":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }
