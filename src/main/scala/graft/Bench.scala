@@ -28,6 +28,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the suite has well over 100 whole-stage-codegen units, so the
+      // default 100-entry static codegen class cache thrashes: EVERY rep
+      // of EVERY query recompiles its generated code. Sizing the cache
+      // to hold the whole suite cut the full-suite sum-of-mins 26% at
+      // local[32] (measured A/B, tools/DiagBench) and removes the
+      // "slow in-suite, fast in isolation" anomaly class of r2-r4.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

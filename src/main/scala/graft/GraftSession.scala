@@ -21,6 +21,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf: the generated-class cache defaults to 100 entries,
+      // which a many-query analytics session overflows — each re-run
+      // then recompiles its whole-stage codegen (measured 26% of a
+      // 114-query suite's wall-clock; see Bench)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     registerFunctions(spark)
     registerAggregates(spark)
