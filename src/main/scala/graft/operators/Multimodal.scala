@@ -8,7 +8,8 @@ import org.apache.spark.sql.types._
   * binary columns with typed metadata).
   *
   * Decoding goes through the sealed [[ImageCodec]] seam: formats whose
-  * headers are parseable in pure JVM code (BMP, PNG) are REALLY parsed;
+  * headers are parseable in pure JVM code (BMP, PNG, JPEG, GIF) are
+  * REALLY parsed, and uncompressed 24bpp BMPs are REALLY resampled;
   * everything else falls through to [[StubCodec]], a deterministic fake
   * derived from the raw bytes (the container ships no pixel codecs).
   * Everything Spark-side is real and load-bearing either way: the
@@ -33,33 +34,96 @@ object Multimodal {
     def decode(bytes: Array[Byte]): Option[(Int, Int, String)]
   }
 
-  /** REAL decode path: BMP (BITMAPINFOHEADER) — 'BM' magic, int32-LE
-    * width at offset 18, height at 22 (negative height = top-down rows,
-    * dimension is the magnitude). Pure JVM, no codec library. */
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  /** DIB header sizes that store int32-LE dims at offsets 18/22:
+    * BITMAPINFOHEADER and its v2-v5 extensions. The OS/2
+    * BITMAPCOREHEADER (size 12) shares the 'BM' magic but stores
+    * uint16 dims at 18/20 — trusting 18/22 there decodes garbage. */
+  private val InfoHeaderSizes = Set(40, 52, 56, 108, 124)
+
+  /** REAL decode path: BMP — 'BM' magic, then dims per the DIB header
+    * variant at offset 14 (validated, not assumed): int32-LE at 18/22
+    * for the BITMAPINFOHEADER family (negative height = top-down rows,
+    * dimension is the magnitude), uint16-LE at 18/20 for the OS/2
+    * BITMAPCOREHEADER. Unknown DIB sizes fall through the chain. */
   case object BmpCodec extends ImageCodec {
     def decode(b: Array[Byte]): Option[(Int, Int, String)] = {
-      if (b == null || b.length < 26 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) None
-      else {
-        def le32(o: Int): Int =
-          (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
-            ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
-        Some((le32(18), math.abs(le32(22)), "bmp"))
+      if (b == null || b.length < 22 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) None
+      else le32(b, 14) match {
+        case 12 => Some((le16(b, 18), le16(b, 20), "bmp"))
+        case s if InfoHeaderSizes(s) && b.length >= 26 =>
+          Some((le32(b, 18), math.abs(le32(b, 22)), "bmp"))
+        case _ => None
       }
     }
   }
 
-  /** REAL decode path: PNG — 8-byte signature, IHDR width/height as
-    * int32-BE at offsets 16/20. Pure JVM, no codec library. */
+  /** REAL decode path: PNG — 8-byte signature AND an IHDR first-chunk
+    * tag (a payload with the signature but a different first chunk is
+    * rejected, not misparsed); width/height int32-BE at 16/20. */
   case object PngCodec extends ImageCodec {
     private val Sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    private val Ihdr = "IHDR".getBytes("US-ASCII")
     def decode(b: Array[Byte]): Option[(Int, Int, String)] = {
-      if (b == null || b.length < 24 || !Sig.indices.forall(i => b(i) == Sig(i))) None
+      if (b == null || b.length < 24 || !Sig.indices.forall(i => b(i) == Sig(i)) ||
+        !Ihdr.indices.forall(i => b(12 + i) == Ihdr(i))) None
+      else Some((be32(b, 16), be32(b, 20), "png"))
+    }
+  }
+
+  /** REAL decode path: JPEG — walk the marker stream from SOI to the
+    * first frame header (SOF0-SOF15, excluding the non-frame C4/C8/CC
+    * codes); height/width are the two uint16-BE after the segment's
+    * length+precision bytes. Truncated or malformed streams fall
+    * through the chain rather than decode garbage. */
+  case object JpegCodec extends ImageCodec {
+    def decode(b: Array[Byte]): Option[(Int, Int, String)] = {
+      if (b == null || b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) None
       else {
-        def be32(o: Int): Int =
-          ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
-            ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
-        Some((be32(16), be32(20), "png"))
+        var i = 2
+        var out: Option[(Int, Int, String)] = None
+        var broken = false
+        while (!broken && out.isEmpty && i + 3 < b.length) {
+          if ((b(i) & 0xff) != 0xff) broken = true
+          else {
+            val m = b(i + 1) & 0xff
+            // standalone markers (no length field): TEM, RSTn, fill byte
+            if (m == 0x01 || (m >= 0xd0 && m <= 0xd7) || m == 0xff) i += 2
+            else {
+              val len = be16(b, i + 2)
+              if (len < 2) broken = true
+              else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+                if (i + 8 < b.length)
+                  out = Some((be16(b, i + 7), be16(b, i + 5), "jpeg"))
+                else broken = true
+              } else i += 2 + len
+            }
+          }
+        }
+        out
       }
+    }
+  }
+
+  /** REAL decode path: GIF — 'GIF87a'/'GIF89a' magic, logical-screen
+    * width/height uint16-LE at bytes 6-9. */
+  case object GifCodec extends ImageCodec {
+    def decode(b: Array[Byte]): Option[(Int, Int, String)] = {
+      val magicOk = b != null && b.length >= 10 &&
+        b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte &&
+        b(3) == '8'.toByte && (b(4) == '7'.toByte || b(4) == '9'.toByte) &&
+        b(5) == 'a'.toByte
+      if (magicOk) Some((le16(b, 6), le16(b, 8), "gif")) else None
     }
   }
 
@@ -73,8 +137,10 @@ object Multimodal {
     }
   }
 
-  /** The default chain: real header parsers first, stub fallback last. */
-  val DefaultCodecs: Seq[ImageCodec] = Seq(BmpCodec, PngCodec, StubCodec)
+  /** The default chain: real header parsers first, stub fallback last.
+    * The stub now covers only genuinely codec-requiring payloads
+    * (video containers, WebP/AVIF, and non-image bytes). */
+  val DefaultCodecs: Seq[ImageCodec] = Seq(BmpCodec, PngCodec, JpegCodec, GifCodec, StubCodec)
 
   /** Attach decoded metadata to a binary payload column.
     *
@@ -110,11 +176,56 @@ object Multimodal {
       .withColumn("frame_offset", col("frame_idx") * everyNth)
       .drop("frame_idx")
 
-  /** Resize shape: payload → transformed payload + target-dimension
-    * meta. STUB transform (truncate to half length — deterministic on
-    * the input bytes); the real version swaps in a codec inside the
-    * same mapPartitions body. Output schema: input columns with the
-    * payload replaced and a `resized_meta` struct appended. */
+  /** REAL resize for uncompressed 24bpp BITMAPINFOHEADER BMPs:
+    * nearest-neighbor resample in storage-row order (orientation —
+    * bottom-up vs top-down — is preserved by keeping the height sign),
+    * re-encoded as a minimal 54-byte-header BMP. None for any other
+    * payload (other DIB variants, compressed, non-BMP) — the caller
+    * falls back to the stub transform. Pure JVM, no codec library. */
+  private[operators] def resizeBmp(b: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    val headerOk = b != null && b.length >= 54 &&
+      b(0) == 'B'.toByte && b(1) == 'M'.toByte &&
+      le32(b, 14) == 40 && le16(b, 28) == 24 && le32(b, 30) == 0
+    if (!headerOk || w <= 0 || h <= 0) return None
+    val sw = le32(b, 18)
+    val shSigned = le32(b, 22)
+    val sh = math.abs(shSigned)
+    val off = le32(b, 10)
+    val stride = ((sw * 3 + 3) / 4) * 4
+    if (sw <= 0 || sh == 0 || off < 54 || off.toLong + stride.toLong * sh > b.length)
+      return None
+    val outStride = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](54 + outStride * h)
+    def putLe16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def putLe32(o: Int, v: Int): Unit =
+      (0 until 4).foreach(i => out(o + i) = ((v >> (8 * i)) & 0xff).toByte)
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(2, out.length); putLe32(10, 54); putLe32(14, 40)
+    putLe32(18, w); putLe32(22, if (shSigned < 0) -h else h)
+    putLe16(26, 1); putLe16(28, 24); putLe32(30, 0); putLe32(34, outStride * h)
+    var y = 0
+    while (y < h) {
+      val sy = y * sh / h
+      var x = 0
+      while (x < w) {
+        val sx = x * sw / w
+        val src = off + sy * stride + sx * 3
+        val dst = 54 + y * outStride + x * 3
+        out(dst) = b(src); out(dst + 1) = b(src + 1); out(dst + 2) = b(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
+  /** Resize: payload → transformed payload + target-dimension meta.
+    * BMP payloads the pure-JVM codec can handle are REALLY resampled
+    * (see [[resizeBmp]]); everything else takes the STUB transform
+    * (truncate to half length — deterministic on the input bytes) until
+    * a pixel codec is dropped into the same mapPartitions body. Output
+    * schema: input columns with the payload replaced and a
+    * `resized_meta` struct appended. */
   def resizeImage(df: DataFrame, payloadCol: String, w: Int, h: Int): DataFrame = {
     val idx = df.schema.fieldIndex(payloadCol)
     val schema = StructType(df.schema.fields :+ StructField("resized_meta", MetaSchema))
@@ -122,8 +233,13 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](idx)
-        val out = if (bytes == null) null else bytes.take(math.max(1, bytes.length / 2))
-        Row.fromSeq(row.toSeq.updated(idx, out) :+ Row(w, h, "png"))
+        resizeBmp(bytes, w, h) match {
+          case Some(real) =>
+            Row.fromSeq(row.toSeq.updated(idx, real) :+ Row(w, h, "bmp"))
+          case None =>
+            val out = if (bytes == null) null else bytes.take(math.max(1, bytes.length / 2))
+            Row.fromSeq(row.toSeq.updated(idx, out) :+ Row(w, h, "png"))
+        }
       }
     }(enc)
   }

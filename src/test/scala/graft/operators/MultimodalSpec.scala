@@ -28,13 +28,14 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("BMP payloads take the REAL header-parse branch of the codec chain") {
-    // hand-assemble a minimal BMP header: 'BM', int32-LE width=640 at
-    // offset 18, height=-480 at offset 22 (negative = top-down; decoded
-    // dimension is the magnitude)
+    // hand-assemble a minimal BMP header: 'BM', DIB size 40
+    // (BITMAPINFOHEADER) at offset 14, int32-LE width=640 at offset 18,
+    // height=-480 at offset 22 (negative = top-down; decoded dimension
+    // is the magnitude)
     val bmp = new Array[Byte](26)
     bmp(0) = 'B'; bmp(1) = 'M'
     def putLe(o: Int, v: Int): Unit = (0 until 4).foreach(i => bmp(o + i) = ((v >> (8 * i)) & 0xff).toByte)
-    putLe(18, 640); putLe(22, -480)
+    putLe(14, 40); putLe(18, 640); putLe(22, -480)
     val df = Seq(("bmp1", bmp)).toDF("id", "payload")
     val meta = Multimodal.decodeImageMeta(df, "payload")
       .select("meta.width", "meta.height", "meta.format")
@@ -43,6 +44,55 @@ class MultimodalSpec extends SparkSpec {
     // direct codec unit check too (no Spark in the loop)
     assert(Multimodal.BmpCodec.decode(bmp) === Some((640, 480, "bmp")))
     assert(Multimodal.BmpCodec.decode("not a bmp".getBytes) === None)
+  }
+
+  test("OS/2 BITMAPCOREHEADER BMPs decode their uint16 dims, unknown DIBs fall through") {
+    // COREHEADER: DIB size 12, uint16-LE dims at offsets 18/20
+    val core = new Array[Byte](22)
+    core(0) = 'B'; core(1) = 'M'; core(14) = 12
+    core(18) = 0x20; core(19) = 0x00 // width 32
+    core(20) = 0x10; core(21) = 0x00 // height 16
+    assert(Multimodal.BmpCodec.decode(core) === Some((32, 16, "bmp")))
+    // 'BM' magic with a bogus DIB size must NOT be trusted at 18/22
+    val bogus = core.clone(); bogus(14) = 99
+    assert(Multimodal.BmpCodec.decode(bogus) === None)
+  }
+
+  test("PNG signature with a non-IHDR first chunk is rejected, not misparsed") {
+    val fake = new Array[Byte](24)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    sig.indices.foreach(i => fake(i) = sig(i).toByte)
+    fake(12) = 'a'; fake(13) = 'c'; fake(14) = 'T'; fake(15) = 'L'
+    assert(Multimodal.PngCodec.decode(fake) === None)
+  }
+
+  test("JPEG payloads: marker walk finds SOF dims past leading segments") {
+    // SOI, APP0 (len 16), then SOF0 with height=480 width=640
+    val app0Len = 16
+    val jpg = new Array[Byte](2 + 2 + app0Len + 2 + 2 + 6)
+    var i = 0
+    def put(vs: Int*): Unit = vs.foreach { v => jpg(i) = v.toByte; i += 1 }
+    put(0xff, 0xd8)                      // SOI
+    put(0xff, 0xe0, 0x00, app0Len)       // APP0 marker + BE16 length
+    i += app0Len - 2                     // APP0 body
+    put(0xff, 0xc0, 0x00, 0x0b)          // SOF0 + length 11
+    put(0x08)                            // precision
+    put(0x01, 0xe0)                      // height 480
+    put(0x02, 0x80)                      // width 640
+    put(0x01)                            // components
+    assert(Multimodal.JpegCodec.decode(jpg) === Some((640, 480, "jpeg")))
+    assert(Multimodal.JpegCodec.decode("not a jpeg".getBytes) === None)
+    // truncated stream (SOI only) falls through rather than guessing
+    assert(Multimodal.JpegCodec.decode(Array(0xff, 0xd8).map(_.toByte)) === None)
+  }
+
+  test("GIF payloads decode logical-screen dims from the fixed header") {
+    val gif = "GIF89a".getBytes("US-ASCII") ++ Array[Byte](
+      0x40, 0x01, // width 320 LE
+      0xf0.toByte, 0x00, // height 240 LE
+      0x00)
+    assert(Multimodal.GifCodec.decode(gif) === Some((320, 240, "gif")))
+    assert(Multimodal.GifCodec.decode("GIF99a0000".getBytes) === None)
   }
 
   test("PNG payloads take the REAL header-parse branch of the codec chain") {
@@ -80,6 +130,53 @@ class MultimodalSpec extends SparkSpec {
       .as[(Int, Int, Int)].collect()
     // stub halves the byte length; meta carries the requested dims
     assert(rows.toSeq === Seq((2, 32, 32), (3, 32, 32)))
+  }
+
+  /** A 4×2 uncompressed 24bpp BMP whose pixel (x, y in storage order)
+    * carries BGR = (x, y, x+y) — nearest-neighbor picks are then
+    * checkable by value. Row stride = 12 (4 px × 3 B, already 4-aligned). */
+  private def bmp4x2: Array[Byte] = {
+    val stride = 12
+    val b = new Array[Byte](54 + stride * 2)
+    def putLe16(o: Int, v: Int): Unit = { b(o) = v.toByte; b(o + 1) = (v >> 8).toByte }
+    def putLe32(o: Int, v: Int): Unit =
+      (0 until 4).foreach(i => b(o + i) = ((v >> (8 * i)) & 0xff).toByte)
+    b(0) = 'B'; b(1) = 'M'
+    putLe32(2, b.length); putLe32(10, 54); putLe32(14, 40)
+    putLe32(18, 4); putLe32(22, 2); putLe16(26, 1); putLe16(28, 24)
+    putLe32(30, 0); putLe32(34, stride * 2)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val o = 54 + y * stride + x * 3
+      b(o) = x.toByte; b(o + 1) = y.toByte; b(o + 2) = (x + y).toByte
+    }
+    b
+  }
+
+  test("resizeImage REALLY downscales a 24bpp BMP (valid output, sampled pixels)") {
+    val df = Seq(("b1", bmp4x2)).toDF("id", "payload")
+    val out = Multimodal.resizeImage(df, "payload", w = 2, h = 1)
+      .select("payload", "resized_meta.format").as[(Array[Byte], String)].head()
+    assert(out._2 === "bmp")
+    // the resized payload is itself a decodable BMP with the target dims
+    assert(Multimodal.BmpCodec.decode(out._1) === Some((2, 1, "bmp")))
+    // out stride = 8 (2 px × 3 B padded to 4); total = 54 + 8
+    assert(out._1.length === 54 + 8)
+    // nearest-neighbor: output x=0 ← src x=0, output x=1 ← src x=2, row 0
+    val px = out._1.drop(54)
+    assert((px(0), px(1), px(2)) === ((0.toByte, 0.toByte, 0.toByte)))
+    assert((px(3), px(4), px(5)) === ((2.toByte, 0.toByte, 2.toByte)))
+  }
+
+  test("resizeBmp preserves top-down orientation and rejects non-24bpp input") {
+    val td = bmp4x2
+    // flip to top-down: height = -2 at offset 22
+    (0 until 4).foreach(i => td(22 + i) = ((-2 >> (8 * i)) & 0xff).toByte)
+    val r = Multimodal.resizeBmp(td, 2, 1).get
+    def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    assert(le32(r, 22) === -1) // output keeps the top-down sign
+    val bpp8 = bmp4x2; bpp8(28) = 8
+    assert(Multimodal.resizeBmp(bpp8, 2, 1) === None)
   }
 
   test("sampleFrames fans out one row per sampled frame") {
