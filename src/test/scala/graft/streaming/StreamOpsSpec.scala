@@ -137,6 +137,57 @@ class StreamOpsSpec extends SparkSpec {
     assert(landed.select("batch_id").distinct().count() >= 2)
   }
 
+  test("hourlyCounts resumes from a real checkpoint after a restart, exactly once") {
+    // END-TO-END restart drill for the exactly-once claim: run the
+    // watermarked aggregation over a file source to completion, stop the
+    // query, drop MORE files into the source while it is "down", then
+    // start a brand-new query on the SAME checkpoint. The file-source
+    // log must skip the already-ingested file and the state store must
+    // resume the watermark — any reprocessing would re-emit run-1's
+    // finalized windows (append mode emits each window exactly once).
+    val base = java.nio.file.Files.createTempDirectory("stream-restart").toString
+    val (srcDir, outDir, ckDir) = (s"$base/src", s"$base/out", s"$base/ck")
+    val ev = Tables.events(spark, sfDir).select("ts", "event_type", "value")
+    val (minTs, maxTs) = {
+      val r = ev.agg(min(col("ts")), max(col("ts"))).head()
+      (r.getTimestamp(0), r.getTimestamp(1))
+    }
+    val cut = new java.sql.Timestamp((minTs.getTime + maxTs.getTime) / 2)
+    // part A (early half) is visible for run 1; part B arrives between runs.
+    // One file per part: within-run file order is not time order, and a
+    // late file arriving under an advanced watermark would be dropped —
+    // single-file batches keep the watermark monotone with arrival.
+    ev.filter(col("ts") <= lit(cut)).coalesce(1).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Unit = StreamOps.sinkParquetBatches(
+      StreamOps.hourlyCounts(StreamOps.parquetStream(spark, schema, srcDir)),
+      outDir, ckDir)
+    runOnce() // run 1: ingests A, finalizes windows < maxA - 2h, checkpoints
+    ev.filter(col("ts") > lit(cut)).coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce() // run 2: NEW query, same checkpoint — must pick up only B
+    val got = spark.read.parquet(outDir)
+      .select("hour_start", "event_type", "n", "total_value")
+    // exactly-once across the restart: no window emitted by both runs
+    assert(got.groupBy("hour_start", "event_type").count()
+      .filter(col("count") > 1).isEmpty, "restart re-emitted finalized windows")
+    // every emitted window matches the batch answer over A ∪ B...
+    val batch = ev
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_b"), sum(col("value")).as("tv_b"))
+      .select(col("w.start").as("hour_start"), col("w.end").as("hour_end"),
+        col("event_type"), col("n_b"), col("tv_b"))
+    val joined = got.join(batch, Seq("hour_start", "event_type"), "left")
+    assert(joined.filter(col("n_b").isNull || col("n") =!= col("n_b") ||
+      col("total_value") =!= col("tv_b")).isEmpty)
+    // ...and the final watermark's worth of windows all made it out:
+    // everything that closed strictly before maxB - 2h must be present
+    val horizon = new java.sql.Timestamp(maxTs.getTime - 2L * 3600 * 1000)
+    val missing = batch.filter(col("hour_end") < lit(horizon))
+      .join(got.select("hour_start", "event_type"),
+        Seq("hour_start", "event_type"), "left_anti")
+    assert(missing.isEmpty, "a closed window was lost across the restart")
+  }
+
   test("stateless text operators run unchanged on a stream") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("stream-docs").toString
