@@ -49,6 +49,12 @@ object Triangles {
       // CacheManager for the session's lifetime (a leak per call in a
       // long-lived service). Checkpoint blocks are reference-tracked
       // and reclaimed by ContextCleaner once the result is dropped.
+      // Two accepted costs of the eager form: (1) CONSTRUCTING the
+      // triangles plan runs the orient+checkpoint job immediately, so
+      // plan-only uses (explain, plan specs) pay it too; (2) checkpoint
+      // blocks have no lineage — an executor loss mid-query fails the
+      // query instead of recomputing (retry-level recovery, not
+      // task-level). Both beat the session-lifetime cache leak.
       .localCheckpoint(true)
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.kdst") < col("e2.kdst"))
