@@ -166,15 +166,63 @@ object Multimodal {
     }(enc)
   }
 
-  /** Frame-sampling shape for video-like payloads: 1 row in → k
-    * frame-descriptor rows out, without loading all frames at once. */
-  def sampleFrames(df: DataFrame, payloadCol: String, everyNth: Int): DataFrame =
-    df.withColumn("n_frames",
-        (length(col(payloadCol)) % 240 + 1).cast("int")) // STUB frame count
+  /** REAL frame count for GIF payloads: walk the block structure after
+    * the logical screen descriptor — skip the global color table if
+    * flagged, skip extension blocks (0x21 label + sub-blocks) and each
+    * image's local color table + LZW data sub-blocks, and count image
+    * descriptors (0x2C). An animated GIF has one per frame. None for
+    * non-GIF or truncated/malformed payloads. Pure JVM. */
+  private[operators] def gifFrameCount(b: Array[Byte]): Option[Int] = {
+    if (GifCodec.decode(b).isEmpty || b.length < 13) return None
+    val packed = b(10) & 0xff
+    var i = 13 + (if ((packed & 0x80) != 0) 3 << ((packed & 0x07) + 1) else 0)
+    var frames = 0
+    def skipSubBlocks(): Boolean = {
+      while (i < b.length && (b(i) & 0xff) != 0) i += 1 + (b(i) & 0xff)
+      if (i < b.length) { i += 1; true } else false // consume the 0x00 terminator
+    }
+    while (i < b.length) {
+      (b(i) & 0xff) match {
+        case 0x2c => // image descriptor: 10 bytes + optional LCT + LZW min + data
+          if (i + 10 > b.length) return None
+          val lp = b(i + 9) & 0xff
+          i += 10 + (if ((lp & 0x80) != 0) 3 << ((lp & 0x07) + 1) else 0) + 1
+          if (!skipSubBlocks()) return None
+          frames += 1
+        case 0x21 => // extension: label byte then sub-blocks
+          i += 2
+          if (!skipSubBlocks()) return None
+        case 0x3b => return Some(frames) // trailer
+        case _ => return None // malformed stream
+      }
+    }
+    Some(frames) // missing trailer: tolerate, frames seen so far
+  }
+
+  /** Frame-sampling shape for multi-frame payloads: 1 row in → k
+    * frame-descriptor rows out, without loading all frames at once.
+    * The frame COUNT is real for GIFs (block-structure walk); other
+    * formats fall back to a deterministic stub until a container
+    * demuxer is dropped into the same mapPartitions seam. The fan-out
+    * itself stays a DataFrame-level explode either way. */
+  def sampleFrames(df: DataFrame, payloadCol: String, everyNth: Int): DataFrame = {
+    val idx = df.schema.fieldIndex(payloadCol)
+    val withN = StructType(df.schema.fields :+
+      StructField("n_frames", IntegerType, nullable = false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(withN)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val n = gifFrameCount(bytes).filter(_ > 0).getOrElse(
+          (if (bytes == null) 0 else bytes.length) % 240 + 1) // STUB fallback
+        Row.fromSeq(row.toSeq :+ n)
+      }
+    }(enc)
       .withColumn("frame_idx",
         explode(sequence(lit(0), floor((col("n_frames") - 1) / everyNth).cast("int"))))
       .withColumn("frame_offset", col("frame_idx") * everyNth)
       .drop("frame_idx")
+  }
 
   /** REAL resize for uncompressed 24bpp BITMAPINFOHEADER BMPs:
     * nearest-neighbor resample in storage-row order (orientation —

@@ -185,4 +185,34 @@ class MultimodalSpec extends SparkSpec {
     assert(got.count() === 3 + 4)
     assert(got.columns.contains("frame_offset"))
   }
+
+  /** A syntactically valid 2-frame GIF89a: header + LSD (no global color
+    * table), a graphic-control extension per frame, two image
+    * descriptors each with a 1-byte LZW stream, trailer. */
+  private def gif2Frames: Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    out ++= "GIF89a".getBytes("US-ASCII")
+    out ++= Array[Byte](2, 0, 2, 0, 0, 0, 0) // LSD: 2×2, no GCT
+    for (_ <- 0 until 2) {
+      out ++= Array[Byte](0x21, 0xf9.toByte, 4, 0, 0, 0, 0, 0) // GCE: 4-byte block + term
+      out ++= Array[Byte](0x2c, 0, 0, 0, 0, 2, 0, 2, 0, 0)     // image descriptor, no LCT
+      out ++= Array[Byte](2, 1, 0x42, 0)                       // LZW min + 1 sub-block + term
+    }
+    out += 0x3b
+    out.toArray
+  }
+
+  test("sampleFrames counts REAL frames for animated GIFs") {
+    assert(Multimodal.gifFrameCount(gif2Frames) === Some(2))
+    assert(Multimodal.gifFrameCount("not a gif".getBytes) === None)
+    // truncated mid-descriptor → None, not a bogus count
+    assert(Multimodal.gifFrameCount(gif2Frames.dropRight(8)) === None)
+    val df = Seq(("g1", gif2Frames)).toDF("id", "payload")
+    val got = Multimodal.sampleFrames(df, "payload", everyNth = 1)
+    // 2 real frames, sampled every 1 → exactly 2 rows, offsets 0 and 1
+    assert(got.count() === 2)
+    import spark.implicits._
+    assert(got.select("frame_offset").as[Long].collect().sorted.toSeq === Seq(0L, 1L))
+    assert(got.select("n_frames").distinct().as[Int].head() === 2)
+  }
 }
