@@ -106,6 +106,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PageRank local and distributed paths agree on random symmetric graphs") {
+    import graft.operators.PageRank
+    val edgeGen = Gen.listOfN(10,
+      Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)).suchThat(p => p._1 != p._2))
+    forAll(edgeGen, n = 5) { pairs =>
+      if (pairs.nonEmpty) {
+        // symmetrize so every node has out-edges (no rank leakage)
+        val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+        val local = PageRank.run(edges, 5)
+          .as[(Long, Double)].collect().toMap
+        val dist = PageRank.run(edges, 5, localEdgeLimit = 0)
+          .as[(Long, Double)].collect().toMap
+        assert(local.keySet === dist.keySet)
+        local.keys.foreach(k => assert(math.abs(local(k) - dist(k)) < 1e-12,
+          s"node $k: local=${local(k)} dist=${dist(k)}"))
+        // and mass is conserved on the symmetric graph either way
+        assert(math.abs(local.values.sum - 1.0) < 1e-9)
+      }
+    }
+  }
+
   test("approx_percentile brackets the exact percentile (SURVEY §2.5)") {
     val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val (apx, lo, hi) = li.select(
