@@ -44,6 +44,8 @@ object Multimodal {
   private def be32(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
       ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+  private def be64(b: Array[Byte], o: Int): Long =
+    ((be32(b, o).toLong & 0xffffffffL) << 32) | (be32(b, o + 4).toLong & 0xffffffffL)
 
   /** DIB header sizes that store int32-LE dims at offsets 18/22:
     * BITMAPINFOHEADER and its v2-v5 extensions. The OS/2
@@ -288,6 +290,188 @@ object Multimodal {
             val out = if (bytes == null) null else bytes.take(math.max(1, bytes.length / 2))
             Row.fromSeq(row.toSeq.updated(idx, out) :+ Row(w, h, "png"))
         }
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------
+  // Audio modality
+  // ------------------------------------------------------------------
+
+  val AudioMetaSchema: StructType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** One audio container's header parser; same chain contract as
+    * [[ImageCodec]] (None = not this format, fall through). */
+  sealed trait AudioCodec extends Serializable {
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Long, String)]
+  }
+
+  /** REAL decode path: WAV — 'RIFF' magic + 'WAVE' form type, then a
+    * chunk walk (4-byte id, uint32-LE size, payload padded to even):
+    * the 'fmt ' chunk carries channels/rate/bits, the 'data' chunk's
+    * size over the fmt byte-rate gives the duration. Both chunks must
+    * be present and sane or the payload falls through the chain —
+    * a truncated or non-PCM-shaped stream never decodes garbage. */
+  case object WavCodec extends AudioCodec {
+    def decode(b: Array[Byte]): Option[(Int, Int, Int, Long, String)] = {
+      if (b == null || b.length < 12 ||
+        b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, byteRate, bits
+      var dataSize = -1L
+      while (i + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val size = le32(b, i + 4).toLong & 0xffffffffL
+        if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length)
+          fmt = Some((le16(b, i + 10), le32(b, i + 12), le32(b, i + 16), le16(b, i + 22)))
+        else if (id == "data") dataSize = size
+        val next = i.toLong + 8L + size + (size & 1L) // chunks are word-aligned
+        // a size field running past the buffer ends the walk (whatever
+        // was already captured still counts — a truncated final data
+        // chunk is common in practice); never loops on hostile sizes
+        i = if (next <= i || next > b.length) b.length else next.toInt
+      }
+      fmt match {
+        case Some((ch, rate, byteRate, bits)) if ch > 0 && rate > 0 && byteRate > 0 && dataSize >= 0 =>
+          Some((ch, rate, bits, dataSize * 1000L / byteRate, "wav"))
+        case _ => None
+      }
+    }
+  }
+
+  /** STUB tail for codec-requiring audio (MP3/AAC/OGG frames need a
+    * real decoder): deterministic pseudo-metadata from the byte length,
+    * mirrored by q115's oracle arithmetic. */
+  case object AudioStubCodec extends AudioCodec {
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Long, String)] = {
+      val n = if (bytes == null) 0 else bytes.length
+      Some((1 + n % 2, 8000 + (n % 5) * 8000, 16, (n % 600) * 1000L,
+        if (n % 2 == 0) "mp3" else "aac"))
+    }
+  }
+
+  val DefaultAudioCodecs: Seq[AudioCodec] = Seq(WavCodec, AudioStubCodec)
+
+  /** Attach decoded audio metadata; same mapPartitions seam and
+    * row-preserving contract as [[decodeImageMeta]]. */
+  def decodeAudioMeta(df: DataFrame, payloadCol: String,
+      codecs: Seq[AudioCodec] = DefaultAudioCodecs): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("audio_meta", AudioMetaSchema))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      val chain = codecs
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val (ch, rate, bits, dur, f) = chain.view.flatMap(_.decode(bytes)).headOption
+          .getOrElse((0, 0, 0, 0L, "unknown"))
+        Row.fromSeq(row.toSeq :+ Row(ch, rate, bits, dur, f))
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------
+  // Video modality
+  // ------------------------------------------------------------------
+
+  val VideoMetaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  sealed trait VideoCodec extends Serializable {
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Long, String)]
+  }
+
+  /** REAL decode path: MP4/ISO-BMFF — a top-level box walk ('ftyp'
+    * first box required), then inside 'moov': 'mvhd' gives
+    * timescale+duration (v0: 32-bit at +20/+24; v1: 64-bit duration at
+    * +32), and the first 'trak'/'tkhd' gives width/height as 16.16
+    * fixed-point at the end of the box (v0: +84/+88, v1: +96/+100).
+    * Audio-only MP4s (no tkhd dims) decode with 0×0 — real duration is
+    * the load-bearing field. Box sizes of 1 (64-bit largesize) and 0
+    * (to end-of-file) are honored; malformed walks fall through. */
+  case object Mp4Codec extends VideoCodec {
+    /** (offset, payloadEnd) pairs for each child box of b[from, lim). */
+    private def boxes(b: Array[Byte], from: Int, lim: Int): Iterator[(Int, Int, String)] =
+      new Iterator[(Int, Int, String)] {
+        private var i = from
+        def hasNext: Boolean = i + 8 <= lim
+        def next(): (Int, Int, String) = {
+          val size32 = be32(b, i).toLong & 0xffffffffL
+          val tpe = new String(b, i + 4, 4, "US-ASCII")
+          val size = if (size32 == 1 && i + 16 <= lim) be64(b, i + 8)
+            else if (size32 == 0) (lim - i).toLong else size32
+          val end = if (size < 8 || i + size > lim) lim else (i + size).toInt
+          val r = (i, end, tpe)
+          i = end
+          r
+        }
+      }
+
+    def decode(b: Array[Byte]): Option[(Int, Int, Long, String)] = {
+      if (b == null || b.length < 16) return None
+      val top = boxes(b, 0, b.length).toSeq
+      if (top.isEmpty || top.head._3 != "ftyp") return None
+      top.find(_._3 == "moov").flatMap { case (mo, mEnd, _) =>
+        val kids = boxes(b, mo + 8, mEnd).toSeq
+        val dur = kids.find(_._3 == "mvhd").flatMap { case (p, e, _) =>
+          if (p + 9 > e) None
+          else (b(p + 8) & 0xff) match {
+            case 0 if p + 28 <= e =>
+              val ts = be32(b, p + 20).toLong & 0xffffffffL
+              if (ts > 0) Some((be32(b, p + 24).toLong & 0xffffffffL) * 1000L / ts) else None
+            case 1 if p + 40 <= e =>
+              val ts = be32(b, p + 28).toLong & 0xffffffffL
+              if (ts > 0) Some(be64(b, p + 32) * 1000L / ts) else None
+            case _ => None
+          }
+        }
+        val dims = kids.find(_._3 == "trak").flatMap { case (t, tEnd, _) =>
+          boxes(b, t + 8, tEnd).find(_._3 == "tkhd").flatMap { case (p, e, _) =>
+            val wOff = if (p + 9 <= e && (b(p + 8) & 0xff) == 1) p + 96 else p + 84
+            if (wOff + 8 <= e) Some((be32(b, wOff) >>> 16, be32(b, wOff + 4) >>> 16))
+            else None
+          }
+        }
+        dur.map(d => (dims.map(_._1).getOrElse(0), dims.map(_._2).getOrElse(0), d, "mp4"))
+      }
+    }
+  }
+
+  /** STUB tail for codec-requiring video containers (WebM/MKV/AVI
+    * demux): deterministic pseudo-metadata from the byte length,
+    * mirrored by q116's oracle arithmetic. */
+  case object VideoStubCodec extends VideoCodec {
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Long, String)] = {
+      val n = if (bytes == null) 0 else bytes.length
+      Some((256 + n % 1024, 144 + (n * 17) % 936, (n % 3600) * 1000L,
+        if (n % 2 == 0) "mp4" else "webm"))
+    }
+  }
+
+  val DefaultVideoCodecs: Seq[VideoCodec] = Seq(Mp4Codec, VideoStubCodec)
+
+  /** Attach decoded video metadata; same seam as [[decodeImageMeta]]. */
+  def decodeVideoMeta(df: DataFrame, payloadCol: String,
+      codecs: Seq[VideoCodec] = DefaultVideoCodecs): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("video_meta", VideoMetaSchema))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      val chain = codecs
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val (w, h, dur, f) = chain.view.flatMap(_.decode(bytes)).headOption
+          .getOrElse((0, 0, 0L, "unknown"))
+        Row.fromSeq(row.toSeq :+ Row(w, h, dur, f))
       }
     }(enc)
   }

@@ -215,4 +215,88 @@ class MultimodalSpec extends SparkSpec {
     assert(got.select("frame_offset").as[Long].collect().sorted.toSeq === Seq(0L, 1L))
     assert(got.select("n_frames").distinct().as[Int].head() === 2)
   }
+
+  /** A canonical 44-byte-header PCM WAV: stereo, 44.1 kHz, 16-bit,
+    * 1 second of (zeroed) samples → data size 176400, byte rate 176400. */
+  private def wav1s: Array[Byte] = {
+    val dataSize = 176400
+    val b = new Array[Byte](44 + 8) // declared data size > stored bytes: truncated tail
+    def putLe16(o: Int, v: Int): Unit = { b(o) = v.toByte; b(o + 1) = (v >> 8).toByte }
+    def putLe32(o: Int, v: Int): Unit =
+      (0 until 4).foreach(i => b(o + i) = ((v >> (8 * i)) & 0xff).toByte)
+    def putTag(o: Int, s: String): Unit = s.getBytes("US-ASCII").zipWithIndex
+      .foreach { case (c, i) => b(o + i) = c }
+    putTag(0, "RIFF"); putLe32(4, 36 + dataSize); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLe32(16, 16)
+    putLe16(20, 1)       // PCM
+    putLe16(22, 2)       // channels
+    putLe32(24, 44100)   // sample rate
+    putLe32(28, 176400)  // byte rate
+    putLe16(32, 4)       // block align
+    putLe16(34, 16)      // bits per sample
+    putTag(36, "data"); putLe32(40, dataSize)
+    b
+  }
+
+  test("WAV payloads take the REAL RIFF chunk walk: fmt + data → meta") {
+    assert(Multimodal.WavCodec.decode(wav1s) === Some((2, 44100, 16, 1000L, "wav")))
+    // non-RIFF and RIFF-but-not-WAVE both fall through
+    assert(Multimodal.WavCodec.decode("not audio at all".getBytes) === None)
+    val avi = wav1s; avi(8) = 'A'; avi(9) = 'V'; avi(10) = 'I'; avi(11) = ' '
+    assert(Multimodal.WavCodec.decode(avi) === None)
+    // missing data chunk (walk ends after fmt) falls through
+    assert(Multimodal.WavCodec.decode(wav1s.take(36)) === None)
+  }
+
+  test("decodeAudioMeta appends a typed struct; text payloads hit the stub tail") {
+    val df = Seq(("a1", wav1s), ("a2", "abcd".getBytes)).toDF("id", "payload")
+    val got = Multimodal.decodeAudioMeta(df, "payload")
+    assert(got.columns.toSeq === Seq("id", "payload", "audio_meta"))
+    val metas = got.orderBy("id")
+      .select("audio_meta.channels", "audio_meta.sample_rate",
+        "audio_meta.bits_per_sample", "audio_meta.duration_ms", "audio_meta.format")
+      .as[(Int, Int, Int, Long, String)].collect()
+    assert(metas(0) === ((2, 44100, 16, 1000L, "wav")))
+    // stub arithmetic on n=4: channels 1+0, rate 8000+4*8000, 16 bit, (4%600)*1000
+    assert(metas(1) === ((1, 40000, 16, 4000L, "mp3")))
+  }
+
+  /** A minimal ISO-BMFF MP4: ftyp, then moov{mvhd v0 (timescale 600,
+    * duration 9000 → 15 s), trak{tkhd v0 (640×360 as 16.16 fixed)}}. */
+  private def mp4Min: Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def be32(v: Int): Seq[Byte] = (3 to 0 by -1).map(i => ((v >> (8 * i)) & 0xff).toByte)
+    def box(tpe: String, payload: Seq[Byte]): Seq[Byte] =
+      be32(8 + payload.size) ++ tpe.getBytes("US-ASCII") ++ payload
+    val mvhd = box("mvhd",
+      Seq[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(600) ++ be32(9000) ++
+        Seq.fill(80)(0.toByte))
+    val tkhd = box("tkhd",
+      Seq[Byte](0, 0, 0, 0) ++ Seq.fill(72)(0.toByte) ++
+        be32(640 << 16) ++ be32(360 << 16))
+    out ++= box("ftyp", "isom".getBytes("US-ASCII").toSeq ++ be32(512))
+    out ++= box("moov", mvhd ++ box("trak", tkhd))
+    out.toArray
+  }
+
+  test("MP4 payloads take the REAL box walk: mvhd duration + tkhd dims") {
+    assert(Multimodal.Mp4Codec.decode(mp4Min) === Some((640, 360, 15000L, "mp4")))
+    // not starting with ftyp → not an MP4, fall through
+    assert(Multimodal.Mp4Codec.decode("certainly not a video".getBytes) === None)
+    // ftyp but no moov (truncated upload) falls through, no bogus meta
+    assert(Multimodal.Mp4Codec.decode(mp4Min.take(16)) === None)
+  }
+
+  test("decodeVideoMeta appends a typed struct; text payloads hit the stub tail") {
+    val df = Seq(("v1", mp4Min), ("v2", "abcdef".getBytes)).toDF("id", "payload")
+    val got = Multimodal.decodeVideoMeta(df, "payload")
+    assert(got.columns.toSeq === Seq("id", "payload", "video_meta"))
+    val metas = got.orderBy("id")
+      .select("video_meta.width", "video_meta.height",
+        "video_meta.duration_ms", "video_meta.format")
+      .as[(Int, Int, Long, String)].collect()
+    assert(metas(0) === ((640, 360, 15000L, "mp4")))
+    // stub arithmetic on n=6: 256+6, 144+(6*17)%936, (6%3600)*1000, even→mp4
+    assert(metas(1) === ((262, 246, 6000L, "mp4")))
+  }
 }
