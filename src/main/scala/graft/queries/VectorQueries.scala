@@ -123,7 +123,7 @@ object VectorQueries {
     * the 40 hyperplane projections once, not twice. dropDuplicates
     * collapses pairs that collide in several bands before the exact
     * cosine is spent on them. */
-  private def nearDupPairs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[graft] def nearDupPairs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     val banded = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         posexplode(VectorFns.lshBandKeys(col("embedding"), Dim, NdBands, NdBits))
@@ -241,6 +241,57 @@ object VectorQueries {
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_kept"))
       .orderBy(col("label"))
+  }
+
+  /** Leakage-safe train/val/test splits: assignment is keyed by the
+    * near-dup CLUSTER (component canonical id, singletons = own id),
+    * not the document, so near-duplicates can never straddle the
+    * train/test boundary — the split-time counterpart of q68's
+    * after-the-fact contamination check. Composes the q51 component
+    * pipeline with q61's portable md5 bucketing; the zero-straddle
+    * invariant is additionally property-asserted in
+    * LeakageSafeSplitSpec. Scale shape: components output is keyed by
+    * node, the corpus joins it on id (one keyed shuffle), and the
+    * split expression is a narrow per-row hash — nothing here is
+    * corpus-pairwise. */
+  val q117LeakageSafeSplit = Q(
+    "q117_leakage_safe_split",
+    s"""WITH RECURSIVE $duckPairsCtes,
+       |$duckComponentsCtes,
+       |grp AS (
+       |  SELECT e.vec_id, coalesce(c.comp, e.vec_id) AS grp
+       |  FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node),
+       |s AS (
+       |  SELECT grp,
+       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM (
+       |    SELECT grp,
+       |      ('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+       |    FROM grp) t)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT grp) AS BIGINT) AS n_groups
+       |FROM s GROUP BY split ORDER BY split""".stripMargin) { (spark, dir) =>
+    leakageSafeSplits(spark, dir)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("grp")).as("n_groups"))
+      .orderBy(col("split"))
+  }
+
+  /** The per-document split assignment behind q117, exposed for the
+    * zero-straddle invariant spec: (vec_id, grp, split). */
+  private[graft] def leakageSafeSplits(
+      spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.operators.Dedup
+    import graft.functions.Sampling
+    val comp = Dedup.connectedComponents(
+      nearDupPairs(spark, dir).select(col("id_a"), col("id_b")))
+      .withColumnRenamed("node", "vec_id")
+    Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left")
+      .withColumn("grp", coalesce(col("comp"), col("vec_id").cast("long")))
+      .withColumn("split", Sampling.splitColumn(col("grp"),
+        Seq(("train", 80), ("val", 90), ("test", 100))))
+      .select(col("vec_id"), col("grp"), col("split"))
   }
 
   /** Same answer as q32, different physical plan: the typed Aggregator
@@ -610,5 +661,5 @@ object VectorQueries {
   val all: Seq[Q] = Seq(q31CosineTopK, q32CentroidNorms, q33AnnLshTopK,
     q34EmbeddingNearDups, q39CentroidAggregator, q45IvfAnn, q51DedupClusters,
     q59DedupKeep, q91KmeansClusters, q92SemDedupKeep, q93PqAnn, q103AnnRecall,
-    q104MultiprobeLsh)
+    q104MultiprobeLsh, q117LeakageSafeSplit)
 }
