@@ -1492,6 +1492,59 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** End-to-end pipeline composition — the flagship "stages compose"
+    * query: quality-filter (q25's thresholds) → exact dedup among the
+    * survivors (q23's digest grouping, canonical row = min doc_id) →
+    * per-language token accounting, all ONE declarative plan.
+    *
+    * Scale shape: the quality scoring is a narrow projection; the dedup
+    * groupBy keys on the 16-byte md5 and carries only (doc_id, lang,
+    * n_tokens) — the full text never shuffles; the final per-language
+    * rollup is a map-side-combined aggregate over ≤ one row per distinct
+    * digest. At 100 TB the only corpus-sized cost is the initial scan.
+    */
+  val q118PipelineE2e = Q(
+    "q118_pipeline_e2e",
+    """WITH scored AS (
+      |  SELECT doc_id, lang, text,
+      |    len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |         ELSE CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+      |              / length(text) END AS punct_ratio,
+      |    CASE WHEN len(string_split_regex(lower(text), '\s+')) = 0 THEN 0.0
+      |         ELSE CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |                t -> list_contains(['the','a','of','and','to','in','is','on','for'], t)))
+      |              AS DOUBLE) / len(string_split_regex(lower(text), '\s+')) END AS stop_ratio
+      |  FROM documents),
+      |kept AS (
+      |  SELECT doc_id, lang, text, n_tokens FROM scored
+      |  WHERE n_tokens BETWEEN 10 AND 5000 AND punct_ratio < 0.2 AND stop_ratio >= 0.02),
+      |canon AS (
+      |  SELECT arg_min(lang, doc_id) AS lang, arg_min(n_tokens, doc_id) AS n_tokens
+      |  FROM kept GROUP BY md5(text))
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  round(avg(n_tokens), 4) AS avg_tokens
+      |FROM canon GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(col("toks")).as("n_tokens"),
+        TextFns.punctRatio(col("text")).as("punct_ratio"),
+        (TextFns.markerHits(col("toks"), Stopwords).cast("double") /
+          greatest(size(col("toks")), lit(1))).as("stop_ratio"))
+      .filter(col("n_tokens").between(10, 5000)
+        && col("punct_ratio") < 0.2 && col("stop_ratio") >= 0.02)
+      .groupBy(md5(col("text")))
+      .agg(min_by(col("lang"), col("doc_id")).as("lang"),
+        min_by(col("n_tokens"), col("doc_id")).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -1500,5 +1553,5 @@ object TextQueries {
     q77StratifiedSample, q78EditDistancePairs, q81ClassifierScores, q83DupSpanCoverage,
     q84WeightedSample, q85TfidfCosinePairs, q94CrossCorpusDedup, q95ChunkDocuments,
     q96CountMinFreqs, q98TokenRuns, q100NegativeSamples, q101PmiPhrases,
-    q108SkipgramPairs, q113MixtureSample, q114GopherRules)
+    q108SkipgramPairs, q113MixtureSample, q114GopherRules, q118PipelineE2e)
 }
