@@ -1545,6 +1545,177 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** DSIR-style importance resampling weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): hashed
+    * bigram features, per-bucket add-one-smoothed frequencies for a
+    * target slice (lang='en') vs the raw corpus, per-doc log importance
+    * weight = Σ_features log p_target(b) − log p_raw(b); top-20 docs.
+    *
+    * Scale shape: features stream through the codegen'd exploded-shingle
+    * form; both frequency tables collapse to B=64 rows via map-side
+    * partials (the shuffle carries 64 keys no matter the corpus size);
+    * the per-doc weight is a broadcast join of that 64-row table plus one
+    * (doc_id)-keyed partial-agg shuffle; top-20 is TakeOrdered. Nothing
+    * grows with corpus size except the initial scan.
+    */
+  val q119DsirWeights: Q = {
+    val B = 64
+    Q("q119_dsir_weights",
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS t FROM documents),
+         |feats AS (
+         |  SELECT doc_id, lang, ('0x' || substr(md5(s), 1, 15))::BIGINT % $B AS b
+         |  FROM docs, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS u(s)
+         |  WHERE len(t) >= 2),
+         |raw AS (SELECT b, count(*) AS cr FROM feats GROUP BY b),
+         |tgt AS (SELECT b, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY b),
+         |ratio AS (
+         |  SELECT raw.b,
+         |    ln((coalesce(ct, 0) + 1.0) / ((SELECT sum(ct) FROM tgt) + $B.0))
+         |      - ln((cr + 1.0) / ((SELECT sum(cr) FROM raw) + $B.0)) AS logw
+         |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+         |w AS (
+         |  SELECT doc_id, any_value(lang) AS lang, round(sum(logw), 4) AS log_weight
+         |  FROM feats JOIN ratio USING (b) GROUP BY doc_id)
+         |SELECT doc_id, lang, log_weight
+         |FROM w ORDER BY log_weight DESC, doc_id LIMIT 20""".stripMargin) { (spark, dir) =>
+      val feats = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"),
+          explode(TextFns.shinglePositions(col("toks"), 2)).as("pos"), col("toks"))
+        .select(col("doc_id"), col("lang"),
+          (Dedup.portableHash60(TextFns.shingleAt(col("toks"), col("pos"), 2)) % B).as("b"))
+      val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val tgt = feats.filter(col("lang") === "en").groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      // collapse the 64-row frequency table through a global aggregate
+      // into ONE row (bucket→counts map + totals): bounded by
+      // construction, so the broadcast hint is provably safe, and the
+      // per-feature lookup is an element_at instead of a join
+      val freq = raw.join(tgt, Seq("b"), "left")
+        .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+      val ratioRow = freq.agg(
+        map_from_arrays(collect_list(col("b")),
+          collect_list(struct(col("cr"), col("ct")))).as("m"),
+        sum(col("cr")).as("r_tot"), sum(col("ct")).as("t_tot"))
+      val e = element_at(col("m"), col("b"))
+      feats.crossJoin(broadcast(ratioRow))
+        .withColumn("logw",
+          log((e.getField("ct") + 1).cast("double") / (col("t_tot") + B))
+            - log((e.getField("cr") + 1).cast("double") / (col("r_tot") + B)))
+        .groupBy(col("doc_id"))
+        .agg(first(col("lang")).as("lang"), round(sum(col("logw")), 4).as("log_weight"))
+        .orderBy(col("log_weight").desc, col("doc_id"))
+        .limit(20)
+    }
+  }
+
+  /** Tokenizer-sizing coverage curve: what fraction of all corpus token
+    * OCCURRENCES the top-k vocabulary entries cover, for a ladder of
+    * vocab sizes. Scale shape: the unigram table builds with one
+    * map-side-combined shuffle; `orderBy.limit(maxK)` pins distributed
+    * `TakeOrderedAndProject` so only maxK rows ever reach one machine;
+    * the cumulative window then runs over ≤ maxK rows by construction;
+    * the corpus total rides in on a broadcast 1-row aggregate.
+    */
+  val q120VocabCoverage: Q = {
+    // rung spacing sized to the synthetic corpus's ~31-token vocab so the
+    // gate checks a real curve (5 rungs), not just its first point; a real
+    // tokenizer corpus would use (1k, 10k, 32k, 64k, 128k)
+    val ks = Seq(5, 10, 15, 20, 25)
+    val maxK = ks.max
+    Q("q120_vocab_coverage",
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents),
+         |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+         |top AS (
+         |  SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS rk
+         |  FROM vocab ORDER BY c DESC, tok LIMIT $maxK),
+         |cum AS (SELECT rk, sum(c) OVER (ORDER BY rk) AS cc FROM top)
+         |SELECT rk AS vocab_size,
+         |  round(cc / (SELECT CAST(sum(c) AS DOUBLE) FROM vocab), 4) AS coverage
+         |FROM cum WHERE rk IN (${ks.mkString(", ")})
+         |ORDER BY vocab_size""".stripMargin) { (spark, dir) =>
+      val vocab = Tables.documents(spark, dir)
+        .select(explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val total = vocab.agg(sum(col("c")).cast("double").as("tot"))
+      val top = vocab.orderBy(col("c").desc, col("tok")).limit(maxK)
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy().orderBy(col("c").desc, col("tok"))
+      top
+        .withColumn("rk", row_number().over(win))
+        .withColumn("cc", sum(col("c")).over(win))
+        .filter(col("rk").isin(ks: _*))
+        .crossJoin(broadcast(total))
+        .select(col("rk").as("vocab_size"), round(col("cc") / col("tot"), 4).as("coverage"))
+        .orderBy(col("vocab_size"))
+    }
+  }
+
+  /** Data-mixing diagnostics: per-source KL divergence of the hashed
+    * unigram-bucket distribution vs the whole corpus (add-one smoothing
+    * over B=64 buckets). Complements the mixture sampler (q113): this is
+    * the measurement side — which sources are distributionally far from
+    * the mix they feed. Scale shape: one exploded-token pass collapses to
+    * (source × 64) partial-agg rows; the corpus marginal is another
+    * 64-row aggregate broadcast back; everything after the scan is
+    * constant-size regardless of corpus bytes.
+    */
+  val q121SourceDivergence: Q = {
+    val B = 64
+    Q("q121_source_divergence",
+      s"""WITH feats AS (
+         |  SELECT source, ('0x' || substr(md5(s), 1, 15))::BIGINT % $B AS b
+         |  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS u(s)),
+         |per_src AS (SELECT source, b, count(*) AS c FROM feats GROUP BY source, b),
+         |corpus AS (SELECT b, count(*) AS cc FROM feats GROUP BY b),
+         |tot AS (SELECT source, sum(c) AS st FROM per_src GROUP BY source),
+         |all_tot AS (SELECT CAST(sum(cc) AS DOUBLE) AS at FROM corpus),
+         |grid AS (
+         |  SELECT t.source, t.st, g.b, coalesce(c.cc, 0) AS cc, coalesce(s.c, 0) AS c
+         |  FROM tot t
+         |  CROSS JOIN (SELECT unnest(range(0, $B)) AS b) g
+         |  LEFT JOIN corpus c ON g.b = c.b
+         |  LEFT JOIN per_src s ON t.source = s.source AND g.b = s.b)
+         |SELECT source,
+         |  CAST(st AS BIGINT) AS n_tokens,
+         |  round(sum(((c + 1.0) / (st + $B.0))
+         |    * ln(((c + 1.0) / (st + $B.0)) / ((cc + 1.0) / (a.at + $B.0)))), 4) AS kl
+         |FROM grid CROSS JOIN all_tot a
+         |GROUP BY source, st
+         |ORDER BY source""".stripMargin) { (spark, dir) =>
+      val feats = Tables.documents(spark, dir)
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("tok"))
+        .select(col("source"), (Dedup.portableHash60(col("tok")) % B).as("b"))
+      val perSrc = feats.groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+      val srcTot = perSrc.groupBy(col("source")).agg(sum(col("c")).as("st"))
+      // KL needs BOTH smoothed distributions over the full 64-bucket
+      // support (a source-only or corpus-only bucket still contributes),
+      // so expand each source to the full bucket range. The corpus
+      // marginal collapses through a global aggregate into one
+      // bucket→count map row — bounded by construction, broadcast-safe —
+      // and the only corpus-sized work is the feats scan + partial aggs.
+      val corpusRow = perSrc.groupBy(col("b")).agg(sum(col("c")).as("cc"))
+        .agg(map_from_arrays(collect_list(col("b")), collect_list(col("cc"))).as("ccm"),
+          sum(col("cc")).cast("double").as("at"))
+      import spark.implicits._
+      val buckets = (0L until B).toDF("b")
+      val pS = (col("c") + 1.0) / (col("st") + B)
+      val pC = (col("cc") + 1.0) / (col("at") + B)
+      srcTot
+        .crossJoin(broadcast(buckets))
+        .join(perSrc, Seq("source", "b"), "left")
+        .crossJoin(broadcast(corpusRow))
+        .select(col("source"), col("st"),
+          coalesce(element_at(col("ccm"), col("b")), lit(0L)).as("cc"),
+          coalesce(col("c"), lit(0L)).as("c"), col("at"))
+        .groupBy(col("source"), col("st"))
+        .agg(round(sum(pS * log(pS / pC)), 4).as("kl"))
+        .select(col("source"), col("st").cast("long").as("n_tokens"), col("kl"))
+        .orderBy(col("source"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -1553,5 +1724,6 @@ object TextQueries {
     q77StratifiedSample, q78EditDistancePairs, q81ClassifierScores, q83DupSpanCoverage,
     q84WeightedSample, q85TfidfCosinePairs, q94CrossCorpusDedup, q95ChunkDocuments,
     q96CountMinFreqs, q98TokenRuns, q100NegativeSamples, q101PmiPhrases,
-    q108SkipgramPairs, q113MixtureSample, q114GopherRules, q118PipelineE2e)
+    q108SkipgramPairs, q113MixtureSample, q114GopherRules, q118PipelineE2e,
+    q119DsirWeights, q120VocabCoverage, q121SourceDivergence)
 }
