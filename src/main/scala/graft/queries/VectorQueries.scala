@@ -574,6 +574,131 @@ object VectorQueries {
       .limit(10)
   }
 
+  /** IVF-PQ composition (the production billion-vector ANN shape —
+    * Jégou et al. 2011 §IV): the IVF coarse quantizer (q45's 8 cells)
+    * restricts the search to the probe's cell, then PQ asymmetric
+    * distance (q93's 8×16 codebook + probe distance table) ranks the
+    * survivors — no exact vector math against any candidate.
+    *
+    * Scale shape: both codebooks are KB-sized driver literals; the
+    * cell assignment and the PQ encode are one NARROW pass over the
+    * corpus; the probe's cell cuts the ADC scan to 1/nlist of the data;
+    * top-10 is TakeOrdered. A production variant would train PQ on
+    * per-cell residuals — same plan shape, different codebook constants.
+    * Deterministic end-to-end → full DuckDB oracle. */
+  val q122IvfPqAnn = Q(
+    "q122_ivfpq_ann",
+    s"""WITH cent0 AS (
+       |  SELECT vec_id % 8 AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+       |  FROM embeddings, range(1, ${Dim + 1}) t(i)
+       |  GROUP BY 1, 2),
+       |cent AS (SELECT cell, list(m ORDER BY i) AS c FROM cent0 GROUP BY cell),
+       |sims AS (
+       |  SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v, cent.cell,
+       |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cent.c) AS sim
+       |  FROM embeddings e CROSS JOIN cent),
+       |assign AS (
+       |  SELECT vec_id, label, v, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+       |    FROM sims) t
+       |  WHERE rn = 1),
+       |probe AS (SELECT cell, v FROM assign WHERE vec_id = 0),
+       |cands AS (
+       |  SELECT a.vec_id, a.label, a.v FROM assign a JOIN probe p ON a.cell = p.cell
+       |  WHERE a.vec_id <> 0),
+       |cbc AS (
+       |  SELECT CAST((i - 1) // $PqSub AS INT) AS m, CAST(vec_id % $PqC AS INT) AS j, i,
+       |    round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+       |  FROM embeddings, range(1, ${Dim + 1}) t(i)
+       |  GROUP BY 1, 2, i),
+       |dists AS (
+       |  SELECT b.vec_id, cb.m, cb.j, sum((b.v[cb.i] - cb.c) * (b.v[cb.i] - cb.c)) AS d
+       |  FROM cands b JOIN cbc cb ON true
+       |  GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT vec_id, m, j AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, j) AS rn
+       |    FROM dists) t
+       |  WHERE rn = 1),
+       |pdist AS (
+       |  SELECT cb.m, cb.j, sum((p.v[cb.i] - cb.c) * (p.v[cb.i] - cb.c)) AS d
+       |  FROM probe p JOIN cbc cb ON true
+       |  GROUP BY 1, 2),
+       |adc AS (
+       |  SELECT c.vec_id, sum(pd.d) AS ad
+       |  FROM codes c JOIN pdist pd ON pd.m = c.m AND pd.j = c.code
+       |  GROUP BY c.vec_id)
+       |SELECT a.vec_id, b.label, round(a.ad, 6) AS approx_dist
+       |FROM adc a JOIN cands b ON a.vec_id = b.vec_id
+       |ORDER BY round(a.ad, 6), a.vec_id
+       |LIMIT 10""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    // --- IVF leg: q45's codebook + narrow argmax assignment, verbatim ---
+    val ivfCells = emb
+      .select(pmod(col("vec_id"), lit(8)).as("cell"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+      .groupBy(col("cell"), col("i")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        s => s.getField("m")).as("c"))
+      .orderBy(col("cell"))
+      .collect()
+      .map(_.getSeq[Double](1))
+    val cb = array(ivfCells.map(c => array(c.map(lit): _*)): _*)
+    // probe side built from its OWN scan: sharing assign's lineage trips
+    // Catalyst's self-join dedup on the transform() lambda (stale
+    // attribute after the rewrite — runtime ATTRIBUTE_NOT_FOUND)
+    def mkAssign(): org.apache.spark.sql.DataFrame = {
+      val v = col("embedding").cast("array<double>")
+      val simArr = transform(cb, c => VectorFns.cosine(v, c))
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("label"), v.as("v"),
+        (array_position(simArr, array_max(simArr)) - 1).cast("int").as("cell"))
+    }
+    val assign = mkAssign()
+    val probe = mkAssign().filter(col("vec_id") === 0)
+      .select(col("cell").as("p_cell"))
+    val cands = assign.join(broadcast(probe), col("cell") === col("p_cell"))
+      .filter(col("vec_id") =!= 0)
+    // --- PQ leg: q93's codebook, encode, and driver-side ADC table ---
+    val cbRows = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(pmod(col("vec_id"), lit(PqC)).cast("int").as("j"),
+        posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("j"), col("i")).agg(round(avg(col("x")), 6).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    def sqdistTo(vc: Column, m: Int, j: Int): Column =
+      (0 until PqSub).map { kk =>
+        val diff = element_at(vc, m * PqSub + kk + 1) - lit(cbRows((j, m * PqSub + kk)))
+        diff * diff
+      }.reduce(_ + _)
+    def codeCol(vc: Column, m: Int): Column = {
+      val dArr = array((0 until PqC).map(j => sqdistTo(vc, m, j)): _*)
+      (array_position(dArr, array_min(dArr)) - 1).cast("int")
+    }
+    val pVec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val pd: Array[Array[Double]] = Array.tabulate(PqM) { m =>
+      Array.tabulate(PqC) { j =>
+        var s = 0.0
+        var kk = 0
+        while (kk < PqSub) {
+          val diff = pVec(m * PqSub + kk) - cbRows((j, m * PqSub + kk))
+          s += diff * diff
+          kk += 1
+        }
+        s
+      }
+    }
+    val adc = (0 until PqM).map { m =>
+      val pdArr = array((0 until PqC).map(j => lit(pd(m)(j))): _*)
+      element_at(pdArr, codeCol(col("v"), m) + 1)
+    }.reduce(_ + _)
+    cands
+      .select(col("vec_id"), col("label"), round(adc, 6).as("approx_dist"))
+      .orderBy(col("approx_dist"), col("vec_id"))
+      .limit(10)
+  }
+
   /** ANN index-quality evaluation: recall@10 of the LSH (q33) and IVF
     * (q45) approximate searches against the exact brute-force top-10
     * (q31) — the measurement every production ANN deployment runs
@@ -661,5 +786,5 @@ object VectorQueries {
   val all: Seq[Q] = Seq(q31CosineTopK, q32CentroidNorms, q33AnnLshTopK,
     q34EmbeddingNearDups, q39CentroidAggregator, q45IvfAnn, q51DedupClusters,
     q59DedupKeep, q91KmeansClusters, q92SemDedupKeep, q93PqAnn, q103AnnRecall,
-    q104MultiprobeLsh, q117LeakageSafeSplit)
+    q104MultiprobeLsh, q117LeakageSafeSplit, q122IvfPqAnn)
 }
