@@ -600,9 +600,67 @@ object EventQueries {
       .orderBy(col("state"))
   }
 
+  /** Behavioral-sequence export for sequence-model training: sessionize
+    * (q21's exact 30-minute gap rule via Sessionize.tagSessions), emit
+    * each session as one training row — ordered event-type sequence
+    * truncated to the model context (L=8), plus the full length for
+    * curriculum/packing decisions downstream.
+    *
+    * Scale shape: ONE user-keyed exchange feeds both windows (same
+    * partitioning) and the session groupBy; the sequence is assembled
+    * in-row from ≤L collected structs (the `when(rn<=L)` collect bounds
+    * per-group state regardless of session length — a billion-event
+    * session still carries only 8 elements into the aggregate).
+    */
+  val q123SessionSequences: Q = {
+    val L = 8
+    Q("q123_session_sequences",
+      s"""WITH lagged AS (
+         |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |tagged AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+         |             THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+         |  FROM lagged),
+         |rn AS (
+         |  SELECT *, row_number()
+         |    OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS rn
+         |  FROM tagged)
+         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         |  min(ts) AS session_start,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(least(count(*), $L) AS BIGINT) AS seq_len,
+         |  string_agg(CASE WHEN rn <= $L THEN event_type END, ' ' ORDER BY ts, event_id) AS seq
+         |FROM rn GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin) { (spark, dir) =>
+      val tagged = Sessionize.tagSessions(Tables.events(spark, dir),
+        "user_id", "ts", "event_id", 1800L)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("session_id")).orderBy(col("ts"), col("event_id"))
+      tagged
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("session_start"),
+          count(lit(1)).as("n_events"),
+          // collect_list drops the when()'s nulls, so only the first L
+          // structs survive; array_sort orders by rn; the 8-element
+          // transform is interpreted but trivially small per row
+          concat_ws(" ", transform(
+            array_sort(collect_list(
+              when(col("rn") <= L, struct(col("rn"), col("event_type"))))),
+            s => s.getField("event_type"))).as("seq"))
+        .select(col("user_id"), col("session_id").cast("long").as("session_id"),
+          col("session_start"), col("n_events"),
+          least(col("n_events"), lit(L.toLong)).as("seq_len"), col("seq"))
+        .orderBy(col("user_id"), col("session_id"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q18JsonProps, q19HourlyAgg, q20SlidingAgg, q21Sessions,
     q22AsofViewPurchase, q50MapFuncs, q52IntervalJoin, q62Funnel, q63Retention,
     q65AsofNextView, q71GapfillHourly, q72Transitions, q86VolumeAnomalies,
     q87Scd2Intervals, q89TopPaths, q99RollingHour, q105HllRollup,
-    q106MadOutliers, q107DecayedActivity, q109Scd2Lookup)
+    q106MadOutliers, q107DecayedActivity, q109Scd2Lookup, q123SessionSequences)
 }

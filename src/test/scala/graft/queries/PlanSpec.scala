@@ -139,6 +139,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q123 reuses one user-keyed exchange across both windows and the groupBy") {
+    // HashPartitioning(user_id) satisfies the (user_id, session_id)
+    // clustering of the inner window AND the session aggregate, so the
+    // whole sessionize→sequence pipeline must shuffle the events once
+    // (plus the final presentation sort)
+    val p = plan(EventQueries.q123SessionSequences)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$p")
+  }
+
   test("q67 pushes the part-side size filter into the parquet scan") {
     val p = plan(RelationalQueries.q67PromoRevenue)
     assert(p.contains("PushedFilters: ["), p)
