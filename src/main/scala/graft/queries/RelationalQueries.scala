@@ -1051,6 +1051,85 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** CDC upsert (MERGE INTO semantics, batch form): a deterministic
+    * change feed — updates for odd custkeys (+100 acctbal, segment
+    * 'MOVED') and inserts keyed past the base range — merges into the
+    * customer snapshot via ONE full-outer join on the key;
+    * change-precedence by column coalesce. Per-nation audit rollup.
+    *
+    * Scale shape: one key-keyed shuffle (or broadcast when the change
+    * feed is small — left UNHINTED so AQE decides from the actual delta
+    * size); no window, no second pass for the audit flags — they ride
+    * the join row.
+    */
+  val q124UpsertMerge = Q(
+    "q124_upsert_merge",
+    """WITH updates AS (
+      |  SELECT c_custkey AS k, c_nationkey AS nk, c_acctbal + 100 AS ab, 'MOVED' AS seg
+      |  FROM customer WHERE c_custkey % 2 = 1),
+      |inserts AS (
+      |  SELECT c_custkey + 1000000 AS k, c_nationkey AS nk, 0.0 AS ab, 'NEW' AS seg
+      |  FROM customer WHERE c_custkey % 10 = 0),
+      |changes AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts),
+      |merged AS (
+      |  SELECT coalesce(b.c_nationkey, c.nk) AS nationkey,
+      |    coalesce(c.ab, b.c_acctbal) AS acctbal,
+      |    CASE WHEN b.c_custkey IS NULL THEN 1 ELSE 0 END AS ins,
+      |    CASE WHEN b.c_custkey IS NOT NULL AND c.k IS NOT NULL THEN 1 ELSE 0 END AS upd
+      |  FROM customer b FULL OUTER JOIN changes c ON b.c_custkey = c.k)
+      |SELECT nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(upd) AS BIGINT) AS n_updated,
+      |  CAST(sum(ins) AS BIGINT) AS n_inserted,
+      |  round(sum(acctbal), 2) AS total_acctbal
+      |FROM merged GROUP BY nationkey ORDER BY nationkey""".stripMargin) { (spark, dir) =>
+    val base = Tables.customer(spark, dir)
+    val updates = base.filter(col("c_custkey") % 2 === 1)
+      .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+        (col("c_acctbal") + 100).as("ab"), lit("MOVED").as("seg"))
+    val inserts = base.filter(col("c_custkey") % 10 === 0)
+      .select((col("c_custkey") + 1000000).as("k"), col("c_nationkey").as("nk"),
+        lit(0.0).as("ab"), lit("NEW").as("seg"))
+    val changes = updates.unionByName(inserts)
+    base.join(changes, base("c_custkey") === changes("k"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("nk")).as("nationkey"),
+        coalesce(col("ab"), col("c_acctbal")).as("acctbal"),
+        when(col("c_custkey").isNull, 1L).otherwise(0L).as("ins"),
+        when(col("c_custkey").isNotNull && col("k").isNotNull, 1L).otherwise(0L).as("upd"))
+      .groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("upd")).as("n_updated"),
+        sum(col("ins")).as("n_inserted"), round(sum(col("acctbal")), 2).as("total_acctbal"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Incremental aggregate maintenance (IVM): a pre-aggregated snapshot
+    * (orders before the cut date) plus a delta-period partial aggregate
+    * merge by summing PARTIALS — count and sum are mergeable, so the
+    * refresh shuffle carries one row per touched key, never raw delta
+    * rows, and the snapshot side never rescans history at refresh time.
+    * The ORACLE is the full recompute over all orders: the hash match IS
+    * the proof that the incremental path maintains the view exactly.
+    */
+  val q125IncrementalAgg = Q(
+    "q125_incremental_agg",
+    """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_spend
+      |FROM orders GROUP BY o_custkey
+      |ORDER BY total_spend DESC, o_custkey LIMIT 20""".stripMargin) { (spark, dir) =>
+    val cut = "1997-01-01"
+    val orders = Tables.orders(spark, dir)
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("s"))
+    val snapshot = partial(orders.filter(col("o_orderdate") < lit(cut)))
+    val delta = partial(orders.filter(col("o_orderdate") >= lit(cut)))
+    snapshot.unionByName(delta)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n")).as("n_orders"), round(sum(col("s")), 2).as("total_spend"))
+      .orderBy(col("total_spend").desc, col("o_custkey"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -1060,5 +1139,5 @@ object RelationalQueries {
     q47Unpivot, q49HashSample, q55FullOuter, q56AnalyticSuite, q57SkewJoin,
     q61SplitLabels, q64Histogram, q66RevenueShare, q67PromoRevenue, q82BloomSemiJoin,
     q88ZorderLayout, q90EquidepthBins, q97TopkPerGroup, q102QualityChecks,
-    q110ProfileOrders, q111BasketPairs)
+    q110ProfileOrders, q111BasketPairs, q124UpsertMerge, q125IncrementalAgg)
 }
