@@ -45,6 +45,16 @@ object DiagScale {
         col("label"))
     }.reduce(_ union _)
 
+  /** events: replica r shifts every id by r in the ×k keyspace —
+    * per-user event streams (and so session structure) are preserved
+    * exactly within each replica, replicas never share a user. */
+  private def replicateEvents(ev: DataFrame, k: Int): DataFrame =
+    (0 until k).map { r =>
+      ev.select((col("event_id") * k + r).as("event_id"), col("ts"),
+        (col("user_id") * k + r).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ union _)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -66,10 +76,12 @@ object DiagScale {
       .persist(); docs0.count()
     val emb0 = graft.sources.Tables.embeddings(spark, sfDir)
       .persist(); emb0.count()
+    val ev0 = graft.sources.Tables.events(spark, sfDir)
+      .persist(); ev0.count()
 
     // (operator label, k → row-producing DataFrame) — mirrors the
     // registered heavy queries' parameters exactly
-    def ops(docs: DataFrame, emb: DataFrame): Seq[(String, () => Long)] = {
+    def ops(docs: DataFrame, emb: DataFrame, ev: DataFrame): Seq[(String, () => Long)] = {
       def nearDupEdgesWith(bits: Int) = {
         val banded = emb.select(col("vec_id"), col("embedding"),
             posexplode(VectorFns.lshBandKeys(col("embedding"), 64, 4, bits))
@@ -160,6 +172,79 @@ object DiagScale {
             docs.filter(pmod(xxhash64(col("doc_id")), lit(5)) =!= 4),
             "doc_id", "text", n = 3, bands = 16, rowsPerBand = 4,
             threshold = 0.5).count()),
+        "q119_dsir" -> (() => {
+          // the registered q119 shape, target slice = doc_id%5==0 (the
+          // probe corpus has no lang column; the shape is identical)
+          import graft.functions.TextFns
+          val B = 64
+          val feats = docs
+            .select(col("doc_id"), (pmod(col("doc_id"), lit(5)) === 0).as("is_t"),
+              TextFns.tokens(col("text")).as("toks"))
+            .select(col("doc_id"), col("is_t"),
+              explode(TextFns.shinglePositions(col("toks"), 2)).as("pos"), col("toks"))
+            .select(col("doc_id"), col("is_t"),
+              (Dedup.portableHash60(TextFns.shingleAt(col("toks"), col("pos"), 2)) % B).as("b"))
+          val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+          val tgt = feats.filter(col("is_t")).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+          val freq = raw.join(tgt, Seq("b"), "left")
+            .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+          val ratioRow = freq.agg(
+            map_from_arrays(collect_list(col("b")),
+              collect_list(struct(col("cr"), col("ct")))).as("m"),
+            sum(col("cr")).as("r_tot"), sum(col("ct")).as("t_tot"))
+          val e = element_at(col("m"), col("b"))
+          feats.crossJoin(broadcast(ratioRow))
+            .withColumn("logw",
+              log((e.getField("ct") + 1).cast("double") / (col("t_tot") + B))
+                - log((e.getField("cr") + 1).cast("double") / (col("r_tot") + B)))
+            .groupBy(col("doc_id")).agg(sum(col("logw")).as("lw"))
+            .orderBy(col("lw").desc, col("doc_id")).limit(20).count()
+        }),
+        "q121_kl" -> (() => {
+          // the registered q121 shape, synthetic 20-way source from the id
+          import graft.functions.TextFns
+          val B = 64
+          val feats = docs
+            .select(pmod(col("doc_id"), lit(20)).as("source"),
+              explode(TextFns.tokens(col("text"))).as("tok"))
+            .select(col("source"), (Dedup.portableHash60(col("tok")) % B).as("b"))
+          val perSrc = feats.groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+          val srcTot = perSrc.groupBy(col("source")).agg(sum(col("c")).as("st"))
+          val corpusRow = perSrc.groupBy(col("b")).agg(sum(col("c")).as("cc"))
+            .agg(map_from_arrays(collect_list(col("b")), collect_list(col("cc"))).as("ccm"),
+              sum(col("cc")).cast("double").as("at"))
+          import spark.implicits._
+          val buckets = (0L until B).toDF("b")
+          val pS = (col("c") + 1.0) / (col("st") + B)
+          val pC = (col("cc") + 1.0) / (col("at") + B)
+          srcTot.crossJoin(broadcast(buckets))
+            .join(perSrc, Seq("source", "b"), "left")
+            .crossJoin(broadcast(corpusRow))
+            .select(col("source"), col("st"),
+              coalesce(element_at(col("ccm"), col("b")), lit(0L)).as("cc"),
+              coalesce(col("c"), lit(0L)).as("c"), col("at"))
+            .groupBy(col("source"), col("st"))
+            .agg(sum(pS * log(pS / pC)).as("kl"))
+            .count()
+        }),
+        "q123_sessions" -> (() => {
+          // the registered q123 shape: tagSessions + in-row truncated
+          // sequence assembly, one user-keyed exchange
+          import org.apache.spark.sql.expressions.Window
+          val L = 8
+          val tagged = graft.operators.Sessionize.tagSessions(
+            ev, "user_id", "ts", "event_id", 1800L)
+          val w = Window.partitionBy(col("user_id"), col("session_id"))
+            .orderBy(col("ts"), col("event_id"))
+          tagged.withColumn("rn", row_number().over(w))
+            .groupBy(col("user_id"), col("session_id"))
+            .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"),
+              concat_ws(" ", transform(
+                array_sort(collect_list(
+                  when(col("rn") <= L, struct(col("rn"), col("event_type"))))),
+                s => s.getField("event_type"))).as("seq"))
+            .count()
+        }),
         "q85_tfidf" -> (() => {
           // the registered q85 shape: shingle terms, df∈[2,100] vocab,
           // unit-normalized weights (window over doc_id), posting-list
@@ -193,9 +278,10 @@ object DiagScale {
     for (k <- ks) {
       val docsK = replicateDocs(docs0, k).repartition(cpus.toInt).persist()
       val embK = replicateEmb(emb0, k).repartition(cpus.toInt).persist()
+      val evK = replicateEvents(ev0, k).repartition(cpus.toInt).persist()
       val (nd, ne) = (docsK.count(), embK.count())
-      println(s"[scale] k=$k docs=$nd emb=$ne")
-      for ((name, f) <- ops(docsK, embK)
+      println(s"[scale] k=$k docs=$nd emb=$ne ev=${evK.count()}")
+      for ((name, f) <- ops(docsK, embK, evK)
            if opFilter.isEmpty || opFilter.exists(name.contains)) {
         val t0 = System.nanoTime()
         val rows = f()
@@ -203,7 +289,7 @@ object DiagScale {
         results((name, k)) = sec
         println(f"[scale] k=$k $name%-16s $sec%8.2f s  rows=$rows")
       }
-      docsK.unpersist(); embK.unpersist()
+      docsK.unpersist(); embK.unpersist(); evK.unpersist()
     }
     println("[scale] growth exponents (ln time ratio / ln size ratio):")
     for (name <- results.keys.map(_._1).toSeq.distinct.sorted;
