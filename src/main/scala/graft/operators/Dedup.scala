@@ -532,14 +532,12 @@ object Dedup {
       .select(col(idCol).as("id") +: carryCols :+ norm.as("norm"): _*)
       // need at least one FULL k-gram window: npos = len-(w-1) >= k
       .filter(length(col("norm")) >= w + k - 1)
+      // native single-pass winnow (plans/WinnowExpr): identical md5
+      // fingerprint values to the declarative two-transform form it
+      // replaced (bit-parity in WinnowExprSpec), but O(n) deque minima
+      // and no interpreted HOF per element
       .select(col("id") +: carryCols :+
-        transform(sequence(lit(1), length(col("norm")) - (w - 1)),
-          i => conv(substring(md5(col("norm").substr(i, lit(w))), 1, 15), 16, 10)
-            .cast("long")).as("gh"): _*)
-      .select(col("id") +: carryCols :+
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("gh")) - (k - 1)),
-          j => array_min(slice(col("gh"), j, lit(k)))))).as("fp"): _*)
+        explode(graft.plans.WinnowExpr.winnow(col("norm"), w, k)).as("fp"): _*)
   }
 
   /** SimHash near-dup pairs: 64-bit signatures, candidates blocked on
