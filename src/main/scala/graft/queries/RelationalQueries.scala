@@ -829,7 +829,13 @@ object RelationalQueries {
     * value via an `aggregate` fold over the broadcast cutpoint array
     * (zero extra shuffles — the fold is codegen'd per row; q64 is the
     * fixed-WIDTH twin of this fixed-DEPTH histogram). The exact
-    * percentile is a parallel aggregate in Spark (no global sort);
+    * percentile is a parallel aggregate in Spark (no global sort), but
+    * its merge state is a value→count map — memory scales with DISTINCT
+    * values, not rows, which is fine for bounded-cardinality feature
+    * columns like price and the reason a 100 TB continuous-valued
+    * column should switch to `approx_percentile` (t-digest state, no
+    * exact-oracle requirement in production) — the bin-assignment fold
+    * below is unchanged either way;
     * bin-boundary stability across engines holds because an
     * interpolated cutpoint lies strictly between two adjacent data
     * values (or IS a data value when (n-1)p is integral), so `value >
