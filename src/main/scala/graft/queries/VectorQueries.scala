@@ -531,21 +531,11 @@ object VectorQueries {
         posexplode(col("v")).as(Seq("i", "x")))
       .groupBy(col("j"), col("i")).agg(round(avg(col("x")), 6).as("c"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
-    // squared L2 of vector block m to codeword (m, j), UNROLLED: 8
-    // codegen'd subtract-square terms summed left-to-right — the exact
-    // fold order of the oracle's sum((v-c)*(v-c)) and of the HOF
-    // formulation this replaces (which ran an interpreted lambda per
-    // element — 3× the scan cost at corpus scale)
-    def sqdistTo(vc: Column, m: Int, j: Int): Column =
-      (0 until PqSub).map { kk =>
-        val diff = element_at(vc, m * PqSub + kk + 1) - lit(cbRows((j, m * PqSub + kk)))
-        diff * diff
-      }.reduce(_ + _)
-    // encode: argmin code per subspace, first-index-of-min ≡ ties → lowest j
-    def codeCol(vc: Column, m: Int): Column = {
-      val dArr = array((0 until PqC).map(j => sqdistTo(vc, m, j)): _*)
-      (array_position(dArr, array_min(dArr)) - 1).cast("int")
-    }
+    // encode: native one-loop argmin per subspace (plans/PqEncodeExpr) —
+    // bit-identical codes to the unrolled 1024-node expression tree it
+    // replaced (same ascending-dimension fold, ties → lowest j;
+    // PqEncodeExprSpec), with a KB-sized codebook reference instead of
+    // multi-second whole-stage codegen compiles
     // the probe's distance table is 8×16 doubles — computed DRIVER-side
     // from the collected probe row (the ADC lookup-table trick: at query
     // time a real index computes this once per probe, never per
@@ -566,9 +556,11 @@ object VectorQueries {
     }
     val adc = (0 until PqM).map { m =>
       val pdArr = array((0 until PqC).map(j => lit(pd(m)(j))): _*)
-      element_at(pdArr, codeCol(col("v"), m) + 1)
+      element_at(pdArr, element_at(col("codes"), m + 1) + 1)
     }.reduce(_ + _)
     base.filter(col("vec_id") =!= 0)
+      .withColumn("codes",
+        graft.plans.PqEncodeExpr.pqEncode(col("v"), cbRows, PqM, PqSub, PqC))
       .select(col("vec_id"), col("label"), round(adc, 6).as("approx_dist"))
       .orderBy(col("approx_dist"), col("vec_id"))
       .limit(10)
@@ -666,15 +658,6 @@ object VectorQueries {
         posexplode(col("v")).as(Seq("i", "x")))
       .groupBy(col("j"), col("i")).agg(round(avg(col("x")), 6).as("c"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
-    def sqdistTo(vc: Column, m: Int, j: Int): Column =
-      (0 until PqSub).map { kk =>
-        val diff = element_at(vc, m * PqSub + kk + 1) - lit(cbRows((j, m * PqSub + kk)))
-        diff * diff
-      }.reduce(_ + _)
-    def codeCol(vc: Column, m: Int): Column = {
-      val dArr = array((0 until PqC).map(j => sqdistTo(vc, m, j)): _*)
-      (array_position(dArr, array_min(dArr)) - 1).cast("int")
-    }
     val pVec = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
     val pd: Array[Array[Double]] = Array.tabulate(PqM) { m =>
@@ -689,11 +672,14 @@ object VectorQueries {
         s
       }
     }
+    // native PQ encode (plans/PqEncodeExpr) — see q93 for the rationale
     val adc = (0 until PqM).map { m =>
       val pdArr = array((0 until PqC).map(j => lit(pd(m)(j))): _*)
-      element_at(pdArr, codeCol(col("v"), m) + 1)
+      element_at(pdArr, element_at(col("codes"), m + 1) + 1)
     }.reduce(_ + _)
     cands
+      .withColumn("codes",
+        graft.plans.PqEncodeExpr.pqEncode(col("v"), cbRows, PqM, PqSub, PqC))
       .select(col("vec_id"), col("label"), round(adc, 6).as("approx_dist"))
       .orderBy(col("approx_dist"), col("vec_id"))
       .limit(10)

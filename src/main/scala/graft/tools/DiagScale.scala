@@ -141,8 +141,9 @@ object DiagScale {
           a.groupBy("cell").count().count()
         }),
         "q93_pq_encode" -> (() => {
-          // the q93 corpus-side path: one-shot codebook collect + fully
-          // narrow unrolled argmin encode over every vector
+          // the q93 corpus-side path: one-shot codebook collect + the
+          // native one-loop argmin encode over every vector (r5:
+          // plans/PqEncodeExpr replaced the unrolled expression tree)
           val base = emb.select(col("vec_id"),
             col("embedding").cast("array<double>").as("v"))
           val cbRows = base
@@ -150,17 +151,8 @@ object DiagScale {
               posexplode(col("v")).as(Seq("i", "x")))
             .groupBy(col("j"), col("i")).agg(round(avg(col("x")), 6).as("c"))
             .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
-          def sqdistTo(m: Int, j: Int) =
-            (0 until 8).map { kk =>
-              val diff = element_at(col("v"), m * 8 + kk + 1) - lit(cbRows((j, m * 8 + kk)))
-              diff * diff
-            }.reduce(_ + _)
-          def codeCol(m: Int) = {
-            val dArr = array((0 until 16).map(j => sqdistTo(m, j)): _*)
-            (array_position(dArr, array_min(dArr)) - 1).cast("int")
-          }
           base.select(col("vec_id"),
-              array((0 until 8).map(codeCol): _*).as("codes"))
+              graft.plans.PqEncodeExpr.pqEncode(col("v"), cbRows, 8, 8, 16).as("codes"))
             .groupBy(col("codes")).count().count()
         }),
         "q94_crossdup" -> (() =>
