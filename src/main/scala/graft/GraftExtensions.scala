@@ -34,6 +34,13 @@ object GraftExtensions {
     String.valueOf(e.eval())
   }
 
+  /** Winnow window geometry must be literal: w/k shape the generated
+    * code, they are not per-row data. */
+  private def literalInt(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn requires a literal integer argument")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
   /** name → expression builder, shared by the extension injection and
     * GraftSession.registerFunctions. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -55,5 +62,8 @@ object GraftExtensions {
             literalString(exprs(1), "graft_css_first")))), 0, Some("v"))),
     "graft_css_all" ->
       ((exprs: Seq[Expression]) => graft.plans.XPathArrayExpr(exprs.head,
-        graft.lianjia.Css.toXPath(literalString(exprs(1), "graft_css_all")))))
+        graft.lianjia.Css.toXPath(literalString(exprs(1), "graft_css_all")))),
+    "graft_winnow" ->
+      ((exprs: Seq[Expression]) => graft.plans.WinnowExpr(exprs.head,
+        literalInt(exprs(1), "graft_winnow"), literalInt(exprs(2), "graft_winnow"))))
 }

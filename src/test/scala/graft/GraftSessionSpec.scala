@@ -17,6 +17,19 @@ class GraftSessionSpec extends SparkSpec {
     assert(viaSql === viaCol)
   }
 
+  test("registered SQL function graft_winnow matches the Column API") {
+    GraftSession.registerFunctions(spark)
+    import spark.implicits._
+    val df = Seq("the quick brown fox jumps over the lazy dog").toDF("norm")
+    df.createOrReplaceTempView("tw")
+    val viaSql = spark.sql("SELECT graft_winnow(norm, 8, 4) AS fp FROM tw")
+      .head.getSeq[Long](0)
+    val viaCol = df.select(graft.plans.WinnowExpr.winnow(
+      org.apache.spark.sql.functions.col("norm"), 8, 4).as("fp"))
+      .head.getSeq[Long](0)
+    assert(viaSql === viaCol && viaSql.nonEmpty)
+  }
+
   test("extraction surface from pure SQL: css/xpath first + all") {
     GraftSession.registerFunctions(spark)
     import spark.implicits._
