@@ -137,6 +137,49 @@ class PropertySpec extends SparkSpec {
     assert(apx >= lo && apx <= hi, s"approx median $apx outside [$lo, $hi]")
   }
 
+  test("native winnow ≡ declarative transform chain on arbitrary docs") {
+    val geom = for { w <- Gen.chooseNum(2, 9); k <- Gen.chooseNum(2, 6) } yield (w, k)
+    forAll(docsGen, geom) { (texts, wk) =>
+      val (w, k) = wk
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "norm")
+        .filter(length(col("norm")) >= w + k - 1)
+      val gh = transform(sequence(lit(1), length(col("norm")) - (w - 1)),
+        i => conv(substring(md5(col("norm").substr(i, lit(w))), 1, 15), 16, 10)
+          .cast("long"))
+      val decl = array_distinct(transform(
+        sequence(lit(1), size(gh) - (k - 1)), j => array_min(slice(gh, j, lit(k)))))
+      df.select(graft.plans.WinnowExpr.winnow(col("norm"), w, k).as("a"), decl.as("b"))
+        .collect()
+        .foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"w=$w k=$k"))
+    }
+  }
+
+  test("native PQ encode ≡ declarative argmin on arbitrary vectors") {
+    val (m, sub, c) = (2, 3, 4) // dim 6, small enough to unroll declaratively
+    val dim = m * sub
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-5, 5).map(_ / 2.0))
+    val cbGen = Gen.listOfN(c * dim, Gen.chooseNum(-5, 5).map(_ / 2.0))
+    forAll(Gen.listOfN(6, vecGen), cbGen) { (vecs, cbFlat) =>
+      val cbRows = (for { j <- 0 until c; i <- 0 until dim }
+        yield (j, i) -> cbFlat(j * dim + i)).toMap
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      def sqdistTo(m0: Int, j: Int) =
+        (0 until sub).map { kk =>
+          val diff = element_at(col("v"), m0 * sub + kk + 1) - lit(cbRows((j, m0 * sub + kk)))
+          diff * diff
+        }.reduce(_ + _)
+      def codeCol(m0: Int) = {
+        val dArr = array((0 until c).map(j => sqdistTo(m0, j)): _*)
+        (array_position(dArr, array_min(dArr)) - 1).cast("int")
+      }
+      df.select(
+          graft.plans.PqEncodeExpr.pqEncode(col("v"), cbRows, m, sub, c).as("a"),
+          array((0 until m).map(codeCol): _*).as("b"))
+        .collect()
+        .foreach(r => assert(r.getSeq[Int](0) === r.getSeq[Int](1)))
+    }
+  }
+
   test("date reformat roundtrip (C11): yyyy.M.d → DATE → ISO is stable") {
     val dateGen = for {
       y <- Gen.chooseNum(1995, 2024); m <- Gen.chooseNum(1, 12); d <- Gen.chooseNum(1, 28)
