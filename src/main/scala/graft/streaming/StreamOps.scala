@@ -52,6 +52,23 @@ object StreamOps {
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n_events"))
 
+  /** q123's behavioral-sequence export as a streaming session
+    * aggregation: the same session rule via `session_window`, the
+    * ordered event-type sequence truncated to `maxLen` in-row. The
+    * batch twin bounds per-group state with a window rank; a streaming
+    * agg has no rank, so the collect is session-sized — bounded in
+    * practice by the session gap + watermark horizon, which caps how
+    * long any session can stay open. */
+  def sessionSequences(events: DataFrame, gap: String, maxLen: Int,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws(" ", slice(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          s => s.getField("event_type")), 1, maxLen)).as("seq"))
+
   /** Exactly-once event dedup with bounded state: drops events whose key
     * re-appears within the watermark horizon. */
   def dedupWithinWatermark(events: DataFrame, keys: Seq[String],

@@ -76,6 +76,28 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.map(_.toString).toSeq === batch.map(_.toString).toSeq)
   }
 
+  test("q123's session sequences run as a streaming session agg (per-session parity)") {
+    // the batch q123 tags sessions with a lag/cumsum rank; the stream
+    // uses session_window — SessionizeSpec proves the split rules agree,
+    // and this proves the assembled SEQUENCES agree session-for-session
+    val batch = graft.queries.EventQueries.q123SessionSequences
+      .run(spark, sfDir)
+      .select(col("user_id"), col("session_start").as("s"),
+        col("n_events"), col("seq"))
+      .orderBy("user_id", "s")
+      .collect()
+    val staticSchema = spark.read.parquet(stagedDir).schema
+    val got = StreamOps.runToMemory(spark,
+        StreamOps.sessionSequences(
+          StreamOps.parquetStream(spark, staticSchema, stagedDir), "30 minutes", 8),
+        "seq_test", outputMode = "complete")
+      .select(col("user_id"), col("session_window.start").as("s"),
+        col("n_events"), col("seq"))
+      .orderBy("user_id", "s")
+      .collect()
+    assert(got.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+  }
+
   test("flatMapGroupsWithState running totals converge to the batch answer") {
     import spark.implicits._
     val batch = Tables.events(spark, sfDir)
