@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{PageRank, Triangles}
+import graft.operators.{Hits, PageRank, Triangles}
 import graft.sources.Tables
 
 /** Graph analytics over the order graph (customer ↔ supplier via
@@ -194,5 +194,75 @@ object GraphQueries {
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4).as("global_cc"))
   }
 
-  val all: Seq[Q] = Seq(q76Pagerank, q80TriangleCensus, q112PersonalizedPagerank)
+  /** HITS rounds for q126. Three is safe against the long-overflow
+    * bound in [[graft.operators.Hits]] scaladoc at every graded SF. */
+  private val HitsIters = 3
+
+  /** DuckDB twin of the integer-exact HITS recurrence: one pair of CTEs
+    * per round, sums cast back to BIGINT each half-step to mirror
+    * Spark's LongType (DuckDB widens sum(BIGINT) to HUGEINT). Because
+    * every intermediate is an exact integer in both engines, the only
+    * floats are the two final max-normalizations — deterministic given
+    * identical integer inputs, so round(…, 7) cannot flake. */
+  private def hitsOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""a$k AS (
+         |  SELECT sn AS node, CAST(sum(h.s) AS BIGINT) AS s
+         |  FROM pairs JOIN h${k - 1} h ON h.node = cn GROUP BY sn),
+         |h$k AS (
+         |  SELECT cn AS node, CAST(sum(a.s) AS BIGINT) AS s
+         |  FROM pairs JOIN a$k a ON a.node = sn GROUP BY cn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE o_orderdate >= DATE '$SinceDate'),
+       |h0 AS (SELECT DISTINCT cn AS node, CAST(1 AS BIGINT) AS s FROM pairs),
+       |$rounds,
+       |nodes AS (
+       |  SELECT cn AS node FROM pairs UNION SELECT sn FROM pairs),
+       |mx AS (
+       |  SELECT (SELECT CAST(max(s) AS DOUBLE) FROM h$iters) AS mh,
+       |         (SELECT CAST(max(s) AS DOUBLE) FROM a$iters) AS ma)
+       |SELECT
+       |  CASE WHEN n.node % 2 = 0 THEN 'c' || CAST(n.node // 2 AS VARCHAR)
+       |       ELSE 's' || CAST(n.node // 2 AS VARCHAR) END AS node,
+       |  round(coalesce(h.s, 0) / mx.mh, 7) AS hub,
+       |  round(coalesce(a.s, 0) / mx.ma, 7) AS auth
+       |FROM nodes n CROSS JOIN mx
+       |LEFT JOIN h$iters h ON h.node = n.node
+       |LEFT JOIN a$iters a ON a.node = n.node
+       |ORDER BY node""".stripMargin
+  }
+
+  /** HITS over the DIRECTED customer→supplier purchase graph: customers
+    * are pure hubs (they only point), suppliers pure authorities — the
+    * bipartite reading of Kleinberg's mutual reinforcement, ranking
+    * buyers by the popularity of what they buy and suppliers by the
+    * reach of who buys from them. Scores are the raw integer
+    * endorsement counts of `Hits.run` max-normalized per role; all ~N
+    * nodes are emitted (no top-k near-tie flake). */
+  val q126HitsAuthorities = Q(
+    "q126_hits_authorities",
+    hitsOracle(HitsIters)) { (spark, dir) =>
+    val edges = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(SinceDate).cast("date"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val scores = Hits.run(edges, HitsIters)
+    val mx = scores.agg(
+      max(col("hub")).cast("double").as("mh"),
+      max(col("auth")).cast("double").as("ma"))
+    scores.crossJoin(broadcast(mx)) // 1-row normalizer
+      .select(
+        concat(when(col("node") % 2 === 0, "c").otherwise("s"),
+          expr("node div 2").cast("string")).as("node"),
+        round(col("hub") / col("mh"), 7).as("hub"),
+        round(col("auth") / col("ma"), 7).as("auth"))
+      .orderBy(col("node"))
+  }
+
+  val all: Seq[Q] = Seq(q76Pagerank, q80TriangleCensus,
+    q112PersonalizedPagerank, q126HitsAuthorities)
 }
