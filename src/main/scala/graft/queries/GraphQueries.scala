@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Hits, PageRank, Triangles}
+import graft.operators.{Hits, Iterate, PageRank, Triangles}
 import graft.sources.Tables
 
 /** Graph analytics over the order graph (customer ↔ supplier via
@@ -263,6 +263,74 @@ object GraphQueries {
       .orderBy(col("node"))
   }
 
+  /** Expansion rounds for q127 — the co-purchase graph is an expander,
+    * so 3 hops from any seed set reaches nearly everything; unreached
+    * nodes simply have no row (both dialects agree on that). */
+  private val BfsDepth = 3
+
+  /** Multi-source BFS crawl depth over the symmetrized trade graph:
+    * hop distance from a fixed 3-supplier seed set (the "seed frontier" of
+    * SURVEY §2.1-S1) to every node they reach within [[BfsDepth]] hops.
+    * The engine side is `Iterate.fixpoint` — the crawl scheduler loop
+    * itself — carrying a depth column through the frontier expansion:
+    * level-order expansion + the visited anti-join IS Dijkstra on unit
+    * weights, so the first depth a node arrives with is its minimum.
+    * Depths are exact integers (no float in the whole query), and every
+    * reached node is emitted — the same no-flake shape as q76/q126.
+    *
+    * The oracle is a bounded recursive CTE: expand ≤ [[BfsDepth]] hops
+    * with UNION-distinct on (node, depth) states, then take each node's
+    * min depth — a different evaluation order (breadth-first frontier
+    * vs all-bounded-paths-then-min) that must land on the same map. */
+  val q127CrawlDepth = Q(
+    "q127_crawl_depth",
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE o_orderdate >= DATE '$SinceDate'),
+       |edges AS (
+       |  SELECT cn AS src, sn AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT sn AS src, cn AS dst FROM pairs),
+       |seeds AS (
+       |  SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_suppkey <= 3),
+       |reach(node, depth) AS (
+       |  SELECT node, 0 FROM seeds
+       |  UNION
+       |  SELECT e.dst, r.depth + 1
+       |  FROM reach r JOIN edges e ON e.src = r.node
+       |  WHERE r.depth < $BfsDepth)
+       |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+       |            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+       |  CAST(min(depth) AS INTEGER) AS depth
+       |FROM reach GROUP BY node ORDER BY node""".stripMargin) { (spark, dir) =>
+    val pairs = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(SinceDate).cast("date"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("cn"), (col("l_suppkey") * 2 + 1).as("sn"))
+      .distinct()
+      .cache()
+    val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
+      .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+      .cache()
+    val seeds = Tables.supplier(spark, dir)
+      .filter(col("s_suppkey") <= 3)
+      .select((col("s_suppkey") * 2 + 1).as("node"), lit(0).as("depth"))
+    val reached = Iterate.fixpoint(
+      seeds,
+      frontier => edges.join(frontier, edges("src") === frontier("node"))
+        .select(edges("dst").as("node"), (frontier("depth") + 1).as("depth")),
+      keyCols = Seq("node"), maxIter = BfsDepth)
+    val out = reached.select(
+        concat(when(col("node") % 2 === 0, "c").otherwise("s"),
+          expr("node div 2").cast("string")).as("node"),
+        col("depth").cast("int").as("depth"))
+      .orderBy(col("node"))
+      .localCheckpoint(true) // materialize before dropping the edge cache
+    edges.unpersist(false); pairs.unpersist(false)
+    out
+  }
+
   val all: Seq[Q] = Seq(q76Pagerank, q80TriangleCensus,
-    q112PersonalizedPagerank, q126HitsAuthorities)
+    q112PersonalizedPagerank, q126HitsAuthorities, q127CrawlDepth)
 }
