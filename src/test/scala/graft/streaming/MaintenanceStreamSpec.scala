@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** The q124 CDC upsert, applied INCREMENTALLY as a change stream: the
+  * versioned foreachBatch MERGE must converge to the one-shot batch
+  * MERGE, and replaying a micro-batch must be a fixpoint (the
+  * exactly-once-by-idempotence claim in StreamOps.upsertBatches). */
+class MaintenanceStreamSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // q124's exact change feed, in the snapshot schema (k, nk, ab, seg)
+  private def baseAndChanges = {
+    val base = Tables.customer(spark, sfDir).select(
+      col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+      col("c_acctbal").as("ab"), col("c_mktsegment").as("seg"))
+    val updates = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 2 === 1)
+      .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+        (col("c_acctbal") + 100).as("ab"), lit("MOVED").as("seg"))
+    val inserts = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 10 === 0)
+      .select((col("c_custkey") + 1000000).as("k"), col("c_nationkey").as("nk"),
+        lit(0.0).as("ab"), lit("NEW").as("seg"))
+    (base, updates.unionByName(inserts))
+  }
+
+  test("streamed CDC upsert converges to the batch MERGE (q124 parity)") {
+    val (base, changes) = baseAndChanges
+    val feedDir = java.nio.file.Files.createTempDirectory("cdc-feed").toString
+    val snapDir = java.nio.file.Files.createTempDirectory("cdc-snap").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("cdc-ck").toString
+    // three single-file appends → three micro-batches (file source runs
+    // maxFilesPerTrigger=1). Chunks partition the key space, so batch
+    // ARRIVAL order cannot matter — only the merge semantics can.
+    for (i <- 0 until 3)
+      changes.filter(col("k") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(feedDir)
+
+    StreamOps.bootstrapSnapshot(base, snapDir)
+    val schema = spark.read.parquet(feedDir).schema
+    StreamOps.upsertBatches(
+      StreamOps.parquetStream(spark, schema, feedDir), "k", snapDir, ckDir)
+
+    val snap = StreamOps.latestSnapshot(spark, snapDir)
+      .getOrElse(fail("no snapshot written"))
+    // the registered q124 audit rollup is the batch truth; the snapshot
+    // has no base-vs-change lineage, so compare the lineage-free columns
+    val expect = graft.queries.RelationalQueries.q124UpsertMerge
+      .run(spark, sfDir)
+      .select(col("nationkey"), col("n_rows"), col("total_acctbal"))
+      .orderBy(col("nationkey")).collect()
+    val got = snap.groupBy(col("nk").as("nationkey"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("ab")), 2).as("total_acctbal"))
+      .orderBy(col("nationkey")).collect()
+    assert(got.map(_.toString).toSeq === expect.map(_.toString).toSeq)
+  }
+
+  test("re-applying a chunk to the final snapshot is a fixpoint (replay-safe)") {
+    val (base, changes) = baseAndChanges
+    val snapDir = java.nio.file.Files.createTempDirectory("cdc-snap2").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("cdc-ck2").toString
+    val feedDir = java.nio.file.Files.createTempDirectory("cdc-feed2").toString
+    changes.coalesce(1).write.mode("append").parquet(feedDir)
+    StreamOps.bootstrapSnapshot(base, snapDir)
+    val schema = spark.read.parquet(feedDir).schema
+    StreamOps.upsertBatches(
+      StreamOps.parquetStream(spark, schema, feedDir), "k", snapDir, ckDir)
+    val snap = StreamOps.latestSnapshot(spark, snapDir)
+      .getOrElse(fail("no snapshot written"))
+    // simulate the crash-replay: merge the SAME change set once more
+    val replayed = snap.as("s").join(changes.dropDuplicates(Seq("k")).as("c"),
+        col("s.k") === col("c.k"), "full_outer")
+      .select(snap.columns.toSeq.map(c =>
+        coalesce(col(s"c.$c"), col(s"s.$c")).as(c)): _*)
+    assert(replayed.exceptAll(snap).isEmpty && snap.exceptAll(replayed).isEmpty,
+      "replaying the change set changed the snapshot")
+  }
+}
