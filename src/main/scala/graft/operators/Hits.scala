@@ -142,24 +142,37 @@ object Hits {
       .select($"node", lit(1L).as("s")).localCheckpoint(true)
     var auth: DataFrame = null
     for (i <- 1 to iterations) {
-      auth = bySrc.join(hintNodeSized(hub), $"src" === hub("node"))
-        .groupBy($"dst").agg(sum($"s").as("s"))
-        .select($"dst".as("node"), $"s")
-        .localCheckpoint(true)
-      hub = byDst.join(hintNodeSized(auth), $"dst" === auth("node"))
-        .groupBy($"src").agg(sum($"s").as("s"))
-        .select($"src".as("node"), $"s")
-        .localCheckpoint(true)
+      auth = halfStep(bySrc, "src", "dst", hub, hintNodeSized).localCheckpoint(true)
+      hub = halfStep(byDst, "dst", "src", auth, hintNodeSized).localCheckpoint(true)
       mark(s"round $i/$iterations checkpointed")
     }
-    val out = nodes.as("n")
+    val out = finish(nodes, hub, auth, hintNodeSized)
+    bySrc.unpersist(false); byDst.unpersist(false); nodes.unpersist(false)
+    out
+  }
+
+  /** One HITS half-step: join scores to the edge copy already laid out
+    * on the join endpoint, gather (sum) on the far endpoint. The
+    * node-sized score side carries the broadcast/shuffle_hash hint, so
+    * the cached edges are never sorted or re-exchanged — partial
+    * aggregation bounds the gather's shuffle by distinct far-endpoints
+    * per partition (PlanSpec pins this shape). */
+  private[graft] def halfStep(edgesByKey: DataFrame, joinKey: String,
+      gatherKey: String, scores: DataFrame,
+      hintNodeSized: DataFrame => DataFrame): DataFrame =
+    edgesByKey.join(hintNodeSized(scores), col(joinKey) === scores("node"))
+      .groupBy(col(gatherKey)).agg(sum(col("s")).as("s"))
+      .select(col(gatherKey).as("node"), col("s"))
+
+  private def finish(nodes: DataFrame, hub: DataFrame, auth: DataFrame,
+      hintNodeSized: DataFrame => DataFrame): DataFrame = {
+    import nodes.sparkSession.implicits._
+    nodes.as("n")
       .join(hintNodeSized(hub).as("h"), $"n.node" === $"h.node", "left")
       .join(hintNodeSized(auth).as("a"), $"n.node" === $"a.node", "left")
       .select($"n.node",
         coalesce($"h.s", lit(0L)).as("hub"),
         coalesce($"a.s", lit(0L)).as("auth"))
       .localCheckpoint(true)
-    bySrc.unpersist(false); byDst.unpersist(false); nodes.unpersist(false)
-    out
   }
 }

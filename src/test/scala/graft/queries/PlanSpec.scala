@@ -298,6 +298,34 @@ class PlanSpec extends SparkSpec {
     g.adj.unpersist(true); g.nodes.unpersist(true)
   }
 
+  test("HITS half-step never sorts the cached edges; one gather shuffle only") {
+    // Same class of pin as the PageRank round: scores arrive as a
+    // stats-less localCheckpoint'd LogicalRDD, so only the explicit
+    // node-sized hint keeps the planner off SortMergeJoin. Below the
+    // broadcast limit the half-step must be ONE BroadcastHashJoin plus
+    // the partial-aggregated gather exchange.
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions._
+    import graft.operators.Hits
+    val bySrc = spark.range(3000)
+      .select((col("id") % 500).as("src"), ((col("id") * 7) % 500).as("dst"))
+      .repartition(col("src")).cache()
+    bySrc.count()
+    val scores = bySrc.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1L).as("s")).localCheckpoint(true)
+    val nodes = flatNodes(Hits.halfStep(bySrc, "src", "dst", scores, broadcast)
+      .queryExecution.executedPlan)
+    val render = nodes.map(_.nodeName).mkString("\n")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "half-step degraded to SMJ:\n" + render)
+    assert(nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) === 1,
+      "score side not broadcast:\n" + render)
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeExec]) <= 1,
+      "half-step should shuffle once (the gather):\n" + render)
+    bySrc.unpersist(true)
+  }
+
   test("PageRank above the broadcast limit falls back to shuffled-hash, still unsorted") {
     import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
     import org.apache.spark.sql.functions._
