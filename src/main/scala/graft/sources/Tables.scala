@@ -19,15 +19,24 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) (TESTDATA/SURVEY §7.4), which
-    * Spark's vectorized reader rejects. Read it as raw nanos via the
-    * legacy flag and convert to microsecond TimestampType here, so every
-    * consumer sees a plain `ts: TIMESTAMP` column. */
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) (TESTDATA/SURVEY §7.4), which
+    * Spark's vectorized reader rejects unless read as raw nanos via the
+    * legacy flag, and plain TIMESTAMP(MICROS) with isAdjustedToUTC=false,
+    * which Spark reads as TIMESTAMP_NTZ. Normalize BOTH to microsecond
+    * TimestampType here (session TZ is UTC everywhere, so the NTZ cast
+    * preserves the wall-clock instant), so every consumer sees a plain
+    * `ts: TIMESTAMP` column regardless of which generator wrote the file. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
