@@ -103,6 +103,64 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Exact Jaccard threshold self-join by PREFIX FILTERING (the
+    * All-Pairs/PPJoin family) — the second exact algorithm next to
+    * [[jaccardPairs]], with a different (assumption-free) pruning
+    * structure: instead of capping shingle document frequency, order
+    * every doc's shingle set by a GLOBAL rarest-first total order
+    * (df asc, shingle asc tiebreak) and join only on each doc's first
+    * `|S| − ⌈t·|S|⌉ + 1` shingles. Two sets with Jaccard ≥ t MUST
+    * share a member inside both prefixes under any shared total order,
+    * so the candidate set is exact — no false negatives and no df-cap
+    * tuning knob. A size filter (`min ≥ t·max`, since J ≤ min/max)
+    * prunes before verification.
+    *
+    * Scale shape: the prefix join's keys are by construction the
+    * RAREST shingles of each doc (the global order puts boilerplate
+    * last, outside every prefix), so the equi-join's key skew is
+    * self-limiting — the property the df cap in [[jaccardPairs]] has
+    * to impose by fiat, prefix filtering gets from the ordering
+    * itself. Verification ships each candidate pair's two sorted
+    * shingle arrays through one candidate-sized shuffle and computes
+    * the exact intersection in-row (`array_intersect`) — no second
+    * corpus-wide join.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ t
+    */
+  def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleView(docs, idCol, textCol, n)
+    // one sh-layout exchange feeds the df count and the ranked join
+    // (ReuseExchange), same staging as jaccardPairs
+    val shBySh = sh.repartition(col("sh"))
+    val dfCount = shBySh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ranked = shBySh.join(dfCount, Seq("sh"))
+    val byDoc = Window.partitionBy("id")
+    val pos = ranked
+      .withColumn("pos", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
+      .withColumn("n_sh", count(lit(1)).over(byDoc))
+    val prefix = pos
+      .filter(col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("id"), col("sh"), col("n_sh"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      // J(a,b) ≤ min/max set sizes: unbalanced pairs can't clear t
+      .filter(least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
+        lit(threshold) * greatest(col("a.n_sh"), col("b.n_sh")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sets = sh.groupBy("id").agg(sort_array(collect_list(col("sh"))).as("shs"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("shs").as("sha")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("shs").as("shb")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Edit-distance near-dup pairs: shingle-blocked candidates (same
     * rare-shingle structure as `jaccardPairs` — NEVER all-pairs), then a
     * length-band prefilter (|len_a − len_b| > k rules the pair out

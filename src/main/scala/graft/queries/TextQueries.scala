@@ -1716,6 +1716,42 @@ object TextQueries {
     }
   }
 
+  /** Prefix-filtered exact similarity join (Dedup.prefixFilterPairs):
+    * the same answer as a naive exact Jaccard join — which is exactly
+    * what the oracle computes, shingle-join-then-filter — but reached
+    * through All-Pairs/PPJoin prefix pruning (global rarest-first
+    * order, prefix-only candidate join, size filter, in-row exact
+    * verify). The oracle being the NAIVE algorithm is the point: the
+    * prefix filter is provably lossless, so the two evaluation
+    * strategies must land on the same pair set. Odd-doc slice and
+    * (n=4, t=0.6) keep it disjoint from q28's df-capped variant. */
+  val q128PrefixFilterPairs = Q(
+    "q128_prefix_filter_pairs",
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM docs,
+      |    unnest(list_transform(range(1, len(t) - 2),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS u(s)
+      |  WHERE len(t) >= 4),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1)
+    Dedup.prefixFilterPairs(docs, "doc_id", "text", n = 4, threshold = 0.6)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -1725,5 +1761,5 @@ object TextQueries {
     q84WeightedSample, q85TfidfCosinePairs, q94CrossCorpusDedup, q95ChunkDocuments,
     q96CountMinFreqs, q98TokenRuns, q100NegativeSamples, q101PmiPhrases,
     q108SkipgramPairs, q113MixtureSample, q114GopherRules, q118PipelineE2e,
-    q119DsirWeights, q120VocabCoverage, q121SourceDivergence)
+    q119DsirWeights, q120VocabCoverage, q121SourceDivergence, q128PrefixFilterPairs)
 }
