@@ -161,6 +161,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Cross-document SHARED-SEGMENT removal (the CCNet/RefinedWeb
+    * line-dedup pass, re-expressed for a corpus whose documents are
+    * single-line): cut each doc into fixed-width non-overlapping token
+    * segments, count how many DISTINCT docs each segment string occurs
+    * in, drop every segment shared by ≥ `maxDocs` docs (boilerplate /
+    * near-dup carry-over), and reassemble the surviving segments in
+    * order. Unlike the pairwise dedup ops above this is LINEAR: no
+    * candidate pairs, just two hash shuffles — segments by content for
+    * the df count, then rows back by doc for reassembly — so it runs
+    * ahead of the quadratic-family passes in a production pipeline.
+    *
+    * Reassembly collects the per-doc surviving segments into one in-row
+    * array (`collect_list` skips the nulled-out dropped segments) and
+    * orders them by index with `sort_array` — per-doc arrays are
+    * segment-count-sized (~tokens/segTokens), so the interpreted HOF
+    * join is O(doc length), not a scale factor.
+    *
+    * @return (id, clean_text, n_dropped) one row per input doc
+    */
+  def dropSharedSegments(docs: DataFrame, idCol: String, textCol: String,
+      segTokens: Int, maxDocs: Int): DataFrame = {
+    val segs = docs
+      .repartition(col(idCol))
+      .select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("t"))
+      .select(col("id"), posexplode(
+        sequence(lit(0), size(col("t")) - 1, lit(segTokens))).as(Seq("seg_idx", "start")),
+        col("t"))
+      .select(col("id"), col("seg_idx"),
+        array_join(slice(col("t"), col("start") + 1, lit(segTokens)), " ").as("seg"))
+    val segDf = segs.select("id", "seg").distinct()
+      .groupBy("seg").agg(count(lit(1)).as("ndocs"))
+    segs.join(segDf, Seq("seg"))
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(when(col("ndocs") < maxDocs,
+            struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg")), " ").as("clean_text"),
+        count(when(col("ndocs") >= maxDocs, lit(1))).as("n_dropped"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Edit-distance near-dup pairs: shingle-blocked candidates (same
     * rare-shingle structure as `jaccardPairs` — NEVER all-pairs), then a
     * length-band prefilter (|len_a − len_b| > k rules the pair out

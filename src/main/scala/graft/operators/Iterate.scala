@@ -40,4 +40,49 @@ object Iterate {
     }
     visited
   }
+
+  /** Bounded-round MIN-VALUE relaxation (Bellman-Ford / delta-stepping
+    * family): the VALUE-refining sibling of [[fixpoint]]. `fixpoint`'s
+    * visited anti-join is right when a node, once reached, is final
+    * (unit-weight BFS); with weighted edges a later path can be CHEAPER,
+    * so the state per node is a value to be min-merged, not a visited
+    * bit.
+    *
+    * Per round: candidates = frontier ⋈ edges (cost + w), min-combined
+    * per node map-side BEFORE the merge; dist' = min(dist, candidates);
+    * the next frontier is only the STRICTLY IMPROVED nodes (delta
+    * iteration — relaxing an unimproved node reproduces candidates that
+    * already lost a min, so dropping them changes nothing but the work).
+    * Terminates early when a round improves nothing.
+    *
+    * Scale: each round shuffles candidate rows (edge fan-out of the
+    * improved set, pre-combined) + the dist merge on node — the same
+    * per-round shape as PageRank's edge-form rounds; `localCheckpoint`
+    * cuts the growing lineage exactly as in [[fixpoint]].
+    *
+    * @param seed  (node, cost) initial distances (need not be distinct)
+    * @param edges (src, dst, w) directed weighted edges; w ≥ 0
+    * @return (node, cost) minimum cost within `maxIter` hops of any seed
+    */
+  def relaxMin(seed: DataFrame, edges: DataFrame, maxIter: Int): DataFrame = {
+    var dist = seed.groupBy("node").agg(min("cost").as("cost")).localCheckpoint()
+    var frontier = dist
+    var i = 0
+    while (i < maxIter && !frontier.isEmpty) {
+      val cand = edges.join(frontier, edges("src") === frontier("node"))
+        .select(edges("dst").as("node"), (frontier("cost") + edges("w")).as("cost"))
+        .groupBy("node").agg(min("cost").as("cost"))
+      val merged = dist.unionByName(cand)
+        .groupBy("node").agg(min("cost").as("cost"))
+        .localCheckpoint()
+      frontier = cand
+        .join(dist.withColumnRenamed("cost", "__old"), Seq("node"), "left")
+        .filter(col("__old").isNull || col("cost") < col("__old"))
+        .select("node", "cost")
+        .localCheckpoint()
+      dist = merged
+      i += 1
+    }
+    dist
+  }
 }

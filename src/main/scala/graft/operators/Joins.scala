@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,5 +71,44 @@ object Joins {
     val dropRight = payload.filterNot(left.columns.contains)
     withPayload.filter(col("__side") === 1)
       .drop("__side").drop(dropRight: _*)
+  }
+
+  /** Interval × interval overlap join by GRID BUCKETING — the equi-join
+    * form of `a.start ≤ b.end AND b.start ≤ a.end`. A naive overlap
+    * join has no equi-key, so Spark plans BroadcastNestedLoop (or worse,
+    * a cartesian) — fine for one broadcast-able side, fatal when both
+    * sides are fact-sized. Here each interval explodes to the fixed-width
+    * day-grid cells it touches, the join is a plain hash equi-join on the
+    * cell id, and the real overlap predicate filters the cell-collisions.
+    *
+    * Every overlapping pair is emitted EXACTLY once with no dedup
+    * shuffle: the canonical-cell guard keeps only the join row whose
+    * cell contains the overlap's start (`max` of the two starts), which
+    * exists for every true overlap and is unique per pair.
+    *
+    * Scale: shuffle volume is rows × avg-cells-per-interval (pick
+    * `bucketDays` ≈ the typical interval length so that factor stays
+    * 1-2×); the join itself is AQE-skew-splittable because it is a
+    * plain equi-join — none of which holds for the nested-loop form.
+    *
+    * @param aStart/aEnd,bStart/bEnd  DATE columns; both frames' column
+    *                                 names must be disjoint
+    * @return a.* ⋈ b.* + overlap_days (inclusive day count)
+    */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      bucketDays: Int): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    def cellOf(c: Column): Column =
+      floor(datediff(c, epoch) / bucketDays).cast("int")
+    def cells(s: String, e: String)(df: DataFrame): DataFrame =
+      df.withColumn("__cell",
+        explode(sequence(cellOf(col(s)), cellOf(col(e)))))
+    cells(aStart, aEnd)(a).join(cells(bStart, bEnd)(b), Seq("__cell"))
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .filter(col("__cell") === cellOf(greatest(col(aStart), col(bStart))))
+      .withColumn("overlap_days",
+        datediff(least(col(aEnd), col(bEnd)), greatest(col(aStart), col(bStart))) + 1)
+      .drop("__cell")
   }
 }

@@ -331,6 +331,80 @@ object GraphQueries {
     out
   }
 
+  /** Hop bound for q131 — same expander argument as [[BfsDepth]]. */
+  private val RelaxRounds = 3
+
+  /** DuckDB twin of the min-relaxation rounds: one CTE per round,
+    * d_k = min(d_{k-1}, d_{k-1} relaxed over edges) — the textbook
+    * Bellman-Ford recurrence, which the delta-frontier loop in
+    * `Iterate.relaxMin` provably equals (relaxing an unimproved node
+    * reproduces candidates that already lost a min). Unrolled like the
+    * PageRank/HITS oracles; costs are CENTS AS BIGINT end to end, so
+    * there is no float to disagree on. */
+  private def relaxOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""d$k AS (
+         |  SELECT node, min(cost) AS cost FROM (
+         |    SELECT node, cost FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst, d.cost + e.w FROM d${k - 1} d
+         |    JOIN edges e ON e.src = d.node) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn,
+       |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS w
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE o_orderdate >= DATE '$SinceDate'
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT cn AS src, sn AS dst, w FROM pairs
+       |  UNION ALL
+       |  SELECT sn AS src, cn AS dst, w FROM pairs),
+       |d0 AS (
+       |  SELECT s_suppkey * 2 + 1 AS node, CAST(0 AS BIGINT) AS cost
+       |  FROM supplier WHERE s_suppkey <= 3),
+       |$steps
+       |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+       |            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+       |  cost
+       |FROM d$rounds ORDER BY node""".stripMargin
+  }
+
+  /** Cheapest-path cost (bounded hops) from the q127 seed suppliers to
+    * every node of the symmetrized trade graph, edge weight = cheapest
+    * lineitem (in cents) ever shipped on that customer–supplier lane —
+    * the weighted sibling of q127's BFS: same seeds, same graph, but the
+    * frontier refines a VALUE per node (`Iterate.relaxMin`) instead of
+    * setting a visited bit, because a longer path can be cheaper.
+    * Integer-exact cents, every reached node emitted — no float, no
+    * top-k tie to flake. */
+  val q131CheapestPaths = Q(
+    "q131_cheapest_paths",
+    relaxOracle(RelaxRounds)) { (spark, dir) =>
+    val pairs = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(SinceDate).cast("date"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("cn"), (col("l_suppkey") * 2 + 1).as("sn"))
+      .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("w"))
+      .cache()
+    val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"), col("w"))
+      .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst"), col("w")))
+      .cache()
+    val seeds = Tables.supplier(spark, dir)
+      .filter(col("s_suppkey") <= 3)
+      .select((col("s_suppkey") * 2 + 1).as("node"), lit(0L).as("cost"))
+    val dist = Iterate.relaxMin(seeds, edges, maxIter = RelaxRounds)
+    val out = dist.select(
+        concat(when(col("node") % 2 === 0, "c").otherwise("s"),
+          expr("node div 2").cast("string")).as("node"),
+        col("cost"))
+      .orderBy(col("node"))
+      .localCheckpoint(true) // materialize before dropping the edge cache
+    edges.unpersist(false); pairs.unpersist(false)
+    out
+  }
+
   val all: Seq[Q] = Seq(q76Pagerank, q80TriangleCensus,
-    q112PersonalizedPagerank, q126HitsAuthorities, q127CrawlDepth)
+    q112PersonalizedPagerank, q126HitsAuthorities, q127CrawlDepth,
+    q131CheapestPaths)
 }

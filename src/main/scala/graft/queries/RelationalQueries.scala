@@ -1163,6 +1163,46 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** Interval-overlap join (Joins.intervalOverlapJoin): shipping
+    * windows (per-lineitem, length scaled by line number) against a
+    * sparse set of 7-day order windows, matched on the standard overlap
+    * predicate. The ORACLE is the predicate itself — a plain inequality
+    * join — while the engine side reaches the identical pair set through
+    * the day-grid equi-join with the canonical-cell guard, the shape
+    * that stays a hash join (AQE-splittable, no nested loop) when both
+    * sides are fact-sized. Windows are synthesized deterministically
+    * from shipped columns (lineitem carries only l_shipdate). */
+  val q129IntervalOverlap = Q(
+    "q129_interval_overlap",
+    """WITH a AS (
+      |  SELECT l_orderkey AS a_order, l_linenumber AS a_line,
+      |    CAST(l_shipdate AS DATE) AS a_start,
+      |    CAST(l_shipdate AS DATE) + l_linenumber * 3 AS a_end
+      |  FROM lineitem WHERE l_suppkey <= 3),
+      |b AS (
+      |  SELECT o_orderkey AS b_order,
+      |    CAST(o_orderdate AS DATE) AS b_start,
+      |    CAST(o_orderdate AS DATE) + 6 AS b_end
+      |  FROM orders WHERE o_orderkey % 199 = 0)
+      |SELECT a_order, a_line, b_order,
+      |  CAST(date_diff('day', greatest(a_start, b_start), least(a_end, b_end)) + 1
+      |    AS INTEGER) AS overlap_days
+      |FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+      |ORDER BY a_order, a_line, b_order""".stripMargin) { (spark, dir) =>
+    val a = Tables.lineitem(spark, dir).filter(col("l_suppkey") <= 3)
+      .select(col("l_orderkey").as("a_order"), col("l_linenumber").as("a_line"),
+        to_date(col("l_shipdate")).as("a_start"),
+        date_add(to_date(col("l_shipdate")), col("l_linenumber") * 3).as("a_end"))
+    val b = Tables.orders(spark, dir).filter(col("o_orderkey") % 199 === 0)
+      .select(col("o_orderkey").as("b_order"),
+        to_date(col("o_orderdate")).as("b_start"),
+        date_add(to_date(col("o_orderdate")), 6).as("b_end"))
+    graft.operators.Joins.intervalOverlapJoin(
+        a, b, "a_start", "a_end", "b_start", "b_end", bucketDays = 14)
+      .select(col("a_order"), col("a_line"), col("b_order"), col("overlap_days"))
+      .orderBy(col("a_order"), col("a_line"), col("b_order"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -1172,5 +1212,6 @@ object RelationalQueries {
     q47Unpivot, q49HashSample, q55FullOuter, q56AnalyticSuite, q57SkewJoin,
     q61SplitLabels, q64Histogram, q66RevenueShare, q67PromoRevenue, q82BloomSemiJoin,
     q88ZorderLayout, q90EquidepthBins, q97TopkPerGroup, q102QualityChecks,
-    q110ProfileOrders, q111BasketPairs, q124UpsertMerge, q125IncrementalAgg)
+    q110ProfileOrders, q111BasketPairs, q124UpsertMerge, q125IncrementalAgg,
+    q129IntervalOverlap)
 }

@@ -1752,6 +1752,35 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Cross-doc shared-segment removal (Dedup.dropSharedSegments): the
+    * CCNet/RefinedWeb line-dedup pass over 10-token segments — segments
+    * appearing verbatim in ≥2 distinct docs are boilerplate/near-dup
+    * carry-over and get cut; each doc comes back reassembled with a
+    * dropped-segment count. Linear (two hash shuffles), no pair
+    * generation — the pass that runs BEFORE the quadratic dedup family
+    * in a production pipeline. */
+  val q130SegmentDedup = Q(
+    "q130_segment_dedup",
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |segs AS (
+      |  SELECT doc_id, CAST((s - 1) // 10 AS BIGINT) AS seg_idx,
+      |    array_to_string(t[s : s + 9], ' ') AS seg
+      |  FROM docs, unnest(range(1, len(t) + 1, 10)) AS u(s)),
+      |df AS (
+      |  SELECT seg, count(DISTINCT doc_id) AS ndocs FROM segs GROUP BY seg)
+      |SELECT s.doc_id,
+      |  coalesce(string_agg(CASE WHEN df.ndocs < 2 THEN s.seg END, ' '
+      |    ORDER BY s.seg_idx), '') AS clean_text,
+      |  count(CASE WHEN df.ndocs >= 2 THEN 1 END) AS n_dropped
+      |FROM segs s JOIN df USING (seg)
+      |GROUP BY s.doc_id
+      |ORDER BY s.doc_id""".stripMargin) { (spark, dir) =>
+    Dedup.dropSharedSegments(Tables.documents(spark, dir),
+        "doc_id", "text", segTokens = 10, maxDocs = 2)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -1761,5 +1790,6 @@ object TextQueries {
     q84WeightedSample, q85TfidfCosinePairs, q94CrossCorpusDedup, q95ChunkDocuments,
     q96CountMinFreqs, q98TokenRuns, q100NegativeSamples, q101PmiPhrases,
     q108SkipgramPairs, q113MixtureSample, q114GopherRules, q118PipelineE2e,
-    q119DsirWeights, q120VocabCoverage, q121SourceDivergence, q128PrefixFilterPairs)
+    q119DsirWeights, q120VocabCoverage, q121SourceDivergence, q128PrefixFilterPairs,
+    q130SegmentDedup)
 }
