@@ -140,13 +140,19 @@ object Dedup {
     val pos = ranked
       .withColumn("pos", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
       .withColumn("n_sh", count(lit(1)).over(byDoc))
+    // float-safe bounds: for thresholds whose double representation
+    // rounds ABOVE the decimal (e.g. 0.8 ≈ 0.8000…0004), a pair sitting
+    // exactly at J = t could be over-pruned by a raw ceil(t·n) / t·max —
+    // nudge both bounds by an epsilon far below 1/n resolution so the
+    // lossless guarantee holds for every representable threshold
     val prefix = pos
-      .filter(col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .filter(col("pos") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
       .select(col("id"), col("sh"), col("n_sh"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       // J(a,b) ≤ min/max set sizes: unbalanced pairs can't clear t
-      .filter(least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
+      .filter(least(col("a.n_sh"), col("b.n_sh")).cast("double") + lit(1e-9) >=
         lit(threshold) * greatest(col("a.n_sh"), col("b.n_sh")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -182,9 +188,14 @@ object Dedup {
     */
   def dropSharedSegments(docs: DataFrame, idCol: String, textCol: String,
       segTokens: Int, maxDocs: Int): DataFrame = {
-    val segs = docs
+    val base = docs
       .repartition(col(idCol))
       .select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("t"))
+    // a doc with no tokens produces no segment rows — without the final
+    // left join back to the doc set it would silently vanish from the
+    // output instead of emitting (id, "", 0)
+    val segs = base
+      .filter(size(col("t")) > 0)
       .select(col("id"), posexplode(
         sequence(lit(0), size(col("t")) - 1, lit(segTokens))).as(Seq("seg_idx", "start")),
         col("t"))
@@ -192,7 +203,7 @@ object Dedup {
         array_join(slice(col("t"), col("start") + 1, lit(segTokens)), " ").as("seg"))
     val segDf = segs.select("id", "seg").distinct()
       .groupBy("seg").agg(count(lit(1)).as("ndocs"))
-    segs.join(segDf, Seq("seg"))
+    val cleaned = segs.join(segDf, Seq("seg"))
       .groupBy(col("id"))
       .agg(
         array_join(transform(
@@ -200,7 +211,12 @@ object Dedup {
             struct(col("seg_idx"), col("seg"))))),
           x => x.getField("seg")), " ").as("clean_text"),
         count(when(col("ndocs") >= maxDocs, lit(1))).as("n_dropped"))
-      .withColumnRenamed("id", idCol)
+    // base is id-partitioned and cleaned is grouped on id, so this join
+    // is co-located — no extra exchange, the pass stays linear
+    base.select(col("id")).join(cleaned, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
 
   /** Edit-distance near-dup pairs: shingle-blocked candidates (same

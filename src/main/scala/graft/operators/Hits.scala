@@ -62,19 +62,20 @@ object Hits {
   def run(edges: DataFrame, iterations: Int,
           localEdgeLimit: Long = PageRank.LocalEdgeLimit): DataFrame = {
     require(iterations >= 1, "HITS needs at least one round")
-    val ne = if (localEdgeLimit <= 0) -1L else edges.count()
-    val local = ne >= 0 && ne <= localEdgeLimit
-    System.err.println(
-      s"[graft.hits] edges=$ne path=${if (local) "local" else "distributed"}")
-    if (local) runLocal(edges, iterations) else runDistributed(edges, iterations)
+    // one-job gate + collect (PageRank.takeUnderGate, which see)
+    PageRank.takeUnderGate(edges.select(col("src"), col("dst")),
+        localEdgeLimit, "hits") match {
+      case Some(es) => runLocal(edges.sparkSession,
+        edges.schema("src").dataType, es, iterations)
+      case None => runDistributed(edges, iterations)
+    }
   }
 
   /** Driver-local exact twin of the distributed loop (same recurrence,
     * same overflow guard); property-tested against it in HitsSpec. */
-  private[graft] def runLocal(edges: DataFrame, iterations: Int): DataFrame = {
-    val spark = edges.sparkSession
-    val nodeType = edges.schema("src").dataType
-    val es = edges.select(col("src"), col("dst")).collect()
+  private[graft] def runLocal(spark: org.apache.spark.sql.SparkSession,
+      nodeType: org.apache.spark.sql.types.DataType, es: Array[Row],
+      iterations: Int): DataFrame = {
     val idx = new java.util.HashMap[Any, Integer]()
     val nodeIds = scala.collection.mutable.ArrayBuffer.empty[Any]
     def id(v: Any): Int = {

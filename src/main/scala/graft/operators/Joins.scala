@@ -98,11 +98,20 @@ object Joins {
   def intervalOverlapJoin(a: DataFrame, b: DataFrame,
       aStart: String, aEnd: String, bStart: String, bEnd: String,
       bucketDays: Int): DataFrame = {
+    require(bucketDays > 0, s"bucketDays must be positive, got $bucketDays")
+    // the grid column is internal — an input column of the same name
+    // would silently collide with it
+    require(!(a.columns ++ b.columns).contains("__cell"),
+      "inputs must not carry a __cell column")
     val epoch = lit("1970-01-01").cast("date")
     def cellOf(c: Column): Column =
       floor(datediff(c, epoch) / bucketDays).cast("int")
+    // drop malformed intervals (end < start) explicitly: Spark's
+    // `sequence(a, b)` would otherwise silently generate a DESCENDING
+    // cell list (default step -1) and such rows could surface with
+    // non-positive overlap_days
     def cells(s: String, e: String)(df: DataFrame): DataFrame =
-      df.withColumn("__cell",
+      df.filter(col(s) <= col(e)).withColumn("__cell",
         explode(sequence(cellOf(col(s)), cellOf(col(e)))))
     cells(aStart, aEnd)(a).join(cells(bStart, bEnd)(b), Seq("__cell"))
       .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))

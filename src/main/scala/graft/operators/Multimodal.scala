@@ -7,19 +7,26 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing (build brief: image/audio/video as opaque
   * binary columns with typed metadata).
   *
-  * Decoding goes through the sealed [[ImageCodec]] seam: formats whose
-  * headers are parseable in pure JVM code (BMP, PNG, JPEG, GIF) are
-  * REALLY parsed, and uncompressed 24bpp BMPs are REALLY resampled;
-  * everything else falls through to [[StubCodec]], a deterministic fake
-  * derived from the raw bytes (the container ships no pixel codecs).
-  * Everything Spark-side is real and load-bearing either way: the
-  * (payload BINARY, meta STRUCT) schema, the mapPartitions batch shape
-  * (one decoder chain per partition, streaming iterator — the exact
-  * shape a JNI/FFmpeg decoder needs), and the row-preserving contract.
-  * Dropping in a real pixel codec = adding one [[ImageCodec]] instance;
-  * nothing else moves.
+  * Metadata decoding goes through the sealed [[ImageCodec]] seam:
+  * formats whose headers are parseable in pure JVM code (BMP, PNG,
+  * JPEG, GIF) are REALLY parsed; everything else falls through to
+  * [[StubCodec]], a deterministic fake derived from the raw bytes.
+  * PIXEL-level work (resize, pixel statistics) uses `javax.imageio` —
+  * part of the JDK, no native codecs, reads exactly the four formats
+  * above — so [[resizeImage]] and [[decodePixelStats]] are real for
+  * PNG/JPEG/GIF/BMP and stubbed only for containers the JDK cannot
+  * read (WebP/AVIF/video). Everything Spark-side is real and
+  * load-bearing either way: the (payload BINARY, meta STRUCT) schema,
+  * the mapPartitions batch shape (one decoder chain per partition,
+  * streaming iterator — the exact shape a JNI/FFmpeg decoder needs),
+  * and the row-preserving contract. Dropping in a WebP/video pixel
+  * codec = adding one [[ImageCodec]] instance; nothing else moves.
   */
 object Multimodal {
+
+  // ImageIO's default file-backed stream cache would add a temp-file
+  // write per decoded payload inside executor tasks — keep it in memory
+  javax.imageio.ImageIO.setUseCache(false)
 
   val MetaSchema: StructType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
@@ -226,70 +233,120 @@ object Multimodal {
       .drop("frame_idx")
   }
 
-  /** REAL resize for uncompressed 24bpp BITMAPINFOHEADER BMPs:
-    * nearest-neighbor resample in storage-row order (orientation —
-    * bottom-up vs top-down — is preserved by keeping the height sign),
-    * re-encoded as a minimal 54-byte-header BMP. None for any other
-    * payload (other DIB variants, compressed, non-BMP) — the caller
-    * falls back to the stub transform. Pure JVM, no codec library. */
-  private[operators] def resizeBmp(b: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
-    val headerOk = b != null && b.length >= 54 &&
-      b(0) == 'B'.toByte && b(1) == 'M'.toByte &&
-      le32(b, 14) == 40 && le16(b, 28) == 24 && le32(b, 30) == 0
-    if (!headerOk || w <= 0 || h <= 0) return None
-    val sw = le32(b, 18)
-    val shSigned = le32(b, 22)
-    val sh = math.abs(shSigned)
-    val off = le32(b, 10)
-    val stride = ((sw * 3 + 3) / 4) * 4
-    if (sw <= 0 || sh == 0 || off < 54 || off.toLong + stride.toLong * sh > b.length)
-      return None
-    val outStride = ((w * 3 + 3) / 4) * 4
-    val out = new Array[Byte](54 + outStride * h)
-    def putLe16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
-    def putLe32(o: Int, v: Int): Unit =
-      (0 until 4).foreach(i => out(o + i) = ((v >> (8 * i)) & 0xff).toByte)
-    out(0) = 'B'; out(1) = 'M'
-    putLe32(2, out.length); putLe32(10, 54); putLe32(14, 40)
-    putLe32(18, w); putLe32(22, if (shSigned < 0) -h else h)
-    putLe16(26, 1); putLe16(28, 24); putLe32(30, 0); putLe32(34, outStride * h)
+  /** REAL pixel decode via `javax.imageio` (JDK built-in): the decoded
+    * image for PNG/JPEG/GIF/BMP payloads, None for anything the JDK
+    * cannot read (truncated streams, WebP/AVIF, video, non-image
+    * bytes). Thread-safe — `ImageIO.read` instantiates a fresh reader
+    * per call. */
+  private[operators] def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (bytes == null || bytes.length == 0) None
+    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      .filter(i => i.getWidth > 0 && i.getHeight > 0)
+    catch { case _: Exception => None }
+
+  /** Nearest-neighbor resample in IMAGE coordinates (top-left
+    * anchored, `sx = x·sw/w` — the standard definition): deterministic,
+    * no Graphics2D rendering-hint ambiguity. */
+  private[operators] def resizePixels(src: java.awt.image.BufferedImage,
+      w: Int, h: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val sw = src.getWidth
+    val sh = src.getHeight
     var y = 0
     while (y < h) {
       val sy = y * sh / h
       var x = 0
-      while (x < w) {
-        val sx = x * sw / w
-        val src = off + sy * stride + sx * 3
-        val dst = 54 + y * outStride + x * 3
-        out(dst) = b(src); out(dst + 1) = b(src + 1); out(dst + 2) = b(src + 2)
-        x += 1
-      }
+      while (x < w) { out.setRGB(x, y, src.getRGB(x * sw / w, sy)); x += 1 }
       y += 1
     }
-    Some(out)
+    out
+  }
+
+  /** The four container formats the JDK both reads AND writes — resize
+    * re-encodes into the input's own container when it is one of these. */
+  private val RealImageFormats = Set("bmp", "png", "jpeg", "gif")
+
+  private[operators] def encodeImage(img: java.awt.image.BufferedImage,
+      format: String): Option[(Array[Byte], String)] = {
+    def tryFmt(f: String): Option[(Array[Byte], String)] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      if (javax.imageio.ImageIO.write(img, f, bos)) Some((bos.toByteArray, f)) else None
+    }
+    tryFmt(format).orElse(tryFmt("png"))
   }
 
   /** Resize: payload → transformed payload + target-dimension meta.
-    * BMP payloads the pure-JVM codec can handle are REALLY resampled
-    * (see [[resizeBmp]]); everything else takes the STUB transform
-    * (truncate to half length — deterministic on the input bytes) until
-    * a pixel codec is dropped into the same mapPartitions body. Output
-    * schema: input columns with the payload replaced and a
-    * `resized_meta` struct appended. */
+    * Payloads `javax.imageio` can read (PNG/JPEG/GIF/BMP) are REALLY
+    * decoded, nearest-neighbor resampled ([[resizePixels]]) and
+    * re-encoded in their own container; anything else takes the STUB
+    * transform (truncate to half length — deterministic on the input
+    * bytes) until a WebP/video codec is dropped into the same
+    * mapPartitions body. Output schema: input columns with the payload
+    * replaced and a `resized_meta` struct appended. */
   def resizeImage(df: DataFrame, payloadCol: String, w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0, s"resize target must be positive, got ${w}x$h")
     val idx = df.schema.fieldIndex(payloadCol)
     val schema = StructType(df.schema.fields :+ StructField("resized_meta", MetaSchema))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.mapPartitions { rows =>
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](idx)
-        resizeBmp(bytes, w, h) match {
-          case Some(real) =>
-            Row.fromSeq(row.toSeq.updated(idx, real) :+ Row(w, h, "bmp"))
-          case None =>
-            val out = if (bytes == null) null else bytes.take(math.max(1, bytes.length / 2))
-            Row.fromSeq(row.toSeq.updated(idx, out) :+ Row(w, h, "png"))
+        val real = for {
+          img <- readImage(bytes)
+          fmt = Seq(BmpCodec, PngCodec, JpegCodec, GifCodec).view
+            .flatMap(_.decode(bytes)).headOption.map(_._3)
+            .filter(RealImageFormats).getOrElse("png")
+          (out, outFmt) <- encodeImage(resizePixels(img, w, h), fmt)
+        } yield Row.fromSeq(row.toSeq.updated(idx, out) :+ Row(w, h, outFmt))
+        real.getOrElse {
+          val out = if (bytes == null) null else bytes.take(math.max(1, bytes.length / 2))
+          Row.fromSeq(row.toSeq.updated(idx, out) :+ Row(w, h, "unknown"))
         }
+      }
+    }(enc)
+  }
+
+  val PixelStatsSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false),
+    StructField("mean_luma", DoubleType, nullable = false)))
+
+  /** REAL per-image pixel statistics (decoded dims + channel means +
+    * Rec.601 luma) for payloads `javax.imageio` can read; a NULL struct
+    * for everything else — the honest answer, not a fabricated one, so
+    * downstream quality filters can `WHERE pixel_stats IS NOT NULL`.
+    * Same mapPartitions seam and row-preserving contract as
+    * [[decodeImageMeta]]. */
+  def decodePixelStats(df: DataFrame, payloadCol: String): DataFrame = {
+    val idx = df.schema.fieldIndex(payloadCol)
+    val schema = StructType(df.schema.fields :+
+      StructField("pixel_stats", PixelStatsSchema, nullable = true))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val stats = readImage(row.getAs[Array[Byte]](idx)).map { img =>
+          val w = img.getWidth
+          val h = img.getHeight
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          val (mr, mg, mb) = (sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+          Row(w, h, mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb)
+        }.orNull
+        Row.fromSeq(row.toSeq :+ stats)
       }
     }(enc)
   }

@@ -65,20 +65,23 @@ object PageRank {
 
   /** @param edges directed edges, columns (src, dst); duplicates
     *              count as parallel edges (weight = multiplicity).
-    *              Callers should cache/checkpoint an expensive edge
-    *              pipeline — the size gate counts it, then the chosen
-    *              path scans it again.
+    *              Under the gate the single take-job IS the only scan;
+    *              callers should still cache/checkpoint an expensive
+    *              edge pipeline so the distributed fallback's re-scan
+    *              (and its per-round reuse) is cheap.
     * @return      one row per node with out-edges: (node, pr)
     */
   def run(edges: DataFrame, iterations: Int, damping: Double = 0.85,
           checkpointEvery: Int = 2,
           localEdgeLimit: Long = LocalEdgeLimit): DataFrame = {
     import edges.sparkSession.implicits._
-    if (underGate(edges, localEdgeLimit))
-      runLocal(edges, iterations, damping, seeds = None)
-    else loop(edges, iterations, damping, checkpointEvery,
-      init = lit(1.0) / $"n_nodes",
-      teleport = lit(1.0 - damping) / $"n_nodes")
+    takeUnderGate(edges.select($"src", $"dst"), localEdgeLimit, "pagerank") match {
+      case Some(es) => runLocal(edges.sparkSession,
+        edges.schema("src").dataType, es, iterations, damping, seeds = None)
+      case None => loop(edges, iterations, damping, checkpointEvery,
+        init = lit(1.0) / $"n_nodes",
+        teleport = lit(1.0 - damping) / $"n_nodes")
+    }
   }
 
   /** Personalized PageRank: the teleport mass restarts at `seeds`
@@ -90,23 +93,43 @@ object PageRank {
       localEdgeLimit: Long = LocalEdgeLimit): DataFrame = {
     require(seeds.nonEmpty, "personalized PageRank needs a seed set")
     import edges.sparkSession.implicits._
-    if (underGate(edges, localEdgeLimit))
-      runLocal(edges, iterations, damping, seeds = Some(seeds))
-    else {
-      val seedMass = 1.0 / seeds.size
-      loop(edges, iterations, damping, checkpointEvery,
-        init = when($"node".isin(seeds: _*), lit(seedMass)).otherwise(lit(0.0)),
-        teleport = when($"node".isin(seeds: _*), lit((1.0 - damping) * seedMass))
-          .otherwise(lit(0.0)))
+    takeUnderGate(edges.select($"src", $"dst"), localEdgeLimit, "pagerank") match {
+      case Some(es) => runLocal(edges.sparkSession,
+        edges.schema("src").dataType, es, iterations, damping, seeds = Some(seeds))
+      case None =>
+        val seedMass = 1.0 / seeds.size
+        loop(edges, iterations, damping, checkpointEvery,
+          init = when($"node".isin(seeds: _*), lit(seedMass)).otherwise(lit(0.0)),
+          teleport = when($"node".isin(seeds: _*), lit((1.0 - damping) * seedMass))
+            .otherwise(lit(0.0)))
     }
   }
 
-  private def underGate(edges: DataFrame, localEdgeLimit: Long): Boolean = {
-    val ne = if (localEdgeLimit <= 0) -1L else edges.count()
-    val local = ne >= 0 && ne <= localEdgeLimit
+  /** The size gate as ONE driver job: `take(limit + 1)` instead of a
+    * `count()` followed by a `collect()` — the take both answers "is the
+    * edge set under the gate?" and, when it is, IS the collected edge
+    * list the local path iterates (with
+    * `spark.sql.limit.initialNumPartitions` sized to the session's
+    * parallelism the take scans every partition in a single job; the
+    * default incremental scale-up would cost log₄(partitions) jobs on an
+    * under-limit input). Over-gate inputs collect at most limit+1 rows
+    * (~130 MB at the default gate) before falling back to the
+    * distributed loop, which re-scans — callers cache expensive edge
+    * pipelines, so the re-scan hits the cache the take just populated.
+    * Returns None when over the gate (or the gate is disabled: ≤ 0). */
+  private[graft] def takeUnderGate(edges: DataFrame, localEdgeLimit: Long,
+      tag: String): Option[Array[Row]] = {
+    if (localEdgeLimit <= 0) {
+      System.err.println(s"[graft.$tag] gate disabled path=distributed")
+      return None
+    }
+    val cap = math.min(localEdgeLimit, Int.MaxValue - 9L).toInt
+    val rows = edges.take(cap + 1)
+    val local = rows.length <= cap
     System.err.println(
-      s"[graft.pagerank] edges=$ne path=${if (local) "local" else "distributed"}")
-    local
+      s"[graft.$tag] edges=${if (local) rows.length.toString else s">$cap"} " +
+        s"path=${if (local) "local" else "distributed"}")
+    if (local) Some(rows) else None
   }
 
   /** Driver-local power iteration for edge sets under the gate. Same
@@ -116,11 +139,9 @@ object PageRank {
     * distributed gather's inner join on the src-derived node set), and
     * parallel edges contribute once each. Node ids stay whatever type
     * the caller used — the output column keeps the input's `src` type. */
-  private[graft] def runLocal(edges: DataFrame, iterations: Int,
-      damping: Double, seeds: Option[Seq[Long]]): DataFrame = {
-    val spark = edges.sparkSession
-    val nodeType = edges.schema("src").dataType
-    val es = edges.select(col("src"), col("dst")).collect()
+  private[graft] def runLocal(spark: org.apache.spark.sql.SparkSession,
+      nodeType: org.apache.spark.sql.types.DataType, es: Array[Row],
+      iterations: Int, damping: Double, seeds: Option[Seq[Long]]): DataFrame = {
     // dense-index the node set (distinct srcs, first-seen order)
     val idx = new java.util.HashMap[Any, Integer]()
     val nodeIds = scala.collection.mutable.ArrayBuffer.empty[Any]

@@ -316,19 +316,21 @@ object GraphQueries {
     val seeds = Tables.supplier(spark, dir)
       .filter(col("s_suppkey") <= 3)
       .select((col("s_suppkey") * 2 + 1).as("node"), lit(0).as("depth"))
-    val reached = Iterate.fixpoint(
-      seeds,
-      frontier => edges.join(frontier, edges("src") === frontier("node"))
-        .select(edges("dst").as("node"), (frontier("depth") + 1).as("depth")),
-      keyCols = Seq("node"), maxIter = BfsDepth)
-    val out = reached.select(
+    // bfsDepth is size-gated: under PageRank.LocalEdgeLimit the hops run
+    // driver-local over the one-job-collected edge list (the distributed
+    // fixpoint paid ~4 scheduler-synchronized jobs PER HOP — bench #1 in
+    // r6 at 8.6 s for a graph the local path walks in milliseconds);
+    // above the gate it is the same Iterate.fixpoint crawl loop as before
+    val reached = Iterate.bfsDepth(seeds, edges, maxIter = BfsDepth)
+    // reached is already materialized (localCheckpoint per round on the
+    // distributed path, a local relation under the gate), so the caches
+    // can drop now and the final sort needs no forced materialization
+    edges.unpersist(false); pairs.unpersist(false)
+    reached.select(
         concat(when(col("node") % 2 === 0, "c").otherwise("s"),
           expr("node div 2").cast("string")).as("node"),
         col("depth").cast("int").as("depth"))
       .orderBy(col("node"))
-      .localCheckpoint(true) // materialize before dropping the edge cache
-    edges.unpersist(false); pairs.unpersist(false)
-    out
   }
 
   /** Hop bound for q131 — same expander argument as [[BfsDepth]]. */
@@ -393,15 +395,16 @@ object GraphQueries {
     val seeds = Tables.supplier(spark, dir)
       .filter(col("s_suppkey") <= 3)
       .select((col("s_suppkey") * 2 + 1).as("node"), lit(0L).as("cost"))
+    // relaxMin is size-gated like bfsDepth above (driver-local
+    // Bellman-Ford under PageRank.LocalEdgeLimit, distributed delta
+    // rounds above); its output is already materialized either way
     val dist = Iterate.relaxMin(seeds, edges, maxIter = RelaxRounds)
-    val out = dist.select(
+    edges.unpersist(false); pairs.unpersist(false)
+    dist.select(
         concat(when(col("node") % 2 === 0, "c").otherwise("s"),
           expr("node div 2").cast("string")).as("node"),
         col("cost"))
       .orderBy(col("node"))
-      .localCheckpoint(true) // materialize before dropping the edge cache
-    edges.unpersist(false); pairs.unpersist(false)
-    out
   }
 
   val all: Seq[Q] = Seq(q76Pagerank, q80TriangleCensus,

@@ -1768,14 +1768,16 @@ object TextQueries {
       |    array_to_string(t[s : s + 9], ' ') AS seg
       |  FROM docs, unnest(range(1, len(t) + 1, 10)) AS u(s)),
       |df AS (
-      |  SELECT seg, count(DISTINCT doc_id) AS ndocs FROM segs GROUP BY seg)
-      |SELECT s.doc_id,
-      |  coalesce(string_agg(CASE WHEN df.ndocs < 2 THEN s.seg END, ' '
-      |    ORDER BY s.seg_idx), '') AS clean_text,
-      |  count(CASE WHEN df.ndocs >= 2 THEN 1 END) AS n_dropped
-      |FROM segs s JOIN df USING (seg)
-      |GROUP BY s.doc_id
-      |ORDER BY s.doc_id""".stripMargin) { (spark, dir) =>
+      |  SELECT seg, count(DISTINCT doc_id) AS ndocs FROM segs GROUP BY seg),
+      |sj AS (SELECT s.doc_id, s.seg_idx, s.seg, df.ndocs
+      |  FROM segs s JOIN df USING (seg))
+      |SELECT d.doc_id,
+      |  coalesce(string_agg(CASE WHEN sj.ndocs < 2 THEN sj.seg END, ' '
+      |    ORDER BY sj.seg_idx), '') AS clean_text,
+      |  count(CASE WHEN sj.ndocs >= 2 THEN 1 END) AS n_dropped
+      |FROM docs d LEFT JOIN sj ON sj.doc_id = d.doc_id
+      |GROUP BY d.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
     Dedup.dropSharedSegments(Tables.documents(spark, dir),
         "doc_id", "text", segTokens = 10, maxDocs = 2)
       .orderBy(col("doc_id"))

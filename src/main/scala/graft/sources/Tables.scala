@@ -19,6 +19,16 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
 
+  /** The session conf `events` needs for the TIMESTAMP(NANOS) testdata
+    * generation. Set it at SESSION CONSTRUCTION (GraftSession, Bench,
+    * Verify and the test harness all do) — the loader below only
+    * sets it as a fallback when the session was built without it,
+    * because the flag cannot be scoped per-read: parquet schema
+    * conversion consults it both at analysis AND lazily at task
+    * execution, so a set-then-restore around the `load` would break
+    * the read it just enabled. */
+  val NanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
+
   /** `events.ts` has shipped in two physical encodings across testdata
     * generations: parquet TIMESTAMP(NANOS) (TESTDATA/SURVEY §7.4), which
     * Spark's vectorized reader rejects unless read as raw nanos via the
@@ -29,7 +39,10 @@ object Tables {
     * `ts: TIMESTAMP` column regardless of which generator wrote the file. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // fallback only — no mutation when the session already carries it
+    // (see [[NanosAsLongKey]])
+    if (!spark.conf.getOption(NanosAsLongKey).contains("true"))
+      spark.conf.set(NanosAsLongKey, "true")
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

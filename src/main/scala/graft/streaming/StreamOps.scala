@@ -141,6 +141,35 @@ object StreamOps {
       .toDF("doc_id", "band", "keeper_id", "est_jaccard", "is_dup")
   }
 
+  /** Streaming twin of `Iterate.relaxMin`'s per-node state (the one
+    * iterative operator family that previously had no stream-portable
+    * story): a stream of (node, cost) candidate distances min-merges
+    * into keyed state — ONE long per node — and emits only STRICT
+    * improvements, i.e. the delta frontier of a Bellman-Ford round.
+    * Deployed, the emitted improvements stream-static-join the edge
+    * relation (cost + w per out-edge) and feed back as the next
+    * candidates: each micro-batch is then one relaxation round, and the
+    * query drains exactly when the batch loop's frontier does (a
+    * non-improving candidate touches nothing and emits nothing).
+    * State is bounded by the node set, never the candidate volume. */
+  def minCostUpdates(candidates: DataFrame): DataFrame = {
+    import candidates.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    candidates.select(col("node").cast("long"), col("cost").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (node: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val best = rows.map(_._2).min
+          if (state.getOption.forall(best < _)) {
+            state.update(best)
+            Iterator((node, best))
+          } else Iterator.empty
+      }
+      .toDF("node", "cost")
+  }
+
   /** Stream-stream interval join: rows of `left` join rows of `right`
     * with the same key whose event time lands in [leftTs + lower,
     * leftTs + upper]. Both sides carry watermarks so the join state is

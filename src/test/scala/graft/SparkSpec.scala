@@ -13,6 +13,8 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.limit.initialNumPartitions", "1000")
+      .config(graft.sources.Tables.NanosAsLongKey, "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -161,4 +161,39 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty && exact.get._3 === 0)
     assert(!got.exists(t => t._1 == 4L || t._2 == 4L))
   }
+
+  test("dropSharedSegments emits every input doc, including null-text ones") {
+    val in = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d x y z w"),   // shares the first 4-token segment with 1
+      (3L, null.asInstanceOf[String])) // no tokens → no segment rows
+      .toDF("doc_id", "text")
+    val got = Dedup.dropSharedSegments(in, "doc_id", "text",
+        segTokens = 4, maxDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "e f g h", 1L),
+      (2L, "x y z w", 1L),
+      (3L, "", 0L))) // present with empty clean_text, not silently dropped
+  }
+
+  test("prefixFilterPairs is lossless at a pair sitting EXACTLY at t = 0.8") {
+    // docs 1 and 2: 9 shingles each sharing 8 → J = 8/10 = 0.8 exactly —
+    // the boundary pair the lossless guarantee must keep. 0.8's double
+    // representation rounds ABOVE the decimal, the case where a raw
+    // ceil(t·n) / t·max bound can over-prune; the epsilon-guarded bounds
+    // must not. doc 3 shares ≤ 7 with each → below threshold, pruned.
+    val words = (0 until 12).map(i => s"w$i")
+    def doc(idxs: Seq[Int]) = idxs.map(words).mkString(" ")
+    val in = Seq(
+      (1L, doc(0 until 9)),
+      (2L, doc((0 until 8) :+ 9)),
+      (3L, doc((0 until 7) ++ Seq(10, 11))))
+      .toDF("doc_id", "text")
+    // unigram shingles so the set sizes are exactly the word counts
+    val got = Dedup.prefixFilterPairs(in, "doc_id", "text", n = 1, threshold = 0.8)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 2L, 0.8)))
+  }
 }

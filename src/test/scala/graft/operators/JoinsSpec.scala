@@ -67,6 +67,28 @@ class JoinsSpec extends SparkSpec {
       (3L, None)))       // equal-ts right row excluded (strict >)
   }
 
+  test("intervalOverlapJoin drops malformed intervals and rejects __cell inputs") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val a = Seq(
+      (1L, d("2024-01-01"), d("2024-01-10")),
+      (2L, d("2024-02-10"), d("2024-02-01"))) // end < start: malformed
+      .toDF("a_id", "a_start", "a_end")
+    val b = Seq((10L, d("2024-01-05"), d("2024-02-28")))
+      .toDF("b_id", "b_start", "b_end")
+    val got = Joins.intervalOverlapJoin(a, b,
+        "a_start", "a_end", "b_start", "b_end", bucketDays = 7)
+      .select("a_id", "b_id", "overlap_days").as[(Long, Long, Int)].collect().toSeq
+    // the malformed row is dropped (sequence() would otherwise emit a
+    // DESCENDING cell list for it), the valid overlap survives
+    assert(got === Seq((1L, 10L, 6)))
+    val clash = a.withColumnRenamed("a_id", "__cell")
+    val err = intercept[IllegalArgumentException] {
+      Joins.intervalOverlapJoin(clash, b,
+        "a_start", "a_end", "b_start", "b_end", bucketDays = 7)
+    }
+    assert(err.getMessage.contains("__cell"))
+  }
+
   test("asOf keeps left columns intact and drops right-only nulls") {
     val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"), 42.0))
       .toDF("event_id", "user_id", "ts", "value")

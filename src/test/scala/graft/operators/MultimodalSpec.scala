@@ -152,31 +152,68 @@ class MultimodalSpec extends SparkSpec {
     b
   }
 
-  test("resizeImage REALLY downscales a 24bpp BMP (valid output, sampled pixels)") {
+  test("resizeImage REALLY downscales a 24bpp BMP (valid output, exact pixels)") {
     val df = Seq(("b1", bmp4x2)).toDF("id", "payload")
     val out = Multimodal.resizeImage(df, "payload", w = 2, h = 1)
       .select("payload", "resized_meta.format").as[(Array[Byte], String)].head()
     assert(out._2 === "bmp")
     // the resized payload is itself a decodable BMP with the target dims
-    assert(Multimodal.BmpCodec.decode(out._1) === Some((2, 1, "bmp")))
-    // out stride = 8 (2 px × 3 B padded to 4); total = 54 + 8
-    assert(out._1.length === 54 + 8)
-    // nearest-neighbor: output x=0 ← src x=0, output x=1 ← src x=2, row 0
-    val px = out._1.drop(54)
-    assert((px(0), px(1), px(2)) === ((0.toByte, 0.toByte, 0.toByte)))
-    assert((px(3), px(4), px(5)) === ((2.toByte, 0.toByte, 2.toByte)))
+    val img = Multimodal.readImage(out._1).get
+    assert((img.getWidth, img.getHeight) === ((2, 1)))
+    // nearest-neighbor in image coordinates: out x=0 ← src x=0,
+    // out x=1 ← src x=2, out y=0 ← src image row 0 = STORAGE row 1 of
+    // the bottom-up source (pixel (x, y=1) carries BGR=(x, 1, x+1),
+    // i.e. RGB=(x+1, 1, x)); BMP round-trips losslessly
+    def rgb(p: Int) = ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+    assert(rgb(img.getRGB(0, 0)) === ((1, 1, 0)))
+    assert(rgb(img.getRGB(1, 0)) === ((3, 1, 2)))
   }
 
-  test("resizeBmp preserves top-down orientation and rejects non-24bpp input") {
-    val td = bmp4x2
-    // flip to top-down: height = -2 at offset 22
-    (0 until 4).foreach(i => td(22 + i) = ((-2 >> (8 * i)) & 0xff).toByte)
-    val r = Multimodal.resizeBmp(td, 2, 1).get
-    def le32(b: Array[Byte], o: Int): Int =
-      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
-    assert(le32(r, 22) === -1) // output keeps the top-down sign
-    val bpp8 = bmp4x2; bpp8(28) = 8
-    assert(Multimodal.resizeBmp(bpp8, 2, 1) === None)
+  /** Encode a solid-color 8×4 image in `fmt` via the JDK's own writers —
+    * real PNG/JPEG/GIF/BMP payloads without any fixture files. */
+  private def solidImage(fmt: String, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8) img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK must write $fmt")
+    bos.toByteArray
+  }
+
+  test("resizeImage is REAL for all four JDK formats (png/jpeg/gif/bmp)") {
+    for (fmt <- Seq("png", "jpeg", "gif", "bmp")) {
+      val df = Seq((fmt, solidImage(fmt, 100, 150, 200))).toDF("id", "payload")
+      val out = Multimodal.resizeImage(df, "payload", w = 3, h = 2)
+        .select("payload", "resized_meta.format").as[(Array[Byte], String)].head()
+      assert(out._2 === fmt, s"resize re-encodes into the input container ($fmt)")
+      val img = Multimodal.readImage(out._1).get
+      assert((img.getWidth, img.getHeight) === ((3, 2)), fmt)
+      // solid color survives resample+re-encode (JPEG within lossy noise)
+      val p = img.getRGB(1, 1)
+      val tol = if (fmt == "jpeg") 8 else 0
+      assert(math.abs(((p >> 16) & 0xff) - 100) <= tol, s"$fmt red")
+      assert(math.abs(((p >> 8) & 0xff) - 150) <= tol, s"$fmt green")
+      assert(math.abs((p & 0xff) - 200) <= tol, s"$fmt blue")
+    }
+  }
+
+  test("decodePixelStats: REAL channel means for all four formats, NULL for non-images") {
+    val rows = Seq("png", "jpeg", "gif", "bmp")
+      .map(f => (f, solidImage(f, 10, 20, 30))) :+ (("txt", "not an image".getBytes))
+    val df = rows.toDF("id", "payload")
+    val got = Multimodal.decodePixelStats(df, "payload")
+    assert(got.columns.toSeq === Seq("id", "payload", "pixel_stats"))
+    val stats = got.select("id", "pixel_stats.width", "pixel_stats.height",
+        "pixel_stats.mean_r", "pixel_stats.mean_g", "pixel_stats.mean_b")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(stats("txt").isNullAt(1), "non-image payloads get a NULL struct")
+    for (fmt <- Seq("png", "gif", "bmp")) {
+      val r = stats(fmt)
+      assert((r.getInt(1), r.getInt(2)) === ((8, 4)), fmt)
+      assert((r.getDouble(3), r.getDouble(4), r.getDouble(5)) === ((10.0, 20.0, 30.0)), fmt)
+    }
+    val j = stats("jpeg") // lossy: means near, not exact
+    assert(math.abs(j.getDouble(3) - 10.0) <= 8 && math.abs(j.getDouble(5) - 30.0) <= 8)
   }
 
   test("sampleFrames fans out one row per sampled frame") {

@@ -83,6 +83,19 @@ class PlanSpec extends SparkSpec {
       "time bounds became the join key — product join:\n" + p)
   }
 
+  test("q128 prefix-filter join stays an equi-join with in-row verification") {
+    val p = plan(TextQueries.q128PrefixFilterPairs)
+    // candidate generation must remain a plain equi-join on the prefix
+    // shingle (AQE-splittable, skew-self-limiting) — never a product
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "prefix candidate join degraded to a product:\n" + p)
+    // verification computes the exact intersection on the pair's two
+    // sorted shingle arrays IN-ROW — a refactor that re-joins the corpus
+    // per candidate would drop this expression from the plan
+    assert(p.contains("array_intersect"),
+      "verification left the row — second corpus-wide join?:\n" + p)
+  }
+
   test("no registered query plans a CartesianProduct") {
     graft.SparkEntry.registry.foreach { q =>
       val p = q.run(spark, sfDir).queryExecution.executedPlan.toString

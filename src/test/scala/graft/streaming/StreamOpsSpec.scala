@@ -116,6 +116,40 @@ class StreamOpsSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("minCostUpdates emits only strict improvements; min-parity with batch") {
+    import spark.implicits._
+    // three relaxation "rounds" staged as one parquet file each, with
+    // explicit modification times so the file source sequences them as
+    // three micro-batches in this exact order
+    val dir = java.nio.file.Files.createTempDirectory("stream-relax").toString
+    val rounds = Seq(
+      Seq((1L, 10L), (2L, 20L)),            // seeds
+      Seq((1L, 5L), (2L, 25L), (3L, 7L)),   // 1 improves, 2 regresses, 3 new
+      Seq((1L, 5L), (2L, 15L)))             // 1 ties (suppressed), 2 improves
+    rounds.zipWithIndex.foreach { case (rows, i) =>
+      val sub = java.nio.file.Files.createTempDirectory(s"relax-r$i").toString
+      rows.toDF("node", "cost").coalesce(1).write.mode("overwrite").parquet(sub)
+      val part = new java.io.File(sub).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, f"round$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = spark.read.parquet(dir).schema
+    val got = StreamOps.runToMemory(spark,
+        StreamOps.minCostUpdates(StreamOps.parquetStream(spark, schema, dir)),
+        "relax_test", outputMode = "append")
+      .as[(Long, Long)].collect().toSeq
+    // exactly the strict improvements, nothing else
+    assert(got.sorted === Seq((1L, 5L), (1L, 10L), (2L, 15L), (2L, 20L), (3L, 7L)))
+    // final state (last emission per node) = the batch min over all rounds
+    val batchMin = rounds.flatten.toDF("node", "cost")
+      .groupBy("node").agg(min("cost").as("cost"))
+      .as[(Long, Long)].collect().toMap
+    val finalPerNode = got.groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).min }
+    assert(finalPerNode === batchMin)
+  }
+
   test("stream-stream interval join matches keys within the window only") {
     import spark.implicits._
     val ldir = java.nio.file.Files.createTempDirectory("stream-imp").toString
