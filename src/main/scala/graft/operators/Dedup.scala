@@ -605,6 +605,32 @@ object Dedup {
     parent.keys.toSeq.sorted.map(x => (x, find(x))).toDF("node", "comp")
   }
 
+  /** INCREMENTAL connected components: merge an existing (node, comp)
+    * labeling with a batch of delta edges WITHOUT revisiting the edges
+    * that produced the labeling. Because `comp` is the min member id of
+    * its component, the labeling rows are themselves connectivity-
+    * preserving edges (node — comp), so components over
+    * (labeling-as-edges ∪ delta edges) assign every node the min id of
+    * its MERGED component — exactly what a full recompute over
+    * (old edges ∪ delta edges) returns, at O(|labeled nodes| + |delta|)
+    * instead of O(|all edges|). This is the clustering counterpart of
+    * [[minhashCrossCorpusDupsAgainstIndex]]'s incremental-ingest story:
+    * yesterday's 100 TB corpus contributes one row per labeled node,
+    * never its pair set, and today's batch pays only for its own edges.
+    *
+    * @param labels     (node, comp) from a previous [[connectedComponents]]
+    *                   run (comp = min id of component)
+    * @param deltaEdges (id_a, id_b) new pair edges; endpoints may be
+    *                   new nodes or already-labeled ones
+    * @return (node, comp) over labeled ∪ delta nodes, comp = min id of
+    *         the merged component */
+  def incrementalComponents(labels: DataFrame, deltaEdges: DataFrame,
+      maxIter: Int = 20, localEdgeThreshold: Long = 1L << 20): DataFrame =
+    connectedComponents(
+      labels.select(col("node").as("id_a"), col("comp").as("id_b"))
+        .unionByName(deltaEdges.select(col("id_a"), col("id_b"))),
+      maxIter, localEdgeThreshold)
+
   /** Keep one document per near-duplicate cluster: the min-id member of
     * each component survives, every other member is dropped, documents
     * in no cluster pass through untouched. The composition endpoint of

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Hits, Iterate, PageRank, Triangles}
+import graft.operators.{Hits, Iterate, KCore, PageRank, Triangles}
 import graft.sources.Tables
 
 /** Graph analytics over the order graph (customer ↔ supplier via
@@ -188,7 +188,9 @@ object GraphQueries {
       count(lit(1)).as("n_nodes"),
       (sum(col("deg")) / 2).cast("long").as("n_edges"),
       sum((col("deg") * (col("deg") - 1) / 2).cast("long")).as("n_wedges"))
-    val tri = Triangles.triangles(e).agg(count(lit(1)).as("n_triangles"))
+    // size-gated census: driver-local forward counting under the gate,
+    // the distributed wedge enumerator above (TrianglesSpec parity)
+    val tri = Triangles.triangleCount(e)
     stats.join(broadcast(tri)) // both single-row
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4).as("global_cc"))
@@ -407,7 +409,69 @@ object GraphQueries {
       .orderBy(col("node"))
   }
 
+  /** Peel parameters for q132: k = 3 with 3 rounds is non-degenerate at
+    * every testdata SF (probed: sf0.1 cascades 869 → 366 → 228 → 159
+    * edges; sf0.01/0.001 are denser and mostly survive — both readings
+    * are correct peels). */
+  private val CoreK = 3
+  private val PeelRounds = 3
+
+  /** Unrolled peel oracle: one (degree, survivors, restricted-edges)
+    * CTE triple per round — the same bounded-round semantics as
+    * `KCore.peel`, evaluated by a different engine. */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""d${r - 1} AS (
+         |  SELECT n, count(*) AS d FROM (
+         |    SELECT a AS n FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1}) GROUP BY n),
+         |n$r AS (SELECT n FROM d${r - 1} WHERE d >= $k),
+         |e$r AS (
+         |  SELECT a, b FROM e${r - 1}
+         |  WHERE a IN (SELECT n FROM n$r) AND b IN (SELECT n FROM n$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  WHERE c_nationkey = 1 AND o_orderdate >= DATE '$SinceDate'),
+       |e0 AS (
+       |  SELECT a.s AS a, b.s AS b FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+       |  GROUP BY 1, 2 HAVING count(*) >= 4),
+       |$steps
+       |SELECT n AS node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |  SELECT a AS n FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+       |GROUP BY n ORDER BY node""".stripMargin
+  }
+
+  /** Bounded k-core peel of q80's supplier co-purchase graph: delete
+    * nodes of degree < [[CoreK]] for [[PeelRounds]] rounds, emit the
+    * surviving subgraph's (node, degree) — the loosely-attached fringe
+    * peels off (tendrils first), the dense trading community survives.
+    * Same graph as the triangle census so the two community views
+    * compose; the peel itself is `KCore.peel`, size-gated driver-local
+    * under `PageRank.LocalEdgeLimit` exactly like the other graph
+    * loops, with the distributed semi-join rounds above the gate.
+    * Integer degrees end to end — nothing to flake. */
+  val q132KcorePeel = Q(
+    "q132_kcore_peel",
+    kcoreOracle(CoreK, PeelRounds)) { (spark, dir) =>
+    val cs = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(SinceDate).cast("date"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).filter(col("c_nationkey") === 1),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    val e = cs.as("x").join(cs.as("y"),
+        col("x.c") === col("y.c") && col("x.s") < col("y.s"))
+      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 4)
+      .select(col("a"), col("b"))
+    KCore.peel(e, CoreK, PeelRounds).orderBy(col("node"))
+  }
+
   val all: Seq[Q] = Seq(q76Pagerank, q80TriangleCensus,
     q112PersonalizedPagerank, q126HitsAuthorities, q127CrawlDepth,
-    q131CheapestPaths)
+    q131CheapestPaths, q132KcorePeel)
 }

@@ -221,6 +221,61 @@ object VectorQueries {
       .orderBy(col("cluster_id"))
   }
 
+  /** Incremental dedup clustering — the q125 IVM pattern applied to
+    * q51: yesterday's corpus (vec_id % 5 ≠ 0, 80%) is represented ONLY
+    * by its (node, comp) labeling; today's delta (the other 20%) joins
+    * the band index to generate just the pairs that touch it
+    * (delta×delta and delta×old — subset-stable because a vector's LSH
+    * buckets depend on nothing but the vector), and
+    * `Dedup.incrementalComponents` merges labels + delta edges at
+    * O(|labeled| + |delta|). The ORACLE is the full recompute over the
+    * whole corpus's pairs — the hash match proves the incremental path
+    * lands on exactly the full answer. */
+  val q133IncrementalClusters = Q(
+    "q133_incremental_clusters",
+    s"""WITH RECURSIVE $duckPairsCtes,
+       |$duckComponentsCtes
+       |SELECT comp AS cluster_id, CAST(count(*) AS BIGINT) AS n_members
+       |FROM comp
+       |GROUP BY comp
+       |ORDER BY cluster_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.Dedup
+    val all = Tables.embeddings(spark, dir)
+    def banded(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("embedding"),
+        posexplode(VectorFns.lshBandKeys(col("embedding"), Dim, NdBands, NdBits))
+          .as(Seq("band", "bkey")))
+    def verify(cands: org.apache.spark.sql.DataFrame) = cands
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(VectorFns.cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.2)
+      .select(col("id_a"), col("id_b"))
+    // yesterday's state: components over pairs WITHIN the old corpus
+    val ob = banded(all.filter(col("vec_id") % 5 =!= 0))
+      .repartition(col("band"), col("bkey"))
+    val oldPairs = verify(ob.as("a").join(ob.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b")))
+    val oldLabels = Dedup.connectedComponents(oldPairs)
+    // today's batch: delta bands join the full band index — covers
+    // delta×delta and delta×old, and costs O(delta), not O(corpus)
+    val db = banded(all.filter(col("vec_id") % 5 === 0))
+    val ab = banded(all).repartition(col("band"), col("bkey"))
+    val deltaPairs = verify(db.as("d").join(ab.as("r"),
+        col("d.band") === col("r.band") && col("d.bkey") === col("r.bkey") &&
+          col("d.vec_id") =!= col("r.vec_id"))
+      .select(least(col("d.vec_id"), col("r.vec_id")).as("id_a"),
+        greatest(col("d.vec_id"), col("r.vec_id")).as("id_b"),
+        col("d.embedding").as("emb_a"), col("r.embedding").as("emb_b")))
+    Dedup.incrementalComponents(oldLabels, deltaPairs)
+      .groupBy(col("comp").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** The dedup composition endpoint, value-verified: drop every
     * non-canonical near-dup cluster member, count survivors per label.
     * Spark side is pairs → connectedComponents → anti join
@@ -771,6 +826,7 @@ object VectorQueries {
 
   val all: Seq[Q] = Seq(q31CosineTopK, q32CentroidNorms, q33AnnLshTopK,
     q34EmbeddingNearDups, q39CentroidAggregator, q45IvfAnn, q51DedupClusters,
+    q133IncrementalClusters,
     q59DedupKeep, q91KmeansClusters, q92SemDedupKeep, q93PqAnn, q103AnnRecall,
     q104MultiprobeLsh, q117LeakageSafeSplit, q122IvfPqAnn)
 }

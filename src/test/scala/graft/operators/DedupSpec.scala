@@ -162,6 +162,38 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(t => t._1 == 4L || t._2 == 4L))
   }
 
+  test("incrementalComponents(labels, delta) ≡ full recompute over all edges") {
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(oldEdges)
+    // delta merges {1,2,3} with {10,11} and introduces a new component
+    val delta = Seq((3L, 10L), (20L, 21L)).toDF("id_a", "id_b")
+    val inc = Dedup.incrementalComponents(labels, delta)
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.connectedComponents(
+        (Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 10L), (20L, 21L)))
+          .toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(inc === full)
+    assert(inc(11L) === 1L) // merged component takes the global min id
+  }
+
+  test("incrementalComponents ≡ full recompute on random edge splits") {
+    var s = 424242L
+    def nxt(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+    for (trial <- 1 to 3) {
+      val edges = (1 to 120).map { _ =>
+        (math.floorMod(nxt(), 50), math.floorMod(nxt(), 50))
+      }.filter(e => e._1 != e._2)
+      val (oldE, deltaE) = edges.splitAt(80)
+      val labels = Dedup.connectedComponents(oldE.toDF("id_a", "id_b"))
+      val inc = Dedup.incrementalComponents(labels, deltaE.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      val full = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(inc === full, s"trial $trial")
+    }
+  }
+
   test("dropSharedSegments emits every input doc, including null-text ones") {
     val in = Seq(
       (1L, "a b c d e f g h"),

@@ -27,4 +27,34 @@ class TrianglesSpec extends SparkSpec {
   test("two triangles sharing an edge") {
     assert(count(Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 2L -> 4L, 3L -> 4L)) === 2)
   }
+
+  private def localCount(edges: Seq[(Long, Long)]): Long = {
+    import org.apache.spark.sql.functions.col
+    Triangles.triangleCount(edges.toDF("a", "b"))
+      .select(col("n_triangles")).as[Long].head()
+  }
+
+  test("triangleCount local (gated) ≡ distributed enumerator on fixed graphs") {
+    val cases = Seq(
+      Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 2L -> 1L, 1L -> 2L),
+      (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield a -> b).toSeq,
+      Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 1L -> 1L),
+      Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 2L -> 4L, 3L -> 4L))
+    cases.foreach { e => assert(localCount(e) === count(e), e) }
+  }
+
+  test("triangleCount local ≡ distributed on pseudo-random graphs") {
+    // deterministic LCG so the graphs are reproducible
+    var s = 12345L
+    def nxt(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+    for (trial <- 1 to 3) {
+      val edges = (1 to 300).map { _ =>
+        (math.floorMod(nxt(), 40), math.floorMod(nxt(), 40))
+      }.filter(e => e._1 != e._2)
+      val localT = localCount(edges)
+      val distT = Triangles.triangleCount(edges.toDF("a", "b"), localEdgeLimit = 0)
+        .select(org.apache.spark.sql.functions.col("n_triangles")).as[Long].head()
+      assert(localT === distT, s"trial $trial")
+    }
+  }
 }
