@@ -47,12 +47,15 @@ object GraftSession {
     * functions.CountMin directly). */
   def registerAggregates(spark: SparkSession): Unit = {
     import org.apache.spark.sql.functions.udaf
-    import graft.functions.{CountMin, TopK}
+    import graft.functions.{CountMin, QuantileSketch, TopK}
     import graft.operators.Dedup
     spark.udf.register("graft_topk3", udaf(TopK.topKAgg(3)))
     spark.udf.register("graft_topk10", udaf(TopK.topKAgg(10)))
     spark.udf.register("graft_cms_4x256",
       udaf(CountMin.agg(4, 256, Dedup.minhashParams(4), Dedup.MinhashP)))
+    // q134's cents geometry: $1000-wide bins from 0, 128 bins
+    spark.udf.register("graft_qsketch_cents",
+      udaf(QuantileSketch.agg(0L, 100000L, 128)))
   }
 
   /** Register graft's custom expressions in the session's function

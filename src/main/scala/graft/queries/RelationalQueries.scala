@@ -1203,6 +1203,68 @@ object RelationalQueries {
       .orderBy(col("a_order"), col("a_line"), col("b_order"))
   }
 
+  /** Quantile-sketch geometry for q134: cents from 0 in $1000-wide bins,
+    * 128 bins — covers l_extendedprice's ~$90k ceiling with slack, so
+    * the edge-bin clamp never fires on the data and the guarantee is
+    * error ≤ width/2 = $500. */
+  private val QsLo = 0L
+  private val QsWidth = 100000L
+  private val QsBins = 128
+
+  /** Sketched grouped quantiles (p50/p90/p99 of line price per return
+    * flag) via the mergeable histogram sketch — the SCALE form of q14's
+    * exact percentiles: state is [[QsBins]] longs per group with
+    * map-side combine, where the exact aggregate shuffles value-scale
+    * data. Bin and rank arithmetic are integer end-to-end (midpoint
+    * estimates), so the ORACLE replays the sketch exactly — the q96
+    * count-min property applied to quantiles — while
+    * QuantileSketchSpec holds the |est − exact| ≤ width/2 guarantee
+    * against q14-style exact percentiles. */
+  val q134SketchedQuantiles = Q(
+    "q134_sketched_quantiles",
+    s"""WITH v AS (
+       |  SELECT l_returnflag AS flag,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+       |  FROM lineitem),
+       |b AS (
+       |  SELECT flag,
+       |    least(greatest((cents - $QsLo) // $QsWidth, 0), ${QsBins - 1}) AS bin,
+       |    count(*) AS cnt
+       |  FROM v GROUP BY 1, 2),
+       |c AS (
+       |  SELECT flag, bin, cnt,
+       |    sum(cnt) OVER (PARTITION BY flag ORDER BY bin) AS cum,
+       |    sum(cnt) OVER (PARTITION BY flag) AS n
+       |  FROM b)
+       |SELECT flag,
+       |  CAST(min(CASE WHEN cum >= ceil(0.5 * n)
+       |    THEN bin * $QsWidth + ${QsWidth / 2} END) AS BIGINT) AS p50,
+       |  CAST(min(CASE WHEN cum >= ceil(0.9 * n)
+       |    THEN bin * $QsWidth + ${QsWidth / 2} END) AS BIGINT) AS p90,
+       |  CAST(min(CASE WHEN cum >= ceil(0.99 * n)
+       |    THEN bin * $QsWidth + ${QsWidth / 2} END) AS BIGINT) AS p99
+       |FROM c GROUP BY flag ORDER BY flag""".stripMargin) { (spark, dir) =>
+    import graft.functions.QuantileSketch
+    val sk = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(QuantileSketch.sketch(
+        round(col("l_extendedprice") * 100).cast("long"),
+        QsLo, QsWidth, QsBins).as("bins"))
+    // the walk over the finished sketch is flag-count × nBins rows —
+    // driver-trivial, expressed relationally so it runs wherever the
+    // sketch landed
+    val ex = sk.select(col("flag"), posexplode(col("bins")).as(Seq("bin", "cnt")))
+    val byFlag = Window.partitionBy("flag")
+    val c = ex
+      .withColumn("cum", sum("cnt").over(byFlag.orderBy("bin")))
+      .withColumn("n", sum("cnt").over(byFlag))
+    def est(q: Double) = min(when(col("cum") >= ceil(lit(q) * col("n")),
+      col("bin") * QsWidth + QsWidth / 2))
+    c.groupBy(col("flag"))
+      .agg(est(0.5).as("p50"), est(0.9).as("p90"), est(0.99).as("p99"))
+      .orderBy(col("flag"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -1213,5 +1275,5 @@ object RelationalQueries {
     q61SplitLabels, q64Histogram, q66RevenueShare, q67PromoRevenue, q82BloomSemiJoin,
     q88ZorderLayout, q90EquidepthBins, q97TopkPerGroup, q102QualityChecks,
     q110ProfileOrders, q111BasketPairs, q124UpsertMerge, q125IncrementalAgg,
-    q129IntervalOverlap)
+    q129IntervalOverlap, q134SketchedQuantiles)
 }

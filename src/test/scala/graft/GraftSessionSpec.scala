@@ -107,4 +107,21 @@ class GraftSessionSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(viaAgg === viaWindow)
   }
+
+  test("registered SQL aggregates: graft_qsketch_cents matches the typed aggregator") {
+    GraftSession.registerAggregates(spark)
+    GraftSession.registerTables(spark, "/root/testdata/sf0.001")
+    import spark.implicits._
+    val viaSql = spark.sql(
+      """SELECT graft_qsketch_cents(CAST(round(o_totalprice * 100) AS BIGINT))
+        |FROM orders""".stripMargin)
+      .as[Seq[Long]].head()
+    val cents = spark.sql(
+      "SELECT CAST(round(o_totalprice * 100) AS BIGINT) FROM orders")
+      .as[Long].collect()
+    val a = graft.functions.QuantileSketch.agg(0L, 100000L, 128)
+    val ref = cents.foldLeft(a.zero)((b, x) => a.reduce(b, x)).toSeq
+    assert(viaSql === ref)
+    assert(viaSql.sum === cents.length.toLong)
+  }
 }
