@@ -535,10 +535,16 @@ object Dedup {
       localEdgeThreshold: Long = 1L << 20): DataFrame = {
     // materialize the (possibly expensive) pair pipeline exactly once:
     // the union below would otherwise execute it per branch, and the
-    // size gate needs a count anyway
+    // size gate scans it anyway
     val e = edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .localCheckpoint()
-    if (e.count() <= localEdgeThreshold) return localComponents(e)
+    // one-job gate-and-collect (PageRank.takeUnderGate): the take over
+    // the checkpointed edges both answers the gate and IS the union-
+    // find's edge list — this used to be a count() plus a collect()
+    PageRank.takeUnderGate(e, localEdgeThreshold, "cc") match {
+      case Some(rows) => return localComponents(e.sparkSession, rows)
+      case None => ()
+    }
     val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(e.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = sym.select(col("src").as("node")).distinct()
@@ -585,8 +591,8 @@ object Dedup {
   /** Driver-side union-find (path compression + min-root union) for
     * edge sets under the size gate. Exactly the reference algorithm the
     * distributed fixpoint is property-tested against. */
-  private def localComponents(e: DataFrame): DataFrame = {
-    val spark = e.sparkSession
+  private def localComponents(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row]): DataFrame = {
     import spark.implicits._
     val parent = scala.collection.mutable.LongMap[Long]()
     // iterative find + full path compression (a chain of 10^6 nodes
@@ -598,7 +604,7 @@ object Dedup {
       while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
       root
     }
-    e.collect().foreach { row =>
+    rows.foreach { row =>
       val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
       if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
     }

@@ -17,13 +17,26 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** @param saltCols columns whose hash spreads same-key rows across
+    *                  salt buckets. Pass the row's natural identity
+    *                  (e.g. the PK columns): the default — EVERY left
+    *                  column — is always correct but forces the scan to
+    *                  read all of them, defeating column pruning (a
+    *                  16-column fact scan for a 3-column query; the
+    *                  ReadSchema regression PlanSpec pins on q57). Any
+    *                  column set works for correctness — the salt only
+    *                  needs to VARY across a hot key's rows to spread
+    *                  them; in the worst case (constant salt cols) the
+    *                  join degrades to the unsalted plan, never to a
+    *                  wrong answer. Deterministic (no rand()): reruns
+    *                  and speculative retries must salt identically. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
-      saltFactor: Int, joinType: String = "inner"): DataFrame = {
+      saltFactor: Int, joinType: String = "inner",
+      saltCols: Seq[String] = Nil): DataFrame = {
     require(saltFactor > 0)
-    // deterministic salt (hash of whole left row modulo factor) — no rand():
-    // reruns and speculative retries must salt identically
+    val idCols = if (saltCols.nonEmpty) saltCols else left.columns.toSeq
     val salted = left.withColumn("__salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(struct(idCols.map(col): _*)), lit(saltFactor)).cast("int"))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")

@@ -83,6 +83,16 @@ class PlanSpec extends SparkSpec {
       "time bounds became the join key — product join:\n" + p)
   }
 
+  test("q57 salted join prunes the fact scan to the needed columns") {
+    val p = plan(RelationalQueries.q57SkewJoin)
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    // the salt hash must come from the line identity, not the whole row —
+    // a whole-row hash drags every lineitem column through the scan
+    assert(reads.contains("l_extendedprice"), reads)
+    assert(!reads.contains("l_comment"), "salt hash defeats pruning:\n" + reads)
+    assert(!reads.contains("l_shipdate"), "salt hash defeats pruning:\n" + reads)
+  }
+
   test("q128 prefix-filter join stays an equi-join with in-row verification") {
     val p = plan(TextQueries.q128PrefixFilterPairs)
     // candidate generation must remain a plain equi-join on the prefix
