@@ -251,8 +251,13 @@ object VectorQueries {
         round(VectorFns.cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= 0.2)
       .select(col("id_a"), col("id_b"))
+    // the banded corpus is computed ONCE and cached — the in-memory
+    // stand-in for the materialized band-index table a deployment keeps
+    // (minhashBandIndex + writeBucketed); old/delta views are filters
+    // over it, so the 40 hyperplane projections run one time, not three
+    val allBanded = banded(all).cache()
     // yesterday's state: components over pairs WITHIN the old corpus
-    val ob = banded(all.filter(col("vec_id") % 5 =!= 0))
+    val ob = allBanded.filter(col("vec_id") % 5 =!= 0)
       .repartition(col("band"), col("bkey"))
     val oldPairs = verify(ob.as("a").join(ob.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -262,15 +267,19 @@ object VectorQueries {
     val oldLabels = Dedup.connectedComponents(oldPairs)
     // today's batch: delta bands join the full band index — covers
     // delta×delta and delta×old, and costs O(delta), not O(corpus)
-    val db = banded(all.filter(col("vec_id") % 5 === 0))
-    val ab = banded(all).repartition(col("band"), col("bkey"))
+    val db = allBanded.filter(col("vec_id") % 5 === 0)
+    val ab = allBanded.repartition(col("band"), col("bkey"))
     val deltaPairs = verify(db.as("d").join(ab.as("r"),
         col("d.band") === col("r.band") && col("d.bkey") === col("r.bkey") &&
           col("d.vec_id") =!= col("r.vec_id"))
       .select(least(col("d.vec_id"), col("r.vec_id")).as("id_a"),
         greatest(col("d.vec_id"), col("r.vec_id")).as("id_b"),
         col("d.embedding").as("emb_a"), col("r.embedding").as("emb_b")))
-    Dedup.incrementalComponents(oldLabels, deltaPairs)
+    // connectedComponents materializes its labeling (checkpoint or local
+    // relation), so the cache can drop before the final rollup
+    val merged = Dedup.incrementalComponents(oldLabels, deltaPairs)
+    allBanded.unpersist(false)
+    merged
       .groupBy(col("comp").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("cluster_id"))
