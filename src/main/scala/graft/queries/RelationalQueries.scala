@@ -1270,6 +1270,49 @@ object RelationalQueries {
       .orderBy(col("flag"))
   }
 
+  /** Snapshot diff (Diff.snapshotDiff): audit what changed between two
+    * versions of the orders table — the read side of the CDC surface
+    * (q124 writes versions; this catches silent regressions between
+    * them). The "next version" is derived deterministically from orders
+    * itself in BOTH dialects: keys ≡ 0 mod 101 dropped (removed),
+    * prices bumped for keys ≡ 0 mod 97 (changed), synthetic negative
+    * keys added for keys ≡ 0 mod 103 (added). One full-outer key join +
+    * a narrow null-safe status expression; integer counts only. */
+  val q135SnapshotDiff = Q(
+    "q135_snapshot_diff",
+    """WITH v1 AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS st
+      |  FROM orders),
+      |v2 AS (
+      |  SELECT k,
+      |    CASE WHEN k % 97 = 0 THEN price + 1 ELSE price END AS price, st
+      |  FROM v1 WHERE k % 101 <> 0
+      |  UNION ALL
+      |  SELECT -k, price, st FROM v1 WHERE k % 103 = 0),
+      |d AS (
+      |  SELECT CASE WHEN v1.k IS NULL THEN 'added'
+      |              WHEN v2.k IS NULL THEN 'removed'
+      |              WHEN v1.price IS DISTINCT FROM v2.price
+      |                OR v1.st IS DISTINCT FROM v2.st THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+      |SELECT status, CAST(count(*) AS BIGINT) AS n
+      |FROM d GROUP BY status ORDER BY status""".stripMargin) { (spark, dir) =>
+    import graft.operators.Diff
+    val v1 = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+      col("o_orderstatus").as("st"))
+    val v2 = v1.filter(col("k") % 101 =!= 0)
+      .withColumn("price",
+        when(col("k") % 97 === 0, col("price") + 1).otherwise(col("price")))
+      .unionByName(v1.filter(col("k") % 103 === 0)
+        .select((-col("k")).as("k"), col("price"), col("st")))
+    Diff.snapshotDiff(v1, v2, "k", Seq("price", "st"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("status"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -1280,5 +1323,5 @@ object RelationalQueries {
     q61SplitLabels, q64Histogram, q66RevenueShare, q67PromoRevenue, q82BloomSemiJoin,
     q88ZorderLayout, q90EquidepthBins, q97TopkPerGroup, q102QualityChecks,
     q110ProfileOrders, q111BasketPairs, q124UpsertMerge, q125IncrementalAgg,
-    q129IntervalOverlap, q134SketchedQuantiles)
+    q129IntervalOverlap, q134SketchedQuantiles, q135SnapshotDiff)
 }
