@@ -26,10 +26,12 @@ object GraftSession {
       // then recompiles its whole-stage codegen (measured 26% of a
       // 114-query suite's wall-clock; see Bench)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
-      // the graph operators' size gate is a take(limit+1) that almost
-      // always wants every partition: make it one job, not a 4×-growing
-      // incremental scan
-      .config("spark.sql.limit.initialNumPartitions", "1000")
+      // NOTE: spark.sql.limit.initialNumPartitions is deliberately NOT
+      // set here. The graph operators' size gate wants a full-partition
+      // single-job take and scopes the conf around its own take
+      // (PageRank.takeUnderGate); session-global it would also make
+      // every small interactive LIMIT scan all partitions up front,
+      // losing the incremental-scan early-out.
       // int64-nanos parquet timestamps read as raw longs (normalized by
       // sources.Tables.events); session-construction-time because the
       // flag can't be scoped per-read — see Tables.NanosAsLongKey

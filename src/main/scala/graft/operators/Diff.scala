@@ -31,20 +31,31 @@ object Diff {
   def snapshotDiff(prev: DataFrame, cur: DataFrame, key: String,
       cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one compared column")
-    val p = prev.select((key +: cols).map(c => col(c).as(s"p_$c")): _*)
-    val c = cur.select((key +: cols).map(c0 => col(c0).as(s"c_$c0")): _*)
-    val joined = p.join(c, col(s"p_$key") === col(s"c_$key"), "full_outer")
+    require(!cols.contains(key),
+      s"key '$key' must not appear in the compared cols (it can never differ)")
+    // the join itself is null-safe (<=>): a null-keyed row present in
+    // both snapshots matches itself instead of splitting into a
+    // spurious removed+added pair. Since a matched null key leaves BOTH
+    // key columns null, presence is tracked by literal marker columns,
+    // not key nullness.
+    val p = prev.select(lit(true).as("__in_prev") +:
+      (key +: cols).map(c => col(c).as(s"p_$c")): _*)
+    val c = cur.select(lit(true).as("__in_cur") +:
+      (key +: cols).map(c0 => col(c0).as(s"c_$c0")): _*)
+    val joined = p.join(c, col(s"p_$key") <=> col(s"c_$key"), "full_outer")
+    val inPrev = col("__in_prev").isNotNull
+    val inCur = col("__in_cur").isNotNull
     val diffs: Column = array_sort(filter(
       array(cols.map(cn =>
         when(!(col(s"p_$cn") <=> col(s"c_$cn")), lit(cn))): _*),
       x => x.isNotNull))
     joined.select(
-      coalesce(col(s"c_$key"), col(s"p_$key")).as(key),
-      when(col(s"p_$key").isNull, lit("added"))
-        .when(col(s"c_$key").isNull, lit("removed"))
+      when(inCur, col(s"c_$key")).otherwise(col(s"p_$key")).as(key),
+      when(!inPrev, lit("added"))
+        .when(!inCur, lit("removed"))
         .when(size(diffs) > 0, lit("changed"))
         .otherwise(lit("unchanged")).as("status"),
-      when(col(s"p_$key").isNotNull && col(s"c_$key").isNotNull, diffs)
+      when(inPrev && inCur, diffs)
         .otherwise(array().cast("array<string>")).as("changed_cols"))
   }
 }

@@ -195,10 +195,14 @@ object Iterate {
       localEdgeLimit: Long = PageRank.LocalEdgeLimit): DataFrame = {
     val costType = seed.schema("cost").dataType
     // localize only when the local kernel reproduces Spark's arithmetic
-    // exactly: cost and w the same type, integral (long kernel) or
-    // double (double kernel); anything else takes the distributed loop
+    // exactly: cost and w the same type, long (long kernel) or double
+    // (double kernel); anything else takes the distributed loop.
+    // IntegerType is deliberately NOT localizable: the long kernel would
+    // compute exact sums where the distributed loop adds in Int (silent
+    // wrap in non-ANSI Spark), so near-overflow int costs could diverge
+    // between paths — int-cost callers cast to long for the local path.
     val localizable = costType == edges.schema("w").dataType &&
-      (costType == LongType || costType == IntegerType || costType == DoubleType)
+      (costType == LongType || costType == DoubleType)
     val taken =
       if (localizable)
         PageRank.takeUnderGate(edges.select(col("src"), col("dst"), col("w")),
@@ -310,11 +314,8 @@ object Iterate {
     val rows = new java.util.ArrayList[Row](n)
     var i = 0
     while (i < n) {
-      if (has(i)) rows.add(Row(nodeIds(i), costType match {
-        case IntegerType => dL(i).toInt
-        case LongType => dL(i)
-        case _ => dD(i)
-      }))
+      if (has(i)) rows.add(Row(nodeIds(i),
+        if (costType == LongType) dL(i) else dD(i)))
       i += 1
     }
     spark.createDataFrame(rows, StructType(Seq(

@@ -105,17 +105,27 @@ object PageRank {
     }
   }
 
-  /** The size gate as ONE driver job: `take(limit + 1)` instead of a
-    * `count()` followed by a `collect()` — the take both answers "is the
-    * edge set under the gate?" and, when it is, IS the collected edge
-    * list the local path iterates (with
+  /** Driver-row ceiling for the gate's speculative collect. A
+    * `take(gate+1)` at the default 8M gate would materialize ~1 GB of
+    * boxed `GenericRow`s on the driver even when the input turns out to
+    * be OVER the gate and the rows are thrown away; capping the probe at
+    * 2M rows (~200 MB transient worst-case) bounds that footprint. */
+  private[graft] val ProbeRowLimit: Long = 2L << 20
+
+  /** The size gate as ONE driver job in the common case: `take(probe+1)`
+    * both answers "is the edge set under the gate?" and, when it is, IS
+    * the collected edge list the local path iterates (with
     * `spark.sql.limit.initialNumPartitions` sized to the session's
     * parallelism the take scans every partition in a single job; the
     * default incremental scale-up would cost log₄(partitions) jobs on an
-    * under-limit input). Over-gate inputs collect at most limit+1 rows
-    * (~130 MB at the default gate) before falling back to the
-    * distributed loop, which re-scans — callers cache expensive edge
-    * pipelines, so the re-scan hits the cache the take just populated.
+    * under-limit input). The speculative collect is bounded by
+    * [[ProbeRowLimit]], NOT the gate: when the gate is larger and the
+    * probe overflows, a `limit(gate+1).count()` (no driver transfer)
+    * decides the path, and the full collect happens only for inputs
+    * PROVEN under the gate — over-gate inputs never hold more than
+    * probe+1 rows on the driver. Mid-size under-gate inputs pay the
+    * extra count+collect jobs; callers cache expensive edge pipelines,
+    * so those re-scans hit the cache the probe just populated.
     * Returns None when over the gate (or the gate is disabled: ≤ 0). */
   private[graft] def takeUnderGate(edges: DataFrame, localEdgeLimit: Long,
       tag: String): Option[Array[Row]] = {
@@ -123,13 +133,42 @@ object PageRank {
       System.err.println(s"[graft.$tag] gate disabled path=distributed")
       return None
     }
+    def logPath(edgesDesc: String, local: Boolean): Unit = System.err.println(
+      s"[graft.$tag] edges=$edgesDesc path=${if (local) "local" else "distributed"}")
     val cap = math.min(localEdgeLimit, Int.MaxValue - 9L).toInt
-    val rows = edges.take(cap + 1)
-    val local = rows.length <= cap
-    System.err.println(
-      s"[graft.$tag] edges=${if (local) rows.length.toString else s">$cap"} " +
-        s"path=${if (local) "local" else "distributed"}")
-    if (local) Some(rows) else None
+    val probe = math.min(cap.toLong, ProbeRowLimit).toInt
+    // the probe take almost always wants every partition (under-gate
+    // inputs are small; the question is only "are there more rows than
+    // the cap"): scope limit.initialNumPartitions to THIS take so it is
+    // one job, without stealing small interactive LIMITs' incremental
+    // early-out session-wide
+    withLimitScanAllPartitions(edges.sparkSession) {
+      val rows = edges.take(probe + 1)
+      if (rows.length <= probe) { logPath(rows.length.toString, local = true); Some(rows) }
+      else if (probe == cap) { logPath(s">$cap", local = false); None }
+      else {
+        // probe overflowed but the gate is larger: decide with a count
+        // (drivers ship 8 bytes, not rows), collect only if proven under
+        val n = edges.limit(cap + 1).count()
+        if (n <= cap) { logPath(n.toString, local = true); Some(edges.take(cap)) }
+        else { logPath(s">$cap", local = false); None }
+      }
+    }
+  }
+
+  /** Run `body` with `spark.sql.limit.initialNumPartitions` raised so a
+    * LIMIT's first job scans every partition (vs the default 1 +
+    * 4×-growing rescans), restoring the caller's setting after. */
+  private def withLimitScanAllPartitions[A](
+      spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.limit.initialNumPartitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "1000")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Driver-local power iteration for edge sets under the gate. Same

@@ -37,4 +37,21 @@ class DiffSpec extends SparkSpec {
       .select(col("changed_cols")).as[Seq[String]].head()
     assert(got === Seq("price", "st"))
   }
+
+  test("snapshotDiff matches a null-keyed row across snapshots (no removed+added split)") {
+    val prev = Seq((Option(1L), "A"), (None, "N1")).toDF("k", "st")
+    val cur = Seq((Option(1L), "A"), (None, "N2")).toDF("k", "st")
+    val got = Diff.snapshotDiff(prev, cur, "k", Seq("st"))
+      .as[(Option[Long], String, Seq[String])].collect().toSet
+    assert(got === Set(
+      (Some(1L), "unchanged", Nil),
+      (None, "changed", Seq("st"))))
+  }
+
+  test("snapshotDiff rejects key inside compared cols") {
+    val df = Seq((1L, "A")).toDF("k", "st")
+    intercept[IllegalArgumentException] {
+      Diff.snapshotDiff(df, df, "k", Seq("k", "st"))
+    }
+  }
 }
