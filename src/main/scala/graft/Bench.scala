@@ -35,11 +35,8 @@ object Bench {
       // local[32] (measured A/B, tools/DiagBench) and removes the
       // "slow in-suite, fast in isolation" anomaly class of r2-r4.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
-      // the graph operators' size gate is a take(limit+1); the default
-      // incremental limit scan (1 partition, then 4×) would cost
-      // log₄(parts) driver-synchronized jobs per gate — scan everything
-      // in the first job instead
-      .config("spark.sql.limit.initialNumPartitions", "1000")
+      // (limit.initialNumPartitions is no longer set here: the graph
+      // size gate scopes it around its own take — PageRank.takeUnderGate)
       // see Tables.NanosAsLongKey: session-construction-time flag
       .config(graft.sources.Tables.NanosAsLongKey, "true")
       .getOrCreate()

@@ -39,8 +39,26 @@ object GraftSession {
       .getOrCreate()
     registerFunctions(spark)
     registerAggregates(spark)
+    registerMetricsLogger(spark)
     spark
   }
+
+  /** Surface `graft.*` observed metrics (CollectMetrics — e.g. the
+    * dropped-mega-basket count in Baskets.baskets) on stderr when their
+    * query completes. Observation rides the query's own job, so
+    * operators get "log the drop" without paying an extra count scan. */
+  def registerMetricsLogger(spark: SparkSession): Unit =
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft.")) System.err.println(s"[$name] $row")
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    })
 
   /** Register the engine's typed aggregators for pure-SQL callers. SQL
     * function signatures can't carry constructor parameters, so the

@@ -20,8 +20,6 @@ object Verify {
       // hold every query's generated classes (default 100 thrashes on
       // a 114-query session — see Bench)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
-      // one-job size-gate takes (see Bench)
-      .config("spark.sql.limit.initialNumPartitions", "1000")
       // see Tables.NanosAsLongKey: session-construction-time flag
       .config(graft.sources.Tables.NanosAsLongKey, "true")
       .getOrCreate()

@@ -628,10 +628,14 @@ object RelationalQueries {
       .orderBy(col("o_orderkey"))
   }
 
-  /** Salted skew join, oracle-proof that salting is semantically
-    * invisible: the DuckDB twin is the PLAIN join — same rows, same
-    * aggregates — while the Spark side spreads each (potentially hot)
-    * order key over 8 salt buckets before joining. */
+  /** Skew-gated salted join, oracle-proof that the gate (and salting)
+    * is semantically invisible: the DuckDB twin is the PLAIN join —
+    * same rows, same aggregates — while the Spark side probes the key
+    * histogram and salts only if a key is measurably hot. At sf0.1 no
+    * order key is (≤7 lines each), so this runs the plain join and the
+    * probe documents why; SkewJoinSpec pins both gate outcomes on
+    * synthetic data, and saltedJoin stays the direct API for callers
+    * with known-hot keys. */
   val q57SkewJoin = Q(
     "q57_skew_join",
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
@@ -643,11 +647,11 @@ object RelationalQueries {
     val li = Tables.lineitem(spark, dir).withColumnRenamed("l_orderkey", "okey")
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
-    // salt from the line's natural identity, NOT the whole row: a
-    // whole-row salt hash forces the scan to read all 16 lineitem
-    // columns and kills column pruning (measured 2.3 s → the scan reads
-    // 3 columns with this; PlanSpec pins the ReadSchema)
-    SkewJoin.saltedJoin(li, o, key = "okey", saltFactor = 8,
+    // salt (if the gate fires) from the line's natural identity, NOT
+    // the whole row: a whole-row salt hash forces the scan to read all
+    // 16 lineitem columns and kills column pruning (measured 2.3 s →
+    // the scan reads 3 columns with this; PlanSpec pins the ReadSchema)
+    SkewJoin.saltedJoinIfSkewed(li, o, key = "okey", saltFactor = 8,
         saltCols = Seq("okey", "l_linenumber"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"), round(sum(col("l_extendedprice")), 2).as("total"))
@@ -1031,18 +1035,25 @@ object RelationalQueries {
   /** Market-basket 2-itemsets (association mining): part pairs
     * co-purchased in the same order, with support and lift. Pair
     * generation is NARROW (r3 verdict item 4): one shuffle collapses
-    * lineitem into per-order sorted distinct item arrays, then each
-    * basket emits its C(n,2) pairs via nested array `transform`s —
-    * baskets are small (≤ ~7 items), so the expansion is bounded per
-    * row and pairs never pay a join (the previous items⋈items self-join
-    * was semantically basket-bounded but physically a full 600k-row
-    * SMJ: 15.7s warm). All three legs (pairs, singles, total) hang off
-    * the same basket aggregate, so ReuseExchange scans lineitem once.
-    * Lift's independence denominator rides a 1-row total broadcast. */
+    * lineitem into per-order sorted distinct item arrays
+    * (Baskets.baskets), then each basket emits its C(n,2) pairs via two
+    * codegen'd explodes (Baskets.pairCounts) — pairs never pay a join
+    * (the previous items⋈items self-join was semantically
+    * basket-bounded but physically a full 600k-row SMJ: 15.7s warm).
+    * Baskets above 64 distinct items are DROPPED before pair generation
+    * (r7 verdict item 4: the unbounded C(n,2) was the classic
+    * market-basket skew bomb — one 100k-item basket = 5×10⁹ rows from
+    * one task); the oracle mirrors the cap, and the dropped count rides
+    * the job as an observed metric. All three legs (pairs, singles,
+    * total) hang off the same capped basket aggregate, so ReuseExchange
+    * scans lineitem once. Lift's independence denominator rides a 1-row
+    * total broadcast. */
   val q111BasketPairs = Q(
     "q111_basket_pairs",
-    """WITH items AS (
+    """WITH items0 AS (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |kept AS (SELECT ok FROM items0 GROUP BY ok HAVING count(*) <= 64),
+      |items AS (SELECT i.ok, i.pk FROM items0 i JOIN kept k ON i.ok = k.ok),
       |pairs AS (
       |  SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS n_ab
       |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
@@ -1058,22 +1069,11 @@ object RelationalQueries {
       |WHERE p.n_ab >= 2
       |ORDER BY p.n_ab DESC, p.part_a, p.part_b
       |LIMIT 20""".stripMargin) { (spark, dir) =>
-    // one shuffle on the order key; distinct-per-basket via array_distinct
-    val baskets = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .groupBy(col("ok"))
-      .agg(sort_array(array_distinct(collect_list(col("pk")))).as("pks"))
-    // C(n,2) pairs generated narrowly per basket: posexplode the basket,
-    // then pair element i with every later element via a second explode
-    // of slice(pks, i+2, …) — arrays are sorted, so part_a < part_b.
-    // Two codegen'd Generate nodes, not a nested transform HOF (HOFs run
-    // interpreted, ~10× slower per element — TextFns.shinglePositions)
-    val pairs = baskets
-      .select(col("pks"), posexplode(col("pks")).as(Seq("i", "part_a")))
-      .select(col("part_a"),
-        explode(slice(col("pks"), col("i") + 2, size(col("pks")))).as("part_b"))
-      .groupBy(col("part_a"), col("part_b"))
-      .agg(count(lit(1)).as("n_ab"))
+    import graft.operators.Baskets
+    val baskets = Baskets.baskets(
+      Tables.lineitem(spark, dir), key = "l_orderkey", item = "l_partkey",
+      maxItems = 64, metricName = "graft.q111_baskets")
+    val pairs = Baskets.pairCounts(baskets)
     val singles = baskets.select(explode(col("pks")).as("pk"))
       .groupBy(col("pk")).agg(count(lit(1)).as("n"))
     val tot = baskets.agg(count(lit(1)).as("n_orders"))

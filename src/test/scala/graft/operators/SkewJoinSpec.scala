@@ -42,4 +42,50 @@ class SkewJoinSpec extends SparkSpec {
     assert(got.count() === 3)
     assert(got.filter("rv is null").count() === 1)
   }
+
+  // the gate leaves "__salt" in the analyzed plan only on the salted path
+  private def tookSaltedPath(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.analyzed.toString.contains("__salt")
+
+  test("saltedJoinIfSkewed salts a measurably hot key — and matches the plain join") {
+    // hot key 1 carries 80% of rows: far over 2× the fair share of any
+    // post-shuffle partition
+    val left = (1 to 500).map(i => (if (i <= 400) 1L else i.toLong, i, s"l$i"))
+      .toDF("k", "id", "lv")
+    val right = (1 to 120).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+    val gated = SkewJoin.saltedJoinIfSkewed(left, right, "k", saltFactor = 8,
+      saltCols = Seq("id"))
+    assert(tookSaltedPath(gated), "hot key did not trigger the salted path")
+    val plain = left.join(right, Seq("k")).select("k", "lv", "rv")
+      .collect().map(_.toString).sorted.toSeq
+    assert(gated.select("k", "lv", "rv").collect().map(_.toString).sorted.toSeq === plain)
+  }
+
+  test("saltedJoinIfSkewed degrades to the plain join when no key is hot") {
+    // uniform: every key appears once — salting would pay 8× right-side
+    // replication for nothing
+    val left = (1 to 500).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+    val right = (1 to 120).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+    val gated = SkewJoin.saltedJoinIfSkewed(left, right, "k", saltFactor = 8)
+    assert(!tookSaltedPath(gated), "unskewed input still salted")
+    val plain = left.join(right, Seq("k")).collect().map(_.toString).sorted.toSeq
+    assert(gated.collect().map(_.toString).sorted.toSeq === plain)
+  }
+
+  test("saltedJoinIfSkewed minHotRows floor keeps tiny skewed inputs unsalted") {
+    // 9 of 12 rows share a key — over the ratio bar, under the floor
+    val left = ((1 to 9).map(_ => (1L, "h")) ++ Seq((2L, "a"), (3L, "b"), (4L, "c")))
+      .toDF("k", "lv")
+    val right = Seq((1L, "x"), (2L, "y")).toDF("k", "rv")
+    val gated = SkewJoin.saltedJoinIfSkewed(left, right, "k", saltFactor = 8,
+      minHotRows = 1000L)
+    assert(!tookSaltedPath(gated), "input under the absolute floor still salted")
+    assert(gated.count() === 10)
+  }
+
+  test("saltedJoinIfSkewed handles an empty left side") {
+    val left = Seq.empty[(Long, String)].toDF("k", "lv")
+    val right = Seq((1L, "x")).toDF("k", "rv")
+    assert(SkewJoin.saltedJoinIfSkewed(left, right, "k", 8).count() === 0)
+  }
 }
