@@ -104,4 +104,26 @@ object TextFns {
         regexp_replace(text, EmailPattern, "<EMAIL>"),
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
+
+  /** Corpus-adaptive document-frequency ceiling for posting-list
+    * similarity joins (q85): a term with df documents generates C(df,2)
+    * candidate pairs, so with a Zipf-ish df distribution total pair work
+    * ≈ O(n_docs × dfMax) — a CONSTANT ceiling keeps work linear but
+    * starves recall as the corpus grows (at n=1M a df≤100 term is a
+    * 0.01%-rare term; discriminative vocabulary scales with n), while an
+    * unbounded one is quadratic. `max(8, ⌊10·log₂(n)⌋)` grows the
+    * ceiling logarithmically: work stays O(n log n) (DiagScale's
+    * q85_adaptive probe measures the exponent) and the admitted df BAND
+    * tracks corpus growth. The formula is floor/log2 only so the DuckDB
+    * oracle inlines the IDENTICAL arithmetic — the
+    * `VectorFns.bitsForCorpus` pattern. */
+  def dfMaxForCorpus(nDocs: Long): Int =
+    math.max(8, math.floor(10.0 * math.log(math.max(2L, nDocs).toDouble)
+      / math.log(2.0)).toInt)
+
+  /** [[dfMaxForCorpus]] as a Column over an n_docs column, for deriving
+    * the ceiling inside the plan (rides the existing 1-row corpus-size
+    * broadcast — no extra driver action). */
+  def dfMaxForCorpusCol(nDocs: Column): Column =
+    greatest(lit(8), floor(lit(10.0) * log2(greatest(lit(2L), nDocs))).cast("int"))
 }

@@ -1362,11 +1362,17 @@ object TextQueries {
     * join, never all-pairs. Terms are word 3-grams (the corpus draws
     * from a ~31-word vocabulary, so unigram TF-IDF is degenerate —
     * shingles give the sparse, doc-discriminating space). The vector
-    * space is the df ∈ [2, 100] shingle vocabulary (df=1 terms can't
-    * contribute to any pair; df>100 terms are the hot-posting quadratic
-    * risk, exactly the jaccard df-cap), and weights/norms are computed
-    * over that same vocabulary, so the cosine is exact in the filtered
-    * space. Complements the DENSE embedding cosine path (q31/q33/q34). */
+    * space is the df ∈ [2, dfMax] shingle vocabulary (df=1 terms can't
+    * contribute to any pair; high-df terms are the hot-posting
+    * quadratic risk, exactly the jaccard df-cap), with dfMax derived
+    * from the corpus size IN the plan — `max(8, ⌊10·log₂(n_docs)⌋)`
+    * (TextFns.dfMaxForCorpus, the bitsForCorpus treatment): pair work
+    * stays O(n·log n) while the admitted band tracks corpus growth,
+    * and the identical floor/log2 arithmetic is inlined in the oracle
+    * so both engines select the same vocabulary. Weights/norms are
+    * computed over that same vocabulary, so the cosine is exact in the
+    * filtered space. Complements the DENSE embedding cosine path
+    * (q31/q33/q34). */
   val q85TfidfCosinePairs = Q(
     "q85_tfidf_cosine_pairs",
     """WITH docs AS (
@@ -1380,7 +1386,9 @@ object TextQueries {
       |tf AS (SELECT doc_id, t, count(*) AS cnt FROM toks GROUP BY 1, 2),
       |vocab AS (
       |  SELECT t, count(*) AS df FROM tf GROUP BY t
-      |  HAVING count(*) BETWEEN 2 AND 100),
+      |  HAVING count(*) BETWEEN 2 AND
+      |    (SELECT greatest(8, CAST(floor(10 * log2(greatest(2, count(*)))) AS INT))
+      |     FROM documents)),
       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
       |w AS (
       |  SELECT doc_id, tf.t, tf.cnt * ln(n.n_docs / vocab.df) AS wgt
@@ -1405,9 +1413,14 @@ object TextQueries {
         explode(TextFns.shinglePositions(col("toks"), 3)).as("i"))
       .select(col("doc_id"), TextFns.shingleAt(col("toks"), col("i"), 3).as("t"))
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
-    val vocab = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, 100))
     val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    // dfMax derives from the corpus size inside the plan, riding the
+    // same 1-row count broadcast the idf uses — no extra driver action
+    val vocab = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .join(broadcast(n))
+      .filter(col("df").between(lit(2),
+        TextFns.dfMaxForCorpusCol(col("n_docs").cast("long"))))
+      .select(col("t"), col("df"))
     // Normalize BEFORE the posting-list join (unit vectors), so the pair
     // aggregation IS the cosine — no norm table and no per-pair norm joins
     // after the (much larger) pair set exists. The norm is a window

@@ -237,33 +237,42 @@ object DiagScale {
                 s => s.getField("event_type"))).as("seq"))
             .count()
         }),
-        "q85_tfidf" -> (() => {
-          // the registered q85 shape: shingle terms, df∈[2,100] vocab,
-          // unit-normalized weights (window over doc_id), posting-list
-          // self-join whose pair sum IS the cosine
+        "q85_tfidf" -> (() => tfidfPairs(docs, dfMax = 100)),
+        // the registered q85 shape since r8: dfMax derived from corpus
+        // size (TextFns.dfMaxForCorpus) — the adaptive knob, measured
+        // here instead of claimed (the q34 bits/bitsForCorpus pattern)
+        "q85_adaptive" -> (() => {
           import graft.functions.TextFns
-          import org.apache.spark.sql.expressions.Window
-          val tf = docs.repartition(col("doc_id"))
-            .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-            .select(col("doc_id"), explode(TextFns.shingles(col("toks"), 3)).as("t"))
-            .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
-          val vocab = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-            .filter(col("df").between(2, 100))
-          val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-          val byDoc = Window.partitionBy(col("doc_id"))
-          val wn = tf.join(vocab, "t").join(broadcast(n))
-            .select(col("doc_id"), col("t"),
-              (col("cnt") * log(col("n_docs") / col("df"))).as("wgt"))
-            .select(col("doc_id"), col("t"),
-              (col("wgt") / sqrt(sum(col("wgt") * col("wgt")).over(byDoc))).as("u"))
-            .repartition(col("t"))
-          wn.as("a").join(wn.as("b"),
-              col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
-            .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-            .agg(sum(col("a.u") * col("b.u")).as("cos_raw"))
-            .filter(col("cos_raw") >= 0.3)
-            .count()
+          tfidfPairs(docs, dfMax = TextFns.dfMaxForCorpus(docs.count()))
         }))
+    }
+
+    // the q85 inverted-index cosine shape: shingle terms, df∈[2,dfMax]
+    // vocab, unit-normalized weights (window over doc_id), posting-list
+    // self-join whose pair sum IS the cosine
+    def tfidfPairs(docs: DataFrame, dfMax: Int): Long = {
+      import graft.functions.TextFns
+      import org.apache.spark.sql.expressions.Window
+      val tf = docs.repartition(col("doc_id"))
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(TextFns.shingles(col("toks"), 3)).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
+      val vocab = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, dfMax))
+      val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+      val wn = tf.join(vocab, "t").join(broadcast(n))
+        .select(col("doc_id"), col("t"),
+          (col("cnt") * log(col("n_docs") / col("df"))).as("wgt"))
+        .select(col("doc_id"), col("t"),
+          (col("wgt") / sqrt(sum(col("wgt") * col("wgt")).over(byDoc))).as("u"))
+        .repartition(col("t"))
+      wn.as("a").join(wn.as("b"),
+          col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(sum(col("a.u") * col("b.u")).as("cos_raw"))
+        .filter(col("cos_raw") >= 0.3)
+        .count()
     }
 
     val results = scala.collection.mutable.Map[(String, Int), Double]()
