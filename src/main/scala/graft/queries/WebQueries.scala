@@ -76,5 +76,104 @@ object WebQueries {
       .orderBy(col("domain"))
   }
 
-  val all: Seq[Q] = Seq(q79DomainBudget)
+  /** The reference's core surface — multi-field house-page extraction
+    * (`lianjia.py:121-159` on-sale, `59-92` village) — through the
+    * DRIVER gate for the first time (r7 verdict missing-item #1: G4/G6/
+    * G8 were verified only by ScalaTest golden fixtures, because jsoup
+    * can't run in DuckDB). The q79 trick closes the gap: both engines
+    * synthesize the IDENTICAL deterministic house-detail page per
+    * order — title header, communityName anchor pair, data-hid
+    * attribute, and the label-sibling `<li><span
+    * class="label">LABEL</span>value</li>` block the reference's 34
+    * fields ride on — then Spark extracts through the REAL path (ONE
+    * XPathStructExpr parse for all fields: h1 text, positional a[1],
+    * @attr, and four `//li[span='…']/text()` label-siblings, exactly
+    * the registered house xpaths) while DuckDB replays the fields with
+    * anchored regexes over its own copy of the same strings. Every 3rd
+    * page gets a bare `<br>` — invalid XML, so the strict parse fails
+    * and those rows prove the HtmlSoup tag-soup repair path inside the
+    * hash-checked gate, not just in specs. Numeric post-extraction
+    * (rooms from '3室2厅', area from '88.5平米') mirrors the
+    * reference's F2 string→number guards. */
+  val q136PageExtract = Q(
+    "q136_page_extract",
+    """WITH pages AS (
+      |  SELECT o_orderkey AS okey,
+      |    '<html><body><div class="sellDetailHeader"><h1 class="main">House '
+      |      || CAST(o_orderkey AS VARCHAR) || '</h1></div>'
+      |    || CASE WHEN o_orderkey % 3 = 0 THEN '<br>' ELSE '' END
+      |    || '<div class="communityName"><a class="info">V'
+      |      || CAST(o_custkey % 50 AS VARCHAR)
+      |      || '</a><a class="sub">map</a></div>'
+      |    || '<div class="houseRecord"><span class="info" data-hid="H'
+      |      || CAST(o_orderkey AS VARCHAR)
+      |      || '">record</span></div><div class="base"><ul>'
+      |    || '<li><span class="label">房屋户型</span>'
+      |      || CAST(o_orderkey % 5 + 1 AS VARCHAR) || '室'
+      |      || CAST(o_orderkey % 3 + 1 AS VARCHAR) || '厅</li>'
+      |    || '<li><span class="label">建筑面积</span>'
+      |      || CAST(o_orderkey % 200 + 50 AS VARCHAR) || '.5平米</li>'
+      |    || '<li><span class="label">所在楼层</span>中楼层(共'
+      |      || CAST(o_orderkey % 30 + 2 AS VARCHAR) || '层)</li>'
+      |    || '<li><span class="label">配备电梯</span>'
+      |      || CASE WHEN o_orderkey % 2 = 0 THEN '有' ELSE '无' END || '</li>'
+      |    || '</ul></div></body></html>' AS html
+      |  FROM orders WHERE o_orderkey % 20 = 0),
+      |x AS (
+      |  SELECT okey,
+      |    regexp_extract(html, '<h1 class="main">([^<]*)</h1>', 1) AS title,
+      |    regexp_extract(html, '<div class="communityName"><a class="info">([^<]*)</a>', 1) AS village,
+      |    regexp_extract(html, 'data-hid="([^"]*)"', 1) AS hid,
+      |    regexp_extract(html, '<span class="label">房屋户型</span>([^<]*)</li>', 1) AS layout,
+      |    regexp_extract(html, '<span class="label">建筑面积</span>([^<]*)</li>', 1) AS area_raw,
+      |    regexp_extract(html, '<span class="label">所在楼层</span>([^<]*)</li>', 1) AS floor_info,
+      |    regexp_extract(html, '<span class="label">配备电梯</span>([^<]*)</li>', 1) AS elevator
+      |  FROM pages)
+      |SELECT okey, title, village, hid, layout,
+      |  CAST(regexp_extract(layout, '([0-9]+)室', 1) AS INT) AS rooms,
+      |  CAST(regexp_extract(area_raw, '([0-9]+\.[0-9])平米', 1) AS DOUBLE) AS area_sqm,
+      |  floor_info, elevator
+      |FROM x ORDER BY okey""".stripMargin) { (spark, dir) =>
+    val k = col("o_orderkey")
+    val html = concat(
+      lit("<html><body><div class=\"sellDetailHeader\"><h1 class=\"main\">House "),
+      k.cast("string"), lit("</h1></div>"),
+      when(k % 3 === 0, "<br>").otherwise(""),
+      lit("<div class=\"communityName\"><a class=\"info\">V"),
+      (col("o_custkey") % 50).cast("string"),
+      lit("</a><a class=\"sub\">map</a></div>"),
+      lit("<div class=\"houseRecord\"><span class=\"info\" data-hid=\"H"),
+      k.cast("string"), lit("\">record</span></div><div class=\"base\"><ul>"),
+      lit("<li><span class=\"label\">房屋户型</span>"),
+      (k % 5 + 1).cast("string"), lit("室"), (k % 3 + 1).cast("string"), lit("厅</li>"),
+      lit("<li><span class=\"label\">建筑面积</span>"),
+      (k % 200 + 50).cast("string"), lit(".5平米</li>"),
+      lit("<li><span class=\"label\">所在楼层</span>中楼层(共"),
+      (k % 30 + 2).cast("string"), lit("层)</li>"),
+      lit("<li><span class=\"label\">配备电梯</span>"),
+      when(k % 2 === 0, "有").otherwise("无"), lit("</li>"),
+      lit("</ul></div></body></html>"))
+    Tables.orders(spark, dir)
+      .filter(k % 20 === 0)
+      .select(k.as("okey"), html.as("html"))
+      .select(col("okey"),
+        graft.plans.XPathStructExpr.xpathStruct(col("html"), Seq(
+          "title" -> "//h1[@class='main']/text()",
+          "village" -> "//div[@class='communityName']/a[1]/text()",
+          "hid" -> "//div[@class='houseRecord']/span/@data-hid",
+          "layout" -> "//li[span='房屋户型']/text()",
+          "area_raw" -> "//li[span='建筑面积']/text()",
+          "floor_info" -> "//li[span='所在楼层']/text()",
+          "elevator" -> "//li[span='配备电梯']/text()")).as("x"))
+      .select(col("okey"),
+        col("x.title").as("title"), col("x.village").as("village"),
+        col("x.hid").as("hid"), col("x.layout").as("layout"),
+        regexp_extract(col("x.layout"), "([0-9]+)室", 1).cast("int").as("rooms"),
+        regexp_extract(col("x.area_raw"), "([0-9]+\\.[0-9])平米", 1)
+          .cast("double").as("area_sqm"),
+        col("x.floor_info").as("floor_info"), col("x.elevator").as("elevator"))
+      .orderBy(col("okey"))
+  }
+
+  val all: Seq[Q] = Seq(q79DomainBudget, q136PageExtract)
 }
