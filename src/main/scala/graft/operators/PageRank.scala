@@ -127,8 +127,18 @@ object PageRank {
     * extra count+collect jobs; callers cache expensive edge pipelines,
     * so those re-scans hit the cache the probe just populated.
     * Returns None when over the gate (or the gate is disabled: ≤ 0). */
-  private[graft] def takeUnderGate(edges: DataFrame, localEdgeLimit: Long,
+  /** Diagnostic gate override (tools/DiagDistributed): when the system
+    * property is set, its value replaces every caller's localEdgeLimit —
+    * "0" forces the DISTRIBUTED path of all size-gated graph ops in one
+    * process, so the plans that would actually run at 100× scale can be
+    * wall-clocked against their local twins. Never set in production
+    * code paths. */
+  private[graft] val GateOverrideProp = "graft.gate.override"
+
+  private[graft] def takeUnderGate(edges: DataFrame, localEdgeLimit0: Long,
       tag: String): Option[Array[Row]] = {
+    val localEdgeLimit =
+      sys.props.get(GateOverrideProp).map(_.toLong).getOrElse(localEdgeLimit0)
     if (localEdgeLimit <= 0) {
       System.err.println(s"[graft.$tag] gate disabled path=distributed")
       return None
