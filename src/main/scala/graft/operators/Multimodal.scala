@@ -43,6 +43,8 @@ object Multimodal {
 
   private def le16(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le24(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16)
   private def le32(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
       ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
@@ -136,6 +138,77 @@ object Multimodal {
     }
   }
 
+  /** REAL decode path: WebP — RIFF container ('RIFF'…'WEBP'), then
+    * dims per first chunk variant (public WebP container/bitstream
+    * specs): 'VP8X' extended files store 24-bit LE canvas dims-1 at
+    * payload +4/+7; 'VP8 ' lossy frames carry 14-bit LE dims after
+    * the 9D 01 2A frame sync code; 'VP8L' lossless packs two 14-bit
+    * dims-1 little-endian in the 4 bytes after the 0x2F signature.
+    * Unknown first chunks are skipped (even-padded) so
+    * metadata-first layouts still resolve; malformed streams fall
+    * through the chain. Pixel payloads still require a VP8 codec —
+    * only the header is parsed here. */
+  case object WebPCodec extends ImageCodec {
+    def decode(b: Array[Byte]): Option[(Int, Int, String)] = {
+      if (b == null || b.length < 20 ||
+        b(0) != 'R'.toByte || b(1) != 'I'.toByte || b(2) != 'F'.toByte || b(3) != 'F'.toByte ||
+        b(8) != 'W'.toByte || b(9) != 'E'.toByte || b(10) != 'B'.toByte || b(11) != 'P'.toByte)
+        return None
+      var i = 12
+      while (i + 8 <= b.length) {
+        val size = le32(b, i + 4)
+        if (size < 0) return None
+        val p = i + 8
+        new String(b, i, 4, "US-ASCII") match {
+          case "VP8X" if p + 10 <= b.length =>
+            return Some((1 + le24(b, p + 4), 1 + le24(b, p + 7), "webp"))
+          case "VP8 " if p + 10 <= b.length =>
+            return if ((b(p + 3) & 0xff) == 0x9d && (b(p + 4) & 0xff) == 0x01 &&
+              (b(p + 5) & 0xff) == 0x2a)
+              Some((le16(b, p + 6) & 0x3fff, le16(b, p + 8) & 0x3fff, "webp"))
+            else None
+          case "VP8L" if p + 5 <= b.length =>
+            return if ((b(p) & 0xff) == 0x2f) {
+              val bits = le32(b, p + 1)
+              Some(((bits & 0x3fff) + 1, ((bits >>> 14) & 0x3fff) + 1, "webp"))
+            } else None
+          case _ =>
+            val step = size.toLong + (size & 1) + 8L
+            if (p + step - 8 > b.length || step <= 8) return None
+            i = (i + step).toInt
+        }
+      }
+      None
+    }
+  }
+
+  /** REAL decode path: AVIF — ISO-BMFF 'ftyp' with an avif/avis
+    * brand (major or compatible), then the image spatial extents
+    * from meta→iprp→ipco→ispe ('meta' is a FullBox: children start
+    * +12; ispe payload is version/flags then width/height int32-BE).
+    * Reuses the same [[isoBoxes]] walker as [[Mp4Codec]]. Pixel data
+    * still needs an AV1 codec — header-only, like the other real
+    * paths. */
+  case object AvifCodec extends ImageCodec {
+    def decode(b: Array[Byte]): Option[(Int, Int, String)] = {
+      if (b == null || b.length < 16) return None
+      val top = isoBoxes(b, 0, b.length).toSeq
+      if (top.isEmpty || top.head._3 != "ftyp") return None
+      val (fo, fEnd, _) = top.head
+      val major = if (fo + 12 <= fEnd) new String(b, fo + 8, 4, "US-ASCII") else ""
+      val compat = (fo + 16).until(fEnd - 3, 4).map(o => new String(b, o, 4, "US-ASCII"))
+      val isAvif = Set("avif", "avis")
+      if (!isAvif(major) && !compat.exists(isAvif)) return None
+      for {
+        (mo, mEnd, _) <- top.find(_._3 == "meta")
+        (po, pEnd, _) <- isoBoxes(b, mo + 12, mEnd).find(_._3 == "iprp")
+        (co, cEnd, _) <- isoBoxes(b, po + 8, pEnd).find(_._3 == "ipco")
+        (io, iEnd, _) <- isoBoxes(b, co + 8, cEnd).find(_._3 == "ispe")
+        if io + 20 <= iEnd
+      } yield (be32(b, io + 12), be32(b, io + 16), "avif")
+    }
+  }
+
   /** STUB tail of the chain: deterministic pseudo-metadata from the
     * payload bytes, for formats the container cannot decode. Always
     * matches, so a codec chain ending here never drops a row. */
@@ -147,9 +220,10 @@ object Multimodal {
   }
 
   /** The default chain: real header parsers first, stub fallback last.
-    * The stub now covers only genuinely codec-requiring payloads
-    * (video containers, WebP/AVIF, and non-image bytes). */
-  val DefaultCodecs: Seq[ImageCodec] = Seq(BmpCodec, PngCodec, JpegCodec, GifCodec, StubCodec)
+    * With WebP + AVIF dims real, the stub now covers only genuinely
+    * codec-requiring payloads (video containers and non-image bytes). */
+  val DefaultCodecs: Seq[ImageCodec] =
+    Seq(BmpCodec, PngCodec, JpegCodec, GifCodec, WebPCodec, AvifCodec, StubCodec)
 
   /** Attach decoded metadata to a binary payload column.
     *
@@ -455,23 +529,29 @@ object Multimodal {
     * Audio-only MP4s (no tkhd dims) decode with 0×0 — real duration is
     * the load-bearing field. Box sizes of 1 (64-bit largesize) and 0
     * (to end-of-file) are honored; malformed walks fall through. */
-  case object Mp4Codec extends VideoCodec {
-    /** (offset, payloadEnd) pairs for each child box of b[from, lim). */
-    private def boxes(b: Array[Byte], from: Int, lim: Int): Iterator[(Int, Int, String)] =
-      new Iterator[(Int, Int, String)] {
-        private var i = from
-        def hasNext: Boolean = i + 8 <= lim
-        def next(): (Int, Int, String) = {
-          val size32 = be32(b, i).toLong & 0xffffffffL
-          val tpe = new String(b, i + 4, 4, "US-ASCII")
-          val size = if (size32 == 1 && i + 16 <= lim) be64(b, i + 8)
-            else if (size32 == 0) (lim - i).toLong else size32
-          val end = if (size < 8 || i + size > lim) lim else (i + size).toInt
-          val r = (i, end, tpe)
-          i = end
-          r
-        }
+  /** (offset, payloadEnd, type) triples for each child box of
+    * b[from, lim) — the ISO-BMFF box walk shared by [[Mp4Codec]] and
+    * [[AvifCodec]]. Box sizes of 1 (64-bit largesize) and 0 (to
+    * end-of-region) are honored; undersized/overrunning boxes clamp
+    * the walk to the region end. */
+  private[operators] def isoBoxes(b: Array[Byte], from: Int, lim: Int): Iterator[(Int, Int, String)] =
+    new Iterator[(Int, Int, String)] {
+      private var i = from
+      def hasNext: Boolean = i + 8 <= lim
+      def next(): (Int, Int, String) = {
+        val size32 = be32(b, i).toLong & 0xffffffffL
+        val tpe = new String(b, i + 4, 4, "US-ASCII")
+        val size = if (size32 == 1 && i + 16 <= lim) be64(b, i + 8)
+          else if (size32 == 0) (lim - i).toLong else size32
+        val end = if (size < 8 || i + size > lim) lim else (i + size).toInt
+        val r = (i, end, tpe)
+        i = end
+        r
       }
+    }
+
+  case object Mp4Codec extends VideoCodec {
+    private def boxes(b: Array[Byte], from: Int, lim: Int) = isoBoxes(b, from, lim)
 
     def decode(b: Array[Byte]): Option[(Int, Int, Long, String)] = {
       if (b == null || b.length < 16) return None

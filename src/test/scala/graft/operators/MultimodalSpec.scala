@@ -336,4 +336,83 @@ class MultimodalSpec extends SparkSpec {
     // stub arithmetic on n=6: 256+6, 144+(6*17)%936, (6%3600)*1000, even→mp4
     assert(metas(1) === ((262, 246, 6000L, "mp4")))
   }
+
+  private def le24(v: Int): Seq[Byte] =
+    Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte)
+  private def le32s(v: Int): Seq[Byte] = (0 to 3).map(i => ((v >> (8 * i)) & 0xff).toByte)
+
+  /** RIFF/WEBP with the given chunks ((tag, payload)*), sizes + even
+    * padding per the container spec. */
+  private def webp(chunks: (String, Seq[Byte])*): Array[Byte] = {
+    val body = chunks.flatMap { case (tag, p) =>
+      tag.getBytes("US-ASCII").toSeq ++ le32s(p.size) ++ p ++
+        (if (p.size % 2 == 1) Seq(0.toByte) else Nil)
+    }
+    ("RIFF".getBytes("US-ASCII").toSeq ++ le32s(4 + body.size) ++
+      "WEBP".getBytes("US-ASCII").toSeq ++ body).toArray
+  }
+
+  test("WebP dims are REAL for all three chunk variants") {
+    // VP8X: canvas 1024×768 stored as 24-bit LE dims-1 at payload +4/+7
+    val vp8x = webp(("VP8X", Seq[Byte](0x02, 0, 0, 0) ++ le24(1023) ++ le24(767)))
+    assert(Multimodal.WebPCodec.decode(vp8x) === Some((1024, 768, "webp")))
+    // VP8 lossy: 3-byte frame tag, 9D 01 2A sync, then 14-bit LE dims
+    val vp8 = webp(("VP8 ", Seq[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a) ++
+      le32s(320).take(2) ++ le32s(240).take(2)))
+    assert(Multimodal.WebPCodec.decode(vp8) === Some((320, 240, "webp")))
+    // VP8L lossless: 0x2F signature then two 14-bit dims-1 packed LE
+    val vp8l = webp(("VP8L", Seq(0x2f.toByte) ++ le32s(((200 - 1) << 14) | (100 - 1))))
+    assert(Multimodal.WebPCodec.decode(vp8l) === Some((100, 200, "webp")))
+    // an odd-sized leading metadata chunk is skipped with even padding
+    val metaFirst = webp(("EXIF", Seq[Byte](1, 2, 3)),
+      ("VP8X", Seq[Byte](0x02, 0, 0, 0) ++ le24(15) ++ le24(7)))
+    assert(Multimodal.WebPCodec.decode(metaFirst) === Some((16, 8, "webp")))
+    // bad sync code / non-RIFF / truncation fall through, no bogus dims
+    val badSync = webp(("VP8 ", Seq[Byte](0, 0, 0, 0x11, 0x01, 0x2a, 0, 0, 0, 0)))
+    assert(Multimodal.WebPCodec.decode(badSync) === None)
+    assert(Multimodal.WebPCodec.decode("RIFFxxxxWAVE".getBytes ++ Array.fill[Byte](20)(0)) === None)
+    assert(Multimodal.WebPCodec.decode(vp8x.take(14)) === None)
+  }
+
+  /** Minimal AVIF: ftyp(avif), meta(FullBox){iprp{ipco{ispe}}}. */
+  private def avifMin(w: Int, h: Int, brand: String = "avif"): Array[Byte] = {
+    def be32(v: Int): Seq[Byte] = (3 to 0 by -1).map(i => ((v >> (8 * i)) & 0xff).toByte)
+    def box(tpe: String, payload: Seq[Byte]): Seq[Byte] =
+      be32(8 + payload.size) ++ tpe.getBytes("US-ASCII") ++ payload
+    val ispe = box("ispe", Seq[Byte](0, 0, 0, 0) ++ be32(w) ++ be32(h))
+    val meta = box("meta", Seq[Byte](0, 0, 0, 0) ++ box("iprp", box("ipco", ispe)))
+    (box("ftyp", brand.getBytes("US-ASCII").toSeq ++ be32(0) ++
+      "mif1".getBytes("US-ASCII").toSeq) ++ meta).toArray
+  }
+
+  test("AVIF dims are REAL via the shared ISO-BMFF walk to ispe") {
+    assert(Multimodal.AvifCodec.decode(avifMin(800, 600)) === Some((800, 600, "avif")))
+    // brand in the compatible list instead of major
+    val compat = {
+      // rewrite major brand to mif1 and compatible to avif
+      val out = avifMin(32, 16).clone()
+      "mif1".getBytes("US-ASCII").copyToArray(out, 8)
+      "avif".getBytes("US-ASCII").copyToArray(out, 16)
+      out
+    }
+    assert(Multimodal.AvifCodec.decode(compat) === Some((32, 16, "avif")))
+    // a plain MP4 ftyp (isom) is NOT claimed by the AVIF codec
+    assert(Multimodal.AvifCodec.decode(mp4Min) === None)
+    // truncated meta falls through
+    assert(Multimodal.AvifCodec.decode(avifMin(800, 600).take(24)) === None)
+  }
+
+  test("decodeImageMeta chain resolves WebP/AVIF ahead of the stub") {
+    val df = Seq(
+      ("a", webp(("VP8X", Seq[Byte](0x02, 0, 0, 0) ++ le24(99) ++ le24(49)))),
+      ("b", avifMin(12, 34)),
+      ("c", "just text".getBytes)).toDF("id", "payload")
+    val got = Multimodal.decodeImageMeta(df, "payload").orderBy("id")
+      .select("meta.width", "meta.height", "meta.format")
+      .as[(Int, Int, String)].collect()
+    assert(got(0) === ((100, 50, "webp")))
+    assert(got(1) === ((12, 34, "avif")))
+    // n=9 odd → stub jpeg
+    assert(got(2)._3 === "jpeg")
+  }
 }
