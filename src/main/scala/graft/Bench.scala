@@ -86,7 +86,39 @@ object Bench {
     val failed = results.collect { case (k, ts) if ts.exists(_.isEmpty) => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(t => minOk(t._2)).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    // Per-query spark/duck ratio table, inlined into the artifact so
+    // round-over-round forensics don't need a judge-side join (r7 item
+    // 7). The baseline file is the driver's BASELINE_duck.json; its
+    // per-query entries all key on q* names, so a dependency-free regex
+    // pull of "qNN_name": seconds pairs is exact. Missing file or a
+    // query absent from the baseline → that entry is simply omitted.
+    val baselineFile = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_duck.json")
+    val duck: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(baselineFile)), "UTF-8")
+        // a ratio against a different scale factor is forensics poison,
+        // not data — emit the table only when the baseline's "sf" field
+        // matches the directory this bench ran against
+        val sfOk = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfDir)
+        if (!sfOk) Map.empty
+        else "\"(q[0-9]+_[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val common = results.flatMap { case (k, ts) =>
+      for (s <- minOk(ts); d <- duck.get(k) if d > 0) yield (k, s, d) }
+    val ratioJson =
+      if (common.isEmpty) "null"
+      else {
+        val perQ = common.map { case (k, s, d) => "\"" + k + "\":" + f"${s / d}%.2f" }
+          .mkString("{", ",", "}")
+        val sSum = common.map(_._2).sum
+        val dSum = common.map(_._3).sum
+        s"""{"n_common":${common.size},"spark_sec":$sSum,"duck_sec":$dSum,""" +
+          f""""ratio_total":${sSum / dSum}%.3f,"per_query":$perQ}"""
+      }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"failed":$failedJson,"vs_baseline":$ratioJson,"sf":"$sfDir"}"""
     println(json)
     // Durability: stdout has reached the driver truncated EVERY round so
     // far (BENCH_r01..r04 "parsed": null — the capture keeps only a tail
@@ -102,7 +134,10 @@ object Bench {
       .sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top10,"n_queries":${results.size},"failed":$failedJson,"full":"$outFile","sf":"$sfDir"}""")
+    val ratioSummary =
+      if (common.isEmpty) "null"
+      else f"${common.map(_._2).sum / common.map(_._3).sum}%.3f"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top10,"n_queries":${results.size},"failed":$failedJson,"ratio_vs_duck":$ratioSummary,"full":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }
