@@ -47,4 +47,27 @@ object Sampling {
       case ((name, hi), rest) => when(b < hi, name).otherwise(rest)
     }
   }
+
+  /** Deterministic training-shard assignment — the "write the corpus as
+    * N shards in shuffled order" step every pretraining run starts from.
+    * shard = 60-bit md5(key) mod nShards; pos = row_number within the
+    * shard ordered by (hash, key). Reading shards sequentially by pos
+    * IS the epoch-shuffled order (hash order decorrelates ingest/crawl
+    * locality) — yet there is NO total-order sort: each shard orders
+    * independently, so at 100 TB nShards tracks cluster parallelism and
+    * no single barrier ever sees the whole corpus. Fully deterministic
+    * on any engine / partitioning / rerun — same contract as
+    * [[hashBucket]], extended with a position. Appends `shard` (int)
+    * and `pos` (long, 1-based dense within shard). */
+  def assignShards(df: DataFrame, key: Column, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val byShard = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__gshard")).orderBy(col("__ghash"), key)
+    df.withColumn("__ghash",
+        conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"))
+      .withColumn("__gshard", (col("__ghash") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(byShard).cast("long"))
+      .withColumn("shard", col("__gshard"))
+      .drop("__ghash", "__gshard")
+  }
 }

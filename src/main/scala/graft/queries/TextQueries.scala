@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.functions.{QualityModel, TextFns}
+import graft.functions.{QualityModel, Sampling, TextFns}
 import graft.operators.Dedup
 import graft.sources.Tables
 
@@ -1796,6 +1796,134 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 top-k retrieval — the sparse-retrieval baseline every RAG
+    * pipeline benchmarks against (Robertson–Spärck Jones probabilistic
+    * idf, k1 = 1.2, b = 0.75). Same inverted-index discipline as q85:
+    * the query set (every 97th doc, its distinct shingles) meets the
+    * corpus through a posting-list equi-join on the term — never
+    * query×corpus — and the df ∈ [2, dfMaxForCorpus] window bounds the
+    * hottest posting list, so candidate volume is O(q_terms ·
+    * bounded_df). Doc-side weights are fully precomputed (idf × tf
+    * saturation × length norm, dl via a window sum riding the tf
+    * exchange), so scoring is one sum per (query, doc) pair; top-k is
+    * a per-query row_number window. Scores round to 4 decimals BEFORE
+    * ranking with doc_id as tiebreak, so the cutoff is deterministic
+    * in both engines (the q85 rounding contract applied to ranks). */
+  val q137Bm25TopK = Q(
+    "q137_bm25_topk",
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, s AS t FROM docs,
+      |    unnest(list_transform(range(1, len(tk) - 1),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS u(s)
+      |  WHERE len(tk) >= 3),
+      |tf AS (SELECT doc_id, t, count(*) AS cnt FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |vocab AS (
+      |  SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t
+      |  HAVING count(*) BETWEEN 2 AND
+      |    (SELECT greatest(8, CAST(floor(10 * log2(greatest(2, count(*)))) AS INT))
+      |     FROM documents)),
+      |w AS (
+      |  SELECT tf.doc_id, tf.t,
+      |    ln(1 + (s.n_docs - v.df + 0.5) / (v.df + 0.5)) *
+      |      (tf.cnt * 2.2) / (tf.cnt + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) AS wgt
+      |  FROM tf JOIN vocab v ON tf.t = v.t
+      |  JOIN dl d ON d.doc_id = tf.doc_id CROSS JOIN stats s),
+      |q AS (SELECT DISTINCT doc_id AS qid, t FROM tf WHERE doc_id % 97 = 0),
+      |sc AS (
+      |  SELECT q.qid, w.doc_id, round(sum(w.wgt), 4) AS score
+      |  FROM q JOIN w ON q.t = w.t AND w.doc_id <> q.qid
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT qid, doc_id, score,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+      |  FROM sc)
+      |SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, score
+      |FROM rk WHERE rnk <= 5
+      |ORDER BY qid, rnk""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(TextFns.shinglePositions(col("toks"), 3)).as("i"))
+      .select(col("doc_id"), TextFns.shingleAt(col("toks"), col("i"), 3).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
+    // corpus stats from one narrow scan: a doc's shingle count is
+    // len(toks) - 2, so n_docs/avgdl never need the tf exchange
+    val stats = docs
+      .select((size(TextFns.tokens(col("text"))) - 2).cast("double").as("dl"))
+      .filter(col("dl") >= 1)
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val nAll = docs.agg(count(lit(1)).cast("long").as("nd_all"))
+    val vocab = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
+      .join(broadcast(nAll))
+      .filter(col("df").between(lit(2), TextFns.dfMaxForCorpusCol(col("nd_all"))))
+      .select(col("t"), col("df"))
+    // per-doc length rides the tf exchange as a window sum; the whole
+    // BM25 doc-side weight is then one narrow projection
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val w = tf
+      .withColumn("dl", sum(col("cnt")).over(byDoc).cast("double"))
+      .join(vocab, "t")
+      .join(broadcast(stats)) // 1-row bounded
+      .select(col("doc_id"), col("t"),
+        (log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("cnt") * 2.2) /
+          (col("cnt") + lit(1.2) * (col("dl") / col("avgdl") * 0.75 + 0.25))).as("wgt"))
+      .repartition(col("t")) // posting-list layout for the retrieval join
+    val queries = tf.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("qid"), col("t")).distinct()
+    val byQ = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    queries.join(w, "t")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(col("wgt")), 4).as("score"))
+      .withColumn("rnk", row_number().over(byQ))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk").cast("int").as("rnk"), col("doc_id"), col("score"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Training-shard manifest — [[Sampling.assignShards]] over the
+    * corpus (16 shards), reduced to the per-shard manifest a trainer
+    * reads before an epoch: doc count, byte mass, and an
+    * order-sensitive checksum (Σ pos·(doc_id mod 997)) that hash-gates
+    * the WITHIN-SHARD ORDER itself, not just membership — any
+    * divergence in the epoch-shuffle permutation between engines moves
+    * the checksum. Output is O(nShards) rows however large the corpus;
+    * the only exchange is the per-shard window (nShards tracks cluster
+    * parallelism at scale — 16 here mirrors local[32]'s budget). */
+  val q138TrainShards = Q(
+    "q138_train_shards",
+    """WITH h AS (
+      |  SELECT doc_id, n_chars,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS gh
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, n_chars, gh % 16 AS shard,
+      |    row_number() OVER (PARTITION BY gh % 16 ORDER BY gh, doc_id) AS pos
+      |  FROM h)
+      |SELECT CAST(shard AS INT) AS shard,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(pos * (doc_id % 997)) AS BIGINT) AS ord_checksum
+      |FROM p GROUP BY shard
+      |ORDER BY shard""".stripMargin) { (spark, dir) =>
+    Sampling.assignShards(Tables.documents(spark, dir), col("doc_id"), 16)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("pos") * (col("doc_id") % 997)).as("ord_checksum"))
+      .orderBy(col("shard"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -1806,5 +1934,5 @@ object TextQueries {
     q96CountMinFreqs, q98TokenRuns, q100NegativeSamples, q101PmiPhrases,
     q108SkipgramPairs, q113MixtureSample, q114GopherRules, q118PipelineE2e,
     q119DsirWeights, q120VocabCoverage, q121SourceDivergence, q128PrefixFilterPairs,
-    q130SegmentDedup)
+    q130SegmentDedup, q137Bm25TopK, q138TrainShards)
 }

@@ -47,4 +47,27 @@ class SamplingSpec extends SparkSpec {
     assert(got.values.sum === 1000L)
     assert(got("train") > got("val"))
   }
+
+  test("assignShards: dense per-shard positions, deterministic under repartition") {
+    val a = Sampling.assignShards(df, col("id"), 8)
+      .select(col("id"), col("shard"), col("pos"))
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    // every shard in range; positions are exactly 1..count(shard)
+    assert(a.forall { case (_, s, _) => s >= 0 && s < 8 })
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // shards are reasonably balanced (md5 uniformity; 1000 rows / 8)
+    val sizes = a.groupBy(_._2).map(_._2.length)
+    assert(sizes.min > 80 && sizes.max < 170)
+    // identical assignment regardless of input partitioning — the
+    // contract that makes rerun/retry/other-engine replays agree
+    val b = Sampling.assignShards(df.repartition(17), col("id"), 8)
+      .select(col("id"), col("shard"), col("pos"))
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    // within-shard order is hash order: ingest-adjacent ids scatter
+    val shard0 = a.filter(_._2 == 0).sortBy(_._3).map(_._1)
+    assert(shard0.take(20).sliding(2).exists(p => p(1) < p(0)))
+  }
 }
