@@ -106,6 +106,29 @@ class PlanSpec extends SparkSpec {
       "verification left the row — second corpus-wide join?:\n" + p)
   }
 
+  test("q137 BM25 retrieval is posting-list equi-joins over a 2-column scan") {
+    val p = plan(TextQueries.q137Bm25TopK)
+    // query set meets corpus through the term equi-join only — a rework
+    // that scores query×doc directly would plan an unbounded product.
+    // (The 1-row stats/count broadcasts DO plan as conditionless BNLJ —
+    // bounded by the registry-wide broadcast audit — so the pin here is
+    // no CartesianProduct and no JOINED (2-sided-unbounded) nested loop:
+    // every BNLJ must have the 1-row aggregate on its build side.)
+    assert(!p.contains("CartesianProduct"),
+      "BM25 retrieval degraded to a cartesian product:\n" + p)
+    val bnljBuilds = "BroadcastNestedLoopJoin BuildRight".r.findAllIn(p).size
+    val bnljAll = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnljAll == bnljBuilds && bnljAll <= 2,
+      "an unexpected nested-loop join appeared — theta join over the corpus?:\n" + p)
+    // BM25 needs only doc_id + text from documents; lang/source/n_chars
+    // must not reach the parquet reader
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
+      .map(_.group(1)).filter(_.contains("text")).toSeq
+    assert(reads.nonEmpty && reads.forall(s =>
+      !s.contains("lang") && !s.contains("source") && !s.contains("n_chars")),
+      "documents scan reads more than doc_id+text:\n" + p)
+  }
+
   test("no registered query plans a CartesianProduct") {
     graft.SparkEntry.registry.foreach { q =>
       val p = q.run(spark, sfDir).queryExecution.executedPlan.toString
