@@ -9,12 +9,13 @@ import org.apache.spark.sql.types._
   *
   * Metadata decoding goes through the sealed [[ImageCodec]] seam:
   * formats whose headers are parseable in pure JVM code (BMP, PNG,
-  * JPEG, GIF) are REALLY parsed; everything else falls through to
+  * JPEG, GIF, TIFF, WebP, AVIF for images; WAV, FLAC, MP3 for audio;
+  * MP4 for video) are REALLY parsed; everything else falls through to
   * [[StubCodec]], a deterministic fake derived from the raw bytes.
   * PIXEL-level work (resize, pixel statistics) uses `javax.imageio` —
-  * part of the JDK, no native codecs, reads exactly the four formats
-  * above — so [[resizeImage]] and [[decodePixelStats]] are real for
-  * PNG/JPEG/GIF/BMP and stubbed only for containers the JDK cannot
+  * part of the JDK, no native codecs, reads PNG/JPEG/GIF/BMP/TIFF —
+  * so [[resizeImage]] and [[decodePixelStats]] are real for those
+  * five and stubbed only for containers the JDK cannot
   * read (WebP/AVIF/video). Everything Spark-side is real and
   * load-bearing either way: the (payload BINARY, meta STRUCT) schema,
   * the mapPartitions batch shape (one decoder chain per partition,
@@ -138,6 +139,45 @@ object Multimodal {
     }
   }
 
+  /** REAL decode path: TIFF — 'II'/'MM' byte-order mark + magic 42,
+    * then the first IFD's 12-byte entries: tag 256 (ImageWidth) and
+    * 257 (ImageLength), each stored as SHORT (type 3, first 2 bytes of
+    * the value field, endian-honored) or LONG (type 4). JDK 17's
+    * `javax.imageio` ships a TIFF reader, so the pixel paths
+    * ([[resizeImage]]/[[decodePixelStats]]) pick this format up for
+    * free once the chain claims it. */
+  case object TiffCodec extends ImageCodec {
+    def decode(b: Array[Byte]): Option[(Int, Int, String)] = {
+      if (b == null || b.length < 8) return None
+      val little =
+        if (b(0) == 'I'.toByte && b(1) == 'I'.toByte) true
+        else if (b(0) == 'M'.toByte && b(1) == 'M'.toByte) false
+        else return None
+      def u16(o: Int) = if (little) le16(b, o) else be16(b, o)
+      def u32(o: Int) = if (little) le32(b, o) else be32(b, o)
+      if (u16(2) != 42) return None
+      val ifd = u32(4)
+      if (ifd < 8 || ifd + 2 > b.length) return None
+      val n = u16(ifd)
+      var (w, h) = (-1, -1)
+      var e = 0
+      while (e < n && ifd + 2 + 12 * (e + 1) <= b.length) {
+        val off = ifd + 2 + 12 * e
+        val tag = u16(off)
+        if (tag == 256 || tag == 257) {
+          val v = u16(off + 2) match {
+            case 3 => u16(off + 8) // SHORT sits in the value field's head
+            case 4 => u32(off + 8)
+            case _ => -1
+          }
+          if (tag == 256) w = v else h = v
+        }
+        e += 1
+      }
+      if (w > 0 && h > 0) Some((w, h, "tiff")) else None
+    }
+  }
+
   /** REAL decode path: WebP — RIFF container ('RIFF'…'WEBP'), then
     * dims per first chunk variant (public WebP container/bitstream
     * specs): 'VP8X' extended files store 24-bit LE canvas dims-1 at
@@ -223,7 +263,7 @@ object Multimodal {
     * With WebP + AVIF dims real, the stub now covers only genuinely
     * codec-requiring payloads (video containers and non-image bytes). */
   val DefaultCodecs: Seq[ImageCodec] =
-    Seq(BmpCodec, PngCodec, JpegCodec, GifCodec, WebPCodec, AvifCodec, StubCodec)
+    Seq(BmpCodec, PngCodec, JpegCodec, GifCodec, TiffCodec, WebPCodec, AvifCodec, StubCodec)
 
   /** Attach decoded metadata to a binary payload column.
     *
@@ -476,8 +516,75 @@ object Multimodal {
     }
   }
 
-  /** STUB tail for codec-requiring audio (MP3/AAC/OGG frames need a
-    * real decoder): deterministic pseudo-metadata from the byte length,
+  /** REAL decode path: FLAC — 'fLaC' magic, then the mandatory first
+    * STREAMINFO metadata block (type 0; 1-byte last-flag+type header,
+    * 24-bit BE length): at block offset 10 the spec packs sample rate
+    * (20 bits), channels-1 (3), bits-per-sample-1 (5), total samples
+    * (36) big-endian; duration = samples/rate. A first block that is
+    * not STREAMINFO, or an undersized one, falls through — the spec
+    * REQUIRES it first, so such a stream is not a valid FLAC. */
+  case object FlacCodec extends AudioCodec {
+    def decode(b: Array[Byte]): Option[(Int, Int, Int, Long, String)] = {
+      if (b == null || b.length < 4 + 4 + 34 ||
+        b(0) != 'f'.toByte || b(1) != 'L'.toByte || b(2) != 'a'.toByte || b(3) != 'C'.toByte)
+        return None
+      if ((b(4) & 0x7f) != 0) return None // first block must be STREAMINFO
+      val len = ((b(5) & 0xff) << 16) | ((b(6) & 0xff) << 8) | (b(7) & 0xff)
+      if (len < 34) return None
+      val s = 8 // STREAMINFO payload start
+      val rate = ((b(s + 10) & 0xff) << 12) | ((b(s + 11) & 0xff) << 4) |
+        ((b(s + 12) & 0xff) >> 4)
+      val channels = ((b(s + 12) >> 1) & 0x7) + 1
+      val bits = (((b(s + 12) & 1) << 4) | ((b(s + 13) & 0xff) >> 4)) + 1
+      val samples = ((b(s + 13) & 0x0f).toLong << 32) |
+        (be32(b, s + 14).toLong & 0xffffffffL)
+      if (rate <= 0) None
+      else Some((channels, rate, bits, samples * 1000L / rate, "flac"))
+    }
+  }
+
+  /** REAL decode path: MP3 — optional ID3v2 tag skip (syncsafe 28-bit
+    * size), then the first MPEG audio frame header: 11-bit sync,
+    * version / Layer III check, bitrate + sample-rate table lookups
+    * (public ISO 11172-3 tables), channel mode. Duration is the CBR
+    * estimate audio-bytes/bitrate — what every fast scanner reports
+    * without decoding frames; VBR streams carry the true figure in a
+    * Xing header a real decoder would read. bits_per_sample = 0
+    * (lossy stream — not a PCM property). Free-format (index 0) or
+    * reserved (15) bitrates, reserved rates, and non-Layer-III frames
+    * fall through rather than decode garbage. */
+  case object Mp3Codec extends AudioCodec {
+    private val RatesV1 = Array(44100, 48000, 32000)
+    private val BitV1L3 =
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    private val BitV2L3 =
+      Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    def decode(b: Array[Byte]): Option[(Int, Int, Int, Long, String)] = {
+      if (b == null || b.length < 10) return None
+      var i = 0
+      if (b(0) == 'I'.toByte && b(1) == 'D'.toByte && b(2) == '3'.toByte) {
+        val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+          ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+        i = 10 + size
+      }
+      if (i < 0 || i + 4 > b.length) return None
+      if ((b(i) & 0xff) != 0xff || (b(i + 1) & 0xe0) != 0xe0) return None
+      val version = (b(i + 1) >> 3) & 0x3 // 0=2.5, 2=MPEG-2, 3=MPEG-1
+      val layer = (b(i + 1) >> 1) & 0x3 // 1 = Layer III
+      if (version == 1 || layer != 1) return None
+      val bitIdx = (b(i + 2) >> 4) & 0xf
+      val rateIdx = (b(i + 2) >> 2) & 0x3
+      if (bitIdx == 0 || bitIdx == 15 || rateIdx == 3) return None
+      val rate = RatesV1(rateIdx) >> (version match {
+        case 3 => 0; case 2 => 1; case _ => 2 })
+      val kbps = if (version == 3) BitV1L3(bitIdx) else BitV2L3(bitIdx)
+      val channels = if (((b(i + 3) >> 6) & 0x3) == 3) 1 else 2
+      Some((channels, rate, 0, (b.length - i).toLong * 8L / kbps, "mp3"))
+    }
+  }
+
+  /** STUB tail for codec-requiring audio (AAC/OGG frames need a real
+    * decoder): deterministic pseudo-metadata from the byte length,
     * mirrored by q115's oracle arithmetic. */
   case object AudioStubCodec extends AudioCodec {
     def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Long, String)] = {
@@ -487,7 +594,8 @@ object Multimodal {
     }
   }
 
-  val DefaultAudioCodecs: Seq[AudioCodec] = Seq(WavCodec, AudioStubCodec)
+  val DefaultAudioCodecs: Seq[AudioCodec] =
+    Seq(WavCodec, FlacCodec, Mp3Codec, AudioStubCodec)
 
   /** Attach decoded audio metadata; same mapPartitions seam and
     * row-preserving contract as [[decodeImageMeta]]. */

@@ -402,6 +402,90 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.AvifCodec.decode(avifMin(800, 600).take(24)) === None)
   }
 
+  /** Minimal TIFF: byte-order mark, magic 42, one IFD with SHORT
+    * ImageWidth (256) and LONG ImageLength (257) entries. */
+  private def tiffMin(w: Int, h: Int, little: Boolean): Array[Byte] = {
+    def u16(v: Int): Seq[Byte] =
+      if (little) Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      else Seq(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u32(v: Int): Seq[Byte] =
+      if (little) (0 to 3).map(i => ((v >> (8 * i)) & 0xff).toByte)
+      else (3 to 0 by -1).map(i => ((v >> (8 * i)) & 0xff).toByte)
+    val bom = if (little) Seq('I'.toByte, 'I'.toByte) else Seq('M'.toByte, 'M'.toByte)
+    // width as SHORT (value in the field head + 2 pad bytes), height as LONG
+    val entries = (u16(256) ++ u16(3) ++ u32(1) ++ u16(w) ++ u16(0)) ++
+      (u16(257) ++ u16(4) ++ u32(1) ++ u32(h))
+    (bom ++ u16(42) ++ u32(8) ++ u16(2) ++ entries ++ u32(0)).toArray
+  }
+
+  test("TIFF dims are REAL in both byte orders") {
+    assert(Multimodal.TiffCodec.decode(tiffMin(640, 480, little = true)) ===
+      Some((640, 480, "tiff")))
+    assert(Multimodal.TiffCodec.decode(tiffMin(31, 7, little = false)) ===
+      Some((31, 7, "tiff")))
+    // bad magic / truncation fall through
+    assert(Multimodal.TiffCodec.decode("IIxxnope".getBytes) === None)
+    assert(Multimodal.TiffCodec.decode(tiffMin(640, 480, little = true).take(9)) === None)
+  }
+
+  /** Minimal FLAC: fLaC magic + STREAMINFO (44.1kHz stereo 16-bit,
+    * 441000 samples = 10 s). */
+  private def flacMin: Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer[Byte]('f', 'L', 'a', 'C')
+    out ++= Seq(0x80.toByte, 0, 0, 34) // last-block flag + type 0, len 34
+    val si = Array.fill[Byte](34)(0)
+    // rate 44100 (20 bits), channels-1=1 (3), bps-1=15 (5), samples 441000 (36)
+    si(10) = ((44100 >> 12) & 0xff).toByte
+    si(11) = ((44100 >> 4) & 0xff).toByte
+    si(12) = ((((44100 & 0xf) << 4) | (1 << 1) | (15 >> 4)) & 0xff).toByte
+    si(13) = ((((15 & 0xf) << 4) | ((441000L >> 32) & 0xf)).toInt & 0xff).toByte
+    si(14) = ((441000L >> 24) & 0xff).toByte
+    si(15) = ((441000L >> 16) & 0xff).toByte
+    si(16) = ((441000L >> 8) & 0xff).toByte
+    si(17) = (441000L & 0xff).toByte
+    (out ++= si).toArray
+  }
+
+  test("FLAC STREAMINFO decodes rate/channels/bits/duration") {
+    assert(Multimodal.FlacCodec.decode(flacMin) === Some((2, 44100, 16, 10000L, "flac")))
+    // first block not STREAMINFO → not a valid FLAC, fall through
+    val notSi = flacMin.clone(); notSi(4) = 0x84.toByte
+    assert(Multimodal.FlacCodec.decode(notSi) === None)
+    assert(Multimodal.FlacCodec.decode(flacMin.take(20)) === None)
+  }
+
+  /** MP3: ID3v2 tag (10-byte header, 100-byte body) + one MPEG-1
+    * Layer III frame header (128 kbps, 44.1 kHz, joint stereo) and
+    * 16 kB of frame payload → CBR estimate (16494-110)*8/128 ms. */
+  private def mp3Min: Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    out ++= "ID3".getBytes("US-ASCII")
+    out ++= Seq[Byte](4, 0, 0) // version+flags
+    out ++= Seq[Byte](0, 0, 0, 100) // syncsafe size 100
+    out ++= Array.fill[Byte](100)(0)
+    // FF FB: sync + MPEG-1 Layer III no-CRC; 90: bitrate idx 9 (128k),
+    // rate idx 0 (44100); 40: joint stereo
+    out ++= Seq(0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x40.toByte)
+    out ++= Array.fill[Byte](16380)(0x55)
+    out.toArray
+  }
+
+  test("MP3 frame header decodes rate/channels and the CBR duration estimate") {
+    val n = mp3Min.length - 110 // audio bytes after the ID3 tag
+    assert(Multimodal.Mp3Codec.decode(mp3Min) ===
+      Some((2, 44100, 0, n.toLong * 8 / 128, "mp3")))
+    // mono MPEG-2 frame, no ID3: FF E2 → version 2? (bits 10), layer III
+    val v2 = Array(0xff.toByte, 0xf3.toByte, 0x92.toByte, 0xc0.toByte) ++
+      Array.fill[Byte](5000)(0x11)
+    // f3 = sync+version 2(10)+layer III(01)+nocrc; 92: idx 9 (V2 → 80k), rate idx 0 → 22050; c0: mono
+    assert(Multimodal.Mp3Codec.decode(v2) ===
+      Some((1, 22050, 0, 5004L * 8 / 80, "mp3")))
+    // free-format bitrate (0) and garbage fall through
+    val free = Array(0xff.toByte, 0xfb.toByte, 0x00.toByte, 0x40.toByte) ++ Array.fill[Byte](100)(0)
+    assert(Multimodal.Mp3Codec.decode(free) === None)
+    assert(Multimodal.Mp3Codec.decode("definitely not audio".getBytes) === None)
+  }
+
   test("decodeImageMeta chain resolves WebP/AVIF ahead of the stub") {
     val df = Seq(
       ("a", webp(("VP8X", Seq[Byte](0x02, 0, 0, 0) ++ le24(99) ++ le24(49)))),
