@@ -244,7 +244,52 @@ object DiagScale {
         "q85_adaptive" -> (() => {
           import graft.functions.TextFns
           tfidfPairs(docs, dfMax = TextFns.dfMaxForCorpus(docs.count()))
-        }))
+        }),
+        // the registered q137 shape: every 97th doc's distinct shingles
+        // retrieve top-5 by BM25 through the df-capped posting join —
+        // query count AND posting lists both grow with k, so this is
+        // the candidate-volume probe for the retrieval family
+        "q137_bm25" -> (() => bm25TopK(docs)))
+    }
+
+    // the q137 BM25 shape: precomputed doc-side weights, query set =
+    // every 97th doc, posting-list equi-join, top-5 window per query
+    def bm25TopK(docs: DataFrame): Long = {
+      import graft.functions.TextFns
+      import org.apache.spark.sql.expressions.Window
+      val tf = docs.repartition(col("doc_id"))
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(TextFns.shingles(col("toks"), 3)).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
+      val stats = docs
+        .select((size(TextFns.tokens(col("text"))) - 2).cast("double").as("dl"))
+        .filter(col("dl") >= 1)
+        .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+      val nAll = docs.agg(count(lit(1)).cast("long").as("nd_all"))
+      val vocab = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
+        .join(broadcast(nAll))
+        .filter(col("df").between(lit(2), TextFns.dfMaxForCorpusCol(col("nd_all"))))
+        .select(col("t"), col("df"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+      val w = tf
+        .withColumn("dl", sum(col("cnt")).over(byDoc).cast("double"))
+        .join(vocab, "t").join(broadcast(stats))
+        .select(col("doc_id"), col("t"),
+          (log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("cnt") * 2.2) /
+            (col("cnt") + lit(1.2) * (col("dl") / col("avgdl") * 0.75 + 0.25))).as("wgt"))
+        .repartition(col("t"))
+      val queries = tf.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"), col("t")).distinct()
+      val byQ = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("doc_id"))
+      queries.join(w, "t")
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(round(sum(col("wgt")), 4).as("score"))
+        .withColumn("rnk", row_number().over(byQ))
+        .filter(col("rnk") <= 5)
+        .count()
     }
 
     // the q85 inverted-index cosine shape: shingle terms, df∈[2,dfMax]
