@@ -9,8 +9,8 @@ import org.apache.spark.sql.types._
   *
   * Metadata decoding goes through the sealed [[ImageCodec]] seam:
   * formats whose headers are parseable in pure JVM code (BMP, PNG,
-  * JPEG, GIF, TIFF, WebP, AVIF for images; WAV, FLAC, MP3 for audio;
-  * MP4 for video) are REALLY parsed; everything else falls through to
+  * JPEG, GIF, TIFF, WebP, AVIF for images; WAV, FLAC, MP3, Ogg
+  * Vorbis/Opus for audio; MP4, WebM for video) are REALLY parsed; everything else falls through to
   * [[StubCodec]], a deterministic fake derived from the raw bytes.
   * PIXEL-level work (resize, pixel statistics) uses `javax.imageio` —
   * part of the JDK, no native codecs, reads PNG/JPEG/GIF/BMP/TIFF —
@@ -583,7 +583,50 @@ object Multimodal {
     }
   }
 
-  /** STUB tail for codec-requiring audio (AAC/OGG frames need a real
+  /** REAL decode path: Ogg Vorbis/Opus — first 'OggS' page's payload
+    * carries the id header (0x01+"vorbis": channels u8/rate u32-LE at
+    * packet +11/+12; "OpusHead": channels u8 at +9, input rate u32-LE
+    * at +12), and the LAST page's granule position is the total sample
+    * count (Vorbis: at the stream rate; Opus: always 48 kHz granules),
+    * giving the duration without decoding a single frame — the same
+    * public-container contract as the other real paths.
+    * bits_per_sample = 0 (lossy stream). */
+  case object OggCodec extends AudioCodec {
+    def decode(b: Array[Byte]): Option[(Int, Int, Int, Long, String)] = {
+      if (b == null || b.length < 28 ||
+        b(0) != 'O'.toByte || b(1) != 'g'.toByte || b(2) != 'g'.toByte || b(3) != 'S'.toByte)
+        return None
+      val nsegs = b(26) & 0xff
+      val p = 27 + nsegs
+      def str(o: Int, n: Int) =
+        if (o + n <= b.length) new String(b, o, n, "US-ASCII") else ""
+      val idHdr: Option[(Int, Int, String)] =
+        if ((p + 16 <= b.length) && (b(p) & 0xff) == 1 && str(p + 1, 6) == "vorbis")
+          Some((b(p + 11) & 0xff, le32(b, p + 12), "vorbis"))
+        else if (p + 16 <= b.length && str(p, 8) == "OpusHead")
+          Some((b(p + 9) & 0xff, le32(b, p + 12), "opus"))
+        else None
+      idHdr.filter { case (ch, rate, _) => ch > 0 && rate > 0 }.map { case (ch, rate, fmt) =>
+        // walk back to the last page; its granule = total samples
+        var last = -1
+        var i = b.length - 4
+        while (i > 0 && last < 0) {
+          if (b(i) == 'O'.toByte && b(i + 1) == 'g'.toByte &&
+            b(i + 2) == 'g'.toByte && b(i + 3) == 'S'.toByte && i + 14 <= b.length) last = i
+          i -= 1
+        }
+        val granule = if (last >= 0)
+          (le32(b, last + 6).toLong & 0xffffffffL) |
+            ((le32(b, last + 10).toLong & 0xffffffffL) << 32)
+        else 0L
+        val gRate = if (fmt == "opus") 48000 else rate
+        val dur = if (granule > 0) granule * 1000L / gRate else 0L
+        (ch, rate, 0, dur, fmt)
+      }
+    }
+  }
+
+  /** STUB tail for codec-requiring audio (AAC frames need a real
     * decoder): deterministic pseudo-metadata from the byte length,
     * mirrored by q115's oracle arithmetic. */
   case object AudioStubCodec extends AudioCodec {
@@ -595,7 +638,7 @@ object Multimodal {
   }
 
   val DefaultAudioCodecs: Seq[AudioCodec] =
-    Seq(WavCodec, FlacCodec, Mp3Codec, AudioStubCodec)
+    Seq(WavCodec, FlacCodec, Mp3Codec, OggCodec, AudioStubCodec)
 
   /** Attach decoded audio metadata; same mapPartitions seam and
     * row-preserving contract as [[decodeImageMeta]]. */
@@ -691,9 +734,100 @@ object Multimodal {
     }
   }
 
-  /** STUB tail for codec-requiring video containers (WebM/MKV/AVI
-    * demux): deterministic pseudo-metadata from the byte length,
-    * mirrored by q116's oracle arithmetic. */
+  /** REAL decode path: WebM/Matroska — EBML element walk (varint id,
+    * varint size, payload): EBML header (0x1A45DFA3) then
+    * Segment→Tracks→TrackEntry→Video→PixelWidth/PixelHeight for dims
+    * and Segment→Info→TimestampScale (default 1 ms) + Duration (float,
+    * in timestamp-scale units) for length. Only the container IDs on
+    * that path are descended; unknown-size elements (size varint all-1s,
+    * legal for Segment in live streams) extend to the region end. The
+    * actual VP8/VP9/AV1 frame payloads still need a codec — header-only
+    * like every other real path. */
+  case object WebmCodec extends VideoCodec {
+    /** EBML varint at o: (value, width). Ids keep the marker bit; sizes
+      * strip it. Returns width -1 on truncation/invalid. */
+    private def varint(b: Array[Byte], o: Int, lim: Int, keepMarker: Boolean): (Long, Int) = {
+      if (o >= lim) return (0L, -1)
+      val first = b(o) & 0xff
+      if (first == 0) return (0L, -1)
+      val w = Integer.numberOfLeadingZeros(first) - 23 // 1..8
+      if (o + w > lim) return (0L, -1)
+      var v: Long = if (keepMarker) first.toLong else (first & (0xff >> w)).toLong
+      var i = 1
+      while (i < w) { v = (v << 8) | (b(o + i) & 0xff); i += 1 }
+      (v, w)
+    }
+
+    /** (id, payloadStart, payloadEnd) for each child of b[from, lim). */
+    private def ebmlChildren(b: Array[Byte], from: Int, lim: Int): Iterator[(Long, Int, Int)] =
+      new Iterator[(Long, Int, Int)] {
+        private var i = from
+        private var nxt: (Long, Int, Int) = null
+        private def advance(): Unit = {
+          nxt = null
+          if (i >= lim) return
+          val (id, iw) = varint(b, i, lim, keepMarker = true)
+          if (iw < 0) return
+          val (sz, sw) = varint(b, i + iw, lim, keepMarker = false)
+          if (sw < 0) return
+          val start = i + iw + sw
+          if (start > lim) return
+          // all-ones size = "unknown" (legal for a streamed Segment):
+          // extends to the region end; truncated sizes clamp like the
+          // ISO-BMFF walk. Zero-size elements still progress — the
+          // header bytes were consumed.
+          val unknown = sz == (1L << (7 * sw)) - 1
+          val end = if (unknown) lim else math.min(start.toLong + sz, lim.toLong).toInt
+          nxt = (id, start, end)
+          i = if (unknown) lim else end
+        }
+        advance()
+        def hasNext: Boolean = nxt != null
+        def next(): (Long, Int, Int) = { val r = nxt; advance(); r }
+      }
+
+    private def uint(b: Array[Byte], from: Int, to: Int): Long = {
+      var v = 0L
+      var i = from
+      while (i < to) { v = (v << 8) | (b(i) & 0xff); i += 1 }
+      v
+    }
+
+    def decode(b: Array[Byte]): Option[(Int, Int, Long, String)] = {
+      if (b == null || b.length < 8) return None
+      val top = ebmlChildren(b, 0, b.length).toSeq
+      if (top.isEmpty || top.head._1 != 0x1A45DFA3L) return None
+      val segment = top.find(_._1 == 0x18538067L).getOrElse(return None)
+      val kids = ebmlChildren(b, segment._2, segment._3).toSeq
+      val dims = for {
+        (_, ts, te) <- kids.find(_._1 == 0x1654AE6BL) // Tracks
+        entry <- ebmlChildren(b, ts, te).find(_._1 == 0xAEL) // TrackEntry
+        video <- ebmlChildren(b, entry._2, entry._3).find(_._1 == 0xE0L)
+        vids = ebmlChildren(b, video._2, video._3).toSeq
+        (_, ws, we) <- vids.find(_._1 == 0xB0L) // PixelWidth
+        (_, hs, he) <- vids.find(_._1 == 0xBAL) // PixelHeight
+      } yield (uint(b, ws, we).toInt, uint(b, hs, he).toInt)
+      val durMs = (for {
+        (_, is, ie) <- kids.find(_._1 == 0x1549A966L) // Info
+        info = ebmlChildren(b, is, ie).toSeq
+        (_, ds, de) <- info.find(_._1 == 0x4489L) // Duration (float)
+      } yield {
+        val scaleNs = info.find(_._1 == 0x2AD7B1L)
+          .map { case (_, s, e) => uint(b, s, e) }.getOrElse(1000000L)
+        val ticks =
+          if (de - ds == 4) java.lang.Float.intBitsToFloat(be32(b, ds)).toDouble
+          else if (de - ds == 8) java.lang.Double.longBitsToDouble(be64(b, ds))
+          else 0.0
+        (ticks * scaleNs / 1e6).toLong
+      }).getOrElse(0L)
+      dims.map { case (w, h) => (w, h, durMs, "webm") }
+        .orElse(if (durMs > 0) Some((0, 0, durMs, "webm")) else None)
+    }
+  }
+
+  /** STUB tail for codec-requiring video containers (MKV-without-
+    * Tracks edge cases, AVI demux): deterministic pseudo-metadata from
+    * the byte length, mirrored by q116's oracle arithmetic. */
   case object VideoStubCodec extends VideoCodec {
     def decode(bytes: Array[Byte]): Option[(Int, Int, Long, String)] = {
       val n = if (bytes == null) 0 else bytes.length
@@ -702,7 +836,7 @@ object Multimodal {
     }
   }
 
-  val DefaultVideoCodecs: Seq[VideoCodec] = Seq(Mp4Codec, VideoStubCodec)
+  val DefaultVideoCodecs: Seq[VideoCodec] = Seq(Mp4Codec, WebmCodec, VideoStubCodec)
 
   /** Attach decoded video metadata; same seam as [[decodeImageMeta]]. */
   def decodeVideoMeta(df: DataFrame, payloadCol: String,

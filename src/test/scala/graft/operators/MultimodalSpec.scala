@@ -324,6 +324,80 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Mp4Codec.decode(mp4Min.take(16)) === None)
   }
 
+  /** Ogg page: 'OggS' header with the given granule + one payload
+    * segment. */
+  private def oggPage(granule: Long, payload: Seq[Byte]): Seq[Byte] = {
+    val h = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    h ++= "OggS".getBytes("US-ASCII")
+    h ++= Seq[Byte](0, 0) // version, header type
+    h ++= (0 to 7).map(i => ((granule >> (8 * i)) & 0xff).toByte)
+    h ++= Array.fill[Byte](12)(0) // serial, seq, checksum
+    h += 1.toByte // one segment
+    h += payload.size.toByte
+    (h ++ payload).toSeq
+  }
+
+  test("Ogg Vorbis/Opus id headers + last-page granule give real audio meta") {
+    val vorbisId = Seq(0x01.toByte) ++ "vorbis".getBytes("US-ASCII").toSeq ++
+      Seq[Byte](0, 0, 0, 0) ++ // version u32
+      Seq(2.toByte) ++ // channels
+      (0 to 3).map(i => ((44100 >> (8 * i)) & 0xff).toByte) // rate LE
+    // id page (granule 0) + a final data page at granule 441000 → 10 s
+    val ogg = (oggPage(0L, vorbisId) ++ oggPage(441000L, Seq(0x55.toByte))).toArray
+    assert(Multimodal.OggCodec.decode(ogg) === Some((2, 44100, 0, 10000L, "vorbis")))
+    val opusId = "OpusHead".getBytes("US-ASCII").toSeq ++
+      Seq[Byte](1, 1) ++ Seq[Byte](0, 0) ++ // version, 1 channel, pre-skip
+      (0 to 3).map(i => ((48000 >> (8 * i)) & 0xff).toByte)
+    // Opus granules are 48 kHz regardless of input rate: 96000 → 2 s
+    val opus = (oggPage(0L, opusId) ++ oggPage(96000L, Seq(0x55.toByte))).toArray
+    assert(Multimodal.OggCodec.decode(opus) === Some((1, 48000, 0, 2000L, "opus")))
+    // a lone id page (granule 0 / unfinished -1) reports duration 0
+    val lone = oggPage(0L, vorbisId).toArray
+    assert(Multimodal.OggCodec.decode(lone) === Some((2, 44100, 0, 0L, "vorbis")))
+    // non-audio Ogg (e.g. Theora-first) and non-Ogg fall through
+    val theora = (oggPage(0L, Seq(0x80.toByte) ++ "theora".getBytes("US-ASCII").toSeq ++
+      Array.fill[Byte](10)(0))).toArray
+    assert(Multimodal.OggCodec.decode(theora) === None)
+    assert(Multimodal.OggCodec.decode("OggX not really".getBytes) === None)
+  }
+
+  /** Minimal WebM: EBML header, Segment{Info{TimestampScale 1e6,
+    * Duration 30000f}, Tracks{TrackEntry{Video{1280×720}}}}. */
+  private def webmMin(segmentUnknownSize: Boolean = false): Array[Byte] = {
+    def idb(bytes: Int*): Seq[Byte] = bytes.map(_.toByte)
+    def el(id: Seq[Byte], p: Seq[Byte]): Seq[Byte] =
+      id ++ Seq((0x80 | p.size).toByte) ++ p
+    val ebml = el(idb(0x1A, 0x45, 0xDF, 0xA3), Nil)
+    val tscale = el(idb(0x2A, 0xD7, 0xB1), idb(0x0F, 0x42, 0x40)) // 1,000,000 ns
+    val durBits = java.lang.Float.floatToIntBits(30000f)
+    val dur = el(idb(0x44, 0x89),
+      (3 to 0 by -1).map(i => ((durBits >> (8 * i)) & 0xff).toByte))
+    val info = el(idb(0x15, 0x49, 0xA9, 0x66), tscale ++ dur)
+    val video = el(idb(0xE0),
+      el(idb(0xB0), idb(0x05, 0x00)) ++ el(idb(0xBA), idb(0x02, 0xD0)))
+    val tracks = el(idb(0x16, 0x54, 0xAE, 0x6B), el(idb(0xAE), video))
+    val segBody = info ++ tracks
+    val seg =
+      if (segmentUnknownSize) idb(0x18, 0x53, 0x80, 0x67) ++ Seq(0xFF.toByte) ++ segBody
+      else el(idb(0x18, 0x53, 0x80, 0x67), segBody)
+    (ebml ++ seg).toArray
+  }
+
+  test("WebM dims + duration are REAL via the EBML element walk") {
+    assert(Multimodal.WebmCodec.decode(webmMin()) === Some((1280, 720, 30000L, "webm")))
+    // a live-streamed Segment advertises unknown size (all-ones varint)
+    assert(Multimodal.WebmCodec.decode(webmMin(segmentUnknownSize = true)) ===
+      Some((1280, 720, 30000L, "webm")))
+    // MP4 and text fall through; truncation never decodes garbage
+    assert(Multimodal.WebmCodec.decode(mp4Min) === None)
+    assert(Multimodal.WebmCodec.decode("not an ebml stream".getBytes) === None)
+    assert(Multimodal.WebmCodec.decode(webmMin().take(7)) === None)
+    // and the default video chain now resolves WebM ahead of the stub
+    val viaChain = Multimodal.DefaultVideoCodecs.view
+      .flatMap(_.decode(webmMin())).headOption
+    assert(viaChain === Some((1280, 720, 30000L, "webm")))
+  }
+
   test("decodeVideoMeta appends a typed struct; text payloads hit the stub tail") {
     val df = Seq(("v1", mp4Min), ("v2", "abcdef".getBytes)).toDF("id", "payload")
     val got = Multimodal.decodeVideoMeta(df, "payload")
