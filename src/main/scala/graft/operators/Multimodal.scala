@@ -9,8 +9,9 @@ import org.apache.spark.sql.types._
   *
   * Metadata decoding goes through the sealed [[ImageCodec]] seam:
   * formats whose headers are parseable in pure JVM code (BMP, PNG,
-  * JPEG, GIF, TIFF, WebP, AVIF for images; WAV, FLAC, MP3, Ogg
-  * Vorbis/Opus for audio; MP4, WebM for video) are REALLY parsed; everything else falls through to
+  * JPEG, GIF, TIFF, WebP, AVIF for images; WAV, FLAC, MP3, AAC ADTS,
+  * Ogg Vorbis/Opus for audio; MP4, WebM, AVI for video) are REALLY
+  * parsed; everything else falls through to
   * [[StubCodec]], a deterministic fake derived from the raw bytes.
   * PIXEL-level work (resize, pixel statistics) uses `javax.imageio` —
   * part of the JDK, no native codecs, reads PNG/JPEG/GIF/BMP/TIFF —
@@ -626,9 +627,50 @@ object Multimodal {
     }
   }
 
-  /** STUB tail for codec-requiring audio (AAC frames need a real
-    * decoder): deterministic pseudo-metadata from the byte length,
-    * mirrored by q115's oracle arithmetic. */
+  /** REAL decode path: AAC ADTS — 12-bit frame sync (FFF), then the
+    * public header tables: sampling-frequency index (4 entries/bit
+    * layout per ISO 14496-3), channel configuration. Each ADTS frame
+    * carries its byte length (13 bits) and decodes to 1024 samples, so
+    * walking the frame headers counts samples exactly — duration
+    * without touching the codec payload. A walk that desyncs before
+    * the end reports the frames already counted (truncated tail), but
+    * a first frame that doesn't parse falls through. */
+  case object AacAdtsCodec extends AudioCodec {
+    private val Rates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+      24000, 22050, 16000, 12000, 11025, 8000, 7350)
+    def decode(b: Array[Byte]): Option[(Int, Int, Int, Long, String)] = {
+      if (b == null || b.length < 7 ||
+        (b(0) & 0xff) != 0xff || (b(1) & 0xf0) != 0xf0) return None
+      // ADTS layer bits are always 00 — an MPEG audio (MP3) frame sets
+      // them, so the two syncs stay disjoint in the chain
+      if (((b(1) >> 1) & 0x3) != 0) return None
+      val rateIdx = (b(2) >> 2) & 0xf
+      if (rateIdx >= Rates.length) return None
+      val rate = Rates(rateIdx)
+      val chanCfg = ((b(2) & 1) << 2) | ((b(3) >> 6) & 0x3)
+      if (chanCfg == 0) return None // channel map in-band: codec territory
+      val channels = if (chanCfg == 7) 8 else chanCfg
+      var frames = 0L
+      var i = 0
+      var ok = true
+      while (ok && i + 7 <= b.length) {
+        if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xf0) == 0xf0) {
+          val len = ((b(i + 3) & 0x3) << 11) | ((b(i + 4) & 0xff) << 3) |
+            ((b(i + 5) & 0xff) >> 5)
+          // only fully-contained frames count — a cut-off tail frame has
+          // no 1024 decodable samples to its name
+          if (len < 7 || i + len > b.length) ok = false
+          else { frames += 1; i += len }
+        } else ok = false
+      }
+      if (frames == 0) None
+      else Some((channels, rate, 0, frames * 1024L * 1000L / rate, "aac"))
+    }
+  }
+
+  /** STUB tail for unparseable audio payloads (raw codec streams,
+    * formats outside the parsed set): deterministic pseudo-metadata
+    * from the byte length, mirrored by q115's oracle arithmetic. */
   case object AudioStubCodec extends AudioCodec {
     def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Long, String)] = {
       val n = if (bytes == null) 0 else bytes.length
@@ -638,7 +680,7 @@ object Multimodal {
   }
 
   val DefaultAudioCodecs: Seq[AudioCodec] =
-    Seq(WavCodec, FlacCodec, Mp3Codec, OggCodec, AudioStubCodec)
+    Seq(WavCodec, FlacCodec, Mp3Codec, AacAdtsCodec, OggCodec, AudioStubCodec)
 
   /** Attach decoded audio metadata; same mapPartitions seam and
     * row-preserving contract as [[decodeImageMeta]]. */
@@ -825,9 +867,40 @@ object Multimodal {
     }
   }
 
-  /** STUB tail for codec-requiring video containers (MKV-without-
-    * Tracks edge cases, AVI demux): deterministic pseudo-metadata from
-    * the byte length, mirrored by q116's oracle arithmetic. */
+  /** REAL decode path: AVI — RIFF 'AVI ' form, then the mandatory
+    * LIST/'hdrl' whose first child is 'avih' (MainAVIHeader):
+    * dwMicroSecPerFrame at payload +0, dwTotalFrames at +16, dwWidth/
+    * dwHeight at +32/+36 (all u32-LE); duration = µs/frame × frames.
+    * Same RIFF chunk walk as [[WavCodec]]/[[WebPCodec]]. */
+  case object AviCodec extends VideoCodec {
+    def decode(b: Array[Byte]): Option[(Int, Int, Long, String)] = {
+      if (b == null || b.length < 24 ||
+        b(0) != 'R'.toByte || b(1) != 'I'.toByte || b(2) != 'F'.toByte || b(3) != 'F'.toByte ||
+        b(8) != 'A'.toByte || b(9) != 'V'.toByte || b(10) != 'I'.toByte || b(11) != ' '.toByte)
+        return None
+      var i = 12
+      while (i + 12 <= b.length) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val size = le32(b, i + 4).toLong & 0xffffffffL
+        if (id == "LIST" && new String(b, i + 8, 4, "US-ASCII") == "hdrl") {
+          val p = i + 12
+          if (p + 8 + 40 > b.length || new String(b, p, 4, "US-ASCII") != "avih") return None
+          val usPerFrame = le32(b, p + 8).toLong & 0xffffffffL
+          val frames = le32(b, p + 24).toLong & 0xffffffffL
+          return Some((le32(b, p + 40), le32(b, p + 44),
+            usPerFrame * frames / 1000L, "avi"))
+        }
+        val next = i.toLong + 8L + size + (size & 1L)
+        if (next <= i || next > b.length) return None
+        i = next.toInt
+      }
+      None
+    }
+  }
+
+  /** STUB tail for unparseable video payloads (raw codec streams,
+    * formats outside the parsed set): deterministic pseudo-metadata
+    * from the byte length, mirrored by q116's oracle arithmetic. */
   case object VideoStubCodec extends VideoCodec {
     def decode(bytes: Array[Byte]): Option[(Int, Int, Long, String)] = {
       val n = if (bytes == null) 0 else bytes.length
@@ -836,7 +909,8 @@ object Multimodal {
     }
   }
 
-  val DefaultVideoCodecs: Seq[VideoCodec] = Seq(Mp4Codec, WebmCodec, VideoStubCodec)
+  val DefaultVideoCodecs: Seq[VideoCodec] =
+    Seq(Mp4Codec, WebmCodec, AviCodec, VideoStubCodec)
 
   /** Attach decoded video metadata; same seam as [[decodeImageMeta]]. */
   def decodeVideoMeta(df: DataFrame, payloadCol: String,

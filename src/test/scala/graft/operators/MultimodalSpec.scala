@@ -361,6 +361,54 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.OggCodec.decode("OggX not really".getBytes) === None)
   }
 
+  test("AAC ADTS frame walk counts samples for the exact duration") {
+    // header: FFF1 (MPEG-4, layer 0, no CRC), rate idx 4 (44100),
+    // channel cfg 2; frame length packed into b3..b5
+    def frame(len: Int): Array[Byte] = {
+      val h = Array(0xff.toByte, 0xf1.toByte,
+        ((4 << 2) | 0).toByte, // profile 0, rate idx 4, private 0, chan hi 0
+        ((2 << 6) | ((len >> 11) & 0x3)).toByte,
+        ((len >> 3) & 0xff).toByte,
+        (((len & 0x7) << 5) | 0x1f).toByte,
+        0xfc.toByte)
+      h ++ Array.fill[Byte](len - 7)(0x21)
+    }
+    // 43 frames × 1024 samples at 44.1 kHz → 43*1024*1000/44100 ms
+    val stream = (1 to 43).flatMap(_ => frame(321)).toArray
+    assert(Multimodal.AacAdtsCodec.decode(stream) ===
+      Some((2, 44100, 0, 43L * 1024 * 1000 / 44100, "aac")))
+    // truncated tail: counted frames still report
+    assert(Multimodal.AacAdtsCodec.decode(stream.take(321 * 10 + 50)).map(_._4) ===
+      Some(10L * 1024 * 1000 / 44100))
+    // an MP3 Layer III frame is NOT claimed (layer bits ≠ 0) and
+    // vice versa — the two syncs stay disjoint in the chain
+    assert(Multimodal.AacAdtsCodec.decode(mp3Min.drop(110)) === None)
+    assert(Multimodal.Mp3Codec.decode(stream) === None)
+    assert(Multimodal.AacAdtsCodec.decode("not audio at all".getBytes) === None)
+  }
+
+  /** Minimal AVI: RIFF 'AVI ' + LIST/hdrl/avih (25 fps × 250 frames,
+    * 640×480 → 10 s). */
+  private def aviMin: Array[Byte] = {
+    def le(v: Long, n: Int): Seq[Byte] = (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte)
+    val avih = "avih".getBytes("US-ASCII").toSeq ++ le(56, 4) ++
+      le(40000, 4) ++ le(0, 4) ++ le(0, 4) ++ le(0, 4) ++ // µs/frame, maxbytes, pad, flags
+      le(250, 4) ++ le(0, 4) ++ le(1, 4) ++ le(0, 4) ++ // frames, initial, streams, bufsize
+      le(640, 4) ++ le(480, 4) ++ Seq.fill(16)(0.toByte) // width, height, reserved
+    val hdrl = "LIST".getBytes("US-ASCII").toSeq ++ le(4 + avih.size, 4) ++
+      "hdrl".getBytes("US-ASCII").toSeq ++ avih
+    ("RIFF".getBytes("US-ASCII").toSeq ++ le(4 + hdrl.size, 4) ++
+      "AVI ".getBytes("US-ASCII").toSeq ++ hdrl).toArray
+  }
+
+  test("AVI avih header decodes dims + frame-count duration") {
+    assert(Multimodal.AviCodec.decode(aviMin) === Some((640, 480, 10000L, "avi")))
+    // WAV shares the RIFF magic but not the AVI form type
+    val wavish = "RIFFxxxxWAVE".getBytes ++ Array.fill[Byte](40)(0)
+    assert(Multimodal.AviCodec.decode(wavish) === None)
+    assert(Multimodal.AviCodec.decode(aviMin.take(30)) === None)
+  }
+
   /** Minimal WebM: EBML header, Segment{Info{TimestampScale 1e6,
     * Duration 30000f}, Tracks{TrackEntry{Video{1280×720}}}}. */
   private def webmMin(segmentUnknownSize: Boolean = false): Array[Byte] = {
