@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -203,6 +203,21 @@ object StreamOps {
       .agg(CountMin.sketch(col("x"), depth, width,
         Dedup.minhashParams(depth), Dedup.MinhashP).as("sk"))
   }
+
+  /** Streaming mergeable quantile histogram — the q134 sketch as
+    * grouped complete-mode state: nBins longs per group FOREVER, so
+    * grouped p50/p90/p99 over an unbounded stream never retains
+    * value-scale data, and micro-batch partials vector-add exactly
+    * like batch map-side partials (same QuantileSketch.agg merge
+    * path) — the streamed bin counts are bit-identical to the batch
+    * sketch over the same rows. Completes the streaming sketch family
+    * (count-min for frequencies, top-k for extremes, this for
+    * distribution shape). `valueCents` must already be integral (the
+    * sketch's integer-exactness contract). */
+  def sketchedValueQuantiles(events: DataFrame, groupCol: String,
+      valueCents: Column, lo: Long, width: Long, nBins: Int): DataFrame =
+    events.groupBy(col(groupCol))
+      .agg(graft.functions.QuantileSketch.sketch(valueCents, lo, width, nBins).as("qs"))
 
   /** foreachBatch sink: each micro-batch lands as a batch write with
     * its batch id — the production pattern for sinks Structured

@@ -314,6 +314,33 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming quantile sketch is bit-identical to the batch sketch per group") {
+    import graft.functions.QuantileSketch
+    val (lo, width, nBins) = (0L, 500L, 32)
+    val cents = (col("value") * 100).cast("long")
+    val batch = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(QuantileSketch.sketch(cents, lo, width, nBins).as("qs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val staticSchema = spark.read.parquet(stagedDir).schema
+    val streamed = StreamOps.runToMemory(spark,
+        StreamOps.sketchedValueQuantiles(
+          StreamOps.parquetStream(spark, staticSchema, stagedDir),
+          "event_type", cents, lo, width, nBins),
+        "qsketch_test", outputMode = "complete")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.keys.foreach(k => assert(streamed(k) === batch(k), s"group $k"))
+    // and the streamed state answers quantiles within the bin guarantee
+    val someType = batch.keys.head
+    val exact = Tables.events(spark, sfDir)
+      .filter(col("event_type") === someType)
+      .select(cents.as("c")).orderBy(col("c")).collect().map(_.getLong(0))
+    val est = QuantileSketch.estimate(streamed(someType), 0.5, lo, width).get
+    val p50 = exact((math.ceil(0.5 * exact.length) - 1).toInt.max(0))
+    assert(math.abs(est - p50) <= width / 2 + width) // midpoint ± bin width
+  }
+
   test("streaming bounded top-k equals the batch top-k") {
     import graft.functions.TopK
     val batch = Tables.events(spark, sfDir)
