@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.{QualityModel, Sampling, TextFns}
-import graft.operators.Dedup
+import graft.operators.{Bm25, Dedup}
 import graft.sources.Tables
 
 /** Text-analysis + deduplication over the `documents` table (SURVEY
@@ -1846,48 +1846,8 @@ object TextQueries {
       |SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, score
       |FROM rk WHERE rnk <= 5
       |ORDER BY qid, rnk""".stripMargin) { (spark, dir) =>
-    val docs = Tables.documents(spark, dir)
-    val tf = docs
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"),
-        explode(TextFns.shinglePositions(col("toks"), 3)).as("i"))
-      .select(col("doc_id"), TextFns.shingleAt(col("toks"), col("i"), 3).as("t"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
-    // corpus stats from one narrow scan: a doc's shingle count is
-    // len(toks) - 2, so n_docs/avgdl never need the tf exchange
-    val stats = docs
-      .select((size(TextFns.tokens(col("text"))) - 2).cast("double").as("dl"))
-      .filter(col("dl") >= 1)
-      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
-    val nAll = docs.agg(count(lit(1)).cast("long").as("nd_all"))
-    val vocab = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
-      .join(broadcast(nAll))
-      .filter(col("df").between(lit(2), TextFns.dfMaxForCorpusCol(col("nd_all"))))
-      .select(col("t"), col("df"))
-    // per-doc length rides the tf exchange as a window sum; the whole
-    // BM25 doc-side weight is then one narrow projection
-    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val w = tf
-      .withColumn("dl", sum(col("cnt")).over(byDoc).cast("double"))
-      .join(vocab, "t")
-      .join(broadcast(stats)) // 1-row bounded
-      .select(col("doc_id"), col("t"),
-        (log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-          (col("cnt") * 2.2) /
-          (col("cnt") + lit(1.2) * (col("dl") / col("avgdl") * 0.75 + 0.25))).as("wgt"))
-      .repartition(col("t")) // posting-list layout for the retrieval join
-    val queries = tf.filter(col("doc_id") % 97 === 0)
-      .select(col("doc_id").as("qid"), col("t")).distinct()
-    val byQ = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
-    queries.join(w, "t")
-      .filter(col("doc_id") =!= col("qid"))
-      .groupBy(col("qid"), col("doc_id"))
-      .agg(round(sum(col("wgt")), 4).as("score"))
-      .withColumn("rnk", row_number().over(byQ))
-      .filter(col("rnk") <= 5)
-      .select(col("qid"), col("rnk").cast("int").as("rnk"), col("doc_id"), col("score"))
+    Bm25.topK(Tables.documents(spark, dir), "doc_id", "text",
+        querySelector = col("doc_id") % 97 === 0, k = 5)
       .orderBy(col("qid"), col("rnk"))
   }
 

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  // docs engineered so shingle df's land inside the [2, dfMaxForCorpus]
+  // vocabulary window: the "alpha beta gamma" docs share their shingles
+  // (df=3), the "zeta" docs share theirs (df=2), filler docs are unique
+  // (df=1 → pruned)
+  private def corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon one"),
+    (2L, "alpha beta gamma delta epsilon two"),
+    (3L, "alpha beta gamma delta epsilon three"),
+    (4L, "zeta eta theta iota kappa four"),
+    (5L, "zeta eta theta iota kappa five"),
+    (6L, "completely different words here entirely six"),
+    (7L, "nothing shared with anyone else ever seven"),
+    (8L, "unique utterly unrelated text payload eight")).toDF("doc_id", "text")
+
+  test("a doc retrieves its shingle-sharing neighbors first") {
+    val got = Bm25.topK(corpus, "doc_id", "text",
+        querySelector = col("doc_id") === 1, k = 3)
+      .orderBy("rnk").select("doc_id").as[Long].collect().toSeq
+    // docs 2 and 3 share doc 1's high-idf shingles; nothing else scores
+    assert(got.take(2).toSet === Set(2L, 3L))
+    assert(!got.contains(1L)) // self excluded
+    assert(!got.exists(Set(6L, 7L, 8L))) // df=1 terms prune — no match
+  }
+
+  test("retrieval is deterministic under repartitioning") {
+    val a = Bm25.topK(corpus, "doc_id", "text", col("doc_id") % 2 === 1, k = 3)
+      .orderBy("qid", "rnk").collect().map(_.toString).toSeq
+    val b = Bm25.topK(corpus.repartition(7), "doc_id", "text", col("doc_id") % 2 === 1, k = 3)
+      .orderBy("qid", "rnk").collect().map(_.toString).toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("a precomputed bucketed posting index joins with no exchange under it") {
+    // the q94 incremental-ingest claim applied to retrieval: materialize
+    // the index bucketed by term once, then every query batch must read
+    // it in bucket layout — zero shuffle on the index side, O(batch)
+    // per batch, never O(corpus)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: flat(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flat(q.plan)
+      case _ => p +: p.children.flatMap(flat)
+    }
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val idx = Bm25.postingIndex(docs, "doc_id", "text")
+    graft.sources.Sinks.writeBucketed(idx, "bm25_idx", nBuckets = 4,
+      bucketCols = Seq("t"), sortCols = Seq("t"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          explode(graft.functions.TextFns.shingles(
+            graft.functions.TextFns.tokens(col("text")), 3)).as("t"))
+        .distinct()
+      val scored = Bm25.topKAgainstIndex(queries, spark.table("bm25_idx"), "doc_id", 5)
+      val joins = flat(scored.queryExecution.executedPlan).collect {
+        case j: BaseJoinExec if flat(j).exists {
+          case s: FileSourceScanExec =>
+            s.relation.location.rootPaths.exists(_.toString.contains("bm25_idx"))
+          case _ => false
+        } => j
+      }
+      assert(joins.nonEmpty, "posting join over the index not found")
+      val idxSide = joins.last.children.find(c => flat(c).exists {
+        case s: FileSourceScanExec =>
+          s.relation.location.rootPaths.exists(_.toString.contains("bm25_idx"))
+        case _ => false
+      })
+      assert(idxSide.nonEmpty)
+      assert(!flat(idxSide.get).exists(_.isInstanceOf[ShuffleExchangeExec]),
+        "index side of the retrieval join shuffles — bucketing unused:\n" + idxSide.get)
+      // and the indexed path returns rows (same contract as the inline path)
+      assert(scored.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bm25_idx")
+    }
+  }
+}
