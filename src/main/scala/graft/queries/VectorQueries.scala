@@ -833,9 +833,86 @@ object VectorQueries {
       .limit(20)
   }
 
+  /** Scalar (int8) quantization ANN — the remaining member of the
+    * vector-compression family (q93 PQ = 8 B/vector via codebooks;
+    * this = 64 B/vector with NO codebook training): per-dimension
+    * [min, max] from one exploded agg collapses to a 1-row broadcast
+    * map pair, each vector quantizes IN-ROW to 0..255 integer codes
+    * (floor arithmetic — engine-exact), and ranking is the integer
+    * dot product of code arrays (the q96/q134 integer-exactness trick
+    * applied to ANN: any summation order gives the same BIGINT, so
+    * the oracle's relational unnest-join-sum replay hash-matches the
+    * in-row `aggregate(zip_with(...))` fold exactly). Constant
+    * dimensions (hi == lo) are dropped from the code space in both
+    * dialects. Scale shape: corpus never shuffles — one pass to
+    * bound dims (64-key partial agg), one narrow encode+score pass,
+    * TakeOrderedAndProject for the top-k; codes are 1/4 the scan
+    * bytes of the float vectors, which is the entire point of SQ8 at
+    * 100 TB. */
+  val q139Sq8Ann = Q(
+    "q139_sq8_ann",
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |d AS (
+      |  SELECT i, min(e[i]) AS lo, max(e[i]) AS hi
+      |  FROM v, unnest(range(1, len(e) + 1)) AS u(i)
+      |  GROUP BY i
+      |  HAVING max(e[i]) > min(e[i])),
+      |codes AS (
+      |  SELECT vec_id, i,
+      |    CAST(floor((e[i] - d.lo) * 255.0 / (d.hi - d.lo)) AS BIGINT) AS c
+      |  FROM v, unnest(range(1, len(e) + 1)) AS u(i) JOIN d USING (i)),
+      |probe AS (SELECT i, c FROM codes WHERE vec_id = 7),
+      |sc AS (
+      |  SELECT codes.vec_id, CAST(sum(codes.c * probe.c) AS BIGINT) AS score
+      |  FROM codes JOIN probe USING (i)
+      |  WHERE codes.vec_id <> 7
+      |  GROUP BY codes.vec_id),
+      |rk AS (
+      |  SELECT vec_id, score,
+      |    row_number() OVER (ORDER BY score DESC, vec_id) AS rnk
+      |  FROM sc)
+      |SELECT vec_id, score, CAST(rnk AS INT) AS rnk
+      |FROM rk WHERE rnk <= 10
+      |ORDER BY rnk""".stripMargin) { (spark, dir) =>
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    // per-dim bounds: 64-key partial agg → 1-row broadcast maps
+    val bounds = v
+      .select(posexplode(col("e")).as(Seq("i0", "x")))
+      .select((col("i0") + 1).as("i"), col("x"))
+      .groupBy(col("i"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .filter(col("hi") > col("lo"))
+      .agg(map_from_arrays(collect_list(col("i")), collect_list(col("lo"))).as("lom"),
+        map_from_arrays(collect_list(col("i")), collect_list(col("hi"))).as("him"))
+    // in-row encode over the admitted dims, in dim order (the oracle's
+    // join-on-i replay is order-insensitive because the sum is integer)
+    val dims = filter(sequence(lit(1), size(col("e"))),
+      i => element_at(col("lom"), i).isNotNull)
+    val codes = transform(col("dims"), i =>
+      floor((element_at(col("e"), i) - element_at(col("lom"), i)) * 255.0 /
+        (element_at(col("him"), i) - element_at(col("lom"), i))).cast("long"))
+    val coded = v.join(broadcast(bounds)) // 1-row bounded
+      .withColumn("dims", dims)
+      .select(col("vec_id"), codes.as("c"))
+    val probe = coded.filter(col("vec_id") === 7)
+      .select(col("c").as("pc"))
+    coded.join(broadcast(probe)) // 1-row bounded (point lookup on unique key)
+      .filter(col("vec_id") =!= 7)
+      .select(col("vec_id"),
+        aggregate(zip_with(col("c"), col("pc"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+      .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("vec_id"))).cast("int"))
+      .orderBy(col("rnk"))
+  }
+
   val all: Seq[Q] = Seq(q31CosineTopK, q32CentroidNorms, q33AnnLshTopK,
     q34EmbeddingNearDups, q39CentroidAggregator, q45IvfAnn, q51DedupClusters,
     q133IncrementalClusters,
     q59DedupKeep, q91KmeansClusters, q92SemDedupKeep, q93PqAnn, q103AnnRecall,
-    q104MultiprobeLsh, q117LeakageSafeSplit, q122IvfPqAnn)
+    q104MultiprobeLsh, q117LeakageSafeSplit, q122IvfPqAnn, q139Sq8Ann)
 }
