@@ -70,4 +70,25 @@ object Sampling {
       .withColumn("shard", col("__gshard"))
       .drop("__ghash", "__gshard")
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * RESHARD-friendly alternative to [[assignShards]]'s `hash mod N`:
+    * each key goes to the shard with the highest md5(key#shard) score,
+    * so growing N → N+1 moves ONLY the keys won by the new shard
+    * (≈ 1/(N+1) of them) instead of rehashing (N-1)/N of the corpus —
+    * what a 100 TB store needs when the shard count must grow in
+    * place. In-row argmax over N deterministic hashes (O(N) md5s per
+    * row — the right trade for shard counts in the tens-to-hundreds;
+    * at thousands prefer mod-sharding or a jump-hash). Ties break to
+    * the lowest shard id (array_position returns the FIRST max), and
+    * the identical (score DESC, shard ASC) rule is expressible
+    * relationally for the oracle. Deterministic on any engine /
+    * partitioning / rerun, like every hash in this file. */
+  def rendezvousShard(key: Column, nShards: Int): Column = {
+    require(nShards > 0, "nShards must be positive")
+    val scores = transform(sequence(lit(0), lit(nShards - 1)), s =>
+      conv(substring(md5(concat(key.cast("string"), lit("#"), s.cast("string"))),
+        1, 15), 16, 10).cast("long"))
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
 }

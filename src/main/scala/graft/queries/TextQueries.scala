@@ -1884,6 +1884,38 @@ object TextQueries {
       .orderBy(col("shard"))
   }
 
+  /** Rendezvous-shard manifest — [[Sampling.rendezvousShard]] over the
+    * corpus: q138's mod-sharding rehashes (N-1)/N of the corpus when N
+    * grows; HRW moves only the new shard's winners (≈ 1/(N+1)) — the
+    * reshard-in-place story a growing 100 TB store needs
+    * (SamplingSpec proves the movement property; this query hash-gates
+    * the assignment itself). The in-row argmax keeps the corpus
+    * unshuffled; the oracle replays the same (score DESC, shard ASC)
+    * pick relationally over an exploded (doc × shard) grid. */
+  val q140RendezvousShards = Q(
+    "q140_rendezvous_shards",
+    """WITH hs AS (
+      |  SELECT doc_id, n_chars, s,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR)),
+      |      1, 15))::BIGINT AS h
+      |  FROM documents, unnest(range(0, 16)) AS u(s)),
+      |pick AS (
+      |  SELECT doc_id, n_chars, s AS shard,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s) AS rn
+      |  FROM hs)
+      |SELECT CAST(shard AS INT) AS shard,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM pick WHERE rn = 1
+      |GROUP BY shard
+      |ORDER BY shard""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(Sampling.rendezvousShard(col("doc_id"), 16).as("shard"), col("n_chars"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("shard"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -1894,5 +1926,5 @@ object TextQueries {
     q96CountMinFreqs, q98TokenRuns, q100NegativeSamples, q101PmiPhrases,
     q108SkipgramPairs, q113MixtureSample, q114GopherRules, q118PipelineE2e,
     q119DsirWeights, q120VocabCoverage, q121SourceDivergence, q128PrefixFilterPairs,
-    q130SegmentDedup, q137Bm25TopK, q138TrainShards)
+    q130SegmentDedup, q137Bm25TopK, q138TrainShards, q140RendezvousShards)
 }

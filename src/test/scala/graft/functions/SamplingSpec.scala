@@ -70,4 +70,27 @@ class SamplingSpec extends SparkSpec {
     val shard0 = a.filter(_._2 == 0).sortBy(_._3).map(_._1)
     assert(shard0.take(20).sliding(2).exists(p => p(1) < p(0)))
   }
+
+  test("rendezvousShard: balanced, deterministic, minimal movement on reshard") {
+    val s16 = df.select(col("id"), Sampling.rendezvousShard(col("id"), 16).as("s"))
+      .as[(Long, Int)].collect().toMap
+    assert(s16.values.forall(s => s >= 0 && s < 16))
+    // md5-uniform balance over 1000 keys / 16 shards
+    val sizes = s16.values.groupBy(identity).map(_._2.size)
+    assert(sizes.min > 30 && sizes.max < 100)
+    // deterministic under repartition
+    val again = df.repartition(13)
+      .select(col("id"), Sampling.rendezvousShard(col("id"), 16).as("s"))
+      .as[(Long, Int)].collect().toMap
+    assert(again === s16)
+    // THE rendezvous property: growing 16 → 17 moves only the keys the
+    // NEW shard wins — every moved key lands on shard 16, and the moved
+    // fraction is ≈ 1/17 (allow 2×)
+    val s17 = df.select(col("id"), Sampling.rendezvousShard(col("id"), 17).as("s"))
+      .as[(Long, Int)].collect().toMap
+    val moved = s16.keys.filter(k => s16(k) != s17(k)).toSeq
+    assert(moved.nonEmpty && moved.forall(k => s17(k) == 16),
+      "a key moved between OLD shards — mod-hash behavior, not rendezvous")
+    assert(moved.size <= 2 * 1000 / 17, s"moved ${moved.size} of 1000")
+  }
 }
