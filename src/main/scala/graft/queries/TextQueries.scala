@@ -1916,6 +1916,83 @@ object TextQueries {
       .orderBy(col("shard"))
   }
 
+  /** Retrieve-then-rerank — the canonical two-stage RAG pipeline:
+    * sparse BM25 recall (the q137 posting join, cheap and bounded)
+    * nominates top-5 candidates per query, then DENSE cosine scores
+    * only those 5 rows per query (embeddings joined by id — the
+    * doc_id↔vec_id bridge the synthetic corpus provides). This is the
+    * composition that makes dense scoring affordable at 100 TB: the
+    * expensive vector math touches O(queries × k) rows, never the
+    * corpus; both stages' determinism contracts (round-before-rank,
+    * the q31 cosine↔list_cosine_similarity 6-dp parity) carry through
+    * the gate unchanged. */
+  val q141RetrieveRerank = Q(
+    "q141_retrieve_rerank",
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, s AS t FROM docs,
+      |    unnest(list_transform(range(1, len(tk) - 1),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS u(s)
+      |  WHERE len(tk) >= 3),
+      |tf AS (SELECT doc_id, t, count(*) AS cnt FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |vocab AS (
+      |  SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t
+      |  HAVING count(*) BETWEEN 2 AND
+      |    (SELECT greatest(8, CAST(floor(10 * log2(greatest(2, count(*)))) AS INT))
+      |     FROM documents)),
+      |w AS (
+      |  SELECT tf.doc_id, tf.t,
+      |    ln(1 + (s.n_docs - v.df + 0.5) / (v.df + 0.5)) *
+      |      (tf.cnt * 2.2) / (tf.cnt + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) AS wgt
+      |  FROM tf JOIN vocab v ON tf.t = v.t
+      |  JOIN dl d ON d.doc_id = tf.doc_id CROSS JOIN stats s),
+      |q AS (SELECT DISTINCT doc_id AS qid, t FROM tf WHERE doc_id % 97 = 0),
+      |sc AS (
+      |  SELECT q.qid, w.doc_id, round(sum(w.wgt), 4) AS score
+      |  FROM q JOIN w ON q.t = w.t AND w.doc_id <> q.qid
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT qid, doc_id,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+      |  FROM sc),
+      |cand AS (SELECT qid, doc_id FROM rk WHERE rnk <= 5),
+      |rr AS (
+      |  SELECT c.qid, c.doc_id,
+      |    round(list_cosine_similarity(CAST(ed.embedding AS DOUBLE[]),
+      |                                 CAST(eq.embedding AS DOUBLE[])), 6) AS cos
+      |  FROM cand c
+      |  JOIN embeddings ed ON ed.vec_id = c.doc_id
+      |  JOIN embeddings eq ON eq.vec_id = c.qid),
+      |rk2 AS (
+      |  SELECT qid, doc_id, cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rnk
+      |  FROM rr)
+      |SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, cos
+      |FROM rk2 WHERE rnk <= 3
+      |ORDER BY qid, rnk""".stripMargin) { (spark, dir) =>
+    import graft.functions.VectorFns
+    val cand = Bm25.topK(Tables.documents(spark, dir), "doc_id", "text",
+        querySelector = col("doc_id") % 97 === 0, k = 5)
+      .select(col("qid"), col("doc_id"))
+    val emb = Tables.embeddings(spark, dir)
+    val byQ = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("doc_id"))
+    cand
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding").as("e_d")), "doc_id")
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("e_q")), "qid")
+      .select(col("qid"), col("doc_id"),
+        round(VectorFns.cosine(col("e_d"), col("e_q")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(byQ).cast("int"))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("doc_id"), col("cos"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -1926,5 +2003,6 @@ object TextQueries {
     q96CountMinFreqs, q98TokenRuns, q100NegativeSamples, q101PmiPhrases,
     q108SkipgramPairs, q113MixtureSample, q114GopherRules, q118PipelineE2e,
     q119DsirWeights, q120VocabCoverage, q121SourceDivergence, q128PrefixFilterPairs,
-    q130SegmentDedup, q137Bm25TopK, q138TrainShards, q140RendezvousShards)
+    q130SegmentDedup, q137Bm25TopK, q138TrainShards, q140RendezvousShards,
+    q141RetrieveRerank)
 }
