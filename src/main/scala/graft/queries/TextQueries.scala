@@ -1993,6 +1993,138 @@ object TextQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** MMR-diversified rerank (Carbonell–Goldstein maximal marginal
+    * relevance, λ = 0.5): greedy picks from the BM25 top-5, each round
+    * scoring remaining candidates by λ·rel − (1−λ)·max-sim-to-selected
+    * — the result-diversification step that stops a retrieval page (or
+    * a RAG context window) filling with near-duplicates of one hit.
+    * The greedy loop is UNROLLED into three relational rounds (the
+    * k-core/q131 bounded-rounds pattern applied to reranking): each
+    * round is a window argmax + tiny joins over O(queries × k) rows,
+    * so the whole diversification costs nothing at corpus scale.
+    * Inputs are pre-rounded (rel at 4dp from q137's contract, sims at
+    * 6dp from q31's), so both engines run identical doubles through
+    * identical argmax rules (doc_id tiebreak). */
+  val q142MmrRerank = Q(
+    "q142_mmr_rerank",
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, s AS t FROM docs,
+      |    unnest(list_transform(range(1, len(tk) - 1),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS u(s)
+      |  WHERE len(tk) >= 3),
+      |tf AS (SELECT doc_id, t, count(*) AS cnt FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |vocab AS (
+      |  SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t
+      |  HAVING count(*) BETWEEN 2 AND
+      |    (SELECT greatest(8, CAST(floor(10 * log2(greatest(2, count(*)))) AS INT))
+      |     FROM documents)),
+      |w AS (
+      |  SELECT tf.doc_id, tf.t,
+      |    ln(1 + (s.n_docs - v.df + 0.5) / (v.df + 0.5)) *
+      |      (tf.cnt * 2.2) / (tf.cnt + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) AS wgt
+      |  FROM tf JOIN vocab v ON tf.t = v.t
+      |  JOIN dl d ON d.doc_id = tf.doc_id CROSS JOIN stats s),
+      |q AS (SELECT DISTINCT doc_id AS qid, t FROM tf WHERE doc_id % 97 = 0),
+      |sc AS (
+      |  SELECT q.qid, w.doc_id, round(sum(w.wgt), 4) AS score
+      |  FROM q JOIN w ON q.t = w.t AND w.doc_id <> q.qid
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT qid, doc_id, score,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+      |  FROM sc),
+      |cand AS (SELECT qid, doc_id, score AS rel FROM rk WHERE rnk <= 5),
+      |pair AS (
+      |  SELECT a.qid, a.doc_id AS da, b.doc_id AS db,
+      |    round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+      |                                 CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+      |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.doc_id <> b.doc_id
+      |  JOIN embeddings ea ON ea.vec_id = a.doc_id
+      |  JOIN embeddings eb ON eb.vec_id = b.doc_id),
+      |s1 AS (
+      |  SELECT qid, doc_id, rel FROM (
+      |    SELECT qid, doc_id, rel,
+      |      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS rn
+      |    FROM cand) WHERE rn = 1),
+      |m2 AS (
+      |  SELECT c.qid, c.doc_id, c.rel, 0.5 * c.rel - 0.5 * p.sim AS mmr
+      |  FROM cand c
+      |  JOIN s1 ON s1.qid = c.qid AND c.doc_id <> s1.doc_id
+      |  JOIN pair p ON p.qid = c.qid AND p.da = c.doc_id AND p.db = s1.doc_id),
+      |s2 AS (
+      |  SELECT qid, doc_id, mmr FROM (
+      |    SELECT qid, doc_id, mmr,
+      |      row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, doc_id) AS rn
+      |    FROM m2) WHERE rn = 1),
+      |m3 AS (
+      |  SELECT c.qid, c.doc_id,
+      |    0.5 * c.rel - 0.5 * greatest(p1.sim, p2.sim) AS mmr
+      |  FROM cand c
+      |  JOIN s1 ON s1.qid = c.qid
+      |  JOIN s2 ON s2.qid = c.qid
+      |  JOIN pair p1 ON p1.qid = c.qid AND p1.da = c.doc_id AND p1.db = s1.doc_id
+      |  JOIN pair p2 ON p2.qid = c.qid AND p2.da = c.doc_id AND p2.db = s2.doc_id
+      |  WHERE c.doc_id <> s1.doc_id AND c.doc_id <> s2.doc_id),
+      |s3 AS (
+      |  SELECT qid, doc_id, mmr FROM (
+      |    SELECT qid, doc_id, mmr,
+      |      row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, doc_id) AS rn
+      |    FROM m3) WHERE rn = 1)
+      |SELECT qid, CAST(1 AS INT) AS pick, doc_id, round(rel, 4) AS mmr_score FROM s1
+      |UNION ALL SELECT qid, CAST(2 AS INT), doc_id, round(mmr, 4) FROM s2
+      |UNION ALL SELECT qid, CAST(3 AS INT), doc_id, round(mmr, 4) FROM s3
+      |ORDER BY qid, pick""".stripMargin) { (spark, dir) =>
+    import graft.functions.VectorFns
+    import org.apache.spark.sql.expressions.Window
+    val cand = Bm25.topK(Tables.documents(spark, dir), "doc_id", "text",
+        querySelector = col("doc_id") % 97 === 0, k = 5)
+      .select(col("qid"), col("doc_id"), col("score").as("rel"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val candE = cand.join(emb, "doc_id")
+    val pair = candE.as("a").join(candE.as("b"),
+        col("a.qid") === col("b.qid") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.qid").as("qid"), col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        round(VectorFns.cosine(col("a.embedding"), col("b.embedding")), 6).as("sim"))
+    def top1(df: org.apache.spark.sql.DataFrame,
+        order: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+      df.withColumn("__rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(order.desc, col("doc_id"))))
+        .filter(col("__rn") === 1).drop("__rn")
+    val s1 = top1(cand, col("rel"))
+    val m2 = cand.as("c")
+      .join(s1.as("s1"), col("c.qid") === col("s1.qid") && col("c.doc_id") =!= col("s1.doc_id"))
+      .join(pair.as("p"), col("p.qid") === col("c.qid") &&
+        col("p.da") === col("c.doc_id") && col("p.db") === col("s1.doc_id"))
+      .select(col("c.qid").as("qid"), col("c.doc_id").as("doc_id"), col("c.rel").as("rel"),
+        (lit(0.5) * col("c.rel") - lit(0.5) * col("p.sim")).as("mmr"))
+    val s2 = top1(m2.select(col("qid"), col("doc_id"), col("mmr")), col("mmr"))
+    val m3 = cand.as("c")
+      .join(s1.as("s1"), col("c.qid") === col("s1.qid"))
+      .join(s2.as("s2"), col("c.qid") === col("s2.qid"))
+      .join(pair.as("p1"), col("p1.qid") === col("c.qid") &&
+        col("p1.da") === col("c.doc_id") && col("p1.db") === col("s1.doc_id"))
+      .join(pair.as("p2"), col("p2.qid") === col("c.qid") &&
+        col("p2.da") === col("c.doc_id") && col("p2.db") === col("s2.doc_id"))
+      .filter(col("c.doc_id") =!= col("s1.doc_id") && col("c.doc_id") =!= col("s2.doc_id"))
+      .select(col("c.qid").as("qid"), col("c.doc_id").as("doc_id"),
+        (lit(0.5) * col("c.rel") - lit(0.5) * greatest(col("p1.sim"), col("p2.sim"))).as("mmr"))
+    val s3 = top1(m3, col("mmr"))
+    s1.select(col("qid"), lit(1).cast("int").as("pick"), col("doc_id"),
+        round(col("rel"), 4).as("mmr_score"))
+      .unionAll(s2.select(col("qid"), lit(2).cast("int").as("pick"), col("doc_id"),
+        round(col("mmr"), 4).as("mmr_score")))
+      .unionAll(s3.select(col("qid"), lit(3).cast("int").as("pick"), col("doc_id"),
+        round(col("mmr"), 4).as("mmr_score")))
+      .orderBy(col("qid"), col("pick"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -2004,5 +2136,5 @@ object TextQueries {
     q108SkipgramPairs, q113MixtureSample, q114GopherRules, q118PipelineE2e,
     q119DsirWeights, q120VocabCoverage, q121SourceDivergence, q128PrefixFilterPairs,
     q130SegmentDedup, q137Bm25TopK, q138TrainShards, q140RendezvousShards,
-    q141RetrieveRerank)
+    q141RetrieveRerank, q142MmrRerank)
 }
