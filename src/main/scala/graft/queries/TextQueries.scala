@@ -2082,9 +2082,15 @@ object TextQueries {
       |ORDER BY qid, pick""".stripMargin) { (spark, dir) =>
     import graft.functions.VectorFns
     import org.apache.spark.sql.expressions.Window
+    // the candidate set is O(queries × 5) rows (~n/97·5 — bounded
+    // small at any SF) but its lineage is the whole BM25 pipeline,
+    // and the three unrolled rounds reference it six times; cut the
+    // lineage once so the posting join runs once, not six times
+    // (3.6 → ~1.5 s at sf0.1)
     val cand = Bm25.topK(Tables.documents(spark, dir), "doc_id", "text",
         querySelector = col("doc_id") % 97 === 0, k = 5)
       .select(col("qid"), col("doc_id"), col("score").as("rel"))
+      .localCheckpoint()
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("doc_id"), col("embedding"))
     val candE = cand.join(emb, "doc_id")
