@@ -2076,9 +2076,12 @@ object TextQueries {
       |    SELECT qid, doc_id, mmr,
       |      row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, doc_id) AS rn
       |    FROM m3) WHERE rn = 1)
-      |SELECT qid, CAST(1 AS INT) AS pick, doc_id, round(rel, 4) AS mmr_score FROM s1
-      |UNION ALL SELECT qid, CAST(2 AS INT), doc_id, round(mmr, 4) FROM s2
-      |UNION ALL SELECT qid, CAST(3 AS INT), doc_id, round(mmr, 4) FROM s3
+      |SELECT qid, CAST(1 AS INT) AS pick, doc_id,
+      |  CAST(round(rel * 10000000) AS BIGINT) AS mmr_e7 FROM s1
+      |UNION ALL SELECT qid, CAST(2 AS INT), doc_id,
+      |  CAST(round(mmr * 10000000) AS BIGINT) FROM s2
+      |UNION ALL SELECT qid, CAST(3 AS INT), doc_id,
+      |  CAST(round(mmr * 10000000) AS BIGINT) FROM s3
       |ORDER BY qid, pick""".stripMargin) { (spark, dir) =>
     import graft.functions.VectorFns
     import org.apache.spark.sql.expressions.Window
@@ -2122,12 +2125,18 @@ object TextQueries {
       .select(col("c.qid").as("qid"), col("c.doc_id").as("doc_id"),
         (lit(0.5) * col("c.rel") - lit(0.5) * greatest(col("p1.sim"), col("p2.sim"))).as("mmr"))
     val s3 = top1(m3, col("mmr"))
+    // output on the EXACT integer grid: with λ = 0.5 the blend
+    // 0.5·rel − 0.5·sim has ≤7 exact decimal digits (rel 4dp / 2,
+    // sim 6dp / 2), so a 4dp decimal round lands ON half-boundaries
+    // by construction and the engines' decimal-rounding conventions
+    // diverge (seen at sf0.1: 7.0878 vs 7.0879). ×10⁷ makes the true
+    // value integral — round-to-integer is then unambiguous in both.
     s1.select(col("qid"), lit(1).cast("int").as("pick"), col("doc_id"),
-        round(col("rel"), 4).as("mmr_score"))
+        round(col("rel") * 10000000).cast("long").as("mmr_e7"))
       .unionAll(s2.select(col("qid"), lit(2).cast("int").as("pick"), col("doc_id"),
-        round(col("mmr"), 4).as("mmr_score")))
+        round(col("mmr") * 10000000).cast("long").as("mmr_e7")))
       .unionAll(s3.select(col("qid"), lit(3).cast("int").as("pick"), col("doc_id"),
-        round(col("mmr"), 4).as("mmr_score")))
+        round(col("mmr") * 10000000).cast("long").as("mmr_e7")))
       .orderBy(col("qid"), col("pick"))
   }
 
