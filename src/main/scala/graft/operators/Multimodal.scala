@@ -158,7 +158,9 @@ object Multimodal {
       def u32(o: Int) = if (little) le32(b, o) else be32(b, o)
       if (u16(2) != 42) return None
       val ifd = u32(4)
-      if (ifd < 8 || ifd + 2 > b.length) return None
+      // long compare: a near-MaxInt offset would overflow `ifd + 2`
+      // and walk past the buffer instead of falling through
+      if (ifd < 8 || ifd.toLong + 2 > b.length) return None
       val n = u16(ifd)
       var (w, h) = (-1, -1)
       var e = 0

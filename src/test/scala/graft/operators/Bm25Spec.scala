@@ -38,6 +38,50 @@ class Bm25Spec extends SparkSpec {
     assert(a === b && a.nonEmpty)
   }
 
+  test("operator scores equal a plain driver-side BM25 reference on a random corpus") {
+    // pseudo-random corpus from a fixed seed; words drawn from a small
+    // vocabulary so shingle df's land inside the [2, dfMax] window
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen")
+    val docs = (1L to 40L).map { id =>
+      (id, Seq.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Bm25.topK(df, "doc_id", "text", col("doc_id") % 7 === 0, k = 4)
+      .select("qid", "rnk", "doc_id", "score")
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2, r._3)).sorted.toSeq
+
+    // driver-side reference: same tokenization (3-gram shingles), same
+    // df window, same k1/b arithmetic, same round-then-rank contract
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val sh = toks.view.mapValues(ts => ts.sliding(3).filter(_.size == 3)
+      .map(_.mkString(" ")).toSeq).toMap
+    val tf = sh.map { case (id, s) => id -> s.groupBy(identity).view.mapValues(_.size).toMap }
+    val dfr = sh.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size)
+    val dfMax = graft.functions.TextFns.dfMaxForCorpus(docs.size)
+    val admitted = dfr.filter { case (_, d) => d >= 2 && d <= dfMax }.toMap
+    val dl = sh.view.mapValues(_.size.toDouble).toMap
+    val withLen = dl.filter(_._2 >= 1)
+    val (nD, avgdl) = (withLen.size.toDouble, withLen.values.sum / withLen.size)
+    def wgt(id: Long, t: String): Double = {
+      val d = admitted(t).toDouble
+      val c = tf(id)(t).toDouble
+      math.log(1 + (nD - d + 0.5) / (d + 0.5)) * (c * 2.2) /
+        (c + 1.2 * (dl(id) / avgdl * 0.75 + 0.25))
+    }
+    val expect = (for {
+      qid <- docs.map(_._1) if qid % 7 == 0
+      qTerms = sh(qid).distinct.filter(admitted.contains)
+      scored = docs.map(_._1).filter(_ != qid).flatMap { id =>
+        val s = qTerms.filter(t => tf(id).contains(t)).map(t => wgt(id, t)).sum
+        if (s > 0) Some(id -> BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP)) else None
+      }
+      ((id, _), i) <- scored.sortBy { case (id, s) => (-s, id) }.take(4).zipWithIndex
+    } yield (qid, i + 1, id)).sorted
+    assert(got === expect)
+  }
+
   test("a precomputed bucketed posting index joins with no exchange under it") {
     // the q94 incremental-ingest claim applied to retrieval: materialize
     // the index bucketed by term once, then every query batch must read

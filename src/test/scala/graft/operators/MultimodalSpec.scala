@@ -548,6 +548,11 @@ class MultimodalSpec extends SparkSpec {
     // bad magic / truncation fall through
     assert(Multimodal.TiffCodec.decode("IIxxnope".getBytes) === None)
     assert(Multimodal.TiffCodec.decode(tiffMin(640, 480, little = true).take(9)) === None)
+    // hostile IFD offset near Int.MaxValue must fall through, not throw
+    val hostile = tiffMin(1, 1, little = false).clone()
+    hostile(4) = 0x7f.toByte; hostile(5) = 0xff.toByte
+    hostile(6) = 0xff.toByte; hostile(7) = 0xfe.toByte
+    assert(Multimodal.TiffCodec.decode(hostile) === None)
   }
 
   /** Minimal FLAC: fLaC magic + STREAMINFO (44.1kHz stereo 16-bit,
