@@ -556,6 +556,15 @@ object Multimodal {
     * (lossy stream — not a PCM property). Free-format (index 0) or
     * reserved (15) bitrates, reserved rates, and non-Layer-III frames
     * fall through rather than decode garbage. */
+  /** Offset past a leading ID3v2 tag (10-byte header + syncsafe 28-bit
+    * size), or 0 when none — MP3 AND ADTS streams both commonly carry
+    * one. */
+  private def skipId3(b: Array[Byte]): Int =
+    if (b.length >= 10 && b(0) == 'I'.toByte && b(1) == 'D'.toByte && b(2) == '3'.toByte)
+      10 + (((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f))
+    else 0
+
   case object Mp3Codec extends AudioCodec {
     private val RatesV1 = Array(44100, 48000, 32000)
     private val BitV1L3 =
@@ -564,12 +573,7 @@ object Multimodal {
       Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
     def decode(b: Array[Byte]): Option[(Int, Int, Int, Long, String)] = {
       if (b == null || b.length < 10) return None
-      var i = 0
-      if (b(0) == 'I'.toByte && b(1) == 'D'.toByte && b(2) == '3'.toByte) {
-        val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
-          ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
-        i = 10 + size
-      }
+      val i = skipId3(b)
       if (i < 0 || i + 4 > b.length) return None
       if ((b(i) & 0xff) != 0xff || (b(i + 1) & 0xe0) != 0xe0) return None
       val version = (b(i + 1) >> 3) & 0x3 // 0=2.5, 2=MPEG-2, 3=MPEG-1
@@ -641,19 +645,21 @@ object Multimodal {
     private val Rates = Array(96000, 88200, 64000, 48000, 44100, 32000,
       24000, 22050, 16000, 12000, 11025, 8000, 7350)
     def decode(b: Array[Byte]): Option[(Int, Int, Int, Long, String)] = {
-      if (b == null || b.length < 7 ||
-        (b(0) & 0xff) != 0xff || (b(1) & 0xf0) != 0xf0) return None
+      if (b == null || b.length < 10) return None
+      val off = skipId3(b) // ADTS streams carry ID3v2 tags like MP3s do
+      if (off < 0 || off + 7 > b.length ||
+        (b(off) & 0xff) != 0xff || (b(off + 1) & 0xf0) != 0xf0) return None
       // ADTS layer bits are always 00 — an MPEG audio (MP3) frame sets
       // them, so the two syncs stay disjoint in the chain
-      if (((b(1) >> 1) & 0x3) != 0) return None
-      val rateIdx = (b(2) >> 2) & 0xf
+      if (((b(off + 1) >> 1) & 0x3) != 0) return None
+      val rateIdx = (b(off + 2) >> 2) & 0xf
       if (rateIdx >= Rates.length) return None
       val rate = Rates(rateIdx)
-      val chanCfg = ((b(2) & 1) << 2) | ((b(3) >> 6) & 0x3)
+      val chanCfg = ((b(off + 2) & 1) << 2) | ((b(off + 3) >> 6) & 0x3)
       if (chanCfg == 0) return None // channel map in-band: codec territory
       val channels = if (chanCfg == 7) 8 else chanCfg
       var frames = 0L
-      var i = 0
+      var i = off
       var ok = true
       while (ok && i + 7 <= b.length) {
         if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xf0) == 0xf0) {

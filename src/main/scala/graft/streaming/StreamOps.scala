@@ -219,6 +219,25 @@ object StreamOps {
     events.groupBy(col(groupCol))
       .agg(graft.functions.QuantileSketch.sketch(valueCents, lo, width, nBins).as("qs"))
 
+  /** Streaming BM25 retrieval scoring — the serving face of
+    * `operators/Bm25`: a STREAM of query terms joins the STATIC
+    * posting index (stream-static equi-join on the term — the same
+    * zero-exchange-under-the-index plan the batch path uses on a
+    * bucketed table) and per-(query, doc) scores accumulate as a
+    * streaming sum. Because the doc-side weight is fully precomputed
+    * in the index, the running score is a mergeable partial: a query
+    * whose terms arrive across micro-batches converges to exactly the
+    * batch score, term order be damned. Ranking (top-k) happens on
+    * the serving read over the maintained scores — Structured
+    * Streaming's one-aggregation rule puts the argmax on the reader,
+    * which is where a serving system wants it anyway. */
+  def bm25QueryScores(queryTerms: DataFrame, index: DataFrame,
+      idCol: String): DataFrame =
+    queryTerms.join(index, "t")
+      .filter(col(idCol) =!= col("qid"))
+      .groupBy(col("qid"), col(idCol))
+      .agg(sum(col("wgt")).as("score_raw"))
+
   /** foreachBatch sink: each micro-batch lands as a batch write with
     * its batch id — the production pattern for sinks Structured
     * Streaming doesn't speak natively (JDBC, multi-table fan-out,

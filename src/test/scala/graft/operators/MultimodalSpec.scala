@@ -380,6 +380,11 @@ class MultimodalSpec extends SparkSpec {
     // truncated tail: counted frames still report
     assert(Multimodal.AacAdtsCodec.decode(stream.take(321 * 10 + 50)).map(_._4) ===
       Some(10L * 1024 * 1000 / 44100))
+    // an ID3v2 tag ahead of the frames is skipped, like MP3
+    val tagged = "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 0, 50) ++
+      Array.fill[Byte](50)(0) ++ stream
+    assert(Multimodal.AacAdtsCodec.decode(tagged) ===
+      Some((2, 44100, 0, 43L * 1024 * 1000 / 44100, "aac")))
     // an MP3 Layer III frame is NOT claimed (layer bits ≠ 0) and
     // vice versa — the two syncs stay disjoint in the chain
     assert(Multimodal.AacAdtsCodec.decode(mp3Min.drop(110)) === None)

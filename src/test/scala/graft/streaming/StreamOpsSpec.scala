@@ -150,6 +150,49 @@ class StreamOpsSpec extends SparkSpec {
     assert(finalPerNode === batchMin)
   }
 
+  test("streaming BM25 scores converge to batch when query terms arrive in pieces") {
+    import spark.implicits._
+    import graft.operators.Bm25
+    // tiny corpus whose shingle df's land inside the [2, dfMax] window
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon one"),
+      (2L, "alpha beta gamma delta epsilon two"),
+      (3L, "alpha beta gamma delta epsilon three"),
+      (4L, "zeta eta theta iota kappa four"),
+      (5L, "zeta eta theta iota kappa five")).toDF("doc_id", "text")
+    val index = Bm25.postingIndex(corpus, "doc_id", "text")
+      .localCheckpoint() // static serving index (stand-in for the bucketed table)
+    // qid=1's terms arrive split across TWO micro-batches
+    val batches = Seq(
+      Seq((1L, "alpha beta gamma")),
+      Seq((1L, "beta gamma delta"), (1L, "gamma delta epsilon")))
+    val dir = java.nio.file.Files.createTempDirectory("stream-bm25").toString
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val sub = java.nio.file.Files.createTempDirectory(s"bm25-b$i").toString
+      rows.toDF("qid", "t").coalesce(1).write.mode("overwrite").parquet(sub)
+      val part = new java.io.File(sub).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, f"batch$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = spark.read.parquet(dir).schema
+    val got = StreamOps.runToMemory(spark,
+        StreamOps.bm25QueryScores(
+          StreamOps.parquetStream(spark, schema, dir), index, "doc_id"),
+        "bm25_stream_test", outputMode = "complete")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val batch = StreamOps.bm25QueryScores(
+        batches.flatten.toDF("qid", "t"), index, "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.keySet === batch.keySet && got.nonEmpty)
+    // mergeable-partial contract: split arrival converges to the batch
+    // score (same doubles summed; only micro-batch merge order differs)
+    got.keys.foreach(k => assert(math.abs(got(k) - batch(k)) < 1e-9, s"pair $k"))
+    // and docs 2/3 (which share doc 1's terms) are the scored set
+    assert(got.keySet.map(_._2) === Set(2L, 3L))
+  }
+
   test("stream-stream interval join matches keys within the window only") {
     import spark.implicits._
     val ldir = java.nio.file.Files.createTempDirectory("stream-imp").toString
