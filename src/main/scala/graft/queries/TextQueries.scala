@@ -2140,6 +2140,50 @@ object TextQueries {
       .orderBy(col("qid"), col("pick"))
   }
 
+  /** Dedup index-quality eval — precision/recall of the MinHash+LSH
+    * candidate set (q29) against exact n-gram Jaccard ground truth
+    * (q28), both at threshold 0.5 on the same corpus sample: the q103
+    * ANN-recall pattern applied to the dedup family, and like q103 the
+    * oracle COMPOSES the two registered oracle strings verbatim, so
+    * this eval can never drift from the queries it grades. Recall
+    * tells a pipeline how many true near-dups the banded index loses;
+    * precision how much signature-verified-but-not-truly-similar work
+    * the verify stage will discard. (Ground truth is q28's df-capped
+    * surface — the graded production path, which is exactly the drift
+    * to monitor.) */
+  val q143DedupRecall = Q(
+    "q143_dedup_recall",
+    s"""WITH exact AS (SELECT id_a, id_b FROM (
+       |${q28JaccardPairs.oracle.get}
+       |)),
+       |approx AS (SELECT id_a, id_b FROM (
+       |${q29MinhashPairs.oracle.get}
+       |)),
+       |m AS (SELECT
+       |  (SELECT count(*) FROM exact) AS n_exact,
+       |  (SELECT count(*) FROM approx) AS n_approx,
+       |  (SELECT count(*) FROM exact e JOIN approx a
+       |     ON e.id_a = a.id_a AND e.id_b = a.id_b) AS n_both)
+       |SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(n_approx AS BIGINT) AS n_approx,
+       |  CAST(n_both AS BIGINT) AS n_both,
+       |  round(n_both / CAST(greatest(1, n_approx) AS DOUBLE), 4) AS prec,
+       |  round(n_both / CAST(greatest(1, n_exact) AS DOUBLE), 4) AS rec
+       |FROM m""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDocFreq = 100).select(col("id_a"), col("id_b"))
+    val approx = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5).select(col("id_a"), col("id_b"))
+    val both = exact.join(approx, Seq("id_a", "id_b"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(approx.agg(count(lit(1)).as("n_approx")))
+      .crossJoin(both.agg(count(lit(1)).as("n_both")))
+      .select(col("n_exact"), col("n_approx"), col("n_both"),
+        round(col("n_both") / greatest(lit(1), col("n_approx")).cast("double"), 4).as("prec"),
+        round(col("n_both") / greatest(lit(1), col("n_exact")).cast("double"), 4).as("rec"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -2151,5 +2195,5 @@ object TextQueries {
     q108SkipgramPairs, q113MixtureSample, q114GopherRules, q118PipelineE2e,
     q119DsirWeights, q120VocabCoverage, q121SourceDivergence, q128PrefixFilterPairs,
     q130SegmentDedup, q137Bm25TopK, q138TrainShards, q140RendezvousShards,
-    q141RetrieveRerank, q142MmrRerank)
+    q141RetrieveRerank, q142MmrRerank, q143DedupRecall)
 }
