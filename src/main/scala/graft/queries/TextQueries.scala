@@ -2171,10 +2171,16 @@ object TextQueries {
        |  round(n_both / CAST(greatest(1, n_exact) AS DOUBLE), 4) AS rec
        |FROM m""".stripMargin) { (spark, dir) =>
     val docs = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)
+    // both pair sets are near-dup outputs (already candidate-bounded by
+    // df-cap/banding — tiny relative to the corpus); cut their lineage
+    // once so the three count aggregates + intersection don't re-run
+    // the dedup pipelines five times
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text",
-      n = 3, threshold = 0.5, maxDocFreq = 100).select(col("id_a"), col("id_b"))
+        n = 3, threshold = 0.5, maxDocFreq = 100)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
     val approx = Dedup.minhashLshPairs(docs, "doc_id", "text",
-      n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5).select(col("id_a"), col("id_b"))
+        n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
     val both = exact.join(approx, Seq("id_a", "id_b"))
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(approx.agg(count(lit(1)).as("n_approx")))
