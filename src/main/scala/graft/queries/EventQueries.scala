@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.operators.{Joins, Sessionize}
 import graft.sources.Tables
@@ -658,9 +659,68 @@ object EventQueries {
     }
   }
 
+  /** Grouped Welch t-test — the experimentation staple (compare metric
+    * means between two cohorts) done scale-first: the cohort split is
+    * the portable md5 hash of user_id (deterministic on any engine /
+    * partitioning — rand() is neither), and the test statistic is
+    * derived in closed form from mergeable INTEGER sufficient
+    * statistics (n, Σv, Σv² per cohort, value in cents), so the whole
+    * query is ONE partial-aggregated hash shuffle to ~|event_type|
+    * rows. Same exactness contract as q145: every sufficient statistic
+    * is an order-independent BIGINT; means/variances/t only exist in
+    * the final identical double expression (rounded 4dp) — a float
+    * stddev aggregate would hash-flake on summation order. Unbiased
+    * per-cohort variance: s²/n = (nΣv² − (Σv)²) / (n²(n−1)). */
+  val q147AbWelch = Q(
+    "q147_ab_welch",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS v,
+      |    CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type,
+      |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+      |    CAST(sum(CASE WHEN v = 0 THEN c ELSE 0 END) AS BIGINT) AS sa,
+      |    CAST(sum(CASE WHEN v = 1 THEN c ELSE 0 END) AS BIGINT) AS sb,
+      |    CAST(sum(CASE WHEN v = 0 THEN c * c ELSE 0 END) AS BIGINT) AS qa,
+      |    CAST(sum(CASE WHEN v = 1 THEN c * c ELSE 0 END) AS BIGINT) AS qb
+      |  FROM e GROUP BY event_type)
+      |SELECT event_type, na, nb,
+      |  round(CAST(sa AS DOUBLE) / na, 4) AS mean_a_cents,
+      |  round(CAST(sb AS DOUBLE) / nb, 4) AS mean_b_cents,
+      |  round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+      |    / sqrt((CAST(na AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa)
+      |        / (CAST(na AS DOUBLE) * na * (na - 1))
+      |      + (CAST(nb AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb)
+      |        / (CAST(nb AS DOUBLE) * nb * (nb - 1))), 4) AS t_stat
+      |FROM s ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val e = Tables.events(spark, dir).select(col("event_type"),
+      (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 2).as("v"),
+      round(col("value") * 100).cast("long").as("c"))
+    def side(v: Int, e2: Column) = sum(when(col("v") === v, e2).otherwise(lit(0L)))
+    val s = e.groupBy(col("event_type")).agg(
+      side(0, lit(1L)).as("na"), side(1, lit(1L)).as("nb"),
+      side(0, col("c")).as("sa"), side(1, col("c")).as("sb"),
+      side(0, col("c") * col("c")).as("qa"), side(1, col("c") * col("c")).as("qb"))
+    def meanD(sc: String, nc: String) = col(sc).cast("double") / col(nc)
+    def varOverN(nc: String, sc: String, qc: String) =
+      (col(nc).cast("double") * col(qc) - col(sc).cast("double") * col(sc)) /
+        (col(nc).cast("double") * col(nc) * (col(nc) - 1))
+    s.select(col("event_type"), col("na"), col("nb"),
+        round(meanD("sa", "na"), 4).as("mean_a_cents"),
+        round(meanD("sb", "nb"), 4).as("mean_b_cents"),
+        round((meanD("sa", "na") - meanD("sb", "nb")) /
+          sqrt(varOverN("na", "sa", "qa") + varOverN("nb", "sb", "qb")), 4).as("t_stat"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(q18JsonProps, q19HourlyAgg, q20SlidingAgg, q21Sessions,
     q22AsofViewPurchase, q50MapFuncs, q52IntervalJoin, q62Funnel, q63Retention,
     q65AsofNextView, q71GapfillHourly, q72Transitions, q86VolumeAnomalies,
     q87Scd2Intervals, q89TopPaths, q99RollingHour, q105HllRollup,
-    q106MadOutliers, q107DecayedActivity, q109Scd2Lookup, q123SessionSequences)
+    q106MadOutliers, q107DecayedActivity, q109Scd2Lookup, q123SessionSequences,
+    q147AbWelch)
 }

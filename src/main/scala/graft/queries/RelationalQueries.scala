@@ -1313,6 +1313,61 @@ object RelationalQueries {
       .orderBy(col("status"))
   }
 
+  /** Grouped OLS trend — per-nation monthly-revenue slope/intercept, the
+    * analytics-engine regression staple done the way a 100 TB engine
+    * should: the regression is DERIVED IN CLOSED FORM from mergeable
+    * integer sufficient statistics (n, Σx, Σy, Σxy, Σx²), so the whole
+    * query is two partial-aggregated hash shuffles (order×month rollup,
+    * then 25 nation rows) and zero value-scale data ever moves — where
+    * a naive per-group fit would collect series to the driver. Exactness
+    * contract: x is a small month index, y is integer CENTS (the
+    * q131/q134 trick), so every sufficient statistic is an
+    * order-independent BIGINT; the only floats are the final slope and
+    * intercept, computed by an IDENTICAL double expression over those
+    * exact integers in both dialects (same IEEE ops on the same inputs
+    * → bit-equal, then rounded 4dp). Spark's own regr_slope/regr_intercept
+    * aggregate floats incrementally (summation-order-dependent) — the
+    * sufficient-statistics form is what actually hash-gates. */
+  val q145RevenueTrend = Q(
+    "q145_revenue_trend",
+    """WITH m AS (
+      |  SELECT n_name,
+      |    (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS x,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |s AS (
+      |  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM m GROUP BY n_name)
+      |SELECT n_name, n AS n_months,
+      |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 4) AS slope_cents,
+      |  round((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx) / n, 4) AS icept_cents
+      |FROM s ORDER BY n_name""".stripMargin) { (spark, dir) =>
+    val m = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1).as("x"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+    val s = m.groupBy(col("n_name")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x").cast("long") * col("y")).as("sxy"),
+      sum(col("x").cast("long") * col("x")).as("sxx"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val slope = (nD * col("sxy") - sxD * col("sy")) / (nD * col("sxx") - sxD * col("sx"))
+    s.select(col("n_name"), col("n").as("n_months"),
+        round(slope, 4).as("slope_cents"),
+        round((col("sy").cast("double") - slope * col("sx")) / col("n"), 4).as("icept_cents"))
+      .orderBy(col("n_name"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -1323,5 +1378,6 @@ object RelationalQueries {
     q61SplitLabels, q64Histogram, q66RevenueShare, q67PromoRevenue, q82BloomSemiJoin,
     q88ZorderLayout, q90EquidepthBins, q97TopkPerGroup, q102QualityChecks,
     q110ProfileOrders, q111BasketPairs, q124UpsertMerge, q125IncrementalAgg,
-    q129IntervalOverlap, q134SketchedQuantiles, q135SnapshotDiff)
+    q129IntervalOverlap, q134SketchedQuantiles, q135SnapshotDiff,
+    q145RevenueTrend)
 }
