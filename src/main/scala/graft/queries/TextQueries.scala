@@ -185,7 +185,14 @@ object TextQueries {
     * hash (60 bits of md5 mod P), identical affine (a_i, b_i) constants
     * inlined from `Dedup.minhashParams`, identical banding — so the
     * whole approximate pipeline is hash-checked, not rows-only. */
-  private def minhashCtes(bands: Int, rowsPerBand: Int): String = {
+  /** SQL for the default minhash corpus: the doc_id%2=0 sample q29/q70
+    * run on. q144 swaps in its own upstream CTE. */
+  private val MinhashDefaultDocsSql: String =
+    """SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents WHERE doc_id % 2 = 0""".stripMargin
+
+  private def minhashCtes(bands: Int, rowsPerBand: Int,
+      docsSql: String = MinhashDefaultDocsSql): String = {
     val k = bands * rowsPerBand
     val p = Dedup.MinhashP
     val mins = Dedup.minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
@@ -197,8 +204,7 @@ object TextQueries {
       s"SELECT doc_id, sig, $b AS band, concat_ws(',', $slots) AS bkey FROM sigl"
     }.mkString(" UNION ALL ")
     s"""docs AS (
-       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
-       |  FROM documents WHERE doc_id % 2 = 0),
+       |  $docsSql),
        |sh AS (
        |  SELECT DISTINCT doc_id, s FROM docs,
        |    unnest(list_transform(range(1, len(t) - 1),
@@ -2190,6 +2196,137 @@ object TextQueries {
         round(col("n_both") / greatest(lit(1), col("n_exact")).cast("double"), 4).as("rec"))
   }
 
+  /** The training-data prep pipeline, end to end, as ONE declarative
+    * plan — the capstone composition a 100 TB corpus actually runs
+    * nightly: quality filter (q25/q118 thresholds) → exact dedup
+    * (digest winners — text never shuffles; the digest-keyed agg plus a
+    * doc_id semi-join move only digests and ids) → benchmark
+    * decontamination (q68's distinct-shingle overlap vs the RAW
+    * doc_id%97=0 held-out slice, ≥3 shared shingles ⇒ drop) → MinHash
+    * LSH near-dup removal (q29's banded candidates → q51's components →
+    * q59's keep-canonical) → training-shard manifest (q138's
+    * epoch-shuffle order + order-sensitive checksum). Every stage keeps
+    * its own scale contract (banded candidates, df-capped shingles,
+    * no all-pairs anywhere), and the manifest hash-gates BOTH the final
+    * membership and the within-shard order — if any stage drifts on
+    * either engine, the checksum moves. The oracle replays all five
+    * stages CTE-for-CTE, components via a recursive CTE. */
+  val q144PrepPipeline: Q = {
+    val k = 16 * 4
+    val deconDocsSql =
+      """SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        |  FROM decon""".stripMargin
+    Q("q144_prep_pipeline",
+      s"""WITH RECURSIVE scored AS (
+         |  SELECT doc_id, text,
+         |    len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+         |              / length(text) END AS punct_ratio,
+         |    CASE WHEN len(string_split_regex(lower(text), '\\s+')) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |                t -> list_contains(['the','a','of','and','to','in','is','on','for'], t)))
+         |              AS DOUBLE) / len(string_split_regex(lower(text), '\\s+')) END AS stop_ratio
+         |  FROM documents),
+         |kept AS (
+         |  SELECT doc_id, text, n_tokens FROM scored
+         |  WHERE n_tokens BETWEEN 10 AND 5000 AND punct_ratio < 0.2 AND stop_ratio >= 0.02),
+         |exact AS (
+         |  SELECT doc_id, text, n_tokens FROM kept
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY md5(text))),
+         |rawsh AS (
+         |  SELECT DISTINCT doc_id, s
+         |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+         |        FROM documents) d,
+         |    unnest(list_transform(range(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(s)
+         |  WHERE len(t) >= 3),
+         |bench AS (SELECT DISTINCT s FROM rawsh WHERE doc_id % 97 = 0),
+         |flagged AS (
+         |  SELECT doc_id FROM rawsh JOIN bench USING (s)
+         |  WHERE doc_id % 97 <> 0 GROUP BY doc_id HAVING count(*) >= 3),
+         |decon AS (
+         |  SELECT doc_id, text, n_tokens FROM exact
+         |  WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+         |${minhashCtes(16, 4, deconDocsSql)},
+         |pairs AS (
+         |  SELECT id_a, id_b FROM cands
+         |  WHERE len(list_filter(range(1, ${k + 1}), i -> sa[i] = sb[i])) / $k.0 >= 0.5),
+         |sym AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+         |comp AS (SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a),
+         |fin AS (
+         |  SELECT doc_id, n_tokens FROM decon
+         |  WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> comp)),
+         |h AS (
+         |  SELECT doc_id, n_tokens,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS gh
+         |  FROM fin),
+         |p AS (
+         |  SELECT doc_id, n_tokens, gh % 8 AS shard,
+         |    row_number() OVER (PARTITION BY gh % 8 ORDER BY gh, doc_id) AS pos
+         |  FROM h)
+         |SELECT CAST(shard AS INT) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(pos * (doc_id % 997)) AS BIGINT) AS ord_checksum
+         |FROM p GROUP BY shard ORDER BY shard""".stripMargin) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val kept = docs
+        .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("text"),
+          size(col("toks")).as("n_tokens"),
+          TextFns.punctRatio(col("text")).as("punct_ratio"),
+          (TextFns.markerHits(col("toks"), Stopwords).cast("double") /
+            greatest(size(col("toks")), lit(1))).as("stop_ratio"))
+        .filter(col("n_tokens").between(10, 5000)
+          && col("punct_ratio") < 0.2 && col("stop_ratio") >= 0.02)
+        .select(col("doc_id"), col("text"), col("n_tokens"))
+      // exact dedup: only digests and ids move — the digest-keyed agg
+      // picks winners, the semi-join restores the surviving rows in place
+      val winners = kept.groupBy(md5(col("text")))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val exact = kept.join(winners, Seq("doc_id"), "left_semi")
+      // decontamination: distinct (doc, shingle) grain from the RAW
+      // corpus (the benchmark slice must be visible even where quality
+      // filtering would drop it) — q68's derivation verbatim
+      val sh = docs
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(TextFns.shinglePositions(col("toks"), 3)).as("i"))
+        .select(col("doc_id"), TextFns.shingleAt(col("toks"), col("i"), 3).as("s"))
+        .dropDuplicates(Seq("doc_id", "s"))
+      val bench = sh.filter(col("doc_id") % 97 === 0).select(col("s")).distinct()
+      val flagged = sh.filter(col("doc_id") % 97 =!= 0)
+        .join(bench, "s")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .select(col("doc_id"))
+      // cache: three consumers below (LSH signature pipeline, the
+      // keep-canonical anti-join's doc side, the shard manifest) would
+      // otherwise each re-run the quality+dedup+decontamination lineage
+      val decon = exact.filter(col("doc_id") % 97 =!= 0)
+        .join(flagged, Seq("doc_id"), "left_anti")
+        .cache()
+      val pairs = Dedup.minhashLshPairs(decon, "doc_id", "text",
+          n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val fin = Dedup.dropNearDuplicates(decon, "doc_id", pairs)
+      Sampling.assignShards(fin, col("doc_id"), 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("pos") * (col("doc_id") % 997)).as("ord_checksum"))
+        .orderBy(col("shard"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -2201,5 +2338,5 @@ object TextQueries {
     q108SkipgramPairs, q113MixtureSample, q114GopherRules, q118PipelineE2e,
     q119DsirWeights, q120VocabCoverage, q121SourceDivergence, q128PrefixFilterPairs,
     q130SegmentDedup, q137Bm25TopK, q138TrainShards, q140RendezvousShards,
-    q141RetrieveRerank, q142MmrRerank, q143DedupRecall)
+    q141RetrieveRerank, q142MmrRerank, q143DedupRecall, q144PrepPipeline)
 }

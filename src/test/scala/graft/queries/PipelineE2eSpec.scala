@@ -48,4 +48,62 @@ class PipelineE2eSpec extends SparkSpec {
     assert(e2e.collect().toSeq === expected.collect().toSeq)
     k.unpersist()
   }
+
+  /** q144's five stages, recomposed with DIFFERENT formulations where
+    * one exists (window-rank exact dedup vs the query's agg+semi-join,
+    * countDistinct overlap vs the query's distinct-then-count) — the
+    * shard manifest must be identical row-for-row. */
+  private def q144Recomposed = {
+    import graft.functions.Sampling
+    import graft.operators.Dedup
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val exact = kept.select(col("doc_id"), col("text"), col("n_tokens"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    val sh = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(TextFns.shinglePositions(col("t"), 3)).as("i"))
+      .select(col("doc_id"), TextFns.shingleAt(col("t"), col("i"), 3).as("s"))
+    val bench = sh.filter(col("doc_id") % 97 === 0).select(col("s")).distinct()
+    val flagged = sh.filter(col("doc_id") % 97 =!= 0).join(bench, "s")
+      .groupBy(col("doc_id")).agg(countDistinct(col("s")).as("n"))
+      .filter(col("n") >= 3).select(col("doc_id"))
+    val decon = exact.filter(col("doc_id") % 97 =!= 0)
+      .join(flagged, Seq("doc_id"), "left_anti").cache()
+    val pairs = Dedup.minhashLshPairs(decon, "doc_id", "text",
+      n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val fin = Dedup.dropNearDuplicates(decon, "doc_id", pairs)
+    (pairs, fin,
+      Sampling.assignShards(fin, col("doc_id"), 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("pos") * (col("doc_id") % 997)).as("ord_checksum"))
+        .orderBy(col("shard")))
+  }
+
+  test("q144 prep pipeline ≡ independently recomposed stages") {
+    val e2e = TextQueries.q144PrepPipeline.run(spark, sfDir)
+    val (_, _, manifest) = q144Recomposed
+    assert(e2e.collect().toSeq === manifest.collect().toSeq)
+  }
+
+  test("q144 keep-canonical: no surviving near-dup pair, canonical = component min") {
+    val (pairs, fin, _) = q144Recomposed
+    val ids = fin.select(col("doc_id"))
+    val surviving = pairs
+      .join(ids.select(col("doc_id").as("id_a")), "id_a")
+      .join(ids.select(col("doc_id").as("id_b")), "id_b")
+    assert(surviving.count() === 0)
+    // every dropped doc is dominated by a smaller surviving id in its
+    // component (keep-canonical semantics, not arbitrary deletion)
+    val comp = graft.operators.Dedup.connectedComponents(pairs)
+    val keepers = comp.groupBy(col("comp")).agg(min(col("node")).as("keep"))
+    val wrong = comp.join(keepers, "comp")
+      .join(ids, comp("node") === ids("doc_id"), "left_semi")
+      .filter(col("node") =!= col("keep"))
+    assert(wrong.count() === 0)
+  }
 }
