@@ -323,6 +323,74 @@ object Dedup {
       .agg(sum(col("c")).as("dup_tokens"))
   }
 
+  /** Exact-substring dedup ENDPOINT (the act-on-it counterpart of
+    * [[duplicatedSpanCoverage]], Lee et al. 2022 §4.2): remove every
+    * token covered by a `spanTokens`-token run that occurs ≥ 2× in the
+    * corpus, and reassemble each doc's remaining tokens in order.
+    *
+    * Scale design — the rebuild cost is proportional to CONTAMINATED
+    * docs, not the corpus:
+    *  - span hashing + the count-over-window duplicate test are exactly
+    *    [[duplicatedSpanCoverage]]'s one-exchange layout;
+    *  - docs with NO duplicated span never explode to token grain: they
+    *    pass through a narrow `concat_ws(toks)` projection (the
+    *    normalized identity — output text is whitespace-normalized
+    *    lowercase for touched and untouched docs alike, so downstream
+    *    comparisons are apples-to-apples);
+    *  - only touched docs are exploded to (id, pos, token) rows for the
+    *    covered-position anti-join and the ordered reassembly (one
+    *    id-keyed aggregation; the classic per-group array_sort rebuild).
+    *    At 100 TB with a few-percent dup rate that's a few percent of
+    *    the corpus paying the token-grain path.
+    *
+    * All four consumers of the tokenized base diverge AFTER an identical
+    * `repartition(id)` exchange, so ReuseExchange materializes the
+    * tokenize once (shuffle-file reuse), not per branch.
+    *
+    * @return (id, n_kept, clean_text) for EVERY input doc — fully
+    *         deduplicated docs come back with n_kept = 0, clean_text = ""
+    */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = spanTokens
+    val base = docs
+      .repartition(col(idCol))
+      .select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("toks"))
+    val sp = base
+      .select(col("id"), col("toks"),
+        explode(when(size(col("toks")) >= k,
+          sequence(lit(1), size(col("toks")) - (k - 1)))
+          .otherwise(array())).as("s"))
+      .select(col("id"), col("s"),
+        xxhash64(concat_ws(" ", slice(col("toks"), col("s"), lit(k)))).as("h"))
+    val ds = sp
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("n") >= 2)
+      .select(col("id"), col("s"))
+    val touched = ds.select(col("id")).distinct()
+    val covered = ds
+      .select(col("id"), explode(sequence(col("s"), col("s") + (k - 1))).as("pos"))
+      .dropDuplicates(Seq("id", "pos"))
+    val toksTouched = base.join(touched, Seq("id"), "left_semi")
+      .select(col("id"), posexplode(col("toks")).as(Seq("i0", "tk")))
+      .select(col("id"), (col("i0") + 1).as("pos"), col("tk"))
+    val rebuilt = toksTouched.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tk")))),
+          s => s.getField("tk"))).as("clean_text"))
+    val untouchedOut = base.join(touched, Seq("id"), "left_anti")
+      .select(col("id"), size(col("toks")).cast("long").as("n_kept"),
+        concat_ws(" ", col("toks")).as("clean_text"))
+    val touchedOut = touched
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+    untouchedOut.unionByName(touchedOut)
+  }
+
   /** Mersenne prime 2^31-1 — modulus of the portable min-hash family. */
   val MinhashP: Long = 2147483647L
 

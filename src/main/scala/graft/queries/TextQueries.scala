@@ -1330,6 +1330,58 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Exact-substring dedup ENDPOINT (`Dedup.removeDuplicatedSpans`):
+    * q83 measures duplicated-span coverage; this query ACTS on it —
+    * every token inside a 20-token run occurring ≥ 2× in the corpus is
+    * removed and the doc reassembled in order. The gate hashes each
+    * doc's md5(clean_text), so the REASSEMBLY itself (interval union,
+    * ordering, whitespace normalization, fully-deduplicated docs
+    * emptying to "") is what's checked, not just counts. Scale: rebuild
+    * cost ∝ touched docs only — see the operator scaladoc. */
+  val q146SpanScrubbed = Q(
+    "q146_span_scrubbed",
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents),
+      |sp AS (
+      |  SELECT doc_id, i AS s,
+      |    md5(list_aggregate(t[i:i+19], 'string_agg', ' ')) AS h
+      |  FROM docs, unnest(range(1, len(t) - 18)) AS u(i)
+      |  WHERE len(t) >= 20),
+      |dup AS (SELECT h FROM sp GROUP BY h HAVING count(*) >= 2),
+      |ds AS (SELECT doc_id, s FROM sp JOIN dup USING (h)),
+      |touched AS (SELECT DISTINCT doc_id FROM ds),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, pos
+      |  FROM ds, unnest(range(s, s + 20)) AS v(pos)),
+      |tok AS (
+      |  SELECT dd.doc_id, u.i AS pos, dd.t[u.i] AS tk
+      |  FROM (SELECT d.doc_id, d.t FROM docs d JOIN touched USING (doc_id)) dd,
+      |    unnest(range(1, len(dd.t) + 1)) AS u(i)),
+      |clean AS (
+      |  SELECT tok.doc_id, tok.pos, tok.tk FROM tok
+      |  WHERE NOT EXISTS (SELECT 1 FROM cov
+      |    WHERE cov.doc_id = tok.doc_id AND cov.pos = tok.pos)),
+      |reb AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(tk, ' ' ORDER BY pos) AS ct
+      |  FROM clean GROUP BY doc_id),
+      |unt AS (
+      |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_kept,
+      |    list_aggregate(t, 'string_agg', ' ') AS ct
+      |  FROM docs WHERE doc_id NOT IN (SELECT doc_id FROM touched)),
+      |tch AS (
+      |  SELECT t.doc_id, coalesce(r.n_kept, 0) AS n_kept, coalesce(r.ct, '') AS ct
+      |  FROM touched t LEFT JOIN reb r ON t.doc_id = r.doc_id),
+      |allout AS (SELECT * FROM unt UNION ALL SELECT * FROM tch)
+      |SELECT doc_id, CAST(n_kept AS BIGINT) AS n_kept, md5(ct) AS clean_md5
+      |FROM allout ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Dedup.removeDuplicatedSpans(Tables.documents(spark, dir), "doc_id", "text", 20)
+      .select(col("id").as("doc_id"), col("n_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis via
     * `Sampling.weightedSampleKey`): top-5 docs per language with
     * selection probability ∝ n_chars. The md5 uniform makes the SAMPLED
@@ -2338,5 +2390,6 @@ object TextQueries {
     q108SkipgramPairs, q113MixtureSample, q114GopherRules, q118PipelineE2e,
     q119DsirWeights, q120VocabCoverage, q121SourceDivergence, q128PrefixFilterPairs,
     q130SegmentDedup, q137Bm25TopK, q138TrainShards, q140RendezvousShards,
-    q141RetrieveRerank, q142MmrRerank, q143DedupRecall, q144PrepPipeline)
+    q141RetrieveRerank, q142MmrRerank, q143DedupRecall, q144PrepPipeline,
+    q146SpanScrubbed)
 }

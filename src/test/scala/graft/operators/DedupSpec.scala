@@ -134,6 +134,51 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 6L))
   }
 
+  test("removeDuplicatedSpans: shared run cut from both docs, rest reassembled in order") {
+    val d = Seq(
+      (1L, "a b c d e f"),   // shares "a b c","b c d","c d e" with doc 2
+      (2L, "a b c d e g"),   // → union [1,5] removed from both
+      (3L, "x y z w v u")    // untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(d, "doc_id", "text", 3)
+      .as[(Long, Long, String)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got === Map(
+      1L -> (1L, "f"), 2L -> (1L, "g"), 3L -> (6L, "x y z w v u")))
+  }
+
+  test("removeDuplicatedSpans: fully duplicated doc empties; case/space normalize") {
+    val d = Seq(
+      (1L, "A b  C"),        // normalizes to "a b c" — exact dup of doc 2
+      (2L, "a b c"),
+      (3L, "a b")            // shorter than span: untouched, normalized
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(d, "doc_id", "text", 3)
+      .as[(Long, Long, String)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got === Map(1L -> (0L, ""), 2L -> (0L, ""), 3L -> (2L, "a b")))
+  }
+
+  test("removeDuplicatedSpans: intra-doc repeat keeps the unshared middle") {
+    val d = Seq((1L, "p q r x x p q r")).toDF("doc_id", "text")
+    // "p q r" twice within one doc → positions [1,3] and [6,8] removed
+    val got = Dedup.removeDuplicatedSpans(d, "doc_id", "text", 3)
+      .as[(Long, Long, String)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got === Map(1L -> (2L, "x x")))
+  }
+
+  test("removeDuplicatedSpans agrees with duplicatedSpanCoverage on the corpus") {
+    val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", 5)
+      .withColumnRenamed("id", "cid")
+    val nTok = docs.select(col("doc_id"),
+      size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+    val cov = Dedup.duplicatedSpanCoverage(docs, "doc_id", "text", 5)
+    // removed token mass per doc = the coverage q83 reports
+    val joined = out.join(nTok, col("cid") === col("doc_id"))
+      .join(cov, col("cid") === col("id"), "left")
+      .select(col("cid"), (col("n_tokens") - col("n_kept")).as("removed"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+    assert(joined.filter(col("removed") =!= col("dup_tokens")).count() === 0)
+  }
+
   test("minhash signature slots stay within [0, P)") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = 8)
       .select(explode(col("sig"))).as[Long].collect()
