@@ -219,6 +219,22 @@ object StreamOps {
     events.groupBy(col(groupCol))
       .agg(graft.functions.QuantileSketch.sketch(valueCents, lo, width, nBins).as("qs"))
 
+  /** Streaming A/B experiment monitor — q147's Welch sufficient
+    * statistics as grouped streaming state: per (group, cohort) the
+    * state is THREE longs (n, Σv, Σv²) forever, and each micro-batch
+    * merges exactly like a batch map-side partial (integer sums are
+    * order-independent), so the streamed statistics — and the t-test
+    * derived from them on the serving read — are bit-identical to the
+    * batch answer over the same rows. The live experiment dashboard
+    * that updates per micro-batch without ever retaining events.
+    * `valueCents` must be integral (the q96/q134/q147 exactness
+    * contract). */
+  def abSufficientStats(events: DataFrame, groupCol: String,
+      cohort: Column, valueCents: Column): DataFrame =
+    events.groupBy(col(groupCol), cohort.as("v"))
+      .agg(count(lit(1)).as("n"), sum(valueCents).as("s"),
+        sum(valueCents * valueCents).as("q"))
+
   /** Streaming BM25 retrieval scoring — the serving face of
     * `operators/Bm25`: a STREAM of query terms joins the STATIC
     * posting index (stream-static equi-join on the term — the same

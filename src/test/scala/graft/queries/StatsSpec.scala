@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Cross-checks for the sufficient-statistics analytics family
+  * (q145 grouped OLS, q147 Welch t): the closed-form derivations must
+  * agree with Spark's own incremental-float aggregates (to float
+  * tolerance — bit-equality is exactly what those CAN'T give, which is
+  * why the queries don't use them) and with a driver-side reference.
+  */
+class StatsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q145 slope/intercept agree with Spark's native regr_slope/regr_intercept") {
+    val got = RelationalQueries.q145RevenueTrend.run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val m = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1).as("x"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+    val ref = m.groupBy(col("n_name"))
+      .agg(expr("regr_slope(y, x)").as("sl"), expr("regr_intercept(y, x)").as("ic"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (nation, (sl, ic)) =>
+      val (rsl, ric) = ref(nation)
+      assert(math.abs(sl - rsl) <= 1e-4 * math.max(1.0, math.abs(rsl)), s"slope $nation")
+      assert(math.abs(ic - ric) <= 1e-4 * math.max(1.0, math.abs(ric)), s"intercept $nation")
+    }
+  }
+
+  test("q147 Welch t matches a driver-side reference computation") {
+    val got = EventQueries.q147AbWelch.run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).as("v"),
+        round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (tpe, t) =>
+      def side(v: Long) = rows.collect { case (`tpe`, `v`, c) => c }
+      val (a, b) = (side(0L), side(1L))
+      def meanVar(xs: Array[Long]) = {
+        val n = xs.length.toDouble
+        val mean = xs.sum.toDouble / n
+        val s2 = xs.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+        (mean, s2 / n)
+      }
+      val ((ma, va), (mb, vb)) = (meanVar(a), meanVar(b))
+      val ref = (ma - mb) / math.sqrt(va + vb)
+      assert(math.abs(t - ref) <= 1e-3, s"$tpe: $t vs $ref")
+    }
+  }
+}

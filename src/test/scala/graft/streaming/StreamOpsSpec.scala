@@ -384,6 +384,37 @@ class StreamOpsSpec extends SparkSpec {
     assert(math.abs(est - p50) <= width / 2 + width) // midpoint ± bin width
   }
 
+  test("streaming A/B sufficient stats are bit-identical to batch (and so is the t)") {
+    val cohort = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 2
+    val cents = round(col("value") * 100).cast("long")
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1))
+    def stats(r: org.apache.spark.sql.Row) = (r.getLong(2), r.getLong(3), r.getLong(4))
+    val batch = StreamOps.abSufficientStats(
+        Tables.events(spark, sfDir), "event_type", cohort, cents)
+      .collect().map(r => key(r) -> stats(r)).toMap
+    val staticSchema = spark.read.parquet(stagedDir).schema
+    val streamed = StreamOps.runToMemory(spark,
+        StreamOps.abSufficientStats(
+          StreamOps.parquetStream(spark, staticSchema, stagedDir),
+          "event_type", cohort, cents),
+        "ab_test", outputMode = "complete")
+      .collect().map(r => key(r) -> stats(r)).toMap
+    assert(streamed === batch)
+    // derived Welch t from the streamed state matches the batch one
+    def welch(a: (Long, Long, Long), b: (Long, Long, Long)): Double = {
+      def varOverN(t: (Long, Long, Long)) =
+        (t._1.toDouble * t._3 - t._2.toDouble * t._2) /
+          (t._1.toDouble * t._1 * (t._1 - 1))
+      (a._2.toDouble / a._1 - b._2.toDouble / b._1) /
+        math.sqrt(varOverN(a) + varOverN(b))
+    }
+    val someType = batch.keys.head._1
+    val tb = welch(batch((someType, 0L)), batch((someType, 1L)))
+    val ts = welch(streamed((someType, 0L)), streamed((someType, 1L)))
+    assert(tb === ts && !tb.isNaN)
+  }
+
   test("streaming bounded top-k equals the batch top-k") {
     import graft.functions.TopK
     val batch = Tables.events(spark, sfDir)
