@@ -2379,6 +2379,99 @@ object TextQueries {
     }
   }
 
+  /** Portable HyperLogLog (Flajolet et al. 2007) — approximate distinct
+    * with the ENTIRE sketch state hash-gated, where q38/q105's native
+    * sketches (engine-tuned hash families) can only be rows-only: the
+    * registers derive from the portable md5 hash (low 6 bits bucket,
+    * rank = leading zeros of the remaining 54 bits + 1, via the
+    * bin()-string-length idiom both engines share), and the register
+    * sum Σ 2^(-M_j) is carried SCALED BY 2^55 as a BIGINT — every term
+    * is an exact power of two, so the sum is order-independent integer
+    * arithmetic and the oracle hash-checks the sketch state itself, not
+    * just an estimate. The estimate (α·m²·2^55/T, linear-counting
+    * small-range branch included) is one identical double expression
+    * over those exact integers. Scale shape: the register table is the
+    * partial-agg shuffle target — 64 rows per group no matter the
+    * corpus (the mergeable-sketch contract), plus the exact-distinct
+    * join for the error column (which a 100 TB run would drop — it
+    * exists here to gate the accuracy claim). The counted set is
+    * distinct trigram shingles per source — ~1.4k per group at sf0.01,
+    * squarely in HLL's raw range, so the gate exercises the register
+    * estimate itself rather than the linear-counting floor. */
+  val q148PortableHll = Q(
+    "q148_portable_hll",
+    """WITH toks AS (
+      |  SELECT d.source, u.tok
+      |  FROM (SELECT source, string_split_regex(lower(text), '\s+') AS t
+      |        FROM documents) d,
+      |    unnest(list_transform(range(1, len(d.t) - 1),
+      |      i -> d.t[i] || ' ' || d.t[i+1] || ' ' || d.t[i+2])) AS u(tok)
+      |  WHERE len(d.t) >= 3),
+      |hx AS (
+      |  SELECT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+      |reg0 AS (
+      |  SELECT source, h % 64 AS b,
+      |    max(CASE WHEN h // 64 = 0 THEN 55
+      |             ELSE 55 - length(bin(h // 64)) END) AS m
+      |  FROM hx GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT s.source, g.b
+      |  FROM (SELECT DISTINCT source FROM documents) s,
+      |    unnest(range(0, 64)) AS g(b)),
+      |reg AS (
+      |  SELECT spine.source, coalesce(reg0.m, 0) AS m
+      |  FROM spine LEFT JOIN reg0 ON spine.source = reg0.source AND spine.b = reg0.b),
+      |st AS (
+      |  SELECT source,
+      |    CAST(sum(1::BIGINT << (55 - m)) AS BIGINT) AS t_scaled,
+      |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+      |  FROM reg GROUP BY source),
+      |ex AS (
+      |  SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+      |  FROM toks GROUP BY source),
+      |est AS (
+      |  SELECT source, t_scaled, v_zero,
+      |    CASE WHEN 1.046802484394006e20 / t_scaled <= 160 AND v_zero > 0
+      |         THEN 64 * ln(CAST(64 AS DOUBLE) / v_zero)
+      |         ELSE 1.046802484394006e20 / t_scaled END AS e
+      |  FROM st)
+      |SELECT est.source, t_scaled, v_zero, round(e, 4) AS est_distinct,
+      |  exact_distinct,
+      |  round(abs(e - exact_distinct) / exact_distinct, 4) AS rel_err
+      |FROM est JOIN ex ON est.source = ex.source
+      |ORDER BY est.source""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(col("source"), TextFns.tokens(col("text")).as("t"))
+      .select(col("source"), col("t"),
+        explode(TextFns.shinglePositions(col("t"), 3)).as("i"))
+      .select(col("source"), TextFns.shingleAt(col("t"), col("i"), 3).as("tok"))
+    val hx = toks.select(col("source"),
+      conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    val rem = shiftright(col("h"), 6)
+    val reg0 = hx
+      .select(col("source"), (col("h") % 64).as("b"),
+        when(rem === 0, lit(55)).otherwise(lit(55) - length(bin(rem))).as("r"))
+      .groupBy(col("source"), col("b"))
+      .agg(max(col("r")).as("m"))
+    val spine = docs.select(col("source")).distinct()
+      .select(col("source"), explode(sequence(lit(0L), lit(63L))).as("b"))
+    val reg = spine.join(reg0, Seq("source", "b"), "left")
+      .select(col("source"), coalesce(col("m"), lit(0)).as("m"))
+    val st = reg.groupBy(col("source")).agg(
+      sum(expr("shiftleft(1L, 55 - m)")).as("t_scaled"),
+      sum(when(col("m") === 0, 1L).otherwise(0L)).as("v_zero"))
+    val ex = toks.groupBy(col("source")).agg(countDistinct(col("tok")).as("exact_distinct"))
+    val eRaw = lit(1.046802484394006e20) / col("t_scaled")
+    val e = when(eRaw <= 160 && col("v_zero") > 0,
+      lit(64) * log(lit(64.0) / col("v_zero"))).otherwise(eRaw)
+    st.join(ex, "source")
+      .select(col("source"), col("t_scaled"), col("v_zero"),
+        round(e, 4).as("est_distinct"), col("exact_distinct"),
+        round(abs(e - col("exact_distinct")) / col("exact_distinct"), 4).as("rel_err"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -2391,5 +2484,5 @@ object TextQueries {
     q119DsirWeights, q120VocabCoverage, q121SourceDivergence, q128PrefixFilterPairs,
     q130SegmentDedup, q137Bm25TopK, q138TrainShards, q140RendezvousShards,
     q141RetrieveRerank, q142MmrRerank, q143DedupRecall, q144PrepPipeline,
-    q146SpanScrubbed)
+    q146SpanScrubbed, q148PortableHll)
 }

@@ -34,6 +34,18 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q148 portable HLL estimates stay within sane error of exact distincts") {
+    // m=64 → standard error ≈ 1.04/√64 = 13%; 4σ bound with headroom
+    val rows = TextQueries.q148PortableHll.run(spark, "/root/testdata/sf0.01")
+      .select(col("source"), col("est_distinct"), col("exact_distinct"), col("rel_err"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) <= 0.55, s"${r.getString(0)}: rel_err ${r.getDouble(3)}")
+      assert(r.getDouble(1) > 0 && r.getLong(2) > 0)
+    }
+  }
+
   test("q147 Welch t matches a driver-side reference computation") {
     val got = EventQueries.q147AbWelch.run(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
