@@ -93,6 +93,49 @@ class PlanSpec extends SparkSpec {
     assert(!reads.contains("l_shipdate"), "salt hash defeats pruning:\n" + reads)
   }
 
+  test("q144 prep pipeline: no product joins, documents scans pruned") {
+    val p = plan(TextQueries.q144PrepPipeline)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "a pipeline stage degraded to a product join:\n" + p)
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    // only doc_id + text are consumed end to end; the scans must not drag
+    // lang/source/n_chars through five stages of the pipeline
+    assert(!reads.contains("n_chars") && !reads.contains("source") && !reads.contains("lang"),
+      "unneeded documents columns read:\n" + reads)
+  }
+
+  test("q145 trend: orders scan pruned to 3 columns, nation broadcast") {
+    val p = plan(RelationalQueries.q145RevenueTrend)
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(reads.contains("o_custkey") && reads.contains("o_totalprice"))
+    assert(!reads.contains("o_orderpriority") && !reads.contains("o_orderstatus"),
+      "unneeded orders columns read:\n" + reads)
+    assert(p.contains("BroadcastHashJoin"), "nation join not broadcast:\n" + p)
+  }
+
+  test("q146 span removal: documents scan pruned to id+text, no products") {
+    val p = plan(TextQueries.q146SpanScrubbed)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!reads.contains("n_chars") && !reads.contains("source") && !reads.contains("lang"),
+      "unneeded documents columns read:\n" + reads)
+  }
+
+  test("q147 Welch: events scan pruned to the 3 consumed columns") {
+    val p = plan(EventQueries.q147AbWelch)
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(reads.contains("user_id") && reads.contains("value"))
+    assert(!reads.contains("props") && !reads.contains("event_id"),
+      "unneeded events columns read:\n" + reads)
+  }
+
+  test("q148 portable HLL: documents scan pruned to source+text") {
+    val p = plan(TextQueries.q148PortableHll)
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!reads.contains("n_chars") && !reads.contains("lang") && !reads.contains("doc_id"),
+      "unneeded documents columns read:\n" + reads)
+  }
+
   test("q128 prefix-filter join stays an equi-join with in-row verification") {
     val p = plan(TextQueries.q128PrefixFilterPairs)
     // candidate generation must remain a plain equi-join on the prefix
