@@ -2440,36 +2440,180 @@ object TextQueries {
       |  round(abs(e - exact_distinct) / exact_distinct, 4) AS rel_err
       |FROM est JOIN ex ON est.source = ex.source
       |ORDER BY est.source""".stripMargin) { (spark, dir) =>
+    import graft.functions.PortableHll
     val docs = Tables.documents(spark, dir)
     val toks = docs
       .select(col("source"), TextFns.tokens(col("text")).as("t"))
       .select(col("source"), col("t"),
         explode(TextFns.shinglePositions(col("t"), 3)).as("i"))
       .select(col("source"), TextFns.shingleAt(col("t"), col("i"), 3).as("tok"))
-    val hx = toks.select(col("source"),
-      conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
-    val rem = shiftright(col("h"), 6)
-    val reg0 = hx
-      .select(col("source"), (col("h") % 64).as("b"),
-        when(rem === 0, lit(55)).otherwise(lit(55) - length(bin(rem))).as("r"))
-      .groupBy(col("source"), col("b"))
-      .agg(max(col("r")).as("m"))
-    val spine = docs.select(col("source")).distinct()
-      .select(col("source"), explode(sequence(lit(0L), lit(63L))).as("b"))
-    val reg = spine.join(reg0, Seq("source", "b"), "left")
-      .select(col("source"), coalesce(col("m"), lit(0)).as("m"))
-    val st = reg.groupBy(col("source")).agg(
-      sum(expr("shiftleft(1L, 55 - m)")).as("t_scaled"),
-      sum(when(col("m") === 0, 1L).otherwise(0L)).as("v_zero"))
+    val st = PortableHll.state(
+      PortableHll.registers(toks, "source", col("tok")),
+      docs.select(col("source")).distinct(), "source")
     val ex = toks.groupBy(col("source")).agg(countDistinct(col("tok")).as("exact_distinct"))
-    val eRaw = lit(1.046802484394006e20) / col("t_scaled")
-    val e = when(eRaw <= 160 && col("v_zero") > 0,
-      lit(64) * log(lit(64.0) / col("v_zero"))).otherwise(eRaw)
+    val e = PortableHll.estimate(col("t_scaled"), col("v_zero"))
     st.join(ex, "source")
       .select(col("source"), col("t_scaled"), col("v_zero"),
         round(e, 4).as("est_distinct"), col("exact_distinct"),
         round(abs(e - col("exact_distinct")) / col("exact_distinct"), 4).as("rel_err"))
       .orderBy(col("source"))
+  }
+
+  /** Corpus drift monitor between two snapshot halves (doc_id parity
+    * stands in for yesterday/today): the three drift signals an
+    * ingest pipeline alarms on, in ONE long-form result —
+    * length-distribution PSI (population stability index over 32
+    * fixed-width n_chars bins, add-one smoothed, the industry drift
+    * metric), source-mix L1 distance, and shingle NOVELTY rate (what
+    * fraction of today's distinct trigrams yesterday never saw — the
+    * content-level signal the length/mix marginals can't see).
+    * Exactness: every input to every float is an exact integer count
+    * (bin histograms, source counts, distinct-shingle anti-join
+    * counts); PSI/L1/rate are identical double expressions, 6dp.
+    * Scale: histograms are ≤ 32/|sources| rows via partial agg; the
+    * novelty anti-join is shingle-keyed (the q68 shape); nothing
+    * pairwise. */
+  val q149CorpusDrift = Q(
+    "q149_corpus_drift",
+    """WITH a AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+      |b AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+      |tot AS (SELECT (SELECT count(*) FROM a) AS na, (SELECT count(*) FROM b) AS nb),
+      |ha AS (SELECT least(n_chars // 64, 31) AS bin, count(*) AS c FROM a GROUP BY 1),
+      |hb AS (SELECT least(n_chars // 64, 31) AS bin, count(*) AS c FROM b GROUP BY 1),
+      |spine AS (SELECT g.bin FROM unnest(range(0, 32)) AS g(bin)),
+      |hh AS (
+      |  SELECT spine.bin, coalesce(ha.c, 0) AS ca, coalesce(hb.c, 0) AS cb
+      |  FROM spine LEFT JOIN ha USING (bin) LEFT JOIN hb USING (bin)),
+      |psi AS (
+      |  SELECT round(sum(
+      |    ((ca + 1) / CAST(na + 32 AS DOUBLE) - (cb + 1) / CAST(nb + 32 AS DOUBLE))
+      |    * ln(((ca + 1) / CAST(na + 32 AS DOUBLE))
+      |        / ((cb + 1) / CAST(nb + 32 AS DOUBLE)))), 6) AS v
+      |  FROM hh, tot),
+      |sa AS (SELECT source, count(*) AS c FROM a GROUP BY 1),
+      |sb AS (SELECT source, count(*) AS c FROM b GROUP BY 1),
+      |sm AS (
+      |  SELECT coalesce(sa.c, 0) AS ca, coalesce(sb.c, 0) AS cb
+      |  FROM sa FULL OUTER JOIN sb ON sa.source = sb.source),
+      |sl1 AS (
+      |  SELECT round(sum(abs(ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))), 6) AS v
+      |  FROM sm, tot),
+      |shd AS (
+      |  SELECT DISTINCT doc_id % 2 AS half, s
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |        FROM documents) d,
+      |    unnest(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(s)
+      |  WHERE len(t) >= 3),
+      |nov AS (
+      |  SELECT
+      |    (SELECT count(*) FROM shd y WHERE y.half = 1 AND NOT EXISTS
+      |      (SELECT 1 FROM shd x WHERE x.half = 0 AND x.s = y.s)) AS novel,
+      |    (SELECT count(*) FROM shd y WHERE y.half = 1) AS totb)
+      |SELECT 'chars_psi' AS metric, v AS value FROM psi
+      |UNION ALL SELECT 'novel_shingle_rate', round(novel / CAST(totb AS DOUBLE), 6) FROM nov
+      |UNION ALL SELECT 'novel_shingles', CAST(novel AS DOUBLE) FROM nov
+      |UNION ALL SELECT 'source_mix_l1', v FROM sl1
+      |ORDER BY metric""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val tot = a.agg(count(lit(1)).as("na"))
+      .crossJoin(b.agg(count(lit(1)).as("nb")))
+    def hist(df: org.apache.spark.sql.DataFrame, cn: String) = df
+      .select(least(shiftright(col("n_chars"), 6), lit(31L)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(cn))
+    val spine = spark.range(0, 32).select(col("id").as("bin"))
+    val hh = spine.join(hist(a, "ca0"), Seq("bin"), "left")
+      .join(hist(b, "cb0"), Seq("bin"), "left")
+      .select(coalesce(col("ca0"), lit(0L)).as("ca"),
+        coalesce(col("cb0"), lit(0L)).as("cb"))
+    def p(cc: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      (cc + 1) / (n + 32).cast("double")
+    val psi = hh.crossJoin(broadcast(tot))
+      .agg(round(sum((p(col("ca"), col("na")) - p(col("cb"), col("nb")))
+        * log(p(col("ca"), col("na")) / p(col("cb"), col("nb")))), 6).as("value"))
+      .select(lit("chars_psi").as("metric"), col("value"))
+    def smix(df: org.apache.spark.sql.DataFrame, cn: String) =
+      df.groupBy(col("source")).agg(count(lit(1)).as(cn))
+    val saDf = smix(a, "ca").withColumnRenamed("source", "sa")
+    val sbDf = smix(b, "cb").withColumnRenamed("source", "sb")
+    val sm = saDf.join(sbDf, col("sa") === col("sb"), "full_outer")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val sourceL1 = sm.crossJoin(broadcast(tot))
+      .agg(round(sum(abs(col("ca") / col("na").cast("double")
+        - col("cb") / col("nb").cast("double"))), 6).as("value"))
+      .select(lit("source_mix_l1").as("metric"), col("value"))
+    val shd = docs
+      .repartition(col("doc_id"))
+      .select((col("doc_id") % 2).as("half"), TextFns.tokens(col("text")).as("t"))
+      .select(col("half"), col("t"),
+        explode(TextFns.shinglePositions(col("t"), 3)).as("i"))
+      .select(col("half"), TextFns.shingleAt(col("t"), col("i"), 3).as("s"))
+      .dropDuplicates(Seq("half", "s"))
+    val shA = shd.filter(col("half") === 0).select(col("s"))
+    val shB = shd.filter(col("half") === 1).select(col("s"))
+    val novCnt = shB.join(shA, Seq("s"), "left_anti").agg(count(lit(1)).as("novel"))
+      .crossJoin(shB.agg(count(lit(1)).as("totb")))
+    val novelty = novCnt.select(
+        lit("novel_shingle_rate").as("metric"),
+        round(col("novel") / col("totb").cast("double"), 6).as("value"))
+      .unionByName(novCnt.select(lit("novel_shingles").as("metric"),
+        col("novel").cast("double").as("value")))
+    psi.unionByName(novelty).unionByName(sourceL1).orderBy(col("metric"))
+  }
+
+  /** Source-affinity matrix — pairwise cosine similarity between the
+    * sources' hashed-unigram count vectors (B = 64 md5 buckets): the
+    * data-mixing diagnostic that complements q121's KL-vs-marginal with
+    * a source×source view (which sources are interchangeable, which add
+    * diversity). Exactness: dot products and norms are BIGINT sums of
+    * exact bucket counts; the cosine is one identical double expression
+    * over them, 6dp. Scale: the ONLY corpus-sized work is the one
+    * partial-agg shuffle to |sources|×64 rows; the pairwise join runs
+    * on that bounded table, so the "matrix" costs the same at any
+    * corpus size (the q119/q121 hashed-bucket contract). */
+  val q150SourceAffinity = Q(
+    "q150_source_affinity",
+    """WITH toks AS (
+      |  SELECT d.source, u.tok
+      |  FROM (SELECT source, string_split_regex(lower(text), '\s+') AS t
+      |        FROM documents) d, unnest(d.t) AS u(tok)),
+      |f AS (
+      |  SELECT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS b,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM toks GROUP BY 1, 2),
+      |n AS (SELECT source, CAST(sum(c * c) AS BIGINT) AS n2 FROM f GROUP BY source),
+      |dots AS (
+      |  SELECT x.source AS source_a, y.source AS source_b,
+      |    CAST(sum(x.c * y.c) AS BIGINT) AS dot
+      |  FROM f x JOIN f y ON x.b = y.b AND x.source < y.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b,
+      |  round(dot / (sqrt(CAST(nx.n2 AS DOUBLE)) * sqrt(CAST(ny.n2 AS DOUBLE))), 6)
+      |    AS cosine
+      |FROM dots JOIN n nx ON dots.source_a = nx.source
+      |JOIN n ny ON dots.source_b = ny.source
+      |ORDER BY source_a, source_b""".stripMargin) { (spark, dir) =>
+    import graft.operators.Dedup
+    val f = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .select(col("source"), (Dedup.portableHash60(col("tok")) % 64).as("b"))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+    val n = f.groupBy(col("source")).agg(sum(col("c") * col("c")).as("n2"))
+    val x = f.select(col("source").as("source_a"), col("b"), col("c").as("cx"))
+    val y = f.select(col("source").as("source_b"), col("b"), col("c").as("cy"))
+    val dots = x.join(y, Seq("b")).filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("cx") * col("cy")).as("dot"))
+    dots
+      .join(n.select(col("source").as("source_a"), col("n2").as("nx2")), "source_a")
+      .join(n.select(col("source").as("source_b"), col("n2").as("ny2")), "source_b")
+      .select(col("source_a"), col("source_b"),
+        round(col("dot") / (sqrt(col("nx2").cast("double"))
+          * sqrt(col("ny2").cast("double"))), 6).as("cosine"))
+      .orderBy(col("source_a"), col("source_b"))
   }
 
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
@@ -2484,5 +2628,5 @@ object TextQueries {
     q119DsirWeights, q120VocabCoverage, q121SourceDivergence, q128PrefixFilterPairs,
     q130SegmentDedup, q137Bm25TopK, q138TrainShards, q140RendezvousShards,
     q141RetrieveRerank, q142MmrRerank, q143DedupRecall, q144PrepPipeline,
-    q146SpanScrubbed, q148PortableHll)
+    q146SpanScrubbed, q148PortableHll, q149CorpusDrift, q150SourceAffinity)
 }

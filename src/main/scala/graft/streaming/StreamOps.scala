@@ -219,6 +219,18 @@ object StreamOps {
     events.groupBy(col(groupCol))
       .agg(graft.functions.QuantileSketch.sketch(valueCents, lo, width, nBins).as("qs"))
 
+  /** Streaming approximate distinct count — q148's portable HLL
+    * registers as grouped streaming state: ≤ 64 (group, bucket) rows
+    * each holding ONE max-rank int, forever, whatever the stream's
+    * cardinality. MAX is order-independent, so each micro-batch merges
+    * exactly like a batch map-side partial and the streamed register
+    * table is bit-identical to the batch sketch over the same rows;
+    * the cardinality estimate (PortableHll.state + estimate) is derived
+    * on the serving read — the one-aggregation rule puts the spine
+    * join + register sum on the reader, where serving wants it. */
+  def distinctRegisters(items: DataFrame, groupCol: String, item: Column): DataFrame =
+    graft.functions.PortableHll.registers(items, groupCol, item)
+
   /** Streaming A/B experiment monitor — q147's Welch sufficient
     * statistics as grouped streaming state: per (group, cohort) the
     * state is THREE longs (n, Σv, Σv²) forever, and each micro-batch

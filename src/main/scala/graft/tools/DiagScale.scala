@@ -136,6 +136,11 @@ object DiagScale {
             maxDocFreq = 100).count()),
         "q83_spans" -> (() =>
           Dedup.duplicatedSpanCoverage(docs, "doc_id", "text", spanTokens = 20).count()),
+        "q146_span_removal" -> (() =>
+          // sum of clean-text lengths so the count can't prune away the
+          // reassembly — the rebuild path is the thing being timed
+          Dedup.removeDuplicatedSpans(docs, "doc_id", "text", spanTokens = 20)
+            .agg(sum(length(col("clean_text")))).collect().head.getLong(0)),
         "q91_kmeans" -> (() => {
           val (a, _) = graft.operators.KMeans.fit(emb, "vec_id", "embedding", 8, 2)
           a.groupBy("cell").count().count()

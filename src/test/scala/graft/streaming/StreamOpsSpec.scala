@@ -384,6 +384,38 @@ class StreamOpsSpec extends SparkSpec {
     assert(math.abs(est - p50) <= width / 2 + width) // midpoint ± bin width
   }
 
+  test("streaming HLL registers are bit-identical to batch; estimate derives on read") {
+    import graft.functions.PortableHll
+    val batchReg = PortableHll.registers(
+        Tables.events(spark, sfDir), "event_type", col("user_id").cast("string"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val staticSchema = spark.read.parquet(stagedDir).schema
+    val streamedRows = StreamOps.runToMemory(spark,
+        StreamOps.distinctRegisters(
+          StreamOps.parquetStream(spark, staticSchema, stagedDir),
+          "event_type", col("user_id").cast("string")),
+        "hll_test", outputMode = "complete")
+    val streamedReg = streamedRows
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(streamedReg === batchReg)
+    // the serving read: state + estimate over the streamed registers vs
+    // the exact per-group distinct (m=64 → 13% standard error; 4σ bound)
+    // group spine from the source catalog (re-deriving it from the
+    // memory-sink view would self-join the same plan — conflicting refs)
+    val groups = Tables.events(spark, sfDir).select(col("event_type")).distinct()
+    val est = PortableHll.state(streamedRows, groups, "event_type")
+      .select(col("event_type"),
+        PortableHll.estimate(col("t_scaled"), col("v_zero")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id").cast("string")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(est(g) - n) <= 0.55 * n, s"$g: est ${est(g)} vs exact $n")
+    }
+  }
+
   test("streaming A/B sufficient stats are bit-identical to batch (and so is the t)") {
     val cohort = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
       .cast("long") % 2
