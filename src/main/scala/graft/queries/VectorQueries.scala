@@ -910,9 +910,91 @@ object VectorQueries {
       .orderBy(col("rnk"))
   }
 
+  /** Binary (sign-bit) embedding ANN — the third point of the
+    * compression family (q93 PQ: 8 B/vec, trained; q139 SQ8: 64 B/vec,
+    * training-free; this: 8 B/vec, training-free): each 64-dim vector
+    * collapses to its sign bits, packed as TWO 32-bit halves in BIGINTs
+    * (shifts stay off the sign bit, so no engine-specific overflow
+    * semantics), Hamming distance = popcount of the XOR — INTEGER-exact
+    * end to end, the q96/q139 trick applied to 1-bit quantization.
+    * Retrieve-then-rerank shape (q141): the Hamming prescreen scans
+    * 8-byte signatures (1/32 of the float bytes) against a BROADCAST
+    * probe signature table and nominates top-20 per probe by
+    * (hamming, vec_id); exact cosine reranks ONLY those 20 under the
+    * round-before-rank contract. At 100 TB the float corpus is touched
+    * for O(probes × 20) rows. */
+  val q151BinaryAnn = Q(
+    "q151_binary_ann",
+    """WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_sum(list_transform(range(0, 32),
+      |      i -> CASE WHEN embedding[i + 1] > 0 THEN 1::BIGINT << i ELSE 0 END))
+      |      AS BIGINT) AS lo,
+      |    CAST(list_sum(list_transform(range(0, 32),
+      |      i -> CASE WHEN embedding[i + 33] > 0 THEN 1::BIGINT << i ELSE 0 END))
+      |      AS BIGINT) AS hi
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS qid, embedding AS q_emb, lo AS qlo, hi AS qhi
+      |      FROM s WHERE vec_id % 97 = 0),
+      |h AS (
+      |  SELECT q.qid, s.vec_id,
+      |    CAST(bit_count(xor(s.lo, q.qlo)) + bit_count(xor(s.hi, q.qhi)) AS INT)
+      |      AS hamming,
+      |    s.embedding
+      |  FROM s, q WHERE s.vec_id <> q.qid),
+      |t20 AS (
+      |  SELECT qid, vec_id, hamming, embedding,
+      |    row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id) AS rn
+      |  FROM h),
+      |rr AS (
+      |  SELECT t.qid, t.vec_id, t.hamming,
+      |    round(list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),
+      |                                 CAST(q.q_emb AS DOUBLE[])), 6) AS cos_sim
+      |  FROM t20 t JOIN q ON t.qid = q.qid WHERE t.rn <= 20),
+      |fin AS (
+      |  SELECT qid, vec_id, hamming, cos_sim,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk
+      |  FROM rr)
+      |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, hamming, cos_sim
+      |FROM fin WHERE rnk <= 5
+      |ORDER BY qid, rnk""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    def half(off: Int) = expr(
+      s"""aggregate(transform(sequence(0, 31),
+         |  i -> IF(element_at(embedding, i + $off + 1) > CAST(0 AS FLOAT),
+         |          shiftleft(1L, i), 0L)),
+         |  0L, (acc, x) -> acc + x)""".stripMargin)
+    val sigs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        half(0).as("lo"), half(32).as("hi"))
+    val probeSigs = sigs.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("qid"), col("lo").as("qlo"), col("hi").as("qhi"))
+    val ham = sigs.crossJoin(broadcast(probeSigs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (bit_count(col("lo").bitwiseXOR(col("qlo")))
+          + bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("int").as("hamming"),
+        col("embedding"))
+    val byQ = Window.partitionBy(col("qid"))
+    val t20 = ham
+      .withColumn("rn", row_number().over(byQ.orderBy(col("hamming"), col("vec_id"))))
+      .filter(col("rn") <= 20)
+    val probeEmb = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val rr = t20.join(broadcast(probeEmb), "qid")
+      .select(col("qid"), col("vec_id"), col("hamming"),
+        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+    rr.withColumn("rnk", row_number().over(byQ.orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("hamming"), col("cos_sim"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val all: Seq[Q] = Seq(q31CosineTopK, q32CentroidNorms, q33AnnLshTopK,
     q34EmbeddingNearDups, q39CentroidAggregator, q45IvfAnn, q51DedupClusters,
     q133IncrementalClusters,
     q59DedupKeep, q91KmeansClusters, q92SemDedupKeep, q93PqAnn, q103AnnRecall,
-    q104MultiprobeLsh, q117LeakageSafeSplit, q122IvfPqAnn, q139Sq8Ann)
+    q104MultiprobeLsh, q117LeakageSafeSplit, q122IvfPqAnn, q139Sq8Ann,
+    q151BinaryAnn)
 }
