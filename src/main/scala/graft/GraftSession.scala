@@ -76,6 +76,9 @@ object GraftSession {
     // q134's cents geometry: $1000-wide bins from 0, 128 bins
     spark.udf.register("graft_qsketch_cents",
       udaf(QuantileSketch.agg(0L, 100000L, 128)))
+    // q148's portable HLL: 64 dense max-rank registers over md5
+    spark.udf.register("graft_hll64",
+      udaf(graft.functions.PortableHll.agg))
   }
 
   /** Register graft's custom expressions in the session's function

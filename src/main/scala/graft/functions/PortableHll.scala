@@ -78,4 +78,48 @@ object PortableHll {
     when(eRaw <= lit(2.5 * M) && vZero > 0,
       lit(M) * log(lit(M.toDouble) / vZero)).otherwise(eRaw)
   }
+
+  /** Typed Aggregator form for pure-SQL callers (`graft_hll64`): the
+    * buffer is the DENSE 64-register max-rank array, reduce computes
+    * the SAME bucket/rank as the relational form (JVM MD5 ≡ Spark md5
+    * ≡ DuckDB md5 — the portability anchor), merge is element-wise max
+    * (the HLL union), finish returns the registers — state + estimate
+    * derive from them exactly as q148 derives from the register table. */
+  def agg: org.apache.spark.sql.expressions.Aggregator[String, Array[Int], Seq[Int]] =
+    new org.apache.spark.sql.expressions.Aggregator[String, Array[Int], Seq[Int]] {
+      import org.apache.spark.sql.Encoder
+      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+      def zero: Array[Int] = new Array[Int](M)
+      def reduce(buf: Array[Int], s: String): Array[Int] = {
+        if (s != null) {
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(s.getBytes("UTF-8"))
+          val hex = d.map("%02x".format(_)).mkString.substring(0, 15)
+          val h = java.lang.Long.parseLong(hex, 16)
+          val b = (h % M).toInt
+          val rem = h >>> 6
+          val r = if (rem == 0L) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+          if (r > buf(b)) buf(b) = r
+        }
+        buf
+      }
+      def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+        var i = 0
+        while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+        a
+      }
+      def finish(buf: Array[Int]): Seq[Int] = buf.toSeq
+      def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
+      def outputEncoder: Encoder[Seq[Int]] = ExpressionEncoder[Seq[Int]]()
+    }
+
+  /** Driver-side estimate from a finished register array — the same
+    * arithmetic as [[estimate]], for consumers of `graft_hll64`. */
+  def estimateFromRegisters(regs: Seq[Int]): Double = {
+    require(regs.length == M, s"expected $M registers, got ${regs.length}")
+    val t = regs.map(m => 1L << (55 - m)).sum
+    val v = regs.count(_ == 0)
+    val eRaw = AlphaM2Pow55 / t
+    if (eRaw <= 2.5 * M && v > 0) M * math.log(M.toDouble / v) else eRaw
+  }
 }

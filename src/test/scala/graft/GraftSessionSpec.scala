@@ -124,4 +124,34 @@ class GraftSessionSpec extends SparkSpec {
     assert(viaSql === ref)
     assert(viaSql.sum === cents.length.toLong)
   }
+
+  test("registered SQL aggregates: graft_hll64 matches the relational register table") {
+    import graft.functions.PortableHll
+    GraftSession.registerAggregates(spark)
+    GraftSession.registerTables(spark, "/root/testdata/sf0.001")
+    import spark.implicits._
+    val viaSql = spark.sql(
+      "SELECT lang, graft_hll64(CAST(doc_id AS STRING)) FROM documents GROUP BY lang")
+      .as[(String, Seq[Int])].collect().toMap
+    // relational registers (sparse) densified must equal the aggregator's
+    val rel = PortableHll.registers(
+        spark.table("documents"), "lang",
+        org.apache.spark.sql.functions.col("doc_id")
+          .cast(org.apache.spark.sql.types.StringType))
+      .collect().map(r => (r.getString(0), r.getLong(1).toInt) -> r.getInt(2)).toMap
+    viaSql.foreach { case (lang, regs) =>
+      assert(regs.length === 64)
+      regs.zipWithIndex.foreach { case (m, b) =>
+        assert(m === rel.getOrElse((lang, b), 0), s"$lang register $b")
+      }
+    }
+    // and the driver-side estimate tracks the exact count
+    val exact = spark.sql(
+      "SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents GROUP BY lang")
+      .as[(String, Long)].collect().toMap
+    viaSql.foreach { case (lang, regs) =>
+      val est = PortableHll.estimateFromRegisters(regs)
+      assert(math.abs(est - exact(lang)) <= 0.55 * exact(lang), s"$lang: $est vs ${exact(lang)}")
+    }
+  }
 }
