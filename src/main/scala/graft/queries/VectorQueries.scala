@@ -922,7 +922,12 @@ object VectorQueries {
     * probe signature table and nominates top-20 per probe by
     * (hamming, vec_id); exact cosine reranks ONLY those 20 under the
     * round-before-rank contract. At 100 TB the float corpus is touched
-    * for O(probes × 20) rows. */
+    * for O(probes × 20) rows. The probe batch is BOUNDED BY
+    * CONSTRUCTION (a literal id list — the serving shape, q31's
+    * single-probe pattern generalized), which is what makes the
+    * broadcast hint legal under the registry-wide audit; a
+    * corpus×corpus binary dedup would instead band the sign bits
+    * (q29/q34's banding applied to signatures), never brute Hamming. */
   val q151BinaryAnn = Q(
     "q151_binary_ann",
     """WITH s AS (
@@ -935,7 +940,7 @@ object VectorQueries {
       |      AS BIGINT) AS hi
       |  FROM embeddings),
       |q AS (SELECT vec_id AS qid, embedding AS q_emb, lo AS qlo, hi AS qhi
-      |      FROM s WHERE vec_id % 97 = 0),
+      |      FROM s WHERE vec_id IN (0, 7, 14, 21, 28, 35)),
       |h AS (
       |  SELECT q.qid, s.vec_id,
       |    CAST(bit_count(xor(s.lo, q.qlo)) + bit_count(xor(s.hi, q.qhi)) AS INT)
@@ -967,7 +972,7 @@ object VectorQueries {
     val sigs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         half(0).as("lo"), half(32).as("hi"))
-    val probeSigs = sigs.filter(col("vec_id") % 97 === 0)
+    val probeSigs = sigs.filter(col("vec_id").isin(0, 7, 14, 21, 28, 35))
       .select(col("vec_id").as("qid"), col("lo").as("qlo"), col("hi").as("qhi"))
     val ham = sigs.crossJoin(broadcast(probeSigs))
       .filter(col("vec_id") =!= col("qid"))
@@ -980,7 +985,7 @@ object VectorQueries {
       .withColumn("rn", row_number().over(byQ.orderBy(col("hamming"), col("vec_id"))))
       .filter(col("rn") <= 20)
     val probeEmb = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") % 97 === 0)
+      .filter(col("vec_id").isin(0, 7, 14, 21, 28, 35))
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
     val rr = t20.join(broadcast(probeEmb), "qid")
       .select(col("qid"), col("vec_id"), col("hamming"),

@@ -213,6 +213,20 @@ class PlanSpec extends SparkSpec {
           // literal side may carry an implicit Cast — "foldable" covers it
           case EqualTo(a: Attribute, v) if v.foldable => uniqueKeys(a.name)
           case EqualTo(v, a: Attribute) if v.foldable => uniqueKeys(a.name)
+          // a literal IN-list on a unique key is ≤ |list| rows — the
+          // bounded probe-batch shape (q151); the key may sit under an
+          // implicit Cast like EqualTo's literal side above
+          case org.apache.spark.sql.catalyst.expressions.In(e, vs)
+            if vs.nonEmpty && vs.forall(_.foldable) =>
+            (e match {
+              case a: Attribute => uniqueKeys(a.name)
+              case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+                c.child match {
+                  case a: Attribute => uniqueKeys(a.name)
+                  case _ => false
+                }
+              case _ => false
+            })
           case _ => false
         }.nonEmpty => f }.nonEmpty
       globalAgg || keyLookup || p.collectLeaves().forall(boundedLeaf)
