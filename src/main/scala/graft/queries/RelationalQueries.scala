@@ -1368,6 +1368,48 @@ object RelationalQueries {
       .orderBy(col("n_name"))
   }
 
+  /** Seasonal-naive forecast BACKTEST — the eval face of q06's forecast
+    * family: predict month m's per-nation revenue with month m−12's
+    * (the standard naive baseline every real forecaster must beat),
+    * score MAPE + bias per nation. Same exactness discipline as q145:
+    * the monthly series is integer CENTS, the prediction join is an
+    * equi-join on (nation, x = x+12) over the ~|nations|×|months| rollup
+    * — the backtest costs nothing at any corpus size because it runs on
+    * the aggregate, never the facts. */
+  val q152ForecastBacktest = Q(
+    "q152_forecast_backtest",
+    """WITH m AS (
+      |  SELECT n_name,
+      |    (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS x,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT c.n_name, c.y AS actual, p.y AS pred
+      |  FROM m c JOIN m p ON c.n_name = p.n_name AND c.x = p.x + 12)
+      |SELECT n_name, CAST(count(*) AS BIGINT) AS n_months,
+      |  round(avg(abs(actual - pred) / CAST(actual AS DOUBLE)), 4) AS mape,
+      |  round(sum(pred - actual) / CAST(sum(actual) AS DOUBLE), 4) AS bias
+      |FROM j GROUP BY n_name ORDER BY n_name""".stripMargin) { (spark, dir) =>
+    val m = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1).as("x"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+    val c = m.select(col("n_name"), col("x"), col("y").as("actual"))
+    val p = m.select(col("n_name").as("pn"), (col("x") + 12).as("px"), col("y").as("pred"))
+    c.join(p, col("n_name") === col("pn") && col("x") === col("px"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_months"),
+        round(avg(abs(col("actual") - col("pred")) / col("actual").cast("double")), 4)
+          .as("mape"),
+        round(sum(col("pred") - col("actual")) / sum(col("actual")).cast("double"), 4)
+          .as("bias"))
+      .orderBy(col("n_name"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -1379,5 +1421,5 @@ object RelationalQueries {
     q88ZorderLayout, q90EquidepthBins, q97TopkPerGroup, q102QualityChecks,
     q110ProfileOrders, q111BasketPairs, q124UpsertMerge, q125IncrementalAgg,
     q129IntervalOverlap, q134SketchedQuantiles, q135SnapshotDiff,
-    q145RevenueTrend)
+    q145RevenueTrend, q152ForecastBacktest)
 }

@@ -2616,6 +2616,83 @@ object TextQueries {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Grouped AUC — model evaluation at scale: how well does q81's
+    * hashed-feature classifier score rank documents against the q25
+    * rule-based quality label, per source? AUC via the Mann-Whitney
+    * rank-sum identity AUC = (2·R⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻) — ONE
+    * source-partitioned rank window + one hash agg, no per-pair work
+    * and no score collection (the naive AUC materializes n⁺·n⁻ pairs).
+    * Determinism: ranks are row_numbers over (score, doc_id) — scores
+    * are bit-identical across engines (q81's contract) and doc_id
+    * breaks ties, so the rank permutation is identical and every input
+    * to the final division is an exact BIGINT (tie-broken AUC, not
+    * tie-averaged — documented semantics, same on both sides). */
+  val q153QualityAuc = Q(
+    "q153_quality_auc",
+    s"""WITH base AS (
+       |  SELECT doc_id, source, text,
+       |    string_split_regex(lower(text), '\\s+') AS t
+       |  FROM documents),
+       |feat AS (
+       |  SELECT doc_id, source,
+       |    list_sum(list_transform(t,
+       |      x -> (${QualityModel.weightsSqlList})[
+       |        ('0x' || substr(md5(x), 1, 15))::BIGINT % ${QualityModel.Dim} + 1]))
+       |      / len(t) + ${QualityModel.Bias} AS score,
+       |    len(t) AS n_tokens,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+       |              / length(text) END AS punct_ratio,
+       |    CASE WHEN len(t) = 0 THEN 0.0
+       |         ELSE CAST(len(list_filter(t,
+       |                x -> list_contains(['the','a','of','and','to','in','is','on','for'], x)))
+       |              AS DOUBLE) / len(t) END AS stop_ratio
+       |  FROM base),
+       |lab AS (
+       |  SELECT doc_id, source, score,
+       |    (n_tokens BETWEEN 10 AND 5000 AND punct_ratio < 0.2
+       |      AND stop_ratio >= 0.02) AS pos
+       |  FROM feat),
+       |r AS (
+       |  SELECT source, pos,
+       |    row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rk
+       |  FROM lab),
+       |agg AS (
+       |  SELECT source,
+       |    CAST(sum(CASE WHEN pos THEN rk ELSE 0 END) AS BIGINT) AS rs,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+       |  FROM r GROUP BY source)
+       |SELECT source, np AS n_pos, nn AS n_neg,
+       |  round((2 * rs - np * (np + 1)) / CAST(2 * np * nn AS DOUBLE), 6) AS auc
+       |FROM agg WHERE np > 0 AND nn > 0
+       |ORDER BY source""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        TextFns.tokens(col("text")).as("toks"))
+    val lab = base.select(col("doc_id"), col("source"),
+        QualityModel.score(col("toks")).as("score"),
+        size(col("toks")).as("n_tokens"),
+        TextFns.punctRatio(col("text")).as("punct_ratio"),
+        (TextFns.markerHits(col("toks"), Stopwords).cast("double") /
+          greatest(size(col("toks")), lit(1))).as("stop_ratio"))
+      .select(col("doc_id"), col("source"), col("score"),
+        (col("n_tokens").between(10, 5000) && col("punct_ratio") < 0.2
+          && col("stop_ratio") >= 0.02).as("pos"))
+    val r = lab.withColumn("rk", row_number()
+      .over(Window.partitionBy(col("source")).orderBy(col("score"), col("doc_id"))))
+    r.groupBy(col("source"))
+      .agg(sum(when(col("pos"), col("rk").cast("long")).otherwise(0L)).as("rs"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
+      .filter(col("np") > 0 && col("nn") > 0)
+      .select(col("source"), col("np").as("n_pos"), col("nn").as("n_neg"),
+        round((lit(2) * col("rs") - col("np") * (col("np") + 1)) /
+          (lit(2) * col("np") * col("nn")).cast("double"), 6).as("auc"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -2628,5 +2705,6 @@ object TextQueries {
     q119DsirWeights, q120VocabCoverage, q121SourceDivergence, q128PrefixFilterPairs,
     q130SegmentDedup, q137Bm25TopK, q138TrainShards, q140RendezvousShards,
     q141RetrieveRerank, q142MmrRerank, q143DedupRecall, q144PrepPipeline,
-    q146SpanScrubbed, q148PortableHll, q149CorpusDrift, q150SourceAffinity)
+    q146SpanScrubbed, q148PortableHll, q149CorpusDrift, q150SourceAffinity,
+    q153QualityAuc)
 }
