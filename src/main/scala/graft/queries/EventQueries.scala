@@ -717,10 +717,95 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Poisson-bootstrap confidence interval for the per-type mean value
+    * (Chamandy et al. 2012, "Estimating Uncertainty for Massive Data
+    * Streams" — the one-pass bootstrap used at scale because true
+    * resampling would rescan the data B times): replica b gives each
+    * row weight w ~ Poisson(1), approximated by the inverse-CDF on the
+    * PORTABLE md5 uniform of (event_id # b), truncated at 5 (covers
+    * 99.94% of the mass; both dialects inline the same thresholds, so
+    * the weight of every (row, replica) is identical). Per (type,
+    * replica): weighted mean from exact BIGINT sums; the CI is the
+    * 2nd-smallest / 2nd-largest of the B=32 replica means — an ORDER
+    * STATISTIC, picked by rank, so no float summation across replicas
+    * ever happens. Scale: one scan emits 32 weighted rows per event
+    * (narrow explode), state is |types|×32 sufficient-stat pairs. */
+  val q154BootstrapCi: Q = {
+    val B = 32
+    // Poisson(1) CDF at k = 0..4 — identical literals in both dialects
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563)
+    val duckWeight = {
+      val cases = cdf.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
+      s"CASE $cases ELSE 5 END"
+    }
+    Q("q154_bootstrap_ci",
+      s"""WITH e AS (
+         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+         |    b,
+         |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#'
+         |       || CAST(b AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+         |      / 1152921504606846976.0 AS u
+         |  FROM events, unnest(range(0, $B)) AS r(b)),
+         |w AS (SELECT event_type, b, c, $duckWeight AS w FROM e),
+         |rep AS (
+         |  SELECT event_type, b,
+         |    CAST(sum(w * c) AS BIGINT) AS swc, CAST(sum(w) AS BIGINT) AS sw
+         |  FROM w GROUP BY 1, 2),
+         |means AS (
+         |  SELECT event_type, b, swc / CAST(sw AS DOUBLE) AS mb,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY swc / CAST(sw AS DOUBLE), b) AS rk
+         |  FROM rep),
+         |pt AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+         |  FROM events GROUP BY event_type)
+         |SELECT p.event_type, p.n,
+         |  round(p.sc / CAST(p.n AS DOUBLE), 4) AS mean_cents,
+         |  round(min(CASE WHEN m.rk = 2 THEN m.mb END), 4) AS ci_lo,
+         |  round(min(CASE WHEN m.rk = ${B - 1} THEN m.mb END), 4) AS ci_hi
+         |FROM pt p JOIN means m ON p.event_type = m.event_type
+         |GROUP BY p.event_type, p.n, p.sc
+         |ORDER BY p.event_type""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val u = conv(substring(md5(concat(col("event_id").cast("string"),
+        lit("#"), col("b").cast("string"))), 1, 15), 16, 10)
+        .cast("double") / lit(1152921504606846976.0)
+      val weight = cdf.zipWithIndex.foldRight(lit(5): org.apache.spark.sql.Column) {
+        case ((c, k), rest) => when(col("u") < c, lit(k)).otherwise(rest)
+      }
+      val ev = Tables.events(spark, dir)
+      val rep = ev
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("c"),
+          explode(sequence(lit(0L), lit((B - 1).toLong))).as("b"), col("event_id"))
+        .withColumn("u", u)
+        .withColumn("w", weight.cast("long"))
+        .groupBy(col("event_type"), col("b"))
+        .agg(sum(col("w") * col("c")).as("swc"), sum(col("w")).as("sw"))
+      val means = rep
+        .select(col("event_type"), col("b"), (col("swc") / col("sw").cast("double")).as("mb"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("mb"), col("b"))))
+      val pt = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sc"))
+      pt.join(means, "event_type")
+        .groupBy(col("event_type"), col("n"), col("sc"))
+        .agg(round(min(when(col("rk") === 2, col("mb"))), 4).as("ci_lo"),
+          round(min(when(col("rk") === B - 1, col("mb"))), 4).as("ci_hi"))
+        .select(col("event_type"), col("n"),
+          round(col("sc") / col("n").cast("double"), 4).as("mean_cents"),
+          col("ci_lo"), col("ci_hi"))
+        .orderBy(col("event_type"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q18JsonProps, q19HourlyAgg, q20SlidingAgg, q21Sessions,
     q22AsofViewPurchase, q50MapFuncs, q52IntervalJoin, q62Funnel, q63Retention,
     q65AsofNextView, q71GapfillHourly, q72Transitions, q86VolumeAnomalies,
     q87Scd2Intervals, q89TopPaths, q99RollingHour, q105HllRollup,
     q106MadOutliers, q107DecayedActivity, q109Scd2Lookup, q123SessionSequences,
-    q147AbWelch)
+    q147AbWelch, q154BootstrapCi)
 }
