@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.functions.{QualityModel, Sampling, TextFns}
 import graft.operators.{Bm25, Dedup}
@@ -2627,9 +2628,10 @@ object TextQueries {
     * breaks ties, so the rank permutation is identical and every input
     * to the final division is an exact BIGINT (tie-broken AUC, not
     * tie-averaged — documented semantics, same on both sides). */
-  val q153QualityAuc = Q(
-    "q153_quality_auc",
-    s"""WITH base AS (
+  /** Shared by q153/q155: per-doc classifier score (q81's expression)
+    * + rule label (q25's predicate) as SQL CTEs and as a DataFrame. */
+  private def qualityLabSql: String =
+    s"""base AS (
        |  SELECT doc_id, source, text,
        |    string_split_regex(lower(text), '\\s+') AS t
        |  FROM documents),
@@ -2652,7 +2654,25 @@ object TextQueries {
        |  SELECT doc_id, source, score,
        |    (n_tokens BETWEEN 10 AND 5000 AND punct_ratio < 0.2
        |      AND stop_ratio >= 0.02) AS pos
-       |  FROM feat),
+       |  FROM feat)""".stripMargin
+
+  private def qualityLab(spark: SparkSession, dir: String) =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        QualityModel.score(col("toks")).as("score"),
+        size(col("toks")).as("n_tokens"),
+        TextFns.punctRatio(col("text")).as("punct_ratio"),
+        (TextFns.markerHits(col("toks"), Stopwords).cast("double") /
+          greatest(size(col("toks")), lit(1))).as("stop_ratio"))
+      .select(col("doc_id"), col("source"), col("score"),
+        (col("n_tokens").between(10, 5000) && col("punct_ratio") < 0.2
+          && col("stop_ratio") >= 0.02).as("pos"))
+
+  val q153QualityAuc = Q(
+    "q153_quality_auc",
+    s"""WITH $qualityLabSql,
        |r AS (
        |  SELECT source, pos,
        |    row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rk
@@ -2668,18 +2688,7 @@ object TextQueries {
        |FROM agg WHERE np > 0 AND nn > 0
        |ORDER BY source""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("text"),
-        TextFns.tokens(col("text")).as("toks"))
-    val lab = base.select(col("doc_id"), col("source"),
-        QualityModel.score(col("toks")).as("score"),
-        size(col("toks")).as("n_tokens"),
-        TextFns.punctRatio(col("text")).as("punct_ratio"),
-        (TextFns.markerHits(col("toks"), Stopwords).cast("double") /
-          greatest(size(col("toks")), lit(1))).as("stop_ratio"))
-      .select(col("doc_id"), col("source"), col("score"),
-        (col("n_tokens").between(10, 5000) && col("punct_ratio") < 0.2
-          && col("stop_ratio") >= 0.02).as("pos"))
+    val lab = qualityLab(spark, dir)
     val r = lab.withColumn("rk", row_number()
       .over(Window.partitionBy(col("source")).orderBy(col("score"), col("doc_id"))))
     r.groupBy(col("source"))
@@ -2691,6 +2700,44 @@ object TextQueries {
         round((lit(2) * col("rs") - col("np") * (col("np") + 1)) /
           (lit(2) * col("np") * col("nn")).cast("double"), 6).as("auc"))
       .orderBy(col("source"))
+  }
+
+  /** Score calibration table — the companion eval to q153's AUC
+    * (ranking quality) answering "is the score's SCALE meaningful":
+    * positive-rate per score bin. Scale-first: bins are FIXED-WIDTH
+    * over a 1-row min/max broadcast (16 bins) — the decile/ntile
+    * formulation needs a single-partition global rank, which is the
+    * one window shape this engine refuses (q69's sharding note); one
+    * hash agg does the rest. pos counts are exact BIGINTs; bin
+    * assignment is floor() of identical doubles on both engines. */
+  val q155ScoreCalibration = Q(
+    "q155_score_calibration",
+    s"""WITH $qualityLabSql,
+       |bounds AS (SELECT min(score) AS lo, max(score) AS hi FROM lab),
+       |b AS (
+       |  SELECT least(greatest(
+       |      CAST(floor((score - lo) / ((hi - lo) / 16)) AS INT), 0), 15) AS bin,
+       |    score, pos
+       |  FROM lab, bounds)
+       |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  round(sum(CASE WHEN pos THEN 1 ELSE 0 END)
+       |    / CAST(count(*) AS DOUBLE), 4) AS pos_rate,
+       |  round(avg(score), 4) AS mean_score
+       |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (spark, dir) =>
+    val lab = qualityLab(spark, dir)
+    val bounds = lab.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    lab.crossJoin(broadcast(bounds))
+      .select(least(greatest(floor((col("score") - col("lo")) /
+          ((col("hi") - col("lo")) / 16)).cast("int"), lit(0)), lit(15)).as("bin"),
+        col("score"), col("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        round(sum(when(col("pos"), 1L).otherwise(0L))
+          / count(lit(1)).cast("double"), 4).as("pos_rate"),
+        round(avg(col("score")), 4).as("mean_score"))
+      .orderBy(col("bin"))
   }
 
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
@@ -2706,5 +2753,5 @@ object TextQueries {
     q130SegmentDedup, q137Bm25TopK, q138TrainShards, q140RendezvousShards,
     q141RetrieveRerank, q142MmrRerank, q143DedupRecall, q144PrepPipeline,
     q146SpanScrubbed, q148PortableHll, q149CorpusDrift, q150SourceAffinity,
-    q153QualityAuc)
+    q153QualityAuc, q155ScoreCalibration)
 }
