@@ -136,6 +136,21 @@ class PlanSpec extends SparkSpec {
       "unneeded documents columns read:\n" + reads)
   }
 
+  test("q152/q154 scans pruned; q150/q153 documents scans exclude unneeded columns") {
+    val p152 = plan(RelationalQueries.q152ForecastBacktest)
+    val r152 = p152.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!r152.contains("o_orderpriority") && !r152.contains("o_orderstatus"), r152)
+    val p154 = plan(EventQueries.q154BootstrapCi)
+    val r154 = p154.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!r154.contains("props") && !r154.contains("user_id"), r154)
+    val p150 = plan(TextQueries.q150SourceAffinity)
+    val r150 = p150.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!r150.contains("n_chars") && !r150.contains("doc_id") && !r150.contains("lang"), r150)
+    val p153 = plan(TextQueries.q153QualityAuc)
+    val r153 = p153.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!r153.contains("n_chars") && !r153.contains("lang"), r153)
+  }
+
   test("q128 prefix-filter join stays an equi-join with in-row verification") {
     val p = plan(TextQueries.q128PrefixFilterPairs)
     // candidate generation must remain a plain equi-join on the prefix

@@ -46,6 +46,57 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q149 drift invariants: PSI ≥ 0 (Gibbs), rates within [0,1]") {
+    val m = TextQueries.q149CorpusDrift.run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("chars_psi") >= 0.0)                  // Σ(p−q)ln(p/q) ≥ 0 always
+    assert(m("novel_shingle_rate") >= 0.0 && m("novel_shingle_rate") <= 1.0)
+    assert(m("source_mix_l1") >= 0.0 && m("source_mix_l1") <= 2.0)
+    assert(m("novel_shingles") >= 0.0)
+  }
+
+  test("q150 affinity invariants: upper triangle only, cosines in (0, 1]") {
+    val rows = TextQueries.q150SourceAffinity.run(spark, sfDir).collect()
+    val n = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("source")).distinct().count()
+    assert(rows.length === (n * (n - 1) / 2))
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      val c = r.getDouble(2)
+      assert(c > 0.0 && c <= 1.0, s"cosine $c out of range")
+    }
+  }
+
+  test("q152 backtest invariants: 12-month shift shrinks the series, MAPE finite") {
+    val rows = RelationalQueries.q152ForecastBacktest.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && !r.getDouble(2).isNaN, "mape")
+      assert(!r.getDouble(3).isNaN, "bias")
+    }
+  }
+
+  test("q154 bootstrap CI brackets the point estimate") {
+    val rows = EventQueries.q154BootstrapCi.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mean, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(lo <= mean && mean <= hi, s"${r.getString(0)}: [$lo, $hi] vs $mean")
+      assert(hi - lo > 0, "degenerate interval")
+    }
+  }
+
+  test("q155 calibration: bins partition the corpus, mean_score monotone") {
+    val rows = TextQueries.q155ScoreCalibration.run(spark, sfDir).collect()
+    val total = rows.map(_.getLong(1)).sum
+    val corpus = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(total === corpus)
+    val means = rows.map(_.getDouble(4))
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b },
+      s"bin means not monotone: ${means.mkString(",")}")
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
   test("q147 Welch t matches a driver-side reference computation") {
     val got = EventQueries.q147AbWelch.run(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
