@@ -175,5 +175,140 @@ object WebQueries {
       .orderBy(col("okey"))
   }
 
-  val all: Seq[Q] = Seq(q79DomainBudget, q136PageExtract)
+  /** robots.txt compliance filter (`operators/Robots`, RFC 9309
+    * longest-match core — the reference's ROBOTSTXT_OBEY surface,
+    * settings.py:22): a deterministic per-domain rule set (Disallow
+    * /private, Allow /private/ok — longest-match precedence with an
+    * Allow overriding its Disallow parent — plus a per-domain-parity
+    * /tmp rule) evaluated over per-document URL paths; per-domain
+    * allowed/blocked census. The oracle replays prefix-match +
+    * (length DESC, allow-first) winner selection relationally. */
+  val q156RobotsFilter = Q(
+    "q156_robots_filter",
+    """WITH src AS (SELECT DISTINCT source FROM documents),
+      |rules AS (
+      |  SELECT source, '/private' AS rp, false AS allow FROM src
+      |  UNION ALL SELECT source, '/private/ok', true FROM src
+      |  UNION ALL SELECT source, '/tmp',
+      |    CAST(substr(source, 4) AS INT) % 2 = 1 FROM src),
+      |urls AS (
+      |  SELECT doc_id, source,
+      |    CASE doc_id % 5
+      |      WHEN 0 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+      |      WHEN 1 THEN '/private/ok/p' || CAST(doc_id AS VARCHAR)
+      |      WHEN 2 THEN '/pub/p' || CAST(doc_id AS VARCHAR)
+      |      WHEN 3 THEN '/tmp/t' || CAST(doc_id AS VARCHAR)
+      |      ELSE '/' END AS path
+      |  FROM documents),
+      |cand AS (
+      |  SELECT u.doc_id, r.allow,
+      |    row_number() OVER (PARTITION BY u.doc_id
+      |      ORDER BY length(r.rp) DESC,
+      |        CASE WHEN r.allow THEN 0 ELSE 1 END) AS rn
+      |  FROM urls u JOIN rules r
+      |    ON u.source = r.source AND starts_with(u.path, r.rp)),
+      |win AS (SELECT doc_id, allow FROM cand WHERE rn = 1),
+      |verdict AS (
+      |  SELECT u.source, coalesce(w.allow, true) AS allowed
+      |  FROM urls u LEFT JOIN win w ON u.doc_id = w.doc_id)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_urls,
+      |  CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+      |  CAST(sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT) AS n_blocked
+      |FROM verdict GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    import graft.operators.Robots
+    val src = Tables.documents(spark, dir).select(col("source")).distinct()
+    val rules = src.select(col("source").as("domain"), lit("/private").as("rp"),
+        lit(false).as("allow"))
+      .unionByName(src.select(col("source").as("domain"),
+        lit("/private/ok").as("rp"), lit(true).as("allow")))
+      .unionByName(src.select(col("source").as("domain"), lit("/tmp").as("rp"),
+        (substring(col("source"), 4, 10).cast("int") % 2 === 1).as("allow")))
+    val urls = Tables.documents(spark, dir).select(
+      col("doc_id").as("url_id"), col("source").as("domain"),
+      when(col("doc_id") % 5 === 0, concat(lit("/private/p"), col("doc_id").cast("string")))
+        .when(col("doc_id") % 5 === 1, concat(lit("/private/ok/p"), col("doc_id").cast("string")))
+        .when(col("doc_id") % 5 === 2, concat(lit("/pub/p"), col("doc_id").cast("string")))
+        .when(col("doc_id") % 5 === 3, concat(lit("/tmp/t"), col("doc_id").cast("string")))
+        .otherwise(lit("/")).as("path"))
+    Robots.evaluate(urls, rules)
+      .groupBy(col("domain").as("source"))
+      .agg(count(lit(1)).as("n_urls"),
+        sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+        sum(when(col("allowed"), 0L).otherwise(1L)).as("n_blocked"))
+      .orderBy(col("source"))
+  }
+
+  /** Sitemap-driven frontier extraction — the crawl-scheduling face of
+    * the reference's pagination fan-out: per-document sitemap XML
+    * (urlset/url/loc+lastmod, the sitemaps.org schema) is parsed with
+    * Spark's built-in `xpath` into POSITIONALLY PAIRED loc/lastmod
+    * lists (posexplode + element_at — the one-parse contract q136
+    * pinned for attribute structs, applied to repeated elements);
+    * already-visited locs (portable-hash bucket) are anti-joined away
+    * and the frontier is budgeted per source with its lastmod window.
+    * The oracle replays the extraction with regexp_extract_all over
+    * the same synthesized XML and pairs lists by index. */
+  val q157SitemapFrontier = Q(
+    "q157_sitemap_frontier",
+    """WITH sm AS (
+      |  SELECT doc_id, source,
+      |    '<urlset>'
+      |    || '<url><loc>https://' || source || '.example.com/d'
+      |      || CAST(doc_id * 3 AS VARCHAR) || '</loc><lastmod>2024-01-'
+      |      || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '</lastmod></url>'
+      |    || '<url><loc>https://' || source || '.example.com/d'
+      |      || CAST(doc_id * 3 + 1 AS VARCHAR) || '</loc><lastmod>2024-01-'
+      |      || lpad(CAST((doc_id + 7) % 28 + 1 AS VARCHAR), 2, '0') || '</lastmod></url>'
+      |    || '<url><loc>https://' || source || '.example.com/d'
+      |      || CAST(doc_id * 3 + 2 AS VARCHAR) || '</loc><lastmod>2024-01-'
+      |      || lpad(CAST((doc_id + 14) % 28 + 1 AS VARCHAR), 2, '0') || '</lastmod></url>'
+      |    || '</urlset>' AS xml
+      |  FROM documents),
+      |ex AS (
+      |  SELECT source,
+      |    regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1) AS locs,
+      |    regexp_extract_all(xml, '<lastmod>([^<]*)</lastmod>', 1) AS mods
+      |  FROM sm),
+      |pairs AS (
+      |  SELECT source, locs[i] AS loc, mods[i] AS lastmod
+      |  FROM ex, unnest(range(1, len(locs) + 1)) AS u(i)),
+      |flag AS (
+      |  SELECT source, lastmod,
+      |    ('0x' || substr(md5(loc), 1, 15))::BIGINT % 3 <> 0 AS onf
+      |  FROM pairs)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_urls,
+      |  CAST(sum(CASE WHEN onf THEN 1 ELSE 0 END) AS BIGINT) AS n_frontier,
+      |  min(CASE WHEN onf THEN lastmod END) AS min_lastmod,
+      |  max(CASE WHEN onf THEN lastmod END) AS max_lastmod
+      |FROM flag GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    def entry(mul: Int, add: Int, shift: Int) = concat(
+      lit("<url><loc>https://"), col("source"), lit(".example.com/d"),
+      (col("doc_id") * mul + add).cast("string"), lit("</loc><lastmod>2024-01-"),
+      lpad(((col("doc_id") + shift) % 28 + 1).cast("string"), 2, "0"),
+      lit("</lastmod></url>"))
+    val sm = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      concat(lit("<urlset>"), entry(3, 0, 0), entry(3, 1, 7), entry(3, 2, 14),
+        lit("</urlset>")).as("xml"))
+    val pairs = sm
+      .select(col("source"),
+        expr("xpath(xml, '//url/loc/text()')").as("locs"),
+        expr("xpath(xml, '//url/lastmod/text()')").as("mods"))
+      .select(col("source"), posexplode(col("locs")).as(Seq("i0", "loc")), col("mods"))
+      .select(col("source"), col("loc"),
+        element_at(col("mods"), col("i0") + 1).as("lastmod"))
+    val visited = (conv(substring(md5(col("loc")), 1, 15), 16, 10)
+      .cast("long") % 3) === 0
+    pairs
+      .withColumn("on_frontier", !visited)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_urls"),
+        sum(when(col("on_frontier"), 1L).otherwise(0L)).as("n_frontier"),
+        min(when(col("on_frontier"), col("lastmod"))).as("min_lastmod"),
+        max(when(col("on_frontier"), col("lastmod"))).as("max_lastmod"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[Q] = Seq(q79DomainBudget, q136PageExtract, q156RobotsFilter,
+    q157SitemapFrontier)
 }
