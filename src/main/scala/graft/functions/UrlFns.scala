@@ -29,4 +29,27 @@ object UrlFns {
     * "/" and "" → 0. */
   def pathDepth(url: Column): Column =
     size(filter(split(path(url), "/"), seg => seg =!= ""))
+
+  /** Canonical URL form for frontier/dupe-filter keying — the
+    * normalizer every crawler runs so that trivially-different spellings
+    * of one resource collapse to one frontier entry (RFC 3986 §6
+    * normalizations that are safe without fetching):
+    * scheme + host lowercased, default ports (:80/:443) stripped,
+    * fragment dropped, query parameters SORTED (the big one — servers
+    * overwhelmingly treat the query as a map), path's trailing slash
+    * trimmed (non-root). Pure string expressions (RE2-safe regexes, the
+    * same in the DuckDB twin) rather than `parse_url`, so both engines
+    * compute the identical canonical string byte-for-byte. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val hostNoDefault = regexp_replace(hostPort, ":(443|80)$", "")
+    val rawPath = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val trimmed = regexp_replace(rawPath, "/$", "")
+    val pathNorm = when(trimmed === "", lit("/")).otherwise(trimmed)
+    val q = regexp_extract(url, "\\?([^#]*)", 1)
+    val sortedQ = concat_ws("&", array_sort(filter(split(q, "&"), p => p =!= "")))
+    concat(scheme, lit("://"), hostNoDefault, pathNorm,
+      when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+  }
 }

@@ -309,6 +309,72 @@ object WebQueries {
       .orderBy(col("source"))
   }
 
+  /** URL canonicalization (`UrlFns.canonicalizeUrl`) — the frontier
+    * dupe-filter normalizer: each document yields two spellings of the
+    * SAME resource (case-shuffled scheme/host, explicit :443, reordered
+    * query params, fragment, trailing slash) plus, for even ids, one
+    * genuinely distinct resource; after canonicalization the distinct
+    * count must collapse to resources, not spellings. The oracle
+    * replays the identical RE2 regex pipeline + sorted-query rebuild,
+    * so the canonical STRINGS (not just counts — the distinct counts
+    * gate them) agree byte-for-byte. */
+  val q158UrlCanonical = Q(
+    "q158_url_canonical",
+    """WITH raw AS (
+      |  SELECT source,
+      |    'https://' || source || '.example.com/d' || CAST(doc_id AS VARCHAR)
+      |      || '/?b=2&a=1#sec' AS url
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT source,
+      |    'HTTPS://' || upper(source) || '.EXAMPLE.COM:443/d'
+      |      || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS url
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT source,
+      |    'https://' || source || '.example.com/other' || CAST(doc_id AS VARCHAR) AS url
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |parts AS (
+      |  SELECT source, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+      |    regexp_replace(
+      |      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+      |      ':(443|80)$', '') AS h,
+      |    regexp_replace(
+      |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+      |      '/$', '') AS p0,
+      |    coalesce(array_to_string(list_sort(list_filter(
+      |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |      p -> p <> '')), '&'), '') AS sq
+      |  FROM raw),
+      |canon AS (
+      |  SELECT source, url,
+      |    sch || '://' || h || CASE WHEN p0 = '' THEN '/' ELSE p0 END
+      |      || CASE WHEN sq = '' THEN '' ELSE '?' || sq END AS c
+      |  FROM parts)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_raw,
+      |  CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw,
+      |  CAST(count(DISTINCT c) AS BIGINT) AS n_distinct_canonical
+      |FROM canon GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val a = docs.select(col("source"),
+      concat(lit("https://"), col("source"), lit(".example.com/d"),
+        col("doc_id").cast("string"), lit("/?b=2&a=1#sec")).as("url"))
+    val b = docs.select(col("source"),
+      concat(lit("HTTPS://"), upper(col("source")), lit(".EXAMPLE.COM:443/d"),
+        col("doc_id").cast("string"), lit("?a=1&b=2")).as("url"))
+    val c = docs.filter(col("doc_id") % 2 === 0).select(col("source"),
+      concat(lit("https://"), col("source"), lit(".example.com/other"),
+        col("doc_id").cast("string")).as("url"))
+    a.unionByName(b).unionByName(c)
+      .withColumn("c", UrlFns.canonicalizeUrl(col("url")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(col("url")).as("n_distinct_raw"),
+        countDistinct(col("c")).as("n_distinct_canonical"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(q79DomainBudget, q136PageExtract, q156RobotsFilter,
-    q157SitemapFrontier)
+    q157SitemapFrontier, q158UrlCanonical)
 }

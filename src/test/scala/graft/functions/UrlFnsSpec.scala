@@ -36,4 +36,18 @@ class UrlFnsSpec extends SparkSpec {
       .as[(String, String)].head()
     assert(got._1 == null && got._2 == null)
   }
+
+  test("canonicalizeUrl: case, default ports, fragment, param order, slashes") {
+    def canon(u: String): String = Seq(u).toDF("u")
+      .select(UrlFns.canonicalizeUrl(col("u"))).as[String].head()
+    // every spelling of one resource collapses to one canonical form
+    assert(canon("HTTPS://Example.COM:443/a/?b=2&a=1#frag") === "https://example.com/a?a=1&b=2")
+    assert(canon("https://example.com/a?a=1&b=2") === "https://example.com/a?a=1&b=2")
+    assert(canon("HTTP://example.com:80/x") === "http://example.com/x")
+    // non-default port survives; root path normalizes to "/"
+    assert(canon("https://example.com:8443/") === "https://example.com:8443/")
+    assert(canon("https://example.com") === "https://example.com/")
+    // no query → no "?", fragment alone is dropped
+    assert(canon("https://example.com/p#only-frag") === "https://example.com/p")
+  }
 }
