@@ -1410,6 +1410,34 @@ object RelationalQueries {
       .orderBy(col("n_name"))
   }
 
+  /** Exact join-cardinality + skew forecast (`operators/JoinStats`) —
+    * the diagnostic you run BEFORE a 100 TB join: collapse each side to
+    * (key, count) with one partial-agg shuffle, forecast the all-pairs
+    * self-join `c(c−1)/2` per key at KEY grain, and report the top-10
+    * hottest keys with their exact share of the total. Everything is
+    * BIGINT arithmetic over counts (integer DIV — the pair product of
+    * consecutive integers is even); the one float, pct_of_total, is the
+    * identical final division in both dialects. This is the
+    * `saltedJoinIfSkewed` gate's measurement surfaced as a query: the
+    * same numbers decide plain vs salted vs banded execution. */
+  val q159JoinForecast = Q(
+    "q159_join_forecast",
+    """WITH c AS (
+      |  SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n_rows
+      |  FROM lineitem GROUP BY 1),
+      |f AS (SELECT key, n_rows, n_rows * (n_rows - 1) // 2 AS pairs FROM c),
+      |tot AS (SELECT CAST(sum(pairs) AS BIGINT) AS total FROM f)
+      |SELECT key, n_rows, CAST(pairs AS BIGINT) AS pairs, t.total,
+      |  round(CAST(pairs AS DOUBLE) * 100 / t.total, 4) AS pct_of_total
+      |FROM f, tot t
+      |ORDER BY pairs DESC, key LIMIT 10""".stripMargin) { (spark, dir) =>
+    import graft.operators.JoinStats
+    val forecast = JoinStats.selfJoinPairForecast(
+      Tables.lineitem(spark, dir).select(col("l_partkey")), "l_partkey")
+    JoinStats.hotKeys(forecast, "pairs", 10)
+      .orderBy(col("pairs").desc, col("key"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -1421,5 +1449,5 @@ object RelationalQueries {
     q88ZorderLayout, q90EquidepthBins, q97TopkPerGroup, q102QualityChecks,
     q110ProfileOrders, q111BasketPairs, q124UpsertMerge, q125IncrementalAgg,
     q129IntervalOverlap, q134SketchedQuantiles, q135SnapshotDiff,
-    q145RevenueTrend, q152ForecastBacktest)
+    q145RevenueTrend, q152ForecastBacktest, q159JoinForecast)
 }
