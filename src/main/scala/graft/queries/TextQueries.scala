@@ -2740,6 +2740,61 @@ object TextQueries {
       .orderBy(col("bin"))
   }
 
+  /** Positional phrase search (`operators/Phrase`) — exact adjacency
+    * matching over a positional posting index, the retrieval family's
+    * complement to BM25's bag-of-words scoring: top-5 documents per
+    * phrase by occurrence count, for two bigrams and one trigram. The
+    * postings are pruned to the phrases' own vocabulary with a literal
+    * IN-list BEFORE any join (pushed into the scan — candidate volume is
+    * occurrences of the queried words, not the corpus), then each phrase
+    * runs L−1 (doc, position) equi-joins. The oracle rebuilds the same
+    * 1-based positional postings with unnest(range(len)) ordinality and
+    * replays the adjacency joins relationally. */
+  val q160PhraseSearch = Q(
+    "q160_phrase_search",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, t[i] AS w, CAST(i AS BIGINT) AS pos
+      |  FROM toks, unnest(range(1, len(t) + 1)) u(i)),
+      |ph(qid, phrase, w0, w1, w2) AS (VALUES
+      |  ('p1', 'hash join', 'hash', 'join', NULL),
+      |  ('p2', 'table scan', 'table', 'scan', NULL),
+      |  ('p3', 'slow hash batch', 'slow', 'hash', 'batch')),
+      |m AS (
+      |  SELECT ph.qid, ph.phrase, a.doc_id, CAST(count(*) AS BIGINT) AS matches
+      |  FROM ph
+      |  JOIN p a ON a.w = ph.w0
+      |  JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.w = ph.w1
+      |  LEFT JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2 AND c.w = ph.w2
+      |  WHERE ph.w2 IS NULL OR c.doc_id IS NOT NULL
+      |  GROUP BY 1, 2, 3),
+      |r AS (
+      |  SELECT qid, phrase, doc_id, matches,
+      |    CAST(row_number() OVER (PARTITION BY qid
+      |      ORDER BY matches DESC, doc_id) AS BIGINT) AS rank
+      |  FROM m)
+      |SELECT qid, phrase, doc_id, matches, rank
+      |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (spark, dir) =>
+    import graft.operators.Phrase
+    import org.apache.spark.sql.expressions.Window
+    val postings = Phrase.positionalPostings(
+      Tables.documents(spark, dir), "doc_id", "text")
+    val counts = Phrase.phraseCounts(postings, Seq(
+      "p1" -> Seq("hash", "join"),
+      "p2" -> Seq("table", "scan"),
+      "p3" -> Seq("slow", "hash", "batch")))
+    counts
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("matches").desc, col("id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("phrase"), col("id").as("doc_id"),
+        col("matches"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -2753,5 +2808,5 @@ object TextQueries {
     q130SegmentDedup, q137Bm25TopK, q138TrainShards, q140RendezvousShards,
     q141RetrieveRerank, q142MmrRerank, q143DedupRecall, q144PrepPipeline,
     q146SpanScrubbed, q148PortableHll, q149CorpusDrift, q150SourceAffinity,
-    q153QualityAuc, q155ScoreCalibration)
+    q153QualityAuc, q155ScoreCalibration, q160PhraseSearch)
 }
