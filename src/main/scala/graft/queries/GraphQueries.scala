@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Hits, Iterate, KCore, PageRank, Triangles}
+import graft.operators.{Hits, Iterate, KCore, LinkPredict, PageRank, Triangles}
 import graft.sources.Tables
 
 /** Graph analytics over the order graph (customer ↔ supplier via
@@ -471,7 +471,69 @@ object GraphQueries {
     KCore.peel(e, CoreK, PeelRounds).orderBy(col("node"))
   }
 
+  /** Degree cap for Adamic–Adar wedge middles (q161): hubs above this
+    * emit O(d²) wedges while contributing 1/ln(d) ≈ nothing per pair. */
+  private val AaDegCap = 64
+
+  /** Adamic–Adar link prediction (`operators/LinkPredict`) over q80's
+    * supplier co-purchase graph: the top unlinked pairs by
+    * Σ_z 1/ln(deg z) over common neighbors z — "who should be trading
+    * but isn't", the classic missing-edge primitive. Wedge middles are
+    * degree-capped (wedge volume ≤ cap·2m) and the per-wedge 1/ln(deg)
+    * weights are quantized to a 1e-7 integer grid BEFORE the sum, so
+    * the score aggregate is an order-independent BIGINT sum — float
+    * summation order can't flake the hash. The oracle replays adjacency
+    * → capped middles → wedge self-join → anti-join relationally. */
+  val q161LinkPredict = Q(
+    "q161_link_predict",
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  WHERE c_nationkey = 1 AND o_orderdate >= DATE '$SinceDate'),
+       |e AS (
+       |  SELECT a.s AS a, b.s AS b FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+       |  GROUP BY 1, 2 HAVING count(*) >= 4),
+       |adj AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT z, count(*) AS deg FROM adj GROUP BY z),
+       |mid AS (
+       |  SELECT z, CAST(round(10000000.0 / ln(deg)) AS BIGINT) AS w_units
+       |  FROM deg WHERE deg BETWEEN 2 AND $AaDegCap),
+       |w AS (
+       |  SELECT u.n AS u, v.n AS v, m.w_units
+       |  FROM mid m JOIN adj u ON u.z = m.z JOIN adj v ON v.z = m.z
+       |  WHERE u.n < v.n),
+       |s AS (
+       |  SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,
+       |    CAST(sum(w_units) AS BIGINT) AS aa_units
+       |  FROM w GROUP BY 1, 2),
+       |p AS (
+       |  SELECT s.u, s.v, s.n_common, s.aa_units
+       |  FROM s LEFT JOIN e ON s.u = e.a AND s.v = e.b WHERE e.a IS NULL)
+       |SELECT u, v, n_common, aa_units,
+       |  round(CAST(aa_units AS DOUBLE) / 10000000, 7) AS aa_score
+       |FROM p ORDER BY aa_units DESC, u, v LIMIT 20""".stripMargin) { (spark, dir) =>
+    val cs = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(SinceDate).cast("date"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).filter(col("c_nationkey") === 1),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    val e = cs.as("x").join(cs.as("y"),
+        col("x.c") === col("y.c") && col("x.s") < col("y.s"))
+      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 4)
+      .select(col("a"), col("b"))
+    LinkPredict.adamicAdar(e, AaDegCap)
+      .withColumn("aa_score",
+        round(col("aa_units").cast("double") / LinkPredict.Scale, 7))
+      .orderBy(col("aa_units").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(q76Pagerank, q80TriangleCensus,
     q112PersonalizedPagerank, q126HitsAuthorities, q127CrawlDepth,
-    q131CheapestPaths, q132KcorePeel)
+    q131CheapestPaths, q132KcorePeel, q161LinkPredict)
 }
