@@ -2795,6 +2795,40 @@ object TextQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Small-file compaction planner (`operators/Compaction`) — the
+    * table-maintenance op a 100 TB lake runs continuously: pack files
+    * into ~target-sized bins with a per-partition running-sum window at
+    * file-METADATA grain (documents stand in as the file listing, text
+    * length as file bytes). Bin = floor(bytes-before / target) — the
+    * deterministic greedy packer, so the manifest is reproducible and
+    * the oracle replays it with the same window. Planning cost is a
+    * window over the listing, never the data; the rewrite it describes
+    * is per-bin parallel. */
+  val q162CompactionPlan = Q(
+    "q162_compaction_plan",
+    """WITH f AS (
+      |  SELECT source, doc_id, CAST(length(text) AS BIGINT) AS bytes
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, bytes,
+      |    coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      |  FROM f),
+      |b AS (SELECT source, doc_id, bytes, prior // 4096 AS bin FROM c)
+      |SELECT source, CAST(bin AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_files,
+      |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+      |  min(doc_id) AS first_id, max(doc_id) AS last_id
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import graft.operators.Compaction
+    val files = Tables.documents(spark, dir).select(col("source"),
+      col("doc_id"), length(col("text")).cast("long").as("bytes"))
+    Compaction.manifest(files, "source", "doc_id", "bytes", targetBytes = 4096L)
+      .select(col("source"), col("bin"), col("n_files"), col("total_bytes"),
+        col("first_id"), col("last_id"))
+      .orderBy(col("source"), col("bin"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -2808,5 +2842,6 @@ object TextQueries {
     q130SegmentDedup, q137Bm25TopK, q138TrainShards, q140RendezvousShards,
     q141RetrieveRerank, q142MmrRerank, q143DedupRecall, q144PrepPipeline,
     q146SpanScrubbed, q148PortableHll, q149CorpusDrift, q150SourceAffinity,
-    q153QualityAuc, q155ScoreCalibration, q160PhraseSearch)
+    q153QualityAuc, q155ScoreCalibration, q160PhraseSearch,
+    q162CompactionPlan)
 }
