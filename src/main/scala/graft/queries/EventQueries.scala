@@ -802,10 +802,56 @@ object EventQueries {
     }
   }
 
+  /** Time-weighted average — the temporal-aggregation companion to
+    * q87's SCD2 build: each event's value holds as a step function
+    * until the user's next event, and the average weights each value by
+    * how LONG it held, not how often it was sampled (the correct
+    * statistic for irregularly-sampled gauges: sensor readings, prices,
+    * queue depths). Implementation is one lead() per user (the q87
+    * exchange) then a partial-agg shuffle of INTEGER products:
+    * durations as BIGINT milliseconds (µs diff, integer DIV 1000) ×
+    * values as BIGINT cents, so Σ(cents·ms) and Σms are exact
+    * order-independent integer sums at every scale — bounded by
+    * max_cents · corpus_span · |users| ≈ 2e16 at sf0.1, far under
+    * 2^63 — and the one float is the identical final division. */
+  val q163TimeWeightedAvg = Q(
+    "q163_time_weighted_avg",
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      |  FROM events),
+      |iv AS (
+      |  SELECT event_type, cents,
+      |    (epoch_us(next_ts) - epoch_us(ts)) // 1000 AS dur_ms
+      |  FROM o WHERE next_ts IS NOT NULL)
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_intervals,
+      |  CAST(sum(dur_ms) AS BIGINT) AS total_ms,
+      |  round(CAST(sum(cents * dur_ms) AS DOUBLE) / sum(dur_ms) / 100, 4)
+      |    AS tw_avg_value
+      |FROM iv GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(byUser))
+      .filter(col("next_ts").isNotNull)
+      .withColumn("dur_ms",
+        expr("(unix_micros(next_ts) - unix_micros(ts)) div 1000"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur_ms")).as("total_ms"),
+        round((sum(col("cents") * col("dur_ms")).cast("double") /
+          sum(col("dur_ms"))) / 100, 4).as("tw_avg_value"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(q18JsonProps, q19HourlyAgg, q20SlidingAgg, q21Sessions,
     q22AsofViewPurchase, q50MapFuncs, q52IntervalJoin, q62Funnel, q63Retention,
     q65AsofNextView, q71GapfillHourly, q72Transitions, q86VolumeAnomalies,
     q87Scd2Intervals, q89TopPaths, q99RollingHour, q105HllRollup,
     q106MadOutliers, q107DecayedActivity, q109Scd2Lookup, q123SessionSequences,
-    q147AbWelch, q154BootstrapCi)
+    q147AbWelch, q154BootstrapCi, q163TimeWeightedAvg)
 }

@@ -120,4 +120,32 @@ class StatsSpec extends SparkSpec {
       assert(math.abs(t - ref) <= 1e-3, s"$tpe: $t vs $ref")
     }
   }
+
+  test("q163 time-weighted avg matches a driver-side step-function reference") {
+    val got = EventQueries.q163TimeWeightedAvg.run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // reference: per user, each value holds until the next event
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val sums = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    evs.groupBy(_._1).values.foreach { g =>
+      g.toSeq.sortBy(e => (e._4, e._3)).sliding(2).foreach {
+        case Seq(a, b) =>
+          val durMs = (b._4 - a._4) / 1000
+          val (ws, ts) = sums.getOrElse(a._2, (0L, 0L))
+          sums(a._2) = (ws + a._5 * durMs, ts + durMs)
+        case _ =>
+      }
+    }
+    got.foreach { case (tpe, avg) =>
+      val (ws, ts) = sums(tpe)
+      val ref = BigDecimal(ws.toDouble / ts / 100)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(avg === ref, s"$tpe: $avg vs $ref")
+    }
+  }
 }
