@@ -2829,6 +2829,49 @@ object TextQueries {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** Pareto-frontier data selection (`operators/Pareto`) — the
+    * documents no other document beats on BOTH axes (fewer tokens AND
+    * ≥ quality score): the skyline that budget-constrained training-set
+    * pickers select from. The classic formulation is a running max over
+    * the global token order — a single-partition window this engine
+    * refuses — so `Pareto.frontier2d` decomposes it: cost-grain
+    * collapse, fixed-width buckets over a broadcast min/max, a
+    * ≤B-row bucket-prefix window, and bucket-partitioned RANGE windows,
+    * recombined as greatest(prefix, within). Scores ride the 1e-7
+    * integer grid so every max/compare is exact; the oracle computes
+    * the same frontier with the direct token-grain window it CAN
+    * afford. */
+  val q164ParetoFrontier = Q(
+    "q164_pareto_frontier",
+    s"""WITH $qualityLabSql,
+       |pts AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(round(score * 10000000) AS BIGINT) AS score_units
+       |  FROM feat),
+       |meq AS (SELECT n_tokens, max(score_units) AS m_eq FROM pts GROUP BY 1),
+       |mlt AS (
+       |  SELECT n_tokens, m_eq,
+       |    max(m_eq) OVER (ORDER BY n_tokens
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_lt
+       |  FROM meq)
+       |SELECT p.doc_id, p.n_tokens, p.score_units,
+       |  round(CAST(p.score_units AS DOUBLE) / 10000000, 7) AS score
+       |FROM pts p JOIN mlt ON mlt.n_tokens = p.n_tokens
+       |WHERE p.score_units = mlt.m_eq
+       |  AND (mlt.m_lt IS NULL OR p.score_units > mlt.m_lt)
+       |ORDER BY p.n_tokens, p.doc_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.Pareto
+    val pts = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        round(QualityModel.score(col("toks")) * 10000000).cast("long")
+          .as("score_units"))
+    Pareto.frontier2d(pts, "n_tokens", "score_units")
+      .select(col("doc_id"), col("n_tokens"), col("score_units"),
+        round(col("score_units").cast("double") / 10000000, 7).as("score"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -2843,5 +2886,5 @@ object TextQueries {
     q141RetrieveRerank, q142MmrRerank, q143DedupRecall, q144PrepPipeline,
     q146SpanScrubbed, q148PortableHll, q149CorpusDrift, q150SourceAffinity,
     q153QualityAuc, q155ScoreCalibration, q160PhraseSearch,
-    q162CompactionPlan)
+    q162CompactionPlan, q164ParetoFrontier)
 }
