@@ -468,6 +468,58 @@ object Multimodal {
     }(enc)
   }
 
+  /** Difference-hash (dHash) perceptual fingerprint — the image
+    * near-dup primitive (Krawetz's dHash; the image-side analogue of
+    * the text SimHash family): decode, nearest-neighbor downsample to
+    * `w`×`h`, integer grayscale, then one bit per horizontal neighbor
+    * pair (`gray(x+1) > gray(x)`), packed LSB-first as bit
+    * `y·(w−1)+x`. Gradient-based, so it is invariant to uniform
+    * brightness shifts and tolerant of re-encoding — identical scenes
+    * hash identically across codecs, which is what makes it a JOIN KEY:
+    * image dedup becomes the same hash-groupBy shuffle as text dedup
+    * (or a banded Hamming join via the SimHash machinery for
+    * near-matches).
+    *
+    * Grayscale is the ITU-R integer approximation
+    * `(299r + 587g + 114b) / 1000` — pure int arithmetic, so a gray
+    * input (r=g=b=v) maps to exactly v and the hash is relationally
+    * replayable. Payloads `javax.imageio` cannot read hash to NULL
+    * (the [[decodePixelStats]] contract). `(w−1)·h` must stay ≤ 62 so
+    * the packed hash is a non-negative BIGINT in every engine. */
+  def perceptualHash(df: DataFrame, payloadCol: String,
+      w: Int = 8, h: Int = 8): DataFrame = {
+    require(w >= 2 && h >= 1 && (w - 1) * h <= 62,
+      s"dHash grid ${w}x$h must fit 62 bits")
+    val idx = df.schema.fieldIndex(payloadCol)
+    val schema = StructType(df.schema.fields :+
+      StructField("phash", LongType, nullable = true))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val hash: java.lang.Long = readImage(row.getAs[Array[Byte]](idx)).map { src =>
+          val img = resizePixels(src, w, h)
+          def gray(x: Int, y: Int): Int = {
+            val p = img.getRGB(x, y)
+            (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+              114 * (p & 0xff)) / 1000
+          }
+          var acc = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w - 1) {
+              if (gray(x + 1, y) > gray(x, y)) acc |= 1L << (y * (w - 1) + x)
+              x += 1
+            }
+            y += 1
+          }
+          java.lang.Long.valueOf(acc)
+        }.orNull
+        Row.fromSeq(row.toSeq :+ hash)
+      }
+    }(enc)
+  }
+
   // ------------------------------------------------------------------
   // Audio modality
   // ------------------------------------------------------------------

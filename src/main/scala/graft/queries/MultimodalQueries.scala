@@ -101,5 +101,71 @@ object MultimodalQueries {
       .orderBy(col("format"))
   }
 
-  val all: Seq[Q] = Seq(q35BinaryMeta, q36DecodeMeta, q115AudioMeta, q116VideoMeta)
+  /** Perceptual image dedup (`Multimodal.perceptualHash`) — dHash over
+    * the REAL pixel path, through the driver gate: each document gets a
+    * deterministic 8×8 gray PNG (pixel value a pure integer formula of
+    * doc_id), Spark round-trips it through genuine `ImageIO` encode →
+    * decode → nearest-neighbor resample → integer-grayscale dHash,
+    * and the DuckDB twin computes the same 56-bit hashes straight from
+    * the pixel formula — so a hash match proves the whole real codec
+    * path reproduces the formula pixels bit-exactly, not just in specs.
+    * The census groups images by hash: same pattern ⇒ same hash makes
+    * image dedup the familiar hash-groupBy shuffle (and the SimHash
+    * banding machinery applies unchanged for near-matches at Hamming
+    * distance). The PNG-synthesis UDF is fixture scaffolding — the
+    * operator under test is the decode path, whose cost dominates. */
+  val q165ImagePhashDedup = Q(
+    "q165_image_phash_dedup",
+    """WITH pats AS (SELECT DISTINCT doc_id % 25 AS p FROM documents),
+      |grid AS (
+      |  SELECT p, x.x AS x, y.y AS y
+      |  FROM pats, unnest(range(0, 7)) AS x(x), unnest(range(0, 8)) AS y(y)),
+      |bits AS (
+      |  SELECT p, x, y,
+      |    CASE WHEN
+      |      (((p % 5 + 1) * (x + 2) * (y + 2)
+      |        + (p // 5 + 1) * (x + 1) * (x + 1) + p) % 17) * 15
+      |      >
+      |      (((p % 5 + 1) * (x + 1) * (y + 2)
+      |        + (p // 5 + 1) * x * x + p) % 17) * 15
+      |    THEN 1 ELSE 0 END AS bit
+      |  FROM grid),
+      |hashes AS (
+      |  SELECT p, CAST(sum(CAST(bit AS BIGINT) << (y * 7 + x)) AS BIGINT) AS phash
+      |  FROM bits GROUP BY p)
+      |SELECT h.phash, CAST(count(*) AS BIGINT) AS n_images,
+      |  CAST(count(DISTINCT d.doc_id % 25) AS BIGINT) AS n_patterns
+      |FROM documents d JOIN hashes h ON h.p = d.doc_id % 25
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val mkPng = udf { (docId: Long) =>
+      val p = (docId % 25).toInt
+      val a = p % 5 + 1
+      val b = p / 5 + 1
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val g = ((a * (x + 1) * (y + 2) + b * x * x + p) % 17) * 15
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val withImg = Tables.documents(spark, dir)
+      .select(col("doc_id"), mkPng(col("doc_id")).as("payload"))
+    Multimodal.perceptualHash(withImg, "payload")
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_images"),
+        countDistinct(col("doc_id") % 25).as("n_patterns"))
+      .orderBy(col("phash"))
+  }
+
+  val all: Seq[Q] = Seq(q35BinaryMeta, q36DecodeMeta, q115AudioMeta,
+    q116VideoMeta, q165ImagePhashDedup)
 }

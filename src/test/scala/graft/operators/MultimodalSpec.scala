@@ -631,4 +631,60 @@ class MultimodalSpec extends SparkSpec {
     // n=9 odd → stub jpeg
     assert(got(2)._3 === "jpeg")
   }
+
+  /** 8×8 gray gradient PNG whose dHash is hand-computable. */
+  private def gradientPng(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val g = f(x, y) & 0xff
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    bos.toByteArray
+  }
+
+  test("perceptualHash: monotone gradient sets every bit, flat image none") {
+    val df = Seq(
+      ("up", gradientPng((x, _) => x * 30)),      // strictly increasing in x
+      ("flat", gradientPng((_, _) => 128)),       // no gradient at all
+      ("down", gradientPng((x, _) => 255 - x * 30)), // strictly decreasing
+      ("txt", "not an image".getBytes)).toDF("id", "payload")
+    val got = Multimodal.perceptualHash(df, "payload")
+      .select("id", "phash").as[(String, Option[Long])].collect().toMap
+    assert(got("up") === Some((1L << 56) - 1)) // all 56 bits
+    assert(got("flat") === Some(0L))
+    assert(got("down") === Some(0L)) // strictly decreasing: no x+1 > x
+    assert(got("txt") === None) // unreadable payload → NULL, not garbage
+  }
+
+  test("perceptualHash is invariant to uniform brightness shift") {
+    def pattern(shift: Int)(x: Int, y: Int) = ((x * 7 + y * 3) % 11) * 20 + shift
+    val df = Seq(
+      ("base", gradientPng(pattern(0))),
+      ("brighter", gradientPng(pattern(35)))).toDF("id", "payload")
+    val got = Multimodal.perceptualHash(df, "payload")
+      .select("id", "phash").as[(String, Long)].collect().toMap
+    assert(got("base") === got("brighter"))
+  }
+
+  test("perceptualHash survives lossless re-encoding (png vs bmp same pixels)") {
+    def mk(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val g = ((x * 13 + y * 5) % 17) * 15
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val got = Multimodal.perceptualHash(
+      Seq(("png", mk("png")), ("bmp", mk("bmp"))).toDF("id", "payload"),
+      "payload")
+      .select("id", "phash").as[(String, Long)].collect().toMap
+    assert(got("png") === got("bmp"))
+  }
 }
