@@ -74,9 +74,30 @@ object Dedup {
       .select(col("id"), TextFns.shingleAt(col("toks"), col("i"), n).as("sh"))
       .dropDuplicates(Seq("id", "sh"))
 
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxDocFreq: Int): DataFrame = {
+  /** Shared candidate stage of [[jaccardPairs]]/[[containmentPairs]]:
+    * (id_a < id_b, n_inter, n_a, n_b) for pairs sharing ≥1 rare
+    * shingle. One `repartition(sh)` and ReuseExchange feed every
+    * consumer — the df-count, both self-join sides, and the per-doc
+    * sizes — from the same corpus exchange (see the q29 lesson in the
+    * jaccardPairs scaladoc). */
+  private def rareShinglePairStats(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, maxDocFreq: Int): DataFrame = {
     val sh = shingleView(docs, idCol, textCol, n)
+    val shBySh = sh.repartition(col("sh"))
+    val sizes = shBySh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val rare = shBySh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq && col("df") >= 2)
+    val shRare = shBySh.join(rare.select("sh"), Seq("sh"))
+    shRare.as("a").join(shRare.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+  }
+
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDocFreq: Int): DataFrame =
     // repartition by sh ONCE and let ReuseExchange feed EVERY consumer
     // — the df-count, both self-join sides, and the per-doc sizes —
     // from the same corpus exchange. Without it the physical plan
@@ -85,23 +106,28 @@ object Dedup {
     // q29's banded self-join). sizes pays an id-sized partials exchange
     // on top of the shared layout, which at corpus scale is noise next
     // to the second full scan+shingle pass it replaces.
-    val shBySh = sh.repartition(col("sh"))
-    val sizes = shBySh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val rare = shBySh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq && col("df") >= 2)
-    val shRare = shBySh.join(rare.select("sh"), Seq("sh"))
-    val inter = shRare.as("a").join(shRare.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+    rareShinglePairStats(docs, idCol, textCol, n, maxDocFreq)
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-  }
+
+  /** Asymmetric set CONTAINMENT (Broder 1997's resemblance companion):
+    * c_a = |S_a ∩ S_b| / |S_a| reads "how much of a is inside b" —
+    * the QUOTE/excerpt detector Jaccard structurally misses (a 40-token
+    * excerpt of a 150-token doc has containment ≈ 1 but Jaccard ≈
+    * 0.27, under every symmetric threshold). Same rare-shingle
+    * candidate stage and scale contract as [[jaccardPairs]]; pairs
+    * survive when EITHER direction clears the threshold, and both
+    * directional scores are reported. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDocFreq: Int): DataFrame =
+    rareShinglePairStats(docs, idCol, textCol, n, maxDocFreq)
+      .withColumn("c_a", col("n_inter").cast("double") / col("n_a"))
+      .withColumn("c_b", col("n_inter").cast("double") / col("n_b"))
+      .filter(greatest(col("c_a"), col("c_b")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        round(col("c_a"), 4).as("c_a"), round(col("c_b"), 4).as("c_b"))
 
   /** Exact Jaccard threshold self-join by PREFIX FILTERING (the
     * All-Pairs/PPJoin family) — the second exact algorithm next to

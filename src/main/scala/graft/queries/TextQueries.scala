@@ -2872,6 +2872,57 @@ object TextQueries {
       .orderBy(col("n_tokens"), col("doc_id"))
   }
 
+  /** Asymmetric containment / quote detection
+    * (`Dedup.containmentPairs`): c_a = |S_a∩S_b| / |S_a| finds a doc
+    * EMBEDDED in another — the case Jaccard structurally misses (an
+    * excerpt of a long doc has containment ≈ 1 but Jaccard well under
+    * any symmetric threshold). The corpus gets deterministic 40-token
+    * excerpts appended (id + 1e6), and with threshold 0.8 every
+    * excerpt must pair with its source through the rare-shingle
+    * candidate stage (shared with q28 — same df-cap scale contract)
+    * while those same pairs sit far below q28's 0.5 Jaccard bar. */
+  val q166ContainmentPairs = Q(
+    "q166_containment_pairs",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    array_to_string(string_split_regex(lower(text), '\s+')[1:40], ' ') AS text
+      |  FROM documents WHERE doc_id % 20 = 0),
+      |docs AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM corpus),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM docs,
+      |    unnest(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(s)
+      |  WHERE len(t) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 100),
+      |shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+      |  round(CAST(n_inter AS DOUBLE) / sa.n_sh, 4) AS c_a,
+      |  round(CAST(n_inter AS DOUBLE) / sb.n_sh, 4) AS c_b
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE greatest(CAST(n_inter AS DOUBLE) / sa.n_sh,
+      |               CAST(n_inter AS DOUBLE) / sb.n_sh) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    val base = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+    val excerpts = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        array_join(slice(split(lower(col("text")), "\\s+"), 1, 40), " ").as("text"))
+    Dedup.containmentPairs(base.unionByName(excerpts), "doc_id", "text",
+        n = 3, threshold = 0.8, maxDocFreq = 100)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -2886,5 +2937,5 @@ object TextQueries {
     q141RetrieveRerank, q142MmrRerank, q143DedupRecall, q144PrepPipeline,
     q146SpanScrubbed, q148PortableHll, q149CorpusDrift, q150SourceAffinity,
     q153QualityAuc, q155ScoreCalibration, q160PhraseSearch,
-    q162CompactionPlan, q164ParetoFrontier)
+    q162CompactionPlan, q164ParetoFrontier, q166ContainmentPairs)
 }

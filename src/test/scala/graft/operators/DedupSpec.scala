@@ -43,6 +43,42 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("containmentPairs finds an excerpt Jaccard misses") {
+    // doc 2 = first 4 tokens of doc 1 (containment 1.0 for its 2
+    // trigram shingles; Jaccard = 2/8 = 0.25); doc 3 unrelated
+    val in = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val contained = Dedup.containmentPairs(in, "doc_id", "text",
+        n = 3, threshold = 0.8, maxDocFreq = 10)
+      .select("id_a", "id_b", "c_a", "c_b")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(contained === Seq((1L, 2L, 0.25, 1.0)))
+    // the same pair is invisible to Jaccard at any threshold ≥ 0.3
+    val jac = Dedup.jaccardPairs(in, "doc_id", "text",
+      n = 3, threshold = 0.3, maxDocFreq = 10).count()
+    assert(jac === 0L)
+  }
+
+  test("containmentPairs direction: c_a reads 'a inside b'") {
+    // a (small) fully inside b (large) → c_a < 1, c_b = 1 when a is
+    // the LARGER id? ids order the pair: id_a < id_b always, scores
+    // attach to the ids, not the sizes
+    val in = Seq(
+      (5L, "p q r s"),
+      (9L, "p q r s t u v w x y z aa bb cc")).toDF("doc_id", "text")
+    val row = Dedup.containmentPairs(in, "doc_id", "text",
+        n = 3, threshold = 0.8, maxDocFreq = 10)
+      .select("id_a", "id_b", "n_inter", "c_a", "c_b")
+      .as[(Long, Long, Long, Double, Double)].head()
+    // doc 5 has 2 shingles, both inside doc 9's 12 → c_a = 1.0
+    assert(row === ((5L, 9L, 2L, 1.0, round4(2.0 / 12))))
+  }
+
+  private def round4(d: Double): Double =
+    BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("minhashLshPairs surfaces the exact-dup pair with est_jaccard 1.0") {
     val got = Dedup.minhashLshPairs(docs, "doc_id", "text",
       n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
