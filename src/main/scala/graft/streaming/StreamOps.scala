@@ -141,6 +141,38 @@ object StreamOps {
       .toDF("doc_id", "band", "keeper_id", "est_jaccard", "is_dup")
   }
 
+  /** Streaming image dedup: q165's perceptual hash as the stream key.
+    * Arriving payloads hash NARROWLY per row (the stateless
+    * `Multimodal.perceptualHash` mapPartitions runs unchanged on a
+    * stream), then every distinct hash value keeps its CANONICAL first
+    * image id as keyed state — one long per distinct visual, bounded by
+    * the distinct-image space, never the stream volume. Each image gets
+    * a verdict against its hash bucket's keeper: the streaming shape of
+    * the q165 hash-groupBy census, with the dedup index living IN the
+    * state (the [[nearDupBandVerdicts]] contract for the image
+    * modality). Unreadable payloads (NULL hash) are filtered — they
+    * can't claim visual identity with anything. */
+  def imageDupVerdicts(images: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    import images.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val hashed = graft.operators.Multimodal.perceptualHash(
+        images.select(col(idCol).cast("long").as("id"),
+          col(payloadCol).as("payload")), "payload")
+      .filter(col("phash").isNotNull)
+      .select(col("id"), col("phash")).as[(Long, Long)]
+    hashed.groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, Long, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val rs = rows.toSeq.sortBy(_._1)
+          val keeper = state.getOption.getOrElse(rs.head._1)
+          if (!state.exists) state.update(keeper)
+          rs.iterator.map { case (id, h) => (id, h, keeper, id != keeper) }
+      }
+      .toDF("id", "phash", "keeper_id", "is_dup")
+  }
+
   /** Streaming twin of `Iterate.relaxMin`'s per-node state (the one
     * iterative operator family that previously had no stream-portable
     * story): a stream of (node, cost) candidate distances min-merges

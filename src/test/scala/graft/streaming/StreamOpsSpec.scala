@@ -535,4 +535,48 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.count() === 2)
     assert(got.select("k").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
+
+  test("streaming image dedup: per-hash keeper parity with the batch census") {
+    import spark.implicits._
+    def png(pattern: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val g = ((pattern * (x + 1) * (y + 2) + x * x) % 17) * 15
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val dir = java.nio.file.Files.createTempDirectory("stream-img").toString
+    // 12 images over 4 visual patterns + one unreadable payload
+    val rows = (1L to 12L).map(id => (id, png((id % 4).toInt))) :+
+      (99L, "not an image".getBytes)
+    rows.toDF("img_id", "payload").coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val batch = graft.operators.Multimodal.perceptualHash(
+        rows.toDF("img_id", "payload"), "payload")
+      .filter(col("phash").isNotNull)
+      .groupBy(col("phash")).agg(min(col("img_id")).as("keeper_id"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val schema = spark.read.parquet(dir).schema
+    val verdicts = StreamOps.runToMemory(spark,
+      StreamOps.imageDupVerdicts(
+        StreamOps.parquetStream(spark, schema, dir), "img_id", "payload"),
+      "img_dedup_test", outputMode = "append")
+      .select("id", "phash", "keeper_id", "is_dup")
+      .as[(Long, Long, Long, Boolean)].collect()
+
+    assert(verdicts.length === 12) // unreadable payload filtered, not hashed
+    verdicts.foreach { case (id, h, keeper, dup) =>
+      assert(keeper === batch(h)._1, s"img $id keeper")
+      assert(dup === (id != batch(h)._1), s"img $id verdict")
+    }
+    // every multi-image hash bucket has exactly one non-dup (the keeper)
+    val keepers = verdicts.filter(!_._4).map(_._2)
+    assert(keepers.sorted.toSeq === batch.keys.toSeq.sorted)
+  }
 }
