@@ -1438,6 +1438,65 @@ object RelationalQueries {
       .orderBy(col("pairs").desc, col("key"))
   }
 
+  /** Benford first-digit conformance test — the classic forensic
+    * screen for fabricated numeric data (Benford 1938; standard in
+    * fraud/audit pipelines): per nation, compare the first-digit
+    * distribution of order totals against log10(1 + 1/d) with a χ²
+    * statistic. Digit counts are exact integers from one partial-agg
+    * shuffle at (nation, digit) grain — ≤ 25×9 rows move — and the χ²
+    * is one identical double expression over those counts. High χ²
+    * flags nations whose totals don't follow the natural wide-range
+    * distribution (synthetic data SHOULD flag — the test proves the
+    * detector, not the data). */
+  val q168BenfordDigits: Q = {
+    // one χ² term per digit, assembled LEFT-TO-RIGHT in both dialects:
+    // a sum() over 9 float terms would be summation-order-dependent;
+    // a fixed 9-term expression is not
+    def sqlTerm(d: Int) =
+      s"(o$d - n * ln(1.0 + 1.0 / $d) / ln(10.0)) " +
+        s"* (o$d - n * ln(1.0 + 1.0 / $d) / ln(10.0)) " +
+        s"/ (n * ln(1.0 + 1.0 / $d) / ln(10.0))"
+    val sqlCounts = (1 to 9).map(d =>
+      s"CAST(sum(CASE WHEN digit = $d THEN 1 ELSE 0 END) AS BIGINT) AS o$d")
+      .mkString(",\n      |    ")
+    Q("q168_benford_digits",
+      s"""WITH d AS (
+         |  SELECT n_name,
+         |    CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+         |      AS INT) AS digit
+         |  FROM orders
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN nation ON n_nationkey = c_nationkey
+         |  WHERE o_totalprice >= 1),
+         |cnt AS (
+         |  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+         |    $sqlCounts
+         |  FROM d GROUP BY 1)
+         |SELECT n_name, n,
+         |  round(${(1 to 9).map(sqlTerm).mkString(" + ")}, 4) AS chi2
+         |FROM cnt ORDER BY n_name""".stripMargin) { (spark, dir) =>
+      val digits = Tables.orders(spark, dir)
+        .filter(col("o_totalprice") >= 1)
+        .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("n_nationkey") === col("c_nationkey"))
+        .select(col("n_name"),
+          substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+            .cast("int").as("digit"))
+      val aggs = count(lit(1)).as("n") +:
+        (1 to 9).map(d => sum(when(col("digit") === d, 1).otherwise(0))
+          .cast("long").as(s"o$d"))
+      val cnt = digits.groupBy(col("n_name")).agg(aggs.head, aggs.tail: _*)
+      def term(d: Int) = {
+        val exp = col("n") * log(lit(1.0) + lit(1.0) / d) / log(lit(10.0))
+        (col(s"o$d") - exp) * (col(s"o$d") - exp) / exp
+      }
+      cnt.select(col("n_name"), col("n"),
+          round((1 to 9).map(term).reduceLeft(_ + _), 4).as("chi2"))
+        .orderBy(col("n_name"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -1449,5 +1508,6 @@ object RelationalQueries {
     q88ZorderLayout, q90EquidepthBins, q97TopkPerGroup, q102QualityChecks,
     q110ProfileOrders, q111BasketPairs, q124UpsertMerge, q125IncrementalAgg,
     q129IntervalOverlap, q134SketchedQuantiles, q135SnapshotDiff,
-    q145RevenueTrend, q152ForecastBacktest, q159JoinForecast)
+    q145RevenueTrend, q152ForecastBacktest, q159JoinForecast,
+    q168BenfordDigits)
 }

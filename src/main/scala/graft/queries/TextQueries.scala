@@ -2923,6 +2923,63 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Kneser–Ney smoothed bigram LM (Kneser & Ney 1995, the standard
+    * n-gram smoothing) — upgrades q75's add-k unigram scoring with the
+    * real thing: P(w2|w1) = max(c12−d,0)/c1 + d·N1+(w1,·)/c1 ·
+    * N1+(·,w2)/N1+(·,·), where the continuation counts ask "how many
+    * DISTINCT contexts" — the insight that makes KN the default LM
+    * smoother. Every input is an exact integer count from three
+    * vocabulary-grain aggregations off one corpus bigram pass (bigram
+    * counts, per-w1 totals + distinct followers, per-w2 distinct
+    * predecessors); the probability is one identical double expression
+    * rounded 7dp. Top-20 frequent bigrams by smoothed probability. */
+  val q167KneserNey = Q(
+    "q167_kneser_ney",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS c12
+      |  FROM toks, unnest(range(1, len(t))) u(i)
+      |  GROUP BY 1, 2),
+      |c1 AS (
+      |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS fwd
+      |  FROM bg GROUP BY 1),
+      |back AS (SELECT w2, count(*) AS back FROM bg GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nbg FROM bg),
+      |p AS (
+      |  SELECT bg.w1, bg.w2, CAST(bg.c12 AS BIGINT) AS c12, c1.c1,
+      |    round(greatest(CAST(bg.c12 AS DOUBLE) - 0.75, 0) / c1.c1
+      |      + (0.75 * c1.fwd / c1.c1)
+      |        * (back.back / CAST(tot.nbg AS DOUBLE)), 7) AS p_kn
+      |  FROM bg JOIN c1 ON c1.w1 = bg.w1 JOIN back ON back.w2 = bg.w2, tot)
+      |SELECT w1, w2, c12, c1, p_kn
+      |FROM p WHERE c12 >= 5
+      |ORDER BY p_kn DESC, w1, w2 LIMIT 20""".stripMargin) { (spark, dir) =>
+    val toks = Tables.documents(spark, dir)
+      .select(TextFns.tokens(col("text")).as("t"))
+    // narrow bigram explode: zip each token with its successor in-row
+    val bg = toks
+      .filter(size(col("t")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1))).as("z"))
+      .select(col("z").getField("0").as("w1"), col("z").getField("1").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("fwd"))
+    val back = bg.groupBy(col("w2")).agg(count(lit(1)).as("back"))
+    val tot = bg.agg(count(lit(1)).as("nbg"))
+    bg.join(c1, "w1").join(back, "w2").crossJoin(broadcast(tot))
+      .filter(col("c12") >= 5)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        round(greatest(col("c12").cast("double") - 0.75, lit(0)) / col("c1")
+          + (lit(0.75) * col("fwd") / col("c1"))
+            * (col("back") / col("nbg").cast("double")), 7).as("p_kn"))
+      .orderBy(col("p_kn").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -2937,5 +2994,6 @@ object TextQueries {
     q141RetrieveRerank, q142MmrRerank, q143DedupRecall, q144PrepPipeline,
     q146SpanScrubbed, q148PortableHll, q149CorpusDrift, q150SourceAffinity,
     q153QualityAuc, q155ScoreCalibration, q160PhraseSearch,
-    q162CompactionPlan, q164ParetoFrontier, q166ContainmentPairs)
+    q162CompactionPlan, q164ParetoFrontier, q166ContainmentPairs,
+    q167KneserNey)
 }

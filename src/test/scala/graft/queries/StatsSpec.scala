@@ -121,6 +121,29 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q167 Kneser-Ney invariants: probabilities in (0,1], discount reserves mass") {
+    val rows = TextQueries.q167KneserNey.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getDouble(4)
+      assert(p > 0 && p <= 1, s"${r.getString(0)} ${r.getString(1)}: $p")
+      // the smoothed estimate must sit BELOW the unsmoothed MLE c12/c1
+      // plus the full continuation share (d=0.75 discount reserves mass)
+      val mle = r.getLong(2).toDouble / r.getLong(3)
+      assert(p < mle + 0.75, s"smoothing bound: $p vs mle $mle")
+    }
+  }
+
+  test("q168 Benford invariants: chi2 >= 0, per-nation counts partition orders") {
+    val rows = RelationalQueries.q168BenfordDigits.run(spark, sfDir).collect()
+    assert(rows.length > 0)
+    rows.foreach(r => assert(r.getDouble(2) >= 0, r.getString(0)))
+    val totalN = rows.map(_.getLong(1)).sum
+    val nOrders = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") >= 1).count()
+    assert(totalN === nOrders)
+  }
+
   test("q163 time-weighted avg matches a driver-side step-function reference") {
     val got = EventQueries.q163TimeWeightedAvg.run(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
