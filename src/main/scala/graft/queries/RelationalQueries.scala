@@ -1497,6 +1497,72 @@ object RelationalQueries {
     }
   }
 
+  /** CUSUM changepoint detection (Page 1954) on per-nation monthly
+    * revenue — "when did the level shift" for the q145/q152 series
+    * family. The textbook estimator is argmax_t (S_t − min_{i≤t} S_i)
+    * over cumulative deviations from the mean; deviations are kept
+    * INTEGER by scaling: dev_t = n·y_t − Σy (cents×months — no float
+    * mean ever materializes), so both windows (running sum, running
+    * min) and the argmax run on exact BIGINTs; the only float is the
+    * final unit conversion back to dollars. Two nation-partitioned
+    * windows over a months-grain rollup — the detection costs nothing
+    * beyond the monthly aggregate at any corpus scale. */
+  val q170CusumChangepoint = Q(
+    "q170_cusum_changepoint",
+    """WITH m AS (
+      |  SELECT n_name,
+      |    (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS x,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation ON n_nationkey = c_nationkey
+      |  GROUP BY 1, 2),
+      |t AS (
+      |  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(y) AS BIGINT) AS tot
+      |  FROM m GROUP BY 1),
+      |c AS (
+      |  SELECT m.n_name, m.x, t.n,
+      |    CAST(sum(m.y * t.n - t.tot) OVER (PARTITION BY m.n_name ORDER BY m.x)
+      |      AS BIGINT) AS s
+      |  FROM m JOIN t USING (n_name)),
+      |cp AS (
+      |  SELECT n_name, x, n,
+      |    s - min(s) OVER (PARTITION BY n_name ORDER BY x) AS cusum
+      |  FROM c),
+      |r AS (
+      |  SELECT n_name, x, n, cusum,
+      |    row_number() OVER (PARTITION BY n_name
+      |      ORDER BY cusum DESC, x) AS rk
+      |  FROM cp)
+      |SELECT n_name, CAST(x AS INT) AS change_month,
+      |  CAST(cusum AS BIGINT) AS cusum_units,
+      |  round(CAST(cusum AS DOUBLE) / n / 100, 4) AS cusum_dollars
+      |FROM r WHERE rk = 1 ORDER BY n_name""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"),
+        ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+          .as("x"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+    val t = m.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("tot"))
+    val byNation = Window.partitionBy(col("n_name")).orderBy(col("x"))
+    m.join(t, "n_name")
+      .withColumn("s", sum(col("y") * col("n") - col("tot")).over(byNation))
+      .withColumn("cusum", col("s") - min(col("s")).over(byNation))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("n_name")).orderBy(col("cusum").desc, col("x"))))
+      .filter(col("rk") === 1)
+      .select(col("n_name"), col("x").cast("int").as("change_month"),
+        col("cusum").as("cusum_units"),
+        round(col("cusum").cast("double") / col("n") / 100, 4).as("cusum_dollars"))
+      .orderBy(col("n_name"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -1509,5 +1575,5 @@ object RelationalQueries {
     q110ProfileOrders, q111BasketPairs, q124UpsertMerge, q125IncrementalAgg,
     q129IntervalOverlap, q134SketchedQuantiles, q135SnapshotDiff,
     q145RevenueTrend, q152ForecastBacktest, q159JoinForecast,
-    q168BenfordDigits)
+    q168BenfordDigits, q170CusumChangepoint)
 }

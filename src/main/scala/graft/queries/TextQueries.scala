@@ -2980,6 +2980,106 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Reciprocal-rank fusion of sparse + dense retrieval (Cormack et
+    * al. 2009's RRF, the standard hybrid-search combiner): BM25 top-10
+    * (q137's operator, same probe set) and brute-force cosine top-10
+    * over the aligned embeddings fuse by Σ 1/(60 + rank) — rank-based,
+    * so the two incomparable score scales never mix. The fused score
+    * is a fixed TWO-term expression over integer ranks (no float
+    * aggregation), full-outer joined so docs found by only one
+    * retriever still score. Candidate volume is |queries|×k per list —
+    * the fusion itself costs nothing at corpus scale. */
+  val q169RrfFusion = Q(
+    "q169_rrf_fusion",
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, s AS t FROM docs,
+      |    unnest(list_transform(range(1, len(tk) - 1),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS u(s)
+      |  WHERE len(tk) >= 3),
+      |tf AS (SELECT doc_id, t, count(*) AS cnt FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |vocab AS (
+      |  SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t
+      |  HAVING count(*) BETWEEN 2 AND
+      |    (SELECT greatest(8, CAST(floor(10 * log2(greatest(2, count(*)))) AS INT))
+      |     FROM documents)),
+      |w AS (
+      |  SELECT tf.doc_id, tf.t,
+      |    ln(1 + (s.n_docs - v.df + 0.5) / (v.df + 0.5)) *
+      |      (tf.cnt * 2.2) / (tf.cnt + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) AS wgt
+      |  FROM tf JOIN vocab v ON tf.t = v.t
+      |  JOIN dl d ON d.doc_id = tf.doc_id CROSS JOIN stats s),
+      |q AS (SELECT DISTINCT doc_id AS qid, t FROM tf WHERE doc_id % 97 = 0),
+      |sc AS (
+      |  SELECT q.qid, w.doc_id, round(sum(w.wgt), 4) AS score
+      |  FROM q JOIN w ON q.t = w.t AND w.doc_id <> q.qid
+      |  GROUP BY 1, 2),
+      |sp AS (
+      |  SELECT qid, doc_id, CAST(rnk AS INT) AS r_sparse FROM (
+      |    SELECT qid, doc_id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+      |    FROM sc) WHERE rnk <= 10),
+      |dn0 AS (
+      |  SELECT p.vec_id AS qid, e.vec_id AS doc_id,
+      |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                 CAST(p.embedding AS DOUBLE[])), 6) AS cos
+      |  FROM embeddings e
+      |  JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0) p
+      |    ON e.vec_id <> p.vec_id),
+      |dn AS (
+      |  SELECT qid, doc_id, CAST(rnk AS INT) AS r_dense FROM (
+      |    SELECT qid, doc_id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rnk
+      |    FROM dn0) WHERE rnk <= 10),
+      |fu AS (
+      |  SELECT coalesce(sp.qid, dn.qid) AS qid,
+      |    coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+      |    sp.r_sparse, dn.r_dense,
+      |    round(coalesce(1.0 / (60 + sp.r_sparse), 0)
+      |      + coalesce(1.0 / (60 + dn.r_dense), 0), 7) AS rrf
+      |  FROM sp FULL OUTER JOIN dn
+      |    ON sp.qid = dn.qid AND sp.doc_id = dn.doc_id)
+      |SELECT qid, CAST(rnk AS INT) AS rrf_rank, doc_id, r_sparse, r_dense, rrf
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY rrf DESC, doc_id) AS rnk FROM fu)
+      |WHERE rnk <= 5 ORDER BY qid, rrf_rank""".stripMargin) { (spark, dir) =>
+    import graft.functions.VectorFns
+    import org.apache.spark.sql.expressions.Window
+    val sparse = Bm25.topK(Tables.documents(spark, dir), "doc_id", "text",
+        querySelector = col("doc_id") % 97 === 0, k = 10)
+      .select(col("qid"), col("doc_id"), col("rnk").as("r_sparse"))
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("e_q"))
+    val byQcos = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("doc_id"))
+    val dense = emb.select(col("vec_id").as("doc_id"), col("embedding").as("e_d"))
+      .crossJoin(broadcast(probes))
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"),
+        round(VectorFns.cosine(col("e_d"), col("e_q")), 6).as("cos"))
+      .withColumn("r_dense", row_number().over(byQcos).cast("int"))
+      .filter(col("r_dense") <= 10)
+      .select(col("qid"), col("doc_id"), col("r_dense"))
+    val byQrrf = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    sparse.join(dense, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("r_sparse")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("r_dense")), lit(0.0)), 7))
+      .withColumn("rrf_rank", row_number().over(byQrrf).cast("int"))
+      .filter(col("rrf_rank") <= 5)
+      .select(col("qid"), col("rrf_rank"), col("doc_id"),
+        col("r_sparse"), col("r_dense"), col("rrf"))
+      .orderBy(col("qid"), col("rrf_rank"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -2995,5 +3095,5 @@ object TextQueries {
     q146SpanScrubbed, q148PortableHll, q149CorpusDrift, q150SourceAffinity,
     q153QualityAuc, q155ScoreCalibration, q160PhraseSearch,
     q162CompactionPlan, q164ParetoFrontier, q166ContainmentPairs,
-    q167KneserNey)
+    q167KneserNey, q169RrfFusion)
 }

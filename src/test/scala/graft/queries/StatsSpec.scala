@@ -144,6 +144,34 @@ class StatsSpec extends SparkSpec {
     assert(totalN === nOrders)
   }
 
+  test("q169 RRF invariants: ranks dense 1..5, scores bounded, membership real") {
+    val rows = TextQueries.q169RrfFusion.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getInt(1)).sorted.toSeq === (1 to g.length))
+    }
+    rows.foreach { r =>
+      val rrf = r.getDouble(5)
+      assert(rrf > 0 && rrf <= 2.0 / 61 + 1e-9)
+      // a fused doc must come from at least one retriever's top list
+      assert(!r.isNullAt(3) || !r.isNullAt(4))
+    }
+  }
+
+  test("q170 CUSUM invariants: statistic non-negative, month within range") {
+    val rows = RelationalQueries.q170CusumChangepoint.run(spark, sfDir).collect()
+    assert(rows.length > 0)
+    val Array(lo, hi) = Tables.orders(spark, sfDir)
+      .select(((year(col("o_orderdate")) - 1992) * 12
+        + month(col("o_orderdate")) - 1).as("x"))
+      .agg(min(col("x")), max(col("x"))).collect().head
+      .toSeq.map(_.asInstanceOf[Int]).toArray
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0, r.getString(0))
+      assert(r.getInt(1) >= lo && r.getInt(1) <= hi, r.getString(0))
+    }
+  }
+
   test("q163 time-weighted avg matches a driver-side step-function reference") {
     val got = EventQueries.q163TimeWeightedAvg.run(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
