@@ -1563,6 +1563,91 @@ object RelationalQueries {
       .orderBy(col("n_name"))
   }
 
+  /** Classical additive seasonal decomposition (the moving-average
+    * core of STL's ancestor, Macaulay 1931): per-nation monthly
+    * revenue splits into trend (centered 2×12 moving average — the
+    * standard even-window centering: (y₋₆ + 2Σ₋₅..₊₅ + y₊₆)/24) and a
+    * month-of-year seasonal index (mean detrended deviation). The
+    * decomposition stays INTEGER end to end by scaling: detrended
+    * dev = 24·y − N where N is the integer MA numerator, and the
+    * seasonal mean keeps Σdev and count separate until one final
+    * division — no float mean, no float window, nothing
+    * order-dependent. Three nation-partitioned windows at month grain;
+    * edge months without a full centered window are excluded (the
+    * textbook treatment). */
+  val q171SeasonalDecompose = Q(
+    "q171_seasonal_decompose",
+    """WITH m AS (
+      |  SELECT n_name,
+      |    (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS x,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation ON n_nationkey = c_nationkey
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT n_name, x, y,
+      |    lag(y, 6) OVER nw AS l6, lead(y, 6) OVER nw AS f6,
+      |    sum(y) OVER (PARTITION BY n_name ORDER BY x
+      |      ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS s11,
+      |    count(*) OVER (PARTITION BY n_name ORDER BY x
+      |      ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS c11
+      |  FROM m WINDOW nw AS (PARTITION BY n_name ORDER BY x)),
+      |d AS (
+      |  SELECT n_name, x % 12 AS moy, 24 * y - (l6 + f6 + 2 * s11) AS dev
+      |  FROM w WHERE l6 IS NOT NULL AND f6 IS NOT NULL AND c11 = 11),
+      |g AS (
+      |  SELECT n_name, moy, CAST(count(*) AS BIGINT) AS n_obs,
+      |    CAST(sum(dev) AS BIGINT) AS dev_units
+      |  FROM d GROUP BY 1, 2),
+      |-- round-half-away ON THE INTEGER GRID: float round(x, 4) flakes
+      |-- when the rational sits on a .00005 boundary (seen at sf0.01);
+      |-- integer arithmetic cannot
+      |e AS (
+      |  SELECT n_name, moy, n_obs, dev_units,
+      |    CASE WHEN dev_units >= 0
+      |      THEN (2 * dev_units * 10000 + 2400 * n_obs) // (2 * 2400 * n_obs)
+      |      ELSE -((2 * (-dev_units) * 10000 + 2400 * n_obs) // (2 * 2400 * n_obs))
+      |    END AS seasonal_e4
+      |  FROM g)
+      |SELECT n_name, CAST(moy AS INT) AS moy, n_obs, dev_units,
+      |  CAST(seasonal_e4 AS BIGINT) AS seasonal_e4,
+      |  CAST(seasonal_e4 AS DOUBLE) / 10000 AS seasonal_dollars
+      |FROM e ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"),
+        ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+          .as("x"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+    val nw = Window.partitionBy(col("n_name")).orderBy(col("x"))
+    val c11 = nw.rowsBetween(-5, 5)
+    m.withColumn("l6", lag(col("y"), 6).over(nw))
+      .withColumn("f6", lead(col("y"), 6).over(nw))
+      .withColumn("s11", sum(col("y")).over(c11))
+      .withColumn("c11", count(lit(1)).over(c11))
+      .filter(col("l6").isNotNull && col("f6").isNotNull && col("c11") === 11)
+      .select(col("n_name"), (col("x") % 12).as("moy"),
+        (lit(24) * col("y") - (col("l6") + col("f6") + lit(2) * col("s11")))
+          .as("dev"))
+      .groupBy(col("n_name"), col("moy"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("dev")).as("dev_units"))
+      // round-half-away on the integer grid (see oracle comment): the
+      // float round(x, 4) boundary flake is structural, not noise
+      .withColumn("seasonal_e4", expr(
+        """CASE WHEN dev_units >= 0
+          |  THEN (2 * dev_units * 10000 + 2400 * n_obs) div (2 * 2400 * n_obs)
+          |  ELSE -((2 * (-dev_units) * 10000 + 2400 * n_obs) div (2 * 2400 * n_obs))
+          |END""".stripMargin))
+      .select(col("n_name"), col("moy").cast("int").as("moy"), col("n_obs"),
+        col("dev_units"), col("seasonal_e4"),
+        (col("seasonal_e4").cast("double") / 10000).as("seasonal_dollars"))
+      .orderBy(col("n_name"), col("moy"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -1575,5 +1660,5 @@ object RelationalQueries {
     q110ProfileOrders, q111BasketPairs, q124UpsertMerge, q125IncrementalAgg,
     q129IntervalOverlap, q134SketchedQuantiles, q135SnapshotDiff,
     q145RevenueTrend, q152ForecastBacktest, q159JoinForecast,
-    q168BenfordDigits, q170CusumChangepoint)
+    q168BenfordDigits, q170CusumChangepoint, q171SeasonalDecompose)
 }

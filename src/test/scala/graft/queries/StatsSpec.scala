@@ -172,6 +172,25 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q171 seasonal invariants: 12 months per nation, integer grid consistent") {
+    val rows = RelationalQueries.q171SeasonalDecompose.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      val moys = g.map(_.getInt(1))
+      assert(moys.distinct.length === moys.length)
+      assert(moys.forall(m => m >= 0 && m < 12))
+      // centered-MA deviations nearly cancel across the year: the mean
+      // seasonal magnitude must be far below the largest single index
+      val idx = g.map(_.getLong(4))
+      assert(math.abs(idx.sum.toDouble) <= idx.map(math.abs).max * 6.0)
+    }
+    rows.foreach { r =>
+      assert(r.getLong(4).signum == 0 ||
+        r.getLong(4).signum == r.getLong(3).signum) // e4 grid keeps sign
+      assert(r.getDouble(5) === r.getLong(4).toDouble / 10000)
+    }
+  }
+
   test("q163 time-weighted avg matches a driver-side step-function reference") {
     val got = EventQueries.q163TimeWeightedAvg.run(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
