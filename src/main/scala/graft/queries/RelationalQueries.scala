@@ -1648,6 +1648,82 @@ object RelationalQueries {
       .orderBy(col("n_name"), col("moy"))
   }
 
+  /** Unrolled relational twin of `HilbertExpr.index`: one CTE per bit
+    * level carrying (x, y, d) rotation state — the kcore/q131
+    * bounded-rounds oracle pattern applied to a bit loop. */
+  private def hilbertSqlChain(bits: Int): String =
+    (0 until bits).map { i =>
+      val s = 1L << (bits - 1 - i)
+      s"""h${i + 1} AS (
+         |  SELECT px, py,
+         |    d + ${s * s} * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+         |                       CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d,
+         |    CASE WHEN (y & $s) = 0
+         |      THEN (CASE WHEN (x & $s) > 0 THEN ${s - 1} - y ELSE y END)
+         |      ELSE x END AS x,
+         |    CASE WHEN (y & $s) = 0
+         |      THEN (CASE WHEN (x & $s) > 0 THEN ${s - 1} - x ELSE x END)
+         |      ELSE y END AS y
+         |  FROM h$i)""".stripMargin
+    }.mkString(",\n")
+
+  /** Hilbert-curve layout (`plans/HilbertExpr`, native codegen) vs
+    * Z-order, measured: both curves bucket the same 8-bit
+    * (partkey, suppkey) grid into 16 range buckets, and each bucket
+    * reports its row count and bounding-box area — the min/max-stats
+    * selectivity a lakehouse file would have under that layout.
+    * Hilbert's claim (why Delta/Iceberg offer it over Morton) is
+    * tighter boxes: no curve "seams", consecutive positions always
+    * grid-adjacent. The areas are exact integers, so the comparison is
+    * hash-gated, not vibes; the oracle replays the 8-level rotation
+    * loop as an unrolled CTE chain. */
+  val q172HilbertLayout = Q(
+    "q172_hilbert_layout",
+    s"""WITH pts AS (
+       |  SELECT CAST(l_partkey & 255 AS BIGINT) AS px,
+       |         CAST(l_suppkey & 255 AS BIGINT) AS py FROM lineitem),
+       |h0 AS (SELECT px, py, px AS x, py AS y, CAST(0 AS BIGINT) AS d FROM pts),
+       |${hilbertSqlChain(8)},
+       |s1 AS (SELECT px, py, ((px | (px << 8)) & 16711935) AS x1,
+       |                      ((py | (py << 8)) & 16711935) AS y1 FROM pts),
+       |s2 AS (SELECT px, py, ((x1 | (x1 << 4)) & 252645135) AS x2,
+       |                      ((y1 | (y1 << 4)) & 252645135) AS y2 FROM s1),
+       |s3 AS (SELECT px, py, ((x2 | (x2 << 2)) & 858993459) AS x3,
+       |                      ((y2 | (y2 << 2)) & 858993459) AS y3 FROM s2),
+       |s4 AS (SELECT px, py, ((x3 | (x3 << 1)) & 1431655765) AS x4,
+       |                      ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3),
+       |curves AS (
+       |  SELECT 'hilbert' AS curve, px, py, d AS v FROM h8
+       |  UNION ALL
+       |  SELECT 'zorder', px, py, x4 | (y4 << 1) FROM s4),
+       |mx AS (SELECT curve, max(v) AS vmax FROM curves GROUP BY 1),
+       |b AS (
+       |  SELECT c.curve, CAST(c.v * 16 // (m.vmax + 1) AS INT) AS bucket,
+       |    c.px, c.py
+       |  FROM curves c JOIN mx m ON m.curve = c.curve)
+       |SELECT curve, bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST((max(px) - min(px) + 1) * (max(py) - min(py) + 1) AS BIGINT)
+       |    AS bbox_area
+       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import graft.operators.ZOrder
+    import graft.plans.HilbertExpr
+    val pts = Tables.lineitem(spark, dir).select(
+      col("l_partkey").bitwiseAND(lit(255)).cast("long").as("px"),
+      col("l_suppkey").bitwiseAND(lit(255)).cast("long").as("py"))
+    val curves = pts.select(lit("hilbert").as("curve"), col("px"), col("py"),
+        HilbertExpr.hilbertIndex(col("px"), col("py")).as("v"))
+      .unionAll(pts.select(lit("zorder").as("curve"), col("px"), col("py"),
+        ZOrder.zValue2(col("px"), col("py")).as("v")))
+    val mx = curves.groupBy(col("curve")).agg(max(col("v")).as("vmax"))
+    curves.join(broadcast(mx), "curve")
+      .withColumn("bucket", expr("CAST((v * 16) DIV (vmax + 1) AS INT)"))
+      .groupBy(col("curve"), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        ((max(col("px")) - min(col("px")) + 1)
+          * (max(col("py")) - min(col("py")) + 1)).as("bbox_area"))
+      .orderBy(col("curve"), col("bucket"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -1660,5 +1736,6 @@ object RelationalQueries {
     q110ProfileOrders, q111BasketPairs, q124UpsertMerge, q125IncrementalAgg,
     q129IntervalOverlap, q134SketchedQuantiles, q135SnapshotDiff,
     q145RevenueTrend, q152ForecastBacktest, q159JoinForecast,
-    q168BenfordDigits, q170CusumChangepoint, q171SeasonalDecompose)
+    q168BenfordDigits, q170CusumChangepoint, q171SeasonalDecompose,
+    q172HilbertLayout)
 }
