@@ -65,5 +65,7 @@ object GraftExtensions {
         graft.lianjia.Css.toXPath(literalString(exprs(1), "graft_css_all")))),
     "graft_winnow" ->
       ((exprs: Seq[Expression]) => graft.plans.WinnowExpr(exprs.head,
-        literalInt(exprs(1), "graft_winnow"), literalInt(exprs(2), "graft_winnow"))))
+        literalInt(exprs(1), "graft_winnow"), literalInt(exprs(2), "graft_winnow"))),
+    "graft_hilbert" ->
+      ((exprs: Seq[Expression]) => graft.plans.HilbertExpr(exprs.head, exprs(1))))
 }

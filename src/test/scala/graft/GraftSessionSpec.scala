@@ -30,6 +30,16 @@ class GraftSessionSpec extends SparkSpec {
     assert(viaSql === viaCol && viaSql.nonEmpty)
   }
 
+  test("registered SQL function graft_hilbert matches the Column API") {
+    GraftSession.registerFunctions(spark)
+    import spark.implicits._
+    val df = Seq((7L, 11L)).toDF("x", "y")
+    df.createOrReplaceTempView("th")
+    val viaSql = spark.sql("SELECT graft_hilbert(x, y) AS d FROM th")
+      .as[Long].head()
+    assert(viaSql === graft.plans.HilbertExpr.index(7, 11))
+  }
+
   test("extraction surface from pure SQL: css/xpath first + all") {
     GraftSession.registerFunctions(spark)
     import spark.implicits._
