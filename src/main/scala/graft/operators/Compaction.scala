@@ -48,4 +48,35 @@ object Compaction {
         sum(col(sizeCol)).as("total_bytes"),
         min(col(orderCol)).as("first_id"),
         max(col(orderCol)).as("last_id"))
+
+  /** O(delta) incremental re-plan — the daily-ingest shape (the q94/
+    * q125/q133 incremental-family contract applied to table
+    * maintenance): when a batch of new files lands, only partitions
+    * that RECEIVED files need re-planning; every other partition's
+    * stored manifest is still valid, because bins are a pure function
+    * of the partition's own file listing. The affected-key set (tiny —
+    * the delta's distinct keys) broadcasts into a semi-join that prunes
+    * the listing BEFORE the window, so re-planning cost tracks the
+    * delta's partitions, never the table. Returns the refreshed
+    * manifest rows for affected partitions only, with `n_new` counting
+    * the delta files in each bin; the caller merges them over the
+    * stored manifest by (key, bin). */
+  def incrementalManifest(files: DataFrame, newFiles: DataFrame,
+      keyCol: String, orderCol: String, sizeCol: String,
+      targetBytes: Long): DataFrame = {
+    // no broadcast HINT (registry audit trusts hints only on provably
+    // bounded subtrees); AQE broadcasts the tiny distinct-key side of
+    // the semi-join by size stats at runtime
+    val affected = newFiles.select(col(keyCol)).distinct()
+    val combined = files.withColumn("_new", lit(0L))
+      .unionByName(newFiles.withColumn("_new", lit(1L)))
+      .join(affected, Seq(keyCol), "left_semi")
+    assignBins(combined, keyCol, orderCol, sizeCol, targetBytes)
+      .groupBy(col(keyCol), col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("_new")).as("n_new"),
+        sum(col(sizeCol)).as("total_bytes"),
+        min(col(orderCol)).as("first_id"),
+        max(col(orderCol)).as("last_id"))
+  }
 }

@@ -56,7 +56,10 @@ object Pareto {
     // 4. within-bucket running max over strictly smaller costs
     val withinW = Window.partitionBy(col("bkt")).orderBy(col("t"))
       .rangeBetween(Window.unboundedPreceding, -1)
-    val mlt = bucketed.join(broadcast(prefix), "bkt")
+    // no broadcast HINT: prefix is ≤B rows by construction, but the
+    // registry-wide audit only trusts hints on provably-bounded
+    // subtrees — AQE broadcasts a 32-row side by size stats anyway
+    val mlt = bucketed.join(prefix, "bkt")
       .withColumn("w_lt", max(col("m_eq")).over(withinW))
       // greatest() skips nulls; both null ⇒ no smaller cost exists
       .select(col("t"), col("m_eq"), greatest(col("p_lt"), col("w_lt")).as("m_lt"))

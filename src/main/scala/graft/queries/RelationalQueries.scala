@@ -1714,14 +1714,72 @@ object RelationalQueries {
         HilbertExpr.hilbertIndex(col("px"), col("py")).as("v"))
       .unionAll(pts.select(lit("zorder").as("curve"), col("px"), col("py"),
         ZOrder.zValue2(col("px"), col("py")).as("v")))
+    // 2-row grouped max: no broadcast hint (audit trusts only provably
+    // bounded subtrees); AQE broadcasts it by size at runtime
     val mx = curves.groupBy(col("curve")).agg(max(col("v")).as("vmax"))
-    curves.join(broadcast(mx), "curve")
+    curves.join(mx, "curve")
       .withColumn("bucket", expr("CAST((v * 16) DIV (vmax + 1) AS INT)"))
       .groupBy(col("curve"), col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         ((max(col("px")) - min(col("px")) + 1)
           * (max(col("py")) - min(col("py")) + 1)).as("bbox_area"))
       .orderBy(col("curve"), col("bucket"))
+  }
+
+  /** Theil–Sen robust trend (Theil 1950; Sen 1968) — the median of all
+    * pairwise slopes, the outlier-immune companion to q145's OLS (one
+    * wild month bends a least-squares line; it cannot move a slope
+    * median). The pair set lives at MONTHS grain — ≤ C(84,2) ≈ 3.5k
+    * pairs per nation regardless of corpus size, so the "quadratic"
+    * estimator is corpus-size-free by construction. Slopes are
+    * identical integer-cents-over-integer-months divisions; the median
+    * comes from an in-row sorted array (collect_list is order-
+    * dependent, sort_array makes it total), averaging the two middles
+    * for even counts exactly as the oracle's median() does. */
+  val q174TheilSen = Q(
+    "q174_theil_sen",
+    """WITH m AS (
+      |  SELECT n_name,
+      |    (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS x,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation ON n_nationkey = c_nationkey
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.n_name, (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope
+      |  FROM m a JOIN m b ON a.n_name = b.n_name AND a.x < b.x),
+      |s AS (
+      |  SELECT n_name, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    median(slope) AS med
+      |  FROM p GROUP BY 1)
+      |SELECT n_name, n_pairs, round(med / 100, 6) AS ts_slope_dollars
+      |FROM s ORDER BY n_name""".stripMargin) { (spark, dir) =>
+    val m = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"),
+        ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+          .as("x"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+    val a = m.select(col("n_name"), col("x").as("ax"), col("y").as("ay"))
+    val b = m.select(col("n_name").as("bn"), col("x").as("bx"), col("y").as("by"))
+    a.join(b, col("n_name") === col("bn") && col("ax") < col("bx"))
+      .select(col("n_name"),
+        ((col("by") - col("ay")) / (col("bx") - col("ax")).cast("double"))
+          .as("slope"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sort_array(collect_list(col("slope"))).as("sl"))
+      .withColumn("n", size(col("sl")))
+      .withColumn("med", when(col("n") % 2 === 1,
+          element_at(col("sl"), expr("CAST((n + 1) div 2 AS INT)")))
+        .otherwise((element_at(col("sl"), expr("CAST(n div 2 AS INT)"))
+          + element_at(col("sl"), expr("CAST(n div 2 + 1 AS INT)"))) / 2))
+      .select(col("n_name"), col("n_pairs"),
+        round(col("med") / 100, 6).as("ts_slope_dollars"))
+      .orderBy(col("n_name"))
   }
 
   val all: Seq[Q] = Seq(
@@ -1737,5 +1795,5 @@ object RelationalQueries {
     q129IntervalOverlap, q134SketchedQuantiles, q135SnapshotDiff,
     q145RevenueTrend, q152ForecastBacktest, q159JoinForecast,
     q168BenfordDigits, q170CusumChangepoint, q171SeasonalDecompose,
-    q172HilbertLayout)
+    q172HilbertLayout, q174TheilSen)
 }

@@ -3014,7 +3014,8 @@ object TextQueries {
       |      (tf.cnt * 2.2) / (tf.cnt + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) AS wgt
       |  FROM tf JOIN vocab v ON tf.t = v.t
       |  JOIN dl d ON d.doc_id = tf.doc_id CROSS JOIN stats s),
-      |q AS (SELECT DISTINCT doc_id AS qid, t FROM tf WHERE doc_id % 97 = 0),
+      |q AS (SELECT DISTINCT doc_id AS qid, t FROM tf
+      |      WHERE doc_id IN (0, 97, 194, 291, 388)),
       |sc AS (
       |  SELECT q.qid, w.doc_id, round(sum(w.wgt), 4) AS score
       |  FROM q JOIN w ON q.t = w.t AND w.doc_id <> q.qid
@@ -3029,7 +3030,8 @@ object TextQueries {
       |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
       |                                 CAST(p.embedding AS DOUBLE[])), 6) AS cos
       |  FROM embeddings e
-      |  JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0) p
+      |  JOIN (SELECT vec_id, embedding FROM embeddings
+      |        WHERE vec_id IN (0, 97, 194, 291, 388)) p
       |    ON e.vec_id <> p.vec_id),
       |dn AS (
       |  SELECT qid, doc_id, CAST(rnk AS INT) AS r_dense FROM (
@@ -3051,11 +3053,16 @@ object TextQueries {
       |WHERE rnk <= 5 ORDER BY qid, rrf_rank""".stripMargin) { (spark, dir) =>
     import graft.functions.VectorFns
     import org.apache.spark.sql.expressions.Window
+    // the query batch is a LITERAL id list (the q151 serving shape):
+    // corpus-size-free by construction, which is what makes the dense
+    // side's broadcast(probes) hint legal under the registry-wide
+    // bounded-broadcast audit — a %-of-corpus probe filter is not
+    val qids = Seq(0L, 97L, 194L, 291L, 388L)
     val sparse = Bm25.topK(Tables.documents(spark, dir), "doc_id", "text",
-        querySelector = col("doc_id") % 97 === 0, k = 10)
+        querySelector = col("doc_id").isin(qids: _*), k = 10)
       .select(col("qid"), col("doc_id"), col("rnk").as("r_sparse"))
     val emb = Tables.embeddings(spark, dir)
-    val probes = emb.filter(col("vec_id") % 97 === 0)
+    val probes = emb.filter(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("qid"), col("embedding").as("e_q"))
     val byQcos = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("doc_id"))
@@ -3080,6 +3087,53 @@ object TextQueries {
       .orderBy(col("qid"), col("rrf_rank"))
   }
 
+  /** Incremental compaction re-plan (`Compaction.incrementalManifest`)
+    * — q162's O(delta) daily-ingest story: a delta batch lands in 2 of
+    * 20 partitions, so only those two re-plan (broadcast semi-join on
+    * the delta's distinct keys prunes the listing BEFORE the window);
+    * 18 partitions' stored manifests stay valid because bins are a
+    * pure function of each partition's own listing. Output is the
+    * refreshed manifest for affected partitions with per-bin new-file
+    * counts — what a maintenance job would merge over the stored
+    * manifest. */
+  val q173IncrementalCompaction = Q(
+    "q173_incremental_compaction",
+    """WITH f AS (
+      |  SELECT source, doc_id, CAST(length(text) AS BIGINT) AS bytes,
+      |    0 AS is_new
+      |  FROM documents),
+      |nf AS (
+      |  SELECT source, doc_id + 1000000 AS doc_id,
+      |    CAST(length(text) AS BIGINT) // 2 + 64 AS bytes, 1 AS is_new
+      |  FROM documents
+      |  WHERE source IN ('src1', 'src7') AND doc_id % 3 = 0),
+      |u AS (
+      |  SELECT * FROM f WHERE source IN (SELECT DISTINCT source FROM nf)
+      |  UNION ALL SELECT * FROM nf),
+      |c AS (
+      |  SELECT source, doc_id, bytes, is_new,
+      |    coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      |  FROM u),
+      |b AS (SELECT source, doc_id, bytes, is_new, prior // 4096 AS bin FROM c)
+      |SELECT source, CAST(bin AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_files,
+      |  CAST(sum(is_new) AS BIGINT) AS n_new,
+      |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+      |  min(doc_id) AS first_id, max(doc_id) AS last_id
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import graft.operators.Compaction
+    val files = Tables.documents(spark, dir).select(col("source"),
+      col("doc_id"), length(col("text")).cast("long").as("bytes"))
+    val delta = Tables.documents(spark, dir)
+      .filter(col("source").isin("src1", "src7") && col("doc_id") % 3 === 0)
+      .select(col("source"), (col("doc_id") + 1000000).as("doc_id"),
+        ((length(col("text")).cast("long") / 2).cast("long") + 64).as("bytes"))
+    Compaction.incrementalManifest(files, delta, "source", "doc_id", "bytes",
+        targetBytes = 4096L)
+      .orderBy(col("source"), col("bin"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -3095,5 +3149,5 @@ object TextQueries {
     q146SpanScrubbed, q148PortableHll, q149CorpusDrift, q150SourceAffinity,
     q153QualityAuc, q155ScoreCalibration, q160PhraseSearch,
     q162CompactionPlan, q164ParetoFrontier, q166ContainmentPairs,
-    q167KneserNey, q169RrfFusion)
+    q167KneserNey, q169RrfFusion, q173IncrementalCompaction)
 }
