@@ -81,7 +81,8 @@ object DiagScale {
 
     // (operator label, k → row-producing DataFrame) — mirrors the
     // registered heavy queries' parameters exactly
-    def ops(docs: DataFrame, emb: DataFrame, ev: DataFrame): Seq[(String, () => Long)] = {
+    def ops(docs: DataFrame, emb: DataFrame, ev: DataFrame,
+        k: Int): Seq[(String, () => Long)] = {
       def nearDupEdgesWith(bits: Int) = {
         val banded = emb.select(col("vec_id"), col("embedding"),
             posexplode(VectorFns.lshBandKeys(col("embedding"), 64, 4, bits))
@@ -254,7 +255,25 @@ object DiagScale {
         // retrieve top-5 by BM25 through the df-capped posting join —
         // query count AND posting lists both grow with k, so this is
         // the candidate-volume probe for the retrieval family
-        "q137_bm25" -> (() => bm25TopK(docs)))
+        "q137_bm25" -> (() => bm25TopK(docs)),
+        // the registered q160 shape: replica-local phrases (replica
+        // prefixes keep every phrase inside its own replica), so the
+        // honest expectation is LINEAR — k phrases × constant
+        // per-phrase occurrence volume; a superlinear exponent would
+        // mean the vocab IN-list prune is not reaching the scan
+        "q160_phrase" -> (() => {
+          import graft.operators.Phrase
+          val phrases = (0 until k).map(r =>
+            s"p$r" -> Seq(s"r${r}xhash", s"r${r}xjoin"))
+          Phrase.phraseCounts(
+            Phrase.positionalPostings(docs, "doc_id", "text"), phrases).count()
+        }),
+        // the registered q166 shape: same rare-shingle candidate stage
+        // as q28, asymmetric scores — must inherit q28's df-cap
+        // linearity
+        "q166_containment" -> (() =>
+          Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
+            threshold = 0.8, maxDocFreq = 100).count()))
     }
 
     // the q137 BM25 shape: precomputed doc-side weights, query set =
@@ -332,7 +351,7 @@ object DiagScale {
       val evK = replicateEvents(ev0, k).repartition(cpus.toInt).persist()
       val (nd, ne) = (docsK.count(), embK.count())
       println(s"[scale] k=$k docs=$nd emb=$ne ev=${evK.count()}")
-      for ((name, f) <- ops(docsK, embK, evK)
+      for ((name, f) <- ops(docsK, embK, evK, k)
            if opFilter.isEmpty || opFilter.exists(name.contains)) {
         val t0 = System.nanoTime()
         val rows = f()
