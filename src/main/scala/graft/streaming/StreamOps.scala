@@ -141,6 +141,39 @@ object StreamOps {
       .toDF("doc_id", "band", "keeper_id", "est_jaccard", "is_dup")
   }
 
+  /** Streaming twin of `Compaction.assignBins` (q162): per-partition
+    * cumulative byte totals as keyed state — ONE long per partition key
+    * forever — so every file that lands gets its compaction bin
+    * `floor(bytes-before / target)` the moment it arrives, instead of
+    * waiting for a batch re-plan. Within a micro-batch files are
+    * processed in `orderCol` order (the batch operator's contract);
+    * across batches the running total carries, which is exactly the
+    * append-only case q173's incremental re-plan handles in batch.
+    * Emits (key, id, bytes, bin). */
+  def compactionBins(files: DataFrame, keyCol: String, orderCol: String,
+      sizeCol: String, targetBytes: Long): DataFrame = {
+    import files.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    files
+      .select(col(keyCol).cast("string").as("k"),
+        col(orderCol).cast("long").as("id"), col(sizeCol).cast("long").as("bytes"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long)], state: GroupState[Long]) =>
+          var prior = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._2).map { case (_, id, bytes) =>
+            val bin = prior / targetBytes
+            prior += bytes
+            (key, id, bytes, bin)
+          }
+          state.update(prior)
+          out.iterator
+      }
+      .toDF(keyCol, orderCol, sizeCol, "bin")
+  }
+
   /** Streaming image dedup: q165's perceptual hash as the stream key.
     * Arriving payloads hash NARROWLY per row (the stateless
     * `Multimodal.perceptualHash` mapPartitions runs unchanged on a

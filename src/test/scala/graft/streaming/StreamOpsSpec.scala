@@ -536,6 +536,27 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.select("k").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("streaming compaction bins match the batch planner") {
+    import spark.implicits._
+    val rows = Seq(
+      ("p", 1L, 3L), ("p", 2L, 3L), ("p", 3L, 3L), ("p", 4L, 3L),
+      ("q", 1L, 2L), ("q", 2L, 100L), ("q", 3L, 2L))
+    val dir = java.nio.file.Files.createTempDirectory("stream-files").toString
+    rows.toDF("k", "id", "bytes").coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val batch = graft.operators.Compaction.assignBins(
+        rows.toDF("k", "id", "bytes"), "k", "id", "bytes", 6L)
+      .select($"k", $"id", $"bin").as[(String, Long, Long)].collect().toSet
+
+    val schema = spark.read.parquet(dir).schema
+    val streamed = StreamOps.runToMemory(spark,
+      StreamOps.compactionBins(
+        StreamOps.parquetStream(spark, schema, dir), "k", "id", "bytes", 6L),
+      "compact_test", outputMode = "append")
+      .select($"k", $"id", $"bin").as[(String, Long, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
   test("streaming image dedup: per-hash keeper parity with the batch census") {
     import spark.implicits._
     def png(pattern: Int): Array[Byte] = {
