@@ -1782,6 +1782,89 @@ object RelationalQueries {
       .orderBy(col("n_name"))
   }
 
+  /** Record linkage / entity resolution (Fellegi & Sunter 1969 — the
+    * canonical probabilistic matcher behind every MDM/dedup-people
+    * system): a dirty copy of every 7th customer (last name char
+    * dropped, one phone digit flipped) must link back to its source.
+    * Candidate pairs come ONLY from blocking on (nationkey, first 8
+    * name digits) — block sizes are ~10 by construction, so pair
+    * volume is linear in customers, never C(n,2). Each field
+    * comparison contributes a FIXED INTEGER log-likelihood weight
+    * (ln(m/u) on a 1e-3 grid, precomputed constants: agreement
+    * evidence positive, disagreement negative; name has a fuzzy
+    * prefix-agreement level, the F-S treatment of typos), so the score
+    * is pure integer addition and the match threshold is exact. True
+    * pairs clear the bar on phone-disagree + name-prefix + balance +
+    * segment evidence; same-block strangers score deeply negative. */
+  val q175RecordLinkage = Q(
+    "q175_record_linkage",
+    """WITH base AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      |    lpad(CAST(c_custkey * 7919 % 100000000 AS VARCHAR), 8, '0') AS ph
+      |  FROM customer),
+      |dirty AS (
+      |  SELECT c_custkey + 1000000 AS id,
+      |    substr(c_name, 1, length(c_name) - 1) AS name,
+      |    concat(substr(ph, 1, 3), '9', substr(ph, 5)) AS phone,
+      |    c_nationkey AS nk, CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+      |    c_mktsegment AS seg
+      |  FROM base WHERE c_custkey % 7 = 0),
+      |clean AS (
+      |  SELECT c_custkey AS id, c_name AS name, ph AS phone,
+      |    c_nationkey AS nk, CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+      |    c_mktsegment AS seg
+      |  FROM base),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |    CASE WHEN a.phone = b.phone THEN 6802 ELSE -2302 END
+      |    + CASE WHEN a.name = b.name THEN 4554
+      |           WHEN substr(a.name, 1, length(b.name)) = b.name
+      |             OR substr(b.name, 1, length(a.name)) = a.name THEN 3000
+      |           ELSE -2986 END
+      |    + CASE WHEN a.bal = b.bal THEN 9105 ELSE -2303 END
+      |    + CASE WHEN a.seg = b.seg THEN 1589 ELSE -3689 END AS score
+      |  FROM clean a JOIN dirty b
+      |    ON a.nk = b.nk
+      |    AND substr(a.name, 10, 8) = substr(b.name, 10, 8))
+      |SELECT id_a, id_b, CAST(score AS BIGINT) AS score
+      |FROM pairs WHERE score >= 8000
+      |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    val cust = Tables.customer(spark, dir)
+      .withColumn("ph",
+        lpad((col("c_custkey") * 7919 % 100000000).cast("string"), 8, "0"))
+    val clean = cust.select(col("c_custkey").as("id"), col("c_name").as("name"),
+      col("ph").as("phone"), col("c_nationkey").as("nk"),
+      round(col("c_acctbal") * 100).cast("long").as("bal"),
+      col("c_mktsegment").as("seg"))
+    val dirty = cust.filter(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") + 1000000).as("id"),
+        expr("substr(c_name, 1, length(c_name) - 1)").as("name"),
+        concat(substring(col("ph"), 1, 3), lit("9"),
+          expr("substr(ph, 5)")).as("phone"),
+        col("c_nationkey").as("nk"),
+        round(col("c_acctbal") * 100).cast("long").as("bal"),
+        col("c_mktsegment").as("seg"))
+    val a = clean.select(col("id").as("id_a"), col("name").as("na"),
+      col("phone").as("pa"), col("nk").as("nka"), col("bal").as("ba"),
+      col("seg").as("sa"))
+    val b = dirty.select(col("id").as("id_b"), col("name").as("nb"),
+      col("phone").as("pb"), col("nk").as("nkb"), col("bal").as("bb"),
+      col("seg").as("sb"))
+    a.join(b, col("nka") === col("nkb") &&
+        expr("substr(na, 10, 8)") === expr("substr(nb, 10, 8)"))
+      .withColumn("score",
+        when(col("pa") === col("pb"), 6802).otherwise(-2302)
+        + when(col("na") === col("nb"), 4554)
+          .when(expr("substr(na, 1, length(nb))") === col("nb")
+            || expr("substr(nb, 1, length(na))") === col("na"), 3000)
+          .otherwise(-2986)
+        + when(col("ba") === col("bb"), 9105).otherwise(-2303)
+        + when(col("sa") === col("sb"), 1589).otherwise(-3689))
+      .filter(col("score") >= 8000)
+      .select(col("id_a"), col("id_b"), col("score").cast("long").as("score"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -1795,5 +1878,5 @@ object RelationalQueries {
     q129IntervalOverlap, q134SketchedQuantiles, q135SnapshotDiff,
     q145RevenueTrend, q152ForecastBacktest, q159JoinForecast,
     q168BenfordDigits, q170CusumChangepoint, q171SeasonalDecompose,
-    q172HilbertLayout, q174TheilSen)
+    q172HilbertLayout, q174TheilSen, q175RecordLinkage)
 }

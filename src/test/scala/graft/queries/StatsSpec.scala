@@ -191,6 +191,17 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q175 record linkage: perfect precision and recall on the planted dirties") {
+    val rows = RelationalQueries.q175RecordLinkage.run(spark, sfDir).collect()
+    val expected = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 7 === 0).count()
+    assert(rows.length === expected) // recall: every planted dirty linked
+    rows.foreach { r => // precision: each match IS the planted pair
+      assert(r.getLong(1) === r.getLong(0) + 1000000, s"${r.getLong(0)}")
+      assert(r.getLong(2) >= 8000)
+    }
+  }
+
   test("q163 time-weighted avg matches a driver-side step-function reference") {
     val got = EventQueries.q163TimeWeightedAvg.run(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
