@@ -3134,6 +3134,136 @@ object TextQueries {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** HLL set-operation estimates (the sketch-algebra payoff of q148's
+    * portable HyperLogLog): pairwise source shingle-overlap via
+    * inclusion–exclusion |A∩B| ≈ E(A) + E(B) − E(A∪B), where the UNION
+    * sketch is just the bucketwise register max — the merge that makes
+    * HLL state mergeable is the same operation that answers set
+    * algebra. All register math is exact integers (the q148 state
+    * contract), every estimate is the identical linear-counting/raw
+    * expression, and the EXACT intersection rides along for the honest
+    * error column — est-vs-exact hash-gated, like q148 itself. Work:
+    * registers are one max-agg over the corpus; everything pairwise
+    * happens at (190 pairs × 64 buckets) grain — nothing corpus-sized
+    * is ever pairwise. */
+  val q176HllOverlap = Q(
+    "q176_hll_overlap",
+    """WITH toks AS (
+      |  SELECT d.source, u.tok
+      |  FROM (SELECT source, string_split_regex(lower(text), '\s+') AS t
+      |        FROM documents) d,
+      |    unnest(list_transform(range(1, len(d.t) - 1),
+      |      i -> d.t[i] || ' ' || d.t[i+1] || ' ' || d.t[i+2])) AS u(tok)
+      |  WHERE len(d.t) >= 3),
+      |hx AS (
+      |  SELECT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+      |reg0 AS (
+      |  SELECT source, h % 64 AS b,
+      |    max(CASE WHEN h // 64 = 0 THEN 55
+      |             ELSE 55 - length(bin(h // 64)) END) AS m
+      |  FROM hx GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT s.source, g.b
+      |  FROM (SELECT DISTINCT source FROM documents) s,
+      |    unnest(range(0, 64)) AS g(b)),
+      |reg AS (
+      |  SELECT spine.source, spine.b, coalesce(reg0.m, 0) AS m
+      |  FROM spine LEFT JOIN reg0 ON spine.source = reg0.source AND spine.b = reg0.b),
+      |st AS (
+      |  SELECT source,
+      |    CAST(sum(1::BIGINT << (55 - m)) AS BIGINT) AS t_scaled,
+      |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+      |  FROM reg GROUP BY source),
+      |pr AS (
+      |  SELECT a.source AS sa, b.source AS sb
+      |  FROM (SELECT DISTINCT source FROM documents) a
+      |  JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source),
+      |regu AS (
+      |  SELECT pr.sa, pr.sb, ra.b, greatest(ra.m, rb.m) AS m
+      |  FROM pr
+      |  JOIN reg ra ON ra.source = pr.sa
+      |  JOIN reg rb ON rb.source = pr.sb AND rb.b = ra.b),
+      |stu AS (
+      |  SELECT sa, sb,
+      |    CAST(sum(1::BIGINT << (55 - m)) AS BIGINT) AS t_scaled,
+      |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+      |  FROM regu GROUP BY 1, 2),
+      |dist AS (SELECT DISTINCT source, tok FROM toks),
+      |ex AS (
+      |  SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS c
+      |  FROM dist a JOIN dist b ON a.tok = b.tok AND a.source < b.source
+      |  GROUP BY 1, 2),
+      |est AS (
+      |  SELECT p.sa, p.sb,
+      |    CASE WHEN 1.046802484394006e20 / ta.t_scaled <= 160 AND ta.v_zero > 0
+      |         THEN 64 * ln(CAST(64 AS DOUBLE) / ta.v_zero)
+      |         ELSE 1.046802484394006e20 / ta.t_scaled END AS ea,
+      |    CASE WHEN 1.046802484394006e20 / tb.t_scaled <= 160 AND tb.v_zero > 0
+      |         THEN 64 * ln(CAST(64 AS DOUBLE) / tb.v_zero)
+      |         ELSE 1.046802484394006e20 / tb.t_scaled END AS eb,
+      |    CASE WHEN 1.046802484394006e20 / tu.t_scaled <= 160 AND tu.v_zero > 0
+      |         THEN 64 * ln(CAST(64 AS DOUBLE) / tu.v_zero)
+      |         ELSE 1.046802484394006e20 / tu.t_scaled END AS eu,
+      |    coalesce(ex.c, 0) AS exact_overlap
+      |  FROM pr p
+      |  JOIN st ta ON ta.source = p.sa
+      |  JOIN st tb ON tb.source = p.sb
+      |  JOIN stu tu ON tu.sa = p.sa AND tu.sb = p.sb
+      |  LEFT JOIN ex ON ex.sa = p.sa AND ex.sb = p.sb)
+      |SELECT sa, sb, round(ea, 4) AS est_a, round(eb, 4) AS est_b,
+      |  round(eu, 4) AS est_union,
+      |  round(ea + eb - eu, 4) AS est_overlap, exact_overlap
+      |FROM est ORDER BY sa, sb""".stripMargin) { (spark, dir) =>
+    import graft.functions.PortableHll
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(col("source"), TextFns.tokens(col("text")).as("t"))
+      .select(col("source"), col("t"),
+        explode(TextFns.shinglePositions(col("t"), 3)).as("i"))
+      .select(col("source"), TextFns.shingleAt(col("t"), col("i"), 3).as("tok"))
+    val sources = docs.select(col("source")).distinct()
+    val spine = sources
+      .select(col("source"), explode(sequence(lit(0L), lit(63L))).as("b"))
+    val reg = spine
+      .join(PortableHll.registers(toks, "source", col("tok")), Seq("source", "b"), "left")
+      .select(col("source"), col("b"), coalesce(col("m"), lit(0)).as("m"))
+    def collapse(r: org.apache.spark.sql.DataFrame, keys: Seq[String]) =
+      r.groupBy(keys.map(col): _*)
+        .agg(sum(expr("shiftleft(1L, 55 - m)")).as("t_scaled"),
+          sum(when(col("m") === 0, 1L).otherwise(0L)).as("v_zero"))
+    val st = collapse(reg, Seq("source"))
+    val pr = sources.select(col("source").as("sa"))
+      .join(sources.select(col("source").as("sb")), col("sa") < col("sb"))
+    val regu = pr
+      .join(reg.select(col("source").as("sa"), col("b"), col("m").as("ma")), Seq("sa"))
+      .join(reg.select(col("source").as("sb"), col("b"), col("m").as("mb")),
+        Seq("sb", "b"))
+      .select(col("sa"), col("sb"), col("b"), greatest(col("ma"), col("mb")).as("m"))
+    val stu = collapse(regu, Seq("sa", "sb"))
+    val dist = toks.distinct()
+    val ex = dist.select(col("source").as("sa"), col("tok"))
+      .join(dist.select(col("source").as("sb"), col("tok")), Seq("tok"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("c"))
+    def e(t: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+      PortableHll.estimate(t, v)
+    pr.join(st.select(col("source").as("sa"), col("t_scaled").as("ta"),
+        col("v_zero").as("va")), Seq("sa"))
+      .join(st.select(col("source").as("sb"), col("t_scaled").as("tb"),
+        col("v_zero").as("vb")), Seq("sb"))
+      .join(stu.select(col("sa"), col("sb"), col("t_scaled").as("tu"),
+        col("v_zero").as("vu")), Seq("sa", "sb"))
+      .join(ex, Seq("sa", "sb"), "left")
+      .select(col("sa"), col("sb"),
+        round(e(col("ta"), col("va")), 4).as("est_a"),
+        round(e(col("tb"), col("vb")), 4).as("est_b"),
+        round(e(col("tu"), col("vu")), 4).as("est_union"),
+        round(e(col("ta"), col("va")) + e(col("tb"), col("vb"))
+          - e(col("tu"), col("vu")), 4).as("est_overlap"),
+        coalesce(col("c"), lit(0L)).as("exact_overlap"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -3149,5 +3279,6 @@ object TextQueries {
     q146SpanScrubbed, q148PortableHll, q149CorpusDrift, q150SourceAffinity,
     q153QualityAuc, q155ScoreCalibration, q160PhraseSearch,
     q162CompactionPlan, q164ParetoFrontier, q166ContainmentPairs,
-    q167KneserNey, q169RrfFusion, q173IncrementalCompaction)
+    q167KneserNey, q169RrfFusion, q173IncrementalCompaction,
+    q176HllOverlap)
 }

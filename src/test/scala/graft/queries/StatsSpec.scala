@@ -202,6 +202,19 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q176 HLL overlap: union dominates components, estimates track exact") {
+    val rows = TextQueries.q176HllOverlap.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ea, eb, eu) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      // union registers are bucketwise maxima → the union estimate can
+      // only fall below a component by linear-counting branch noise
+      assert(eu >= math.max(ea, eb) * 0.95, s"${r.getString(0)}-${r.getString(1)}")
+      assert(eu <= ea + eb + 1e-6)
+      assert(r.getLong(6) >= 0)
+    }
+  }
+
   test("q163 time-weighted avg matches a driver-side step-function reference") {
     val got = EventQueries.q163TimeWeightedAvg.run(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
