@@ -208,9 +208,12 @@ class StatsSpec extends SparkSpec {
     rows.foreach { r =>
       val (ea, eb, eu) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
       // union registers are bucketwise maxima → the union estimate can
-      // only fall below a component by linear-counting branch noise
+      // only fall below a component by linear-counting branch noise.
+      // (No subadditivity assert: E(A)+E(B) ≥ E(A∪B) holds for TRUE
+      // cardinalities, not for m=64 estimates of near-disjoint sets —
+      // the first cut asserted it and a 190-pair run refuted it.)
       assert(eu >= math.max(ea, eb) * 0.95, s"${r.getString(0)}-${r.getString(1)}")
-      assert(eu <= ea + eb + 1e-6)
+      assert(eu <= (ea + eb) * 1.5 + 1e-6)
       assert(r.getLong(6) >= 0)
     }
   }
