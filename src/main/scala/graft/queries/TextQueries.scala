@@ -3264,6 +3264,58 @@ object TextQueries {
       .orderBy(col("sa"), col("sb"))
   }
 
+  /** Readability scoring (Flesch–Kincaid grade, Kincaid 1975 — the
+    * standard document-difficulty signal pretraining pipelines filter
+    * and mix on): per-doc word / sentence-mark / vowel-group counts
+    * (the classic syllable proxy) are exact integers; the per-SOURCE
+    * corpus grade derives from AGGREGATED integer counts — never a
+    * mean of per-doc floats, whose summation order would flake the
+    * hash — and the hard-doc share compares each doc's own grade (a
+    * deterministic per-row double) to the 12th-grade bar. One scan,
+    * one partial-agg shuffle. */
+  val q177Readability = Q(
+    "q177_readability",
+    """WITH f AS (
+      |  SELECT source,
+      |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS words,
+      |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+      |      AS sents,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+      |      AS sylls
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, words, sents, sylls,
+      |    0.39 * words / sents + 11.8 * sylls / words - 15.59 AS fk
+      |  FROM f WHERE words > 0)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(words) AS BIGINT) AS total_words,
+      |  CAST(sum(sents) AS BIGINT) AS total_sents,
+      |  CAST(sum(sylls) AS BIGINT) AS total_sylls,
+      |  round(0.39 * sum(words) / sum(sents)
+      |    + 11.8 * sum(sylls) / sum(words) - 15.59, 4) AS fk_corpus,
+      |  CAST(sum(CASE WHEN fk > 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
+      |FROM g GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    val f = Tables.documents(spark, dir).select(col("source"),
+      size(split(lower(col("text")), "\\s+")).cast("long").as("words"),
+      greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")), lit(1))
+        .cast("long").as("sents"),
+      size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+        .cast("long").as("sylls"))
+      .filter(col("words") > 0)
+      .withColumn("fk", lit(0.39) * col("words") / col("sents")
+        + lit(11.8) * col("sylls") / col("words") - 15.59)
+    f.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("words")).as("total_words"),
+        sum(col("sents")).as("total_sents"),
+        sum(col("sylls")).as("total_sylls"),
+        round(lit(0.39) * sum(col("words")) / sum(col("sents"))
+          + lit(11.8) * sum(col("sylls")) / sum(col("words")) - 15.59, 4)
+          .as("fk_corpus"),
+        sum(when(col("fk") > 12, 1L).otherwise(0L)).as("n_hard"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -3280,5 +3332,5 @@ object TextQueries {
     q153QualityAuc, q155ScoreCalibration, q160PhraseSearch,
     q162CompactionPlan, q164ParetoFrontier, q166ContainmentPairs,
     q167KneserNey, q169RrfFusion, q173IncrementalCompaction,
-    q176HllOverlap)
+    q176HllOverlap, q177Readability)
 }

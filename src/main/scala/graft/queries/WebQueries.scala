@@ -375,6 +375,65 @@ object WebQueries {
       .orderBy(col("source"))
   }
 
+  /** Politeness-constrained crawl scheduling — the reference's
+    * DOWNLOAD_DELAY/per-domain-concurrency surface (settings.py) as a
+    * relational plan: at most ONE fetch per registrable domain per
+    * wave, so wave k is each domain's k-th URL (row_number per domain)
+    * and all of wave k fetches in parallel. The schedule length is
+    * max(per-domain load) — the politeness bottleneck made visible —
+    * and a per-domain budget cap (30) trims crawl-trap tails (q79's
+    * budget story applied to ordering). One domain-partitioned window
+    * at URL grain; the wave census is O(max load) rows. */
+  val q178PolitenessWaves = Q(
+    "q178_politeness_waves",
+    """WITH urls AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_extract(
+      |      'https://' ||
+      |        CASE doc_id % 3 WHEN 0 THEN 'www' WHEN 1 THEN 'm' ELSE 'static' END ||
+      |        '.' || source ||
+      |        CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+      |             THEN '.com' ELSE '.org' END ||
+      |        '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR),
+      |      '^[a-z]+://([^/?#]+)', 1), '.') AS hp
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, hp[-2] || '.' || hp[-1] AS domain FROM urls),
+      |r AS (
+      |  SELECT domain, doc_id,
+      |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS wave,
+      |    count(*) OVER (PARTITION BY domain) AS tot
+      |  FROM d)
+      |SELECT CAST(wave AS BIGINT) AS wave,
+      |  CAST(count(*) AS BIGINT) AS n_scheduled,
+      |  CAST(sum(CASE WHEN wave = least(tot, 30) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_domains_finishing
+      |FROM r WHERE wave <= 30
+      |GROUP BY wave ORDER BY wave""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val url = concat(
+      lit("https://"),
+      element_at(array(lit("www"), lit("m"), lit("static")),
+        (col("doc_id") % 3).cast("int") + 1),
+      lit("."), col("source"),
+      when(substring(col("source"), 4, 10).cast("int") % 2 === 0, ".com")
+        .otherwise(".org"),
+      lit("/"), col("lang"), lit("/doc/"), col("doc_id").cast("string"))
+    val byDomain = Window.partitionBy(col("domain"))
+    val r = Tables.documents(spark, dir)
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), UrlFns.registrableDomain(col("url")).as("domain"))
+      .withColumn("wave",
+        row_number().over(byDomain.orderBy(col("doc_id"))))
+      .withColumn("tot", count(lit(1)).over(byDomain))
+    r.filter(col("wave") <= 30)
+      .groupBy(col("wave").cast("long").as("wave"))
+      .agg(count(lit(1)).as("n_scheduled"),
+        sum(when(col("wave") === least(col("tot"), lit(30)), 1L).otherwise(0L))
+          .as("n_domains_finishing"))
+      .orderBy(col("wave"))
+  }
+
   val all: Seq[Q] = Seq(q79DomainBudget, q136PageExtract, q156RobotsFilter,
-    q157SitemapFrontier, q158UrlCanonical)
+    q157SitemapFrontier, q158UrlCanonical, q178PolitenessWaves)
 }
