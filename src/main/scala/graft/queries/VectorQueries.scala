@@ -996,10 +996,78 @@ object VectorQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Davies–Bouldin cluster-quality components (Davies & Bouldin 1979)
+    * — the internal validity metric the k-means family was missing:
+    * per cluster, scatter (mean cosine-dissimilarity to own centroid)
+    * and the worst (s_i + s_j)/d_ij ratio against every other centroid
+    * — "how confusable is this cluster with its nearest neighbor".
+    * Emitted PER CLUSTER (max over j is order-independent; a global
+    * k-term float mean is not, so the corpus-level index is left to
+    * the reader as the mean of k printed values). Everything pairwise
+    * lives on the k×k centroid table; the corpus contributes one
+    * scored pass (q91's plan) and nothing else. */
+  val q179DaviesBouldin = Q(
+    "q179_davies_bouldin",
+    s"""WITH ${duckKmeansCtes(KmK, KmIters)},
+       |scored AS (
+       |  SELECT a.cell, list_cosine_similarity(a.v, c.c) AS cos_c
+       |  FROM assign$KmIters a JOIN cent$KmIters c ON a.cell = c.cell),
+       |scat AS (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+       |    round(avg(1.0 - cos_c), 6) AS scatter
+       |  FROM scored GROUP BY cell),
+       |prs AS (
+       |  SELECT x.cell AS i, y.cell AS j,
+       |    1.0 - list_cosine_similarity(x.c, y.c) AS d
+       |  FROM cent$KmIters x JOIN cent$KmIters y ON x.cell <> y.cell),
+       |rt AS (
+       |  SELECT p.i, p.j, si.n_members, si.scatter,
+       |    round((si.scatter + sj.scatter) / p.d, 6) AS ratio
+       |  FROM prs p
+       |  JOIN scat si ON si.cell = p.i
+       |  JOIN scat sj ON sj.cell = p.j),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY i
+       |    ORDER BY ratio DESC, j) AS rn FROM rt)
+       |SELECT CAST(i AS INT) AS cluster_id, n_members, scatter,
+       |  CAST(j AS INT) AS nearest_confusable, ratio AS db_component
+       |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.KMeans
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val (assigned, codebook) =
+      KMeans.fit(Tables.embeddings(spark, dir), "vec_id", "embedding", KmK, KmIters)
+    val scat = assigned
+      .withColumn("cos_c", KMeans.cosToCentroid(col("v"), col("cell"), codebook))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(lit(1.0) - col("cos_c")), 6).as("scatter"))
+    val cents = codebook.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "c")
+    val pairs = cents.select(col("cell").as("i"), col("c").as("ci"))
+      .join(cents.select(col("cell").as("j"), col("c").as("cj")),
+        col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        (lit(1.0) - VectorFns.cosine(col("ci"), col("cj"))).as("d"))
+    val rt = scat.select(col("cell").as("i"), col("n_members"),
+        col("scatter"))
+      .join(pairs, "i")
+      .join(scat.select(col("cell").as("j"), col("scatter").as("s_j")), "j")
+      .withColumn("ratio",
+        round((col("scatter") + col("s_j")) / col("d"), 6))
+    rt.withColumn("rn", row_number().over(
+        Window.partitionBy(col("i")).orderBy(col("ratio").desc, col("j"))))
+      .filter(col("rn") === 1)
+      .select(col("i").cast("int").as("cluster_id"), col("n_members"),
+        col("scatter"), col("j").cast("int").as("nearest_confusable"),
+        col("ratio").as("db_component"))
+      .orderBy(col("cluster_id"))
+  }
+
   val all: Seq[Q] = Seq(q31CosineTopK, q32CentroidNorms, q33AnnLshTopK,
     q34EmbeddingNearDups, q39CentroidAggregator, q45IvfAnn, q51DedupClusters,
     q133IncrementalClusters,
     q59DedupKeep, q91KmeansClusters, q92SemDedupKeep, q93PqAnn, q103AnnRecall,
     q104MultiprobeLsh, q117LeakageSafeSplit, q122IvfPqAnn, q139Sq8Ann,
-    q151BinaryAnn)
+    q151BinaryAnn, q179DaviesBouldin)
 }
