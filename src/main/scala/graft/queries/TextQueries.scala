@@ -3316,6 +3316,81 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Dataset card (Gebru et al. 2021 "Datasheets for Datasets") — the
+    * one-page per-source summary a corpus ships with, computed as ONE
+    * registered query: volume (docs, tokens, median length), language
+    * mix (count + modal language), exact-dup rate (q23's normalized
+    * hash, counted corpus-wide then attributed to sources), and a
+    * basic quality-pass share (the q102-family length/punct rule). All
+    * rates derive from integer counts; the median rides the q14
+    * percentile≡quantile_cont parity. Everything aggregates at source
+    * or hash grain — the card costs two scans of doc metadata however
+    * large the corpus. */
+  val q180DatasetCard = Q(
+    "q180_dataset_card",
+    """WITH d AS (
+      |  SELECT doc_id, source, lang,
+      |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS toks,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |         ELSE CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+      |              AS DOUBLE) / length(text) END AS punct,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS nh
+      |  FROM documents),
+      |dup AS (
+      |  SELECT nh, count(*) AS copies FROM d GROUP BY nh),
+      |lm AS (
+      |  SELECT source, lang, count(*) AS c,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY count(*) DESC, lang) AS rn
+      |  FROM d GROUP BY source, lang),
+      |card AS (
+      |  SELECT d.source,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(d.toks) AS BIGINT) AS total_tokens,
+      |    round(quantile_cont(d.toks, 0.50), 4) AS p50_tokens,
+      |    CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+      |    CAST(sum(CASE WHEN dup.copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_dup_docs,
+      |    CAST(sum(CASE WHEN d.toks BETWEEN 10 AND 5000 AND d.punct < 0.2
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass
+      |  FROM d JOIN dup ON dup.nh = d.nh
+      |  GROUP BY d.source)
+      |SELECT card.source, n_docs, total_tokens, p50_tokens, n_langs,
+      |  lm.lang AS top_lang, n_dup_docs,
+      |  round(CAST(n_dup_docs AS DOUBLE) / n_docs, 4) AS dup_rate,
+      |  round(CAST(n_quality_pass AS DOUBLE) / n_docs, 4) AS quality_rate
+      |FROM card JOIN lm ON lm.source = card.source AND lm.rn = 1
+      |ORDER BY card.source""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      col("lang"),
+      size(split(lower(col("text")), "\\s+")).cast("long").as("toks"),
+      TextFns.punctRatio(col("text")).as("punct"),
+      TextFns.fingerprint(col("text")).as("nh"))
+    val dup = d.groupBy(col("nh")).agg(count(lit(1)).as("copies"))
+    val lm = d.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("c").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    val card = d.join(dup, "nh")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        round(expr("percentile(toks, 0.50)"), 4).as("p50_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("toks").between(10, 5000) && col("punct") < 0.2, 1L)
+          .otherwise(0L)).as("n_quality_pass"))
+    card.join(lm, "source")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("p50_tokens"), col("n_langs"), col("top_lang"), col("n_dup_docs"),
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 4).as("dup_rate"),
+        round(col("n_quality_pass").cast("double") / col("n_docs"), 4)
+          .as("quality_rate"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -3332,5 +3407,5 @@ object TextQueries {
     q153QualityAuc, q155ScoreCalibration, q160PhraseSearch,
     q162CompactionPlan, q164ParetoFrontier, q166ContainmentPairs,
     q167KneserNey, q169RrfFusion, q173IncrementalCompaction,
-    q176HllOverlap, q177Readability)
+    q176HllOverlap, q177Readability, q180DatasetCard)
 }
