@@ -1865,6 +1865,117 @@ object RelationalQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** One-way ANOVA F (Fisher) across nations' order totals — the
+    * k-group generalization of q147's Welch pair test, from the same
+    * mergeable integer sufficient statistics (n, Σx, Σx² per group in
+    * DOLLAR units: Σx² stays ~25× under 2⁶³ at sf0.1 per the scaladoc
+    * bound). The between-group sum Σ s₁²/n is a FLOAT sum over k
+    * groups, so each group's term is rounded onto the integer grid
+    * BEFORE the aggregate (the q171 lesson as a reusable idiom:
+    * identical per-group doubles → identical integers → an
+    * order-independent BIGINT sum); F reconstitutes from exact
+    * integers in one final expression. */
+  val q181AnovaF = Q(
+    "q181_anova_f",
+    """WITH g AS (
+      |  SELECT n_name AS grp, CAST(round(o_totalprice) AS BIGINT) AS c
+      |  FROM orders
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation ON n_nationkey = c_nationkey),
+      |s AS (
+      |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2,
+      |    CAST(round(CAST(sum(c) AS DOUBLE) * sum(c) / count(*)) AS BIGINT) AS u
+      |  FROM g GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+      |    CAST(sum(s1) AS BIGINT) AS s1t, CAST(sum(s2) AS BIGINT) AS s2t,
+      |    CAST(sum(u) AS BIGINT) AS ut
+      |  FROM s)
+      |SELECT k, nn AS n,
+      |  CAST(ut - CAST(round(CAST(s1t AS DOUBLE) * s1t / nn) AS BIGINT)
+      |    AS BIGINT) AS ssb_units,
+      |  CAST(s2t - ut AS BIGINT) AS ssw_units,
+      |  round((CAST(ut AS DOUBLE) - round(CAST(s1t AS DOUBLE) * s1t / nn))
+      |    / (k - 1) / ((CAST(s2t AS DOUBLE) - ut) / (nn - k)), 4) AS f_stat
+      |FROM t""".stripMargin) { (spark, dir) =>
+    val g = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("n_nationkey") === col("c_nationkey"))
+      .select(col("n_name").as("grp"),
+        round(col("o_totalprice")).cast("long").as("c"))
+    val s = g.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+      .withColumn("u",
+        round(col("s1").cast("double") * col("s1") / col("n")).cast("long"))
+    val t = s.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+      sum(col("s1")).as("s1t"), sum(col("s2")).as("s2t"), sum(col("u")).as("ut"))
+    t.select(col("k"), col("nn").as("n"),
+      (col("ut") - round(col("s1t").cast("double") * col("s1t") / col("nn"))
+        .cast("long")).as("ssb_units"),
+      (col("s2t") - col("ut")).as("ssw_units"),
+      round((col("ut").cast("double")
+          - round(col("s1t").cast("double") * col("s1t") / col("nn")))
+        / (col("k") - 1)
+        / ((col("s2t").cast("double") - col("ut")) / (col("nn") - col("k"))), 4)
+        .as("f_stat"))
+  }
+
+  /** Chi-square test of independence (mktsegment × nation contingency)
+    * — "is customer segment independent of nation", the categorical
+    * companion to q181. The cell sum Σ(obs−exp)²/exp runs over ~125
+    * float terms whose aggregation order no engine guarantees, so each
+    * CELL's term is quantized to the 1e-6 integer grid first (identical
+    * double per cell → identical integer → order-independent BIGINT
+    * sum) — the generalizable fix for "χ² over grouped cells" that
+    * q168's fixed-digit case could solve by expression ordering and
+    * this variable-cardinality case cannot. */
+  val q182ChiSqIndependence = Q(
+    "q182_chisq_independence",
+    """WITH cells AS (
+      |  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+      |    CAST(count(*) AS BIGINT) AS obs
+      |  FROM customer GROUP BY 1, 2),
+      |rt AS (SELECT seg, CAST(sum(obs) AS BIGINT) AS r FROM cells GROUP BY 1),
+      |ct AS (SELECT nat, CAST(sum(obs) AS BIGINT) AS c FROM cells GROUP BY 1),
+      |n AS (SELECT CAST(sum(obs) AS BIGINT) AS nn FROM cells),
+      |terms AS (
+      |  SELECT CAST(round(
+      |      (cells.obs - CAST(rt.r AS DOUBLE) * ct.c / n.nn)
+      |      * (cells.obs - CAST(rt.r AS DOUBLE) * ct.c / n.nn)
+      |      / (CAST(rt.r AS DOUBLE) * ct.c / n.nn) * 1000000) AS BIGINT) AS tu
+      |  FROM cells JOIN rt USING (seg) JOIN ct USING (nat) CROSS JOIN n),
+      |agg AS (
+      |  SELECT CAST(sum(tu) AS BIGINT) AS chi2_units,
+      |    CAST(count(*) AS BIGINT) AS n_cells
+      |  FROM terms)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM rt) AS k_rows,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ct) AS k_cols,
+      |  (SELECT nn FROM n) AS n, n_cells, chi2_units,
+      |  round(CAST(chi2_units AS DOUBLE) / 1000000, 4) AS chi2
+      |FROM agg""".stripMargin) { (spark, dir) =>
+    val cells = Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"))
+      .agg(count(lit(1)).as("obs"))
+    val rt = cells.groupBy(col("seg")).agg(sum(col("obs")).as("r"))
+    val ct = cells.groupBy(col("nat")).agg(sum(col("obs")).as("c"))
+    val n = cells.agg(sum(col("obs")).as("nn"))
+    val exp = col("r").cast("double") * col("c") / col("nn")
+    val terms = cells.join(rt, "seg").join(ct, "nat").crossJoin(broadcast(n))
+      .select(round((col("obs") - exp) * (col("obs") - exp) / exp * 1000000)
+        .cast("long").as("tu"))
+    val kRows = rt.agg(count(lit(1)).as("k_rows"))
+    val kCols = ct.agg(count(lit(1)).as("k_cols"))
+    terms.agg(sum(col("tu")).as("chi2_units"), count(lit(1)).as("n_cells"))
+      .crossJoin(broadcast(kRows)).crossJoin(broadcast(kCols))
+      .crossJoin(broadcast(n.select(col("nn").as("n"))))
+      .select(col("k_rows"), col("k_cols"), col("n"), col("n_cells"),
+        col("chi2_units"),
+        round(col("chi2_units").cast("double") / 1000000, 4).as("chi2"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -1878,5 +1989,6 @@ object RelationalQueries {
     q129IntervalOverlap, q134SketchedQuantiles, q135SnapshotDiff,
     q145RevenueTrend, q152ForecastBacktest, q159JoinForecast,
     q168BenfordDigits, q170CusumChangepoint, q171SeasonalDecompose,
-    q172HilbertLayout, q174TheilSen, q175RecordLinkage)
+    q172HilbertLayout, q174TheilSen, q175RecordLinkage,
+    q181AnovaF, q182ChiSqIndependence)
 }
