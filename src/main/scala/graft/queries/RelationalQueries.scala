@@ -1976,6 +1976,68 @@ object RelationalQueries {
         round(col("chi2_units").cast("double") / 1000000, 4).as("chi2"))
   }
 
+  /** Mann–Kendall trend test (Mann 1945; Kendall 1975) — the
+    * significance companion to q174's Theil–Sen slope, and the one
+    * trend test that is INTEGER-EXACT end to end: S = Σ sign(y_j −
+    * y_i) over the same bounded months-grain pairs (an integer sum of
+    * ±1/0), Var(S) = n(n−1)(2n+5)/18 (exact ×18 integer), and the
+    * normal z-score is one final expression with the standard
+    * continuity correction. |z| > 1.96 reads "monotone trend at 95%";
+    * nothing float ever aggregates. */
+  val q183MannKendall = Q(
+    "q183_mann_kendall",
+    """WITH m AS (
+      |  SELECT n_name,
+      |    (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS x,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation ON n_nationkey = c_nationkey
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.n_name,
+      |    CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+      |  FROM m a JOIN m b ON a.n_name = b.n_name AND a.x < b.x),
+      |s AS (
+      |  SELECT n_name, CAST(sum(sgn) AS BIGINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS n_pairs
+      |  FROM p GROUP BY 1),
+      |nn AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1)
+      |SELECT s.n_name, nn.n, s.s AS mk_s,
+      |  CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) AS BIGINT) AS var18,
+      |  round(CASE WHEN s.s > 0 THEN (s.s - 1)
+      |             WHEN s.s < 0 THEN (s.s + 1)
+      |             ELSE 0 END
+      |    / sqrt(nn.n * (nn.n - 1) * (2 * nn.n + 5) / 18.0), 4) AS z
+      |FROM s JOIN nn ON nn.n_name = s.n_name
+      |ORDER BY s.n_name""".stripMargin) { (spark, dir) =>
+    val m = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"),
+        ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+          .as("x"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+    val a = m.select(col("n_name"), col("x").as("ax"), col("y").as("ay"))
+    val b = m.select(col("n_name").as("bn"), col("x").as("bx"), col("y").as("by"))
+    val s = a.join(b, col("n_name") === col("bn") && col("ax") < col("bx"))
+      .select(col("n_name"),
+        when(col("by") > col("ay"), 1L).when(col("by") < col("ay"), -1L)
+          .otherwise(0L).as("sgn"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("sgn")).as("s"), count(lit(1)).as("n_pairs"))
+    val nn = m.groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+    s.join(nn, "n_name")
+      .select(col("n_name"), col("n"), col("s").as("mk_s"),
+        (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5)).as("var18"),
+        round(when(col("s") > 0, col("s") - 1)
+            .when(col("s") < 0, col("s") + 1).otherwise(lit(0L))
+          / sqrt(col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) / 18.0), 4)
+          .as("z"))
+      .orderBy(col("n_name"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -1990,5 +2052,5 @@ object RelationalQueries {
     q145RevenueTrend, q152ForecastBacktest, q159JoinForecast,
     q168BenfordDigits, q170CusumChangepoint, q171SeasonalDecompose,
     q172HilbertLayout, q174TheilSen, q175RecordLinkage,
-    q181AnovaF, q182ChiSqIndependence)
+    q181AnovaF, q182ChiSqIndependence, q183MannKendall)
 }
