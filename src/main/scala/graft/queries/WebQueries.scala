@@ -290,13 +290,19 @@ object WebQueries {
     val sm = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
       concat(lit("<urlset>"), entry(3, 0, 0), entry(3, 1, 7), entry(3, 2, 14),
         lit("</urlset>")).as("xml"))
+    // ONE parse per document: the union XPath returns loc/lastmod
+    // interleaved in document order (each url's loc precedes its
+    // lastmod), so even positions are locs and the next element is the
+    // paired lastmod — halves the per-row XML parse cost the two-call
+    // form paid (bench: q157 was the suite's worst spark/duck ratio)
     val pairs = sm
       .select(col("source"),
-        expr("xpath(xml, '//url/loc/text()')").as("locs"),
-        expr("xpath(xml, '//url/lastmod/text()')").as("mods"))
-      .select(col("source"), posexplode(col("locs")).as(Seq("i0", "loc")), col("mods"))
-      .select(col("source"), col("loc"),
-        element_at(col("mods"), col("i0") + 1).as("lastmod"))
+        expr("xpath(xml, '//url/loc/text() | //url/lastmod/text()')").as("nodes"))
+      .select(col("source"), col("nodes"),
+        posexplode(col("nodes")).as(Seq("i0", "v")))
+      .filter(col("i0") % 2 === 0)
+      .select(col("source"), col("v").as("loc"),
+        element_at(col("nodes"), col("i0") + 2).as("lastmod"))
     val visited = (conv(substring(md5(col("loc")), 1, 15), 16, 10)
       .cast("long") % 3) === 0
     pairs
