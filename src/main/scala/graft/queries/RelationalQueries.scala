@@ -2038,6 +2038,218 @@ object RelationalQueries {
       .orderBy(col("n_name"))
   }
 
+  /** Gini concentration of per-customer revenue within each nation —
+    * the "how skewed is my key distribution" primitive behind skew-join
+    * planning (q57/q159) and sampling design, as a first-class statistic.
+    * Uses the rank form G = (2·Σ i·xᵢ − (n+1)·Σx)/(n·Σx) over revenue
+    * sorted ascending, which needs ONE windowed rank per nation — and the
+    * window runs at CUSTOMER grain (the fact table has already collapsed
+    * to per-customer cents via a partial-agg shuffle), so the per-nation
+    * sort is over the dimension's cardinality, not the fact's. Everything
+    * before the final division is integer: cents are BIGINT, the rank
+    * product accumulates in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so a
+    * 10⁹-customer nation can't overflow, and the tie order (revenue,
+    * custkey) is total so the rank sum is deterministic — equal revenues
+    * swap ranks but i·x sums identically over a tied block. */
+  val q184GiniConcentration = Q(
+    "q184_gini_concentration",
+    """WITH rev AS (
+      |  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |    AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |ranked AS (
+      |  SELECT n_name, x,
+      |    row_number() OVER (PARTITION BY n_name ORDER BY x, o_custkey) AS i
+      |  FROM rev
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation ON n_nationkey = c_nationkey),
+      |g AS (
+      |  SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+      |    CAST(sum(x) AS BIGINT) AS revenue_cents,
+      |    sum(CAST(i AS HUGEINT) * x) AS six
+      |  FROM ranked GROUP BY 1)
+      |SELECT n_name, n_customers, revenue_cents,
+      |  round((2 * CAST(six AS DOUBLE)
+      |      - (CAST(n_customers AS DOUBLE) + 1) * CAST(revenue_cents AS DOUBLE))
+      |    / (CAST(n_customers AS DOUBLE) * CAST(revenue_cents AS DOUBLE)), 6)
+      |    AS gini
+      |FROM g ORDER BY n_name""".stripMargin) { (spark, dir) =>
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+    val ranked = rev
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("n_nationkey") === col("c_nationkey"))
+      .select(col("n_name"), col("x"),
+        row_number().over(Window.partitionBy(col("n_name"))
+          .orderBy(col("x"), col("o_custkey"))).as("i"))
+    ranked.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("x")).as("revenue_cents"),
+        sum(col("i").cast("decimal(38,0)") * col("x")).as("six"))
+      .select(col("n_name"), col("n_customers"), col("revenue_cents"),
+        round((lit(2) * col("six").cast("double")
+            - (col("n_customers").cast("double") + 1) * col("revenue_cents").cast("double"))
+          / (col("n_customers").cast("double") * col("revenue_cents").cast("double")), 6)
+          .as("gini"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov drift test per market segment:
+    * did the order-value distribution SHIFT between the pre-1998 and
+    * 1998+ eras? (The distribution-level companion to q149's binned PSI
+    * — KS sees shape changes PSI's fixed bins blur.) Exactness without a
+    * single float until the end: at pooled value v, D's numerator is
+    * |cnt₁(≤v)·n₂ − cnt₂(≤v)·n₁| — all BIGINTs — and only the final
+    * D = max/(n₁·n₂) divides. Scale shape: the ECDF needs a cumulative
+    * count in value order, which a per-segment window would serialize
+    * into |segments| tasks; instead the q90 offset pattern runs it
+    * DISTRIBUTED — range-partition (segment, value) 32 ways, per-slice
+    * local cumsums, and a ≤ segments×32-row offset table (the only
+    * global window) broadcast back to lift local sums to global ranks.
+    * Input to all of it is the (segment, value)-grain distinct
+    * aggregate, so shuffled bytes track distinct values, not rows. */
+  val q185KsDrift = Q(
+    "q185_ks_drift",
+    """WITH j AS (
+      |  SELECT c_mktsegment, CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+      |    CASE WHEN year(o_orderdate) < 1998 THEN 1 ELSE 0 END AS g
+      |  FROM orders JOIN customer ON c_custkey = o_custkey),
+      |d AS (
+      |  SELECT c_mktsegment, v, CAST(sum(g) AS BIGINT) AS c1,
+      |    CAST(sum(1 - g) AS BIGINT) AS c2
+      |  FROM j GROUP BY 1, 2),
+      |t AS (
+      |  SELECT c_mktsegment, CAST(sum(c1) AS BIGINT) AS n1,
+      |    CAST(sum(c2) AS BIGINT) AS n2
+      |  FROM d GROUP BY 1),
+      |c AS (
+      |  SELECT c_mktsegment,
+      |    CAST(sum(c1) OVER (PARTITION BY c_mktsegment ORDER BY v) AS BIGINT) AS a,
+      |    CAST(sum(c2) OVER (PARTITION BY c_mktsegment ORDER BY v) AS BIGINT) AS b
+      |  FROM d)
+      |SELECT c_mktsegment, n1, n2,
+      |  round(CAST(max(abs(a * n2 - b * n1)) AS DOUBLE)
+      |    / (CAST(n1 AS DOUBLE) * n2), 6) AS ks_d
+      |FROM c JOIN t USING (c_mktsegment)
+      |GROUP BY c_mktsegment, n1, n2
+      |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    val d = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment"),
+        round(col("o_totalprice") * 100).cast("long").as("v"),
+        when(year(col("o_orderdate")) < 1998, 1L).otherwise(0L).as("g"))
+      .groupBy(col("c_mktsegment"), col("v"))
+      .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c2"))
+    val tot = d.groupBy(col("c_mktsegment"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val parted = d.repartitionByRange(32, col("c_mktsegment"), col("v"))
+      .withColumn("pid", spark_partition_id())
+    val offs = parted.groupBy(col("c_mktsegment"), col("pid"))
+      .agg(sum(col("c1")).as("s1"), sum(col("c2")).as("s2"))
+      .select(col("c_mktsegment"), col("pid"),
+        coalesce(sum(col("s1")).over(Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("off1"),
+        coalesce(sum(col("s2")).over(Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("off2"))
+    val slice = Window.partitionBy(col("c_mktsegment"), col("pid")).orderBy(col("v"))
+    parted.join(broadcast(offs), Seq("c_mktsegment", "pid"))
+      .select(col("c_mktsegment"),
+        (sum(col("c1")).over(slice) + col("off1")).as("a"),
+        (sum(col("c2")).over(slice) + col("off2")).as("b"))
+      .join(broadcast(tot), "c_mktsegment")
+      .groupBy(col("c_mktsegment"), col("n1"), col("n2"))
+      .agg(max(abs(col("a") * col("n2") - col("b") * col("n1"))).as("dnum"))
+      .select(col("c_mktsegment"), col("n1"), col("n2"),
+        round(col("dnum").cast("double")
+          / (col("n1").cast("double") * col("n2")), 6).as("ks_d"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Mutual information between market segment and order priority per
+    * nation — the "are these two categoricals independent, and by how
+    * many nats" measure feature-selection and leakage audits run over
+    * label columns (the effect-size companion to q182's χ² p-value
+    * framing). One shuffle to the (nation, segment, priority) contingency
+    * grain (≤ 25×5×5 rows — partial agg collapses the fact table
+    * map-side); marginals are windows OVER THE CELLS, not re-scans. Float
+    * discipline: each cell's MI/entropy term is quantized to a 1e-9
+    * integer grid before the per-nation sum (the q161 trick), so the only
+    * float reduction is over exact BIGINTs and summation order can't
+    * flake the hash; NMI = MI/√(H_seg·H_prio) then divides two such
+    * quantized sums. */
+  val q186MutualInformation = Q(
+    "q186_mutual_information",
+    """WITH cells AS (
+      |  SELECT n_name, c_mktsegment AS sx, o_orderpriority AS sy,
+      |    CAST(count(*) AS BIGINT) AS cxy
+      |  FROM orders
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation ON n_nationkey = c_nationkey
+      |  GROUP BY 1, 2, 3),
+      |m AS (
+      |  SELECT n_name, sx, sy, cxy,
+      |    CAST(sum(cxy) OVER (PARTITION BY n_name, sx) AS BIGINT) AS cx,
+      |    CAST(sum(cxy) OVER (PARTITION BY n_name, sy) AS BIGINT) AS cy,
+      |    CAST(sum(cxy) OVER (PARTITION BY n_name) AS BIGINT) AS n
+      |  FROM cells),
+      |q AS (
+      |  SELECT n_name, n,
+      |    CAST(sum(CAST(round((CAST(cxy AS DOUBLE) / n)
+      |      * ln(CAST(cxy AS DOUBLE) * n / (CAST(cx AS DOUBLE) * cy)) * 1e9)
+      |      AS BIGINT)) AS BIGINT) AS qmi,
+      |    CAST(sum(CASE WHEN sy = min_sy THEN
+      |      CAST(round(-(CAST(cx AS DOUBLE) / n) * ln(CAST(cx AS DOUBLE) / n) * 1e9)
+      |        AS BIGINT) ELSE 0 END) AS BIGINT) AS qhx,
+      |    CAST(sum(CASE WHEN sx = min_sx THEN
+      |      CAST(round(-(CAST(cy AS DOUBLE) / n) * ln(CAST(cy AS DOUBLE) / n) * 1e9)
+      |        AS BIGINT) ELSE 0 END) AS BIGINT) AS qhy
+      |  FROM (SELECT m.*, min(sy) OVER (PARTITION BY n_name, sx) AS min_sy,
+      |          min(sx) OVER (PARTITION BY n_name, sy) AS min_sx
+      |        FROM m)
+      |  GROUP BY 1, 2)
+      |SELECT n_name, n, round(qmi / 1e9, 6) AS mi_nats,
+      |  round(qhx / 1e9, 6) AS hx_nats, round(qhy / 1e9, 6) AS hy_nats,
+      |  round(CAST(qmi AS DOUBLE) / sqrt(CAST(qhx AS DOUBLE) * qhy), 6) AS nmi
+      |FROM q ORDER BY n_name""".stripMargin) { (spark, dir) =>
+    val cells = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment").as("sx"),
+        col("o_orderpriority").as("sy"))
+      .agg(count(lit(1)).as("cxy"))
+    val byNation = Window.partitionBy(col("n_name"))
+    val m = cells
+      .withColumn("cx", sum(col("cxy")).over(byNation.partitionBy(col("n_name"), col("sx"))))
+      .withColumn("cy", sum(col("cxy")).over(byNation.partitionBy(col("n_name"), col("sy"))))
+      .withColumn("n", sum(col("cxy")).over(byNation))
+      .withColumn("min_sy", min(col("sy")).over(byNation.partitionBy(col("n_name"), col("sx"))))
+      .withColumn("min_sx", min(col("sx")).over(byNation.partitionBy(col("n_name"), col("sy"))))
+    def grid(e: org.apache.spark.sql.Column) = round(e * 1e9).cast("long")
+    m.groupBy(col("n_name"), col("n"))
+      .agg(
+        sum(grid((col("cxy").cast("double") / col("n"))
+          * log(col("cxy").cast("double") * col("n")
+            / (col("cx").cast("double") * col("cy"))))).as("qmi"),
+        sum(when(col("sy") === col("min_sy"),
+          grid(-(col("cx").cast("double") / col("n"))
+            * log(col("cx").cast("double") / col("n")))).otherwise(0L)).as("qhx"),
+        sum(when(col("sx") === col("min_sx"),
+          grid(-(col("cy").cast("double") / col("n"))
+            * log(col("cy").cast("double") / col("n")))).otherwise(0L)).as("qhy"))
+      .select(col("n_name"), col("n"),
+        round(col("qmi") / 1e9, 6).as("mi_nats"),
+        round(col("qhx") / 1e9, 6).as("hx_nats"),
+        round(col("qhy") / 1e9, 6).as("hy_nats"),
+        round(col("qmi").cast("double")
+          / sqrt(col("qhx").cast("double") * col("qhy")), 6).as("nmi"))
+      .orderBy(col("n_name"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -2052,5 +2264,6 @@ object RelationalQueries {
     q145RevenueTrend, q152ForecastBacktest, q159JoinForecast,
     q168BenfordDigits, q170CusumChangepoint, q171SeasonalDecompose,
     q172HilbertLayout, q174TheilSen, q175RecordLinkage,
-    q181AnovaF, q182ChiSqIndependence, q183MannKendall)
+    q181AnovaF, q182ChiSqIndependence, q183MannKendall,
+    q184GiniConcentration, q185KsDrift, q186MutualInformation)
 }

@@ -273,4 +273,73 @@ class StatsSpec extends SparkSpec {
       assert(avg === ref, s"$tpe: $avg vs $ref")
     }
   }
+
+  test("q184 Gini matches a driver-side mean-absolute-difference reference") {
+    val got = RelationalQueries.q184GiniConcentration.run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val rev = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+      .join(Tables.customer(spark, sfDir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.nation(spark, sfDir), col("n_nationkey") === col("c_nationkey"))
+      .select(col("n_name"), col("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    got.foreach { case (nation, gini) =>
+      val xs = rev.collect { case (`nation`, x) => x }
+      // two independent references: the same rank form recomputed on
+      // driver-sorted data, and the O(n²) pairwise definition
+      // G = Σᵢⱼ|xᵢ−xⱼ|/(2n²μ), which the rank form equals via
+      // Σᵢⱼ|xᵢ−xⱼ| = 2(2Σi·x₍ᵢ₎ − (n+1)Σx) for sorted x
+      val s = xs.sorted
+      val n = s.length.toDouble
+      val six = s.zipWithIndex.map { case (x, i) => (i + 1).toDouble * x }.sum
+      val sx = s.map(_.toDouble).sum
+      val ref = (2 * six - (n + 1) * sx) / (n * sx)
+      assert(math.abs(gini - ref) <= 1e-6, s"$nation: $gini vs $ref")
+      assert(gini >= 0.0 && gini < 1.0, s"$nation gini out of range: $gini")
+      val pairwise = (for (a <- s; b <- s) yield math.abs(a - b).toDouble).sum /
+        (2 * n * n * (sx / n))
+      assert(math.abs(gini - pairwise) <= 1e-4,
+        s"$nation: rank form $gini vs pairwise ${pairwise}")
+    }
+  }
+
+  test("q185 KS statistic matches a driver-side two-ECDF reference") {
+    val got = RelationalQueries.q185KsDrift.run(spark, sfDir)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val rows = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment"),
+        round(col("o_totalprice") * 100).cast("long").as("v"),
+        (year(col("o_orderdate")) < 1998).as("old"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    got.foreach { case (seg, (n1, n2, d)) =>
+      val a = rows.collect { case (`seg`, v, true) => v }.sorted
+      val b = rows.collect { case (`seg`, v, false) => v }.sorted
+      assert(a.length.toLong === n1 && b.length.toLong === n2)
+      val vals = (a ++ b).distinct.sorted
+      val ref = vals.map { v =>
+        val fa = a.count(_ <= v).toDouble / a.length
+        val fb = b.count(_ <= v).toDouble / b.length
+        math.abs(fa - fb)
+      }.max
+      assert(math.abs(d - ref) <= 1e-6, s"$seg: $d vs $ref")
+      assert(d >= 0.0 && d <= 1.0)
+    }
+  }
+
+  test("q186 MI invariants: 0 ≤ MI ≤ min(Hx, Hy), NMI in [0, 1]") {
+    val rows = RelationalQueries.q186MutualInformation.run(spark, sfDir).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val (mi, hx, hy, nmi) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      // 1e-6 slack: each quantity is a sum of 1e-9-grid-quantized terms
+      assert(mi >= -1e-6, s"${r.getString(0)}: MI $mi < 0")
+      assert(mi <= math.min(hx, hy) + 1e-6,
+        s"${r.getString(0)}: MI $mi > min($hx, $hy)")
+      assert(nmi >= -1e-6 && nmi <= 1 + 1e-6, s"${r.getString(0)}: NMI $nmi")
+    }
+  }
 }
