@@ -848,10 +848,91 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Kaplan–Meier survival curve for time-to-conversion — the
+    * censoring-aware "how long until a user's first high-value purchase"
+    * estimator (Kaplan & Meier 1958) that q63's fixed-window cohort view
+    * can't express: a user who never converts inside the observation
+    * window is CENSORED at their last event, and the product-limit
+    * estimator keeps them in the risk set without ever counting a death
+    * — dropping them (or calling them converted-at-horizon) biases the
+    * curve, which is the whole reason KM exists. Death = first purchase
+    * with value ≥ 200; clock starts at the user's first event. Scale
+    * shape: the only fact-scale work is two per-user min/max aggregates
+    * over the same shuffle key; everything after lives at
+    * distinct-day grain, which the CALENDAR bounds (a few thousand rows
+    * at any corpus size), so the two global windows (reverse-cumulative
+    * risk set, cumulative log-survival) are over a bounded relation.
+    * Float discipline: risk/death counts are exact BIGINTs; each factor
+    * ln(1−dᵢ/nᵢ) is quantized to a 1e-9 grid before the BIGINT
+    * cumulative sum, and a dᵢ=nᵢ terminal death pins qf at −100·1e9 so
+    * survival underflows to exactly 0 in both engines instead of ln(0)
+    * diverging. */
+  val q188KaplanMeier = Q(
+    "q188_kaplan_meier",
+    """WITH u AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS fu, max(epoch_us(ts)) AS lu
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS pu
+      |  FROM events WHERE event_type = 'purchase' AND value >= 200
+      |  GROUP BY 1),
+      |lt AS (
+      |  SELECT CAST(floor((coalesce(pu, lu) - fu) / 86400000000.0) AS BIGINT) AS t,
+      |    CASE WHEN pu IS NOT NULL THEN 1 ELSE 0 END AS converted
+      |  FROM u LEFT JOIN p USING (user_id)),
+      |g AS (
+      |  SELECT t, CAST(sum(converted) AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS c
+      |  FROM lt GROUP BY 1),
+      |r AS (
+      |  SELECT t, d,
+      |    CAST(sum(c) OVER (ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+      |  FROM g),
+      |f AS (
+      |  SELECT t, d, n_risk,
+      |    CASE WHEN d < n_risk THEN
+      |      CAST(round(ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      |        * 1e9) AS BIGINT)
+      |    ELSE CAST(-100000000000 AS BIGINT) END AS qf
+      |  FROM r WHERE d > 0),
+      |s AS (
+      |  SELECT t, d, n_risk, CAST(sum(qf) OVER (ORDER BY t) AS BIGINT) AS qs
+      |  FROM f)
+      |SELECT t AS t_days, n_risk, d AS d_events,
+      |  round(exp(qs / 1e9), 6) AS survival
+      |FROM s ORDER BY t_days""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val u = ev.groupBy(col("user_id"))
+      .agg(min(expr("unix_micros(ts)")).as("fu"), max(expr("unix_micros(ts)")).as("lu"))
+    val p = ev.filter(col("event_type") === "purchase" && col("value") >= 200)
+      .groupBy(col("user_id"))
+      .agg(min(expr("unix_micros(ts)")).as("pu"))
+    val lt = u.join(p, Seq("user_id"), "left")
+      .select(floor((coalesce(col("pu"), col("lu")) - col("fu")) / lit(86400000000.0))
+          .cast("long").as("t"),
+        when(col("pu").isNotNull, 1L).otherwise(0L).as("converted"))
+    val g = lt.groupBy(col("t"))
+      .agg(sum(col("converted")).as("d"), count(lit(1)).as("c"))
+    val byT = Window.orderBy(col("t"))
+    val r = g.select(col("t"), col("d"),
+      sum(col("c")).over(byT.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        .as("n_risk"))
+    val f = r.filter(col("d") > 0)
+      .select(col("t"), col("d"), col("n_risk"),
+        when(col("d") < col("n_risk"),
+          round(log((col("n_risk") - col("d")).cast("double")
+            / col("n_risk").cast("double")) * 1e9).cast("long"))
+          .otherwise(-100000000000L).as("qf"))
+    f.select(col("t").as("t_days"), col("n_risk"), col("d").as("d_events"),
+        round(exp(sum(col("qf")).over(byT) / 1e9), 6).as("survival"))
+      .orderBy(col("t_days"))
+  }
+
   val all: Seq[Q] = Seq(q18JsonProps, q19HourlyAgg, q20SlidingAgg, q21Sessions,
     q22AsofViewPurchase, q50MapFuncs, q52IntervalJoin, q62Funnel, q63Retention,
     q65AsofNextView, q71GapfillHourly, q72Transitions, q86VolumeAnomalies,
     q87Scd2Intervals, q89TopPaths, q99RollingHour, q105HllRollup,
     q106MadOutliers, q107DecayedActivity, q109Scd2Lookup, q123SessionSequences,
-    q147AbWelch, q154BootstrapCi, q163TimeWeightedAvg)
+    q147AbWelch, q154BootstrapCi, q163TimeWeightedAvg, q188KaplanMeier)
 }

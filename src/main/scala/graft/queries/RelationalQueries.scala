@@ -2250,6 +2250,79 @@ object RelationalQueries {
       .orderBy(col("n_name"))
   }
 
+  /** Sample autocorrelation (ACF, lags 1-6) of each nation's monthly
+    * revenue — the seasonality/persistence detector that tells the
+    * q145/q171 trend family WHICH lags matter. Float discipline in three
+    * exact steps: (1) deviations dev = n·y − Σy are BIGINT (no float
+    * mean); (2) the variance denominator Σdev² accumulates in
+    * DECIMAL(38,0)/HUGEINT so it is one exact integer both engines
+    * round to the same double; (3) the standardized products z_t·z_{t+k}
+    * are quantized to a 1e-12 grid before the per-(nation, lag) BIGINT
+    * sum — no order-dependent float reduction anywhere. Lag pairing is a
+    * time-shifted equi-join on (nation, month+k), not a row-offset
+    * window, so calendar gaps can't silently misalign lags; the series
+    * is the months-grain rollup, so everything downstream of the first
+    * aggregate is dimension-sized. */
+  val q187RevenueAcf = Q(
+    "q187_revenue_acf",
+    """WITH m AS (
+      |  SELECT n_name,
+      |    (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS x,
+      |    CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation ON n_nationkey = c_nationkey
+      |  GROUP BY 1, 2),
+      |t AS (
+      |  SELECT n_name, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS tot
+      |  FROM m GROUP BY 1),
+      |d AS (
+      |  SELECT m.n_name, m.x, m.y * t.n - t.tot AS dev
+      |  FROM m JOIN t USING (n_name)),
+      |den AS (
+      |  SELECT n_name, sum(CAST(dev AS HUGEINT) * dev) AS sden
+      |  FROM d GROUP BY 1),
+      |z AS (
+      |  SELECT d.n_name, d.x,
+      |    CAST(dev AS DOUBLE) / sqrt(CAST(sden AS DOUBLE)) AS z
+      |  FROM d JOIN den USING (n_name))
+      |SELECT a.n_name, CAST(l.k AS INT) AS lag,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  round(CAST(sum(CAST(round(a.z * b.z * 1e12) AS BIGINT)) AS BIGINT)
+      |    / 1e12, 6) AS acf
+      |FROM z a
+      |JOIN (VALUES (1), (2), (3), (4), (5), (6)) l(k) ON true
+      |JOIN z b ON b.n_name = a.n_name AND b.x = a.x + l.k
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val m = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"),
+        ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+          .as("x"))
+      .agg(sum(round(col("o_totalprice")).cast("long")).as("y"))
+    val t = m.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("tot"))
+    val d = m.join(t, "n_name")
+      .select(col("n_name"), col("x"), (col("y") * col("n") - col("tot")).as("dev"))
+    val den = d.groupBy(col("n_name"))
+      .agg(sum(col("dev").cast("decimal(38,0)") * col("dev")).as("sden"))
+    val z = d.join(broadcast(den), "n_name")
+      .select(col("n_name"), col("x"),
+        (col("dev").cast("double") / sqrt(col("sden").cast("double"))).as("z"))
+    val lags = spark.range(1, 7).select(col("id").cast("int").as("k"))
+    val b = z.select(col("n_name").as("bn"), col("x").as("bx"), col("z").as("bz"))
+    z.crossJoin(broadcast(lags))
+      .join(b, col("bn") === col("n_name") && col("bx") === col("x") + col("k"))
+      .groupBy(col("n_name"), col("k").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("z") * col("bz") * 1e12).cast("long")).as("qacf"))
+      .select(col("n_name"), col("lag"), col("n_pairs"),
+        round(col("qacf") / 1e12, 6).as("acf"))
+      .orderBy(col("n_name"), col("lag"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -2265,5 +2338,5 @@ object RelationalQueries {
     q168BenfordDigits, q170CusumChangepoint, q171SeasonalDecompose,
     q172HilbertLayout, q174TheilSen, q175RecordLinkage,
     q181AnovaF, q182ChiSqIndependence, q183MannKendall,
-    q184GiniConcentration, q185KsDrift, q186MutualInformation)
+    q184GiniConcentration, q185KsDrift, q186MutualInformation, q187RevenueAcf)
 }

@@ -329,6 +329,49 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q187 ACF matches a driver-side reference; |acf| ≤ 1") {
+    val got = RelationalQueries.q187RevenueAcf.run(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(got.nonEmpty)
+    val series = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1).as("x"))
+      .agg(sum(round(col("o_totalprice")).cast("long")).as("y"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    got.foreach { case ((nation, k), acf) =>
+      assert(math.abs(acf) <= 1.0 + 1e-9, s"$nation lag $k: $acf")
+      val ys = series.collect { case (`nation`, x, y) => (x, y) }.sortBy(_._1)
+      val n = ys.length.toDouble
+      val mean = ys.map(_._2.toDouble).sum / n
+      val den = ys.map(p => (p._2 - mean) * (p._2 - mean)).sum
+      val byX = ys.toMap
+      val num = ys.flatMap { case (x, y) =>
+        byX.get(x + k).map(y2 => (y - mean) * (y2 - mean)) }.sum
+      assert(math.abs(acf - num / den) <= 1e-4, s"$nation lag $k: $acf vs ${num / den}")
+    }
+  }
+
+  test("q188 KM curve: monotone non-increasing, in (0,1], matches driver reference") {
+    val got = EventQueries.q188KaplanMeier.run(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val surv = got.map(_._4)
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a + 1e-9 },
+      s"not monotone: ${surv.mkString(",")}")
+    assert(surv.forall(s => s > 0.0 - 1e-9 && s <= 1.0))
+    // driver-side product-limit reference over the same (t, d, n) rows
+    var prod = 1.0
+    got.foreach { case (t, nRisk, d, s) =>
+      prod *= (nRisk - d).toDouble / nRisk
+      assert(math.abs(s - prod) <= 1e-5, s"t=$t: $s vs $prod")
+    }
+    // risk sets strictly decrease over death times
+    val risks = got.map(_._2)
+    assert(risks.zip(risks.tail).forall { case (a, b) => b < a })
+  }
+
   test("q186 MI invariants: 0 ≤ MI ≤ min(Hx, Hy), NMI in [0, 1]") {
     val rows = RelationalQueries.q186MutualInformation.run(spark, sfDir).collect()
     assert(rows.length > 0)
