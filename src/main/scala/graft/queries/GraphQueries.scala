@@ -533,7 +533,150 @@ object GraphQueries {
       .limit(20)
   }
 
+  /** Per-node local clustering coefficient over the q80 supplier
+    * co-purchase graph — "how clique-ish is each hub's neighborhood",
+    * the node-grain refinement of q80's single global_cc number (a hub
+    * can have huge degree and zero closure; the global ratio can't see
+    * that). Per-node triangle counts come from exploding the
+    * degree-ordered enumerator's triple rows to their three corners —
+    * still the O(m^1.5) oriented-wedge bound, one extra narrow explode
+    * + count — while the oracle re-enumerates id-ordered triples
+    * relationally. lcc = 2·tri/(deg·(deg−1)) is one double expression
+    * over exact integers. Top-20 by (degree, id) keeps the output
+    * bounded and the order total. */
+  val q189LocalClustering = Q(
+    "q189_local_clustering",
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  WHERE c_nationkey = 1 AND o_orderdate >= DATE '$SinceDate'),
+       |e AS (
+       |  SELECT a.s AS a, b.s AS b FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+       |  GROUP BY 1, 2 HAVING count(*) >= 4),
+       |deg AS (
+       |  SELECT n, CAST(count(*) AS BIGINT) AS deg
+       |  FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1
+       |  JOIN e e2 ON e2.a = e1.b
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |pt AS (
+       |  SELECT n, CAST(count(*) AS BIGINT) AS n_tri
+       |  FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+       |        UNION ALL SELECT z FROM tri) GROUP BY n)
+       |SELECT d.n AS supplier, d.deg, coalesce(pt.n_tri, 0) AS n_tri,
+       |  round(CASE WHEN d.deg >= 2
+       |    THEN 2.0 * coalesce(pt.n_tri, 0) / (d.deg * (d.deg - 1))
+       |    ELSE 0 END, 6) AS lcc
+       |FROM deg d LEFT JOIN pt ON pt.n = d.n
+       |ORDER BY d.deg DESC, supplier LIMIT 20""".stripMargin) { (spark, dir) =>
+    val cs = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(SinceDate).cast("date"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).filter(col("c_nationkey") === 1),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    val e = cs.as("x").join(cs.as("y"),
+        col("x.c") === col("y.c") && col("x.s") < col("y.s"))
+      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 4)
+      .select(col("a"), col("b"))
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val pt = Triangles.triangles(e)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("n_tri"))
+    deg.join(pt.withColumnRenamed("n_tri", "pt_tri"), Seq("n"), "left")
+      .select(col("n").as("supplier"), col("deg"),
+        coalesce(col("pt_tri"), lit(0L)).as("n_tri"),
+        round(when(col("deg") >= 2,
+          lit(2.0) * coalesce(col("pt_tri"), lit(0L))
+            / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)), 6).as("lcc"))
+      .orderBy(col("deg").desc, col("supplier"))
+      .limit(20)
+  }
+
+  /** Degree assortativity (Newman 2002) of the same co-purchase graph:
+    * do high-degree suppliers trade alongside other high-degree
+    * suppliers (r > 0, social-network-like) or with the periphery
+    * (r < 0, hub-and-spoke-like)? Over the symmetrized edge list the
+    * Pearson correlation of endpoint degrees collapses to
+    * r = (M·Σjk − (Σj)²)/(M·Σj² − (Σj)²) with every Σ an exact
+    * integer — accumulated in DECIMAL(38,0)/HUGEINT so degree⁴-scale
+    * sums can't overflow at any graph size — and one final double
+    * division. Two joins of the edge list against the degree table
+    * (both shuffle equi-joins on node id) and a single-row aggregate;
+    * no per-pair float ever exists. */
+  val q190Assortativity = Q(
+    "q190_assortativity",
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  WHERE c_nationkey = 1 AND o_orderdate >= DATE '$SinceDate'),
+       |e AS (
+       |  SELECT a.s AS a, b.s AS b FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+       |  GROUP BY 1, 2 HAVING count(*) >= 4),
+       |deg AS (
+       |  SELECT n, CAST(count(*) AS BIGINT) AS deg
+       |  FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n),
+       |de AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+       |j AS (
+       |  SELECT d1.deg AS ju, d2.deg AS jv
+       |  FROM de JOIN deg d1 ON d1.n = de.u JOIN deg d2 ON d2.n = de.v),
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS m,
+       |    sum(CAST(ju AS HUGEINT)) AS sj,
+       |    sum(CAST(ju AS HUGEINT) * ju) AS sj2,
+       |    sum(CAST(ju AS HUGEINT) * jv) AS sjk
+       |  FROM j),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+       |SELECT n_nodes, m // 2 AS n_edges,
+       |  round((CAST(m AS DOUBLE) * CAST(sjk AS DOUBLE)
+       |      - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+       |    / (CAST(m AS DOUBLE) * CAST(sj2 AS DOUBLE)
+       |      - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)), 6) AS assortativity
+       |FROM s CROSS JOIN nn""".stripMargin) { (spark, dir) =>
+    val cs = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(SinceDate).cast("date"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).filter(col("c_nationkey") === 1),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    val e = cs.as("x").join(cs.as("y"),
+        col("x.c") === col("y.c") && col("x.s") < col("y.s"))
+      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 4)
+      .select(col("a"), col("b"))
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val de = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val j = de
+      .join(deg.select(col("n").as("u"), col("deg").as("ju")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("jv")), "v")
+    val s = j.agg(count(lit(1)).as("m"),
+      sum(col("ju").cast("decimal(38,0)")).as("sj"),
+      sum(col("ju").cast("decimal(38,0)") * col("ju")).as("sj2"),
+      sum(col("ju").cast("decimal(38,0)") * col("jv")).as("sjk"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    s.crossJoin(broadcast(nn))
+      .select(col("n_nodes"), expr("m div 2").as("n_edges"),
+        round((col("m").cast("double") * col("sjk").cast("double")
+            - col("sj").cast("double") * col("sj").cast("double"))
+          / (col("m").cast("double") * col("sj2").cast("double")
+            - col("sj").cast("double") * col("sj").cast("double")), 6)
+          .as("assortativity"))
+  }
+
   val all: Seq[Q] = Seq(q76Pagerank, q80TriangleCensus,
     q112PersonalizedPagerank, q126HitsAuthorities, q127CrawlDepth,
-    q131CheapestPaths, q132KcorePeel, q161LinkPredict)
+    q131CheapestPaths, q132KcorePeel, q161LinkPredict,
+    q189LocalClustering, q190Assortativity)
 }
