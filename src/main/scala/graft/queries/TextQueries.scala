@@ -3391,6 +3391,148 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Zipf-law fit per source: OLS of ln(freq) on ln(rank) over each
+    * source's top-200 unigram types, with R² as the fit diagnostic —
+    * the "is this source natural language or something synthetic"
+    * screen (natural text sits near slope −1; tables, logs and
+    * boilerplate-heavy sources bend away and show low R²), complementing
+    * q120's global coverage ladder with a per-source shape statistic.
+    * Scale shape: one map-side-combined shuffle to (source, term)
+    * grain; the rank window runs at vocab grain (a bounded TopK-style
+    * aggregator with a string id is the lever if per-source vocab ever
+    * dwarfs a task). Float discipline: rank and freq are exact
+    * integers, each per-term ln-moment (x, y, xy, x², y²) is quantized
+    * to a 1e-9 grid before the per-source BIGINT sums, and
+    * slope/intercept/R² are closed-form doubles over those six exact
+    * sums — no order-dependent float reduction. */
+  val q191ZipfFit = Q(
+    "q191_zipf_fit",
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS term
+      |  FROM documents),
+      |freq AS (
+      |  SELECT source, term, CAST(count(*) AS BIGINT) AS f
+      |  FROM toks WHERE term <> '' GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT source, f,
+      |    row_number() OVER (PARTITION BY source ORDER BY f DESC, term) AS rk
+      |  FROM freq QUALIFY rk <= 200),
+      |q AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(ln(rk) * 1e9) AS BIGINT)) AS BIGINT) AS sx,
+      |    CAST(sum(CAST(round(ln(f) * 1e9) AS BIGINT)) AS BIGINT) AS sy,
+      |    CAST(sum(CAST(round(ln(rk) * ln(f) * 1e9) AS BIGINT)) AS BIGINT) AS sxy,
+      |    CAST(sum(CAST(round(ln(rk) * ln(rk) * 1e9) AS BIGINT)) AS BIGINT) AS sxx,
+      |    CAST(sum(CAST(round(ln(f) * ln(f) * 1e9) AS BIGINT)) AS BIGINT) AS syy
+      |  FROM ranked GROUP BY 1)
+      |SELECT source, n,
+      |  round((n * (sxy / 1e9) - (sx / 1e9) * (sy / 1e9))
+      |    / (n * (sxx / 1e9) - (sx / 1e9) * (sx / 1e9)), 6) AS zipf_slope,
+      |  round((n * (sxy / 1e9) - (sx / 1e9) * (sy / 1e9))
+      |    * (n * (sxy / 1e9) - (sx / 1e9) * (sy / 1e9))
+      |    / ((n * (sxx / 1e9) - (sx / 1e9) * (sx / 1e9))
+      |      * (n * (syy / 1e9) - (sy / 1e9) * (sy / 1e9))), 6) AS r2
+      |FROM q ORDER BY source""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("term"))
+    val freq = toks.filter(col("term") =!= "")
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("f"))
+    val ranked = freq
+      .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("f").desc, col("term"))))
+      .filter(col("rk") <= 200)
+    def grid(e: org.apache.spark.sql.Column) = round(e * 1e9).cast("long")
+    val lnRk = log(col("rk")); val lnF = log(col("f"))
+    val q = ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(grid(lnRk)).as("sx"), sum(grid(lnF)).as("sy"),
+        sum(grid(lnRk * lnF)).as("sxy"),
+        sum(grid(lnRk * lnRk)).as("sxx"),
+        sum(grid(lnF * lnF)).as("syy"))
+    val sxd = col("sx") / 1e9; val syd = col("sy") / 1e9
+    val cov = col("n") * (col("sxy") / 1e9) - sxd * syd
+    val varX = col("n") * (col("sxx") / 1e9) - sxd * sxd
+    val varY = col("n") * (col("syy") / 1e9) - syd * syd
+    q.select(col("source"), col("n"),
+        round(cov / varX, 6).as("zipf_slope"),
+        round(cov * cov / (varX * varY), 6).as("r2"))
+      .orderBy(col("source"))
+  }
+
+  /** Cross-source quantile normalization of document length — the
+    * "make source A's score distribution comparable to source B's"
+    * transform batch scoring pipelines need before mixing corpora
+    * (quantile normalization, Bolstad 2003): map each source's k-th
+    * decile to the POOLED decile mean, reported as the per-(source,
+    * decile) shift table a downstream scorer would apply. The exact
+    * trick at scale: deciles are NOT a per-source full sort — lengths
+    * collapse to (source, value)-grain counts first, a bounded window
+    * cumsums the distinct values, and a value whose count straddles a
+    * boundary is SPLIT by exact integer overlap
+    * contrib = max(0, min(cum, b_k) − max(cum−c, b_{k−1})),
+    * b_k = ⌊k·n/10⌋ — so every decile holds exactly ⌊k·n/10⌋−⌊(k−1)·n/10⌋
+    * rows with no tie-break ambiguity and no row-level sort. All masses
+    * are DECIMAL(38,0)/HUGEINT sums of v·contrib; the only floats are
+    * three final divisions. */
+  val q192QuantileNormalize = Q(
+    "q192_quantile_normalize",
+    """WITH vg AS (
+      |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM vg GROUP BY 1),
+      |cw AS (
+      |  SELECT source, v, c,
+      |    CAST(sum(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum
+      |  FROM vg),
+      |d AS (SELECT unnest(range(1, 11)) AS k),
+      |x AS (
+      |  SELECT cw.source, d.k, cw.v,
+      |    greatest(0, least(cw.cum, (d.k * t.n) // 10)
+      |      - greatest(cw.cum - cw.c, ((d.k - 1) * t.n) // 10)) AS contrib
+      |  FROM cw JOIN t USING (source) CROSS JOIN d),
+      |g AS (
+      |  SELECT source, k, CAST(sum(contrib) AS BIGINT) AS n_docs,
+      |    sum(CAST(v AS HUGEINT) * contrib) AS mass
+      |  FROM x WHERE contrib > 0 GROUP BY 1, 2),
+      |tg AS (
+      |  SELECT k, CAST(sum(n_docs) AS BIGINT) AS tn, sum(mass) AS tmass
+      |  FROM g GROUP BY 1)
+      |SELECT g.source, CAST(g.k AS INT) AS decile, g.n_docs,
+      |  round(CAST(g.mass AS DOUBLE) / g.n_docs, 4) AS mean_chars,
+      |  round(CAST(tg.tmass AS DOUBLE) / tg.tn, 4) AS target_chars,
+      |  round(CAST(tg.tmass AS DOUBLE) / tg.tn
+      |    - CAST(g.mass AS DOUBLE) / g.n_docs, 4) AS shift
+      |FROM g JOIN tg USING (k)
+      |ORDER BY source, decile""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val vg = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val t = vg.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val cw = vg.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col("source")).orderBy(col("v"))))
+    val d = spark.range(1, 11).select(col("id").as("k"))
+    val x = cw.join(t, "source").crossJoin(broadcast(d))
+      .select(col("source"), col("k"), col("v"),
+        greatest(lit(0L), least(col("cum"), expr("k * n div 10"))
+          - greatest(col("cum") - col("c"), expr("(k - 1) * n div 10")))
+          .as("contrib"))
+    val g = x.filter(col("contrib") > 0)
+      .groupBy(col("source"), col("k"))
+      .agg(sum(col("contrib")).as("n_docs"),
+        sum(col("v").cast("decimal(38,0)") * col("contrib")).as("mass"))
+    val tg = g.groupBy(col("k"))
+      .agg(sum(col("n_docs")).as("tn"), sum(col("mass")).as("tmass"))
+    g.join(broadcast(tg), "k")
+      .select(col("source"), col("k").cast("int").as("decile"), col("n_docs"),
+        round(col("mass").cast("double") / col("n_docs"), 4).as("mean_chars"),
+        round(col("tmass").cast("double") / col("tn"), 4).as("target_chars"),
+        round(col("tmass").cast("double") / col("tn")
+          - col("mass").cast("double") / col("n_docs"), 4).as("shift"))
+      .orderBy(col("source"), col("decile"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -3407,5 +3549,6 @@ object TextQueries {
     q153QualityAuc, q155ScoreCalibration, q160PhraseSearch,
     q162CompactionPlan, q164ParetoFrontier, q166ContainmentPairs,
     q167KneserNey, q169RrfFusion, q173IncrementalCompaction,
-    q176HllOverlap, q177Readability, q180DatasetCard)
+    q176HllOverlap, q177Readability, q180DatasetCard, q191ZipfFit,
+    q192QuantileNormalize)
 }

@@ -372,6 +372,56 @@ class StatsSpec extends SparkSpec {
     assert(risks.zip(risks.tail).forall { case (a, b) => b < a })
   }
 
+  test("q191 Zipf fit: negative slope, R² in [0,1], matches driver OLS") {
+    val got = TextQueries.q191ZipfFit.run(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val freqs = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("f"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    got.foreach { case (src, n, slope, r2) =>
+      assert(slope < 0, s"$src: Zipf slope $slope not negative")
+      assert(r2 >= 0 && r2 <= 1 + 1e-9, s"$src: R² $r2")
+      val top = freqs.collect { case (`src`, t, f) => (t, f) }
+        .sortBy { case (t, f) => (-f, t) }.take(200)
+      assert(top.length.toLong === n)
+      val xy = top.zipWithIndex.map { case ((_, f), i) =>
+        (math.log(i + 1.0), math.log(f.toDouble)) }
+      val m = xy.length.toDouble
+      val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val sxx = xy.map(p => p._1 * p._1).sum
+      val ref = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+      assert(math.abs(slope - ref) <= 1e-4, s"$src: $slope vs $ref")
+    }
+  }
+
+  test("q192 deciles: exact ⌊kn/10⌋ sizes, monotone means, shift identity") {
+    val rows = TextQueries.q192QuantileNormalize.run(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (src, ds) =>
+      val n = counts(src)
+      assert(ds.map(_._3).sum === n, s"$src: decile sizes don't sum to $n")
+      ds.foreach { case (_, k, sz, _, _, _) =>
+        val expect = k * n / 10 - (k - 1) * n / 10
+        assert(sz === expect, s"$src decile $k: $sz vs $expect")
+      }
+      val means = ds.sortBy(_._2).map(_._4)
+      assert(means.zip(means.tail).forall { case (a, b) => a <= b + 1e-9 },
+        s"$src: decile means not monotone")
+    }
+    rows.foreach { case (src, k, _, mean, target, shift) =>
+      assert(math.abs(shift - (target - mean)) <= 2e-4, s"$src decile $k")
+    }
+  }
+
   test("q186 MI invariants: 0 ≤ MI ≤ min(Hx, Hy), NMI in [0, 1]") {
     val rows = RelationalQueries.q186MutualInformation.run(spark, sfDir).collect()
     assert(rows.length > 0)
