@@ -3533,6 +3533,90 @@ object TextQueries {
       .orderBy(col("source"), col("decile"))
   }
 
+  /** Perplexity-based quality filtering (the CCNet/Wenzek 2020 recipe):
+    * score every document's bigram perplexity under the corpus-trained
+    * Kneser–Ney model (q167's model, reused CTE-for-CTE) and report the
+    * per-source high-perplexity share — the standard "this source is
+    * full of outlier text" signal a mixing pipeline acts on. Self-
+    * trained simplification documented: production trains the LM on a
+    * trusted reference corpus; the plumbing (model join + per-doc
+    * aggregation) is identical. Scale shape: the model lives at
+    * vocabulary grain; the doc-side join is (doc, bigram)-grain with
+    * map-side-combined counts — no row ever carries text past the first
+    * explode. Float discipline: p_KN is one identical double expression
+    * over exact integer counts, each bigram's ln p is quantized to a
+    * 1e-9 grid, per-doc means are re-quantized integers, and the only
+    * order-sensitive reduction left (Σ k·qlp per doc) is a BIGINT sum. */
+  val q193PerplexityFilter = Q(
+    "q193_perplexity_filter",
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents),
+      |bg0 AS (
+      |  SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2
+      |  FROM toks, unnest(range(1, len(t))) u(i)),
+      |bg AS (SELECT w1, w2, count(*) AS c12 FROM bg0 GROUP BY 1, 2),
+      |c1 AS (
+      |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS fwd
+      |  FROM bg GROUP BY 1),
+      |back AS (SELECT w2, count(*) AS back FROM bg GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nbg FROM bg),
+      |p AS (
+      |  SELECT bg.w1, bg.w2,
+      |    CAST(round(ln(greatest(CAST(bg.c12 AS DOUBLE) - 0.75, 0) / c1.c1
+      |      + (0.75 * c1.fwd / c1.c1) * (back.back / CAST(tot.nbg AS DOUBLE)))
+      |      * 1e9) AS BIGINT) AS qlp
+      |  FROM bg JOIN c1 ON c1.w1 = bg.w1 JOIN back ON back.w2 = bg.w2, tot),
+      |dbg AS (
+      |  SELECT doc_id, source, w1, w2, CAST(count(*) AS BIGINT) AS k
+      |  FROM bg0 GROUP BY 1, 2, 3, 4),
+      |dm AS (
+      |  SELECT doc_id, source,
+      |    CAST(round(CAST(sum(k * qlp) AS BIGINT) / CAST(sum(k) AS BIGINT))
+      |      AS BIGINT) AS qmean
+      |  FROM dbg JOIN p ON p.w1 = dbg.w1 AND p.w2 = dbg.w2
+      |  GROUP BY 1, 2)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(CAST(sum(qmean) AS BIGINT) / count(*) / 1e9, 6) AS avg_logprob,
+      |  CAST(sum(CASE WHEN exp(-qmean / 1e9) > 31.0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_high_ppl,
+      |  round(CAST(sum(CASE WHEN exp(-qmean / 1e9) > 31.0 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6) AS high_ppl_share
+      |FROM dm GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), TextFns.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bg0 = toks.select(col("doc_id"), col("source"),
+        explode(arrays_zip(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1))).as("z"))
+      .select(col("doc_id"), col("source"),
+        col("z").getField("0").as("w1"), col("z").getField("1").as("w2"))
+    val bg = bg0.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(sum(col("c12")).as("c1"), count(lit(1)).as("fwd"))
+    val back = bg.groupBy(col("w2")).agg(count(lit(1)).as("back"))
+    val tot = bg.agg(count(lit(1)).as("nbg"))
+    val p = bg.join(c1, "w1").join(back, "w2").crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"),
+        round(log(greatest(col("c12").cast("double") - 0.75, lit(0)) / col("c1")
+          + (lit(0.75) * col("fwd") / col("c1"))
+            * (col("back") / col("nbg").cast("double"))) * 1e9).cast("long")
+          .as("qlp"))
+    val dbg = bg0.groupBy(col("doc_id"), col("source"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+    val dm = dbg.join(p, Seq("w1", "w2"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(round(sum(col("k") * col("qlp")) / sum(col("k"))).cast("long").as("qmean"))
+    val hi = exp(-col("qmean") / 1e9) > 31.0
+    dm.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("qmean")) / count(lit(1)) / 1e9, 6).as("avg_logprob"),
+        sum(when(hi, 1L).otherwise(0L)).as("n_high_ppl"),
+        round(sum(when(hi, 1L).otherwise(0L)).cast("double") / count(lit(1)), 6)
+          .as("high_ppl_share"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -3550,5 +3634,5 @@ object TextQueries {
     q162CompactionPlan, q164ParetoFrontier, q166ContainmentPairs,
     q167KneserNey, q169RrfFusion, q173IncrementalCompaction,
     q176HllOverlap, q177Readability, q180DatasetCard, q191ZipfFit,
-    q192QuantileNormalize)
+    q192QuantileNormalize, q193PerplexityFilter)
 }
