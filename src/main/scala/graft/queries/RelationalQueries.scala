@@ -2156,11 +2156,15 @@ object RelationalQueries {
           .orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
           .as("off2"))
     val slice = Window.partitionBy(col("c_mktsegment"), col("pid")).orderBy(col("v"))
-    parted.join(broadcast(offs), Seq("c_mktsegment", "pid"))
+    // offs (≤ segments×32 rows) and tot (≤ segments rows) carry no
+    // broadcast hint by house policy: grouped aggregates over unbounded
+    // leaves must reach the join unhinted so AQE broadcasts them by
+    // measured size at runtime (same ruling as q172/Pareto/Compaction)
+    parted.join(offs, Seq("c_mktsegment", "pid"))
       .select(col("c_mktsegment"),
         (sum(col("c1")).over(slice) + col("off1")).as("a"),
         (sum(col("c2")).over(slice) + col("off2")).as("b"))
-      .join(broadcast(tot), "c_mktsegment")
+      .join(tot, "c_mktsegment")
       .groupBy(col("c_mktsegment"), col("n1"), col("n2"))
       .agg(max(abs(col("a") * col("n2") - col("b") * col("n1"))).as("dnum"))
       .select(col("c_mktsegment"), col("n1"), col("n2"),
@@ -2308,7 +2312,9 @@ object RelationalQueries {
       .select(col("n_name"), col("x"), (col("y") * col("n") - col("tot")).as("dev"))
     val den = d.groupBy(col("n_name"))
       .agg(sum(col("dev").cast("decimal(38,0)") * col("dev")).as("sden"))
-    val z = d.join(broadcast(den), "n_name")
+    // den is nation-grain (≤25 rows) but a grouped aggregate over the
+    // orders scan — unhinted per house policy; AQE broadcasts it by size
+    val z = d.join(den, "n_name")
       .select(col("n_name"), col("x"),
         (col("dev").cast("double") / sqrt(col("sden").cast("double"))).as("z"))
     val lags = spark.range(1, 7).select(col("id").cast("int").as("k"))

@@ -3524,7 +3524,9 @@ object TextQueries {
         sum(col("v").cast("decimal(38,0)") * col("contrib")).as("mass"))
     val tg = g.groupBy(col("k"))
       .agg(sum(col("n_docs")).as("tn"), sum(col("mass")).as("tmass"))
-    g.join(broadcast(tg), "k")
+    // tg is decile-grain (10 rows) but a grouped aggregate over the
+    // documents scan — unhinted per house policy; AQE broadcasts by size
+    g.join(tg, "k")
       .select(col("source"), col("k").cast("int").as("decile"), col("n_docs"),
         round(col("mass").cast("double") / col("n_docs"), 4).as("mean_chars"),
         round(col("tmass").cast("double") / col("tn"), 4).as("target_chars"),

@@ -188,11 +188,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("no registered query plans a CartesianProduct") {
-    graft.SparkEntry.registry.foreach { q =>
+    // collect-then-fail: a single offender must not shadow later ones
+    // (round-8 postmortem — the first-offender abort left q186-q193
+    // un-swept by the sibling broadcast audit for a whole round)
+    val offenders = graft.SparkEntry.registry.flatMap { q =>
       val p = q.run(spark, sfDir).queryExecution.executedPlan.toString
-      assert(!p.contains("CartesianProduct"),
-        s"${q.name} plans a non-broadcast cartesian product")
+      if (p.contains("CartesianProduct")) Some(q.name) else None
     }
+    assert(offenders.isEmpty,
+      s"queries planning a non-broadcast cartesian product: ${offenders.mkString(", ")}")
   }
 
   test("no registered query hint-broadcasts an unbounded table") {
@@ -211,6 +215,10 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     def boundedLeaf(l: LogicalPlan): Boolean = l match {
       case _: LocalRelation | _: OneRowRelation => true
+      // a literal spark.range(a, b): cardinality is fixed at plan time
+      // and independent of the scale factor — same class as a
+      // LocalRelation of constants (q187's 6 lags, q192's 10 deciles)
+      case _: org.apache.spark.sql.catalyst.plans.logical.Range => true
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
           val paths = fs.location.rootPaths.map(_.toString)
@@ -246,15 +254,21 @@ class PlanSpec extends SparkSpec {
         }.nonEmpty => f }.nonEmpty
       globalAgg || keyLookup || p.collectLeaves().forall(boundedLeaf)
     }
+    // collect-then-fail: every offender across the whole registry is
+    // reported in one shot, so no query can ship un-swept behind an
+    // earlier failure (the round-8 q185 incident)
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
     graft.SparkEntry.registry.foreach { q =>
       val analyzed = q.run(spark, sfDir).queryExecution.analyzed
       analyzed.foreach {
         case h: ResolvedHint if h.hints.strategy.nonEmpty =>
-          assert(bounded(h.child),
-            s"${q.name} unconditionally broadcasts an unbounded subtree:\n${h.child}")
+          if (!bounded(h.child))
+            offenders += s"${q.name}:\n${h.child}"
         case _ => ()
       }
     }
+    assert(offenders.isEmpty,
+      s"${offenders.size} unbounded broadcast hint(s):\n" + offenders.mkString("\n---\n"))
   }
 
   test("q123 reuses one user-keyed exchange across both windows and the groupBy") {
