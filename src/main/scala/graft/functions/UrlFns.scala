@@ -34,20 +34,28 @@ object UrlFns {
     * normalizer every crawler runs so that trivially-different spellings
     * of one resource collapse to one frontier entry (RFC 3986 §6
     * normalizations that are safe without fetching):
-    * scheme + host lowercased, default ports (:80/:443) stripped,
+    * scheme + host lowercased, the scheme's OWN default port stripped
+    * (:80 only under http, :443 only under https — http://h:443/x is a
+    * different resource from http://h/x and must stay distinct),
     * fragment dropped, query parameters SORTED (the big one — servers
     * overwhelmingly treat the query as a map), path's trailing slash
-    * trimmed (non-root). Pure string expressions (RE2-safe regexes, the
-    * same in the DuckDB twin) rather than `parse_url`, so both engines
-    * compute the identical canonical string byte-for-byte. */
+    * trimmed (non-root). The query is anchored to the part BEFORE the
+    * first '#', so fragment bytes like "#?a=1" can never masquerade as
+    * a query. Pure string expressions (RE2-safe regexes, the same in
+    * the DuckDB twin) rather than `parse_url`, so both engines compute
+    * the identical canonical string byte-for-byte. */
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostPort = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    val hostNoDefault = regexp_replace(hostPort, ":(443|80)$", "")
+    val hostNoDefault = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
     val rawPath = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val trimmed = regexp_replace(rawPath, "/$", "")
     val pathNorm = when(trimmed === "", lit("/")).otherwise(trimmed)
-    val q = regexp_extract(url, "\\?([^#]*)", 1)
+    // [^#?]* pins the match to the FIRST '?', and only if it precedes
+    // any '#' — a '?' inside the fragment is not a query
+    val q = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val sortedQ = concat_ws("&", array_sort(filter(split(q, "&"), p => p =!= "")))
     concat(scheme, lit("://"), hostNoDefault, pathNorm,
       when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))

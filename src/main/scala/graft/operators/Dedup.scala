@@ -119,7 +119,18 @@ object Dedup {
     * 0.27, under every symmetric threshold). Same rare-shingle
     * candidate stage and scale contract as [[jaccardPairs]]; pairs
     * survive when EITHER direction clears the threshold, and both
-    * directional scores are reported. */
+    * directional scores are reported.
+    *
+    * ESTIMATOR SEMANTICS: n_inter counts only the RARE shared shingles
+    * (2 ≤ df ≤ maxDocFreq) while n_a/n_b count all shingles, so c_a/c_b
+    * are LOWER BOUNDS on true Broder containment — overlap carried by
+    * boilerplate shingles above the df cap does not score. That is the
+    * intended bias for quote detection (boilerplate containment is the
+    * false-positive class), but pairs whose overlap is MOSTLY common
+    * shingles can sit below the threshold; callers needing the exact
+    * value should verify candidates in-row the way
+    * [[prefixFilterPairs]] does (array_intersect on the full sorted
+    * shingle arrays). */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Int): DataFrame =
     rareShinglePairStats(docs, idCol, textCol, n, maxDocFreq)

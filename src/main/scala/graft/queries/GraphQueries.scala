@@ -1,7 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Hits, Iterate, KCore, LinkPredict, PageRank, Triangles}
+import graft.operators.{Baskets, Hits, Iterate, KCore, LinkPredict, PageRank, Triangles}
 import graft.sources.Tables
 
 /** Graph analytics over the order graph (customer ↔ supplier via
@@ -14,6 +15,65 @@ object GraphQueries {
   private val Damping = 0.85
   private val Iters = 8
   private val SinceDate = "1997-01-01"
+
+  /** Minimum distinct shared customers for a supplier co-purchase edge
+    * (q80/q132/q161/q189/q190 all project the same graph). */
+  private val CoMinShared = 4
+
+  /** Per-customer distinct-supplier cap for the co-purchase edge build.
+    * Pair generation is quadratic in basket size, so one Zipfian
+    * mega-customer would emit C(n,2) rows from a single task at scale —
+    * the market-basket skew bomb [[Baskets]] exists to defuse. Standard
+    * frequent-itemset practice drops mega-baskets (a customer buying
+    * from half the suppliers co-occurs with everything and carries no
+    * pair signal); the drop is observable as
+    * `graft.copurchase.n_dropped_baskets`. */
+  private val CoBasketCap = Baskets.DefaultMaxItems
+
+  /** The (customer, supplier) bipartite incidence the co-purchase graph
+    * projects: nation-1 customers' recent orders, distinct pairs. */
+  private def coPurchaseIncidence(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(SinceDate).cast("date"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).filter(col("c_nationkey") === 1),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+
+  /** Supplier co-purchase edges (a < b, ≥ [[CoMinShared]] shared
+    * customers) from a (c, s) incidence frame — the ONE shared edge
+    * build behind the whole graph-statistics family. Baskets above
+    * [[CoBasketCap]] distinct suppliers are dropped before pair
+    * generation (observed metric, see [[CoBasketCap]]), then each
+    * surviving basket emits its C(n,2) pairs narrowly via two codegen'd
+    * explodes — pair volume is bounded by C(cap, 2) per customer
+    * REGARDLESS of input skew, where the old per-key self-join emitted
+    * unbounded C(n,2) rows from a single task. */
+  private[queries] def coPurchaseEdges(cs: DataFrame): DataFrame =
+    Baskets.pairCounts(
+        Baskets.baskets(cs, "c", "s", CoBasketCap, "graft.copurchase"))
+      .filter(col("n_ab") >= CoMinShared)
+      .select(col("part_a").as("a"), col("part_b").as("b"))
+
+  private[queries] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    coPurchaseEdges(coPurchaseIncidence(spark, dir))
+
+  /** Shared DuckDB CTE prefix mirroring [[coPurchaseEdges]]: incidence
+    * `cs`, the capped projection `csf` (baskets over [[CoBasketCap]]
+    * suppliers dropped — SAME spec as the engine side), and the edge
+    * list `e`. */
+  private def coEdgesCte: String =
+    s"""cs AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  WHERE c_nationkey = 1 AND o_orderdate >= DATE '$SinceDate'),
+       |bok AS (SELECT c FROM cs GROUP BY c HAVING count(*) <= $CoBasketCap),
+       |csf AS (SELECT cs.c, cs.s FROM cs JOIN bok ON bok.c = cs.c),
+       |e AS (
+       |  SELECT a.s AS a, b.s AS b FROM csf a JOIN csf b ON a.c = b.c AND a.s < b.s
+       |  GROUP BY 1, 2 HAVING count(*) >= $CoMinShared)""".stripMargin
 
   /** DuckDB twin: identical power iteration, unrolled one CTE per round
     * (DuckDB's recursive CTEs cannot re-aggregate per round). The
@@ -146,14 +206,7 @@ object GraphQueries {
     * enumeration orders that must land on the same census. */
   val q80TriangleCensus = Q(
     "q80_triangle_census",
-    s"""WITH cs AS (
-       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-       |  JOIN customer ON c_custkey = o_custkey
-       |  WHERE c_nationkey = 1 AND o_orderdate >= DATE '$SinceDate'),
-       |e AS (
-       |  SELECT a.s AS a, b.s AS b FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
-       |  GROUP BY 1, 2 HAVING count(*) >= 4),
+    s"""WITH $coEdgesCte,
        |deg AS (
        |  SELECT n, count(*) AS deg
        |  FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n),
@@ -169,19 +222,7 @@ object GraphQueries {
        |SELECT n_nodes, n_edges, n_wedges, CAST(t AS BIGINT) AS n_triangles,
        |  round(3.0 * t / n_wedges, 4) AS global_cc
        |FROM s CROSS JOIN tri""".stripMargin) { (spark, dir) =>
-    val cs = Tables.orders(spark, dir)
-      .filter(col("o_orderdate") >= lit(SinceDate).cast("date"))
-      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(spark, dir).filter(col("c_nationkey") === 1),
-        col("c_custkey") === col("o_custkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
-    val e = cs.as("x").join(cs.as("y"),
-        col("x.c") === col("y.c") && col("x.s") < col("y.s"))
-      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= 4)
-      .select(col("a"), col("b"))
+    val e = coPurchaseEdges(spark, dir)
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
     val stats = deg.agg(
@@ -429,14 +470,8 @@ object GraphQueries {
          |  SELECT a, b FROM e${r - 1}
          |  WHERE a IN (SELECT n FROM n$r) AND b IN (SELECT n FROM n$r))""".stripMargin
     }.mkString(",\n")
-    s"""WITH cs AS (
-       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-       |  JOIN customer ON c_custkey = o_custkey
-       |  WHERE c_nationkey = 1 AND o_orderdate >= DATE '$SinceDate'),
-       |e0 AS (
-       |  SELECT a.s AS a, b.s AS b FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
-       |  GROUP BY 1, 2 HAVING count(*) >= 4),
+    s"""WITH $coEdgesCte,
+       |e0 AS (SELECT a, b FROM e),
        |$steps
        |SELECT n AS node, CAST(count(*) AS BIGINT) AS deg FROM (
        |  SELECT a AS n FROM e$rounds UNION ALL SELECT b FROM e$rounds)
@@ -455,20 +490,7 @@ object GraphQueries {
   val q132KcorePeel = Q(
     "q132_kcore_peel",
     kcoreOracle(CoreK, PeelRounds)) { (spark, dir) =>
-    val cs = Tables.orders(spark, dir)
-      .filter(col("o_orderdate") >= lit(SinceDate).cast("date"))
-      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(spark, dir).filter(col("c_nationkey") === 1),
-        col("c_custkey") === col("o_custkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
-    val e = cs.as("x").join(cs.as("y"),
-        col("x.c") === col("y.c") && col("x.s") < col("y.s"))
-      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= 4)
-      .select(col("a"), col("b"))
-    KCore.peel(e, CoreK, PeelRounds).orderBy(col("node"))
+    KCore.peel(coPurchaseEdges(spark, dir), CoreK, PeelRounds).orderBy(col("node"))
   }
 
   /** Degree cap for Adamic–Adar wedge middles (q161): hubs above this
@@ -486,14 +508,7 @@ object GraphQueries {
     * → capped middles → wedge self-join → anti-join relationally. */
   val q161LinkPredict = Q(
     "q161_link_predict",
-    s"""WITH cs AS (
-       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-       |  JOIN customer ON c_custkey = o_custkey
-       |  WHERE c_nationkey = 1 AND o_orderdate >= DATE '$SinceDate'),
-       |e AS (
-       |  SELECT a.s AS a, b.s AS b FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
-       |  GROUP BY 1, 2 HAVING count(*) >= 4),
+    s"""WITH $coEdgesCte,
        |adj AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e),
        |deg AS (SELECT z, count(*) AS deg FROM adj GROUP BY z),
        |mid AS (
@@ -513,20 +528,7 @@ object GraphQueries {
        |SELECT u, v, n_common, aa_units,
        |  round(CAST(aa_units AS DOUBLE) / 10000000, 7) AS aa_score
        |FROM p ORDER BY aa_units DESC, u, v LIMIT 20""".stripMargin) { (spark, dir) =>
-    val cs = Tables.orders(spark, dir)
-      .filter(col("o_orderdate") >= lit(SinceDate).cast("date"))
-      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(spark, dir).filter(col("c_nationkey") === 1),
-        col("c_custkey") === col("o_custkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
-    val e = cs.as("x").join(cs.as("y"),
-        col("x.c") === col("y.c") && col("x.s") < col("y.s"))
-      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= 4)
-      .select(col("a"), col("b"))
-    LinkPredict.adamicAdar(e, AaDegCap)
+    LinkPredict.adamicAdar(coPurchaseEdges(spark, dir), AaDegCap)
       .withColumn("aa_score",
         round(col("aa_units").cast("double") / LinkPredict.Scale, 7))
       .orderBy(col("aa_units").desc, col("u"), col("v"))
@@ -546,14 +548,7 @@ object GraphQueries {
     * bounded and the order total. */
   val q189LocalClustering = Q(
     "q189_local_clustering",
-    s"""WITH cs AS (
-       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-       |  JOIN customer ON c_custkey = o_custkey
-       |  WHERE c_nationkey = 1 AND o_orderdate >= DATE '$SinceDate'),
-       |e AS (
-       |  SELECT a.s AS a, b.s AS b FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
-       |  GROUP BY 1, 2 HAVING count(*) >= 4),
+    s"""WITH $coEdgesCte,
        |deg AS (
        |  SELECT n, CAST(count(*) AS BIGINT) AS deg
        |  FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n),
@@ -571,19 +566,7 @@ object GraphQueries {
        |    ELSE 0 END, 6) AS lcc
        |FROM deg d LEFT JOIN pt ON pt.n = d.n
        |ORDER BY d.deg DESC, supplier LIMIT 20""".stripMargin) { (spark, dir) =>
-    val cs = Tables.orders(spark, dir)
-      .filter(col("o_orderdate") >= lit(SinceDate).cast("date"))
-      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(spark, dir).filter(col("c_nationkey") === 1),
-        col("c_custkey") === col("o_custkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
-    val e = cs.as("x").join(cs.as("y"),
-        col("x.c") === col("y.c") && col("x.s") < col("y.s"))
-      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= 4)
-      .select(col("a"), col("b"))
+    val e = coPurchaseEdges(spark, dir)
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
     val pt = Triangles.triangles(e)
@@ -613,14 +596,7 @@ object GraphQueries {
     * no per-pair float ever exists. */
   val q190Assortativity = Q(
     "q190_assortativity",
-    s"""WITH cs AS (
-       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-       |  JOIN customer ON c_custkey = o_custkey
-       |  WHERE c_nationkey = 1 AND o_orderdate >= DATE '$SinceDate'),
-       |e AS (
-       |  SELECT a.s AS a, b.s AS b FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
-       |  GROUP BY 1, 2 HAVING count(*) >= 4),
+    s"""WITH $coEdgesCte,
        |deg AS (
        |  SELECT n, CAST(count(*) AS BIGINT) AS deg
        |  FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n),
@@ -641,19 +617,7 @@ object GraphQueries {
        |    / (CAST(m AS DOUBLE) * CAST(sj2 AS DOUBLE)
        |      - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)), 6) AS assortativity
        |FROM s CROSS JOIN nn""".stripMargin) { (spark, dir) =>
-    val cs = Tables.orders(spark, dir)
-      .filter(col("o_orderdate") >= lit(SinceDate).cast("date"))
-      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(spark, dir).filter(col("c_nationkey") === 1),
-        col("c_custkey") === col("o_custkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
-    val e = cs.as("x").join(cs.as("y"),
-        col("x.c") === col("y.c") && col("x.s") < col("y.s"))
-      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= 4)
-      .select(col("a"), col("b"))
+    val e = coPurchaseEdges(spark, dir)
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
     val de = e.select(col("a").as("u"), col("b").as("v"))

@@ -294,10 +294,15 @@ object WebQueries {
     // interleaved in document order (each url's loc precedes its
     // lastmod), so even positions are locs and the next element is the
     // paired lastmod — halves the per-row XML parse cost the two-call
-    // form paid (bench: q157 was the suite's worst spark/duck ratio)
+    // form paid (bench: q157 was the suite's worst spark/duck ratio).
+    // The extractor is the native XPathArrayExpr (reused
+    // DocumentBuilder + precompiled XPath per partition, rooted path
+    // instead of // descent) — the built-in xpath() re-allocated its
+    // parser per row and was the suite's slowest entry at 2.86 s.
     val pairs = sm
       .select(col("source"),
-        expr("xpath(xml, '//url/loc/text() | //url/lastmod/text()')").as("nodes"))
+        graft.plans.XPathStructExpr.xpathAll(col("xml"),
+          "/urlset/url/loc/text() | /urlset/url/lastmod/text()").as("nodes"))
       .select(col("source"), col("nodes"),
         posexplode(col("nodes")).as(Seq("i0", "v")))
       .filter(col("i0") % 2 === 0)
@@ -340,19 +345,24 @@ object WebQueries {
       |  SELECT source,
       |    'https://' || source || '.example.com/other' || CAST(doc_id AS VARCHAR) AS url
       |  FROM documents WHERE doc_id % 2 = 0),
-      |parts AS (
+      |parts0 AS (
       |  SELECT source, url,
       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
-      |    regexp_replace(
-      |      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-      |      ':(443|80)$', '') AS h,
+      |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp,
       |    regexp_replace(
       |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
       |      '/$', '') AS p0,
       |    coalesce(array_to_string(list_sort(list_filter(
-      |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |      string_split(regexp_extract(url, '^[^#?]*\?([^#]*)', 1), '&'),
       |      p -> p <> '')), '&'), '') AS sq
       |  FROM raw),
+      |parts AS (
+      |  SELECT source, url, sch,
+      |    CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
+      |         WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
+      |         ELSE hp END AS h,
+      |    p0, sq
+      |  FROM parts0),
       |canon AS (
       |  SELECT source, url,
       |    sch || '://' || h || CASE WHEN p0 = '' THEN '/' ELSE p0 END

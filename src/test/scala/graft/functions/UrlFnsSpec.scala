@@ -49,5 +49,12 @@ class UrlFnsSpec extends SparkSpec {
     assert(canon("https://example.com") === "https://example.com/")
     // no query → no "?", fragment alone is dropped
     assert(canon("https://example.com/p#only-frag") === "https://example.com/p")
+    // a default port for the OTHER scheme is a real port — keep it
+    assert(canon("http://example.com:443/x") === "http://example.com:443/x")
+    assert(canon("https://example.com:80/x") === "https://example.com:80/x")
+    // a '?' inside the fragment is not a query
+    assert(canon("http://example.com/p#?a=1") === "http://example.com/p")
+    // query stays anchored at the FIRST '?' even with a later one
+    assert(canon("http://example.com/p?b=2?x&a=1") === "http://example.com/p?a=1&b=2?x")
   }
 }

@@ -30,21 +30,39 @@ class GraphStatsSpec extends SparkSpec {
     assert(full === 3 * censusTri, s"corner sum $full vs 3x$censusTri")
   }
 
-  private def q189FullCornerSum(): Long = {
-    import org.apache.spark.sql.functions._
-    import graft.sources.Tables
-    val cs = Tables.orders(spark, sfDir)
-      .filter(col("o_orderdate") >= lit("1997-01-01").cast("date"))
-      .join(Tables.lineitem(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(spark, sfDir).filter(col("c_nationkey") === 1),
-        col("c_custkey") === col("o_custkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
-    val e = cs.as("x").join(cs.as("y"),
-        col("x.c") === col("y.c") && col("x.s") < col("y.s"))
-      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
-      .agg(count(lit(1)).as("shared")).filter(col("shared") >= 4)
-      .select(col("a"), col("b"))
-    graft.operators.Triangles.triangles(e).count() * 3
+  private def q189FullCornerSum(): Long =
+    graft.operators.Triangles.triangles(
+      GraphQueries.coPurchaseEdges(spark, sfDir)).count() * 3
+
+  test("a planted 1000-supplier mega-customer is dropped from the edge build") {
+    import spark.implicits._
+    // customers 2-5 each buy suppliers 10 and 20 → edge (10,20) with 4
+    // shared customers, exactly at the threshold. The mega-customer 1
+    // buys 1000 suppliers including 10 and 20 — uncapped it would lift
+    // (10,20) to 5 shared AND emit C(1000,2) ≈ 500k pair rows; the
+    // capped build must drop it (observed) and leave the edge at 4.
+    val mega = (1 to 1000).map(i => (1L, i.toLong))
+    val normal = (2L to 5L).flatMap(c => Seq((c, 10L), (c, 20L)))
+    val cs = (mega ++ normal).toDF("c", "s")
+    var dropped: Option[Long] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.get("graft.copurchase")
+          .foreach(r => dropped = Some(r.getLong(0)))
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val edges = GraphQueries.coPurchaseEdges(cs)
+        .as[(Long, Long)].collect().toSet
+      assert(edges === Set((10L, 20L)),
+        "mega-customer pairs leaked into the edge list")
+      val deadline = System.nanoTime() + 5000000000L // listener bus is async
+      while (dropped.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(dropped === Some(1L), "mega-basket drop not observed")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("q190 assortativity is a correlation: r in [-1, 1]") {
