@@ -33,12 +33,20 @@ import graft.functions.TextFns
   */
 object Bm25 {
 
-  /** The BM25 posting index: one row per (doc, admitted term) with the
-    * final doc-side weight. Pure function of the corpus — reruns and
-    * other engines reproduce it exactly (q137's DuckDB oracle replays
-    * this arithmetic verbatim). */
-  def postingIndex(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  /** The INCREMENTAL half of the index: per-document raw postings
+    * (id, t, cnt, dl) — a pure function of EACH DOCUMENT ALONE (term
+    * counts and length use no corpus statistics), so a micro-batch of
+    * new documents produces exactly its own delta and the posting
+    * store is append-only: the q94 band-index incremental-ingest
+    * story applied to retrieval (`StreamOps.bm25IndexDeltas` is the
+    * streaming wrapper; its StreamOpsSpec restart drill pins
+    * exactly-once landing across a checkpoint bounce). Corpus-
+    * dependent factors (idf, avgdl) are deliberately NOT baked in —
+    * [[weightsFromPostings]] folds them over the accumulated store at
+    * serving-read time, so late documents shift the statistics
+    * without ever invalidating landed postings. */
+  def postingDeltas(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
     val id = col(idCol)
     val tf = docs
       .repartition(id)
@@ -47,6 +55,51 @@ object Bm25 {
         explode(TextFns.shinglePositions(col("toks"), n)).as("i"))
       .select(id, TextFns.shingleAt(col("toks"), col("i"), n).as("t"))
       .groupBy(id, col("t")).agg(count(lit(1)).as("cnt"))
+    // per-doc length rides the tf exchange as a window sum
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(id)
+    tf.withColumn("dl", sum(col("cnt")).over(byDoc).cast("double"))
+  }
+
+  /** Serving-read weight fold over an accumulated posting store:
+    * identical arithmetic to [[postingIndex]], with n_docs/avgdl/df
+    * recomputed from the postings themselves. For any corpus whose
+    * documents all carry ≥ n tokens this reproduces [[postingIndex]]
+    * EXACTLY (Bm25Spec pins it); documents too short to emit a single
+    * shingle are invisible to the store — they drop out of the df
+    * admission window's corpus count here, where the direct-scan
+    * index still counts them. */
+  def weightsFromPostings(postings: DataFrame, idCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val id = col(idCol)
+    val docLens = postings.select(id, col("dl")).distinct()
+    val stats = docLens
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val nAll = docLens.agg(count(lit(1)).as("nd_all"))
+    val vocab = postings.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
+      .join(broadcast(nAll))
+      .filter(col("df").between(lit(2), TextFns.dfMaxForCorpusCol(col("nd_all"))))
+      .select(col("t"), col("df"))
+    postings.join(vocab, "t")
+      .join(broadcast(stats)) // 1-row bounded
+      .select(id, col("t"), bm25Weight(k1, b).as("wgt"))
+  }
+
+  /** The BM25 doc-side weight expression over (cnt, dl, df, n_docs,
+    * avgdl) — shared verbatim by [[postingIndex]] and
+    * [[weightsFromPostings]] so the two paths cannot drift. */
+  private def bm25Weight(k1: Double, b: Double): Column =
+    log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+      (col("cnt") * (k1 + 1)) /
+      (col("cnt") + lit(k1) * (col("dl") / col("avgdl") * b + (1 - b)))
+
+  /** The BM25 posting index: one row per (doc, admitted term) with the
+    * final doc-side weight. Pure function of the corpus — reruns and
+    * other engines reproduce it exactly (q137's DuckDB oracle replays
+    * this arithmetic verbatim). */
+  def postingIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val id = col(idCol)
+    val tf = postingDeltas(docs, idCol, textCol, n)
     // corpus stats from one narrow scan: a doc's shingle count is
     // len(toks) - (n-1), so n_docs/avgdl never need the tf exchange
     val stats = docs
@@ -58,16 +111,9 @@ object Bm25 {
       .join(broadcast(nAll))
       .filter(col("df").between(lit(2), TextFns.dfMaxForCorpusCol(col("nd_all"))))
       .select(col("t"), col("df"))
-    // per-doc length rides the tf exchange as a window sum; the whole
-    // BM25 doc-side weight is then one narrow projection
-    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(id)
-    tf.withColumn("dl", sum(col("cnt")).over(byDoc).cast("double"))
-      .join(vocab, "t")
+    tf.join(vocab, "t")
       .join(broadcast(stats)) // 1-row bounded
-      .select(id, col("t"),
-        (log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-          (col("cnt") * (k1 + 1)) /
-          (col("cnt") + lit(k1) * (col("dl") / col("avgdl") * b + (1 - b)))).as("wgt"))
+      .select(id, col("t"), bm25Weight(k1, b).as("wgt"))
   }
 
   /** Score a (qid, t) query-term set against a posting index — fresh

@@ -1574,7 +1574,13 @@ object RelationalQueries {
     * division — no float mean, no float window, nothing
     * order-dependent. Three nation-partitioned windows at month grain;
     * edge months without a full centered window are excluded (the
-    * textbook treatment). */
+    * textbook treatment). The window is gated on CALENDAR CONTINUITY,
+    * not just row count: row-offset frames over a series with a
+    * missing (nation, month) would silently average the wrong calendar
+    * months — both engines the same way, which the hash gate can't
+    * catch — so a month only decomposes when lag(x,6) = x−6 AND
+    * lead(x,6) = x+6 (x strictly increasing makes those two endpoint
+    * checks force all 13 months present — pigeonhole). */
   val q171SeasonalDecompose = Q(
     "q171_seasonal_decompose",
     """WITH m AS (
@@ -1588,14 +1594,18 @@ object RelationalQueries {
       |w AS (
       |  SELECT n_name, x, y,
       |    lag(y, 6) OVER nw AS l6, lead(y, 6) OVER nw AS f6,
+      |    lag(x, 6) OVER nw AS lx6, lead(x, 6) OVER nw AS fx6,
       |    sum(y) OVER (PARTITION BY n_name ORDER BY x
-      |      ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS s11,
-      |    count(*) OVER (PARTITION BY n_name ORDER BY x
-      |      ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS c11
+      |      ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS s11
       |  FROM m WINDOW nw AS (PARTITION BY n_name ORDER BY x)),
+      |-- lx6 = x-6 AND fx6 = x+6 gates on CALENDAR continuity: x is
+      |-- strictly increasing per nation, so the endpoint equalities
+      |-- force all 13 months of the centered window present (a bare
+      |-- 11-row count would accept gapped series and average the wrong
+      |-- calendar months in both engines identically)
       |d AS (
       |  SELECT n_name, x % 12 AS moy, 24 * y - (l6 + f6 + 2 * s11) AS dev
-      |  FROM w WHERE l6 IS NOT NULL AND f6 IS NOT NULL AND c11 = 11),
+      |  FROM w WHERE lx6 = x - 6 AND fx6 = x + 6),
       |g AS (
       |  SELECT n_name, moy, CAST(count(*) AS BIGINT) AS n_obs,
       |    CAST(sum(dev) AS BIGINT) AS dev_units
@@ -1627,9 +1637,11 @@ object RelationalQueries {
     val c11 = nw.rowsBetween(-5, 5)
     m.withColumn("l6", lag(col("y"), 6).over(nw))
       .withColumn("f6", lead(col("y"), 6).over(nw))
+      .withColumn("lx6", lag(col("x"), 6).over(nw))
+      .withColumn("fx6", lead(col("x"), 6).over(nw))
       .withColumn("s11", sum(col("y")).over(c11))
-      .withColumn("c11", count(lit(1)).over(c11))
-      .filter(col("l6").isNotNull && col("f6").isNotNull && col("c11") === 11)
+      // calendar-continuity gate, not row count — see oracle comment
+      .filter(col("lx6") === col("x") - 6 && col("fx6") === col("x") + 6)
       .select(col("n_name"), (col("x") % 12).as("moy"),
         (lit(24) * col("y") - (col("l6") + col("f6") + lit(2) * col("s11")))
           .as("dev"))

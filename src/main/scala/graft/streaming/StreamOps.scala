@@ -331,6 +331,32 @@ object StreamOps {
       .groupBy(col("qid"), col(idCol))
       .agg(sum(col("wgt")).as("score_raw"))
 
+  /** Incremental BM25 posting ingest — the serving-index face of the
+    * q94 cross-corpus incremental pattern: each micro-batch of NEW
+    * documents lands its per-doc posting delta (id, t, cnt, dl —
+    * corpus-statistics-free by construction, see `Bm25.postingDeltas`)
+    * as one exactly-once parquet batch partition (foreachBatch +
+    * checkpoint: a replayed batch id overwrites its own partition
+    * instead of duplicating). The serving read folds idf/avgdl over
+    * the ACCUMULATED store with `Bm25.weightsFromPostings`, so late
+    * documents shift the corpus statistics at read time without ever
+    * invalidating landed postings — the property that makes the index
+    * append-only at 100 TB. Survives a checkpoint bounce: a restarted
+    * query's file-source log skips already-ingested files
+    * (StreamOpsSpec restart drill pins no re-emit / no loss). */
+  def bm25IndexDeltas(newDocs: DataFrame, idCol: String, textCol: String,
+      outDir: String, checkpointDir: String, n: Int = 3): Unit = {
+    val q = newDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.operators.Bm25.postingDeltas(batch, idCol, textCol, n)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
   /** foreachBatch sink: each micro-batch lands as a batch write with
     * its batch id — the production pattern for sinks Structured
     * Streaming doesn't speak natively (JDBC, multi-table fan-out,

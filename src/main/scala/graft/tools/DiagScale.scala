@@ -55,6 +55,45 @@ object DiagScale {
         col("event_type"), col("value"), col("props"))
     }.reduce(_ union _)
 
+  /** Replicated TABLE DIRECTORY for probing REGISTERED queries
+    * end-to-end (r9: the q185/q192/q193 stats family claims
+    * distinct-value / vocabulary-grain shuffle bounds — this measures
+    * them on the real query code instead of an inline re-statement).
+    * Replica r gets its own segment/source family (prefix `r<r>_`) and
+    * its own token namespace, so per-replica internal structure —
+    * distinct-value grain, vocabulary shape, segment count — is
+    * preserved exactly while replicas share nothing. Written once per
+    * k and reused across runs (delete /tmp/graft_scale_rel_k* to
+    * rebuild). */
+  private def relTables(spark: SparkSession, sfDir: String, k: Int): String = {
+    val dir = s"/tmp/graft_scale_rel_k$k"
+    val done = new java.io.File(s"$dir/_done")
+    if (!done.exists()) {
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      (0 until k).map { r =>
+        docs.select((col("doc_id") * k + r).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"r${r}x$$1").as("text"),
+          col("lang"), concat(lit(s"r${r}_"), col("source")).as("source"),
+          col("n_chars"))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val ord = graft.sources.Tables.orders(spark, sfDir)
+      (0 until k).map { r =>
+        ord.withColumn("o_orderkey", col("o_orderkey") * k + r)
+          .withColumn("o_custkey", col("o_custkey") * k + r)
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val cust = graft.sources.Tables.customer(spark, sfDir)
+      (0 until k).map { r =>
+        cust.withColumn("c_custkey", col("c_custkey") * k + r)
+          .withColumn("c_mktsegment", concat(lit(s"r${r}_"), col("c_mktsegment")))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      done.createNewFile()
+    }
+    dir
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -273,7 +312,21 @@ object DiagScale {
         // linearity
         "q166_containment" -> (() =>
           Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
-            threshold = 0.8, maxDocFreq = 100).count()))
+            threshold = 0.8, maxDocFreq = 100).count()),
+        // r9: the q184-q193 stats family's scale claims, measured on the
+        // REGISTERED query code over replicated table dirs (relTables):
+        // q185 claims shuffled bytes track DISTINCT (segment, value)s,
+        // q192 claims (source, value)-grain counts, q193 claims
+        // vocabulary-grain model joins — all should probe ~linear
+        "q185_ks" -> (() =>
+          graft.queries.RelationalQueries.q185KsDrift
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        "q192_qnorm" -> (() =>
+          graft.queries.TextQueries.q192QuantileNormalize
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        "q193_perplexity" -> (() =>
+          graft.queries.TextQueries.q193PerplexityFilter
+            .run(spark, relTables(spark, sfDir, k)).count()))
     }
 
     // the q137 BM25 shape: precomputed doc-side weights, query set =

@@ -82,6 +82,28 @@ class Bm25Spec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("incremental postings + serving fold reproduce the one-shot index exactly") {
+    // the append-only story: postingDeltas is corpus-statistics-free,
+    // weightsFromPostings folds idf/avgdl at read time — composed, they
+    // must equal postingIndex bit-for-bit on a corpus where every doc
+    // has >= n tokens (here all do)
+    val viaStore = Bm25.weightsFromPostings(
+        Bm25.postingDeltas(corpus, "doc_id", "text"), "doc_id")
+      .as[(Long, String, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val oneShot = Bm25.postingIndex(corpus, "doc_id", "text")
+      .as[(Long, String, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(viaStore.keySet === oneShot.keySet && viaStore.nonEmpty)
+    viaStore.keys.foreach(k => assert(viaStore(k) === oneShot(k), s"posting $k"))
+    // and a delta is PURELY per-doc: replaying one doc's postings from a
+    // singleton corpus matches its rows in the full-corpus postings
+    val solo = Bm25.postingDeltas(corpus.filter(col("doc_id") === 1), "doc_id", "text")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val fromFull = Bm25.postingDeltas(corpus, "doc_id", "text")
+      .filter(col("doc_id") === 1)
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(solo === fromFull && solo.nonEmpty)
+  }
+
   test("a precomputed bucketed posting index joins with no exchange under it") {
     // the q94 incremental-ingest claim applied to retrieval: materialize
     // the index bucketed by term once, then every query batch must read

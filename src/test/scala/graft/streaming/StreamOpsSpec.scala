@@ -193,6 +193,57 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.keySet.map(_._2) === Set(2L, 3L))
   }
 
+  test("BM25 index deltas survive a checkpoint bounce: no re-emit, no loss") {
+    import spark.implicits._
+    import graft.operators.Bm25
+    // END-TO-END restart drill for the incremental serving index: land
+    // corpus A through bm25IndexDeltas, stop, drop corpus B into the
+    // source while the query is "down", restart on the SAME checkpoint.
+    // The file-source log must skip A's file (re-ingesting would
+    // duplicate A's postings in a new batch partition) and the
+    // accumulated store + serving-read weight fold must equal the
+    // one-shot batch index over A ∪ B.
+    val base = java.nio.file.Files.createTempDirectory("bm25-restart").toString
+    val (srcDir, outDir, ckDir) = (s"$base/src", s"$base/out", s"$base/ck")
+    val corpusA = Seq(
+      (1L, "alpha beta gamma delta epsilon one"),
+      (2L, "alpha beta gamma delta epsilon two"),
+      (3L, "alpha beta gamma delta epsilon three")).toDF("doc_id", "text")
+    val corpusB = Seq(
+      (4L, "zeta eta theta iota kappa four"),
+      (5L, "zeta eta theta iota kappa five")).toDF("doc_id", "text")
+    corpusA.coalesce(1).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Unit = StreamOps.bm25IndexDeltas(
+      StreamOps.parquetStream(spark, schema, srcDir), "doc_id", "text",
+      outDir, ckDir)
+    runOnce() // run 1: ingests A, checkpoints
+    corpusB.coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce() // run 2: NEW query, same checkpoint — must pick up ONLY B
+    val store = spark.read.parquet(outDir)
+    // no re-emit: every (doc, term) posting landed exactly once
+    assert(store.groupBy("doc_id", "t").count().filter(col("count") > 1).isEmpty,
+      "restart re-ingested already-landed postings")
+    // no loss: the accumulated store IS the batch postings over A ∪ B
+    val full = corpusA.unionByName(corpusB)
+    val batchPostings = Bm25.postingDeltas(full, "doc_id", "text")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val landed = store.select("doc_id", "t", "cnt", "dl")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(landed === batchPostings)
+    // serving fold over the store ≡ the one-shot batch index — idf and
+    // avgdl reflect B's arrival even though A's postings never moved
+    val served = Bm25.weightsFromPostings(store, "doc_id")
+      .as[(Long, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val oneShot = Bm25.postingIndex(full, "doc_id", "text")
+      .as[(Long, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(served.keySet === oneShot.keySet && served.nonEmpty)
+    served.keys.foreach(k =>
+      assert(math.abs(served(k) - oneShot(k)) < 1e-12, s"posting $k drifted"))
+  }
+
   test("stream-stream interval join matches keys within the window only") {
     import spark.implicits._
     val ldir = java.nio.file.Files.createTempDirectory("stream-imp").toString
