@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed cumulative sums in value order — the house pattern
+  * behind every exact rank/ECDF/quantile computation here (q90's
+  * cutpoint ranks, q185's two-sample ECDF, q197's winsorized
+  * boundaries).
+  *
+  * The naive form — `sum(c) OVER (PARTITION BY g ORDER BY v)` — plans
+  * one task per group holding the group's ENTIRE value list: at 100 TB
+  * a hot group serializes the job (and a global cumsum plans Exchange
+  * SinglePartition outright). Instead: range-partition on
+  * (group, value) so slice order IS global value order within each
+  * group, run per-slice LOCAL window cumsums, and lift them to global
+  * with a ≤ |groups|×slices-row offset table — the only global window
+  * left runs over that bounded relation. Shuffled bytes track the
+  * input grain (callers pass value-grain count tables, so distinct
+  * values, not rows); no hint on the offset join — AQE broadcasts the
+  * offset table by its measured size (house bounded-broadcast policy).
+  */
+object Ecdf {
+
+  /** Append `cum_<c>` — the per-group running sum of each `sumCols`
+    * column in ascending `orderCol` order (ties: whole tied run
+    * collapses into whatever single input row carries it, so pass
+    * value-GRAIN inputs where ties matter) — plus every input column,
+    * unchanged.
+    *
+    * @param partCols group columns (empty = one global cumsum)
+    * @param slices   range-partition width; 32 matches the test rig's
+    *                 parallelism, production tunes it to the cluster
+    */
+  def groupedCumsum(df: DataFrame, partCols: Seq[String], orderCol: String,
+      sumCols: Seq[String], slices: Int = 32): DataFrame = {
+    require(sumCols.nonEmpty, "no columns to accumulate")
+    val gcols = partCols.map(col)
+    val parted = df
+      .repartitionByRange(slices, (gcols :+ col(orderCol)): _*)
+      .withColumn("__pid", spark_partition_id())
+    val byGroup = Window.partitionBy(gcols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = parted
+      .groupBy((gcols :+ col("__pid")): _*)
+      .agg(sum(col(sumCols.head)).as(s"__s0"),
+        sumCols.tail.zipWithIndex.map { case (c, i) =>
+          sum(col(c)).as(s"__s${i + 1}") }: _*)
+      .select((gcols :+ col("__pid")) ++ sumCols.indices.map(i =>
+        coalesce(sum(col(s"__s$i")).over(byGroup), lit(0L)).as(s"__off$i")): _*)
+    val slice = Window.partitionBy((gcols :+ col("__pid")): _*)
+      .orderBy(col(orderCol))
+    parted
+      .join(offs, partCols :+ "__pid")
+      .select(df.columns.map(col) ++ sumCols.zipWithIndex.map { case (c, i) =>
+        (sum(col(c)).over(slice) + col(s"__off$i")).as(s"cum_$c") }: _*)
+  }
+}

@@ -2156,26 +2156,12 @@ object RelationalQueries {
       .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c2"))
     val tot = d.groupBy(col("c_mktsegment"))
       .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
-    val parted = d.repartitionByRange(32, col("c_mktsegment"), col("v"))
-      .withColumn("pid", spark_partition_id())
-    val offs = parted.groupBy(col("c_mktsegment"), col("pid"))
-      .agg(sum(col("c1")).as("s1"), sum(col("c2")).as("s2"))
-      .select(col("c_mktsegment"), col("pid"),
-        coalesce(sum(col("s1")).over(Window.partitionBy(col("c_mktsegment"))
-          .orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-          .as("off1"),
-        coalesce(sum(col("s2")).over(Window.partitionBy(col("c_mktsegment"))
-          .orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-          .as("off2"))
-    val slice = Window.partitionBy(col("c_mktsegment"), col("pid")).orderBy(col("v"))
-    // offs (≤ segments×32 rows) and tot (≤ segments rows) carry no
-    // broadcast hint by house policy: grouped aggregates over unbounded
-    // leaves must reach the join unhinted so AQE broadcasts them by
-    // measured size at runtime (same ruling as q172/Pareto/Compaction)
-    parted.join(offs, Seq("c_mktsegment", "pid"))
-      .select(col("c_mktsegment"),
-        (sum(col("c1")).over(slice) + col("off1")).as("a"),
-        (sum(col("c2")).over(slice) + col("off2")).as("b"))
+    // the distributed-ECDF offset pattern, factored (r9) into
+    // Ecdf.groupedCumsum; tot (≤ segments rows) reaches its join
+    // unhinted so AQE broadcasts it by measured size (house policy)
+    graft.operators.Ecdf
+      .groupedCumsum(d, Seq("c_mktsegment"), "v", Seq("c1", "c2"))
+      .select(col("c_mktsegment"), col("cum_c1").as("a"), col("cum_c2").as("b"))
       .join(tot, "c_mktsegment")
       .groupBy(col("c_mktsegment"), col("n1"), col("n2"))
       .agg(max(abs(col("a") * col("n2") - col("b") * col("n1"))).as("dnum"))
@@ -2341,6 +2327,86 @@ object RelationalQueries {
       .orderBy(col("n_name"), col("lag"))
   }
 
+  /** Winsorized + trimmed robust means per segment (Tukey's robust
+    * location estimates) — the outlier-proof summary a monitoring
+    * pipeline alarms on when the plain mean is whipped around by a few
+    * mega-orders (the robust companion to q106's MAD outliers: q106
+    * FINDS the tail, this reports location WITH and WITHOUT it). Exact
+    * order-statistic boundaries, no sampling: values collapse to
+    * (segment, cents)-grain counts, `Ecdf.groupedCumsum` lifts them to
+    * global ranks distributedly (no per-segment single-task window),
+    * and each value row contributes to the trimmed sum by exact
+    * integer rank-interval overlap — the q192 boundary-straddle trick:
+    * contrib = max(0, min(cum, n−k) − max(cum−c, k)) with k = ⌊n/20⌋
+    * (5% each side). The winsorized mean adds the two cut values
+    * (rank k+1 and rank n−k, each a min-over-threshold at value
+    * grain) times k. Everything is BIGINT/DECIMAL(38,0) until the
+    * three final divisions. */
+  val q197RobustMeans = Q(
+    "q197_robust_means",
+    """WITH j AS (
+      |  SELECT c_mktsegment, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders JOIN customer ON c_custkey = o_custkey),
+      |d AS (
+      |  SELECT c_mktsegment, v, CAST(count(*) AS BIGINT) AS c
+      |  FROM j GROUP BY 1, 2),
+      |t AS (
+      |  SELECT c_mktsegment, CAST(sum(c) AS BIGINT) AS n,
+      |    sum(CAST(v AS HUGEINT) * c) AS s
+      |  FROM d GROUP BY 1),
+      |cw AS (
+      |  SELECT c_mktsegment, v, c,
+      |    CAST(sum(c) OVER (PARTITION BY c_mktsegment ORDER BY v) AS BIGINT) AS cum
+      |  FROM d),
+      |g AS (
+      |  SELECT cw.c_mktsegment, t.n, t.n // 20 AS k, t.s,
+      |    sum(CAST(cw.v AS HUGEINT) * greatest(0,
+      |      least(cw.cum, t.n - t.n // 20)
+      |        - greatest(cw.cum - cw.c, t.n // 20))) AS tsum,
+      |    min(CASE WHEN cw.cum >= t.n // 20 + 1 THEN cw.v END) AS lo_v,
+      |    min(CASE WHEN cw.cum >= t.n - t.n // 20 THEN cw.v END) AS hi_v
+      |  FROM cw JOIN t USING (c_mktsegment)
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT c_mktsegment, n AS n_orders, CAST(k AS BIGINT) AS n_trimmed_each,
+      |  round(lo_v / 100.0, 2) AS lo_cut, round(hi_v / 100.0, 2) AS hi_cut,
+      |  round(CAST(s AS DOUBLE) / n / 100, 4) AS mean,
+      |  round(CAST(tsum AS DOUBLE) / (n - 2 * k) / 100, 4) AS trimmed_mean,
+      |  round((CAST(tsum AS DOUBLE) + CAST(k AS DOUBLE) * lo_v
+      |    + CAST(k AS DOUBLE) * hi_v) / n / 100, 4) AS winsorized_mean
+      |FROM g ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    val d = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      .groupBy(col("c_mktsegment"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val t = d.groupBy(col("c_mktsegment"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("v").cast("decimal(38,0)") * col("c")).as("s"))
+    val g = graft.operators.Ecdf
+      .groupedCumsum(d, Seq("c_mktsegment"), "v", Seq("c"))
+      .join(t, "c_mktsegment")
+      .withColumn("k", expr("n div 20"))
+      .groupBy(col("c_mktsegment"), col("n"), col("k"), col("s"))
+      .agg(
+        sum(col("v").cast("decimal(38,0)") * greatest(lit(0L),
+          least(col("cum_c"), col("n") - col("k"))
+            - greatest(col("cum_c") - col("c"), col("k")))).as("tsum"),
+        min(when(col("cum_c") >= col("k") + 1, col("v"))).as("lo_v"),
+        min(when(col("cum_c") >= col("n") - col("k"), col("v"))).as("hi_v"))
+    g.select(col("c_mktsegment"), col("n").as("n_orders"),
+        col("k").as("n_trimmed_each"),
+        round(col("lo_v") / 100.0, 2).as("lo_cut"),
+        round(col("hi_v") / 100.0, 2).as("hi_cut"),
+        round(col("s").cast("double") / col("n") / 100, 4).as("mean"),
+        round(col("tsum").cast("double") / (col("n") - lit(2) * col("k")) / 100, 4)
+          .as("trimmed_mean"),
+        round((col("tsum").cast("double") + col("k").cast("double") * col("lo_v")
+          + col("k").cast("double") * col("hi_v")) / col("n") / 100, 4)
+          .as("winsorized_mean"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -2356,5 +2422,6 @@ object RelationalQueries {
     q168BenfordDigits, q170CusumChangepoint, q171SeasonalDecompose,
     q172HilbertLayout, q174TheilSen, q175RecordLinkage,
     q181AnovaF, q182ChiSqIndependence, q183MannKendall,
-    q184GiniConcentration, q185KsDrift, q186MutualInformation, q187RevenueAcf)
+    q184GiniConcentration, q185KsDrift, q186MutualInformation, q187RevenueAcf,
+    q197RobustMeans)
 }

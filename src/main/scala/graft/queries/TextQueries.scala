@@ -3619,6 +3619,253 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Heaps'-law vocabulary-growth fit per source (Heaps 1978) — the
+    * companion screen to q191's Zipf slope: natural language grows its
+    * vocabulary as V(N) ≈ k·N^β with β ≈ 0.4-0.6; β near 0 means a
+    * closed vocabulary (logs, tables, templates), β near 1 means
+    * near-random tokens (hashes, ids) — both mixing red flags. The
+    * growth curve is sampled WITHOUT any cumulative-distinct pass:
+    * docs bucket into 10 id-range slices per source, a token's first
+    * occurrence is min(doc_id) at VOCABULARY grain, and V at each
+    * slice boundary is the running sum of per-slice first-occurrence
+    * counts — two shuffles (doc-grain token counts, vocab-grain first
+    * occurrence), a ≤10-row-per-source window, then q191's gridded
+    * ln-ln OLS. Scale shape: shuffled bytes track the vocabulary, not
+    * token volume; nothing is ever sorted at token grain. */
+  val q194HeapsLaw = Q(
+    "q194_heaps_law",
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    len(list_filter(string_split_regex(lower(text), '\s+'),
+      |      t -> t <> '')) AS ntok
+      |  FROM documents),
+      |rng AS (SELECT source, min(doc_id) AS mn, max(doc_id) AS mx FROM d GROUP BY 1),
+      |db AS (
+      |  SELECT d.source, d.ntok,
+      |    least(9, ((d.doc_id - r.mn) * 10) // (r.mx - r.mn + 1)) AS b
+      |  FROM d JOIN rng r ON r.source = d.source),
+      |tb AS (SELECT source, b, CAST(sum(ntok) AS BIGINT) AS tk FROM db GROUP BY 1, 2),
+      |ft AS (
+      |  SELECT source, s AS term, min(doc_id) AS fd
+      |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS u(s)
+      |  WHERE s <> '' GROUP BY source, s),
+      |fb AS (
+      |  SELECT f.source,
+      |    least(9, ((f.fd - r.mn) * 10) // (r.mx - r.mn + 1)) AS b,
+      |    CAST(count(*) AS BIGINT) AS nv
+      |  FROM ft f JOIN rng r ON r.source = f.source GROUP BY 1, 2),
+      |pts AS (
+      |  SELECT t.source,
+      |    CAST(sum(t.tk) OVER w AS BIGINT) AS cn,
+      |    CAST(sum(coalesce(f.nv, 0)) OVER w AS BIGINT) AS cv
+      |  FROM tb t LEFT JOIN fb f ON f.source = t.source AND f.b = t.b
+      |  WINDOW w AS (PARTITION BY t.source ORDER BY t.b ROWS UNBOUNDED PRECEDING)),
+      |q AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(ln(cn) * 1e9) AS BIGINT)) AS BIGINT) AS sx,
+      |    CAST(sum(CAST(round(ln(cv) * 1e9) AS BIGINT)) AS BIGINT) AS sy,
+      |    CAST(sum(CAST(round(ln(cn) * ln(cv) * 1e9) AS BIGINT)) AS BIGINT) AS sxy,
+      |    CAST(sum(CAST(round(ln(cn) * ln(cn) * 1e9) AS BIGINT)) AS BIGINT) AS sxx,
+      |    CAST(sum(CAST(round(ln(cv) * ln(cv) * 1e9) AS BIGINT)) AS BIGINT) AS syy
+      |  FROM pts WHERE cn > 0 AND cv > 0 GROUP BY 1)
+      |SELECT source, n AS n_points,
+      |  round((n * (sxy / 1e9) - (sx / 1e9) * (sy / 1e9))
+      |    / (n * (sxx / 1e9) - (sx / 1e9) * (sx / 1e9)), 6) AS heaps_beta,
+      |  round((n * (sxy / 1e9) - (sx / 1e9) * (sy / 1e9))
+      |    * (n * (sxy / 1e9) - (sx / 1e9) * (sy / 1e9))
+      |    / ((n * (sxx / 1e9) - (sx / 1e9) * (sx / 1e9))
+      |      * (n * (syy / 1e9) - (sy / 1e9) * (sy / 1e9))), 6) AS r2
+      |FROM q ORDER BY source""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val d = docs.select(col("source"), col("doc_id"),
+      size(filter(TextFns.tokens(col("text")), t => t =!= "")).cast("long").as("ntok"))
+    val rng = d.groupBy(col("source"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val db = d.join(rng, "source")
+      .select(col("source"), col("ntok"),
+        least(lit(9L), expr("((doc_id - mn) * 10) div (mx - mn + 1)")).as("b"))
+    val tb = db.groupBy(col("source"), col("b")).agg(sum(col("ntok")).as("tk"))
+    val ft = docs
+      .select(col("source"), col("doc_id"),
+        explode(TextFns.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("source"), col("term")).agg(min(col("doc_id")).as("fd"))
+    val fb = ft.join(rng, "source")
+      .select(col("source"),
+        least(lit(9L), expr("((fd - mn) * 10) div (mx - mn + 1)")).as("b"))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("nv"))
+    val w = Window.partitionBy(col("source")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pts = tb.join(fb, Seq("source", "b"), "left")
+      .select(col("source"),
+        sum(col("tk")).over(w).as("cn"),
+        sum(coalesce(col("nv"), lit(0L))).over(w).as("cv"))
+      .filter(col("cn") > 0 && col("cv") > 0)
+    def grid(e: org.apache.spark.sql.Column) = round(e * 1e9).cast("long")
+    val lnN = log(col("cn")); val lnV = log(col("cv"))
+    val q = pts.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(grid(lnN)).as("sx"), sum(grid(lnV)).as("sy"),
+        sum(grid(lnN * lnV)).as("sxy"),
+        sum(grid(lnN * lnN)).as("sxx"),
+        sum(grid(lnV * lnV)).as("syy"))
+    val sxd = col("sx") / 1e9; val syd = col("sy") / 1e9
+    val cov = col("n") * (col("sxy") / 1e9) - sxd * syd
+    val varX = col("n") * (col("sxx") / 1e9) - sxd * sxd
+    val varY = col("n") * (col("syy") / 1e9) - syd * syd
+    q.select(col("source"), col("n").as("n_points"),
+        round(cov / varX, 6).as("heaps_beta"),
+        round(cov * cov / (varX * varY), 6).as("r2"))
+      .orderBy(col("source"))
+  }
+
+  /** Token-budget WATER-FILLING across sources — the mixing-plan
+    * allocator (DoReMi/Pile-style recipes end here): given a total
+    * training budget B (60% of corpus tokens) and uniform per-source
+    * target weights, allocate alloc_s = min(avail_s, λ) with λ chosen
+    * so Σ alloc = B — small sources saturate (epoch cap 1.0, no
+    * oversampling), the rest share the remainder equally. The
+    * classical sort-based closed form runs relationally: sources sort
+    * ascending by availability (a ≤|sources|-row window — all the
+    * fact-scale work is one per-source token count), each row's
+    * tentative λ is (B − cum_below)/remaining in EXACT integer
+    * arithmetic (λ* is materialized as numerator/denominator and the
+    * final allocation is an integer `div` — no float ever divides the
+    * budget, so the two engines cannot round a boundary differently),
+    * and saturation is prefix-monotone along the sort, so per-row
+    * flags compose into the global λ* without iteration. */
+  val q195TokenWaterfill = Q(
+    "q195_token_waterfill",
+    """WITH toks AS (
+      |  SELECT source
+      |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS u(s)
+      |  WHERE s <> ''),
+      |a AS (SELECT source, CAST(count(*) AS BIGINT) AS avail FROM toks GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(avail) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS ns
+      |  FROM a),
+      |r AS (
+      |  SELECT source, avail,
+      |    CAST(row_number() OVER (ORDER BY avail, source) AS BIGINT) AS rk,
+      |    CAST(coalesce(sum(avail) OVER (ORDER BY avail, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+      |  FROM a),
+      |f AS (
+      |  SELECT r.source, r.avail, r.rk, r.cumb, (t.t * 3) // 5 AS b, t.ns,
+      |    CASE WHEN r.avail * (t.ns - r.rk + 1) <= (t.t * 3) // 5 - r.cumb
+      |      THEN 1 ELSE 0 END AS saturated
+      |  FROM r CROSS JOIN tot t),
+      |g AS (
+      |  SELECT source, avail, b, saturated,
+      |    CAST(sum(CASE WHEN saturated = 1 THEN avail ELSE 0 END) OVER () AS BIGINT)
+      |      AS sat_a,
+      |    CAST(sum(1 - saturated) OVER () AS BIGINT) AS unsat_n
+      |  FROM f),
+      |h AS (
+      |  SELECT source, avail, saturated,
+      |    CAST(CASE WHEN saturated = 1 THEN avail
+      |      ELSE (b - sat_a) // unsat_n END AS BIGINT) AS alloc
+      |  FROM g)
+      |SELECT source, avail, alloc,
+      |  round(CAST(alloc AS DOUBLE) / avail, 4) AS epochs,
+      |  CAST(saturated AS INT) AS saturated
+      |FROM h ORDER BY source""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val a = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("s"))
+      .filter(col("s") =!= "")
+      .groupBy(col("source")).agg(count(lit(1)).as("avail"))
+    val tot = a.agg(sum(col("avail")).as("t"), count(lit(1)).as("ns"))
+    val bySz = Window.orderBy(col("avail"), col("source"))
+    val r = a
+      .withColumn("rk", row_number().over(bySz).cast("long"))
+      .withColumn("cumb", coalesce(sum(col("avail")).over(
+        bySz.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val f = r.crossJoin(broadcast(tot)) // 1-row bounded
+      .select(col("source"), col("avail"), col("rk"), col("cumb"),
+        expr("(t * 3) div 5").as("b"), col("ns"))
+      .withColumn("saturated",
+        when(col("avail") * (col("ns") - col("rk") + 1) <= col("b") - col("cumb"),
+          1L).otherwise(0L))
+    val overAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val g = f
+      .withColumn("sat_a",
+        sum(when(col("saturated") === 1, col("avail")).otherwise(0L)).over(overAll))
+      .withColumn("unsat_n", sum(lit(1L) - col("saturated")).over(overAll))
+      .withColumn("alloc", when(col("saturated") === 1, col("avail"))
+        .otherwise(expr("(b - sat_a) div unsat_n")))
+    g.select(col("source"), col("avail"), col("alloc"),
+        round(col("alloc").cast("double") / col("avail"), 4).as("epochs"),
+        col("saturated").cast("int").as("saturated"))
+      .orderBy(col("source"))
+  }
+
+  /** Pairwise Jensen–Shannon divergence between sources over the
+    * hashed-token feature buckets — the SYMMETRIC, bounded (≤ ln 2)
+    * companion to q121's source-vs-corpus KL: the full source×source
+    * dissimilarity matrix a mixing recipe clusters over ("which
+    * sources are near-duplicates of each other at the distribution
+    * level"). Fact-scale work is the one (source, bucket) count
+    * shuffle q121 already pays; the pair join runs at |sources|²×64
+    * grain — dimension-sized by construction. Each bucket's two
+    * smoothed probabilities produce one JSD term quantized to the
+    * 1e-9 grid before the per-pair BIGINT sum (the q184-q193 float
+    * discipline; q121's 4-dp double sum predates it). */
+  val q196JsDivergence = Q(
+    "q196_js_divergence",
+    """WITH feats AS (
+      |  SELECT source, ('0x' || substr(md5(s), 1, 15))::BIGINT % 64 AS b
+      |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS u(s)
+      |  WHERE s <> ''),
+      |per_src AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c FROM feats GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS st FROM per_src GROUP BY 1),
+      |grid AS (
+      |  SELECT t.source, t.st, g.b, coalesce(s.c, 0) AS c
+      |  FROM tot t
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) g
+      |  LEFT JOIN per_src s ON t.source = s.source AND g.b = s.b),
+      |pairs AS (
+      |  SELECT x.source AS source_a, y.source AS source_b,
+      |    (x.c + 1.0) / (x.st + 64.0) AS p, (y.c + 1.0) / (y.st + 64.0) AS q
+      |  FROM grid x JOIN grid y ON x.b = y.b AND x.source < y.source)
+      |SELECT source_a, source_b,
+      |  round(CAST(sum(CAST(round((p * ln(2 * p / (p + q))
+      |      + q * ln(2 * q / (p + q))) * 1e9) AS BIGINT)) AS BIGINT)
+      |    / 2e9, 6) AS jsd,
+      |  round(CAST(sum(CAST(round((p * ln(2 * p / (p + q))
+      |      + q * ln(2 * q / (p + q))) * 1e9) AS BIGINT)) AS BIGINT)
+      |    / 2e9 / ln(2), 6) AS jsd_norm
+      |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import graft.operators.Dedup
+    val feats = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("s"))
+      .filter(col("s") =!= "")
+      .select(col("source"), (Dedup.portableHash60(col("s")) % 64).as("b"))
+    val perSrc = feats.groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+    val tot = perSrc.groupBy(col("source")).agg(sum(col("c")).as("st"))
+    import spark.implicits._
+    val buckets = (0L until 64L).toDF("b")
+    val grid = tot.crossJoin(broadcast(buckets))
+      .join(perSrc, Seq("source", "b"), "left")
+      .select(col("source"), col("b"),
+        ((coalesce(col("c"), lit(0L)) + 1.0) / (col("st") + 64.0)).as("p"))
+    val pairs = grid.as("x").join(
+        grid.select(col("source").as("source_b"), col("b"),
+          col("p").as("q")).as("y"),
+        col("x.b") === col("y.b") && col("x.source") < col("y.source_b"))
+      .select(col("x.source").as("source_a"), col("source_b"),
+        col("p"), col("q"))
+    val term = col("p") * log(lit(2) * col("p") / (col("p") + col("q"))) +
+      col("q") * log(lit(2) * col("q") / (col("p") + col("q")))
+    pairs.groupBy(col("source_a"), col("source_b"))
+      .agg(sum(round(term * 1e9).cast("long")).as("tsum"))
+      .select(col("source_a"), col("source_b"),
+        round(col("tsum") / 2e9, 6).as("jsd"),
+        round(col("tsum") / 2e9 / math.log(2.0), 6).as("jsd_norm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -3636,5 +3883,6 @@ object TextQueries {
     q162CompactionPlan, q164ParetoFrontier, q166ContainmentPairs,
     q167KneserNey, q169RrfFusion, q173IncrementalCompaction,
     q176HllOverlap, q177Readability, q180DatasetCard, q191ZipfFit,
-    q192QuantileNormalize, q193PerplexityFilter)
+    q192QuantileNormalize, q193PerplexityFilter, q194HeapsLaw,
+    q195TokenWaterfill, q196JsDivergence)
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class EcdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groupedCumsum equals the naive per-group window on every row") {
+    val rows = (1 to 500).map { i =>
+      (s"g${i % 7}", (i * 37) % 101L, (i % 13).toLong + 1, (i % 5).toLong)
+    }
+    // value-grain: one row per (g, v)
+    val d = rows.toDF("g", "v", "c1", "c2")
+      .groupBy("g", "v").agg(sum("c1").as("c1"), sum("c2").as("c2"))
+    val got = Ecdf.groupedCumsum(d, Seq("g"), "v", Seq("c1", "c2"))
+      .select("g", "v", "cum_c1", "cum_c2")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+    val naive = d
+      .select(col("g"), col("v"),
+        sum(col("c1")).over(w).as("n1"), sum(col("c2")).over(w).as("n2"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === naive && got.nonEmpty)
+  }
+
+  test("a global cumsum (no group columns) is exact too") {
+    val d = Seq((5L, 2L), (1L, 3L), (9L, 1L), (3L, 4L)).toDF("v", "c")
+    val got = Ecdf.groupedCumsum(d, Seq.empty, "v", Seq("c"))
+      .select("v", "cum_c").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 3L -> 7L, 5L -> 9L, 9L -> 10L))
+  }
+
+  test("the plan's only unbounded-partition window is over the offset table") {
+    // the operator's reason to exist: no per-group window ever sees
+    // row-grain data — the slice windows partition by (group, pid) and
+    // the lone group-only window runs over the ≤|groups|×slices offset
+    // aggregate, never over the input relation
+    val d = (1 to 100).map(i => (s"g${i % 3}", i.toLong, 1L)).toDF("g", "v", "c")
+      .groupBy("g", "v").agg(sum("c").as("c"))
+    val plan = Ecdf.groupedCumsum(d, Seq("g"), "v", Seq("c"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"global single-task window:\n$plan")
+    // every Window node keyed only on the group must sit above an
+    // Aggregate (the offset table), not above the raw scan — proxy:
+    // exactly one exchange introduced by repartitionByRange
+    assert("rangepartitioning".r.findAllIn(plan.toLowerCase).nonEmpty, plan)
+  }
+}

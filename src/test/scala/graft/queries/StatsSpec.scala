@@ -422,6 +422,128 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q194 Heaps fit: beta in [0,1], R² in [0,1], ≤10 points per source") {
+    val rows = TextQueries.q194HeapsLaw.run(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, beta, r2) =>
+      assert(n >= 2L && n <= 10L, s"$src: $n points")
+      // vocabulary can't shrink and can't outgrow tokens: 0 ≤ β ≤ 1.
+      // The synthetic corpus IS template text (≈31-token closed
+      // vocabulary per source), so β ≈ 0 here is the screen WORKING —
+      // it flags exactly this kind of data; natural language sits at
+      // 0.4-0.6
+      assert(beta >= 0 && beta <= 1 + 1e-6, s"$src: Heaps beta $beta")
+      assert(r2 >= 0 && r2 <= 1 + 1e-9, s"$src: R² $r2")
+    }
+    // driver-side reference: replicate bucketing + first-occurrence +
+    // ln-ln OLS in plain Scala and match every source's beta
+    val raw = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("toks"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[String](2).filter(_.nonEmpty)))
+    val refBeta = raw.groupBy(_._1).flatMap { case (src, ds) =>
+      val (mn, mx) = (ds.map(_._2).min, ds.map(_._2).max)
+      def bucket(id: Long) = math.min(9L, (id - mn) * 10 / (mx - mn + 1))
+      val tk = ds.groupBy(d => bucket(d._2))
+        .map { case (b, g) => b -> g.map(_._3.size.toLong).sum }
+      val firstB = ds.flatMap(d => d._3.map(_ -> d._2))
+        .groupBy(_._1).map { case (_, occ) => bucket(occ.map(_._2).min) }
+        .groupBy(identity).map { case (b, g) => b -> g.size.toLong }
+      val bs = tk.keys.toSeq.sorted
+      val pts = bs.scanLeft((0L, 0L)) { case ((cn, cv), b) =>
+        (cn + tk(b), cv + firstB.getOrElse(b, 0L)) }.tail
+        .filter(p => p._1 > 0 && p._2 > 0)
+        .map(p => (math.log(p._1.toDouble), math.log(p._2.toDouble)))
+      if (pts.length < 2) None else {
+        val m = pts.length.toDouble
+        val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+        val sxy = pts.map(p => p._1 * p._2).sum
+        val sxx = pts.map(p => p._1 * p._1).sum
+        Some(src -> (m * sxy - sx * sy) / (m * sxx - sx * sx))
+      }
+    }
+    rows.foreach { case (src, _, beta, _) =>
+      refBeta.get(src).foreach(ref =>
+        assert(math.abs(beta - ref) <= 1e-4, s"$src: $beta vs driver $ref"))
+    }
+  }
+
+  test("q195 water-filling: saturated = whole source, others equal, budget met") {
+    val rows = TextQueries.q195TokenWaterfill.run(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    val totalAvail = rows.map(_._2).sum
+    val budget = totalAvail * 3 / 5
+    rows.foreach { case (src, avail, alloc, epochs, sat) =>
+      assert(alloc >= 0 && alloc <= avail, s"$src: alloc $alloc vs avail $avail")
+      assert(epochs <= 1.0 + 1e-9, s"$src: epochs $epochs — oversampled")
+      if (sat == 1) assert(alloc === avail, s"$src: saturated but alloc < avail")
+    }
+    // all unsaturated sources drink from the same water level λ*
+    val unsat = rows.filter(_._5 == 0).map(_._3).distinct
+    assert(unsat.length <= 1, s"unsaturated allocations differ: $unsat")
+    // Σ alloc fills the budget up to integer-div truncation (< unsat count)
+    val gap = budget - rows.map(_._3).sum
+    val unsatN = rows.count(_._5 == 0)
+    assert(gap >= 0 && gap < math.max(unsatN, 1), s"budget gap $gap")
+    // every saturated source is at most as large as every unsaturated one
+    val maxSat = rows.filter(_._5 == 1).map(_._2).maxOption.getOrElse(0L)
+    val minUnsat = rows.filter(_._5 == 0).map(_._2).minOption.getOrElse(Long.MaxValue)
+    assert(maxSat <= minUnsat, "saturation is not the small-source prefix")
+  }
+
+  test("q196 JSD: symmetric-bounded in [0, ln 2], full pair matrix") {
+    val rows = TextQueries.q196JsDivergence.run(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    val nSrc = Tables.documents(spark, sfDir)
+      .select(col("source")).distinct().count()
+    assert(rows.length === (nSrc * (nSrc - 1) / 2).toInt, "pair matrix incomplete")
+    rows.foreach { case (a, b, jsd, norm) =>
+      assert(a < b, s"pair ($a,$b) not ordered")
+      assert(jsd >= -1e-6 && jsd <= math.log(2.0) + 1e-6, s"($a,$b): jsd $jsd")
+      assert(norm >= -1e-6 && norm <= 1 + 1e-6, s"($a,$b): jsd_norm $norm")
+    }
+  }
+
+  test("q197 robust means match a driver-side sort-and-trim reference") {
+    val rows = RelationalQueries.q197RobustMeans.run(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7)))
+    assert(rows.nonEmpty)
+    val vals = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, vs) => s -> vs.map(_._2).sorted }
+    rows.foreach { case (seg, n, k, lo, hi, mean, trimmed, winsor) =>
+      val sorted = vals(seg)
+      assert(n === sorted.length.toLong, seg)
+      assert(k === n / 20, seg)
+      assert(lo <= hi, s"$seg: cuts inverted")
+      // trimmed/winsorized are robust locations: inside the cut band
+      assert(trimmed >= lo - 1e-6 && trimmed <= hi + 1e-6, s"$seg: trimmed $trimmed")
+      assert(winsor >= lo - 1e-6 && winsor <= hi + 1e-6, s"$seg: winsor $winsor")
+      // driver reference: literal sort, drop k each side, mean
+      val ki = k.toInt
+      val kept = sorted.slice(ki, sorted.length - ki)
+      val refTrim = kept.map(BigInt(_)).sum.toDouble / kept.length / 100
+      assert(math.abs(trimmed - refTrim) <= 1e-3, s"$seg: $trimmed vs $refTrim")
+      val refLo = sorted(ki).toDouble / 100
+      val refHi = sorted(sorted.length - ki - 1).toDouble / 100
+      assert(math.abs(lo - refLo) <= 1e-6 && math.abs(hi - refHi) <= 1e-6, seg)
+      val refWin = (kept.map(BigInt(_)).sum + BigInt(k) * sorted(ki)
+        + BigInt(k) * sorted(sorted.length - ki - 1)).toDouble / n / 100
+      assert(math.abs(winsor - refWin) <= 1e-3, s"$seg: $winsor vs $refWin")
+      assert(mean > 0, seg)
+    }
+  }
+
   test("q186 MI invariants: 0 ≤ MI ≤ min(Hx, Hy), NMI in [0, 1]") {
     val rows = RelationalQueries.q186MutualInformation.run(spark, sfDir).collect()
     assert(rows.length > 0)
