@@ -2407,6 +2407,263 @@ object RelationalQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Spearman rank correlation per nation between an order's item
+    * count and its total price — the monotone-association screen that
+    * survives the heavy price tail Pearson chokes on (the rank-based
+    * companion to q145's OLS slope). Tie-corrected EXACTLY: with
+    * (nation, value)-grain counts, the average rank of value v is
+    * cum_before + (c+1)/2, carried as the INTEGER 2·cum_before + c + 1
+    * (ranks scaled ×2, so no half ever floats); `Ecdf.groupedCumsum`
+    * builds both rank tables distributedly, two value-keyed joins pin
+    * each order's (Rx, Ry), and Pearson-on-ranks collapses to six
+    * DECIMAL(38,0) sufficient statistics per nation (R ≤ 2n ⇒ ΣR²
+    * fits to ~1e14 rows per group) with ONE double division at the
+    * end. */
+  val q198SpearmanRank = Q(
+    "q198_spearman_rank",
+    """WITH o AS (
+      |  SELECT n_name, o_orderkey,
+      |    CAST(count(*) AS BIGINT) AS x,
+      |    CAST(round(any_value(o_totalprice) * 100) AS BIGINT) AS y
+      |  FROM orders
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation ON n_nationkey = c_nationkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |dx AS (SELECT n_name, x, CAST(count(*) AS BIGINT) AS c FROM o GROUP BY 1, 2),
+      |dy AS (SELECT n_name, y, CAST(count(*) AS BIGINT) AS c FROM o GROUP BY 1, 2),
+      |rx AS (
+      |  SELECT n_name, x,
+      |    2 * (CAST(sum(c) OVER (PARTITION BY n_name ORDER BY x) AS BIGINT) - c)
+      |      + c + 1 AS r2x
+      |  FROM dx),
+      |ry AS (
+      |  SELECT n_name, y,
+      |    2 * (CAST(sum(c) OVER (PARTITION BY n_name ORDER BY y) AS BIGINT) - c)
+      |      + c + 1 AS r2y
+      |  FROM dy),
+      |r AS (
+      |  SELECT o.n_name, rx.r2x, ry.r2y
+      |  FROM o
+      |  JOIN rx ON rx.n_name = o.n_name AND rx.x = o.x
+      |  JOIN ry ON ry.n_name = o.n_name AND ry.y = o.y),
+      |s AS (
+      |  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(r2x AS HUGEINT)) AS sx, sum(CAST(r2y AS HUGEINT)) AS sy,
+      |    sum(CAST(r2x AS HUGEINT) * r2y) AS sxy,
+      |    sum(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+      |    sum(CAST(r2y AS HUGEINT) * r2y) AS syy
+      |  FROM r GROUP BY 1)
+      |SELECT n_name, n AS n_orders,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS spearman_rho
+      |FROM s ORDER BY n_name""".stripMargin) { (spark, dir) =>
+    import graft.operators.Ecdf
+    val o = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("n_nationkey") === col("c_nationkey"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), col("o_orderkey"))
+      .agg(count(lit(1)).as("x"),
+        round(first(col("o_totalprice")) * 100).cast("long").as("y"))
+    val dx = o.groupBy(col("n_name"), col("x")).agg(count(lit(1)).as("c"))
+    val dy = o.groupBy(col("n_name"), col("y")).agg(count(lit(1)).as("c"))
+    val rx = Ecdf.groupedCumsum(dx, Seq("n_name"), "x", Seq("c"))
+      .select(col("n_name"), col("x"),
+        (lit(2) * (col("cum_c") - col("c")) + col("c") + 1).as("r2x"))
+    val ry = Ecdf.groupedCumsum(dy, Seq("n_name"), "y", Seq("c"))
+      .select(col("n_name"), col("y"),
+        (lit(2) * (col("cum_c") - col("c")) + col("c") + 1).as("r2y"))
+    val dec = "decimal(38,0)"
+    val s = o.join(rx, Seq("n_name", "x")).join(ry, Seq("n_name", "y"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r2x").cast(dec)).as("sx"), sum(col("r2y").cast(dec)).as("sy"),
+        sum(col("r2x").cast(dec) * col("r2y")).as("sxy"),
+        sum(col("r2x").cast(dec) * col("r2x")).as("sxx"),
+        sum(col("r2y").cast(dec) * col("r2y")).as("syy"))
+    s.select(col("n_name"), col("n").as("n_orders"),
+        round((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+          / sqrt((col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            * (col("n").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("spearman_rho"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Benjamini–Hochberg FDR control over the per-segment KS drift
+    * tests — the multiple-testing layer a monitoring fleet needs on
+    * top of q185: alarming on every p < 0.05 across hundreds of
+    * segments guarantees false fires; BH instead flags the largest
+    * prefix of ascending p-values with p_(i) ≤ i·α/m (α = 0.05),
+    * controlling the expected false-discovery fraction. The KS core is
+    * q185's exact integer ECDF (via `Ecdf.groupedCumsum`); the
+    * asymptotic two-sample p-value p = min(1, 2·exp(−2D²·n₁n₂/(n₁+n₂)))
+    * is one closed-form double per segment, and the BH pass is a
+    * window over the SEGMENT-grain relation — everything after the
+    * (segment, value) aggregate is dimension-sized. */
+  val q199DriftAlarmsBh = Q(
+    "q199_drift_alarms_bh",
+    """WITH j AS (
+      |  SELECT c_mktsegment, CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+      |    CASE WHEN year(o_orderdate) < 1998 THEN 1 ELSE 0 END AS g
+      |  FROM orders JOIN customer ON c_custkey = o_custkey),
+      |d AS (
+      |  SELECT c_mktsegment, v, CAST(sum(g) AS BIGINT) AS c1,
+      |    CAST(sum(1 - g) AS BIGINT) AS c2
+      |  FROM j GROUP BY 1, 2),
+      |t AS (
+      |  SELECT c_mktsegment, CAST(sum(c1) AS BIGINT) AS n1,
+      |    CAST(sum(c2) AS BIGINT) AS n2
+      |  FROM d GROUP BY 1),
+      |c AS (
+      |  SELECT c_mktsegment,
+      |    CAST(sum(c1) OVER (PARTITION BY c_mktsegment ORDER BY v) AS BIGINT) AS a,
+      |    CAST(sum(c2) OVER (PARTITION BY c_mktsegment ORDER BY v) AS BIGINT) AS b
+      |  FROM d),
+      |ks AS (
+      |  SELECT c_mktsegment, n1, n2,
+      |    CAST(max(abs(a * n2 - b * n1)) AS DOUBLE)
+      |      / (CAST(n1 AS DOUBLE) * n2) AS dd
+      |  FROM c JOIN t USING (c_mktsegment)
+      |  GROUP BY c_mktsegment, n1, n2),
+      |p AS (
+      |  SELECT c_mktsegment, n1, n2, dd,
+      |    least(1.0, 2 * exp(-2 * dd * dd
+      |      * (CAST(n1 AS DOUBLE) * n2 / (n1 + n2)))) AS pv
+      |  FROM ks),
+      |bh AS (
+      |  SELECT c_mktsegment, n1, n2, dd, pv,
+      |    CAST(row_number() OVER (ORDER BY pv, c_mktsegment) AS BIGINT) AS i,
+      |    CAST(count(*) OVER () AS BIGINT) AS m
+      |  FROM p),
+      |pass AS (
+      |  SELECT *, CASE WHEN pv <= 0.05 * i / m THEN 1 ELSE 0 END AS ok
+      |  FROM bh),
+      |cut AS (SELECT coalesce(max(CASE WHEN ok = 1 THEN i END), 0) AS kmax FROM pass)
+      |SELECT c_mktsegment, round(dd, 6) AS ks_d, round(pv, 6) AS p_value,
+      |  round(0.05 * i / m, 6) AS bh_threshold,
+      |  CAST(CASE WHEN i <= kmax THEN 1 ELSE 0 END AS INT) AS drifted
+      |FROM pass CROSS JOIN cut
+      |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    import graft.operators.Ecdf
+    val d = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment"),
+        round(col("o_totalprice") * 100).cast("long").as("v"),
+        when(year(col("o_orderdate")) < 1998, 1L).otherwise(0L).as("g"))
+      .groupBy(col("c_mktsegment"), col("v"))
+      .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c2"))
+    val t = d.groupBy(col("c_mktsegment"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val ks = Ecdf.groupedCumsum(d, Seq("c_mktsegment"), "v", Seq("c1", "c2"))
+      .select(col("c_mktsegment"), col("cum_c1").as("a"), col("cum_c2").as("b"))
+      .join(t, "c_mktsegment")
+      .groupBy(col("c_mktsegment"), col("n1"), col("n2"))
+      .agg((max(abs(col("a") * col("n2") - col("b") * col("n1"))).cast("double")
+        / (col("n1").cast("double") * col("n2"))).as("dd"))
+    val p = ks.withColumn("pv",
+      least(lit(1.0), lit(2) * exp(lit(-2) * col("dd") * col("dd")
+        * (col("n1").cast("double") * col("n2") / (col("n1") + col("n2"))))))
+    // BH pass over the SEGMENT-grain relation (|segments| rows) — the
+    // no-PARTITION windows here run over a bounded aggregate, the
+    // same dimension-grain class as q188's calendar windows
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bh = p
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("pv"), col("c_mktsegment"))).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("ok", when(col("pv") <= lit(0.05) * col("i") / col("m"), 1L)
+        .otherwise(0L))
+      .withColumn("kmax", coalesce(
+        max(when(col("ok") === 1, col("i"))).over(wAll), lit(0L)))
+    bh.select(col("c_mktsegment"), round(col("dd"), 6).as("ks_d"),
+        round(col("pv"), 6).as("p_value"),
+        round(lit(0.05) * col("i") / col("m"), 6).as("bh_threshold"),
+        when(col("i") <= col("kmax"), 1).otherwise(0).cast("int").as("drifted"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Hill tail-index estimator per segment (Hill 1975) — HOW heavy is
+    * the order-value tail, as one number: α̂ = k / Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₎)
+    * over the top-k order statistics (α < 2 ⇒ infinite variance —
+    * sampling and mean-based monitoring break; the parametric
+    * companion to q184's Gini and q164's Pareto frontier). No top-k
+    * window over rows: with (segment, cents)-grain counts and
+    * `Ecdf.groupedCumsum` global ranks, a value row's share of the
+    * top k is the exact integer rank-interval overlap
+    * min(cum, n) − max(cum − c, n − k), x₍ₖ₎ is a min-over-threshold
+    * at value grain, and each ln is quantized to the 1e-9 grid before
+    * the per-segment BIGINT sum. k = ⌈5%·n⌉ capped at 1000 — the
+    * standard a-few-percent Hill window. */
+  val q200HillTailIndex = Q(
+    "q200_hill_tail_index",
+    """WITH j AS (
+      |  SELECT c_mktsegment, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders JOIN customer ON c_custkey = o_custkey),
+      |d AS (
+      |  SELECT c_mktsegment, v, CAST(count(*) AS BIGINT) AS c
+      |  FROM j GROUP BY 1, 2),
+      |t AS (
+      |  SELECT c_mktsegment, CAST(sum(c) AS BIGINT) AS n,
+      |    least(CAST(ceil(sum(c) * 0.05) AS BIGINT), 1000) AS k
+      |  FROM d GROUP BY 1),
+      |cw AS (
+      |  SELECT c_mktsegment, v, c,
+      |    CAST(sum(c) OVER (PARTITION BY c_mktsegment ORDER BY v) AS BIGINT) AS cum
+      |  FROM d),
+      |xk AS (
+      |  SELECT cw.c_mktsegment,
+      |    min(CASE WHEN cw.cum >= t.n - t.k + 1 THEN cw.v END) AS vk
+      |  FROM cw JOIN t USING (c_mktsegment) GROUP BY 1),
+      |s AS (
+      |  SELECT cw.c_mktsegment, t.n, t.k, xk.vk,
+      |    CAST(sum((greatest(cw.cum - cw.c, t.n - t.k) < cw.cum)::INT
+      |      * (cw.cum - greatest(cw.cum - cw.c, t.n - t.k))
+      |      * CAST(round(ln(cw.v) * 1e9) AS BIGINT)) AS BIGINT) AS slnv
+      |  FROM cw JOIN t USING (c_mktsegment) JOIN xk USING (c_mktsegment)
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT c_mktsegment, n AS n_orders, k,
+      |  round(vk / 100.0, 2) AS x_k,
+      |  round(CAST(k AS DOUBLE)
+      |    / ((slnv / 1e9) - k * (CAST(round(ln(vk) * 1e9) AS BIGINT) / 1e9)),
+      |    6) AS hill_alpha
+      |FROM s ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    import graft.operators.Ecdf
+    val d = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      .groupBy(col("c_mktsegment"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val t = d.groupBy(col("c_mktsegment"))
+      .agg(sum(col("c")).as("n"),
+        least(ceil(sum(col("c")) * 0.05).cast("long"), lit(1000L)).as("k"))
+    val cw = Ecdf.groupedCumsum(d, Seq("c_mktsegment"), "v", Seq("c"))
+      .join(t, "c_mktsegment")
+    val lo = greatest(col("cum_c") - col("c"), col("n") - col("k"))
+    val contrib = when(lo < col("cum_c"), col("cum_c") - lo).otherwise(lit(0L))
+    val xk = cw.groupBy(col("c_mktsegment"))
+      .agg(min(when(col("cum_c") >= col("n") - col("k") + 1, col("v"))).as("vk"))
+    val s = cw.join(xk, "c_mktsegment")
+      .groupBy(col("c_mktsegment"), col("n"), col("k"), col("vk"))
+      .agg(sum(contrib * round(log(col("v")) * 1e9).cast("long")).as("slnv"))
+    s.select(col("c_mktsegment"), col("n").as("n_orders"), col("k"),
+        round(col("vk") / 100.0, 2).as("x_k"),
+        round(col("k").cast("double")
+          / (col("slnv") / 1e9
+            - col("k") * (round(log(col("vk")) * 1e9).cast("long") / 1e9)), 6)
+          .as("hill_alpha"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -2423,5 +2680,5 @@ object RelationalQueries {
     q172HilbertLayout, q174TheilSen, q175RecordLinkage,
     q181AnovaF, q182ChiSqIndependence, q183MannKendall,
     q184GiniConcentration, q185KsDrift, q186MutualInformation, q187RevenueAcf,
-    q197RobustMeans)
+    q197RobustMeans, q198SpearmanRank, q199DriftAlarmsBh, q200HillTailIndex)
 }

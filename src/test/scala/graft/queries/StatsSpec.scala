@@ -544,6 +544,94 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q198 Spearman matches a driver-side tie-corrected rank correlation") {
+    val got = RelationalQueries.q198SpearmanRank.run(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (n, _, rho) =>
+      assert(rho >= -1 - 1e-9 && rho <= 1 + 1e-9, s"$n: rho $rho") }
+    // driver reference: literal average ranks + Pearson
+    val raw = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.nation(spark, sfDir), col("n_nationkey") === col("c_nationkey"))
+      .join(Tables.lineitem(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), col("o_orderkey"))
+      .agg(count(lit(1)).as("x"),
+        round(first(col("o_totalprice")) * 100).cast("long").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    def avgRanks(vs: Seq[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted
+      sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, g) => v -> (g.map(_._2 + 1.0).sum / g.size) }
+    }
+    raw.groupBy(_._1).foreach { case (nation, rows) =>
+      val (xs, ys) = (rows.map(_._2).toSeq, rows.map(_._3).toSeq)
+      val (rxm, rym) = (avgRanks(xs), avgRanks(ys))
+      val pts = rows.map(r => (rxm(r._2), rym(r._3)))
+      val m = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      val ref = (m * sxy - sx * sy) /
+        math.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+      val rho = got.find(_._1 == nation).get._3
+      assert(math.abs(rho - ref) <= 1e-4, s"$nation: $rho vs driver $ref")
+    }
+  }
+
+  test("q199 BH alarms: drifted = exact BH prefix, D agrees with q185") {
+    val rows = RelationalQueries.q199DriftAlarmsBh.run(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, d, p, th, fl) =>
+      assert(d >= 0 && d <= 1 + 1e-9, s"$s: D $d")
+      assert(p >= 0 && p <= 1 + 1e-9, s"$s: p $p")
+      assert(th > 0 && th <= 0.05 + 1e-9, s"$s: threshold $th")
+      assert(fl == 0 || fl == 1, s"$s: flag $fl")
+    }
+    // the KS statistic is q185's own D, segment for segment
+    val d185 = RelationalQueries.q185KsDrift.run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    rows.foreach { case (s, d, _, _, _) =>
+      assert(math.abs(d - d185(s)) <= 1e-6, s"$s: $d vs q185 ${d185(s)}") }
+    // driver-side BH: the drifted set is exactly the largest passing prefix
+    val m = rows.length
+    val byP = rows.sortBy(r => (r._3, r._1)) // ascending p, segment tiebreak
+    val kmax = byP.zipWithIndex
+      .filter { case (r, i) => r._3 <= 0.05 * (i + 1) / m }
+      .map(_._2 + 1).lastOption.getOrElse(0)
+    byP.zipWithIndex.foreach { case (r, i) =>
+      assert(r._5 == (if (i + 1 <= kmax) 1 else 0), s"${r._1}: BH flag") }
+  }
+
+  test("q200 Hill alpha matches a driver-side top-k reference") {
+    val rows = RelationalQueries.q200HillTailIndex.run(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val vals = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, vs) => s -> vs.map(_._2).sortBy(-_) }
+    rows.foreach { case (seg, n, k, xk, alpha) =>
+      val sorted = vals(seg)
+      assert(n === sorted.length.toLong, seg)
+      assert(k === math.min(math.ceil(n * 0.05).toLong, 1000L), seg)
+      assert(alpha > 0, s"$seg: alpha $alpha")
+      val ki = k.toInt
+      val top = sorted.take(ki)
+      val refXk = top.last.toDouble / 100
+      assert(math.abs(xk - refXk) <= 1e-6, s"$seg: x_k $xk vs $refXk")
+      val refAlpha = ki / top.map(v => math.log(v.toDouble / top.last)).sum
+      assert(math.abs(alpha - refAlpha) <= 1e-3 * math.max(1, refAlpha.abs),
+        s"$seg: $alpha vs driver $refAlpha")
+    }
+  }
+
   test("q186 MI invariants: 0 ≤ MI ≤ min(Hx, Hy), NMI in [0, 1]") {
     val rows = RelationalQueries.q186MutualInformation.run(spark, sfDir).collect()
     assert(rows.length > 0)
