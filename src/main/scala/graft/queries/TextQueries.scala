@@ -3866,6 +3866,68 @@ object TextQueries {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Training-shard BALANCE audit — the acceptance check after q138's
+    * shard assignment: hash sharding promises every shard is an
+    * unbiased sample, so each shard's quality-band mix must match the
+    * corpus mix; a skewed shard poisons whichever epoch consumes it.
+    * Bands are fixed n_chars cuts (short <500, medium <2000, long),
+    * shards are q138's portable-hash mod 8, and each shard's χ²
+    * against the global band distribution is computed from INTEGER
+    * sufficient statistics: X² = Σ_b (obs·N − n_s·N_b)² / (N·n_s·N_b)
+    * with the numerator in DECIMAL(38,0) (obs·N is doc-count², fine
+    * to ~10¹⁹ docs) and one double division per band term at the end.
+    * Everything after the doc-grain (shard, band) count is a
+    * shards×bands-grain relation. */
+  val q201ShardBalance = Q(
+    "q201_shard_balance",
+    """WITH d AS (
+      |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
+      |      AS shard,
+      |    CASE WHEN n_chars < 500 THEN 'short'
+      |         WHEN n_chars < 2000 THEN 'medium' ELSE 'long' END AS band
+      |  FROM documents),
+      |sb AS (
+      |  SELECT shard, band, CAST(count(*) AS BIGINT) AS obs
+      |  FROM d GROUP BY 1, 2),
+      |bt AS (SELECT band, CAST(sum(obs) AS BIGINT) AS nb FROM sb GROUP BY 1),
+      |st AS (SELECT shard, CAST(sum(obs) AS BIGINT) AS ns FROM sb GROUP BY 1),
+      |tt AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM sb),
+      |terms AS (
+      |  SELECT st.shard, st.ns, bt.band, bt.nb, tt.n, coalesce(sb.obs, 0) AS obs
+      |  FROM st CROSS JOIN bt CROSS JOIN tt
+      |  LEFT JOIN sb ON sb.shard = st.shard AND sb.band = bt.band)
+      |SELECT shard, CAST(any_value(ns) AS BIGINT) AS n_docs,
+      |  round(sum(CAST((CAST(obs AS HUGEINT) * n - CAST(ns AS HUGEINT) * nb)
+      |      * (CAST(obs AS HUGEINT) * n - CAST(ns AS HUGEINT) * nb) AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * ns * nb)), 6) AS chi2
+      |FROM terms GROUP BY shard ORDER BY shard""".stripMargin) { (spark, dir) =>
+    import graft.operators.Dedup
+    val d = Tables.documents(spark, dir)
+      .select(
+        (Dedup.portableHash60(col("doc_id").cast("string")) % 8).as("shard"),
+        when(col("n_chars") < 500, "short")
+          .when(col("n_chars") < 2000, "medium").otherwise("long").as("band"))
+    val sb = d.groupBy(col("shard"), col("band")).agg(count(lit(1)).as("obs"))
+    val bt = sb.groupBy(col("band")).agg(sum(col("obs")).as("nb"))
+    val st = sb.groupBy(col("shard")).agg(sum(col("obs")).as("ns"))
+    val tt = sb.agg(sum(col("obs")).as("n"))
+    val dec = "decimal(38,0)"
+    // shards×bands grid (≤ 8×3 rows) — every join here is dimension-
+    // grain; the only fact-scale work is the doc-grain (shard, band)
+    // count above
+    val terms = st.crossJoin(bt).crossJoin(broadcast(tt))
+      .join(sb, Seq("shard", "band"), "left")
+      .select(col("shard"), col("ns"), col("band"), col("nb"), col("n"),
+        coalesce(col("obs"), lit(0L)).as("obs"))
+    val dev = col("obs").cast(dec) * col("n") - col("ns").cast(dec) * col("nb")
+    terms.groupBy(col("shard"))
+      .agg(first(col("ns")).as("n_docs"),
+        round(sum((dev * dev).cast("double")
+          / (col("n").cast("double") * col("ns") * col("nb"))), 6).as("chi2"))
+      .select(col("shard"), col("n_docs"), col("chi2"))
+      .orderBy(col("shard"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -3884,5 +3946,5 @@ object TextQueries {
     q167KneserNey, q169RrfFusion, q173IncrementalCompaction,
     q176HllOverlap, q177Readability, q180DatasetCard, q191ZipfFit,
     q192QuantileNormalize, q193PerplexityFilter, q194HeapsLaw,
-    q195TokenWaterfill, q196JsDivergence)
+    q195TokenWaterfill, q196JsDivergence, q201ShardBalance)
 }

@@ -187,6 +187,31 @@ class PlanSpec extends SparkSpec {
       "documents scan reads more than doc_id+text:\n" + p)
   }
 
+  test("q194 documents scan is pruned to doc_id+text+source") {
+    val reads = plan(TextQueries.q194HeapsLaw).linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(reads.nonEmpty && !reads.contains("lang") && !reads.contains("n_chars"),
+      "Heaps fit reads more than doc_id+text+source:\n" + reads)
+  }
+
+  test("q197/q200 orders scans read only o_custkey+o_totalprice") {
+    Seq(RelationalQueries.q197RobustMeans -> "q197",
+        RelationalQueries.q200HillTailIndex -> "q200").foreach { case (q, name) =>
+      val reads = plan(q).linesIterator
+        .filter(l => l.contains("ReadSchema") && l.contains("o_totalprice"))
+        .mkString("\n")
+      assert(reads.nonEmpty && !reads.contains("o_orderdate")
+        && !reads.contains("o_orderstatus") && !reads.contains("o_comment"),
+        s"$name orders scan over-reads:\n" + reads)
+    }
+  }
+
+  test("q198 rank joins stay equi-joins — no product anywhere in the plan") {
+    val p = plan(RelationalQueries.q198SpearmanRank)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "Spearman rank lookup degraded to a product:\n" + p)
+  }
+
   test("no registered query plans a CartesianProduct") {
     // collect-then-fail: a single offender must not shadow later ones
     // (round-8 postmortem — the first-offender abort left q186-q193
