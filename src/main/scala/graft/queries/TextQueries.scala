@@ -3771,33 +3771,11 @@ object TextQueries {
       |  round(CAST(alloc AS DOUBLE) / avail, 4) AS epochs,
       |  CAST(saturated AS INT) AS saturated
       |FROM h ORDER BY source""".stripMargin) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val a = Tables.documents(spark, dir)
       .select(col("source"), explode(TextFns.tokens(col("text"))).as("s"))
       .filter(col("s") =!= "")
       .groupBy(col("source")).agg(count(lit(1)).as("avail"))
-    val tot = a.agg(sum(col("avail")).as("t"), count(lit(1)).as("ns"))
-    val bySz = Window.orderBy(col("avail"), col("source"))
-    val r = a
-      .withColumn("rk", row_number().over(bySz).cast("long"))
-      .withColumn("cumb", coalesce(sum(col("avail")).over(
-        bySz.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val f = r.crossJoin(broadcast(tot)) // 1-row bounded
-      .select(col("source"), col("avail"), col("rk"), col("cumb"),
-        expr("(t * 3) div 5").as("b"), col("ns"))
-      .withColumn("saturated",
-        when(col("avail") * (col("ns") - col("rk") + 1) <= col("b") - col("cumb"),
-          1L).otherwise(0L))
-    val overAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val g = f
-      .withColumn("sat_a",
-        sum(when(col("saturated") === 1, col("avail")).otherwise(0L)).over(overAll))
-      .withColumn("unsat_n", sum(lit(1L) - col("saturated")).over(overAll))
-      .withColumn("alloc", when(col("saturated") === 1, col("avail"))
-        .otherwise(expr("(b - sat_a) div unsat_n")))
-    g.select(col("source"), col("avail"), col("alloc"),
-        round(col("alloc").cast("double") / col("avail"), 4).as("epochs"),
-        col("saturated").cast("int").as("saturated"))
+    graft.operators.Mixing.waterfill(a, budgetNum = 3, budgetDen = 5)
       .orderBy(col("source"))
   }
 

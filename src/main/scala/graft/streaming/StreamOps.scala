@@ -331,6 +331,23 @@ object StreamOps {
       .groupBy(col("qid"), col(idCol))
       .agg(sum(col("wgt")).as("score_raw"))
 
+  /** Streaming source-availability counter — the live input to the
+    * mixing plan: per-source token counts as grouped streaming state
+    * (|sources| rows of three-long state, bounded forever; integer
+    * sums merge exactly like batch map-side partials, so the streamed
+    * table is bit-identical to the batch count over the same rows).
+    * The ALLOCATION is derived on the serving read with
+    * `operators/Mixing.waterfill` — the same read-side-derivation
+    * contract as [[abSufficientStats]]: streaming maintains sufficient
+    * statistics, the read folds the closed form, and a corpus that
+    * grows between reads shifts the plan without replaying anything. */
+  def sourceTokenCounts(docs: DataFrame, sourceCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(sourceCol).as("source"),
+        explode(graft.functions.TextFns.tokens(col(textCol))).as("s"))
+      .filter(col("s") =!= "")
+      .groupBy(col("source")).agg(count(lit(1)).as("avail"))
+
   /** Incremental BM25 posting ingest — the serving-index face of the
     * q94 cross-corpus incremental pattern: each micro-batch of NEW
     * documents lands its per-doc posting delta (id, t, cnt, dl —

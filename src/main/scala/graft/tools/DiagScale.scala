@@ -89,6 +89,16 @@ object DiagScale {
           .withColumn("c_mktsegment", concat(lit(s"r${r}_"), col("c_mktsegment")))
       }.reduce(_ union _)
         .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      val li = graft.sources.Tables.lineitem(spark, sfDir)
+      (0 until k).map { r =>
+        li.withColumn("l_orderkey", col("l_orderkey") * k + r)
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val nat = graft.sources.Tables.nation(spark, sfDir)
+      // nation stays FIXED (25 rows at every k — it is the bounded dim);
+      // q198's per-nation groups simply grow ×k in rows, which is the
+      // honest test of its rank-table and join paths
+      nat.write.mode("overwrite").parquet(s"$dir/nation.parquet")
       done.createNewFile()
     }
     dir
@@ -326,6 +336,15 @@ object DiagScale {
             .run(spark, relTables(spark, sfDir, k)).count()),
         "q193_perplexity" -> (() =>
           graft.queries.TextQueries.q193PerplexityFilter
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        // r9 wave 2: q198 claims (nation, value)-grain rank tables +
+        // two row-grain equi-joins — linear; q197 claims value-grain
+        // Ecdf work — sublinear in rows when values saturate
+        "q198_spearman" -> (() =>
+          graft.queries.RelationalQueries.q198SpearmanRank
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        "q197_robust" -> (() =>
+          graft.queries.RelationalQueries.q197RobustMeans
             .run(spark, relTables(spark, sfDir, k)).count()))
     }
 

@@ -244,6 +244,39 @@ class StreamOpsSpec extends SparkSpec {
       assert(math.abs(served(k) - oneShot(k)) < 1e-12, s"posting $k drifted"))
   }
 
+  test("streaming source counts + serving-read waterfill converge to batch") {
+    import spark.implicits._
+    // docs arrive in two micro-batches; the grouped state is the
+    // per-source token count, and the mixing plan is folded on the
+    // serving read — must equal the one-shot batch allocation
+    val batch1 = Seq(("srcA", "one two three"), ("srcB", "four five"))
+    val batch2 = Seq(("srcA", "six seven"), ("srcC", "eight nine ten eleven"))
+    val dir = java.nio.file.Files.createTempDirectory("stream-mix").toString
+    Seq(batch1, batch2).zipWithIndex.foreach { case (rows, i) =>
+      val sub = java.nio.file.Files.createTempDirectory(s"mix-b$i").toString
+      rows.toDF("source", "text").coalesce(1).write.mode("overwrite").parquet(sub)
+      val part = new java.io.File(sub).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, f"batch$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = spark.read.parquet(dir).schema
+    val counts = StreamOps.runToMemory(spark,
+        StreamOps.sourceTokenCounts(
+          StreamOps.parquetStream(spark, schema, dir), "source", "text"),
+        "mix_stream_test", outputMode = "complete")
+    val streamed = graft.operators.Mixing.waterfill(counts, 3, 5)
+      .as[(String, Long, Long, Double, Int)].collect().toSet
+    val batchAll = graft.operators.Mixing.waterfill(
+        StreamOps.sourceTokenCounts(
+          (batch1 ++ batch2).toDF("source", "text"), "source", "text"), 3, 5)
+      .as[(String, Long, Long, Double, Int)].collect().toSet
+    assert(streamed === batchAll && streamed.nonEmpty)
+    // srcA's count merged across batches: 3 + 2 = 5 tokens
+    assert(streamed.find(_._1 == "srcA").get._2 === 5L)
+  }
+
   test("stream-stream interval join matches keys within the window only") {
     import spark.implicits._
     val ldir = java.nio.file.Files.createTempDirectory("stream-imp").toString
