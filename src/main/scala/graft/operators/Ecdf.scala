@@ -23,11 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object Ecdf {
 
-  /** Append `cum_<c>` — the per-group running sum of each `sumCols`
-    * column in ascending `orderCol` order (ties: whole tied run
+  /** Append, for each `sumCols` column c: `cum_<c>` — the per-group
+    * running sum in ascending `orderCol` order (ties: whole tied run
     * collapses into whatever single input row carries it, so pass
-    * value-GRAIN inputs where ties matter) — plus every input column,
-    * unchanged.
+    * value-GRAIN inputs where ties matter) — and `tot_<c>`, the
+    * group's TOTAL, on every row. Totals ride the offset table (one
+    * extra bounded window, zero extra shuffles) precisely so callers
+    * never join a separate `groupBy(group).sum` aggregate: that extra
+    * consumer of the input re-plans the whole upstream pipeline per
+    * branch (constraint-derived IsNotNull filters make the subtrees
+    * canonically different, so not even AQE stage reuse deduplicates
+    * them — measured on q200: 5 scans of orders for 3 consumers).
+    * Every input column passes through unchanged.
     *
     * @param partCols group columns (empty = one global cumsum)
     * @param slices   range-partition width; 32 matches the test rig's
@@ -42,18 +49,26 @@ object Ecdf {
       .withColumn("__pid", spark_partition_id())
     val byGroup = Window.partitionBy(gcols: _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wholeGroup = Window.partitionBy(gcols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offs = parted
       .groupBy((gcols :+ col("__pid")): _*)
       .agg(sum(col(sumCols.head)).as(s"__s0"),
         sumCols.tail.zipWithIndex.map { case (c, i) =>
           sum(col(c)).as(s"__s${i + 1}") }: _*)
-      .select((gcols :+ col("__pid")) ++ sumCols.indices.map(i =>
-        coalesce(sum(col(s"__s$i")).over(byGroup), lit(0L)).as(s"__off$i")): _*)
+      .select((gcols :+ col("__pid"))
+        ++ sumCols.indices.map(i =>
+          coalesce(sum(col(s"__s$i")).over(byGroup), lit(0L)).as(s"__off$i"))
+        ++ sumCols.indices.map(i =>
+          sum(col(s"__s$i")).over(wholeGroup).as(s"__tot$i")): _*)
     val slice = Window.partitionBy((gcols :+ col("__pid")): _*)
       .orderBy(col(orderCol))
     parted
       .join(offs, partCols :+ "__pid")
-      .select(df.columns.map(col) ++ sumCols.zipWithIndex.map { case (c, i) =>
-        (sum(col(c)).over(slice) + col(s"__off$i")).as(s"cum_$c") }: _*)
+      .select(df.columns.map(col)
+        ++ sumCols.zipWithIndex.map { case (c, i) =>
+          (sum(col(c)).over(slice) + col(s"__off$i")).as(s"cum_$c") }
+        ++ sumCols.zipWithIndex.map { case (c, i) =>
+          col(s"__tot$i").as(s"tot_$c") }: _*)
   }
 }

@@ -2154,15 +2154,15 @@ object RelationalQueries {
         when(year(col("o_orderdate")) < 1998, 1L).otherwise(0L).as("g"))
       .groupBy(col("c_mktsegment"), col("v"))
       .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c2"))
-    val tot = d.groupBy(col("c_mktsegment"))
-      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
     // the distributed-ECDF offset pattern, factored (r9) into
-    // Ecdf.groupedCumsum; tot (≤ segments rows) reaches its join
-    // unhinted so AQE broadcasts it by measured size (house policy)
+    // Ecdf.groupedCumsum; per-segment totals ride the offset table
+    // (tot_c1/tot_c2), so d has NO second consumer — a separate
+    // groupBy(segment) total would re-plan the whole orders scan per
+    // branch (not even AQE dedups it; see the Ecdf scaladoc)
     graft.operators.Ecdf
       .groupedCumsum(d, Seq("c_mktsegment"), "v", Seq("c1", "c2"))
-      .select(col("c_mktsegment"), col("cum_c1").as("a"), col("cum_c2").as("b"))
-      .join(tot, "c_mktsegment")
+      .select(col("c_mktsegment"), col("cum_c1").as("a"), col("cum_c2").as("b"),
+        col("tot_c1").as("n1"), col("tot_c2").as("n2"))
       .groupBy(col("c_mktsegment"), col("n1"), col("n2"))
       .agg(max(abs(col("a") * col("n2") - col("b") * col("n1"))).as("dnum"))
       .select(col("c_mktsegment"), col("n1"), col("n2"),
@@ -2380,15 +2380,17 @@ object RelationalQueries {
         round(col("o_totalprice") * 100).cast("long").as("v"))
       .groupBy(col("c_mktsegment"), col("v"))
       .agg(count(lit(1)).as("c"))
-    val t = d.groupBy(col("c_mktsegment"))
-      .agg(sum(col("c")).as("n"),
-        sum(col("v").cast("decimal(38,0)") * col("c")).as("s"))
+    // totals ride the cumsum (tot_c) and the plain-mean numerator is
+    // just another aggregate over the SAME value-grain rows, so d has
+    // exactly one consumer — no separate groupBy(segment) branch that
+    // would re-plan the whole orders scan (see the Ecdf scaladoc)
     val g = graft.operators.Ecdf
       .groupedCumsum(d, Seq("c_mktsegment"), "v", Seq("c"))
-      .join(t, "c_mktsegment")
+      .withColumn("n", col("tot_c"))
       .withColumn("k", expr("n div 20"))
-      .groupBy(col("c_mktsegment"), col("n"), col("k"), col("s"))
+      .groupBy(col("c_mktsegment"), col("n"), col("k"))
       .agg(
+        sum(col("v").cast("decimal(38,0)") * col("c")).as("s"),
         sum(col("v").cast("decimal(38,0)") * greatest(lit(0L),
           least(col("cum_c"), col("n") - col("k"))
             - greatest(col("cum_c") - col("c"), col("k")))).as("tsum"),
@@ -2561,11 +2563,9 @@ object RelationalQueries {
         when(year(col("o_orderdate")) < 1998, 1L).otherwise(0L).as("g"))
       .groupBy(col("c_mktsegment"), col("v"))
       .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c2"))
-    val t = d.groupBy(col("c_mktsegment"))
-      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
     val ks = Ecdf.groupedCumsum(d, Seq("c_mktsegment"), "v", Seq("c1", "c2"))
-      .select(col("c_mktsegment"), col("cum_c1").as("a"), col("cum_c2").as("b"))
-      .join(t, "c_mktsegment")
+      .select(col("c_mktsegment"), col("cum_c1").as("a"), col("cum_c2").as("b"),
+        col("tot_c1").as("n1"), col("tot_c2").as("n2"))
       .groupBy(col("c_mktsegment"), col("n1"), col("n2"))
       .agg((max(abs(col("a") * col("n2") - col("b") * col("n1"))).cast("double")
         / (col("n1").cast("double") * col("n2"))).as("dd"))
@@ -2619,17 +2619,14 @@ object RelationalQueries {
       |  SELECT c_mktsegment, v, c,
       |    CAST(sum(c) OVER (PARTITION BY c_mktsegment ORDER BY v) AS BIGINT) AS cum
       |  FROM d),
-      |xk AS (
-      |  SELECT cw.c_mktsegment,
-      |    min(CASE WHEN cw.cum >= t.n - t.k + 1 THEN cw.v END) AS vk
-      |  FROM cw JOIN t USING (c_mktsegment) GROUP BY 1),
       |s AS (
-      |  SELECT cw.c_mktsegment, t.n, t.k, xk.vk,
+      |  SELECT cw.c_mktsegment, t.n, t.k,
+      |    min(CASE WHEN cw.cum >= t.n - t.k + 1 THEN cw.v END) AS vk,
       |    CAST(sum((greatest(cw.cum - cw.c, t.n - t.k) < cw.cum)::INT
       |      * (cw.cum - greatest(cw.cum - cw.c, t.n - t.k))
       |      * CAST(round(ln(cw.v) * 1e9) AS BIGINT)) AS BIGINT) AS slnv
-      |  FROM cw JOIN t USING (c_mktsegment) JOIN xk USING (c_mktsegment)
-      |  GROUP BY 1, 2, 3, 4)
+      |  FROM cw JOIN t USING (c_mktsegment)
+      |  GROUP BY 1, 2, 3)
       |SELECT c_mktsegment, n AS n_orders, k,
       |  round(vk / 100.0, 2) AS x_k,
       |  round(CAST(k AS DOUBLE)
@@ -2643,18 +2640,19 @@ object RelationalQueries {
         round(col("o_totalprice") * 100).cast("long").as("v"))
       .groupBy(col("c_mktsegment"), col("v"))
       .agg(count(lit(1)).as("c"))
-    val t = d.groupBy(col("c_mktsegment"))
-      .agg(sum(col("c")).as("n"),
-        least(ceil(sum(col("c")) * 0.05).cast("long"), lit(1000L)).as("k"))
     val cw = Ecdf.groupedCumsum(d, Seq("c_mktsegment"), "v", Seq("c"))
-      .join(t, "c_mktsegment")
+      .withColumn("n", col("tot_c"))
+      .withColumn("k", least(ceil(col("n") * 0.05).cast("long"), lit(1000L)))
     val lo = greatest(col("cum_c") - col("c"), col("n") - col("k"))
     val contrib = when(lo < col("cum_c"), col("cum_c") - lo).otherwise(lit(0L))
-    val xk = cw.groupBy(col("c_mktsegment"))
-      .agg(min(when(col("cum_c") >= col("n") - col("k") + 1, col("v"))).as("vk"))
-    val s = cw.join(xk, "c_mktsegment")
-      .groupBy(col("c_mktsegment"), col("n"), col("k"), col("vk"))
-      .agg(sum(contrib * round(log(col("v")) * 1e9).cast("long")).as("slnv"))
+    // x_(k) and the top-k ln-sum come from ONE aggregate over cw —
+    // the slnv term never references vk, so splitting them would just
+    // replicate the whole scan→aggregate→cumsum pipeline per consumer
+    // (the q29/q28 one-exchange lesson)
+    val s = cw
+      .groupBy(col("c_mktsegment"), col("n"), col("k"))
+      .agg(min(when(col("cum_c") >= col("n") - col("k") + 1, col("v"))).as("vk"),
+        sum(contrib * round(log(col("v")) * 1e9).cast("long")).as("slnv"))
     s.select(col("c_mktsegment"), col("n").as("n_orders"), col("k"),
         round(col("vk") / 100.0, 2).as("x_k"),
         round(col("k").cast("double")

@@ -13,9 +13,16 @@ object DiagPlan {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_EXEC=1: execute first and print the FINAL adaptive
+    // plan — AQE stage reuse (shared exchanges) only shows up there,
+    // the pre-execution plan prints every consumer's subtree verbatim
+    val exec = sys.env.get("SPARK_GRAFT_EXEC").contains("1")
     args.foreach { name =>
       println(s"========== $name ==========")
-      println(graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      if (exec) df.collect() // collect() drives df's OWN queryExecution
+      // (count() would wrap a new plan and leave this one un-executed)
+      println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))
     }
     spark.stop()

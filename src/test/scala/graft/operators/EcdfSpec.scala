@@ -25,6 +25,14 @@ class EcdfSpec extends SparkSpec {
     assert(got === naive && got.nonEmpty)
   }
 
+  test("tot_<c> carries the exact group total on every row") {
+    val d = Seq(("a", 1L, 2L), ("a", 5L, 3L), ("b", 2L, 10L)).toDF("g", "v", "c")
+    val got = Ecdf.groupedCumsum(d, Seq("g"), "v", Seq("c"))
+      .select("g", "v", "cum_c", "tot_c")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(("a", 1L, 2L, 5L), ("a", 5L, 5L, 5L), ("b", 2L, 10L, 10L)))
+  }
+
   test("a global cumsum (no group columns) is exact too") {
     val d = Seq((5L, 2L), (1L, 3L), (9L, 1L), (3L, 4L)).toDF("v", "c")
     val got = Ecdf.groupedCumsum(d, Seq.empty, "v", Seq("c"))
