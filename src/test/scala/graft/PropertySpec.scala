@@ -180,6 +180,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Ecdf.groupedCumsum ≡ naive window and totals on random grouped counts") {
+    val rowGen = for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.chooseNum(0L, 40L)
+      c <- Gen.chooseNum(1L, 9L)
+    } yield (g, v, c)
+    forAll(Gen.listOfN(30, rowGen)) { rows =>
+      // collapse to value grain first — the operator's tie contract
+      val d = rows.toDF("g", "v", "c").groupBy("g", "v").agg(sum("c").as("c"))
+      val got = graft.operators.Ecdf.groupedCumsum(d, Seq("g"), "v", Seq("c"))
+        .select("g", "v", "cum_c", "tot_c")
+        .as[(String, Long, Long, Long)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("v"))
+      val tw = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      val naive = d.select(col("g"), col("v"),
+          sum(col("c")).over(w).as("cum"), sum(col("c")).over(tw).as("tot"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got === naive)
+    }
+  }
+
+  test("Mixing.waterfill laws: caps respected, budget met, water level shared") {
+    val availGen = Gen.listOfN(6, Gen.chooseNum(1L, 500L))
+    forAll(availGen) { avails =>
+      val a = avails.zipWithIndex.map { case (v, i) => (s"s$i", v) }
+        .toDF("source", "avail")
+      val got = graft.operators.Mixing.waterfill(a, 3, 5)
+        .as[(String, Long, Long, Double, Int)].collect()
+      val budget = avails.sum * 3 / 5
+      got.foreach { case (s, av, al, ep, sat) =>
+        assert(al >= 0 && al <= av, s"$s alloc out of cap")
+        assert(ep <= 1.0 + 1e-9, s"$s oversampled")
+        if (sat == 1) assert(al === av, s"$s saturated but capped short")
+      }
+      val gap = budget - got.map(_._3).sum
+      val unsat = got.filter(_._5 == 0)
+      assert(gap >= 0 && gap < math.max(unsat.length, 1), s"budget gap $gap")
+      assert(unsat.map(_._3).distinct.length <= 1, "unsaturated allocs differ")
+    }
+  }
+
   test("date reformat roundtrip (C11): yyyy.M.d → DATE → ISO is stable") {
     val dateGen = for {
       y <- Gen.chooseNum(1995, 2024); m <- Gen.chooseNum(1, 12); d <- Gen.chooseNum(1, 28)
