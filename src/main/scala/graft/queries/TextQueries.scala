@@ -3906,6 +3906,99 @@ object TextQueries {
       .orderBy(col("shard"))
   }
 
+  /** Brier-score Murphy decomposition of the quality classifier — the
+    * third leg of the eval family (q153 ranks with AUC, q155 tables
+    * calibration, this SCORES the probabilistic forecast and says WHY
+    * it's good or bad): Brier = REL − RES + UNC + WBV − 2·WCV over
+    * the q155 score bins, where reliability is the calibration gap,
+    * resolution the bins' separation of the base rate, uncertainty
+    * the base rate's own variance, and the within-bin forecast
+    * VARIANCE and forecast-outcome COVARIANCE close the identity
+    * exactly (the textbook three-term form silently assumes constant
+    * forecasts per bin — both correction terms vanish there, and
+    * StatsSpec pins the full identity). Forecast = sigmoid(score),
+    * quantized to the 1e-9 grid per doc (f and f²) before ANY sum, so
+    * every aggregate is an exact BIGINT and the identity is checkable
+    * to rounding. Everything after the doc-grain bin assignment is a
+    * 16-row relation. */
+  val q202BrierDecomposition = Q(
+    "q202_brier_decomposition",
+    s"""WITH $qualityLabSql,
+       |bounds AS (SELECT min(score) AS lo, max(score) AS hi FROM lab),
+       |b AS (
+       |  SELECT least(greatest(
+       |      CAST(floor((score - lo) / ((hi - lo) / 16)) AS INT), 0), 15) AS bin,
+       |    CAST(round(1e9 / (1 + exp(-score))) AS BIGINT) AS fq,
+       |    CASE WHEN pos THEN 1 ELSE 0 END AS o
+       |  FROM lab, bounds),
+       |g AS (
+       |  SELECT bin, CAST(count(*) AS BIGINT) AS nb,
+       |    CAST(sum(o) AS BIGINT) AS pb,
+       |    CAST(sum(fq) AS BIGINT) AS sf,
+       |    sum(CAST(fq AS HUGEINT) * fq) AS sf2,
+       |    CAST(sum(fq * o) AS BIGINT) AS sfo
+       |  FROM b GROUP BY 1),
+       |t AS (
+       |  SELECT CAST(sum(nb) AS BIGINT) AS n, CAST(sum(pb) AS BIGINT) AS np,
+       |    CAST(sum(sf) AS BIGINT) AS sft, sum(sf2) AS sf2t,
+       |    CAST(sum(sfo) AS BIGINT) AS sfot
+       |  FROM g),
+       |parts AS (
+       |  SELECT t.n, t.np,
+       |    sum(g.nb * (g.sf / 1e9 / g.nb - CAST(g.pb AS DOUBLE) / g.nb)
+       |             * (g.sf / 1e9 / g.nb - CAST(g.pb AS DOUBLE) / g.nb)) AS rel_n,
+       |    sum(g.nb * (CAST(g.pb AS DOUBLE) / g.nb - CAST(t.np AS DOUBLE) / t.n)
+       |             * (CAST(g.pb AS DOUBLE) / g.nb - CAST(t.np AS DOUBLE) / t.n)) AS res_n,
+       |    sum(CAST(g.sf2 AS DOUBLE) / 1e18 - (g.sf / 1e9) * (g.sf / 1e9) / g.nb) AS wbv_n,
+       |    sum(g.sfo / 1e9 - (g.sf / 1e9) * (CAST(g.pb AS DOUBLE) / g.nb)) AS wcv_n
+       |  FROM g CROSS JOIN t GROUP BY t.n, t.np)
+       |SELECT n AS n_docs, round(CAST(np AS DOUBLE) / n, 6) AS base_rate,
+       |  round((SELECT CAST(sf2t AS DOUBLE) / 1e18 - 2 * sfot / 1e9 + np FROM t) / n, 6)
+       |    AS brier,
+       |  round(rel_n / n, 6) AS reliability,
+       |  round(res_n / n, 6) AS resolution,
+       |  round(CAST(np AS DOUBLE) / n * (1 - CAST(np AS DOUBLE) / n), 6) AS uncertainty,
+       |  round(wbv_n / n, 6) AS within_bin_var,
+       |  round(wcv_n / n, 6) AS within_bin_cov
+       |FROM parts""".stripMargin) { (spark, dir) =>
+    val lab = qualityLab(spark, dir)
+    val bounds = lab.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    val b = lab.crossJoin(broadcast(bounds))
+      .select(least(greatest(floor((col("score") - col("lo")) /
+          ((col("hi") - col("lo")) / 16)).cast("int"), lit(0)), lit(15)).as("bin"),
+        round(lit(1e9) / (lit(1) + exp(-col("score")))).cast("long").as("fq"),
+        when(col("pos"), 1L).otherwise(0L).as("o"))
+    val g = b.groupBy(col("bin"))
+      .agg(count(lit(1)).as("nb"), sum(col("o")).as("pb"),
+        sum(col("fq")).as("sf"),
+        sum(col("fq").cast("decimal(38,0)") * col("fq")).as("sf2"),
+        sum(col("fq") * col("o")).as("sfo"))
+    val t = g.agg(sum(col("nb")).as("n"), sum(col("pb")).as("np"),
+      sum(col("sf")).as("sft"), sum(col("sf2")).as("sf2t"),
+      sum(col("sfo")).as("sfot"))
+    val fb = col("sf") / 1e9 / col("nb")
+    val ob = col("pb").cast("double") / col("nb")
+    val obar = col("np").cast("double") / col("n")
+    g.crossJoin(broadcast(t)) // 1-row bounded
+      .groupBy(col("n"), col("np"), col("sf2t"), col("sfot"))
+      .agg(
+        sum(col("nb") * (fb - ob) * (fb - ob)).as("rel_n"),
+        sum(col("nb") * (ob - obar) * (ob - obar)).as("res_n"),
+        sum(col("sf2").cast("double") / 1e18
+          - (col("sf") / 1e9) * (col("sf") / 1e9) / col("nb")).as("wbv_n"),
+        sum(col("sfo") / 1e9
+          - (col("sf") / 1e9) * (col("pb").cast("double") / col("nb"))).as("wcv_n"))
+      .select(col("n").as("n_docs"),
+        round(obar, 6).as("base_rate"),
+        round((col("sf2t").cast("double") / 1e18
+          - lit(2) * col("sfot") / 1e9 + col("np")) / col("n"), 6).as("brier"),
+        round(col("rel_n") / col("n"), 6).as("reliability"),
+        round(col("res_n") / col("n"), 6).as("resolution"),
+        round(obar * (lit(1) - obar), 6).as("uncertainty"),
+        round(col("wbv_n") / col("n"), 6).as("within_bin_var"),
+        round(col("wcv_n") / col("n"), 6).as("within_bin_cov"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -3924,5 +4017,6 @@ object TextQueries {
     q167KneserNey, q169RrfFusion, q173IncrementalCompaction,
     q176HllOverlap, q177Readability, q180DatasetCard, q191ZipfFit,
     q192QuantileNormalize, q193PerplexityFilter, q194HeapsLaw,
-    q195TokenWaterfill, q196JsDivergence, q201ShardBalance)
+    q195TokenWaterfill, q196JsDivergence, q201ShardBalance,
+    q202BrierDecomposition)
 }

@@ -632,6 +632,24 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q202 Brier identity: brier = rel − res + unc + wbv − 2·wcv") {
+    val r = TextQueries.q202BrierDecomposition.run(spark, sfDir).head()
+    val (n, base, brier, rel, res, unc, wbv, wcv) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))
+    assert(n > 0 && base >= 0 && base <= 1)
+    assert(brier >= 0 && brier <= 1 + 1e-9, s"brier $brier")
+    assert(rel >= -1e-9 && res >= -1e-9 && wbv >= -1e-9, s"$rel $res $wbv")
+    assert(unc >= 0 && unc <= 0.25 + 1e-9, s"uncertainty $unc")
+    // resolution can't exceed the base rate's own variance
+    assert(res <= unc + 1e-6, s"res $res > unc $unc")
+    // the FULL Murphy identity — with both within-bin corrections
+    // (variance and forecast-outcome covariance) it closes exactly;
+    // each term is a 6-dp rounding of exact gridded sums
+    assert(math.abs(brier - (rel - res + unc + wbv - 2 * wcv)) <= 5e-6,
+      s"identity gap: $brier vs ${rel - res + unc + wbv - 2 * wcv}")
+  }
+
   test("q186 MI invariants: 0 ≤ MI ≤ min(Hx, Hy), NMI in [0, 1]") {
     val rows = RelationalQueries.q186MutualInformation.run(spark, sfDir).collect()
     assert(rows.length > 0)
