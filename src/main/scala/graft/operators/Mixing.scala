@@ -58,7 +58,12 @@ object Mixing {
       .withColumn("alloc", when(col("saturated") === 1, col("avail"))
         .otherwise(expr("(b - sat_a) div unsat_n")))
       .select(col("source"), col("avail"), col("alloc"),
-        round(col("alloc").cast("double") / col("avail"), 4).as("epochs"),
+        // a zero-availability source allocates 0 of 0 — report 0
+        // epochs, not 0/0 = NaN (an empty source row can reach the
+        // operator from an outer-join availability table)
+        when(col("avail") === 0, lit(0.0))
+          .otherwise(round(col("alloc").cast("double") / col("avail"), 4))
+          .as("epochs"),
         col("saturated").cast("int").as("saturated"))
   }
 }

@@ -37,6 +37,15 @@ class MixingSpec extends SparkSpec {
     assert(got("a") === ((5L, 1)) && got("b") === ((50L, 1)))
   }
 
+  test("a zero-availability source reports 0 epochs, not NaN") {
+    val a = Seq(("empty", 0L), ("full", 100L)).toDF("source", "avail")
+    val got = Mixing.waterfill(a, 1, 2)
+      .select("source", "alloc", "epochs")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("empty") === ((0L, 0.0)))
+    assert(got("full") === ((50L, 0.5)))
+  }
+
   test("a rejected budget ratio fails fast") {
     val a = Seq(("a", 5L)).toDF("source", "avail")
     intercept[IllegalArgumentException] { Mixing.waterfill(a, 6, 5) }
