@@ -3820,14 +3820,22 @@ object TextQueries {
       .select(col("source"), explode(TextFns.tokens(col("text"))).as("s"))
       .filter(col("s") =!= "")
       .select(col("source"), (Dedup.portableHash60(col("s")) % 64).as("b"))
+    // ONE consumer of the (source, bucket) aggregate: the 64-entry
+    // count map and the total ride the same per-source collapse, and
+    // the full smoothed 64-vector explodes back out IN-ROW — a
+    // separate groupBy(source) totals branch re-planned the whole
+    // tokenize scan per consumer (the Ecdf-totals lesson; measured 2
+    // documents scans in the final plan before this shape)
     val perSrc = feats.groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
-    val tot = perSrc.groupBy(col("source")).agg(sum(col("c")).as("st"))
-    import spark.implicits._
-    val buckets = (0L until 64L).toDF("b")
-    val grid = tot.crossJoin(broadcast(buckets))
-      .join(perSrc, Seq("source", "b"), "left")
+    val vec = perSrc.groupBy(col("source"))
+      .agg(map_from_arrays(collect_list(col("b")), collect_list(col("c"))).as("m"),
+        sum(col("c")).as("st"))
+    val grid = vec
+      .select(col("source"), col("m"), col("st"),
+        explode(sequence(lit(0L), lit(63L))).as("b"))
       .select(col("source"), col("b"),
-        ((coalesce(col("c"), lit(0L)) + 1.0) / (col("st") + 64.0)).as("p"))
+        ((coalesce(element_at(col("m"), col("b")), lit(0L)) + 1.0)
+          / (col("st") + 64.0)).as("p"))
     val pairs = grid.as("x").join(
         grid.select(col("source").as("source_b"), col("b"),
           col("p").as("q")).as("y"),
@@ -3886,17 +3894,30 @@ object TextQueries {
         when(col("n_chars") < 500, "short")
           .when(col("n_chars") < 2000, "medium").otherwise("long").as("band"))
     val sb = d.groupBy(col("shard"), col("band")).agg(count(lit(1)).as("obs"))
-    val bt = sb.groupBy(col("band")).agg(sum(col("obs")).as("nb"))
-    val st = sb.groupBy(col("shard")).agg(sum(col("obs")).as("ns"))
-    val tt = sb.agg(sum(col("obs")).as("n"))
+    // ONE consumer of the doc-grain aggregate: all ≤ shards×bands cells
+    // collapse into a single collected row, and the marginals, total,
+    // and full grid (including zero cells) expand back out IN-ROW —
+    // the shard/band/total groupBy branches each re-planned the whole
+    // documents scan (the Ecdf-totals lesson). The HOFs run
+    // interpreted, on ONE row of ≤ 24 structs — not a hot path.
+    val one = sb.agg(collect_list(
+      struct(col("shard"), col("band"), col("obs"))).as("cs"))
+    def cellSum(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column =
+      aggregate(filter(col("cs"), pred), lit(0L),
+        (a, c) => a + c.getField("obs"))
+    val terms = one
+      .select(col("cs"), explode(array_distinct(
+        transform(col("cs"), c => c.getField("shard")))).as("shard"))
+      .select(col("cs"), col("shard"), explode(array_distinct(
+        transform(col("cs"), c => c.getField("band")))).as("band"))
+      .select(col("shard"), col("band"),
+        cellSum(c => c.getField("shard") === col("shard")).as("ns"),
+        cellSum(c => c.getField("band") === col("band")).as("nb"),
+        cellSum(_ => lit(true)).as("n"),
+        cellSum(c => c.getField("shard") === col("shard")
+          && c.getField("band") === col("band")).as("obs"))
     val dec = "decimal(38,0)"
-    // shards×bands grid (≤ 8×3 rows) — every join here is dimension-
-    // grain; the only fact-scale work is the doc-grain (shard, band)
-    // count above
-    val terms = st.crossJoin(bt).crossJoin(broadcast(tt))
-      .join(sb, Seq("shard", "band"), "left")
-      .select(col("shard"), col("ns"), col("band"), col("nb"), col("n"),
-        coalesce(col("obs"), lit(0L)).as("obs"))
     val dev = col("obs").cast(dec) * col("n") - col("ns").cast(dec) * col("nb")
     terms.groupBy(col("shard"))
       .agg(first(col("ns")).as("n_docs"),
