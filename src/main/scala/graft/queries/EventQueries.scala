@@ -333,7 +333,7 @@ object EventQueries {
       |      ORDER BY abs(zs) DESC, h) AS rk
       |  FROM z)
       |SELECT event_type, CAST(rk AS INT) AS rk, h AS hour_start,
-      |  CAST(n AS BIGINT) AS n, round(zs, 4) AS z
+      |  CAST(n AS BIGINT) AS n, round(zs, 4) + 0.0 AS z
       |FROM ranked WHERE rk <= 3
       |ORDER BY event_type, rk""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
@@ -348,7 +348,7 @@ object EventQueries {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("event_type"), col("rk"), col("h").as("hour_start"),
-        col("n"), round(col("zs"), 4).as("z"))
+        col("n"), Q.noNegZero(round(col("zs"), 4)).as("z"))
       .orderBy(col("event_type"), col("rk"))
   }
 
@@ -694,7 +694,7 @@ object EventQueries {
       |    / sqrt((CAST(na AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa)
       |        / (CAST(na AS DOUBLE) * na * (na - 1))
       |      + (CAST(nb AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb)
-      |        / (CAST(nb AS DOUBLE) * nb * (nb - 1))), 4) AS t_stat
+      |        / (CAST(nb AS DOUBLE) * nb * (nb - 1))), 4) + 0.0 AS t_stat
       |FROM s ORDER BY event_type""".stripMargin) { (spark, dir) =>
     val e = Tables.events(spark, dir).select(col("event_type"),
       (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
@@ -712,8 +712,8 @@ object EventQueries {
     s.select(col("event_type"), col("na"), col("nb"),
         round(meanD("sa", "na"), 4).as("mean_a_cents"),
         round(meanD("sb", "nb"), 4).as("mean_b_cents"),
-        round((meanD("sa", "na") - meanD("sb", "nb")) /
-          sqrt(varOverN("na", "sa", "qa") + varOverN("nb", "sb", "qb")), 4).as("t_stat"))
+        Q.noNegZero(round((meanD("sa", "na") - meanD("sb", "nb")) /
+          sqrt(varOverN("na", "sa", "qa") + varOverN("nb", "sb", "qb")), 4)).as("t_stat"))
       .orderBy(col("event_type"))
   }
 

@@ -615,7 +615,7 @@ object GraphQueries {
        |  round((CAST(m AS DOUBLE) * CAST(sjk AS DOUBLE)
        |      - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
        |    / (CAST(m AS DOUBLE) * CAST(sj2 AS DOUBLE)
-       |      - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)), 6) AS assortativity
+       |      - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)), 6) + 0.0 AS assortativity
        |FROM s CROSS JOIN nn""".stripMargin) { (spark, dir) =>
     val e = coPurchaseEdges(spark, dir)
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
@@ -632,10 +632,10 @@ object GraphQueries {
     val nn = deg.agg(count(lit(1)).as("n_nodes"))
     s.crossJoin(broadcast(nn))
       .select(col("n_nodes"), expr("m div 2").as("n_edges"),
-        round((col("m").cast("double") * col("sjk").cast("double")
+        Q.noNegZero(round((col("m").cast("double") * col("sjk").cast("double")
             - col("sj").cast("double") * col("sj").cast("double"))
           / (col("m").cast("double") * col("sj2").cast("double")
-            - col("sj").cast("double") * col("sj").cast("double")), 6)
+            - col("sj").cast("double") * col("sj").cast("double")), 6))
           .as("assortativity"))
   }
 

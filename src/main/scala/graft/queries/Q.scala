@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 
 /** One registered engine query.
   *
@@ -32,4 +33,16 @@ object Q {
     Q(name, Some(oracle), run)
   def noOracle(name: String)(run: (SparkSession, String) => DataFrame): Q =
     Q(name, None, run)
+
+  /** Normalize IEEE signed zero after rounding: −0.0 + 0.0 = +0.0 (and
+    * x + 0.0 = x for every other double, NaN included), so a rounded
+    * value that lands within one ulp of zero hashes identically in both
+    * engines. DuckDB's `round(tiny_negative, d)` preserves the sign
+    * (−0.0) while Spark's `Round` (BigDecimal HALF_UP → toDouble)
+    * returns +0.0 — any rounded output that can go negative must be
+    * finished with this on the Spark side AND `+ 0.0` in the oracle SQL,
+    * or a degenerate input diverges the driver's exact hash (round 9:
+    * q194 heaps_beta on a β≈0 template corpus). Part of the determinism
+    * contract documented on [[Q]]. */
+  def noNegZero(c: Column): Column = c + lit(0.0d)
 }

@@ -63,7 +63,7 @@ object RelationalQueries {
     "q02_region_activity",
     """SELECT r_name, n_name,
       |  CAST(count(*) AS BIGINT) AS n_customers,
-      |  round(avg(c_acctbal), 4) AS avg_bal
+      |  round(avg(c_acctbal), 4) + 0.0 AS avg_bal
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
@@ -73,7 +73,8 @@ object RelationalQueries {
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(count(lit(1)).as("n_customers"), round(avg(col("c_acctbal")), 4).as("avg_bal"))
+      .agg(count(lit(1)).as("n_customers"),
+        Q.noNegZero(round(avg(col("c_acctbal")), 4)).as("avg_bal"))
       .orderBy(col("r_name"), col("n_name"))
   }
 
@@ -216,7 +217,7 @@ object RelationalQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev,
       |  round(l_extendedprice - lag(l_extendedprice, 1, 0.0) OVER (
       |    PARTITION BY l_suppkey
-      |    ORDER BY l_shipdate, l_orderkey, l_linenumber), 2) AS delta_prev
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber), 2) + 0.0 AS delta_prev
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
@@ -228,7 +229,8 @@ object RelationalQueries {
         round(sum(col("l_extendedprice"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
           .as("running_rev"),
-        round(col("l_extendedprice") - lag(col("l_extendedprice"), 1, 0.0).over(w), 2)
+        Q.noNegZero(
+          round(col("l_extendedprice") - lag(col("l_extendedprice"), 1, 0.0).over(w), 2))
           .as("delta_prev"))
       .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
   }
@@ -488,7 +490,7 @@ object RelationalQueries {
       |  first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
       |    AND CURRENT ROW) AS first_ok,
       |  round(max(o_totalprice) OVER (PARTITION BY o_custkey)
-      |    - o_totalprice, 2) AS gap_to_max
+      |    - o_totalprice, 2) + 0.0 AS gap_to_max
       |FROM orders
       |WHERE o_custkey % 10 = 0
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
@@ -507,7 +509,7 @@ object RelationalQueries {
         // 2-decimal values — always ≥5e-3 from a rounding boundary, unlike
         // avg-based deltas which land exactly on the grid for power-of-2
         // group sizes (observed 1e-4 cross-engine diffs)
-        round(max(col("o_totalprice")).over(wp) - col("o_totalprice"), 2)
+        Q.noNegZero(round(max(col("o_totalprice")).over(wp) - col("o_totalprice"), 2))
           .as("gap_to_max"))
       .orderBy(col("o_custkey"), col("drk"), col("o_orderkey"))
   }
@@ -1118,7 +1120,7 @@ object RelationalQueries {
       |SELECT nationkey, CAST(count(*) AS BIGINT) AS n_rows,
       |  CAST(sum(upd) AS BIGINT) AS n_updated,
       |  CAST(sum(ins) AS BIGINT) AS n_inserted,
-      |  round(sum(acctbal), 2) AS total_acctbal
+      |  round(sum(acctbal), 2) + 0.0 AS total_acctbal
       |FROM merged GROUP BY nationkey ORDER BY nationkey""".stripMargin) { (spark, dir) =>
     val base = Tables.customer(spark, dir)
     val updates = base.filter(col("c_custkey") % 2 === 1)
@@ -1136,7 +1138,8 @@ object RelationalQueries {
         when(col("c_custkey").isNotNull && col("k").isNotNull, 1L).otherwise(0L).as("upd"))
       .groupBy(col("nationkey"))
       .agg(count(lit(1)).as("n_rows"), sum(col("upd")).as("n_updated"),
-        sum(col("ins")).as("n_inserted"), round(sum(col("acctbal")), 2).as("total_acctbal"))
+        sum(col("ins")).as("n_inserted"),
+        Q.noNegZero(round(sum(col("acctbal")), 2)).as("total_acctbal"))
       .orderBy(col("nationkey"))
   }
 
@@ -1344,9 +1347,10 @@ object RelationalQueries {
       |  FROM m GROUP BY n_name)
       |SELECT n_name, n AS n_months,
       |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-      |    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 4) AS slope_cents,
+      |    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 4) + 0.0 AS slope_cents,
       |  round((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-      |    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx) / n, 4) AS icept_cents
+      |    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx) / n, 4) + 0.0
+      |    AS icept_cents
       |FROM s ORDER BY n_name""".stripMargin) { (spark, dir) =>
     val m = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
@@ -1363,8 +1367,9 @@ object RelationalQueries {
     val sxD = col("sx").cast("double")
     val slope = (nD * col("sxy") - sxD * col("sy")) / (nD * col("sxx") - sxD * col("sx"))
     s.select(col("n_name"), col("n").as("n_months"),
-        round(slope, 4).as("slope_cents"),
-        round((col("sy").cast("double") - slope * col("sx")) / col("n"), 4).as("icept_cents"))
+        Q.noNegZero(round(slope, 4)).as("slope_cents"),
+        Q.noNegZero(round((col("sy").cast("double") - slope * col("sx")) / col("n"), 4))
+          .as("icept_cents"))
       .orderBy(col("n_name"))
   }
 
@@ -1390,7 +1395,7 @@ object RelationalQueries {
       |  FROM m c JOIN m p ON c.n_name = p.n_name AND c.x = p.x + 12)
       |SELECT n_name, CAST(count(*) AS BIGINT) AS n_months,
       |  round(avg(abs(actual - pred) / CAST(actual AS DOUBLE)), 4) AS mape,
-      |  round(sum(pred - actual) / CAST(sum(actual) AS DOUBLE), 4) AS bias
+      |  round(sum(pred - actual) / CAST(sum(actual) AS DOUBLE), 4) + 0.0 AS bias
       |FROM j GROUP BY n_name ORDER BY n_name""".stripMargin) { (spark, dir) =>
     val m = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
@@ -1405,7 +1410,8 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_months"),
         round(avg(abs(col("actual") - col("pred")) / col("actual").cast("double")), 4)
           .as("mape"),
-        round(sum(col("pred") - col("actual")) / sum(col("actual")).cast("double"), 4)
+        Q.noNegZero(
+          round(sum(col("pred") - col("actual")) / sum(col("actual")).cast("double"), 4))
           .as("bias"))
       .orderBy(col("n_name"))
   }
@@ -1537,7 +1543,7 @@ object RelationalQueries {
       |  FROM cp)
       |SELECT n_name, CAST(x AS INT) AS change_month,
       |  CAST(cusum AS BIGINT) AS cusum_units,
-      |  round(CAST(cusum AS DOUBLE) / n / 100, 4) AS cusum_dollars
+      |  round(CAST(cusum AS DOUBLE) / n / 100, 4) + 0.0 AS cusum_dollars
       |FROM r WHERE rk = 1 ORDER BY n_name""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     val m = Tables.orders(spark, dir)
@@ -1559,7 +1565,8 @@ object RelationalQueries {
       .filter(col("rk") === 1)
       .select(col("n_name"), col("x").cast("int").as("change_month"),
         col("cusum").as("cusum_units"),
-        round(col("cusum").cast("double") / col("n") / 100, 4).as("cusum_dollars"))
+        Q.noNegZero(round(col("cusum").cast("double") / col("n") / 100, 4))
+          .as("cusum_dollars"))
       .orderBy(col("n_name"))
   }
 
@@ -1765,7 +1772,7 @@ object RelationalQueries {
       |  SELECT n_name, CAST(count(*) AS BIGINT) AS n_pairs,
       |    median(slope) AS med
       |  FROM p GROUP BY 1)
-      |SELECT n_name, n_pairs, round(med / 100, 6) AS ts_slope_dollars
+      |SELECT n_name, n_pairs, round(med / 100, 6) + 0.0 AS ts_slope_dollars
       |FROM s ORDER BY n_name""".stripMargin) { (spark, dir) =>
     val m = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
@@ -1790,7 +1797,7 @@ object RelationalQueries {
         .otherwise((element_at(col("sl"), expr("CAST(n div 2 AS INT)"))
           + element_at(col("sl"), expr("CAST(n div 2 + 1 AS INT)"))) / 2))
       .select(col("n_name"), col("n_pairs"),
-        round(col("med") / 100, 6).as("ts_slope_dollars"))
+        Q.noNegZero(round(col("med") / 100, 6)).as("ts_slope_dollars"))
       .orderBy(col("n_name"))
   }
 
@@ -1909,7 +1916,7 @@ object RelationalQueries {
       |    AS BIGINT) AS ssb_units,
       |  CAST(s2t - ut AS BIGINT) AS ssw_units,
       |  round((CAST(ut AS DOUBLE) - round(CAST(s1t AS DOUBLE) * s1t / nn))
-      |    / (k - 1) / ((CAST(s2t AS DOUBLE) - ut) / (nn - k)), 4) AS f_stat
+      |    / (k - 1) / ((CAST(s2t AS DOUBLE) - ut) / (nn - k)), 4) + 0.0 AS f_stat
       |FROM t""".stripMargin) { (spark, dir) =>
     val g = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
@@ -1928,10 +1935,10 @@ object RelationalQueries {
       (col("ut") - round(col("s1t").cast("double") * col("s1t") / col("nn"))
         .cast("long")).as("ssb_units"),
       (col("s2t") - col("ut")).as("ssw_units"),
-      round((col("ut").cast("double")
+      Q.noNegZero(round((col("ut").cast("double")
           - round(col("s1t").cast("double") * col("s1t") / col("nn")))
         / (col("k") - 1)
-        / ((col("s2t").cast("double") - col("ut")) / (col("nn") - col("k"))), 4)
+        / ((col("s2t").cast("double") - col("ut")) / (col("nn") - col("k"))), 4))
         .as("f_stat"))
   }
 
@@ -2020,7 +2027,7 @@ object RelationalQueries {
       |  round(CASE WHEN s.s > 0 THEN (s.s - 1)
       |             WHEN s.s < 0 THEN (s.s + 1)
       |             ELSE 0 END
-      |    / sqrt(nn.n * (nn.n - 1) * (2 * nn.n + 5) / 18.0), 4) AS z
+      |    / sqrt(nn.n * (nn.n - 1) * (2 * nn.n + 5) / 18.0), 4) + 0.0 AS z
       |FROM s JOIN nn ON nn.n_name = s.n_name
       |ORDER BY s.n_name""".stripMargin) { (spark, dir) =>
     val m = Tables.orders(spark, dir)
@@ -2043,9 +2050,9 @@ object RelationalQueries {
     s.join(nn, "n_name")
       .select(col("n_name"), col("n"), col("s").as("mk_s"),
         (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5)).as("var18"),
-        round(when(col("s") > 0, col("s") - 1)
+        Q.noNegZero(round(when(col("s") > 0, col("s") - 1)
             .when(col("s") < 0, col("s") + 1).otherwise(lit(0L))
-          / sqrt(col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) / 18.0), 4)
+          / sqrt(col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) / 18.0), 4))
           .as("z"))
       .orderBy(col("n_name"))
   }
@@ -2083,7 +2090,7 @@ object RelationalQueries {
       |SELECT n_name, n_customers, revenue_cents,
       |  round((2 * CAST(six AS DOUBLE)
       |      - (CAST(n_customers AS DOUBLE) + 1) * CAST(revenue_cents AS DOUBLE))
-      |    / (CAST(n_customers AS DOUBLE) * CAST(revenue_cents AS DOUBLE)), 6)
+      |    / (CAST(n_customers AS DOUBLE) * CAST(revenue_cents AS DOUBLE)), 6) + 0.0
       |    AS gini
       |FROM g ORDER BY n_name""".stripMargin) { (spark, dir) =>
     val rev = Tables.orders(spark, dir)
@@ -2101,9 +2108,9 @@ object RelationalQueries {
         sum(col("x")).as("revenue_cents"),
         sum(col("i").cast("decimal(38,0)") * col("x")).as("six"))
       .select(col("n_name"), col("n_customers"), col("revenue_cents"),
-        round((lit(2) * col("six").cast("double")
+        Q.noNegZero(round((lit(2) * col("six").cast("double")
             - (col("n_customers").cast("double") + 1) * col("revenue_cents").cast("double"))
-          / (col("n_customers").cast("double") * col("revenue_cents").cast("double")), 6)
+          / (col("n_customers").cast("double") * col("revenue_cents").cast("double")), 6))
           .as("gini"))
       .orderBy(col("n_name"))
   }
@@ -2213,9 +2220,9 @@ object RelationalQueries {
       |          min(sx) OVER (PARTITION BY n_name, sy) AS min_sx
       |        FROM m)
       |  GROUP BY 1, 2)
-      |SELECT n_name, n, round(qmi / 1e9, 6) AS mi_nats,
+      |SELECT n_name, n, round(qmi / 1e9, 6) + 0.0 AS mi_nats,
       |  round(qhx / 1e9, 6) AS hx_nats, round(qhy / 1e9, 6) AS hy_nats,
-      |  round(CAST(qmi AS DOUBLE) / sqrt(CAST(qhx AS DOUBLE) * qhy), 6) AS nmi
+      |  round(CAST(qmi AS DOUBLE) / sqrt(CAST(qhx AS DOUBLE) * qhy), 6) + 0.0 AS nmi
       |FROM q ORDER BY n_name""".stripMargin) { (spark, dir) =>
     val cells = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
@@ -2244,11 +2251,11 @@ object RelationalQueries {
           grid(-(col("cy").cast("double") / col("n"))
             * log(col("cy").cast("double") / col("n")))).otherwise(0L)).as("qhy"))
       .select(col("n_name"), col("n"),
-        round(col("qmi") / 1e9, 6).as("mi_nats"),
+        Q.noNegZero(round(col("qmi") / 1e9, 6)).as("mi_nats"),
         round(col("qhx") / 1e9, 6).as("hx_nats"),
         round(col("qhy") / 1e9, 6).as("hy_nats"),
-        round(col("qmi").cast("double")
-          / sqrt(col("qhx").cast("double") * col("qhy")), 6).as("nmi"))
+        Q.noNegZero(round(col("qmi").cast("double")
+          / sqrt(col("qhx").cast("double") * col("qhy")), 6)).as("nmi"))
       .orderBy(col("n_name"))
   }
 
@@ -2291,7 +2298,7 @@ object RelationalQueries {
       |SELECT a.n_name, CAST(l.k AS INT) AS lag,
       |  CAST(count(*) AS BIGINT) AS n_pairs,
       |  round(CAST(sum(CAST(round(a.z * b.z * 1e12) AS BIGINT)) AS BIGINT)
-      |    / 1e12, 6) AS acf
+      |    / 1e12, 6) + 0.0 AS acf
       |FROM z a
       |JOIN (VALUES (1), (2), (3), (4), (5), (6)) l(k) ON true
       |JOIN z b ON b.n_name = a.n_name AND b.x = a.x + l.k
@@ -2323,7 +2330,7 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_pairs"),
         sum(round(col("z") * col("bz") * 1e12).cast("long")).as("qacf"))
       .select(col("n_name"), col("lag"), col("n_pairs"),
-        round(col("qacf") / 1e12, 6).as("acf"))
+        Q.noNegZero(round(col("qacf") / 1e12, 6)).as("acf"))
       .orderBy(col("n_name"), col("lag"))
   }
 
@@ -2462,7 +2469,7 @@ object RelationalQueries {
       |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
       |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
       |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS spearman_rho
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0 AS spearman_rho
       |FROM s ORDER BY n_name""".stripMargin) { (spark, dir) =>
     import graft.operators.Ecdf
     val o = Tables.orders(spark, dir)
@@ -2490,12 +2497,12 @@ object RelationalQueries {
         sum(col("r2x").cast(dec) * col("r2x")).as("sxx"),
         sum(col("r2y").cast(dec) * col("r2y")).as("syy"))
     s.select(col("n_name"), col("n").as("n_orders"),
-        round((col("n").cast("double") * col("sxy").cast("double")
+        Q.noNegZero(round((col("n").cast("double") * col("sxy").cast("double")
             - col("sx").cast("double") * col("sy").cast("double"))
           / sqrt((col("n").cast("double") * col("sxx").cast("double")
               - col("sx").cast("double") * col("sx").cast("double"))
             * (col("n").cast("double") * col("syy").cast("double")
-              - col("sy").cast("double") * col("sy").cast("double"))), 6)
+              - col("sy").cast("double") * col("sy").cast("double"))), 6))
           .as("spearman_rho"))
       .orderBy(col("n_name"))
   }
@@ -2550,7 +2557,7 @@ object RelationalQueries {
       |  SELECT *, CASE WHEN pv <= 0.05 * i / m THEN 1 ELSE 0 END AS ok
       |  FROM bh),
       |cut AS (SELECT coalesce(max(CASE WHEN ok = 1 THEN i END), 0) AS kmax FROM pass)
-      |SELECT c_mktsegment, round(dd, 6) AS ks_d, round(pv, 6) AS p_value,
+      |SELECT c_mktsegment, round(dd, 6) AS ks_d, round(pv, 6) + 0.0 AS p_value,
       |  round(0.05 * i / m, 6) AS bh_threshold,
       |  CAST(CASE WHEN i <= kmax THEN 1 ELSE 0 END AS INT) AS drifted
       |FROM pass CROSS JOIN cut
@@ -2585,7 +2592,7 @@ object RelationalQueries {
       .withColumn("kmax", coalesce(
         max(when(col("ok") === 1, col("i"))).over(wAll), lit(0L)))
     bh.select(col("c_mktsegment"), round(col("dd"), 6).as("ks_d"),
-        round(col("pv"), 6).as("p_value"),
+        Q.noNegZero(round(col("pv"), 6)).as("p_value"),
         round(lit(0.05) * col("i") / col("m"), 6).as("bh_threshold"),
         when(col("i") <= col("kmax"), 1).otherwise(0).cast("int").as("drifted"))
       .orderBy(col("c_mktsegment"))

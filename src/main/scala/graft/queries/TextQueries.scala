@@ -495,7 +495,7 @@ object TextQueries {
       |tot AS (
       |  SELECT (SELECT sum(c_ab) FROM big) AS nb, (SELECT sum(c) FROM uni) AS nt)
       |SELECT g.a, g.b, g.c_ab,
-      |  round(ln((g.c_ab / t.nb) / ((ua.c / t.nt) * (ub.c / t.nt))), 6) AS pmi
+      |  round(ln((g.c_ab / t.nb) / ((ua.c / t.nt) * (ub.c / t.nt))), 6) + 0.0 AS pmi
       |FROM big g
       |JOIN uni ua ON g.a = ua.tok
       |JOIN uni ub ON g.b = ub.tok
@@ -522,8 +522,8 @@ object TextQueries {
       .crossJoin(broadcast(tot))
       .filter(col("c_ab") >= 5)
       .select(col("a"), col("b"), col("c_ab"),
-        round(log((col("c_ab") / col("nb")) /
-          ((col("c_a") / col("nt")) * (col("c_b") / col("nt")))), 6).as("pmi"))
+        Q.noNegZero(round(log((col("c_ab") / col("nb")) /
+          ((col("c_a") / col("nt")) * (col("c_b") / col("nt")))), 6)).as("pmi"))
       .orderBy(col("pmi").desc, col("a"), col("b"))
       .limit(15)
   }
@@ -1167,9 +1167,9 @@ object TextQueries {
       |  FROM toks JOIN freq USING (t) CROSS JOIN tot
       |  GROUP BY doc_id, lang)
       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-      |  round(avg(avg_lp), 4) AS mean_lp,
-      |  round(min(avg_lp), 4) AS min_lp,
-      |  round(max(avg_lp), 4) AS max_lp
+      |  round(avg(avg_lp), 4) + 0.0 AS mean_lp,
+      |  round(min(avg_lp), 4) + 0.0 AS min_lp,
+      |  round(max(avg_lp), 4) + 0.0 AS max_lp
       |FROM per
       |GROUP BY lang
       |ORDER BY lang""".stripMargin) { (spark, dir) =>
@@ -1185,9 +1185,9 @@ object TextQueries {
         (sum(log(col("c") / col("total"))) / count(lit(1))).as("avg_lp"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        round(avg(col("avg_lp")), 4).as("mean_lp"),
-        round(min(col("avg_lp")), 4).as("min_lp"),
-        round(max(col("avg_lp")), 4).as("max_lp"))
+        Q.noNegZero(round(avg(col("avg_lp")), 4)).as("mean_lp"),
+        Q.noNegZero(round(min(col("avg_lp")), 4)).as("min_lp"),
+        Q.noNegZero(round(max(col("avg_lp")), 4)).as("max_lp"))
       .orderBy(col("lang"))
   }
 
@@ -1271,9 +1271,9 @@ object TextQueries {
        |  FROM documents)
        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
-       |  round(avg(score), 4) AS mean_score,
-       |  round(min(score), 4) AS min_score,
-       |  round(max(score), 4) AS max_score
+       |  round(avg(score), 4) + 0.0 AS mean_score,
+       |  round(min(score), 4) + 0.0 AS min_score,
+       |  round(max(score), 4) + 0.0 AS max_score
        |FROM scored
        |GROUP BY lang
        |ORDER BY lang""".stripMargin) { (spark, dir) =>
@@ -1283,9 +1283,9 @@ object TextQueries {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("score") > 0, 1).otherwise(0)).as("n_pass"),
-        round(avg(col("score")), 4).as("mean_score"),
-        round(min(col("score")), 4).as("min_score"),
-        round(max(col("score")), 4).as("max_score"))
+        Q.noNegZero(round(avg(col("score")), 4)).as("mean_score"),
+        Q.noNegZero(round(min(col("score")), 4)).as("min_score"),
+        Q.noNegZero(round(max(col("score")), 4)).as("max_score"))
       .orderBy(col("lang"))
   }
 
@@ -1647,7 +1647,8 @@ object TextQueries {
          |      - ln((cr + 1.0) / ((SELECT sum(cr) FROM raw) + $B.0)) AS logw
          |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
          |w AS (
-         |  SELECT doc_id, any_value(lang) AS lang, round(sum(logw), 4) AS log_weight
+         |  SELECT doc_id, any_value(lang) AS lang,
+         |    round(sum(logw), 4) + 0.0 AS log_weight
          |  FROM feats JOIN ratio USING (b) GROUP BY doc_id)
          |SELECT doc_id, lang, log_weight
          |FROM w ORDER BY log_weight DESC, doc_id LIMIT 20""".stripMargin) { (spark, dir) =>
@@ -1675,7 +1676,8 @@ object TextQueries {
           log((e.getField("ct") + 1).cast("double") / (col("t_tot") + B))
             - log((e.getField("cr") + 1).cast("double") / (col("r_tot") + B)))
         .groupBy(col("doc_id"))
-        .agg(first(col("lang")).as("lang"), round(sum(col("logw")), 4).as("log_weight"))
+        .agg(first(col("lang")).as("lang"),
+          Q.noNegZero(round(sum(col("logw")), 4)).as("log_weight"))
         .orderBy(col("log_weight").desc, col("doc_id"))
         .limit(20)
     }
@@ -1752,7 +1754,8 @@ object TextQueries {
          |SELECT source,
          |  CAST(st AS BIGINT) AS n_tokens,
          |  round(sum(((c + 1.0) / (st + $B.0))
-         |    * ln(((c + 1.0) / (st + $B.0)) / ((cc + 1.0) / (a.at + $B.0)))), 4) AS kl
+         |    * ln(((c + 1.0) / (st + $B.0)) / ((cc + 1.0) / (a.at + $B.0)))), 4) + 0.0
+         |    AS kl
          |FROM grid CROSS JOIN all_tot a
          |GROUP BY source, st
          |ORDER BY source""".stripMargin) { (spark, dir) =>
@@ -1782,7 +1785,7 @@ object TextQueries {
           coalesce(element_at(col("ccm"), col("b")), lit(0L)).as("cc"),
           coalesce(col("c"), lit(0L)).as("c"), col("at"))
         .groupBy(col("source"), col("st"))
-        .agg(round(sum(pS * log(pS / pC)), 4).as("kl"))
+        .agg(Q.noNegZero(round(sum(pS * log(pS / pC)), 4)).as("kl"))
         .select(col("source"), col("st").cast("long").as("n_tokens"), col("kl"))
         .orderBy(col("source"))
     }
@@ -2023,7 +2026,7 @@ object TextQueries {
       |rr AS (
       |  SELECT c.qid, c.doc_id,
       |    round(list_cosine_similarity(CAST(ed.embedding AS DOUBLE[]),
-      |                                 CAST(eq.embedding AS DOUBLE[])), 6) AS cos
+      |                                 CAST(eq.embedding AS DOUBLE[])), 6) + 0.0 AS cos
       |  FROM cand c
       |  JOIN embeddings ed ON ed.vec_id = c.doc_id
       |  JOIN embeddings eq ON eq.vec_id = c.qid),
@@ -2045,7 +2048,7 @@ object TextQueries {
       .join(emb.select(col("vec_id").as("doc_id"), col("embedding").as("e_d")), "doc_id")
       .join(emb.select(col("vec_id").as("qid"), col("embedding").as("e_q")), "qid")
       .select(col("qid"), col("doc_id"),
-        round(VectorFns.cosine(col("e_d"), col("e_q")), 6).as("cos"))
+        Q.noNegZero(round(VectorFns.cosine(col("e_d"), col("e_q")), 6)).as("cos"))
       .withColumn("rnk", row_number().over(byQ).cast("int"))
       .filter(col("rnk") <= 3)
       .select(col("qid"), col("rnk"), col("doc_id"), col("cos"))
@@ -2723,7 +2726,7 @@ object TextQueries {
        |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
        |  round(sum(CASE WHEN pos THEN 1 ELSE 0 END)
        |    / CAST(count(*) AS DOUBLE), 4) AS pos_rate,
-       |  round(avg(score), 4) AS mean_score
+       |  round(avg(score), 4) + 0.0 AS mean_score
        |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (spark, dir) =>
     val lab = qualityLab(spark, dir)
     val bounds = lab.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
@@ -2736,7 +2739,7 @@ object TextQueries {
         sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
         round(sum(when(col("pos"), 1L).otherwise(0L))
           / count(lit(1)).cast("double"), 4).as("pos_rate"),
-        round(avg(col("score")), 4).as("mean_score"))
+        Q.noNegZero(round(avg(col("score")), 4)).as("mean_score"))
       .orderBy(col("bin"))
   }
 
@@ -3212,7 +3215,7 @@ object TextQueries {
       |  LEFT JOIN ex ON ex.sa = p.sa AND ex.sb = p.sb)
       |SELECT sa, sb, round(ea, 4) AS est_a, round(eb, 4) AS est_b,
       |  round(eu, 4) AS est_union,
-      |  round(ea + eb - eu, 4) AS est_overlap, exact_overlap
+      |  round(ea + eb - eu, 4) + 0.0 AS est_overlap, exact_overlap
       |FROM est ORDER BY sa, sb""".stripMargin) { (spark, dir) =>
     import graft.functions.PortableHll
     val docs = Tables.documents(spark, dir)
@@ -3258,8 +3261,8 @@ object TextQueries {
         round(e(col("ta"), col("va")), 4).as("est_a"),
         round(e(col("tb"), col("vb")), 4).as("est_b"),
         round(e(col("tu"), col("vu")), 4).as("est_union"),
-        round(e(col("ta"), col("va")) + e(col("tb"), col("vb"))
-          - e(col("tu"), col("vu")), 4).as("est_overlap"),
+        Q.noNegZero(round(e(col("ta"), col("va")) + e(col("tb"), col("vb"))
+          - e(col("tu"), col("vu")), 4)).as("est_overlap"),
         coalesce(col("c"), lit(0L)).as("exact_overlap"))
       .orderBy(col("sa"), col("sb"))
   }
@@ -3292,7 +3295,7 @@ object TextQueries {
       |  CAST(sum(sents) AS BIGINT) AS total_sents,
       |  CAST(sum(sylls) AS BIGINT) AS total_sylls,
       |  round(0.39 * sum(words) / sum(sents)
-      |    + 11.8 * sum(sylls) / sum(words) - 15.59, 4) AS fk_corpus,
+      |    + 11.8 * sum(sylls) / sum(words) - 15.59, 4) + 0.0 AS fk_corpus,
       |  CAST(sum(CASE WHEN fk > 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
       |FROM g GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
     val f = Tables.documents(spark, dir).select(col("source"),
@@ -3309,8 +3312,8 @@ object TextQueries {
         sum(col("words")).as("total_words"),
         sum(col("sents")).as("total_sents"),
         sum(col("sylls")).as("total_sylls"),
-        round(lit(0.39) * sum(col("words")) / sum(col("sents"))
-          + lit(11.8) * sum(col("sylls")) / sum(col("words")) - 15.59, 4)
+        Q.noNegZero(round(lit(0.39) * sum(col("words")) / sum(col("sents"))
+          + lit(11.8) * sum(col("sylls")) / sum(col("words")) - 15.59, 4))
           .as("fk_corpus"),
         sum(when(col("fk") > 12, 1L).otherwise(0L)).as("n_hard"))
       .orderBy(col("source"))
@@ -3427,11 +3430,11 @@ object TextQueries {
       |  FROM ranked GROUP BY 1)
       |SELECT source, n,
       |  round((n * (sxy / 1e9) - (sx / 1e9) * (sy / 1e9))
-      |    / (n * (sxx / 1e9) - (sx / 1e9) * (sx / 1e9)), 6) AS zipf_slope,
+      |    / (n * (sxx / 1e9) - (sx / 1e9) * (sx / 1e9)), 6) + 0.0 AS zipf_slope,
       |  round((n * (sxy / 1e9) - (sx / 1e9) * (sy / 1e9))
       |    * (n * (sxy / 1e9) - (sx / 1e9) * (sy / 1e9))
       |    / ((n * (sxx / 1e9) - (sx / 1e9) * (sx / 1e9))
-      |      * (n * (syy / 1e9) - (sy / 1e9) * (sy / 1e9))), 6) AS r2
+      |      * (n * (syy / 1e9) - (sy / 1e9) * (sy / 1e9))), 6) + 0.0 AS r2
       |FROM q ORDER BY source""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(spark, dir)
@@ -3455,8 +3458,8 @@ object TextQueries {
     val varX = col("n") * (col("sxx") / 1e9) - sxd * sxd
     val varY = col("n") * (col("syy") / 1e9) - syd * syd
     q.select(col("source"), col("n"),
-        round(cov / varX, 6).as("zipf_slope"),
-        round(cov * cov / (varX * varY), 6).as("r2"))
+        Q.noNegZero(round(cov / varX, 6)).as("zipf_slope"),
+        Q.noNegZero(round(cov * cov / (varX * varY), 6)).as("r2"))
       .orderBy(col("source"))
   }
 
@@ -3502,7 +3505,7 @@ object TextQueries {
       |  round(CAST(g.mass AS DOUBLE) / g.n_docs, 4) AS mean_chars,
       |  round(CAST(tg.tmass AS DOUBLE) / tg.tn, 4) AS target_chars,
       |  round(CAST(tg.tmass AS DOUBLE) / tg.tn
-      |    - CAST(g.mass AS DOUBLE) / g.n_docs, 4) AS shift
+      |    - CAST(g.mass AS DOUBLE) / g.n_docs, 4) + 0.0 AS shift
       |FROM g JOIN tg USING (k)
       |ORDER BY source, decile""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
@@ -3530,8 +3533,8 @@ object TextQueries {
       .select(col("source"), col("k").cast("int").as("decile"), col("n_docs"),
         round(col("mass").cast("double") / col("n_docs"), 4).as("mean_chars"),
         round(col("tmass").cast("double") / col("tn"), 4).as("target_chars"),
-        round(col("tmass").cast("double") / col("tn")
-          - col("mass").cast("double") / col("n_docs"), 4).as("shift"))
+        Q.noNegZero(round(col("tmass").cast("double") / col("tn")
+          - col("mass").cast("double") / col("n_docs"), 4)).as("shift"))
       .orderBy(col("source"), col("decile"))
   }
 
@@ -3579,7 +3582,7 @@ object TextQueries {
       |  FROM dbg JOIN p ON p.w1 = dbg.w1 AND p.w2 = dbg.w2
       |  GROUP BY 1, 2)
       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-      |  round(CAST(sum(qmean) AS BIGINT) / count(*) / 1e9, 6) AS avg_logprob,
+      |  round(CAST(sum(qmean) AS BIGINT) / count(*) / 1e9, 6) + 0.0 AS avg_logprob,
       |  CAST(sum(CASE WHEN exp(-qmean / 1e9) > 31.0 THEN 1 ELSE 0 END)
       |    AS BIGINT) AS n_high_ppl,
       |  round(CAST(sum(CASE WHEN exp(-qmean / 1e9) > 31.0 THEN 1 ELSE 0 END)
@@ -3612,7 +3615,7 @@ object TextQueries {
     val hi = exp(-col("qmean") / 1e9) > 31.0
     dm.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        round(sum(col("qmean")) / count(lit(1)) / 1e9, 6).as("avg_logprob"),
+        Q.noNegZero(round(sum(col("qmean")) / count(lit(1)) / 1e9, 6)).as("avg_logprob"),
         sum(when(hi, 1L).otherwise(0L)).as("n_high_ppl"),
         round(sum(when(hi, 1L).otherwise(0L)).cast("double") / count(lit(1)), 6)
           .as("high_ppl_share"))
@@ -3670,11 +3673,11 @@ object TextQueries {
       |  FROM pts WHERE cn > 0 AND cv > 0 GROUP BY 1)
       |SELECT source, n AS n_points,
       |  round((n * (sxy / 1e9) - (sx / 1e9) * (sy / 1e9))
-      |    / (n * (sxx / 1e9) - (sx / 1e9) * (sx / 1e9)), 6) AS heaps_beta,
+      |    / (n * (sxx / 1e9) - (sx / 1e9) * (sx / 1e9)), 6) + 0.0 AS heaps_beta,
       |  round((n * (sxy / 1e9) - (sx / 1e9) * (sy / 1e9))
       |    * (n * (sxy / 1e9) - (sx / 1e9) * (sy / 1e9))
       |    / ((n * (sxx / 1e9) - (sx / 1e9) * (sx / 1e9))
-      |      * (n * (syy / 1e9) - (sy / 1e9) * (sy / 1e9))), 6) AS r2
+      |      * (n * (syy / 1e9) - (sy / 1e9) * (sy / 1e9))), 6) + 0.0 AS r2
       |FROM q ORDER BY source""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
@@ -3715,8 +3718,8 @@ object TextQueries {
     val varX = col("n") * (col("sxx") / 1e9) - sxd * sxd
     val varY = col("n") * (col("syy") / 1e9) - syd * syd
     q.select(col("source"), col("n").as("n_points"),
-        round(cov / varX, 6).as("heaps_beta"),
-        round(cov * cov / (varX * varY), 6).as("r2"))
+        Q.noNegZero(round(cov / varX, 6)).as("heaps_beta"),
+        Q.noNegZero(round(cov * cov / (varX * varY), 6)).as("r2"))
       .orderBy(col("source"))
   }
 
@@ -3810,10 +3813,10 @@ object TextQueries {
       |SELECT source_a, source_b,
       |  round(CAST(sum(CAST(round((p * ln(2 * p / (p + q))
       |      + q * ln(2 * q / (p + q))) * 1e9) AS BIGINT)) AS BIGINT)
-      |    / 2e9, 6) AS jsd,
+      |    / 2e9, 6) + 0.0 AS jsd,
       |  round(CAST(sum(CAST(round((p * ln(2 * p / (p + q))
       |      + q * ln(2 * q / (p + q))) * 1e9) AS BIGINT)) AS BIGINT)
-      |    / 2e9 / ln(2), 6) AS jsd_norm
+      |    / 2e9 / ln(2), 6) + 0.0 AS jsd_norm
       |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
     import graft.operators.Dedup
     val feats = Tables.documents(spark, dir)
@@ -3847,8 +3850,8 @@ object TextQueries {
     pairs.groupBy(col("source_a"), col("source_b"))
       .agg(sum(round(term * 1e9).cast("long")).as("tsum"))
       .select(col("source_a"), col("source_b"),
-        round(col("tsum") / 2e9, 6).as("jsd"),
-        round(col("tsum") / 2e9 / math.log(2.0), 6).as("jsd_norm"))
+        Q.noNegZero(round(col("tsum") / 2e9, 6)).as("jsd"),
+        Q.noNegZero(round(col("tsum") / 2e9 / math.log(2.0), 6)).as("jsd_norm"))
       .orderBy(col("source_a"), col("source_b"))
   }
 
@@ -3980,7 +3983,7 @@ object TextQueries {
        |  round(res_n / n, 6) AS resolution,
        |  round(CAST(np AS DOUBLE) / n * (1 - CAST(np AS DOUBLE) / n), 6) AS uncertainty,
        |  round(wbv_n / n, 6) AS within_bin_var,
-       |  round(wcv_n / n, 6) AS within_bin_cov
+       |  round(wcv_n / n, 6) + 0.0 AS within_bin_cov
        |FROM parts""".stripMargin) { (spark, dir) =>
     val lab = qualityLab(spark, dir)
     val bounds = lab.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
@@ -3989,11 +3992,15 @@ object TextQueries {
           ((col("hi") - col("lo")) / 16)).cast("int"), lit(0)), lit(15)).as("bin"),
         round(lit(1e9) / (lit(1) + exp(-col("score")))).cast("long").as("fq"),
         when(col("pos"), 1L).otherwise(0L).as("o"))
+    // fq is 1e9-gridded, so plain Long sums of fq / fq*o wrap silently
+    // past ~9.2e9 docs while the oracle's BIGINT sums land in HUGEINT —
+    // decimal(38,0) gives all three running sums the same ~1e29-doc
+    // headroom as sf2 (ADVICE r9)
     val g = b.groupBy(col("bin"))
       .agg(count(lit(1)).as("nb"), sum(col("o")).as("pb"),
-        sum(col("fq")).as("sf"),
+        sum(col("fq").cast("decimal(38,0)")).as("sf"),
         sum(col("fq").cast("decimal(38,0)") * col("fq")).as("sf2"),
-        sum(col("fq") * col("o")).as("sfo"))
+        sum((col("fq") * col("o")).cast("decimal(38,0)")).as("sfo"))
     val t = g.agg(sum(col("nb")).as("n"), sum(col("pb")).as("np"),
       sum(col("sf")).as("sft"), sum(col("sf2")).as("sf2t"),
       sum(col("sfo")).as("sfot"))
@@ -4017,7 +4024,7 @@ object TextQueries {
         round(col("res_n") / col("n"), 6).as("resolution"),
         round(obar * (lit(1) - obar), 6).as("uncertainty"),
         round(col("wbv_n") / col("n"), 6).as("within_bin_var"),
-        round(col("wcv_n") / col("n"), 6).as("within_bin_cov"))
+        Q.noNegZero(round(col("wcv_n") / col("n"), 6)).as("within_bin_cov"))
   }
 
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,

@@ -26,7 +26,7 @@ object VectorQueries {
     "q31_cosine_topk",
     """SELECT e.vec_id, e.label,
       |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-      |                               CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+      |                               CAST(q.embedding AS DOUBLE[])), 6) + 0.0 AS cos_sim
       |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
       |WHERE e.vec_id <> 0
       |ORDER BY cos_sim DESC, e.vec_id
@@ -36,7 +36,7 @@ object VectorQueries {
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(probe))
       .select(col("vec_id"), col("label"),
-        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+        Q.noNegZero(round(VectorFns.cosine(col("embedding"), col("q_emb")), 6)).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(20)
   }
@@ -87,7 +87,7 @@ object VectorQueries {
        |    ${duckBucketExpr("embedding", 6)} AS bucket
        |  FROM embeddings)
        |SELECT v.vec_id, v.label,
-       |  round(list_cosine_similarity(v.e, q.e), 6) AS cos_sim
+       |  round(list_cosine_similarity(v.e, q.e), 6) + 0.0 AS cos_sim
        |FROM buck v JOIN (SELECT bucket, e FROM buck WHERE vec_id = 0) q
        |  ON v.bucket = q.bucket
        |WHERE v.vec_id <> 0
@@ -100,7 +100,7 @@ object VectorQueries {
     emb.filter(col("vec_id") =!= 0)
       .join(broadcast(probe), col("bucket") === col("q_bucket"))
       .select(col("vec_id"), col("label"),
-        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+        Q.noNegZero(round(VectorFns.cosine(col("embedding"), col("q_emb")), 6)).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(20)
   }
@@ -136,7 +136,7 @@ object VectorQueries {
         col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"))
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
-        round(VectorFns.cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+        Q.noNegZero(round(VectorFns.cosine(col("emb_a"), col("emb_b")), 6)).as("cos_sim"))
       .filter(col("cos_sim") >= 0.2)
   }
 
@@ -168,7 +168,7 @@ object VectorQueries {
        |  $bandRows),
        |pairs AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-       |    round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+       |    round(list_cosine_similarity(a.e, b.e), 6) + 0.0 AS cos_sim
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
        |  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.2)""".stripMargin
@@ -248,7 +248,7 @@ object VectorQueries {
     def verify(cands: org.apache.spark.sql.DataFrame) = cands
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
-        round(VectorFns.cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+        Q.noNegZero(round(VectorFns.cosine(col("emb_a"), col("emb_b")), 6)).as("cos_sim"))
       .filter(col("cos_sim") >= 0.2)
       .select(col("id_a"), col("id_b"))
     // the banded corpus is computed ONCE and cached — the in-memory
@@ -407,7 +407,7 @@ object VectorQueries {
       |    FROM sims) t
       |  WHERE rn = 1),
       |probe AS (SELECT cell, v FROM assign WHERE vec_id = 0)
-      |SELECT a.vec_id, a.label, round(list_cosine_similarity(a.v, p.v), 6) AS cos_sim
+      |SELECT a.vec_id, a.label, round(list_cosine_similarity(a.v, p.v), 6) + 0.0 AS cos_sim
       |FROM assign a JOIN probe p ON a.cell = p.cell
       |WHERE a.vec_id <> 0
       |ORDER BY cos_sim DESC, a.vec_id
@@ -441,7 +441,7 @@ object VectorQueries {
     assign.join(broadcast(probe), col("cell") === col("p_cell"))
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("label"),
-        round(VectorFns.cosine(col("v"), col("p_v")), 6).as("cos_sim"))
+        Q.noNegZero(round(VectorFns.cosine(col("v"), col("p_v")), 6)).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -497,7 +497,7 @@ object VectorQueries {
     "q91_kmeans_clusters",
     s"""WITH ${duckKmeansCtes(KmK, KmIters)}
        |SELECT a.cell AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
-       |  round(avg(list_cosine_similarity(a.v, c.c)), 6) AS avg_cos
+       |  round(avg(list_cosine_similarity(a.v, c.c)), 6) + 0.0 AS avg_cos
        |FROM assign$KmIters a JOIN cent$KmIters c ON a.cell = c.cell
        |GROUP BY a.cell
        |ORDER BY a.cell""".stripMargin) { (spark, dir) =>
@@ -507,7 +507,7 @@ object VectorQueries {
     assigned
       .withColumn("cos_c", KMeans.cosToCentroid(col("v"), col("cell"), codebook))
       .groupBy(col("cell").as("cluster_id"))
-      .agg(count(lit(1)).as("n_members"), round(avg(col("cos_c")), 6).as("avg_cos"))
+      .agg(count(lit(1)).as("n_members"), Q.noNegZero(round(avg(col("cos_c")), 6)).as("avg_cos"))
       .orderBy(col("cluster_id"))
   }
 
@@ -813,7 +813,7 @@ object VectorQueries {
        |    unnest([0, 1, 2, 4, 8, 16, 32]) AS t(f)
        |  WHERE vec_id = 0)
        |SELECT v.vec_id, v.label,
-       |  round(list_cosine_similarity(v.e, p.qe), 6) AS cos_sim
+       |  round(list_cosine_similarity(v.e, p.qe), 6) + 0.0 AS cos_sim
        |FROM buck v JOIN probes p ON v.bucket = p.pb
        |WHERE v.vec_id <> 0
        |ORDER BY cos_sim DESC, v.vec_id
@@ -828,7 +828,7 @@ object VectorQueries {
     emb.filter(col("vec_id") =!= 0)
       .join(broadcast(probe), col("bucket") === col("p_bucket"))
       .select(col("vec_id"), col("label"),
-        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+        Q.noNegZero(round(VectorFns.cosine(col("embedding"), col("q_emb")), 6)).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(20)
   }
@@ -954,7 +954,7 @@ object VectorQueries {
       |rr AS (
       |  SELECT t.qid, t.vec_id, t.hamming,
       |    round(list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),
-      |                                 CAST(q.q_emb AS DOUBLE[])), 6) AS cos_sim
+      |                                 CAST(q.q_emb AS DOUBLE[])), 6) + 0.0 AS cos_sim
       |  FROM t20 t JOIN q ON t.qid = q.qid WHERE t.rn <= 20),
       |fin AS (
       |  SELECT qid, vec_id, hamming, cos_sim,
@@ -989,7 +989,7 @@ object VectorQueries {
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
     val rr = t20.join(broadcast(probeEmb), "qid")
       .select(col("qid"), col("vec_id"), col("hamming"),
-        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+        Q.noNegZero(round(VectorFns.cosine(col("embedding"), col("q_emb")), 6)).as("cos_sim"))
     rr.withColumn("rnk", row_number().over(byQ.orderBy(col("cos_sim").desc, col("vec_id"))))
       .filter(col("rnk") <= 5)
       .select(col("qid"), col("rnk"), col("vec_id"), col("hamming"), col("cos_sim"))

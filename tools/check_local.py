@@ -6,8 +6,11 @@ Usage: python3 tools/check_local.py <sfDir> <verifyOutDir>
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
 matching oracle SQL from oracle_sql.json in DuckDB over views named after the
 tables in <sfDir>, and compares: schema (sorted column names), row count, and
-values (rows sorted, columns sorted by name). Exact compare; float diffs are
-reported with max abs delta so fp-noise is distinguishable from real bugs.
+values (rows sorted, columns sorted by name). Floats are compared EXACTLY,
+including the sign of zero (the driver hashes bit-exactly; Python's
+`-0.0 == 0.0` is how the round-9 q194 signed-zero red passed locally) —
+the max abs delta across a failing column is printed as a DIAGNOSTIC to
+tell fp-noise from a real bug, never as a tolerance.
 """
 import sys, json, glob, math
 import duckdb
@@ -15,12 +18,11 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
+def floats_equal(a, b):
+    """Driver-strict: NaN == NaN, but -0.0 != +0.0 and no epsilon."""
+    if math.isnan(a) or math.isnan(b):
+        return math.isnan(a) and math.isnan(b)
+    return a == b and math.copysign(1.0, a) == math.copysign(1.0, b)
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -51,23 +53,28 @@ def main(sf_dir, out_dir):
         bad = None; max_delta = 0.0
         for c in gc:
             for i, (a, b) in enumerate(zip(g[c], e[c])):
-                a, b = norm(a), norm(b)
                 if isinstance(a, float) and isinstance(b, float):
-                    if a != b:
-                        d = abs(a - b)
-                        max_delta = max(max_delta, d)
-                        if d > 1e-9 * max(1.0, abs(a), abs(b)):
-                            bad = (c, i, a, b); break
+                    if not floats_equal(a, b):
+                        if not (math.isnan(a) or math.isnan(b)):
+                            max_delta = max(max_delta, abs(a - b))
+                        if bad is None:
+                            bad = (c, i, a, b)
                 elif str(a) != str(b):
-                    bad = (c, i, a, b); break
-            if bad:
+                    if bad is None:
+                        bad = (c, i, a, b)
+                    break
+            if bad and max_delta == 0.0:
                 break
         if bad:
-            print(f"FAIL {name}: col={bad[0]} row={bad[1]} spark={bad[2]!r} oracle={bad[3]!r}")
+            sa, sb = bad[2], bad[3]
+            fmt = lambda v: (f"{v!r}(sign={math.copysign(1, v):+.0f})"
+                             if isinstance(v, float) and v == 0.0 else f"{v!r}")
+            note = f" (max fp delta {max_delta:.2e})" if max_delta > 0 else ""
+            print(f"FAIL {name}: col={bad[0]} row={bad[1]} "
+                  f"spark={fmt(sa)} oracle={fmt(sb)}{note}")
             n_fail += 1
         else:
-            note = f" (max fp delta {max_delta:.2e})" if max_delta > 0 else ""
-            print(f"PASS {name}: {len(got)} rows{note}")
+            print(f"PASS {name}: {len(got)} rows")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} total")
     return 1 if n_fail else 0
