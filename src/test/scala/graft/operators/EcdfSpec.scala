@@ -40,6 +40,35 @@ class EcdfSpec extends SparkSpec {
     assert(got === Map(1L -> 3L, 3L -> 7L, 5L -> 9L, 9L -> 10L))
   }
 
+  test("both consumers observe ONE range exchange (offs side is a ReusedExchange)") {
+    // groupedCumsum's correctness hinges on the offs aggregate and the
+    // final join observing IDENTICAL range-partition boundaries:
+    // spark_partition_id over a sampled repartitionByRange is only
+    // consistent across the self-join when the exchange is planned
+    // once and REUSED. If a future plan shape re-plans the range
+    // exchange per consumer (each samples independently), offsets
+    // attach to mismatched slice ids and cumsums go silently wrong —
+    // this must fail loudly instead. AQE stage reuse only shows in the
+    // FINAL adaptive plan, so collect() first and read the plan's own
+    // queryExecution (a count() would wrap a new, unexecuted plan).
+    val d = (1 to 5000).map(i => (s"g${i % 3}", (i * 37 % 997).toLong, 1L))
+      .toDF("g", "v", "c")
+      .groupBy("g", "v").agg(sum("c").as("c"))
+    val out = Ecdf.groupedCumsum(d, Seq("g"), "v", Seq("c"))
+    out.collect()
+    val s = out.queryExecution.executedPlan.toString
+    assert(s.contains("isFinalPlan=true"), s)
+    val fin = s.split("== Initial Plan ==")(0).linesIterator.toSeq
+    val materialized = fin.count(l =>
+      l.contains("Exchange rangepartitioning") && !l.contains("ReusedExchange"))
+    val reused = fin.count(l =>
+      l.contains("ReusedExchange") && l.contains("rangepartitioning"))
+    assert(materialized === 1,
+      s"expected exactly one materialized range exchange, got $materialized:\n$s")
+    assert(reused === 1,
+      s"offs consumer no longer reuses the range exchange (boundary mismatch risk):\n$s")
+  }
+
   test("the plan's only unbounded-partition window is over the offset table") {
     // the operator's reason to exist: no per-group window ever sees
     // row-grain data — the slice windows partition by (group, pid) and

@@ -277,6 +277,51 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.find(_._1 == "srcA").get._2 === 5L)
   }
 
+  test("waterfill availability state survives a checkpoint bounce") {
+    import spark.implicits._
+    // END-TO-END restart drill for the mixing plan's live input (the
+    // BM25 drill's twin for grouped streaming STATE, not landed files):
+    // ingest corpus A, stop, drop corpus B into the source while the
+    // query is DOWN, restart on the SAME checkpoint. The restored
+    // per-source state must merge with the missed micro-batch so the
+    // serving-read allocation equals the one-shot batch waterfill over
+    // A ∪ B. (Memory sink + complete mode is the one sink/mode pair
+    // that supports checkpoint recovery — complete rewrites the table.)
+    val base = java.nio.file.Files.createTempDirectory("mix-restart").toString
+    val (srcDir, ckDir) = (s"$base/src", s"$base/ck")
+    val corpusA = Seq(("srcA", "one two three"), ("srcB", "four five"))
+      .toDF("source", "text")
+    val corpusB = Seq(("srcA", "six seven"), ("srcC", "eight nine ten eleven"))
+      .toDF("source", "text")
+    corpusA.coalesce(1).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(tbl: String): org.apache.spark.sql.DataFrame = {
+      val q = StreamOps.sourceTokenCounts(
+          StreamOps.parquetStream(spark, schema, srcDir), "source", "text")
+        .writeStream.format("memory").queryName(tbl).outputMode("complete")
+        .option("checkpointLocation", ckDir)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(tbl)
+    }
+    val run1 = runOnce("mix_restart_1").as[(String, Long)].collect().toMap
+    assert(run1 === Map("srcA" -> 3L, "srcB" -> 2L))
+    corpusB.coalesce(1).write.mode("append").parquet(srcDir) // arrives while DOWN
+    val counts2 = runOnce("mix_restart_2")
+    // restored state + the missed batch: srcA merged 3 + 2 across the bounce
+    val streamed = graft.operators.Mixing.waterfill(counts2, 3, 5)
+      .as[(String, Long, Long, Double, Int)].collect().toSet
+    val batchAll = graft.operators.Mixing.waterfill(
+        StreamOps.sourceTokenCounts(
+          corpusA.unionByName(corpusB), "source", "text"), 3, 5)
+      .as[(String, Long, Long, Double, Int)].collect().toSet
+    assert(streamed === batchAll && streamed.nonEmpty,
+      s"allocation diverged across the bounce: $streamed vs $batchAll")
+    assert(streamed.find(_._1 == "srcA").get._2 === 5L)
+    assert(streamed.map(_._1) === Set("srcA", "srcB", "srcC"))
+  }
+
   test("stream-stream interval join matches keys within the window only") {
     import spark.implicits._
     val ldir = java.nio.file.Files.createTempDirectory("stream-imp").toString
