@@ -345,6 +345,35 @@ object DiagScale {
             .run(spark, relTables(spark, sfDir, k)).count()),
         "q197_robust" -> (() =>
           graft.queries.RelationalQueries.q197RobustMeans
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        // r10 wave 3: the rest of the r9 family, on the REGISTERED code.
+        // q194 claims (source, prefix-bucket)-grain vocabulary counts;
+        // q200 claims value-grain Ecdf tails; q199 is q185's ECDF plus a
+        // segment-grain BH pass; q201/q202 claim one doc-grain collapse
+        // into a ≤ shards×bands / 16-bin relation. All should probe
+        // ≤~linear. q196 is the one with an honest super-unit caveat:
+        // its fact-scale tokenize is linear, but the pair stage is
+        // |sources|²×64 and relTables multiplies the SOURCE COUNT by k
+        // (20→160 at k=8) — a real corpus grows rows per source, not
+        // sources, so the measured exponent overstates production
+        // growth; annotated where the artifact is committed.
+        "q194_heaps" -> (() =>
+          graft.queries.TextQueries.q194HeapsLaw
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        "q196_jsd" -> (() =>
+          graft.queries.TextQueries.q196JsDivergence
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        "q199_bh_alarms" -> (() =>
+          graft.queries.RelationalQueries.q199DriftAlarmsBh
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        "q200_hill" -> (() =>
+          graft.queries.RelationalQueries.q200HillTailIndex
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        "q201_balance" -> (() =>
+          graft.queries.TextQueries.q201ShardBalance
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        "q202_brier" -> (() =>
+          graft.queries.TextQueries.q202BrierDecomposition
             .run(spark, relTables(spark, sfDir, k)).count()))
     }
 
