@@ -36,12 +36,27 @@ object Ecdf {
     * them — measured on q200: 5 scans of orders for 3 consumers).
     * Every input column passes through unchanged.
     *
+    * With `withNext = true` the output also carries `next_<orderCol>` —
+    * each row's successor value in the group's ascending order (NULL on
+    * the group's maximum), the ingredient that turns a cumsum into an
+    * INTEGRAL: Σ F(v)·(next−v) is a Riemann sum over the ECDF, so
+    * Wasserstein-1 / Cramér-style statistics fall out of the same one
+    * range exchange. Distributed the same way as the cumsum: a lead
+    * inside each slice, with the slice-boundary successor coming from
+    * the NEXT non-empty slice's minimum, which rides the offset table
+    * as one more bounded window (a group's slices are contiguous in
+    * __pid order, so lead over the offset rows IS the next non-empty
+    * slice). Requires value-grain input where duplicates exist (same
+    * contract as ties above).
+    *
     * @param partCols group columns (empty = one global cumsum)
     * @param slices   range-partition width; 32 matches the test rig's
     *                 parallelism, production tunes it to the cluster
+    * @param withNext also emit `next_<orderCol>` (successor value)
     */
   def groupedCumsum(df: DataFrame, partCols: Seq[String], orderCol: String,
-      sumCols: Seq[String], slices: Int = 32): DataFrame = {
+      sumCols: Seq[String], slices: Int = 32,
+      withNext: Boolean = false): DataFrame = {
     require(sumCols.nonEmpty, "no columns to accumulate")
     val gcols = partCols.map(col)
     val parted = df
@@ -49,18 +64,23 @@ object Ecdf {
       .withColumn("__pid", spark_partition_id())
     val byGroup = Window.partitionBy(gcols: _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val byGroupRows = Window.partitionBy(gcols: _*).orderBy(col("__pid"))
     val wholeGroup = Window.partitionBy(gcols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offs = parted
       .groupBy((gcols :+ col("__pid")): _*)
       .agg(sum(col(sumCols.head)).as(s"__s0"),
         sumCols.tail.zipWithIndex.map { case (c, i) =>
-          sum(col(c)).as(s"__s${i + 1}") }: _*)
+          sum(col(c)).as(s"__s${i + 1}") }
+          :+ min(col(orderCol)).as("__mn"): _*)
       .select((gcols :+ col("__pid"))
         ++ sumCols.indices.map(i =>
           coalesce(sum(col(s"__s$i")).over(byGroup), lit(0L)).as(s"__off$i"))
         ++ sumCols.indices.map(i =>
-          sum(col(s"__s$i")).over(wholeGroup).as(s"__tot$i")): _*)
+          sum(col(s"__s$i")).over(wholeGroup).as(s"__tot$i"))
+        ++ (if (withNext) Seq(lead(col("__mn"), 1).over(byGroupRows)
+              .as("__nextmn"))
+            else Nil): _*)
     val slice = Window.partitionBy((gcols :+ col("__pid")): _*)
       .orderBy(col(orderCol))
     parted
@@ -69,6 +89,9 @@ object Ecdf {
         ++ sumCols.zipWithIndex.map { case (c, i) =>
           (sum(col(c)).over(slice) + col(s"__off$i")).as(s"cum_$c") }
         ++ sumCols.zipWithIndex.map { case (c, i) =>
-          col(s"__tot$i").as(s"tot_$c") }: _*)
+          col(s"__tot$i").as(s"tot_$c") }
+        ++ (if (withNext) Seq(coalesce(lead(col(orderCol), 1).over(slice),
+              col("__nextmn")).as(s"next_$orderCol"))
+            else Nil): _*)
   }
 }

@@ -2669,6 +2669,74 @@ object RelationalQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Wasserstein-1 (earth-mover) drift between the pre-1998 and 1998+
+    * order-value distributions per market segment — the INTEGRAL
+    * companion to q185's KS statistic over the exact same split: KS
+    * reports the worst single gap between the two ECDFs, W1 reports
+    * the total transport cost ∫|F_A − F_B| dx, the magnitude-aware
+    * number a mixing/rebalancing decision actually budgets against
+    * (a distribution can drift a lot of mass a short distance and
+    * barely move KS, or vice versa — monitoring wants both).
+    *
+    * Scale shape: identical to q185 plus ONE new ingredient — the
+    * successor value — which `Ecdf.groupedCumsum(withNext = true)`
+    * derives from the SAME single range exchange (in-slice lead +
+    * next-slice minimum riding the offset table), so the plan is
+    * still: one fact-scale shuffle to (segment, value)-grain counts,
+    * one range exchange, bounded offset windows. The Riemann sum
+    * Σ|a·n2 − b·n1|·gap runs in exact decimal(38,0) (value gaps are
+    * integer cents; cum×total products need ~int128 headroom at fact
+    * scale, mirrored by the oracle's HUGEINT), so the only float op
+    * is the final division — hash-stable by construction. */
+  val q203WassersteinDrift = Q(
+    "q203_wasserstein_drift",
+    """WITH j AS (
+      |  SELECT c_mktsegment, CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+      |    CASE WHEN year(o_orderdate) < 1998 THEN 1 ELSE 0 END AS g
+      |  FROM orders JOIN customer ON c_custkey = o_custkey),
+      |d AS (
+      |  SELECT c_mktsegment, v, CAST(sum(g) AS BIGINT) AS c1,
+      |    CAST(sum(1 - g) AS BIGINT) AS c2
+      |  FROM j GROUP BY 1, 2),
+      |c AS (
+      |  SELECT c_mktsegment, v,
+      |    sum(c1) OVER w AS a, sum(c2) OVER w AS b,
+      |    sum(c1) OVER (PARTITION BY c_mktsegment) AS n1,
+      |    sum(c2) OVER (PARTITION BY c_mktsegment) AS n2,
+      |    lead(v) OVER (PARTITION BY c_mktsegment ORDER BY v) AS nv
+      |  FROM d
+      |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY v))
+      |SELECT c_mktsegment, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  round(CAST(sum(CAST(abs(a * n2 - b * n1) AS HUGEINT) * (nv - v)) AS DOUBLE)
+      |    / (CAST(n1 AS DOUBLE) * n2) / 100, 6) AS w1_dollars
+      |FROM c WHERE nv IS NOT NULL
+      |GROUP BY c_mktsegment, n1, n2
+      |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    val d = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment"),
+        round(col("o_totalprice") * 100).cast("long").as("v"),
+        when(year(col("o_orderdate")) < 1998, 1L).otherwise(0L).as("g"))
+      .groupBy(col("c_mktsegment"), col("v"))
+      .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c2"))
+    val dec = "decimal(38,0)"
+    graft.operators.Ecdf
+      .groupedCumsum(d, Seq("c_mktsegment"), "v", Seq("c1", "c2"),
+        withNext = true)
+      .filter(col("next_v").isNotNull)
+      .select(col("c_mktsegment"),
+        col("cum_c1").as("a"), col("cum_c2").as("b"),
+        col("tot_c1").as("n1"), col("tot_c2").as("n2"),
+        (col("next_v") - col("v")).as("gap"))
+      .groupBy(col("c_mktsegment"), col("n1"), col("n2"))
+      .agg(sum(abs(col("a").cast(dec) * col("n2")
+        - col("b").cast(dec) * col("n1")) * col("gap")).as("wsum"))
+      .select(col("c_mktsegment"), col("n1"), col("n2"),
+        round(col("wsum").cast("double")
+          / (col("n1").cast("double") * col("n2")) / 100, 6).as("w1_dollars"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -2685,5 +2753,6 @@ object RelationalQueries {
     q172HilbertLayout, q174TheilSen, q175RecordLinkage,
     q181AnovaF, q182ChiSqIndependence, q183MannKendall,
     q184GiniConcentration, q185KsDrift, q186MutualInformation, q187RevenueAcf,
-    q197RobustMeans, q198SpearmanRank, q199DriftAlarmsBh, q200HillTailIndex)
+    q197RobustMeans, q198SpearmanRank, q199DriftAlarmsBh, q200HillTailIndex,
+    q203WassersteinDrift)
 }

@@ -4027,6 +4027,83 @@ object TextQueries {
         Q.noNegZero(round(col("wcv_n") / col("n"), 6)).as("within_bin_cov"))
   }
 
+  /** Split-conformal calibration of the quality classifier — the
+    * fourth leg of the eval family (q153 AUC ranks, q155 tables
+    * calibration, q202 scores the forecast; this one produces the
+    * DEPLOYABLE artifact): per source, hold out a hash-split half as
+    * a calibration set, take the k-th smallest score with
+    * k = ⌈(n+1)·0.9⌉ as the keep-threshold, and report the odd-half
+    * EMPIRICAL coverage — split conformal's finite-sample guarantee
+    * (≥ 90% of exchangeable future docs score ≤ threshold) made
+    * checkable per source. The k-th order statistic is NOT a sorted
+    * collect: scores quantize to the 1e9 grid (the q155/q202 float
+    * discipline), counts collapse to (source, value) grain, and the
+    * rank selection is a min-over-cumsum on `Ecdf.groupedCumsum` —
+    * one fact-scale shuffle, one range exchange, with n_cal riding
+    * the offset table (tot_c). The eval half joins the |sources|-row
+    * threshold relation — dimension-sized by construction. Sources
+    * with n_cal < 9 have no finite 90% threshold (k > n) and emit
+    * NULL threshold / 0 coverage in both dialects. The threshold is
+    * a rounded SIGNED score → noNegZero finisher. */
+  val q204ConformalThreshold = Q(
+    "q204_conformal_threshold",
+    s"""WITH $qualityLabSql,
+       |q AS (
+       |  SELECT source,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS h,
+       |    CAST(round(score * 1e9) AS BIGINT) AS sq
+       |  FROM lab),
+       |d AS (
+       |  SELECT source, sq, CAST(count(*) AS BIGINT) AS c
+       |  FROM q WHERE h = 0 GROUP BY 1, 2),
+       |c AS (
+       |  SELECT source, sq,
+       |    sum(c) OVER (PARTITION BY source ORDER BY sq) AS cum,
+       |    sum(c) OVER (PARTITION BY source) AS tot
+       |  FROM d),
+       |thr AS (
+       |  SELECT source,
+       |    CAST(min(CASE WHEN cum >= (9 * (tot + 1) + 9) // 10
+       |      THEN sq END) AS BIGINT) AS t,
+       |    CAST(min(tot) AS BIGINT) AS n_cal
+       |  FROM c GROUP BY source),
+       |ev AS (SELECT source, sq FROM q WHERE h = 1)
+       |SELECT thr.source, n_cal,
+       |  round(t / 1e9, 6) + 0.0 AS threshold,
+       |  CAST(count(*) AS BIGINT) AS n_eval,
+       |  round(sum(CASE WHEN ev.sq <= thr.t THEN 1 ELSE 0 END)
+       |    / CAST(count(*) AS DOUBLE), 4) AS coverage
+       |FROM ev JOIN thr ON ev.source = thr.source
+       |GROUP BY thr.source, n_cal, t
+       |ORDER BY thr.source""".stripMargin) { (spark, dir) =>
+    // split on the portable md5 hash, NOT doc_id parity: the corpus
+    // assigns sources round-robin by doc_id, so parity ≡ source parity
+    // and a parity split puts every source entirely in one half
+    val lab = qualityLab(spark, dir)
+      .select(col("source"),
+        (graft.operators.Dedup.portableHash60(col("doc_id").cast("string")) % 2)
+          .as("h"),
+        round(col("score") * 1e9).cast("long").as("sq"))
+    val d = lab.filter(col("h") === 0)
+      .groupBy(col("source"), col("sq")).agg(count(lit(1)).as("c"))
+    val thr = graft.operators.Ecdf
+      .groupedCumsum(d, Seq("source"), "sq", Seq("c"))
+      .groupBy(col("source"))
+      .agg(min(when(col("cum_c") >= expr("(9 * (tot_c + 1) + 9) div 10"),
+          col("sq"))).as("t"),
+        min(col("tot_c")).as("n_cal"))
+    lab.filter(col("h") === 1).select(col("source"), col("sq"))
+      .join(thr, "source")
+      .groupBy(col("source"), col("n_cal"), col("t"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("sq") <= col("t"), 1L).otherwise(0L)).as("cov"))
+      .select(col("source"), col("n_cal"),
+        Q.noNegZero(round(col("t") / 1e9, 6)).as("threshold"),
+        col("n_eval"),
+        round(col("cov") / col("n_eval").cast("double"), 4).as("coverage"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -4046,5 +4123,5 @@ object TextQueries {
     q176HllOverlap, q177Readability, q180DatasetCard, q191ZipfFit,
     q192QuantileNormalize, q193PerplexityFilter, q194HeapsLaw,
     q195TokenWaterfill, q196JsDivergence, q201ShardBalance,
-    q202BrierDecomposition)
+    q202BrierDecomposition, q204ConformalThreshold)
 }

@@ -40,6 +40,24 @@ class EcdfSpec extends SparkSpec {
     assert(got === Map(1L -> 3L, 3L -> 7L, 5L -> 9L, 9L -> 10L))
   }
 
+  test("withNext: next_<orderCol> equals the naive per-group lead on every row") {
+    val rows = (1 to 500).map { i =>
+      (s"g${i % 7}", (i * 37) % 101L, (i % 13).toLong + 1)
+    }
+    val d = rows.toDF("g", "v", "c")
+      .groupBy("g", "v").agg(sum("c").as("c")) // value grain
+    val got = Ecdf.groupedCumsum(d, Seq("g"), "v", Seq("c"), withNext = true)
+      .select("g", "v", "next_v")
+      .as[(String, Long, Option[Long])].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+    val naive = d.select(col("g"), col("v"), lead(col("v"), 1).over(w).as("nv"))
+      .as[(String, Long, Option[Long])].collect().toSet
+    assert(got === naive && got.nonEmpty)
+    // exactly one NULL successor per group (its maximum)
+    assert(got.count(_._3.isEmpty) === 7)
+  }
+
   test("both consumers observe ONE range exchange (offs side is a ReusedExchange)") {
     // groupedCumsum's correctness hinges on the offs aggregate and the
     // final join observing IDENTICAL range-partition boundaries:

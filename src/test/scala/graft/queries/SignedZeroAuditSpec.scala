@@ -179,6 +179,8 @@ class SignedZeroAuditSpec extends SparkSpec {
     ("q193_perplexity_filter", "high_ppl_share"),
     ("q195_token_waterfill", "epochs"),
     ("q201_shard_balance", "chi2"),
+    ("q203_wasserstein_drift", "w1_dollars"), // integral of |F_A−F_B| ≥ 0
+    ("q204_conformal_threshold", "coverage"), // rate in [0,1]; threshold IS finished
     ("q202_brier_decomposition", "base_rate"),
     ("q202_brier_decomposition", "brier"),
     ("q202_brier_decomposition", "reliability"),
