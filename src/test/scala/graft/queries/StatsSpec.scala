@@ -650,6 +650,87 @@ class StatsSpec extends SparkSpec {
       s"identity gap: $brier vs ${rel - res + unc + wbv - 2 * wcv}")
   }
 
+  test("q203 W1 matches a driver-side sorted-merge reference; laws hold") {
+    val got = RelationalQueries.q203WassersteinDrift.run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    val vals = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment"),
+        round(col("o_totalprice") * 100).cast("long").as("v"),
+        (year(col("o_orderdate")) < 1998).as("a"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .groupBy(_._1)
+    got.foreach { case (seg, (n1, n2, w1)) =>
+      val rows = vals(seg)
+      val va = rows.filter(_._3).map(_._2)
+      val vb = rows.filterNot(_._3).map(_._2)
+      assert(n1 === va.length.toLong && n2 === vb.length.toLong, seg)
+      // driver reference: walk the merged sorted distinct values,
+      // accumulating |F_A − F_B| · gap the textbook way
+      val grid = (va ++ vb).distinct.sorted
+      var (ca, cb) = (0L, 0L)
+      var sum = BigDecimal(0)
+      grid.zip(grid.tail).foreach { case (v, nv) =>
+        ca += va.count(_ == v); cb += vb.count(_ == v)
+        sum += BigDecimal((BigInt(ca) * n2 - BigInt(cb) * n1).abs) * (nv - v)
+      }
+      val ref = (sum / (BigDecimal(n1) * BigDecimal(n2)) / 100).toDouble
+      assert(math.abs(w1 - ref) <= 1e-4, s"$seg: $w1 vs $ref")
+      // law: W1 is a metric — strictly positive here (the halves differ)
+      // and bounded by the value range in dollars
+      assert(w1 > 0, seg)
+      assert(w1 <= (grid.last - grid.head).toDouble / 100, seg)
+    }
+    // law: W1(X, X) = 0 — identical halves transport nothing. Crafted
+    // degenerate split through the SAME operator composition.
+    import spark.implicits._
+    val d = (1 to 200).map(i => ("s", (i % 37) * 100L, 1L, 1L))
+      .toDF("g", "v", "c1", "c2")
+      .groupBy("g", "v").agg(sum($"c1").as("c1"), sum($"c2").as("c2"))
+    val z = graft.operators.Ecdf
+      .groupedCumsum(d, Seq("g"), "v", Seq("c1", "c2"), withNext = true)
+      .filter(col("next_v").isNotNull)
+      .agg(sum(abs(col("cum_c1") * col("tot_c2") - col("cum_c2") * col("tot_c1"))
+        * (col("next_v") - col("v")))).head().getLong(0)
+    assert(z === 0L, "identical distributions must have zero transport")
+  }
+
+  test("q204 conformal threshold matches a driver-side order statistic") {
+    val got = TextQueries.q204ConformalThreshold.run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getLong(3), r.getDouble(4))).toMap
+    assert(got.nonEmpty)
+    // driver-side replay: same portable md5 split, same 1e9 score grid
+    def md5half(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    import graft.functions.{QualityModel, TextFns}
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        round(QualityModel.score(TextFns.tokens(col("text"))) * 1e9)
+          .cast("long").as("sq"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = scored.groupBy(_._2)
+    got.foreach { case (src, (nCal, thr, nEval, cov)) =>
+      val (cal, ev) = bySrc(src).partition(t => md5half(t._1) == 0L)
+      assert(nCal === cal.length.toLong && nEval === ev.length.toLong, src)
+      val k = (9 * (nCal + 1) + 9) / 10
+      if (k <= nCal) {
+        val refThr = cal.map(_._3).sorted.apply(k.toInt - 1)
+        assert(thr.isDefined && math.abs(thr.get - refThr / 1e9) <= 1e-6,
+          s"$src: $thr vs ${refThr / 1e9}")
+        val refCov = ev.count(_._3 <= refThr).toDouble / ev.length
+        assert(math.abs(cov - refCov) <= 1e-4, s"$src: $cov vs $refCov")
+      } else assert(thr.isEmpty, s"$src: no finite threshold when k > n")
+    }
+  }
+
   test("q186 MI invariants: 0 ≤ MI ≤ min(Hx, Hy), NMI in [0, 1]") {
     val rows = RelationalQueries.q186MutualInformation.run(spark, sfDir).collect()
     assert(rows.length > 0)
