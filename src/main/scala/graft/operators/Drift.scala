@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Two-sample distribution-drift statistics from ONE cumsum pass.
+  *
+  * The monitoring read a 100 TB pipeline actually issues is "compare
+  * today's distribution to the reference on every statistic we alarm
+  * on" — and every ECDF statistic (KS max-gap, Wasserstein-1 transport,
+  * and friends) is a different reduction of the SAME two cumulative
+  * count tables. Computing them in separate queries (q185's KS, q203's
+  * W1) re-pays the fact-scale shuffle per statistic; this operator pays
+  * it once: one value-grain histogram in, one `Ecdf.groupedCumsum`
+  * (range exchange + bounded offset windows, `withNext` supplying the
+  * Riemann gaps), one group-grain reduction out.
+  *
+  * Exactness contract (the q185/q203 discipline): inputs are integer
+  * counts on an integer value grid, the KS numerator max|a·n2 − b·n1|
+  * and the W1 sum Σ|a·n2 − b·n1|·gap run in decimal(38,0) (~1e38
+  * headroom — cum×total products at fact scale need more than int64),
+  * and the only float operations are the two final divisions.
+  */
+object Drift {
+
+  /** Per-group exact KS D and W1 between the two count columns of a
+    * value-grain histogram.
+    *
+    * @param hist  one row per (partCols, v) with nonnegative integer
+    *              counts `cA`, `cB` (value grain — the Ecdf tie contract)
+    * @return partCols ++ (n1, n2, ks_d, w1) — n1/n2 the two sample
+    *         sizes, ks_d ∈ [0,1] at 6 dp, w1 in VALUE UNITS at 6 dp
+    *         (callers rescale, e.g. cents → dollars)
+    */
+  def ksAndW1(hist: DataFrame, partCols: Seq[String], v: String,
+      cA: String, cB: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cum = Ecdf.groupedCumsum(hist, partCols, v, Seq(cA, cB),
+      withNext = true)
+    // |F_A − F_B| scaled by n1·n2, exact: the KS numerator per value,
+    // and the W1 integrand once multiplied by the gap to the next value
+    val dev = abs(col(s"cum_$cA").cast(dec) * col(s"tot_$cB")
+      - col(s"cum_$cB").cast(dec) * col(s"tot_$cA"))
+    cum
+      .groupBy((partCols.map(col)
+        :+ col(s"tot_$cA") :+ col(s"tot_$cB")): _*)
+      .agg(max(dev).as("dnum"),
+        // the group's maximum value has no successor and contributes
+        // nothing to the integral (both ECDFs have reached 1 there)
+        sum(when(col(s"next_$v").isNotNull,
+          dev * (col(s"next_$v") - col(v)))
+          .otherwise(lit(0).cast(dec))).as("wsum"))
+      .select((partCols.map(col)
+        :+ col(s"tot_$cA").as("n1") :+ col(s"tot_$cB").as("n2")
+        :+ round(col("dnum").cast("double")
+            / (col(s"tot_$cA").cast("double") * col(s"tot_$cB")), 6)
+            .as("ks_d")
+        :+ round(col("wsum").cast("double")
+            / (col(s"tot_$cA").cast("double") * col(s"tot_$cB")), 6)
+            .as("w1")): _*)
+  }
+}

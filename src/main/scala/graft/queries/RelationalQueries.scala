@@ -2737,6 +2737,55 @@ object RelationalQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** One-pass drift monitor (`operators/Drift.ksAndW1`): KS D AND
+    * Wasserstein-1 per segment from a SINGLE cumsum pass over the same
+    * pre-1998/1998+ split as q185/q203. Running the two statistics as
+    * separate queries re-pays the fact-scale orders shuffle per
+    * statistic; the monitoring read a production pipeline issues wants
+    * every alarm statistic from one scan — this is that read, and its
+    * values must equal q185's ks_d and (up to the dollars rescale)
+    * q203's w1 exactly (StatsSpec pins both). Plan: one orders scan,
+    * one (segment, value) aggregate, one range exchange, group-grain
+    * out (PlanSpec pins the single-scan shape). */
+  val q205DriftMonitor = Q(
+    "q205_drift_monitor",
+    """WITH j AS (
+      |  SELECT c_mktsegment, CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+      |    CASE WHEN year(o_orderdate) < 1998 THEN 1 ELSE 0 END AS g
+      |  FROM orders JOIN customer ON c_custkey = o_custkey),
+      |d AS (
+      |  SELECT c_mktsegment, v, CAST(sum(g) AS BIGINT) AS c1,
+      |    CAST(sum(1 - g) AS BIGINT) AS c2
+      |  FROM j GROUP BY 1, 2),
+      |c AS (
+      |  SELECT c_mktsegment, v,
+      |    sum(c1) OVER w AS a, sum(c2) OVER w AS b,
+      |    sum(c1) OVER (PARTITION BY c_mktsegment) AS n1,
+      |    sum(c2) OVER (PARTITION BY c_mktsegment) AS n2,
+      |    lead(v) OVER (PARTITION BY c_mktsegment ORDER BY v) AS nv
+      |  FROM d
+      |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY v))
+      |SELECT c_mktsegment, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  round(CAST(max(abs(a * n2 - b * n1)) AS DOUBLE)
+      |    / (CAST(n1 AS DOUBLE) * n2), 6) AS ks_d,
+      |  round(CAST(sum(CASE WHEN nv IS NULL THEN CAST(0 AS HUGEINT)
+      |      ELSE CAST(abs(a * n2 - b * n1) AS HUGEINT) * (nv - v) END) AS DOUBLE)
+      |    / (CAST(n1 AS DOUBLE) * n2), 6) AS w1_cents
+      |FROM c
+      |GROUP BY c_mktsegment, n1, n2
+      |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    val d = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment"),
+        round(col("o_totalprice") * 100).cast("long").as("v"),
+        when(year(col("o_orderdate")) < 1998, 1L).otherwise(0L).as("g"))
+      .groupBy(col("c_mktsegment"), col("v"))
+      .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c2"))
+    graft.operators.Drift.ksAndW1(d, Seq("c_mktsegment"), "v", "c1", "c2")
+      .withColumnRenamed("w1", "w1_cents")
+      .orderBy(col("c_mktsegment"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -2754,5 +2803,5 @@ object RelationalQueries {
     q181AnovaF, q182ChiSqIndependence, q183MannKendall,
     q184GiniConcentration, q185KsDrift, q186MutualInformation, q187RevenueAcf,
     q197RobustMeans, q198SpearmanRank, q199DriftAlarmsBh, q200HillTailIndex,
-    q203WassersteinDrift)
+    q203WassersteinDrift, q205DriftMonitor)
 }

@@ -348,6 +348,23 @@ object StreamOps {
       .filter(col("s") =!= "")
       .groupBy(col("source")).agg(count(lit(1)).as("avail"))
 
+  /** Streaming drift-monitor input — the live histogram the one-pass
+    * drift read (`operators/Drift.ksAndW1`, q205's core) folds at
+    * serving time: per-(segment, value-grid, side) counts as grouped
+    * streaming state. Same sufficient-statistics contract as
+    * [[sourceTokenCounts]]: integer counts merge exactly like batch
+    * map-side partials, so the streamed histogram is bit-identical to
+    * the batch aggregate over the same rows and the serving-read KS/W1
+    * are EXACT, not approximations of the batch numbers. State is
+    * value-grain (distinct (segment, grid-value) pairs), the same
+    * bound the batch query's shuffle carries. */
+  def segmentValueCounts(rows: DataFrame, segCol: String, valueCol: String,
+      sideCol: String): DataFrame =
+    rows
+      .groupBy(col(segCol).as("seg"), col(valueCol).as("v"))
+      .agg(sum(when(col(sideCol) === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(sideCol) === 1, 1L).otherwise(0L)).as("c2"))
+
   /** Incremental BM25 posting ingest — the serving-index face of the
     * q94 cross-corpus incremental pattern: each micro-batch of NEW
     * documents lands its per-doc posting delta (id, t, cnt, dl —

@@ -385,6 +385,22 @@ class PlanSpec extends SparkSpec {
       "signature exchange not reused — pipeline runs per join side:\n" + p)
   }
 
+  test("q205 one-pass monitor: ONE orders scan, offs exchange reused") {
+    // the operator's reason to exist: both drift statistics from one
+    // fact pass — the final adaptive plan must scan orders once (the
+    // Ecdf offs consumer reads the range exchange through a
+    // ReusedExchange, not a re-planned scan subtree)
+    val df = RelationalQueries.q205DriftMonitor.run(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val fin = p.split("== Initial Plan ==")(0)
+    val ordersScans = fin.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("orders"))
+    assert(ordersScans === 1, s"expected one orders scan, got $ordersScans:\n$fin")
+    assert(fin.contains("ReusedExchange") || fin.contains("ReusedQueryStage"),
+      "Ecdf offs consumer re-planned the fact pipeline:\n" + fin)
+  }
+
   test("q25 quality scan reads only the 2 needed document columns") {
     val p = plan(TextQueries.q25QualityFilter)
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

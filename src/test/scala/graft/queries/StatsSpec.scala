@@ -731,6 +731,25 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q205 one-pass monitor equals q185 KS exactly and q203 W1 to the rescale") {
+    val m = RelationalQueries.q205DriftMonitor.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val ks = RelationalQueries.q185KsDrift.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val w1 = RelationalQueries.q203WassersteinDrift.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(m.keySet === ks.keySet && m.keySet === w1.keySet && m.nonEmpty)
+    m.foreach { case (seg, (n1, n2, d, w)) =>
+      assert(n1 > 0 && n2 > 0, seg)
+      // identical max/divide/round path on both sides → bit-equal
+      assert(d === ks(seg), s"$seg: KS $d vs ${ks(seg)}")
+      // q203 rounds in dollars, q205 in cents — agreement to the grid
+      assert(math.abs(w / 100 - w1(seg)) <= 1e-6,
+        s"$seg: W1 ${w / 100} vs ${w1(seg)}")
+    }
+  }
+
   test("q186 MI invariants: 0 ≤ MI ≤ min(Hx, Hy), NMI in [0, 1]") {
     val rows = RelationalQueries.q186MutualInformation.run(spark, sfDir).collect()
     assert(rows.length > 0)

@@ -277,6 +277,57 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.find(_._1 == "srcA").get._2 === 5L)
   }
 
+  test("streaming drift histogram + serving-read KS/W1 converge to batch") {
+    import spark.implicits._
+    // (segment, value, side) rows arrive in two micro-batches; the
+    // grouped state is the value-grain two-sided histogram, and the
+    // drift statistics are folded on the serving read — must equal the
+    // batch Drift.ksAndW1 over the union exactly (integer counts merge
+    // like map-side partials; the fold is the same operator)
+    val batch1 = Seq(("sA", 10L, 0), ("sA", 20L, 1), ("sA", 10L, 0),
+      ("sB", 5L, 0), ("sB", 9L, 1))
+    val batch2 = Seq(("sA", 30L, 1), ("sA", 10L, 1), ("sB", 5L, 1),
+      ("sB", 7L, 0), ("sB", 7L, 0))
+    val dir = java.nio.file.Files.createTempDirectory("stream-drift").toString
+    Seq(batch1, batch2).zipWithIndex.foreach { case (rows, i) =>
+      val sub = java.nio.file.Files.createTempDirectory(s"drift-b$i").toString
+      rows.toDF("seg", "v", "side").coalesce(1).write.mode("overwrite").parquet(sub)
+      val part = new java.io.File(sub).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, f"batch$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = spark.read.parquet(dir).schema
+    val histMem = StreamOps.runToMemory(spark,
+      StreamOps.segmentValueCounts(
+        StreamOps.parquetStream(spark, schema, dir), "seg", "v", "side"),
+      "drift_stream_test", outputMode = "complete")
+    // the memory-sink View can't be multi-instanced by the analyzer, so
+    // Ecdf's internal self-join trips "conflicting references" on it —
+    // a test-harness artifact only (production lands histograms as
+    // parquet, the bm25IndexDeltas pattern, where relation dedup works);
+    // copy the served rows into a local relation before the fold
+    val hist = histMem.as[(String, Long, Long, Long)].collect().toSeq
+      .toDF("seg", "v", "c1", "c2")
+    val streamed = graft.operators.Drift
+      .ksAndW1(hist, Seq("seg"), "v", "c1", "c2")
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    val batchAll = graft.operators.Drift.ksAndW1(
+        StreamOps.segmentValueCounts(
+          (batch1 ++ batch2).toDF("seg", "v", "side"), "seg", "v", "side"),
+        Seq("seg"), "v", "c1", "c2")
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    assert(streamed === batchAll && streamed.size === 2)
+    // hand check sB: A = {5, 7, 7}, B = {5, 9}; n1=3, n2=2
+    // grid 5,7,9: dev = |a·2 − b·3| = |2−3|=1, |6−3|=3; gaps 2, 2
+    // KS = 3/6 = 0.5; W1 = (1·2 + 3·2)/6 = 8/6 cents
+    val sB = streamed.find(_._1 == "sB").get
+    assert(sB._2 === 3L && sB._3 === 2L)
+    assert(math.abs(sB._4 - 0.5) < 1e-9)
+    assert(math.abs(sB._5 - 8.0 / 6) < 1e-6)
+  }
+
   test("waterfill availability state survives a checkpoint bounce") {
     import spark.implicits._
     // END-TO-END restart drill for the mixing plan's live input (the
