@@ -8,18 +8,25 @@ import org.apache.spark.sql.functions._
   * The monitoring read a 100 TB pipeline actually issues is "compare
   * today's distribution to the reference on every statistic we alarm
   * on" — and every ECDF statistic (KS max-gap, Wasserstein-1 transport,
-  * and friends) is a different reduction of the SAME two cumulative
-  * count tables. Computing them in separate queries (q185's KS, q203's
-  * W1) re-pays the fact-scale shuffle per statistic; this operator pays
-  * it once: one value-grain histogram in, one `Ecdf.groupedCumsum`
-  * (range exchange + bounded offset windows, `withNext` supplying the
-  * Riemann gaps), one group-grain reduction out.
+  * Cramér–von Mises, and friends) is a different reduction of the SAME
+  * two cumulative count tables. Computing them in separate queries
+  * (q185's KS, q203's W1) re-pays the fact-scale shuffle per statistic;
+  * this operator pays it once: one value-grain histogram in, one
+  * `Ecdf.groupedCumsum` (range exchange + bounded offset windows,
+  * `withNext` supplying the Riemann gaps), one group-grain reduction
+  * out. The three statistics alarm on different drift SHAPES: KS the
+  * worst single gap, W1 the mass×distance transport, CvM the gap
+  * averaged over the pooled sample (sensitive to many small gaps KS
+  * ignores).
   *
   * Exactness contract (the q185/q203 discipline): inputs are integer
-  * counts on an integer value grid, the KS numerator max|a·n2 − b·n1|
-  * and the W1 sum Σ|a·n2 − b·n1|·gap run in decimal(38,0) (~1e38
-  * headroom — cum×total products at fact scale need more than int64),
-  * and the only float operations are the two final divisions.
+  * counts on an integer value grid; the KS numerator max|a·n2 − b·n1|,
+  * the W1 sum Σ|a·n2 − b·n1|·gap, and the CvM sum Σ(cA+cB)·(a·n2−b·n1)²
+  * run in decimal(38,0), and the only float operations are the final
+  * divisions. Headroom note: the CvM numerator needs (n1·n2)²·N digits
+  * — decimal(38,0)/int128 covers groups to ~1e9 rows per side; past
+  * that, coarsen the value grid (the statistic is grid-invariant up to
+  * the grid's own resolution).
   */
 object Drift {
 
@@ -28,9 +35,11 @@ object Drift {
     *
     * @param hist  one row per (partCols, v) with nonnegative integer
     *              counts `cA`, `cB` (value grain — the Ecdf tie contract)
-    * @return partCols ++ (n1, n2, ks_d, w1) — n1/n2 the two sample
+    * @return partCols ++ (n1, n2, ks_d, w1, cvm) — n1/n2 the two sample
     *         sizes, ks_d ∈ [0,1] at 6 dp, w1 in VALUE UNITS at 6 dp
-    *         (callers rescale, e.g. cents → dollars)
+    *         (callers rescale, e.g. cents → dollars), cvm the two-sample
+    *         Cramér–von Mises criterion n1·n2/N² · Σ_pooled (F_A−F_B)²
+    *         at 6 dp
     */
   def ksAndW1(hist: DataFrame, partCols: Seq[String], v: String,
       cA: String, cB: String): DataFrame = {
@@ -38,9 +47,11 @@ object Drift {
     val cum = Ecdf.groupedCumsum(hist, partCols, v, Seq(cA, cB),
       withNext = true)
     // |F_A − F_B| scaled by n1·n2, exact: the KS numerator per value,
-    // and the W1 integrand once multiplied by the gap to the next value
+    // the W1 integrand once multiplied by the gap to the next value,
+    // and the CvM summand once squared and pooled-weighted
     val dev = abs(col(s"cum_$cA").cast(dec) * col(s"tot_$cB")
       - col(s"cum_$cB").cast(dec) * col(s"tot_$cA"))
+    val n1d = col(s"tot_$cA").cast("double")
     cum
       .groupBy((partCols.map(col)
         :+ col(s"tot_$cA") :+ col(s"tot_$cB")): _*)
@@ -49,14 +60,22 @@ object Drift {
         // nothing to the integral (both ECDFs have reached 1 there)
         sum(when(col(s"next_$v").isNotNull,
           dev * (col(s"next_$v") - col(v)))
-          .otherwise(lit(0).cast(dec))).as("wsum"))
+          .otherwise(lit(0).cast(dec))).as("wsum"),
+        // CvM sums over POOLED OBSERVATIONS: each distinct value
+        // carries its pooled multiplicity cA + cB
+        sum((col(cA) + col(cB)).cast(dec) * dev * dev).as("csum"))
       .select((partCols.map(col)
         :+ col(s"tot_$cA").as("n1") :+ col(s"tot_$cB").as("n2")
         :+ round(col("dnum").cast("double")
-            / (col(s"tot_$cA").cast("double") * col(s"tot_$cB")), 6)
-            .as("ks_d")
+            / (n1d * col(s"tot_$cB")), 6).as("ks_d")
         :+ round(col("wsum").cast("double")
-            / (col(s"tot_$cA").cast("double") * col(s"tot_$cB")), 6)
-            .as("w1")): _*)
+            / (n1d * col(s"tot_$cB")), 6).as("w1")
+        // T = n1·n2/N² · Σ_pooled (F_A−F_B)², and dev = (F_A−F_B)·n1·n2,
+        // so T = csum / (n1·n2·N²)
+        :+ round(col("csum").cast("double")
+            / (n1d * col(s"tot_$cB")
+              * (col(s"tot_$cA") + col(s"tot_$cB")).cast("double")
+              * (col(s"tot_$cA") + col(s"tot_$cB")).cast("double")), 6)
+            .as("cvm")): _*)
   }
 }

@@ -2758,7 +2758,7 @@ object RelationalQueries {
       |    CAST(sum(1 - g) AS BIGINT) AS c2
       |  FROM j GROUP BY 1, 2),
       |c AS (
-      |  SELECT c_mktsegment, v,
+      |  SELECT c_mktsegment, v, c1 + c2 AS cnt,
       |    sum(c1) OVER w AS a, sum(c2) OVER w AS b,
       |    sum(c1) OVER (PARTITION BY c_mktsegment) AS n1,
       |    sum(c2) OVER (PARTITION BY c_mktsegment) AS n2,
@@ -2770,7 +2770,11 @@ object RelationalQueries {
       |    / (CAST(n1 AS DOUBLE) * n2), 6) AS ks_d,
       |  round(CAST(sum(CASE WHEN nv IS NULL THEN CAST(0 AS HUGEINT)
       |      ELSE CAST(abs(a * n2 - b * n1) AS HUGEINT) * (nv - v) END) AS DOUBLE)
-      |    / (CAST(n1 AS DOUBLE) * n2), 6) AS w1_cents
+      |    / (CAST(n1 AS DOUBLE) * n2), 6) AS w1_cents,
+      |  round(CAST(sum(CAST(cnt AS HUGEINT)
+      |      * abs(a * n2 - b * n1) * abs(a * n2 - b * n1)) AS DOUBLE)
+      |    / (CAST(n1 AS DOUBLE) * n2
+      |      * CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)), 6) AS cvm
       |FROM c
       |GROUP BY c_mktsegment, n1, n2
       |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>

@@ -731,22 +731,45 @@ class StatsSpec extends SparkSpec {
     }
   }
 
-  test("q205 one-pass monitor equals q185 KS exactly and q203 W1 to the rescale") {
+  test("q205 one-pass monitor equals q185 KS exactly, q203 W1, and a CvM reference") {
     val m = RelationalQueries.q205DriftMonitor.run(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4))).toMap
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
     val ks = RelationalQueries.q185KsDrift.run(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
     val w1 = RelationalQueries.q203WassersteinDrift.run(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(m.keySet === ks.keySet && m.keySet === w1.keySet && m.nonEmpty)
-    m.foreach { case (seg, (n1, n2, d, w)) =>
+    // driver-side CvM reference from the raw values
+    val vals = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment"),
+        round(col("o_totalprice") * 100).cast("long").as("v"),
+        (year(col("o_orderdate")) < 1998).as("a"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .groupBy(_._1)
+    m.foreach { case (seg, (n1, n2, d, w, cvm)) =>
       assert(n1 > 0 && n2 > 0, seg)
       // identical max/divide/round path on both sides → bit-equal
       assert(d === ks(seg), s"$seg: KS $d vs ${ks(seg)}")
       // q203 rounds in dollars, q205 in cents — agreement to the grid
       assert(math.abs(w / 100 - w1(seg)) <= 1e-6,
         s"$seg: W1 ${w / 100} vs ${w1(seg)}")
+      val rows = vals(seg)
+      val va = rows.filter(_._3).map(_._2)
+      val vb = rows.filterNot(_._3).map(_._2)
+      var (ca, cb) = (0L, 0L)
+      var csum = BigDecimal(0)
+      (va ++ vb).distinct.sorted.foreach { x =>
+        val (fa, fb) = (va.count(_ == x), vb.count(_ == x))
+        ca += fa; cb += fb
+        val dev = BigDecimal((BigInt(ca) * n2 - BigInt(cb) * n1).abs)
+        csum += BigDecimal(fa + fb) * dev * dev
+      }
+      val refCvm = (csum / (BigDecimal(n1) * BigDecimal(n2)
+        * BigDecimal(n1 + n2).pow(2))).toDouble
+      assert(math.abs(cvm - refCvm) <= 1e-5, s"$seg: $cvm vs $refCvm")
+      assert(cvm >= 0, seg)
     }
   }
 

@@ -312,20 +312,23 @@ class StreamOpsSpec extends SparkSpec {
       .toDF("seg", "v", "c1", "c2")
     val streamed = graft.operators.Drift
       .ksAndW1(hist, Seq("seg"), "v", "c1", "c2")
-      .as[(String, Long, Long, Double, Double)].collect().toSet
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSet
     val batchAll = graft.operators.Drift.ksAndW1(
         StreamOps.segmentValueCounts(
           (batch1 ++ batch2).toDF("seg", "v", "side"), "seg", "v", "side"),
         Seq("seg"), "v", "c1", "c2")
-      .as[(String, Long, Long, Double, Double)].collect().toSet
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSet
     assert(streamed === batchAll && streamed.size === 2)
     // hand check sB: A = {5, 7, 7}, B = {5, 9}; n1=3, n2=2
-    // grid 5,7,9: dev = |a·2 − b·3| = |2−3|=1, |6−3|=3; gaps 2, 2
+    // grid 5,7,9: dev = |a·2 − b·3| = 1, 3, 0; gaps 2, 2
     // KS = 3/6 = 0.5; W1 = (1·2 + 3·2)/6 = 8/6 cents
+    // CvM: pooled weights 2,2,1 → Σw·dev² = 2+18+0 = 20;
+    //      T = 20/(n1·n2·N²) = 20/(6·25) = 0.133333
     val sB = streamed.find(_._1 == "sB").get
     assert(sB._2 === 3L && sB._3 === 2L)
     assert(math.abs(sB._4 - 0.5) < 1e-9)
     assert(math.abs(sB._5 - 8.0 / 6) < 1e-6)
+    assert(math.abs(sB._6 - 20.0 / 150) < 1e-6)
   }
 
   test("waterfill availability state survives a checkpoint bounce") {
