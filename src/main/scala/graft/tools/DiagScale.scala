@@ -374,6 +374,20 @@ object DiagScale {
             .run(spark, relTables(spark, sfDir, k)).count()),
         "q202_brier" -> (() =>
           graft.queries.TextQueries.q202BrierDecomposition
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        // r10 additions: q203/q205 are q185's shape plus the withNext
+        // successor column (same value-grain range exchange, bounded
+        // offset windows — expect q185's exponents); q204 is one
+        // doc-grain score pass + a value-grain cumsum + a
+        // |sources|-row threshold join
+        "q203_w1" -> (() =>
+          graft.queries.RelationalQueries.q203WassersteinDrift
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        "q204_conformal" -> (() =>
+          graft.queries.TextQueries.q204ConformalThreshold
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        "q205_monitor" -> (() =>
+          graft.queries.RelationalQueries.q205DriftMonitor
             .run(spark, relTables(spark, sfDir, k)).count()))
     }
 
