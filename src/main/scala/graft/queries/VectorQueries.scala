@@ -1064,10 +1064,80 @@ object VectorQueries {
       .orderBy(col("cluster_id"))
   }
 
+  /** Sliced-Wasserstein embedding drift (Rabin et al. 2011 / Kolouri
+    * et al. 2019): EMBEDDING-space drift between two corpus halves —
+    * the vector-column companion to the scalar drift family (q185 KS,
+    * q203 W1, q205's one-pass monitor). True W1 between point clouds
+    * needs an O(N³) assignment; the sliced form projects both clouds
+    * onto k fixed directions and averages the 1-D W1 of the
+    * projections — and 1-D W1 is exactly what the house Ecdf machinery
+    * computes. Plan: one NARROW pass computes all 8 projections per
+    * vector (±1 hyperplanes, the q33 determinism trick: identical
+    * coefficient literals inlined into the DuckDB twin, both engines
+    * fold the dot left-to-right), projections quantize to a 1e6
+    * integer grid, then ONE `Drift.ksAndW1` over the 8 direction
+    * groups — a single range exchange carries every direction's ECDF.
+    * Output is per-direction (the sliced-W1 summary is their mean;
+    * keeping the 8 rows makes anisotropic drift visible — drift along
+    * one direction with the rest flat is a rotation, not a shift).
+    * Value units: 1e-6 of raw projection. At 100 TB the projection
+    * pass stays narrow (8 fused multiply-folds per row) and state is
+    * (direction × distinct grid value)-grain. */
+  val q206SlicedWasserstein = Q(
+    "q206_sliced_wasserstein",
+    s"""WITH e AS (
+       |  SELECT vec_id, vec_id % 2 AS h, CAST(embedding AS DOUBLE[]) AS ev
+       |  FROM embeddings),
+       |p AS (
+       |${(0 until 8).map { dir =>
+          val coefs = VectorFns.lshCoefs(dir, Dim).mkString("[", ",", "]")
+          s"""  SELECT $dir AS dir, h, CAST(round(list_dot_product(ev,
+             |    CAST($coefs AS DOUBLE[])) * 1e6) AS BIGINT) AS v FROM e"""
+            .stripMargin
+        }.mkString("\n  UNION ALL\n")}),
+       |d AS (
+       |  SELECT dir, v, CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+       |  FROM p GROUP BY 1, 2),
+       |c AS (
+       |  SELECT dir, v, c1 + c2 AS cnt,
+       |    sum(c1) OVER w AS a, sum(c2) OVER w AS b,
+       |    sum(c1) OVER (PARTITION BY dir) AS n1,
+       |    sum(c2) OVER (PARTITION BY dir) AS n2,
+       |    lead(v) OVER (PARTITION BY dir ORDER BY v) AS nv
+       |  FROM d
+       |  WINDOW w AS (PARTITION BY dir ORDER BY v))
+       |SELECT dir, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       |  round(CAST(max(abs(a * n2 - b * n1)) AS DOUBLE)
+       |    / (CAST(n1 AS DOUBLE) * n2), 6) AS ks_d,
+       |  round(CAST(sum(CASE WHEN nv IS NULL THEN CAST(0 AS HUGEINT)
+       |      ELSE CAST(abs(a * n2 - b * n1) AS HUGEINT) * (nv - v) END) AS DOUBLE)
+       |    / (CAST(n1 AS DOUBLE) * n2), 6) AS w1,
+       |  round(CAST(sum(CAST(cnt AS HUGEINT)
+       |      * abs(a * n2 - b * n1) * abs(a * n2 - b * n1)) AS DOUBLE)
+       |    / (CAST(n1 AS DOUBLE) * n2
+       |      * CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)), 6) AS cvm
+       |FROM c
+       |GROUP BY dir, n1, n2
+       |ORDER BY dir""".stripMargin) { (spark, dir) =>
+    val projections = array((0 until 8).map { b =>
+      val coefs = array(VectorFns.lshCoefs(b, Dim).map(lit): _*)
+      round(VectorFns.dot(col("embedding"), coefs) * 1e6).cast("long")
+    }: _*)
+    val hist = Tables.embeddings(spark, dir)
+      .select((col("vec_id") % 2).as("h"), projections.as("ps"))
+      .select(col("h"), posexplode(col("ps")).as(Seq("dir", "v")))
+      .groupBy(col("dir"), col("v"))
+      .agg(sum(when(col("h") === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("h") === 1, 1L).otherwise(0L)).as("c2"))
+    graft.operators.Drift.ksAndW1(hist, Seq("dir"), "v", "c1", "c2")
+      .orderBy(col("dir"))
+  }
+
   val all: Seq[Q] = Seq(q31CosineTopK, q32CentroidNorms, q33AnnLshTopK,
     q34EmbeddingNearDups, q39CentroidAggregator, q45IvfAnn, q51DedupClusters,
     q133IncrementalClusters,
     q59DedupKeep, q91KmeansClusters, q92SemDedupKeep, q93PqAnn, q103AnnRecall,
     q104MultiprobeLsh, q117LeakageSafeSplit, q122IvfPqAnn, q139Sq8Ann,
-    q151BinaryAnn, q179DaviesBouldin)
+    q151BinaryAnn, q179DaviesBouldin, q206SlicedWasserstein)
 }

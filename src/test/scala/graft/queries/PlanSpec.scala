@@ -401,6 +401,23 @@ class PlanSpec extends SparkSpec {
       "Ecdf offs consumer re-planned the fact pipeline:\n" + fin)
   }
 
+  test("q206 projection pass is narrow: no join before the histogram aggregate") {
+    // all 8 projections compute in ONE row-local pass (array +
+    // posexplode), so the only shuffles are the (dir, value) histogram
+    // aggregate and the Ecdf machinery — no join of the embeddings
+    // scan against anything fact-sized. The Ecdf self-join duplicates
+    // the subtree in the INITIAL plan and AQE collapses it at runtime
+    // (the EcdfSpec reuse pin), so drive the plan and read the final one
+    val df = VectorQueries.q206SlicedWasserstein.run(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("embeddings"))
+    assert(scans === 1, s"embeddings scanned $scans times:\n$p")
+    assert(!p.contains("SortMergeJoin"), "fact-sized join appeared:\n" + p)
+  }
+
   test("q25 quality scan reads only the 2 needed document columns") {
     val p = plan(TextQueries.q25QualityFilter)
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

@@ -773,6 +773,37 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q206 sliced-W1: invariants hold; identical clouds give zero drift") {
+    val rows = VectorQueries.q206SlicedWasserstein.run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq.sorted === (0 until 8))
+    rows.foreach { case (d, n1, n2, ks, w1, cvm) =>
+      assert(n1 > 0 && n2 > 0, d)
+      assert(ks >= 0 && ks <= 1, s"dir $d: ks $ks")
+      assert(w1 >= 0 && cvm >= 0, s"dir $d")
+      // the two halves are draws from the same corpus: drift must be
+      // finite-sample noise, nowhere near a real shift (KS ≪ 0.5)
+      assert(ks < 0.5, s"dir $d drifted implausibly: $ks")
+    }
+    // law: a cloud against itself projects to identical ECDFs on every
+    // direction — all three statistics are exactly zero
+    import spark.implicits._
+    import graft.functions.VectorFns
+    val projections = array((0 until 4).map { b =>
+      val coefs = array(VectorFns.lshCoefs(b, 64).map(lit): _*)
+      round(VectorFns.dot(col("embedding"), coefs) * 1e6).cast("long")
+    }: _*)
+    val hist = Tables.embeddings(spark, sfDir)
+      .select(projections.as("ps"))
+      .select(posexplode(col("ps")).as(Seq("dir", "v")))
+      .groupBy(col("dir"), col("v"))
+      .agg(count(lit(1)).as("c1"), count(lit(1)).as("c2"))
+    val z = graft.operators.Drift.ksAndW1(hist, Seq("dir"), "v", "c1", "c2")
+      .select(sum(col("ks_d") + col("w1") + col("cvm"))).head().getDouble(0)
+    assert(z === 0.0, "identical clouds must show zero drift on every slice")
+  }
+
   test("q186 MI invariants: 0 ≤ MI ≤ min(Hx, Hy), NMI in [0, 1]") {
     val rows = RelationalQueries.q186MutualInformation.run(spark, sfDir).collect()
     assert(rows.length > 0)
