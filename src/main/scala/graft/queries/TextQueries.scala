@@ -4037,14 +4037,17 @@ object TextQueries {
     * (≥ 90% of exchangeable future docs score ≤ threshold) made
     * checkable per source. The k-th order statistic is NOT a sorted
     * collect: scores quantize to the 1e9 grid (the q155/q202 float
-    * discipline), counts collapse to (source, value) grain, and the
-    * rank selection is a min-over-cumsum on `Ecdf.groupedCumsum` —
-    * one fact-scale shuffle, one range exchange, with n_cal riding
-    * the offset table (tot_c). The eval half joins the |sources|-row
-    * threshold relation — dimension-sized by construction. Sources
-    * with n_cal < 9 have no finite 90% threshold (k > n) and emit
-    * NULL threshold / 0 coverage in both dialects. The threshold is
-    * a rounded SIGNED score → noNegZero finisher. */
+    * discipline) and the rank selection is a min-over-cumsum on
+    * `Ecdf.groupedCumsum`. ONE documents scan total: BOTH halves'
+    * counts ride the same value-grain cumsum (cal rows interleave 0s
+    * into the eval column and vice versa — cumsums are unaffected),
+    * so the eval coverage count is simply `cum_cEval` AT the
+    * threshold row and no second scan or threshold join exists (the
+    * first cut of this query scored each half in its own branch —
+    * 2× the 100 TB read for the same answer). Sources with
+    * n_cal < 9 have no finite 90% threshold (k > n) and emit NULL
+    * threshold / NULL coverage in both dialects. The threshold is a
+    * rounded SIGNED score → noNegZero finisher. */
   val q204ConformalThreshold = Q(
     "q204_conformal_threshold",
     s"""WITH $qualityLabSql,
@@ -4054,28 +4057,27 @@ object TextQueries {
        |    CAST(round(score * 1e9) AS BIGINT) AS sq
        |  FROM lab),
        |d AS (
-       |  SELECT source, sq, CAST(count(*) AS BIGINT) AS c
-       |  FROM q WHERE h = 0 GROUP BY 1, 2),
+       |  SELECT source, sq,
+       |    CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cc,
+       |    CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ce
+       |  FROM q GROUP BY 1, 2),
        |c AS (
        |  SELECT source, sq,
-       |    sum(c) OVER (PARTITION BY source ORDER BY sq) AS cum,
-       |    sum(c) OVER (PARTITION BY source) AS tot
-       |  FROM d),
-       |thr AS (
-       |  SELECT source,
-       |    CAST(min(CASE WHEN cum >= (9 * (tot + 1) + 9) // 10
-       |      THEN sq END) AS BIGINT) AS t,
-       |    CAST(min(tot) AS BIGINT) AS n_cal
-       |  FROM c GROUP BY source),
-       |ev AS (SELECT source, sq FROM q WHERE h = 1)
-       |SELECT thr.source, n_cal,
-       |  round(t / 1e9, 6) + 0.0 AS threshold,
-       |  CAST(count(*) AS BIGINT) AS n_eval,
-       |  round(sum(CASE WHEN ev.sq <= thr.t THEN 1 ELSE 0 END)
-       |    / CAST(count(*) AS DOUBLE), 4) AS coverage
-       |FROM ev JOIN thr ON ev.source = thr.source
-       |GROUP BY thr.source, n_cal, t
-       |ORDER BY thr.source""".stripMargin) { (spark, dir) =>
+       |    sum(cc) OVER w AS cum_cc, sum(ce) OVER w AS cum_ce,
+       |    sum(cc) OVER (PARTITION BY source) AS nc,
+       |    sum(ce) OVER (PARTITION BY source) AS ne
+       |  FROM d
+       |  WINDOW w AS (PARTITION BY source ORDER BY sq))
+       |SELECT source, CAST(min(nc) AS BIGINT) AS n_cal,
+       |  round(CAST(arg_min(sq, sq)
+       |      FILTER (WHERE cum_cc >= (9 * (nc + 1) + 9) // 10) AS BIGINT)
+       |    / 1e9, 6) + 0.0 AS threshold,
+       |  CAST(min(ne) AS BIGINT) AS n_eval,
+       |  round(CAST(arg_min(cum_ce, sq)
+       |      FILTER (WHERE cum_cc >= (9 * (nc + 1) + 9) // 10) AS BIGINT)
+       |    / CAST(min(ne) AS DOUBLE), 4) AS coverage
+       |FROM c GROUP BY source
+       |ORDER BY source""".stripMargin) { (spark, dir) =>
     // split on the portable md5 hash, NOT doc_id parity: the corpus
     // assigns sources round-robin by doc_id, so parity ≡ source parity
     // and a parity split puts every source entirely in one half
@@ -4084,23 +4086,27 @@ object TextQueries {
         (graft.operators.Dedup.portableHash60(col("doc_id").cast("string")) % 2)
           .as("h"),
         round(col("score") * 1e9).cast("long").as("sq"))
-    val d = lab.filter(col("h") === 0)
-      .groupBy(col("source"), col("sq")).agg(count(lit(1)).as("c"))
-    val thr = graft.operators.Ecdf
-      .groupedCumsum(d, Seq("source"), "sq", Seq("c"))
+    val d = lab
+      .groupBy(col("source"), col("sq"))
+      .agg(sum(when(col("h") === 0, 1L).otherwise(0L)).as("cc"),
+        sum(when(col("h") === 1, 1L).otherwise(0L)).as("ce"))
+    // min over a (sq, cum_ce) struct = the first qualifying row's pair:
+    // sq is unique per source at value grain, so the struct order is
+    // total and both fields come from the SAME row
+    val qualifying = when(
+      col("cum_cc") >= expr("(9 * (tot_cc + 1) + 9) div 10"),
+      struct(col("sq"), col("cum_ce")))
+    graft.operators.Ecdf
+      .groupedCumsum(d, Seq("source"), "sq", Seq("cc", "ce"))
       .groupBy(col("source"))
-      .agg(min(when(col("cum_c") >= expr("(9 * (tot_c + 1) + 9) div 10"),
-          col("sq"))).as("t"),
-        min(col("tot_c")).as("n_cal"))
-    lab.filter(col("h") === 1).select(col("source"), col("sq"))
-      .join(thr, "source")
-      .groupBy(col("source"), col("n_cal"), col("t"))
-      .agg(count(lit(1)).as("n_eval"),
-        sum(when(col("sq") <= col("t"), 1L).otherwise(0L)).as("cov"))
+      .agg(min(qualifying).as("at_thr"),
+        min(col("tot_cc")).as("n_cal"),
+        min(col("tot_ce")).as("n_eval"))
       .select(col("source"), col("n_cal"),
-        Q.noNegZero(round(col("t") / 1e9, 6)).as("threshold"),
+        Q.noNegZero(round(col("at_thr.sq") / 1e9, 6)).as("threshold"),
         col("n_eval"),
-        round(col("cov") / col("n_eval").cast("double"), 4).as("coverage"))
+        round(col("at_thr.cum_ce") / col("n_eval").cast("double"), 4)
+          .as("coverage"))
       .orderBy(col("source"))
   }
 

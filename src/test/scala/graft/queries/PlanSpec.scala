@@ -418,6 +418,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "fact-sized join appeared:\n" + p)
   }
 
+  test("q204 conformal: ONE documents scan — both halves ride one cumsum") {
+    // the eval coverage is read off cum_ce at the threshold row, so
+    // there is no second scoring branch and no threshold join; the one
+    // remaining join is Ecdf's internal offs lookup over the reused
+    // range exchange
+    val df = TextQueries.q204ConformalThreshold.run(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = fin.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents"))
+    assert(scans === 1, s"documents scanned $scans times:\n$fin")
+    assert(fin.contains("ReusedExchange") || fin.contains("ReusedQueryStage"), fin)
+  }
+
   test("q25 quality scan reads only the 2 needed document columns") {
     val p = plan(TextQueries.q25QualityFilter)
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
