@@ -99,6 +99,12 @@ object DiagScale {
       // q198's per-nation groups simply grow ×k in rows, which is the
       // honest test of its rank-table and join paths
       nat.write.mode("overwrite").parquet(s"$dir/nation.parquet")
+      // embeddings: the replicateEmb ±1 diagonal transform (same
+      // geometry per replica, decorrelated across), with ids in the ×k
+      // keyspace so the q206 halves split evenly at every k
+      val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      replicateEmb(emb, k)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       done.createNewFile()
     }
     dir
@@ -388,6 +394,12 @@ object DiagScale {
             .run(spark, relTables(spark, sfDir, k)).count()),
         "q205_monitor" -> (() =>
           graft.queries.RelationalQueries.q205DriftMonitor
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        // q206: narrow 8-projection pass + (direction, grid-value)
+        // histogram + one Ecdf — the grid saturates as replicas share
+        // projection values, so expect sublinear like q197
+        "q206_sliced" -> (() =>
+          graft.queries.VectorQueries.q206SlicedWasserstein
             .run(spark, relTables(spark, sfDir, k)).count()))
     }
 
