@@ -202,6 +202,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Drift.ksAndW1 ≡ a pure reference; symmetric in the two sides") {
+    val rowGen = for {
+      g <- Gen.oneOf("a", "b")
+      v <- Gen.chooseNum(0L, 25L)
+      c1 <- Gen.chooseNum(0L, 5L)
+      c2 <- Gen.chooseNum(0L, 5L)
+    } yield (g, v, c1, c2)
+    forAll(Gen.listOfN(25, rowGen), n = 6) { rows =>
+      val d = rows.toDF("g", "v", "c1", "c2")
+        .groupBy("g", "v").agg(sum("c1").as("c1"), sum("c2").as("c2"))
+        // both sides must be nonempty distributions per group
+        .filter(col("c1") + col("c2") > 0)
+      val byG = rows.groupBy(_._1).map { case (g, rs) =>
+        val vg = rs.groupBy(_._2).map { case (v, xs) =>
+          (v, xs.map(_._3).sum, xs.map(_._4).sum) }.toSeq.sortBy(_._1)
+        g -> vg
+      }
+      val ok = byG.values.forall(vg =>
+        vg.map(_._2).sum > 0 && vg.map(_._3).sum > 0)
+      if (ok) {
+        val got = graft.operators.Drift.ksAndW1(d, Seq("g"), "v", "c1", "c2")
+          .as[(String, Long, Long, Double, Double, Double)]
+          .collect().map(r => r._1 -> r).toMap
+        // pure sorted-walk reference
+        byG.foreach { case (g, vg) =>
+          val (n1, n2) = (vg.map(_._2).sum, vg.map(_._3).sum)
+          var (a, b) = (0L, 0L)
+          var (dmax, wsum, csum) = (BigInt(0), BigInt(0), BigInt(0))
+          vg.zipWithIndex.foreach { case ((v, c1, c2), i) =>
+            a += c1; b += c2
+            val dev = (BigInt(a) * n2 - BigInt(b) * n1).abs
+            dmax = dmax.max(dev)
+            if (i + 1 < vg.length) wsum += dev * (vg(i + 1)._1 - v)
+            csum += BigInt(c1 + c2) * dev * dev
+          }
+          val (gn1, gn2, ks, w1, cvm) =
+            (got(g)._2, got(g)._3, got(g)._4, got(g)._5, got(g)._6)
+          assert(gn1 === n1 && gn2 === n2, g)
+          assert(math.abs(ks - dmax.toDouble / (n1.toDouble * n2)) <= 1e-6, g)
+          assert(math.abs(w1 - wsum.toDouble / (n1.toDouble * n2)) <= 1e-6, g)
+          assert(math.abs(cvm - csum.toDouble
+            / (n1.toDouble * n2 * (n1 + n2).toDouble * (n1 + n2))) <= 1e-6, g)
+        }
+        // symmetry: |F_A−F_B| is invariant under side swap
+        val swapped = graft.operators.Drift
+          .ksAndW1(d.select(col("g"), col("v"),
+            col("c2").as("c1"), col("c1").as("c2")), Seq("g"), "v", "c1", "c2")
+          .as[(String, Long, Long, Double, Double, Double)]
+          .collect().map(r => r._1 -> r).toMap
+        byG.keys.foreach { g =>
+          assert(swapped(g)._4 === got(g)._4 && swapped(g)._5 === got(g)._5
+            && swapped(g)._6 === got(g)._6, s"$g not symmetric")
+        }
+      }
+    }
+  }
+
   test("Mixing.waterfill laws: caps respected, budget met, water level shared") {
     val availGen = Gen.listOfN(6, Gen.chooseNum(1L, 500L))
     forAll(availGen) { avails =>
