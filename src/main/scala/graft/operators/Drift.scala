@@ -35,13 +35,12 @@ object Drift {
     *
     * @param hist  one row per (partCols, v) with nonnegative integer
     *              counts `cA`, `cB` (value grain — the Ecdf tie contract)
-    * @return partCols ++ (n1, n2, ks_d, w1, cvm) — n1/n2 the two sample
-    *         sizes, ks_d ∈ [0,1] at 6 dp, w1 in VALUE UNITS at 6 dp
-    *         (callers rescale, e.g. cents → dollars), cvm the two-sample
-    *         Cramér–von Mises criterion n1·n2/N² · Σ_pooled (F_A−F_B)²
-    *         at 6 dp
+    * @return partCols ++ (n1, n2, dnum, wsum, csum) — the sample sizes
+    *         and the three EXACT decimal(38,0) numerators (KS max, W1
+    *         Riemann sum, CvM pooled sum of squares), for callers that
+    *         finish with their own units/rounding (q203's dollars)
     */
-  def ksAndW1(hist: DataFrame, partCols: Seq[String], v: String,
+  def reductions(hist: DataFrame, partCols: Seq[String], v: String,
       cA: String, cB: String): DataFrame = {
     val dec = "decimal(38,0)"
     val cum = Ecdf.groupedCumsum(hist, partCols, v, Seq(cA, cB),
@@ -51,7 +50,6 @@ object Drift {
     // and the CvM summand once squared and pooled-weighted
     val dev = abs(col(s"cum_$cA").cast(dec) * col(s"tot_$cB")
       - col(s"cum_$cB").cast(dec) * col(s"tot_$cA"))
-    val n1d = col(s"tot_$cA").cast("double")
     cum
       .groupBy((partCols.map(col)
         :+ col(s"tot_$cA") :+ col(s"tot_$cB")): _*)
@@ -66,16 +64,28 @@ object Drift {
         sum((col(cA) + col(cB)).cast(dec) * dev * dev).as("csum"))
       .select((partCols.map(col)
         :+ col(s"tot_$cA").as("n1") :+ col(s"tot_$cB").as("n2")
-        :+ round(col("dnum").cast("double")
-            / (n1d * col(s"tot_$cB")), 6).as("ks_d")
-        :+ round(col("wsum").cast("double")
-            / (n1d * col(s"tot_$cB")), 6).as("w1")
-        // T = n1·n2/N² · Σ_pooled (F_A−F_B)², and dev = (F_A−F_B)·n1·n2,
-        // so T = csum / (n1·n2·N²)
-        :+ round(col("csum").cast("double")
-            / (n1d * col(s"tot_$cB")
-              * (col(s"tot_$cA") + col(s"tot_$cB")).cast("double")
-              * (col(s"tot_$cA") + col(s"tot_$cB")).cast("double")), 6)
-            .as("cvm")): _*)
+        :+ col("dnum") :+ col("wsum") :+ col("csum")): _*)
+  }
+
+  /** [[reductions]] finished at 6 dp: partCols ++ (n1, n2, ks_d, w1,
+    * cvm) — ks_d ∈ [0,1], w1 in VALUE UNITS (callers rescale, e.g.
+    * cents → dollars), cvm the two-sample Cramér–von Mises criterion
+    * n1·n2/N² · Σ_pooled (F_A−F_B)². A group with an EMPTY side has no
+    * drift comparison — all three emit NULL (not the 0/0 NaN a bare
+    * division would give), and oracle twins must mirror the guard
+    * (`CASE WHEN n1 > 0 AND n2 > 0 THEN … END`). */
+  def ksAndW1(hist: DataFrame, partCols: Seq[String], v: String,
+      cA: String, cB: String): DataFrame = {
+    val r = reductions(hist, partCols, v, cA, cB)
+    val ok = col("n1") > 0 && col("n2") > 0
+    val nn = col("n1").cast("double") * col("n2")
+    val bigN = (col("n1") + col("n2")).cast("double")
+    r.select((partCols.map(col) :+ col("n1") :+ col("n2")
+      :+ when(ok, round(col("dnum").cast("double") / nn, 6)).as("ks_d")
+      :+ when(ok, round(col("wsum").cast("double") / nn, 6)).as("w1")
+      // T = n1·n2/N² · Σ_pooled (F_A−F_B)², and dev = (F_A−F_B)·n1·n2,
+      // so T = csum / (n1·n2·N²)
+      :+ when(ok, round(col("csum").cast("double")
+          / (nn * bigN * bigN), 6)).as("cvm")): _*)
   }
 }

@@ -2707,9 +2707,11 @@ object RelationalQueries {
       |  FROM d
       |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY v))
       |SELECT c_mktsegment, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
-      |  round(CAST(sum(CAST(abs(a * n2 - b * n1) AS HUGEINT) * (nv - v)) AS DOUBLE)
-      |    / (CAST(n1 AS DOUBLE) * n2) / 100, 6) AS w1_dollars
-      |FROM c WHERE nv IS NOT NULL
+      |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |    round(CAST(sum(CASE WHEN nv IS NULL THEN CAST(0 AS HUGEINT)
+      |        ELSE CAST(abs(a * n2 - b * n1) AS HUGEINT) * (nv - v) END) AS DOUBLE)
+      |      / (CAST(n1 AS DOUBLE) * n2) / 100, 6) END AS w1_dollars
+      |FROM c
       |GROUP BY c_mktsegment, n1, n2
       |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
     val d = Tables.orders(spark, dir)
@@ -2719,21 +2721,15 @@ object RelationalQueries {
         when(year(col("o_orderdate")) < 1998, 1L).otherwise(0L).as("g"))
       .groupBy(col("c_mktsegment"), col("v"))
       .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c2"))
-    val dec = "decimal(38,0)"
-    graft.operators.Ecdf
-      .groupedCumsum(d, Seq("c_mktsegment"), "v", Seq("c1", "c2"),
-        withNext = true)
-      .filter(col("next_v").isNotNull)
-      .select(col("c_mktsegment"),
-        col("cum_c1").as("a"), col("cum_c2").as("b"),
-        col("tot_c1").as("n1"), col("tot_c2").as("n2"),
-        (col("next_v") - col("v")).as("gap"))
-      .groupBy(col("c_mktsegment"), col("n1"), col("n2"))
-      .agg(sum(abs(col("a").cast(dec) * col("n2")
-        - col("b").cast(dec) * col("n1")) * col("gap")).as("wsum"))
+    // one shared implementation of the exact transport sum
+    // (operators/Drift.reductions); this query only rescales to dollars
+    graft.operators.Drift
+      .reductions(d, Seq("c_mktsegment"), "v", "c1", "c2")
       .select(col("c_mktsegment"), col("n1"), col("n2"),
-        round(col("wsum").cast("double")
-          / (col("n1").cast("double") * col("n2")) / 100, 6).as("w1_dollars"))
+        when(col("n1") > 0 && col("n2") > 0,
+          round(col("wsum").cast("double")
+            / (col("n1").cast("double") * col("n2")) / 100, 6))
+          .as("w1_dollars"))
       .orderBy(col("c_mktsegment"))
   }
 
@@ -2766,15 +2762,18 @@ object RelationalQueries {
       |  FROM d
       |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY v))
       |SELECT c_mktsegment, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
-      |  round(CAST(max(abs(a * n2 - b * n1)) AS DOUBLE)
-      |    / (CAST(n1 AS DOUBLE) * n2), 6) AS ks_d,
-      |  round(CAST(sum(CASE WHEN nv IS NULL THEN CAST(0 AS HUGEINT)
-      |      ELSE CAST(abs(a * n2 - b * n1) AS HUGEINT) * (nv - v) END) AS DOUBLE)
-      |    / (CAST(n1 AS DOUBLE) * n2), 6) AS w1_cents,
-      |  round(CAST(sum(CAST(cnt AS HUGEINT)
-      |      * abs(a * n2 - b * n1) * abs(a * n2 - b * n1)) AS DOUBLE)
-      |    / (CAST(n1 AS DOUBLE) * n2
-      |      * CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)), 6) AS cvm
+      |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |    round(CAST(max(abs(a * n2 - b * n1)) AS DOUBLE)
+      |      / (CAST(n1 AS DOUBLE) * n2), 6) END AS ks_d,
+      |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |    round(CAST(sum(CASE WHEN nv IS NULL THEN CAST(0 AS HUGEINT)
+      |        ELSE CAST(abs(a * n2 - b * n1) AS HUGEINT) * (nv - v) END) AS DOUBLE)
+      |      / (CAST(n1 AS DOUBLE) * n2), 6) END AS w1_cents,
+      |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |    round(CAST(sum(CAST(cnt AS HUGEINT)
+      |        * abs(a * n2 - b * n1) * abs(a * n2 - b * n1)) AS DOUBLE)
+      |      / (CAST(n1 AS DOUBLE) * n2
+      |        * CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)), 6) END AS cvm
       |FROM c
       |GROUP BY c_mktsegment, n1, n2
       |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>

@@ -1108,15 +1108,18 @@ object VectorQueries {
        |  FROM d
        |  WINDOW w AS (PARTITION BY dir ORDER BY v))
        |SELECT dir, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
-       |  round(CAST(max(abs(a * n2 - b * n1)) AS DOUBLE)
-       |    / (CAST(n1 AS DOUBLE) * n2), 6) AS ks_d,
-       |  round(CAST(sum(CASE WHEN nv IS NULL THEN CAST(0 AS HUGEINT)
-       |      ELSE CAST(abs(a * n2 - b * n1) AS HUGEINT) * (nv - v) END) AS DOUBLE)
-       |    / (CAST(n1 AS DOUBLE) * n2), 6) AS w1,
-       |  round(CAST(sum(CAST(cnt AS HUGEINT)
-       |      * abs(a * n2 - b * n1) * abs(a * n2 - b * n1)) AS DOUBLE)
-       |    / (CAST(n1 AS DOUBLE) * n2
-       |      * CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)), 6) AS cvm
+       |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+       |    round(CAST(max(abs(a * n2 - b * n1)) AS DOUBLE)
+       |      / (CAST(n1 AS DOUBLE) * n2), 6) END AS ks_d,
+       |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+       |    round(CAST(sum(CASE WHEN nv IS NULL THEN CAST(0 AS HUGEINT)
+       |        ELSE CAST(abs(a * n2 - b * n1) AS HUGEINT) * (nv - v) END) AS DOUBLE)
+       |      / (CAST(n1 AS DOUBLE) * n2), 6) END AS w1,
+       |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+       |    round(CAST(sum(CAST(cnt AS HUGEINT)
+       |        * abs(a * n2 - b * n1) * abs(a * n2 - b * n1)) AS DOUBLE)
+       |      / (CAST(n1 AS DOUBLE) * n2
+       |        * CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)), 6) END AS cvm
        |FROM c
        |GROUP BY dir, n1, n2
        |ORDER BY dir""".stripMargin) { (spark, dir) =>

@@ -357,7 +357,13 @@ object StreamOps {
     * the batch aggregate over the same rows and the serving-read KS/W1
     * are EXACT, not approximations of the batch numbers. State is
     * value-grain (distinct (segment, grid-value) pairs), the same
-    * bound the batch query's shuffle carries. */
+    * bound the batch query's shuffle carries.
+    *
+    * Contract: `sideCol` must be 0 or 1. Any other value (or NULL)
+    * lands in NEITHER count — rows silently vanish from both ECDFs —
+    * so callers with a dirty side encoding must normalize or filter
+    * BEFORE this operator (the streaming state cannot fail a row
+    * loudly without poisoning the query). */
   def segmentValueCounts(rows: DataFrame, segCol: String, valueCol: String,
       sideCol: String): DataFrame =
     rows

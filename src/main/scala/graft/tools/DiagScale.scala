@@ -66,7 +66,10 @@ object DiagScale {
     * k and reused across runs (delete /tmp/graft_scale_rel_k* to
     * rebuild). */
   private def relTables(spark: SparkSession, sfDir: String, k: Int): String = {
-    val dir = s"/tmp/graft_scale_rel_k$k"
+    // v2: the dir name versions the TABLE SET (v2 added embeddings) —
+    // a stale _done marker from an earlier round must not satisfy a
+    // probe that needs a table the old build never wrote
+    val dir = s"/tmp/graft_scale_rel_v2_k$k"
     val done = new java.io.File(s"$dir/_done")
     if (!done.exists()) {
       val docs = graft.sources.Tables.documents(spark, sfDir)

@@ -227,6 +227,26 @@ class SignedZeroAuditSpec extends SparkSpec {
         s"${stale.toSeq.sorted.mkString(", ")}")
   }
 
+  test("every noNegZero-finished column carries '+ 0.0' in its oracle twin") {
+    // the convention is TWO-sided: Q.noNegZero on the Spark side AND
+    // the literal `+ 0.0` in the DuckDB SQL. The plan audit can only
+    // see the Spark half; this closes the other — a finished Spark
+    // column whose oracle twin lacks the idiom would ship the exact
+    // r9 q194 divergence in reverse (Spark +0.0, DuckDB -0.0)
+    val rows = DiagSignedZero.audit(spark, sfDir)
+    val finished = rows.collect { case (q, c, true) => (q, c) }
+    assert(finished.nonEmpty)
+    val oracles = graft.SparkEntry.oracleSql
+    val missing = finished.filter { case (q, c) =>
+      oracles.get(q).exists { sql =>
+        !s"""\\+\\s*0\\.0\\s+AS\\s+$c\\b""".r.findFirstIn(sql).isDefined
+      }
+    }
+    assert(missing.isEmpty,
+      s"finished Spark columns whose oracle SQL lacks the '+ 0.0' idiom " +
+        s"before their alias: ${missing.sorted.mkString(", ")}")
+  }
+
   test("noNegZero turns a rounded -0.0 into +0.0 (bit-exact)") {
     // round(-1e-12, 6) is the q194 shape: a tiny negative that DuckDB
     // rounds to -0.0. Spark's Round already yields +0.0; the finisher

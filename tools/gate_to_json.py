@@ -10,6 +10,13 @@ def main(sf_dir, out_dir, out_json):
     p = subprocess.run(
         [sys.executable, "tools/check_local.py", sf_dir, out_dir],
         capture_output=True, text=True)
+    # a checker CRASH (vs. a clean run with failures, which exits 1 after
+    # printing per-query lines) must not be recorded as an empty-green
+    # artifact — distinguish by presence of the summary line
+    if not any(" pass, " in l for l in p.stdout.splitlines()):
+        sys.stderr.write(f"check_local.py produced no summary "
+                         f"(exit {p.returncode}):\n{p.stdout}\n{p.stderr}\n")
+        return 2
     queries = {}
     for line in p.stdout.splitlines():
         m = re.match(r"(PASS|FAIL|SKIP) (\S+?):.*?(\d+) rows", line)
