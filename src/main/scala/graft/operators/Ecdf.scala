@@ -50,17 +50,31 @@ object Ecdf {
     * contract as ties above).
     *
     * @param partCols group columns (empty = one global cumsum)
-    * @param slices   range-partition width; 32 matches the test rig's
-    *                 parallelism, production tunes it to the cluster
+    * @param slices   range-partition width; 0 (the default) derives it
+    *                 from `spark.sql.shuffle.partitions` at PLAN time,
+    *                 so the cumsum stage's parallelism scales with the
+    *                 cluster like every other exchange instead of
+    *                 sitting at a compiled-in constant (a 1000-executor
+    *                 job would otherwise funnel billions of distinct
+    *                 values through 32 range partitions while the rest
+    *                 of the plan fans out). The offset table stays
+    *                 bounded at |groups|×slices rows either way — at
+    *                 any realistic shuffle-partition setting that is
+    *                 still dimension-sized. Pass an explicit positive
+    *                 width only to pin plans in tests.
     * @param withNext also emit `next_<orderCol>` (successor value)
     */
   def groupedCumsum(df: DataFrame, partCols: Seq[String], orderCol: String,
-      sumCols: Seq[String], slices: Int = 32,
+      sumCols: Seq[String], slices: Int = 0,
       withNext: Boolean = false): DataFrame = {
     require(sumCols.nonEmpty, "no columns to accumulate")
+    require(slices >= 0, s"negative slice count: $slices")
+    val width =
+      if (slices > 0) slices
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val gcols = partCols.map(col)
     val parted = df
-      .repartitionByRange(slices, (gcols :+ col(orderCol)): _*)
+      .repartitionByRange(width, (gcols :+ col(orderCol)): _*)
       .withColumn("__pid", spark_partition_id())
     val byGroup = Window.partitionBy(gcols: _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)

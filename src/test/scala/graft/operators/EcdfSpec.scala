@@ -58,6 +58,58 @@ class EcdfSpec extends SparkSpec {
     assert(got.count(_._3.isEmpty) === 7)
   }
 
+  test("non-default slice counts are exact end-to-end (cumsum, totals, next)") {
+    // the slice width is a pure parallelism knob: any positive count
+    // must reproduce the naive window bit-for-bit — including widths
+    // far from the rig's 32 (1 = degenerate single slice, 5 = slices
+    // straddle groups, 97 = more slices than distinct values)
+    val rows = (1 to 400).map { i =>
+      (s"g${i % 5}", (i * 41) % 83L, (i % 7).toLong + 1)
+    }
+    val d = rows.toDF("g", "v", "c")
+      .groupBy("g", "v").agg(sum("c").as("c")) // value grain
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+    val naive = d.select(col("g"), col("v"),
+        sum(col("c")).over(w).as("cum"),
+        sum(col("c")).over(w.rowsBetween(Long.MinValue, Long.MaxValue)).as("tot"),
+        lead(col("v"), 1).over(w).as("nv"))
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSet
+    for (s <- Seq(1, 5, 97)) {
+      val got = Ecdf.groupedCumsum(d, Seq("g"), "v", Seq("c"),
+          slices = s, withNext = true)
+        .select(col("g"), col("v"), col("cum_c"), col("tot_c"), col("next_v"))
+        .as[(String, Long, Long, Long, Option[Long])].collect().toSet
+      assert(got === naive && got.nonEmpty, s"slices=$s diverged from naive")
+    }
+  }
+
+  test("the default slice count follows spark.sql.shuffle.partitions") {
+    // slices=0 (the default) must derive the range-partition width from
+    // the session's shuffle parallelism at plan time — the 100 TB knob:
+    // a cluster running shuffle.partitions=4000 gets a 4000-way cumsum
+    // stage with no code change (r10 verdict: the compiled-in 32 was
+    // the one hard parallelism cap left in the engine)
+    val d = (1 to 200).map(i => (s"g${i % 3}", (i * 13 % 89).toLong, 1L))
+      .toDF("g", "v", "c").groupBy("g", "v").agg(sum("c").as("c"))
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val plan = Ecdf.groupedCumsum(d, Seq("g"), "v", Seq("c"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("rangepartitioning") && plan.contains(", 7)"),
+        s"range exchange did not pick up shuffle.partitions=7:\n$plan")
+      // and the values are still exact at the non-rig width
+      val got = Ecdf.groupedCumsum(d, Seq("g"), "v", Seq("c"))
+        .select("g", "v", "cum_c").as[(String, Long, Long)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("v"))
+      val naive = d.select(col("g"), col("v"), sum(col("c")).over(w).as("n"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(got === naive && got.nonEmpty)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("both consumers observe ONE range exchange (offs side is a ReusedExchange)") {
     // groupedCumsum's correctness hinges on the offs aggregate and the
     // final join observing IDENTICAL range-partition boundaries:
