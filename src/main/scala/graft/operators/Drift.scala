@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Two-sample distribution-drift statistics from ONE cumsum pass.
@@ -8,40 +8,77 @@ import org.apache.spark.sql.functions._
   * The monitoring read a 100 TB pipeline actually issues is "compare
   * today's distribution to the reference on every statistic we alarm
   * on" — and every ECDF statistic (KS max-gap, Wasserstein-1 transport,
-  * Cramér–von Mises, and friends) is a different reduction of the SAME
-  * two cumulative count tables. Computing them in separate queries
-  * (q185's KS, q203's W1) re-pays the fact-scale shuffle per statistic;
-  * this operator pays it once: one value-grain histogram in, one
-  * `Ecdf.groupedCumsum` (range exchange + bounded offset windows,
-  * `withNext` supplying the Riemann gaps), one group-grain reduction
-  * out. The three statistics alarm on different drift SHAPES: KS the
-  * worst single gap, W1 the mass×distance transport, CvM the gap
-  * averaged over the pooled sample (sensitive to many small gaps KS
-  * ignores).
+  * Cramér–von Mises, Anderson–Darling, and friends) is a different
+  * reduction of the SAME two cumulative count tables. Computing them in
+  * separate queries (q185's KS, q203's W1) re-pays the fact-scale
+  * shuffle per statistic; this operator pays it once: one value-grain
+  * histogram in, one `Ecdf.groupedCumsum` (range exchange + bounded
+  * offset windows, `withNext` supplying the Riemann gaps), one
+  * group-grain reduction out. The statistics alarm on different drift
+  * SHAPES: KS the worst single gap, W1 the mass×distance transport,
+  * CvM the gap averaged over the pooled sample (sensitive to many
+  * small gaps KS ignores), AD the same average reweighted by the
+  * pooled ECDF's variance 1/(H(1−H)) (sensitive in the TAILS, where
+  * mixing/quality-threshold decisions live).
   *
   * Exactness contract (the q185/q203 discipline): inputs are integer
   * counts on an integer value grid; the KS numerator max|a·n2 − b·n1|,
-  * the W1 sum Σ|a·n2 − b·n1|·gap, and the CvM sum Σ(cA+cB)·(a·n2−b·n1)²
-  * run in decimal(38,0), and the only float operations are the final
-  * divisions. Headroom note: the CvM numerator needs (n1·n2)²·N digits
-  * — decimal(38,0)/int128 covers groups to ~1e9 rows per side; past
-  * that, coarsen the value grid (the statistic is grid-invariant up to
-  * the grid's own resolution).
+  * the W1 sum Σ|a·n2 − b·n1|·gap, the CvM sum Σ(cA+cB)·(a·n2−b·n1)²,
+  * and the AD sum of per-value FLOOR-quantized rational terms all run
+  * in decimal(38,0), and the only float operations are the final
+  * divisions.
+  *
+  * Headroom (now GUARDED at runtime, not just documented): the CvM
+  * numerator is bounded by N·(n1·n2)² — decimal(38,0)/int128 covers
+  * equal sides to ~3.5·10⁷ rows each at WORST CASE (complete
+  * separation, |F_A−F_B| = 1); a typical drift gap D buys a further
+  * D^(−2/5) (D = 0.01 → ~2·10⁸ per side). AD's ×10⁶ term quantization
+  * costs 6 more digits (~2·10⁶ worst-case rows per side); W1 needs
+  * n1·n2·(v_max−v_min) < 10³⁸. Past the bound a decimal product or
+  * accumulator overflows. Under ANSI semantics (the Spark 4 default,
+  * and what every graft session runs) the overflow itself raises
+  * NUMERIC_VALUE_OUT_OF_RANGE — already loud. Under NON-ANSI semantics
+  * it yields NULL instead, and a per-row NULL would be SILENTLY
+  * DROPPED by sum/max (a wrong answer, not even a visible one) while
+  * the oracle twin's HUGEINT raises an out-of-range error at the same
+  * magnitudes — the two engines diverging exactly when the numbers
+  * stop being trustworthy. [[reductions]] therefore also counts NULL
+  * terms inside the same aggregate and `raise_error`s the query
+  * (group + sizes in the message) if any term or accumulator
+  * overflowed, so BOTH configurations fail loudly (DriftSpec drills
+  * each path). Mitigations at that scale: uniformly subsample each
+  * side (every statistic here is an ECDF functional — at 10⁷ points
+  * per side its sampling error is far below the 6-dp output grid), or
+  * coarsen the value grid (helps W1's range term only; CvM/AD bounds
+  * depend on the row counts, not the grid).
   */
 object Drift {
 
-  /** Per-group exact KS D and W1 between the two count columns of a
-    * value-grain histogram.
+  /** Per-group exact drift numerators between the two count columns of
+    * a value-grain histogram.
     *
-    * @param hist  one row per (partCols, v) with nonnegative integer
-    *              counts `cA`, `cB` (value grain — the Ecdf tie contract)
-    * @return partCols ++ (n1, n2, dnum, wsum, csum) — the sample sizes
-    *         and the three EXACT decimal(38,0) numerators (KS max, W1
-    *         Riemann sum, CvM pooled sum of squares), for callers that
-    *         finish with their own units/rounding (q203's dollars)
+    * @param hist   one row per (partCols, v) with nonnegative integer
+    *               counts `cA`, `cB`, none NULL (value grain — the Ecdf
+    *               tie contract)
+    * @param withAd also compute `asum`, the Anderson–Darling numerator:
+    *               Σ over non-maximal values of
+    *               ⌊(cA+cB)·dev²·10⁶ / (j·(N−j))⌋ with j the pooled
+    *               cumulative count — each term an EXACT integer floor
+    *               division (DuckDB twin: HUGEINT `//`), so the sum is
+    *               order-independent where a per-term double sum would
+    *               not be. The group's maximum value (j = N) is
+    *               excluded: both ECDFs have reached 1 there, dev = 0,
+    *               and the variance weight 1/(H(1−H)) is undefined.
+    * @return partCols ++ (n1, n2, dnum, wsum, csum [, asum]) — the
+    *         sample sizes and the EXACT decimal(38,0) numerators (KS
+    *         max, W1 Riemann sum, CvM pooled sum of squares, quantized
+    *         AD sum), for callers that finish with their own
+    *         units/rounding (q203's dollars). Raises at runtime on
+    *         decimal(38,0) overflow (see the headroom note above)
+    *         instead of silently dropping overflowed terms.
     */
   def reductions(hist: DataFrame, partCols: Seq[String], v: String,
-      cA: String, cB: String): DataFrame = {
+      cA: String, cB: String, withAd: Boolean = false): DataFrame = {
     val dec = "decimal(38,0)"
     val cum = Ecdf.groupedCumsum(hist, partCols, v, Seq(cA, cB),
       withNext = true)
@@ -50,33 +87,74 @@ object Drift {
     // and the CvM summand once squared and pooled-weighted
     val dev = abs(col(s"cum_$cA").cast(dec) * col(s"tot_$cB")
       - col(s"cum_$cB").cast(dec) * col(s"tot_$cA"))
-    cum
+    // the group's maximum value has no successor and contributes
+    // nothing to the integrals (both ECDFs have reached 1 there)
+    val w1Term = when(col(s"next_$v").isNotNull,
+      dev * (col(s"next_$v") - col(v))).otherwise(lit(0).cast(dec))
+    // CvM sums over POOLED OBSERVATIONS: each distinct value carries
+    // its pooled multiplicity cA + cB
+    val cvmTerm = (col(cA) + col(cB)).cast(dec) * dev * dev
+    // AD: the CvM summand variance-weighted by the pooled ECDF,
+    // ×10⁶-quantized so the per-value rational becomes an exact
+    // integer floor division: (num − num mod den) / den ≡ ⌊num/den⌋
+    // for nonnegative decimals, with no rounding anywhere (the direct
+    // decimal divide rounds HALF_UP at scale 6, which can cross an
+    // integer boundary from below and disagree with the twin's
+    // HUGEINT floor division)
+    val adTerm = if (!withAd) lit(0).cast(dec) else {
+      val j = (col(s"cum_$cA") + col(s"cum_$cB")).cast(dec)
+      val n = (col(s"tot_$cA") + col(s"tot_$cB")).cast(dec)
+      val num = cvmTerm * lit(1000000L).cast(dec)
+      val den = j * (n - j) // > 0 on every non-maximal value row
+      when(col(s"next_$v").isNotNull, ((num - num % den) / den).cast(dec))
+        .otherwise(lit(0).cast(dec))
+    }
+    // overflow sentry: a decimal product past 38 digits is NULL under
+    // non-ANSI semantics and sum/max would skip it SILENTLY — count
+    // bad terms in the same aggregate and fail the query loudly below
+    val badTerm = when(dev.isNull || w1Term.isNull || cvmTerm.isNull
+      || (if (withAd) adTerm.isNull else lit(false)), 1L).otherwise(0L)
+    val aggd = cum
       .groupBy((partCols.map(col)
         :+ col(s"tot_$cA") :+ col(s"tot_$cB")): _*)
       .agg(max(dev).as("dnum"),
-        // the group's maximum value has no successor and contributes
-        // nothing to the integral (both ECDFs have reached 1 there)
-        sum(when(col(s"next_$v").isNotNull,
-          dev * (col(s"next_$v") - col(v)))
-          .otherwise(lit(0).cast(dec))).as("wsum"),
-        // CvM sums over POOLED OBSERVATIONS: each distinct value
-        // carries its pooled multiplicity cA + cB
-        sum((col(cA) + col(cB)).cast(dec) * dev * dev).as("csum"))
-      .select((partCols.map(col)
-        :+ col(s"tot_$cA").as("n1") :+ col(s"tot_$cB").as("n2")
-        :+ col("dnum") :+ col("wsum") :+ col("csum")): _*)
+        (sum(w1Term).as("wsum") +: sum(cvmTerm).as("csum")
+          +: sum(badTerm).as("__bad")
+          +: (if (withAd) Seq(sum(adTerm).as("asum")) else Nil)): _*)
+    def guarded(c: Column, stat: String): Column =
+      when(col("__bad") > 0 || c.isNull,
+        raise_error(concat(
+          lit(s"graft.Drift: decimal(38,0) overflow computing $stat for group ("),
+          concat_ws(", ", partCols.map(p => col(p).cast("string")): _*),
+          lit(") with n1="), col(s"tot_$cA").cast("string"),
+          lit(" n2="), col(s"tot_$cB").cast("string"),
+          lit(" — past the int128 headroom (see Drift scaladoc); " +
+            "subsample each side or coarsen the value grid"))))
+        .otherwise(c)
+    aggd.select((partCols.map(col)
+      :+ col(s"tot_$cA").as("n1") :+ col(s"tot_$cB").as("n2")
+      :+ guarded(col("dnum"), "ks").as("dnum")
+      :+ guarded(col("wsum"), "w1").as("wsum")
+      :+ guarded(col("csum"), "cvm").as("csum"))
+      ++ (if (withAd) Seq(guarded(col("asum"), "ad").as("asum")) else Nil): _*)
   }
 
   /** [[reductions]] finished at 6 dp: partCols ++ (n1, n2, ks_d, w1,
-    * cvm) — ks_d ∈ [0,1], w1 in VALUE UNITS (callers rescale, e.g.
-    * cents → dollars), cvm the two-sample Cramér–von Mises criterion
-    * n1·n2/N² · Σ_pooled (F_A−F_B)². A group with an EMPTY side has no
-    * drift comparison — all three emit NULL (not the 0/0 NaN a bare
-    * division would give), and oracle twins must mirror the guard
-    * (`CASE WHEN n1 > 0 AND n2 > 0 THEN … END`). */
+    * cvm [, ad]) — ks_d ∈ [0,1], w1 in VALUE UNITS (callers rescale,
+    * e.g. cents → dollars), cvm the two-sample Cramér–von Mises
+    * criterion n1·n2/N² · Σ_pooled (F_A−F_B)², ad (with
+    * `withAd = true`) the two-sample Anderson–Darling statistic
+    * (Pettitt's A² = 1/(n1·n2) · Σ_pooled (a·n2−b·n1)²/(j·(N−j)),
+    * counting each pooled observation at its value's right-continuous
+    * cumulative — ties collapse onto the value grain — and quantized
+    * per term to the 10⁻⁶ grid, error < |values|·10⁻⁶/(n1·n2), far
+    * below the 6-dp output rounding). A group with an EMPTY side has
+    * no drift comparison — all statistics emit NULL (not the 0/0 NaN
+    * a bare division would give), and oracle twins must mirror the
+    * guard (`CASE WHEN n1 > 0 AND n2 > 0 THEN … END`). */
   def ksAndW1(hist: DataFrame, partCols: Seq[String], v: String,
-      cA: String, cB: String): DataFrame = {
-    val r = reductions(hist, partCols, v, cA, cB)
+      cA: String, cB: String, withAd: Boolean = false): DataFrame = {
+    val r = reductions(hist, partCols, v, cA, cB, withAd)
     val ok = col("n1") > 0 && col("n2") > 0
     val nn = col("n1").cast("double") * col("n2")
     val bigN = (col("n1") + col("n2")).cast("double")
@@ -86,6 +164,11 @@ object Drift {
       // T = n1·n2/N² · Σ_pooled (F_A−F_B)², and dev = (F_A−F_B)·n1·n2,
       // so T = csum / (n1·n2·N²)
       :+ when(ok, round(col("csum").cast("double")
-          / (nn * bigN * bigN), 6)).as("cvm")): _*)
+          / (nn * bigN * bigN), 6)).as("cvm"))
+      // A² = Σ dev²·c/(j(N−j)) / (n1·n2), with asum carrying the sum
+      // ×10⁶ — so divide the quantization back out here
+      ++ (if (withAd) Seq(when(ok, round(col("asum").cast("double")
+            / (nn * 1e6), 6)).as("ad"))
+          else Nil): _*)
   }
 }

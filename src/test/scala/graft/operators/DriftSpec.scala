@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hist2(rows: Seq[(String, Long, Long, Long)]) =
+    rows.toDF("g", "v", "c1", "c2")
+
+  test("ksAndW1(withAd) matches the hand-computed Pettitt A² on tied data") {
+    // A = {5, 7, 7}, B = {5, 9}: n1=3, n2=2, N=5
+    // v=5: a=1,b=1,j=2, dev=|1·2−1·3|=1, c=2 → term 2·1/(2·3) = 1/3
+    // v=7: a=3,b=1,j=4, dev=|3·2−1·3|=3, c=2 → term 2·9/(4·1) = 4.5
+    // v=9: j=N, excluded (dev=0, H(1−H)=0)
+    // A² = (1/3 + 9/2) / (3·2) = 0.805555…
+    val h = hist2(Seq(("s", 5L, 1L, 1L), ("s", 7L, 2L, 0L), ("s", 9L, 0L, 1L)))
+    val r = Drift.ksAndW1(h, Seq("g"), "v", "c1", "c2", withAd = true)
+      .select("g", "n1", "n2", "ks_d", "w1", "cvm", "ad")
+      .as[(String, Long, Long, Double, Double, Double, Double)].head()
+    assert(r._2 === 3L && r._3 === 2L)
+    assert(math.abs(r._4 - 0.5) < 1e-9)          // KS unchanged
+    assert(math.abs(r._5 - 8.0 / 6) < 1e-6)      // W1 unchanged
+    assert(math.abs(r._6 - 20.0 / 150) < 1e-6)   // CvM unchanged
+    // quantized: floor(2e6/6) + floor(18e6/4) = 333333 + 4500000,
+    // divided back out and rounded the way ksAndW1 rounds (6dp HALF_UP)
+    val want = BigDecimal(4833333.0 / 6e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r._7 - want) < 1e-9, s"ad=${r._7} want=$want")
+  }
+
+  test("asum equals a BigInt floor-division reference on random histograms") {
+    val rng = new scala.util.Random(42)
+    val rows = for (g <- Seq("a", "b"); v <- 0 until 40 if rng.nextInt(3) > 0)
+      yield (g, v.toLong, rng.nextInt(50).toLong, rng.nextInt(50).toLong)
+    val got = Drift.reductions(hist2(rows), Seq("g"), "v", "c1", "c2",
+        withAd = true)
+      .select(col("g"), col("asum").cast("string"))
+      .as[(String, String)].collect().toMap.map { case (k, s) => k -> BigInt(s) }
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val byV = rs.sortBy(_._2)
+      val n1 = BigInt(byV.map(_._3).sum); val n2 = BigInt(byV.map(_._4).sum)
+      val n = n1 + n2
+      var (a, b, acc) = (BigInt(0), BigInt(0), BigInt(0))
+      for ((_, _, c1, c2) <- byV) {
+        a += c1; b += c2
+        val j = a + b
+        if (j < n) { // the maximal value is excluded
+          val dev = (a * n2 - b * n1).abs
+          acc += (c1 + c2) * dev * dev * 1000000 / (j * (n - j))
+        }
+      }
+      g -> acc
+    }
+    assert(got === want && got.values.exists(_ > 0))
+  }
+
+  test("an untied two-sample reproduces the classical Pettitt formula") {
+    // all counts 1 → each distinct value is one pooled observation, so
+    // the value-grain statistic must equal the textbook per-observation
+    // sum A² = 1/(n1·n2) Σ_{j<N} (M_j·N − j·n1)²/(j(N−j))
+    val xs = Seq(1L, 4L, 6L, 10L, 11L) // side A
+    val ys = Seq(2L, 3L, 7L, 12L)      // side B
+    val rows = xs.map(v => ("g", v, 1L, 0L)) ++ ys.map(v => ("g", v, 0L, 1L))
+    val got = Drift.ksAndW1(hist2(rows), Seq("g"), "v", "c1", "c2",
+        withAd = true)
+      .select("ad").as[Double].head()
+    val pooled = (xs.map((_, true)) ++ ys.map((_, false))).sortBy(_._1)
+    val (n1, n2) = (xs.size, ys.size); val n = n1 + n2
+    var m = 0
+    val ref = (for (((_, isA), j0) <- pooled.zipWithIndex.dropRight(1)) yield {
+      if (isA) m += 1
+      val j = j0 + 1
+      math.pow(m.toDouble * n - j.toDouble * n1, 2) / (j.toDouble * (n - j))
+    }).sum / (n1.toDouble * n2)
+    assert(math.abs(got - BigDecimal(ref).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6, s"got=$got ref=$ref")
+  }
+
+  private def overflowHist = hist2(Seq(
+    ("big", 0L, 7000000000000L, 1L),
+    ("big", 1L, 3000000000000L, 9999999999999L)))
+
+  private def messages(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x =>
+      Option(x.getMessage).toSeq ++ messages(x.getCause))
+
+  test("decimal(38,0) overflow raises natively under ANSI (the default)") {
+    // counts ~1e13 per side: dev ~ 7e25, cvm term ~ c·dev² ~ 3e64 — far
+    // past 38 digits. Spark 4 runs ANSI by default, where the decimal
+    // product itself raises NUMERIC_VALUE_OUT_OF_RANGE — already loud.
+    assert(spark.conf.get("spark.sql.ansi.enabled") === "true")
+    val e = intercept[Exception] {
+      Drift.ksAndW1(overflowHist, Seq("g"), "v", "c1", "c2").collect()
+    }
+    assert(messages(e).mkString.contains("NUMERIC_VALUE_OUT_OF_RANGE"),
+      s"expected the ANSI overflow error:\n${messages(e).mkString("\n")}")
+  }
+
+  test("under non-ANSI the guard raises instead of dropping NULL terms") {
+    // with spark.sql.ansi.enabled=false (common on migration clusters)
+    // the overflowed product is NULL and a bare sum/max would SKIP it —
+    // a silent wrong answer, and one that diverges from the oracle
+    // twin's HUGEINT out-of-range error. The reductions-level sentry
+    // must fail the query with the group and sizes in the message.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val e = intercept[Exception] {
+        Drift.ksAndW1(overflowHist, Seq("g"), "v", "c1", "c2").collect()
+      }
+      val all = messages(e).mkString("\n")
+      assert(all.contains("graft.Drift") && all.contains("overflow"),
+        s"expected the Drift overflow guard, got:\n$all")
+      assert(all.contains("big"), s"guard message must name the group:\n$all")
+      assert(all.contains("n1=10000000000000"),
+        s"guard message must carry the side sizes:\n$all")
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+  }
+
+  test("healthy groups pass the guard untouched (no false positives)") {
+    val h = hist2(Seq(("g", 1L, 1000000L, 2000000L), ("g", 2L, 3000000L, 500000L)))
+    val r = Drift.ksAndW1(h, Seq("g"), "v", "c1", "c2", withAd = true).collect()
+    assert(r.length === 1 && !r.head.anyNull)
+  }
+
+  test("an empty side yields NULL statistics, not NaN (dialect guard)") {
+    val h = hist2(Seq(("g", 1L, 5L, 0L), ("g", 2L, 3L, 0L)))
+    val r = Drift.ksAndW1(h, Seq("g"), "v", "c1", "c2", withAd = true).head()
+    for (c <- Seq("ks_d", "w1", "cvm", "ad"))
+      assert(r.isNullAt(r.fieldIndex(c)), s"$c should be NULL on an empty side")
+  }
+}
