@@ -2789,6 +2789,79 @@ object RelationalQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** q205's monitor extended with the two-sample ANDERSON–DARLING
+    * statistic (`Drift.ksAndW1(withAd = true)`) — the natural fourth
+    * reduction of the SAME single cumsum pass: AD is CvM reweighted by
+    * the pooled ECDF's variance 1/(H(1−H)), which up-weights the
+    * distribution TAILS where KS/CvM are least sensitive and where
+    * mixing/quality-threshold decisions actually live (a tail-only
+    * drift can sit under KS's single max gap and CvM's bulk average
+    * yet move every p99-based decision). Pettitt's A², ties collapsed
+    * onto the value grain (each pooled observation counted at its
+    * value's right-continuous cumulative). Exactness: each AD term is
+    * a rational c·dev²/(j·(N−j)) — no common denominator exists, so
+    * the house integer-sum discipline quantizes each term to the 10⁻⁶
+    * grid with an exact decimal floor division, mirrored by the twin's
+    * HUGEINT `//`; the sum stays order-independent (a per-term double
+    * sum would hash-diverge on partition order) and the quantization
+    * error (< |values|·10⁻⁶/(n1·n2)) is far below the 6-dp output
+    * grid. Plan: IDENTICAL to q205 — one orders scan, one (segment,
+    * value) aggregate, one range exchange, group-grain out (PlanSpec
+    * pins it; StatsSpec pins ks_d/w1_cents/cvm bit-equal to q205 and
+    * ad against a driver-side BigInt reference). */
+  val q207AdMonitor = Q(
+    "q207_ad_monitor",
+    """WITH j AS (
+      |  SELECT c_mktsegment, CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+      |    CASE WHEN year(o_orderdate) < 1998 THEN 1 ELSE 0 END AS g
+      |  FROM orders JOIN customer ON c_custkey = o_custkey),
+      |d AS (
+      |  SELECT c_mktsegment, v, CAST(sum(g) AS BIGINT) AS c1,
+      |    CAST(sum(1 - g) AS BIGINT) AS c2
+      |  FROM j GROUP BY 1, 2),
+      |c AS (
+      |  SELECT c_mktsegment, v, c1 + c2 AS cnt,
+      |    sum(c1) OVER w AS a, sum(c2) OVER w AS b,
+      |    sum(c1) OVER (PARTITION BY c_mktsegment) AS n1,
+      |    sum(c2) OVER (PARTITION BY c_mktsegment) AS n2,
+      |    lead(v) OVER (PARTITION BY c_mktsegment ORDER BY v) AS nv
+      |  FROM d
+      |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY v))
+      |SELECT c_mktsegment, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |    round(CAST(max(abs(a * n2 - b * n1)) AS DOUBLE)
+      |      / (CAST(n1 AS DOUBLE) * n2), 6) END AS ks_d,
+      |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |    round(CAST(sum(CASE WHEN nv IS NULL THEN CAST(0 AS HUGEINT)
+      |        ELSE CAST(abs(a * n2 - b * n1) AS HUGEINT) * (nv - v) END) AS DOUBLE)
+      |      / (CAST(n1 AS DOUBLE) * n2), 6) END AS w1_cents,
+      |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |    round(CAST(sum(CAST(cnt AS HUGEINT)
+      |        * abs(a * n2 - b * n1) * abs(a * n2 - b * n1)) AS DOUBLE)
+      |      / (CAST(n1 AS DOUBLE) * n2
+      |        * CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)), 6) END AS cvm,
+      |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |    round(CAST(sum(CASE WHEN nv IS NULL THEN CAST(0 AS HUGEINT)
+      |        ELSE (CAST(cnt AS HUGEINT) * abs(a * n2 - b * n1)
+      |          * abs(a * n2 - b * n1) * 1000000)
+      |          // ((a + b) * (n1 + n2 - a - b)) END) AS DOUBLE)
+      |      / (CAST(n1 AS DOUBLE) * n2 * 1e6), 6) END AS ad
+      |FROM c
+      |GROUP BY c_mktsegment, n1, n2
+      |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    val d = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment"),
+        round(col("o_totalprice") * 100).cast("long").as("v"),
+        when(year(col("o_orderdate")) < 1998, 1L).otherwise(0L).as("g"))
+      .groupBy(col("c_mktsegment"), col("v"))
+      .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c2"))
+    graft.operators.Drift
+      .ksAndW1(d, Seq("c_mktsegment"), "v", "c1", "c2", withAd = true)
+      .withColumnRenamed("w1", "w1_cents")
+      .orderBy(col("c_mktsegment"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -2806,5 +2879,5 @@ object RelationalQueries {
     q181AnovaF, q182ChiSqIndependence, q183MannKendall,
     q184GiniConcentration, q185KsDrift, q186MutualInformation, q187RevenueAcf,
     q197RobustMeans, q198SpearmanRank, q199DriftAlarmsBh, q200HillTailIndex,
-    q203WassersteinDrift, q205DriftMonitor)
+    q203WassersteinDrift, q205DriftMonitor, q207AdMonitor)
 }

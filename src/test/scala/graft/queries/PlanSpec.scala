@@ -401,6 +401,20 @@ class PlanSpec extends SparkSpec {
       "Ecdf offs consumer re-planned the fact pipeline:\n" + fin)
   }
 
+  test("q207 AD monitor keeps q205's shape: ONE orders scan, offs exchange reused") {
+    // the fourth statistic rides the same aggregate — adding it must
+    // not re-plan the fact pipeline or add a scan
+    val df = RelationalQueries.q207AdMonitor.run(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val ordersScans = fin.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("orders"))
+    assert(ordersScans === 1, s"expected one orders scan, got $ordersScans:\n$fin")
+    assert(fin.contains("ReusedExchange") || fin.contains("ReusedQueryStage"),
+      "Ecdf offs consumer re-planned the fact pipeline:\n" + fin)
+  }
+
   test("q206 projection pass is narrow: no join before the histogram aggregate") {
     // all 8 projections compute in ONE row-local pass (array +
     // posexplode), so the only shuffles are the (dir, value) histogram

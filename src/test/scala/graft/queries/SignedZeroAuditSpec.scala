@@ -187,6 +187,10 @@ class SignedZeroAuditSpec extends SparkSpec {
     ("q206_sliced_wasserstein", "ks_d"), // max|F_A−F_B| ∈ [0,1]
     ("q206_sliced_wasserstein", "w1"),   // integral of |F_A−F_B| ≥ 0
     ("q206_sliced_wasserstein", "cvm"),  // pooled sum of squares ≥ 0
+    ("q207_ad_monitor", "ks_d"),    // max|F_A−F_B| ∈ [0,1]
+    ("q207_ad_monitor", "w1_cents"), // integral of |F_A−F_B| ≥ 0
+    ("q207_ad_monitor", "cvm"),     // pooled sum of squares ≥ 0
+    ("q207_ad_monitor", "ad"),      // variance-weighted sum of squares ≥ 0
     ("q202_brier_decomposition", "base_rate"),
     ("q202_brier_decomposition", "brier"),
     ("q202_brier_decomposition", "reliability"),

@@ -773,6 +773,55 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q207 AD monitor: ks/w1/cvm bit-equal q205; ad matches a BigInt reference") {
+    val m7 = RelationalQueries.q207AdMonitor.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    val m5 = RelationalQueries.q205DriftMonitor.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4),
+        r.getDouble(5))).toMap
+    assert(m7.keySet === m5.keySet && m7.nonEmpty)
+    // the first three statistics take the IDENTICAL reduction/round
+    // path — adding the fourth must not move them by a bit
+    m7.foreach { case (seg, (_, _, ks, w1, cvm, _)) =>
+      assert((ks, w1, cvm) === m5(seg), s"$seg: q207 moved q205's statistics")
+    }
+    // driver-side AD reference: pooled walk with BigInt floor division
+    // at the same 1e6 quantization
+    val vals = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment"),
+        round(col("o_totalprice") * 100).cast("long").as("v"),
+        (year(col("o_orderdate")) < 1998).as("a"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .groupBy(_._1)
+    m7.foreach { case (seg, (n1, n2, _, _, _, ad)) =>
+      val rows = vals(seg)
+      val va = rows.filter(_._3).map(_._2)
+      val vb = rows.filterNot(_._3).map(_._2)
+      val n = BigInt(n1 + n2)
+      var (ca, cb) = (BigInt(0), BigInt(0))
+      var asum = BigInt(0)
+      (va ++ vb).distinct.sorted.foreach { x =>
+        val (fa, fb) = (va.count(_ == x), vb.count(_ == x))
+        ca += fa; cb += fb
+        val j = ca + cb
+        if (j < n) {
+          val dev = (ca * n2 - cb * n1).abs
+          asum += BigInt(fa + fb) * dev * dev * 1000000 / (j * (n - j))
+        }
+      }
+      val refAd = (BigDecimal(asum)
+        / (BigDecimal(n1) * BigDecimal(n2) * BigDecimal(1000000)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(ad - refAd) <= 1e-9, s"$seg: ad $ad vs $refAd")
+      // AD dominates CvM after matching normalizations: every pooled
+      // weight 1/(H(1−H)) ≥ 4 (H(1−H) ≤ 1/4), so A² ≥ 4·N·T_cvm/N = …
+      // keep the cheap sanity law instead: strictly positive, finite
+      assert(ad > 0 && !ad.isInfinite, seg)
+    }
+  }
+
   test("q206 sliced-W1: invariants hold; identical clouds give zero drift") {
     val rows = VectorQueries.q206SlicedWasserstein.run(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
