@@ -3782,44 +3782,29 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
-  /** Pairwise Jensen–Shannon divergence between sources over the
-    * hashed-token feature buckets — the SYMMETRIC, bounded (≤ ln 2)
-    * companion to q121's source-vs-corpus KL: the full source×source
-    * dissimilarity matrix a mixing recipe clusters over ("which
-    * sources are near-duplicates of each other at the distribution
-    * level"). Fact-scale work is the one (source, bucket) count
-    * shuffle q121 already pays; the pair join runs at |sources|²×64
-    * grain — dimension-sized by construction. Each bucket's two
-    * smoothed probabilities produce one JSD term quantized to the
-    * 1e-9 grid before the per-pair BIGINT sum (the q184-q193 float
-    * discipline; q121's 4-dp double sum predates it). */
-  val q196JsDivergence = Q(
-    "q196_js_divergence",
-    """WITH feats AS (
-      |  SELECT source, ('0x' || substr(md5(s), 1, 15))::BIGINT % 64 AS b
-      |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS u(s)
-      |  WHERE s <> ''),
-      |per_src AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c FROM feats GROUP BY 1, 2),
-      |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS st FROM per_src GROUP BY 1),
-      |grid AS (
-      |  SELECT t.source, t.st, g.b, coalesce(s.c, 0) AS c
-      |  FROM tot t
-      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) g
-      |  LEFT JOIN per_src s ON t.source = s.source AND g.b = s.b),
-      |pairs AS (
-      |  SELECT x.source AS source_a, y.source AS source_b,
-      |    (x.c + 1.0) / (x.st + 64.0) AS p, (y.c + 1.0) / (y.st + 64.0) AS q
-      |  FROM grid x JOIN grid y ON x.b = y.b AND x.source < y.source)
-      |SELECT source_a, source_b,
-      |  round(CAST(sum(CAST(round((p * ln(2 * p / (p + q))
-      |      + q * ln(2 * q / (p + q))) * 1e9) AS BIGINT)) AS BIGINT)
-      |    / 2e9, 6) + 0.0 AS jsd,
-      |  round(CAST(sum(CAST(round((p * ln(2 * p / (p + q))
-      |      + q * ln(2 * q / (p + q))) * 1e9) AS BIGINT)) AS BIGINT)
-      |    / 2e9 / ln(2), 6) + 0.0 AS jsd_norm
-      |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+  /** Per-source cap for q196's pairwise stage: the JSD matrix is
+    * |sources|²×64 — dimension-sized at 20 sources, quadratic if a
+    * corpus has 10⁴ domains-as-sources. The house cap discipline
+    * (the q80/CoBasketCap playbook): keep the top-[[JsdSourceCap]]
+    * sources by token mass — the ones any mixing recipe actually
+    * weighs — and fold the long tail into ONE `(other)` pseudo-source
+    * whose bucket distribution is the tail's mixture, so tail mass
+    * still appears in the matrix at coarse grain instead of silently
+    * vanishing. The fold count is observable as
+    * `graft.jsd.n_sources_bucketed`; ranking is deterministic
+    * (mass DESC, source ASC) in both dialects. 24 > the 20-source
+    * test corpus, so the registered result set is unchanged —
+    * the cap is exercised by JsdCapSpec on a crafted wide corpus and
+    * by the DiagScale probe whose replicas multiply the source count. */
+  private[queries] val JsdSourceCap = 24
+
+  /** The q196 implementation over any (source, text) frame — see
+    * [[q196JsDivergence]] for semantics, [[JsdSourceCap]] for the cap. */
+  private[queries] def jsDivergencePairs(docs: org.apache.spark.sql.DataFrame,
+      topK: Int): org.apache.spark.sql.DataFrame = {
     import graft.operators.Dedup
-    val feats = Tables.documents(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val feats = docs
       .select(col("source"), explode(TextFns.tokens(col("text"))).as("s"))
       .filter(col("s") =!= "")
       .select(col("source"), (Dedup.portableHash60(col("s")) % 64).as("b"))
@@ -3828,13 +3813,30 @@ object TextQueries {
     // the full smoothed 64-vector explodes back out IN-ROW — a
     // separate groupBy(source) totals branch re-planned the whole
     // tokenize scan per consumer (the Ecdf-totals lesson; measured 2
-    // documents scans in the final plan before this shape)
+    // documents scans in the final plan before this shape). The cap
+    // relabel is one more link of the SAME linear chain (rank over
+    // the |sources|-row collapse, explode the kept maps, re-collapse)
+    // — global window over a dimension-grain relation, no extra scan.
     val perSrc = feats.groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
     val vec = perSrc.groupBy(col("source"))
       .agg(map_from_arrays(collect_list(col("b")), collect_list(col("c"))).as("m"),
         sum(col("c")).as("st"))
-    val grid = vec
-      .select(col("source"), col("m"), col("st"),
+    val byMass = Window.orderBy(col("st").desc, col("source"))
+    val ranked = vec
+      .withColumn("label",
+        when(row_number().over(byMass) <= topK, col("source"))
+          .otherwise(lit("(other)")))
+      .observe("graft.jsd",
+        sum(when(col("label") === "(other)", 1L).otherwise(0L))
+          .as("n_sources_bucketed"))
+    val vec2 = ranked
+      .select(col("label"), explode(col("m")).as(Seq("b", "c")))
+      .groupBy(col("label"), col("b")).agg(sum(col("c")).as("c"))
+      .groupBy(col("label"))
+      .agg(map_from_arrays(collect_list(col("b")), collect_list(col("c"))).as("m"),
+        sum(col("c")).as("st"))
+    val grid = vec2
+      .select(col("label").as("source"), col("m"), col("st"),
         explode(sequence(lit(0L), lit(63L))).as("b"))
       .select(col("source"), col("b"),
         ((coalesce(element_at(col("m"), col("b")), lit(0L)) + 1.0)
@@ -3853,6 +3855,55 @@ object TextQueries {
         Q.noNegZero(round(col("tsum") / 2e9, 6)).as("jsd"),
         Q.noNegZero(round(col("tsum") / 2e9 / math.log(2.0), 6)).as("jsd_norm"))
       .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Pairwise Jensen–Shannon divergence between sources over the
+    * hashed-token feature buckets — the SYMMETRIC, bounded (≤ ln 2)
+    * companion to q121's source-vs-corpus KL: the full source×source
+    * dissimilarity matrix a mixing recipe clusters over ("which
+    * sources are near-duplicates of each other at the distribution
+    * level"). Fact-scale work is the one (source, bucket) count
+    * shuffle q121 already pays; the pair join runs at ≤
+    * ([[JsdSourceCap]]+1)²×64 grain — dimension-sized by CONSTRUCTION
+    * since r11, not by corpus accident (tail sources fold into one
+    * `(other)` mixture row; fold count observable). Each bucket's two
+    * smoothed probabilities produce one JSD term quantized to the
+    * 1e-9 grid before the per-pair BIGINT sum (the q184-q193 float
+    * discipline; q121's 4-dp double sum predates it). */
+  val q196JsDivergence = Q(
+    "q196_js_divergence",
+    s"""WITH feats AS (
+      |  SELECT source, ('0x' || substr(md5(s), 1, 15))::BIGINT % 64 AS b
+      |  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS u(s)
+      |  WHERE s <> ''),
+      |per_src AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c FROM feats GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT source, row_number() OVER (ORDER BY sum(c) DESC, source) AS rnk
+      |  FROM per_src GROUP BY source),
+      |ps2 AS (
+      |  SELECT CASE WHEN r.rnk <= $JsdSourceCap THEN p.source
+      |              ELSE '(other)' END AS source,
+      |    p.b, CAST(sum(p.c) AS BIGINT) AS c
+      |  FROM per_src p JOIN rk r ON r.source = p.source GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS st FROM ps2 GROUP BY 1),
+      |grid AS (
+      |  SELECT t.source, t.st, g.b, coalesce(s.c, 0) AS c
+      |  FROM tot t
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) g
+      |  LEFT JOIN ps2 s ON t.source = s.source AND g.b = s.b),
+      |pairs AS (
+      |  SELECT x.source AS source_a, y.source AS source_b,
+      |    (x.c + 1.0) / (x.st + 64.0) AS p, (y.c + 1.0) / (y.st + 64.0) AS q
+      |  FROM grid x JOIN grid y ON x.b = y.b AND x.source < y.source)
+      |SELECT source_a, source_b,
+      |  round(CAST(sum(CAST(round((p * ln(2 * p / (p + q))
+      |      + q * ln(2 * q / (p + q))) * 1e9) AS BIGINT)) AS BIGINT)
+      |    / 2e9, 6) + 0.0 AS jsd,
+      |  round(CAST(sum(CAST(round((p * ln(2 * p / (p + q))
+      |      + q * ln(2 * q / (p + q))) * 1e9) AS BIGINT)) AS BIGINT)
+      |    / 2e9 / ln(2), 6) + 0.0 AS jsd_norm
+      |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    jsDivergencePairs(Tables.documents(spark, dir), JsdSourceCap)
   }
 
   /** Training-shard BALANCE audit — the acceptance check after q138's
@@ -4073,9 +4124,10 @@ object TextQueries {
        |      FILTER (WHERE cum_cc >= (9 * (nc + 1) + 9) // 10) AS BIGINT)
        |    / 1e9, 6) + 0.0 AS threshold,
        |  CAST(min(ne) AS BIGINT) AS n_eval,
-       |  round(CAST(arg_min(cum_ce, sq)
-       |      FILTER (WHERE cum_cc >= (9 * (nc + 1) + 9) // 10) AS BIGINT)
-       |    / CAST(min(ne) AS DOUBLE), 4) AS coverage
+       |  CASE WHEN min(ne) > 0 THEN
+       |    round(CAST(arg_min(cum_ce, sq)
+       |        FILTER (WHERE cum_cc >= (9 * (nc + 1) + 9) // 10) AS BIGINT)
+       |      / CAST(min(ne) AS DOUBLE), 4) END AS coverage
        |FROM c GROUP BY source
        |ORDER BY source""".stripMargin) { (spark, dir) =>
     // split on the portable md5 hash, NOT doc_id parity: the corpus
@@ -4105,7 +4157,13 @@ object TextQueries {
       .select(col("source"), col("n_cal"),
         Q.noNegZero(round(col("at_thr.sq") / 1e9, 6)).as("threshold"),
         col("n_eval"),
-        round(col("at_thr.cum_ce") / col("n_eval").cast("double"), 4)
+        // the threshold guard's mirror on the coverage side: a source
+        // whose docs all hashed into the calibration half (n_eval = 0)
+        // has no coverage to report — NULL in both dialects, never the
+        // 0/0 NaN a bare division would give (house dialect-guard
+        // convention; DuckDB's double 0/0 is version-dependent)
+        when(col("n_eval") > 0,
+          round(col("at_thr.cum_ce") / col("n_eval").cast("double"), 4))
           .as("coverage"))
       .orderBy(col("source"))
   }

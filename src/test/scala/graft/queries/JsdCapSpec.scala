@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** The q196 source cap (r11): a corpus with more than [[TextQueries.JsdSourceCap]]
+  * sources must fold its tail into ONE `(other)` mixture row instead of
+  * exploding the pair stage quadratically. The registered corpus has 20
+  * sources (< cap), so this spec drives the fold on a crafted wide
+  * corpus through the same private implementation the query runs. */
+class JsdCapSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 6 sources, mass strictly decreasing: s0 has 7 docs, s5 has 2 —
+  // distinct token vocabularies so every pair has a real divergence
+  private def corpus = (for {
+    s <- 0 until 6
+    d <- 0 until (7 - s)
+  } yield (s"s$s", Seq.fill(4)(s"tok_${s}_$d word_$s common").mkString(" ")))
+    .toDF("source", "text")
+
+  test("sources past the cap fold into one '(other)' mixture row") {
+    val got = TextQueries.jsDivergencePairs(corpus, topK = 3).collect()
+    val labels = got.flatMap(r => Seq(r.getString(0), r.getString(1))).toSet
+    assert(labels === Set("s0", "s1", "s2", "(other)"))
+    // the matrix is complete over kept + other: C(4,2) pairs
+    assert(got.length === 6)
+  }
+
+  test("'(other)' is the tail MIXTURE: identical to pre-merging the tail") {
+    val capped = TextQueries.jsDivergencePairs(corpus, topK = 3)
+      .as[(String, String, Double, Double)].collect().toSet
+    // reference: relabel the tail in the INPUT and run uncapped — the
+    // fold must be equivalent to a plain mixture of the tail sources
+    val premerged = corpus.selectExpr(
+      "CASE WHEN source IN ('s0','s1','s2') THEN source ELSE '(other)' END AS source",
+      "text")
+    val ref = TextQueries.jsDivergencePairs(premerged, topK = 100)
+      .as[(String, String, Double, Double)].collect().toSet
+    assert(capped === ref && capped.nonEmpty)
+  }
+
+  test("a corpus within the cap is returned unchanged (the registered case)") {
+    val uncapped = TextQueries.jsDivergencePairs(corpus, topK = 100)
+      .as[(String, String, Double, Double)].collect().toSet
+    val atCap = TextQueries.jsDivergencePairs(corpus, topK = 6)
+      .as[(String, String, Double, Double)].collect().toSet
+    assert(uncapped === atCap && uncapped.size === 15) // C(6,2)
+    assert(!uncapped.exists(r => r._1 == "(other)" || r._2 == "(other)"))
+  }
+
+  test("mass ties rank deterministically by source name") {
+    // two equal-mass sources at the cap boundary: the kept one must be
+    // the lexicographically smaller name, in both dialects' spec
+    val tied = (for {
+      s <- Seq("aa", "bb", "cc", "dd") // equal mass each
+      d <- 0 until 3
+    } yield (s, s"tok_${s}_$d common")).toDF("source", "text")
+    val got = TextQueries.jsDivergencePairs(tied, topK = 2).collect()
+    val labels = got.flatMap(r => Seq(r.getString(0), r.getString(1))).toSet
+    assert(labels === Set("aa", "bb", "(other)"))
+  }
+}

@@ -50,6 +50,11 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rowcount spark={len(got)} oracle={len(exp)}"); n_fail += 1; continue
         g = got[gc].sort_values(gc).reset_index(drop=True)
         e = exp[ec].sort_values(ec).reset_index(drop=True)
+        # report the FIRST mismatching column only, with a max-delta
+        # diagnostic computed over THAT column alone (an earlier version
+        # aggregated deltas across columns, so the '(max fp delta ...)'
+        # note could describe a different column than the col= it named,
+        # and a noisy float column forced a scan of every later column)
         bad = None; max_delta = 0.0
         for c in gc:
             for i, (a, b) in enumerate(zip(g[c], e[c])):
@@ -63,7 +68,7 @@ def main(sf_dir, out_dir):
                     if bad is None:
                         bad = (c, i, a, b)
                     break
-            if bad and max_delta == 0.0:
+            if bad:
                 break
         if bad:
             sa, sb = bad[2], bad[3]
