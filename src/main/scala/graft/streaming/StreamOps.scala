@@ -397,6 +397,38 @@ object StreamOps {
     finally q.stop()
   }
 
+  /** Production landing for a COMPLETE-mode streaming aggregate — the
+    * [[segmentValueCounts]] drift histogram's parquet path: every
+    * micro-batch rewrites the FULL (bounded, value-grain) state as a
+    * new parquet version `v<batchId>`, and the serving read folds the
+    * drift statistics over [[latestSnapshot]] — a real parquet
+    * relation, so `Drift.ksAndW1`'s internal Ecdf self-join works
+    * (the memory sink's single-instance View cannot be self-joined —
+    * the test-harness limitation this path removes). Exactly-once
+    * EFFECT by the [[upsertBatches]] argument: complete mode hands
+    * each batch the whole deterministic state, so a batch replayed
+    * after a crash rewrites the same bytes into the same version dir.
+    * Scale shape: the rewrite is proportional to the STATE (distinct
+    * (segment, grid-value) pairs — the same bound the batch query's
+    * shuffle carries), never to the corpus; old versions are
+    * retention-GC'd out of band. Survives a checkpoint bounce: a
+    * restarted query resumes its state and batch ids from the
+    * checkpoint and lands strictly newer versions (StreamOpsSpec
+    * drills stop → new files while down → restart → serving read
+    * equals the one-shot batch monitor). */
+  def sinkCompleteVersions(streamed: DataFrame, outDir: String,
+      checkpointDir: String): Unit = {
+    val q = streamed.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/v$id")
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
   /** foreachBatch sink: each micro-batch lands as a batch write with
     * its batch id — the production pattern for sinks Structured
     * Streaming doesn't speak natively (JDBC, multi-table fan-out,

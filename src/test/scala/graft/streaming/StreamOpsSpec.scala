@@ -305,9 +305,10 @@ class StreamOpsSpec extends SparkSpec {
       "drift_stream_test", outputMode = "complete")
     // the memory-sink View can't be multi-instanced by the analyzer, so
     // Ecdf's internal self-join trips "conflicting references" on it —
-    // a test-harness artifact only (production lands histograms as
-    // parquet, the bm25IndexDeltas pattern, where relation dedup works);
-    // copy the served rows into a local relation before the fold
+    // a test-harness artifact only; the PRODUCTION path (versioned
+    // parquet via sinkCompleteVersions, where the self-join works) is
+    // drilled end-to-end with a checkpoint bounce in the next test.
+    // Here: copy the served rows into a local relation before the fold
     val hist = histMem.as[(String, Long, Long, Long)].collect().toSeq
       .toDF("seg", "v", "c1", "c2")
     val streamed = graft.operators.Drift
@@ -329,6 +330,63 @@ class StreamOpsSpec extends SparkSpec {
     assert(math.abs(sB._4 - 0.5) < 1e-9)
     assert(math.abs(sB._5 - 8.0 / 6) < 1e-6)
     assert(math.abs(sB._6 - 20.0 / 150) < 1e-6)
+  }
+
+  test("drift histogram PARQUET serving path survives a checkpoint bounce") {
+    import spark.implicits._
+    // the PRODUCTION path the memory-sink note used to defer to: land
+    // the complete-mode histogram state as versioned parquet
+    // (sinkCompleteVersions), bounce the checkpoint with new source
+    // files arriving while DOWN, then serve the drift statistics by
+    // reading the newest version through Drift.ksAndW1 — including
+    // Ecdf's internal self-join, which a memory-sink View cannot do
+    val base = java.nio.file.Files.createTempDirectory("drift-parquet").toString
+    val (srcDir, ckDir, histDir) = (s"$base/src", s"$base/ck", s"$base/hist")
+    val batch1 = Seq(("sA", 10L, 0), ("sA", 20L, 1), ("sA", 10L, 0),
+      ("sB", 5L, 0), ("sB", 9L, 1))
+    val batch2 = Seq(("sA", 30L, 1), ("sA", 10L, 1), ("sB", 5L, 1),
+      ("sB", 7L, 0), ("sB", 7L, 0))
+    batch1.toDF("seg", "v", "side").coalesce(1).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Unit = StreamOps.sinkCompleteVersions(
+      StreamOps.segmentValueCounts(
+        StreamOps.parquetStream(spark, schema, srcDir), "seg", "v", "side"),
+      histDir, ckDir)
+    runOnce()
+    def versions = new java.io.File(histDir).listFiles()
+      .map(_.getName).filter(_.matches("v\\d+")).map(_.drop(1).toLong).sorted
+    val afterFirst = versions
+    assert(afterFirst.nonEmpty, "first run landed no version")
+    // the first run's newest version serves batch1's statistics alone
+    val served1 = graft.operators.Drift.ksAndW1(
+        StreamOps.latestSnapshot(spark, histDir).get, Seq("seg"), "v", "c1", "c2")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+    val batch1Only = graft.operators.Drift.ksAndW1(
+        StreamOps.segmentValueCounts(batch1.toDF("seg", "v", "side"),
+          "seg", "v", "side"), Seq("seg"), "v", "c1", "c2")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+    assert(served1 === batch1Only && served1.nonEmpty)
+    batch2.toDF("seg", "v", "side").coalesce(1)
+      .write.mode("append").parquet(srcDir) // arrives while DOWN
+    runOnce()
+    // restart resumed batch ids from the checkpoint: strictly newer
+    // version, no re-ingest of batch1's files (state merged, not doubled)
+    assert(versions.last > afterFirst.last,
+      s"restart landed no newer version: $afterFirst -> $versions")
+    val served = graft.operators.Drift.ksAndW1(
+        StreamOps.latestSnapshot(spark, histDir).get, Seq("seg"), "v", "c1", "c2")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+    val batchAll = graft.operators.Drift.ksAndW1(
+        StreamOps.segmentValueCounts(
+          (batch1 ++ batch2).toDF("seg", "v", "side"), "seg", "v", "side"),
+        Seq("seg"), "v", "c1", "c2")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+    assert(served === batchAll && served.size === 2,
+      s"serving read diverged across the bounce: $served vs $batchAll")
+    // same hand-checked sB numbers as the memory-sink test — the
+    // parquet path must not change a single statistic
+    val sB = served.find(_._1 == "sB").get
+    assert(sB._2 === 3L && sB._3 === 2L && math.abs(sB._4 - 0.5) < 1e-9)
   }
 
   test("waterfill availability state survives a checkpoint bounce") {
