@@ -113,6 +113,12 @@ object DiagScale {
     dir
   }
 
+  private def withShufflePartitions(spark: SparkSession, n: String)(f: => Long): Long = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -403,7 +409,32 @@ object DiagScale {
         // projection values, so expect sublinear like q197
         "q206_sliced" -> (() =>
           graft.queries.VectorQueries.q206SlicedWasserstein
-            .run(spark, relTables(spark, sfDir, k)).count()))
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        // r11: q207 rides q205's aggregate with one more reduction —
+        // expect q205's exponents unchanged
+        "q207_admon" -> (() =>
+          graft.queries.RelationalQueries.q207AdMonitor
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        // r11: the multimodal decode family — q165's per-row ImageIO
+        // encode→decode→resample dominates its runtime; the honest
+        // expectation is LINEAR (compute-bound per row, hash-groupBy
+        // after), measured here instead of assumed (it was the one
+        // registered family with no ×1..8 exponent on record)
+        "q165_phash" -> (() =>
+          graft.queries.MultimodalQueries.q165ImagePhashDedup
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        // r11: Ecdf slice-width A/B — groupedCumsum now derives its
+        // range-partition width from spark.sql.shuffle.partitions; the
+        // growth EXPONENT of a cumsum-dominated registered query must
+        // not depend on the setting (a parallelism knob, not an
+        // algorithm knob — same data, same shuffled bytes, different
+        // fan-out). Probed at 16 and 64 around the rig's 32.
+        "q200_hill_s16" -> (() => withShufflePartitions(spark, "16") {
+          graft.queries.RelationalQueries.q200HillTailIndex
+            .run(spark, relTables(spark, sfDir, k)).count() }),
+        "q200_hill_s64" -> (() => withShufflePartitions(spark, "64") {
+          graft.queries.RelationalQueries.q200HillTailIndex
+            .run(spark, relTables(spark, sfDir, k)).count() }))
     }
 
     // the q137 BM25 shape: precomputed doc-side weights, query set =
