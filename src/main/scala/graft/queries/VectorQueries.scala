@@ -1137,10 +1137,118 @@ object VectorQueries {
       .orderBy(col("dir"))
   }
 
+  /** Kernel mean-embedding drift (MMD, Gretton et al. 2012) per label
+    * against the rest of the corpus — the CHEAPEST member of the drift
+    * family and the one a 100 TB audit runs first: q206 keeps the full
+    * per-direction ECDFs (a range exchange over (direction, value)
+    * state) to show WHERE the clouds differ; this query answers the
+    * coarser standing question — "which class/source's embedding
+    * cluster sits away from the corpus bulk, and by how much" — from
+    * ONE narrow pass with label-grain state (|labels|×33 longs) and NO
+    * range exchange at all. Estimator: the plug-in mean-embedding
+    * distance ‖μ̂_label − μ̂_rest‖² under an explicit 32-feature map —
+    * cos/sin of the 8 deterministic ±1 projections (q206's literal
+    * coefficients) at two bandwidths (0.25, 1.0), i.e. the
+    * mixture-of-cosines kernel k(x,y) = 1/16 Σ cos(s·(pᵢ(x)−pᵢ(y))),
+    * characteristic on each projected line. Exactness: each feature
+    * quantizes to the 1e-6 grid per ROW (cos/sin agree across
+    * JVM/libm to ~1 ulp ≈ 5e-16, six orders below the grid step, so
+    * the BIGINT feature sums are engine-identical where a raw double
+    * sum would be partition-order-dependent); the rest-side sums are
+    * total − label from the SAME aggregate (one window over the
+    * 10-row label relation — no second consumer re-planning the scan,
+    * the Ecdf-totals lesson), and the finish is a fixed-order double
+    * expression from exact integers. A label owning the whole corpus
+    * has no rest to compare — NULL, both dialects. */
+  val q208MmdDrift = Q(
+    "q208_mmd_drift", {
+      val scales = Seq("0.25", "1.0")
+      val projs = (0 until 8).map { b =>
+        val coefs = VectorFns.lshCoefs(b, Dim).mkString("[", ",", "]")
+        s"    list_dot_product(ev, CAST($coefs AS DOUBLE[])) AS p$b"
+      }.mkString(",\n")
+      val feats = (for {
+        b <- 0 until 8; (s, si) <- scales.zipWithIndex
+        (t, ti) <- Seq("cos", "sin").zipWithIndex
+      } yield s"    CAST(round($t(p$b * $s) * 1e6) AS BIGINT) AS f${b * 4 + si * 2 + ti}")
+        .mkString(",\n")
+      val sums = (0 until 32).map(i => s"CAST(sum(f$i) AS BIGINT) AS s$i")
+        .mkString(", ")
+      val tots = (0 until 32).map(i => s"sum(s$i) OVER () AS t$i").mkString(", ")
+      val diffs = (0 until 32).map { i =>
+        s"""    CASE WHEN nt > n THEN CAST(s$i AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)
+           |      - CAST(t$i - s$i AS DOUBLE) / (CAST(nt - n AS DOUBLE) * 1e6) END AS d$i"""
+          .stripMargin
+      }.mkString(",\n")
+      val sq = (0 until 32).map(i => s"d$i * d$i").mkString(" + ")
+      s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         |p AS (
+         |  SELECT label,
+         |$projs
+         |  FROM e),
+         |f AS (
+         |  SELECT label,
+         |$feats
+         |  FROM p),
+         |g AS (SELECT label, CAST(count(*) AS BIGINT) AS n, $sums FROM f GROUP BY label),
+         |t AS (SELECT label, n, sum(n) OVER () AS nt,
+         |  ${(0 until 32).map(i => s"s$i").mkString(", ")}, $tots FROM g),
+         |m AS (
+         |  SELECT label, n, nt,
+         |$diffs
+         |  FROM t)
+         |SELECT label, n AS n_label, CAST(nt - n AS BIGINT) AS n_rest,
+         |  round(($sq) / 16.0, 6) AS mmd2
+         |FROM m ORDER BY label""".stripMargin
+    }) { (spark, dir) =>
+    mmdByLabel(Tables.embeddings(spark, dir))
+  }
+
+  /** The q208 implementation over any (label, embedding) frame — see
+    * [[q208MmdDrift]] for semantics. */
+  private[queries] def mmdByLabel(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scales = Seq(0.25, 1.0)
+    val projections = array((0 until 8).map { b =>
+      val coefs = array(VectorFns.lshCoefs(b, Dim).map(lit): _*)
+      VectorFns.dot(col("embedding"), coefs)
+    }: _*)
+    val featCols = for {
+      b <- 0 until 8; (s, si) <- scales.zipWithIndex
+      (f, ti) <- Seq[Column => Column](cos, sin).zipWithIndex
+    } yield round(f(element_at(col("ps"), b + 1) * s) * 1e6).cast("long")
+      .as(s"f${b * 4 + si * 2 + ti}")
+    val g = emb
+      .select(col("label"), projections.as("ps"))
+      .select(col("label") +: featCols: _*)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        (0 until 32).map(i => sum(col(s"f$i")).as(s"s$i")): _*)
+    val wAll = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val t = g.select(Seq(col("label"), col("n"),
+      sum(col("n")).over(wAll).as("nt"))
+      ++ (0 until 32).map(i => col(s"s$i"))
+      ++ (0 until 32).map(i => sum(col(s"s$i")).over(wAll).as(s"t$i")): _*)
+    val diffs = (0 until 32).map { i =>
+      when(col("nt") > col("n"),
+        col(s"s$i").cast("double") / (col("n").cast("double") * 1e6)
+          - (col(s"t$i") - col(s"s$i")).cast("double")
+            / ((col("nt") - col("n")).cast("double") * 1e6)).as(s"d$i")
+    }
+    t.select(Seq(col("label"), col("n"), col("nt")) ++ diffs: _*)
+      .select(col("label"), col("n").as("n_label"),
+        (col("nt") - col("n")).as("n_rest"),
+        round((0 until 32).map(i => col(s"d$i") * col(s"d$i"))
+          .reduce(_ + _) / 16.0, 6).as("mmd2"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[Q] = Seq(q31CosineTopK, q32CentroidNorms, q33AnnLshTopK,
     q34EmbeddingNearDups, q39CentroidAggregator, q45IvfAnn, q51DedupClusters,
     q133IncrementalClusters,
     q59DedupKeep, q91KmeansClusters, q92SemDedupKeep, q93PqAnn, q103AnnRecall,
     q104MultiprobeLsh, q117LeakageSafeSplit, q122IvfPqAnn, q139Sq8Ann,
-    q151BinaryAnn, q179DaviesBouldin, q206SlicedWasserstein)
+    q151BinaryAnn, q179DaviesBouldin, q206SlicedWasserstein, q208MmdDrift)
 }

@@ -432,6 +432,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "fact-sized join appeared:\n" + p)
   }
 
+  test("q208 MMD is one narrow pass: one embeddings scan, no fact-sized join") {
+    // the drift family's cheapest member: 32 quantized features per row
+    // fold into a 10-row label aggregate — no range exchange, no join
+    // of the embeddings scan against anything, totals via one window
+    // over the label-grain relation
+    val df = VectorQueries.q208MmdDrift.run(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = fin.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("embeddings"))
+    assert(scans === 1, s"embeddings scanned $scans times:\n$fin")
+    assert(!fin.contains("SortMergeJoin"), "fact-sized join appeared:\n" + fin)
+    assert(!fin.contains("rangepartitioning"),
+      "a range exchange appeared in the no-exchange drift read:\n" + fin)
+  }
+
   test("q204 conformal: ONE documents scan — both halves ride one cumsum") {
     // the eval coverage is read off cum_ce at the threshold row, so
     // there is no second scoring branch and no threshold join; the one

@@ -822,6 +822,63 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q208 MMD: matches a driver-side feature replay; duplicated clouds give 0") {
+    val got = VectorQueries.q208MmdDrift.run(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.size === 10 && got.values.forall(_._3 >= 0))
+    // driver-side replay: identical lshCoefs + JVM Math.cos/sin produce
+    // the SAME quantized feature longs, so the reference is exact up to
+    // the final fixed-order double expression
+    import graft.functions.VectorFns
+    val rows = Tables.embeddings(spark, sfDir)
+      .selectExpr("label", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val coefs = (0 until 8).map(b => VectorFns.lshCoefs(b, 64).toArray)
+    def feats(e: Array[Double]): Array[Long] = {
+      val out = new Array[Long](32)
+      for (b <- 0 until 8) {
+        var p = 0.0; var i = 0
+        while (i < e.length) { p += e(i) * coefs(b)(i); i += 1 }
+        def q(v: Double): Long = BigDecimal(v)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong // Spark Round
+        for ((s, si) <- Seq(0.25, 1.0).zipWithIndex) {
+          out(b * 4 + si * 2) = q(math.cos(p * s) * 1e6)
+          out(b * 4 + si * 2 + 1) = q(math.sin(p * s) * 1e6)
+        }
+      }
+      out
+    }
+    val byLabel = rows.groupBy(_._1)
+    val sums = byLabel.map { case (l, rs) =>
+      l -> rs.map(r => feats(r._2)).transpose.map(_.sum)
+    }
+    val totals = sums.values.transpose.map(_.sum).toArray
+    val nTot = rows.length.toLong
+    got.foreach { case (l, (nl, nr, mmd2)) =>
+      assert(nl === byLabel(l).length.toLong && nr === nTot - nl, s"label $l")
+      val sl = sums(l)
+      val ref = (0 until 32).map { i =>
+        val d = sl(i).toDouble / (nl.toDouble * 1e6) -
+          (totals(i) - sl(i)).toDouble / (nr.toDouble * 1e6)
+        d * d
+      }.sum / 16.0
+      val refR = BigDecimal(ref).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      assert(math.abs(mmd2 - refR) <= 1e-9, s"label $l: $mmd2 vs $refR")
+    }
+    // law: if every label holds the SAME vector multiset, each label
+    // mean equals the rest mean exactly (integer sums scale
+    // proportionally) — mmd2 is identically +0.0
+    import spark.implicits._
+    val base = rows.take(5).map(_._2.toSeq)
+    val dup = (for (l <- 0 until 3; e <- base) yield (l, e))
+      .toDF("label", "embedding")
+    val z = VectorQueries.mmdByLabel(dup).select("mmd2").as[Double].collect()
+    assert(z.length === 3 && z.forall(v =>
+      java.lang.Double.doubleToRawLongBits(v) === 0L), z.mkString(","))
+  }
+
   test("q206 sliced-W1: invariants hold; identical clouds give zero drift") {
     val rows = VectorQueries.q206SlicedWasserstein.run(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
