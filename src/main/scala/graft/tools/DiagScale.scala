@@ -423,6 +423,12 @@ object DiagScale {
         "q165_phash" -> (() =>
           graft.queries.MultimodalQueries.q165ImagePhashDedup
             .run(spark, relTables(spark, sfDir, k)).count()),
+        // r11: q208 is the no-exchange drift read — one narrow feature
+        // pass into a |labels|×33 aggregate; expect flat-to-linear
+        // (compute-bound once past fixed overhead, like q165)
+        "q208_mmd" -> (() =>
+          graft.queries.VectorQueries.q208MmdDrift
+            .run(spark, relTables(spark, sfDir, k)).count()),
         // r11: Ecdf slice-width A/B — groupedCumsum now derives its
         // range-partition width from spark.sql.shuffle.partitions; the
         // growth EXPONENT of a cumsum-dominated registered query must
