@@ -2862,6 +2862,98 @@ object RelationalQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** The months of [[q209DriftTrajectory]]'s monitoring window —
+    * 1995-01 through 1998-08 (the corpus's last order month), rendered
+    * into BOTH dialects from this one value. A configured calendar
+    * window is part of a trajectory monitor's identity (production
+    * slides it); what matters is that ref + window partition the scan. */
+  private[queries] val TrajectoryMonths: Seq[Int] =
+    for (y <- 1998 to 2001; m <- 1 to 12 if y < 2001 || m <= 8) yield y * 100 + m
+
+  /** Drift TRAJECTORY — the alarm-timeline read a production monitor
+    * actually issues: for every month of the configured window, KS and
+    * W1 of that month's order-value distribution against a FIXED
+    * pre-1998 reference (the corpus spans 1995-01..2001-08; the
+    * reference is the same split q185/q205 alarm on). q185/q205 compare two halves once; this is
+    * the one-vs-MANY form (one shared reference, 44 comparison
+    * groups), and the interesting part is doing it from ONE orders
+    * scan with no join: a (mk, value) count aggregate collapses to
+    * value grain carrying the reference count and the month→count map,
+    * then the static month grid explodes back out IN-ROW (the
+    * q196/q201 playbook) — every month's two-sided histogram shares
+    * the single physical pass, and `Drift.ksAndW1` folds all 44
+    * trajectories through one range exchange. Zero-count (month,
+    * value) rows are harmless by construction for every Drift
+    * reduction (dev duplicates its predecessor where cA=cB=0: max
+    * unchanged, the split Riemann gap re-sums exactly, pooled weights
+    * are 0) — the cost is state at |window|×|values| grain, the
+    * documented trade for the jobless fan-out; a 100 TB deployment
+    * with a dense value grid re-buckets values first (the monitor is
+    * grid-invariant up to grid resolution). Months with no orders
+    * emit NULL statistics (empty-side guard, both dialects). */
+  val q209DriftTrajectory = Q(
+    "q209_drift_trajectory",
+    s"""WITH base AS (
+      |  SELECT CASE WHEN year(o_orderdate) < 1998 THEN -1
+      |              ELSE year(o_orderdate) * 100 + month(o_orderdate) END AS mk,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders),
+      |d AS (SELECT mk, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+      |vals AS (
+      |  SELECT v, CAST(sum(CASE WHEN mk = -1 THEN c ELSE 0 END) AS BIGINT) AS cr
+      |  FROM d GROUP BY v),
+      |months AS (SELECT unnest([${TrajectoryMonths.mkString(",")}]) AS m),
+      |monc AS (SELECT v, mk AS m, c FROM d WHERE mk <> -1),
+      |grid AS (
+      |  SELECT months.m, vals.v, vals.cr,
+      |    CAST(coalesce(monc.c, 0) AS BIGINT) AS cm
+      |  FROM vals CROSS JOIN months
+      |  LEFT JOIN monc ON monc.m = months.m AND monc.v = vals.v),
+      |c AS (
+      |  SELECT m, v,
+      |    sum(cr) OVER w AS a, sum(cm) OVER w AS b,
+      |    sum(cr) OVER (PARTITION BY m) AS n1,
+      |    sum(cm) OVER (PARTITION BY m) AS n2,
+      |    lead(v) OVER (PARTITION BY m ORDER BY v) AS nv
+      |  FROM grid
+      |  WINDOW w AS (PARTITION BY m ORDER BY v))
+      |SELECT m AS month, CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_month,
+      |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |    round(CAST(max(abs(a * n2 - b * n1)) AS DOUBLE)
+      |      / (CAST(n1 AS DOUBLE) * n2), 6) END AS ks_d,
+      |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |    round(CAST(sum(CASE WHEN nv IS NULL THEN CAST(0 AS HUGEINT)
+      |        ELSE CAST(abs(a * n2 - b * n1) AS HUGEINT) * (nv - v) END) AS DOUBLE)
+      |      / (CAST(n1 AS DOUBLE) * n2), 6) END AS w1_cents
+      |FROM c
+      |GROUP BY m, n1, n2
+      |ORDER BY month""".stripMargin) { (spark, dir) =>
+    val d = Tables.orders(spark, dir)
+      .select(
+        when(year(col("o_orderdate")) < 1998, lit(-1))
+          .otherwise(year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .as("mk"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      .groupBy(col("mk"), col("v")).agg(count(lit(1)).as("c"))
+    // value-grain collapse: reference count + month→count map per value,
+    // then the static month window explodes back out in-row — one scan,
+    // no join (the q196/q201 single-consumer playbook)
+    val hist = d.groupBy(col("v"))
+      .agg(sum(when(col("mk") === -1, col("c")).otherwise(0L)).as("cr"),
+        map_from_arrays(collect_list(col("mk")), collect_list(col("c")))
+          .as("mm"))
+      .select(col("v"), col("cr"),
+        explode(array(TrajectoryMonths.map(lit): _*)).as("m"),
+        col("mm"))
+      .select(col("m"), col("v"), col("cr"),
+        coalesce(element_at(col("mm"), col("m")), lit(0L)).as("cm"))
+    graft.operators.Drift.ksAndW1(hist, Seq("m"), "v", "cr", "cm")
+      .select(col("m").as("month"), col("n1").as("n_ref"),
+        col("n2").as("n_month"), col("ks_d"),
+        col("w1").as("w1_cents"))
+      .orderBy(col("month"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -2879,5 +2971,5 @@ object RelationalQueries {
     q181AnovaF, q182ChiSqIndependence, q183MannKendall,
     q184GiniConcentration, q185KsDrift, q186MutualInformation, q187RevenueAcf,
     q197RobustMeans, q198SpearmanRank, q199DriftAlarmsBh, q200HillTailIndex,
-    q203WassersteinDrift, q205DriftMonitor, q207AdMonitor)
+    q203WassersteinDrift, q205DriftMonitor, q207AdMonitor, q209DriftTrajectory)
 }

@@ -432,6 +432,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "fact-sized join appeared:\n" + p)
   }
 
+  test("q209 trajectory: ONE orders scan feeds all 44 monthly comparisons") {
+    // the one-vs-many monitor's reason to exist: the month fan-out is
+    // an in-row explode of the value-grain collapse, not a join of the
+    // scan against a month grid — one orders scan, Ecdf's exchange
+    // reused, no SortMergeJoin anywhere
+    val df = RelationalQueries.q209DriftTrajectory.run(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = fin.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("orders"))
+    assert(scans === 1, s"expected one orders scan, got $scans:\n$fin")
+    assert(fin.contains("ReusedExchange") || fin.contains("ReusedQueryStage"), fin)
+    assert(!fin.contains("SortMergeJoin"), "month grid joined the scan:\n" + fin)
+  }
+
   test("q208 MMD is one narrow pass: one embeddings scan, no fact-sized join") {
     // the drift family's cheapest member: 32 quantized features per row
     // fold into a 10-row label aggregate — no range exchange, no join

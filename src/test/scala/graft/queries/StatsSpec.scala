@@ -822,6 +822,39 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q209 trajectory: each month equals its direct two-sample computation") {
+    val got = RelationalQueries.q209DriftTrajectory.run(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet === RelationalQueries.TrajectoryMonths.toSet)
+    // the shared reference size is constant across the whole trajectory
+    assert(got.values.map(_._1).toSet.size === 1)
+    got.values.foreach { case (n1, n2, ks, w1) =>
+      assert(n1 > 0 && n2 > 0)
+      assert(ks >= 0 && ks <= 1 && w1 >= 0)
+    }
+    // the in-row calendar fan-out must be pure plumbing: a month's
+    // statistics equal the plain two-sided computation over a hist
+    // built directly from filtered orders (zero-count grid rows must
+    // change nothing — the Drift-reduction invariance the query's
+    // design leans on)
+    for (m <- Seq(199806, 200101)) {
+      val direct = Tables.orders(spark, sfDir)
+        .select(year(col("o_orderdate")).as("y"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("mk"),
+          round(col("o_totalprice") * 100).cast("long").as("v"))
+        .filter(col("y") < 1998 || col("mk") === m)
+        .groupBy(col("v"))
+        .agg(sum(when(col("y") < 1998, 1L).otherwise(0L)).as("cr"),
+          sum(when(col("y") < 1998, 0L).otherwise(1L)).as("cm"))
+        .withColumn("g", lit(1))
+      val ref = graft.operators.Drift.ksAndW1(direct, Seq("g"), "v", "cr", "cm")
+        .select("n1", "n2", "ks_d", "w1").collect().head
+      assert((ref.getLong(0), ref.getLong(1), ref.getDouble(2),
+        ref.getDouble(3)) === got(m), s"month $m diverged from direct")
+    }
+  }
+
   test("q208 MMD: matches a driver-side feature replay; duplicated clouds give 0") {
     val got = VectorQueries.q208MmdDrift.run(spark, sfDir).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
