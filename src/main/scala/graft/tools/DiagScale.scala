@@ -423,6 +423,12 @@ object DiagScale {
         "q165_phash" -> (() =>
           graft.queries.MultimodalQueries.q165ImagePhashDedup
             .run(spark, relTables(spark, sfDir, k)).count()),
+        // r11: q209's state is |window-months|×|distinct values| — the
+        // month count is FIXED (44) while replicas add value-grain rows,
+        // so expect q203/q205's sublinear value-saturation shape
+        "q209_traj" -> (() =>
+          graft.queries.RelationalQueries.q209DriftTrajectory
+            .run(spark, relTables(spark, sfDir, k)).count()),
         // r11: q208 is the no-exchange drift read — one narrow feature
         // pass into a |labels|×33 aggregate; expect flat-to-linear
         // (compute-bound once past fixed overhead, like q165)
