@@ -2874,29 +2874,39 @@ object RelationalQueries {
     * actually issues: for every month of the configured window, KS and
     * W1 of that month's order-value distribution against a FIXED
     * pre-1998 reference (the corpus spans 1995-01..2001-08; the
-    * reference is the same split q185/q205 alarm on). q185/q205 compare two halves once; this is
-    * the one-vs-MANY form (one shared reference, 44 comparison
-    * groups), and the interesting part is doing it from ONE orders
-    * scan with no join: a (mk, value) count aggregate collapses to
-    * value grain carrying the reference count and the month→count map,
-    * then the static month grid explodes back out IN-ROW (the
-    * q196/q201 playbook) — every month's two-sided histogram shares
-    * the single physical pass, and `Drift.ksAndW1` folds all 44
-    * trajectories through one range exchange. Zero-count (month,
-    * value) rows are harmless by construction for every Drift
+    * reference is the same split q185/q205 alarm on). q185/q205
+    * compare two halves once; this is the one-vs-MANY form (one shared
+    * reference, 44 comparison groups), and the interesting part is
+    * doing it from ONE orders scan with no join: a (mk, cell) count
+    * aggregate collapses to cell grain carrying the reference count
+    * and the month→count map, then the static month grid explodes back
+    * out IN-ROW (the q196/q201 playbook) — every month's two-sided
+    * histogram shares the single physical pass, and `Drift.reductions`
+    * folds all 44 trajectories through one range exchange. Zero-count
+    * (month, cell) rows are harmless by construction for every Drift
     * reduction (dev duplicates its predecessor where cA=cB=0: max
     * unchanged, the split Riemann gap re-sums exactly, pooled weights
-    * are 0) — the cost is state at |window|×|values| grain, the
-    * documented trade for the jobless fan-out; a 100 TB deployment
-    * with a dense value grid re-buckets values first (the monitor is
-    * grid-invariant up to grid resolution). Months with no orders
-    * emit NULL statistics (empty-side guard, both dialects). */
+    * are 0).
+    *
+    * The VALUE GRID is part of a trajectory monitor's configuration,
+    * and it is COARSER than the one-shot deep reads': $100 cells
+    * (~5k over the corpus's [1k, 500k] range) instead of q205's
+    * cents. The fan-out pays |window|×|grid| state per sweep — on raw
+    * cents that is 44×150k ≈ 6.6M padded rows and the measured sweep
+    * cost 5× the single-comparison reads; on the $100 grid it is
+    * 44×5k ≈ 220k, back in family range. The trade is resolution, not
+    * exactness: both dialects bucket identically (KS/W1 OF THE
+    * BUCKETED distributions, exact integer numerators; W1's error vs
+    * raw cents is bounded by the cell width), which is how a standing
+    * monitor is configured at 100 TB anyway — q205 remains the
+    * full-resolution deep read once an alarm fires. Months with no
+    * orders emit NULL statistics (empty-side guard, both dialects). */
   val q209DriftTrajectory = Q(
     "q209_drift_trajectory",
     s"""WITH base AS (
       |  SELECT CASE WHEN year(o_orderdate) < 1998 THEN -1
       |              ELSE year(o_orderdate) * 100 + month(o_orderdate) END AS mk,
-      |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |    CAST(round(o_totalprice / 100) AS BIGINT) AS v
       |  FROM orders),
       |d AS (SELECT mk, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
       |vals AS (
@@ -2924,7 +2934,7 @@ object RelationalQueries {
       |  CASE WHEN n1 > 0 AND n2 > 0 THEN
       |    round(CAST(sum(CASE WHEN nv IS NULL THEN CAST(0 AS HUGEINT)
       |        ELSE CAST(abs(a * n2 - b * n1) AS HUGEINT) * (nv - v) END) AS DOUBLE)
-      |      / (CAST(n1 AS DOUBLE) * n2), 6) END AS w1_cents
+      |      / (CAST(n1 AS DOUBLE) * n2) * 100, 6) END AS w1_dollars
       |FROM c
       |GROUP BY m, n1, n2
       |ORDER BY month""".stripMargin) { (spark, dir) =>
@@ -2933,9 +2943,9 @@ object RelationalQueries {
         when(year(col("o_orderdate")) < 1998, lit(-1))
           .otherwise(year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
           .as("mk"),
-        round(col("o_totalprice") * 100).cast("long").as("v"))
+        round(col("o_totalprice") / 100).cast("long").as("v"))
       .groupBy(col("mk"), col("v")).agg(count(lit(1)).as("c"))
-    // value-grain collapse: reference count + month→count map per value,
+    // cell-grain collapse: reference count + month→count map per cell,
     // then the static month window explodes back out in-row — one scan,
     // no join (the q196/q201 single-consumer playbook)
     val hist = d.groupBy(col("v"))
@@ -2947,10 +2957,16 @@ object RelationalQueries {
         col("mm"))
       .select(col("m"), col("v"), col("cr"),
         coalesce(element_at(col("mm"), col("m")), lit(0L)).as("cm"))
-    graft.operators.Drift.ksAndW1(hist, Seq("m"), "v", "cr", "cm")
-      .select(col("m").as("month"), col("n1").as("n_ref"),
-        col("n2").as("n_month"), col("ks_d"),
-        col("w1").as("w1_cents"))
+    val r = graft.operators.Drift.reductions(hist, Seq("m"), "v", "cr", "cm")
+    val ok = col("n1") > 0 && col("n2") > 0
+    val nn = col("n1").cast("double") * col("n2")
+    r.select(col("m").as("month"), col("n1").as("n_ref"),
+        col("n2").as("n_month"),
+        when(ok, round(col("dnum").cast("double") / nn, 6)).as("ks_d"),
+        // cells are $100 wide: the Riemann sum is in cell units —
+        // rescale to dollars BEFORE the rounding, like q203's cents
+        when(ok, round(col("wsum").cast("double") / nn * 100, 6))
+          .as("w1_dollars"))
       .orderBy(col("month"))
   }
 

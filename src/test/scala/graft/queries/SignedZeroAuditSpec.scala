@@ -192,8 +192,8 @@ class SignedZeroAuditSpec extends SparkSpec {
     ("q207_ad_monitor", "cvm"),     // pooled sum of squares ≥ 0
     ("q207_ad_monitor", "ad"),      // variance-weighted sum of squares ≥ 0
     ("q208_mmd_drift", "mmd2"),     // squared mean-embedding distance ≥ 0
-    ("q209_drift_trajectory", "ks_d"),     // max|F_A−F_B| ∈ [0,1]
-    ("q209_drift_trajectory", "w1_cents"), // integral of |F_A−F_B| ≥ 0
+    ("q209_drift_trajectory", "ks_d"),       // max|F_A−F_B| ∈ [0,1]
+    ("q209_drift_trajectory", "w1_dollars"), // integral of |F_A−F_B| ≥ 0
     ("q202_brier_decomposition", "base_rate"),
     ("q202_brier_decomposition", "brier"),
     ("q202_brier_decomposition", "reliability"),

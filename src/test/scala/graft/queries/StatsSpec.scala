@@ -842,16 +842,21 @@ class StatsSpec extends SparkSpec {
       val direct = Tables.orders(spark, sfDir)
         .select(year(col("o_orderdate")).as("y"),
           (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("mk"),
-          round(col("o_totalprice") * 100).cast("long").as("v"))
+          round(col("o_totalprice") / 100).cast("long").as("v")) // $100 cells
         .filter(col("y") < 1998 || col("mk") === m)
         .groupBy(col("v"))
         .agg(sum(when(col("y") < 1998, 1L).otherwise(0L)).as("cr"),
           sum(when(col("y") < 1998, 0L).otherwise(1L)).as("cm"))
         .withColumn("g", lit(1))
-      val ref = graft.operators.Drift.ksAndW1(direct, Seq("g"), "v", "cr", "cm")
-        .select("n1", "n2", "ks_d", "w1").collect().head
-      assert((ref.getLong(0), ref.getLong(1), ref.getDouble(2),
-        ref.getDouble(3)) === got(m), s"month $m diverged from direct")
+      val r = graft.operators.Drift.reductions(direct, Seq("g"), "v", "cr", "cm")
+        .select(col("n1"), col("n2"),
+          round(col("dnum").cast("double")
+            / (col("n1").cast("double") * col("n2")), 6).as("ks_d"),
+          round(col("wsum").cast("double")
+            / (col("n1").cast("double") * col("n2")) * 100, 6).as("w1_dollars"))
+        .collect().head
+      assert((r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)) === got(m), s"month $m diverged from direct")
     }
   }
 
