@@ -105,8 +105,16 @@ object Drift {
       val j = (col(s"cum_$cA") + col(s"cum_$cB")).cast(dec)
       val n = (col(s"tot_$cA") + col(s"tot_$cB")).cast(dec)
       val num = cvmTerm * lit(1000000L).cast(dec)
-      val den = j * (n - j) // > 0 on every non-maximal value row
-      when(col(s"next_$v").isNotNull, ((num - num % den) / den).cast(dec))
+      val den = j * (n - j)
+      // den = 0 only where num = 0 too (a leading zero-count padding
+      // row has j = 0 AND dev = 0; a row at j = N has dev = 0), so
+      // gating on den > 0 both skips the 0/0 division — which would
+      // otherwise raise under ANSI on exactly the padded-histogram
+      // shapes q209 builds, despite the term's true value being 0 —
+      // and keeps the zero-count-rows-are-inert contract that the
+      // other three reductions already satisfy
+      when(col(s"next_$v").isNotNull && den > 0,
+        ((num - num % den) / den).cast(dec))
         .otherwise(lit(0).cast(dec))
     }
     // overflow sentry: a decimal product past 38 digits is NULL under

@@ -23,6 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object Ecdf {
 
+  /** The conf-derived slice width for `slices = 0`. Some platforms
+    * accept non-numeric settings for `spark.sql.shuffle.partitions`
+    * (e.g. "auto" under externally-managed AQE) — fail with the remedy
+    * rather than a bare NumberFormatException from inside the operator. */
+  private[operators] def parseSliceWidth(conf: String): Int = {
+    val parsed = conf.toIntOption.filter(_ > 0)
+    require(parsed.nonEmpty,
+      s"groupedCumsum: cannot derive the slice width from " +
+        s"spark.sql.shuffle.partitions='$conf' (not a positive " +
+        s"integer); pass an explicit slices > 0")
+    parsed.get
+  }
+
   /** Append, for each `sumCols` column c: `cum_<c>` — the per-group
     * running sum in ascending `orderCol` order (ties: whole tied run
     * collapses into whatever single input row carries it, so pass
@@ -71,7 +84,8 @@ object Ecdf {
     require(slices >= 0, s"negative slice count: $slices")
     val width =
       if (slices > 0) slices
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      else parseSliceWidth(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     val gcols = partCols.map(col)
     val parted = df
       .repartitionByRange(width, (gcols :+ col(orderCol)): _*)

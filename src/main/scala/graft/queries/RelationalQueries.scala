@@ -2863,10 +2863,13 @@ object RelationalQueries {
   }
 
   /** The months of [[q209DriftTrajectory]]'s monitoring window —
-    * 1995-01 through 1998-08 (the corpus's last order month), rendered
-    * into BOTH dialects from this one value. A configured calendar
-    * window is part of a trajectory monitor's identity (production
-    * slides it); what matters is that ref + window partition the scan. */
+    * 1998-01 through 2001-08 (the corpus's last order month; the
+    * pre-1998 remainder is the fixed reference), rendered into BOTH
+    * dialects from this one value. A configured calendar window is
+    * part of a trajectory monitor's identity (production slides it);
+    * what matters is that ref + window partition the scan — a window
+    * overlapping the reference would silently NULL out the
+    * overlapped months (their mk never matches the grid). */
   private[queries] val TrajectoryMonths: Seq[Int] =
     for (y <- 1998 to 2001; m <- 1 to 12 if y < 2001 || m <= 8) yield y * 100 + m
 

@@ -3824,7 +3824,14 @@ object TextQueries {
     val byMass = Window.orderBy(col("st").desc, col("source"))
     val ranked = vec
       .withColumn("label",
-        when(row_number().over(byMass) <= topK, col("source"))
+        // a REAL source named like the fold sentinel would silently
+        // merge with the folded tail at the re-collapse below (wrong
+        // JSD rows, undercounted fold metric) — refuse it loudly; the
+        // relation is dimension-grain so the check is |sources| cheap
+        when(col("source") === lit("(other)"), raise_error(lit(
+          "graft.q196: input source '(other)' collides with the " +
+            "tail-fold sentinel; rename the source upstream")))
+          .when(row_number().over(byMass) <= topK, col("source"))
           .otherwise(lit("(other)")))
       .observe("graft.jsd",
         sum(when(col("label") === "(other)", 1L).otherwise(0L))

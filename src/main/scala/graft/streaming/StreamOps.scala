@@ -498,7 +498,15 @@ object StreamOps {
   def bootstrapSnapshot(base: DataFrame, snapDir: String): Unit =
     base.write.mode("overwrite").parquet(s"$snapDir/v-1")
 
-  /** The newest snapshot version with id < `beforeId`, if any. */
+  /** The newest COMPLETE snapshot version with id < `beforeId`, if any.
+    *
+    * Completeness is the committer's `_SUCCESS` marker (written last by
+    * Spark's parquet commit protocol): a version directory that exists
+    * without it is mid-write — or a crash left it truncated and the
+    * checkpoint replay hasn't rewritten it yet — and serving it would
+    * silently compute over partial state. Such versions are skipped and
+    * the next-newest complete one served; the replayed batch overwrites
+    * the torn directory (including a fresh `_SUCCESS`) idempotently. */
   def latestSnapshot(spark: SparkSession, snapDir: String,
       beforeId: Long = Long.MaxValue): Option[DataFrame] = {
     val path = new org.apache.hadoop.fs.Path(snapDir)
@@ -510,7 +518,8 @@ object StreamOps {
       .map(_.drop(1).toLong)
       .filter(_ < beforeId)
       .sorted(Ordering[Long].reverse)
-      .headOption
+      .find(v => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$snapDir/v$v/_SUCCESS")))
       .map(v => spark.read.parquet(s"$snapDir/v$v"))
   }
 

@@ -78,6 +78,26 @@ class DriftSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6, s"got=$got ref=$ref")
   }
 
+  test("zero-count padding rows are inert for AD too (the q209 shape)") {
+    // Same sample as the Pettitt test, padded with a leading grid row
+    // (pooled cumulative j = 0), an interior empty cell, and a trailing
+    // row past the old maximum — the trailing row turns v=9 into a
+    // NON-maximal j = N row, the exact 0/0 shape the AD term's den > 0
+    // gate exists for: without it a bare floor division raises
+    // DIVIDE_BY_ZERO under ANSI (or trips the overflow sentry with a
+    // misleading message under non-ANSI) on precisely the padded
+    // histograms q209's static month×grid fan-out builds.
+    val bare = hist2(Seq(
+      ("s", 5L, 1L, 1L), ("s", 7L, 2L, 0L), ("s", 9L, 0L, 1L)))
+    val padded = hist2(Seq(
+      ("s", 4L, 0L, 0L), ("s", 5L, 1L, 1L), ("s", 6L, 0L, 0L),
+      ("s", 7L, 2L, 0L), ("s", 9L, 0L, 1L), ("s", 10L, 0L, 0L)))
+    def run(h: org.apache.spark.sql.DataFrame) =
+      Drift.ksAndW1(h, Seq("g"), "v", "c1", "c2", withAd = true)
+        .select("n1", "n2", "ks_d", "w1", "cvm", "ad").head()
+    assert(run(padded) === run(bare))
+  }
+
   private def overflowHist = hist2(Seq(
     ("big", 0L, 7000000000000L, 1L),
     ("big", 1L, 3000000000000L, 9999999999999L)))

@@ -110,6 +110,21 @@ class EcdfSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("a non-numeric shuffle.partitions setting fails with the remedy") {
+    // vanilla Spark validates the conf as an int at set() time, but
+    // some platforms accept e.g. "auto" (externally-managed AQE) — the
+    // derived default must name the conf, the value, and the explicit
+    // slices escape hatch rather than throw a bare NumberFormatException
+    for (bad <- Seq("auto", "0", "-3", "")) {
+      val e = intercept[IllegalArgumentException] {
+        Ecdf.parseSliceWidth(bad)
+      }
+      assert(e.getMessage.contains(s"'$bad'")
+        && e.getMessage.contains("slices > 0"), s"for '$bad': ${e.getMessage}")
+    }
+    assert(Ecdf.parseSliceWidth("7") === 7)
+  }
+
   test("both consumers observe ONE range exchange (offs side is a ReusedExchange)") {
     // groupedCumsum's correctness hinges on the offs aggregate and the
     // final join observing IDENTICAL range-partition boundaries:

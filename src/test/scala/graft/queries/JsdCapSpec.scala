@@ -30,13 +30,38 @@ class JsdCapSpec extends SparkSpec {
     val capped = TextQueries.jsDivergencePairs(corpus, topK = 3)
       .as[(String, String, Double, Double)].collect().toSet
     // reference: relabel the tail in the INPUT and run uncapped — the
-    // fold must be equivalent to a plain mixture of the tail sources
+    // fold must be equivalent to a plain mixture of the tail sources.
+    // The reference tail label must NOT be the sentinel itself (the
+    // collision guard refuses that by design, see the test below), so
+    // use a distinct one and compare pairs orientation-free: the pair
+    // join orders labels lexicographically and '(' sorts before
+    // letters while 'z' sorts after, but JSD is symmetric.
     val premerged = corpus.selectExpr(
-      "CASE WHEN source IN ('s0','s1','s2') THEN source ELSE '(other)' END AS source",
+      "CASE WHEN source IN ('s0','s1','s2') THEN source ELSE 'zz_tail' END AS source",
       "text")
     val ref = TextQueries.jsDivergencePairs(premerged, topK = 100)
       .as[(String, String, Double, Double)].collect().toSet
-    assert(capped === ref && capped.nonEmpty)
+    def norm(rows: Set[(String, String, Double, Double)], tail: String) =
+      rows.map { case (a, b, j, jn) =>
+        (Set(a, b).map(s => if (s == tail) "(tail)" else s), j, jn) }
+    assert(norm(capped, "(other)") === norm(ref, "zz_tail") && capped.nonEmpty)
+  }
+
+  test("a REAL source named '(other)' is refused loudly (sentinel collision)") {
+    // a kept source with the sentinel's name would silently absorb the
+    // folded tail at the re-collapse — the guard refuses the corpus
+    // instead of producing wrong JSD rows
+    val evil = corpus.selectExpr(
+      "CASE WHEN source = 's0' THEN '(other)' ELSE source END AS source",
+      "text")
+    val e = intercept[Exception] {
+      TextQueries.jsDivergencePairs(evil, topK = 3).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).mkString.contains("tail-fold sentinel"),
+      s"expected the q196 sentinel guard:\n${messages(e).mkString("\n")}")
   }
 
   test("a corpus within the cap is returned unchanged (the registered case)") {

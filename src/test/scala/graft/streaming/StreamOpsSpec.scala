@@ -389,6 +389,31 @@ class StreamOpsSpec extends SparkSpec {
     assert(sB._2 === 3L && sB._3 === 2L && math.abs(sB._4 - 0.5) < 1e-9)
   }
 
+  test("latestSnapshot skips a torn version (no _SUCCESS) instead of serving it") {
+    import spark.implicits._
+    // the serving read can race a version mid-write (or find a crash's
+    // truncated directory before the checkpoint replay rewrites it) —
+    // the committer's _SUCCESS marker is written LAST, so a version
+    // without it must be invisible to serving, not silently partial
+    val dir = java.nio.file.Files.createTempDirectory("snap-torn").toString
+    Seq(("k1", 1L)).toDF("k", "n").write.parquet(s"$dir/v0")
+    Seq(("k1", 2L)).toDF("k", "n").write.parquet(s"$dir/v1")
+    assert(new java.io.File(s"$dir/v1/_SUCCESS").delete(),
+      "test rig expected a _SUCCESS marker to remove")
+    val served = StreamOps.latestSnapshot(spark, dir).get
+      .as[(String, Long)].collect().toSet
+    assert(served === Set(("k1", 1L)), s"torn v1 served: $served")
+    // the idempotent replay rewrites v1 completely — newest serves again
+    Seq(("k1", 2L)).toDF("k", "n").write.mode("overwrite").parquet(s"$dir/v1")
+    assert(StreamOps.latestSnapshot(spark, dir).get
+      .as[(String, Long)].collect().toSet === Set(("k1", 2L)))
+    // a snapDir holding ONLY torn versions serves nothing, not junk
+    val dir2 = java.nio.file.Files.createTempDirectory("snap-torn2").toString
+    Seq(("k1", 3L)).toDF("k", "n").write.parquet(s"$dir2/v0")
+    assert(new java.io.File(s"$dir2/v0/_SUCCESS").delete())
+    assert(StreamOps.latestSnapshot(spark, dir2).isEmpty)
+  }
+
   test("waterfill availability state survives a checkpoint bounce") {
     import spark.implicits._
     // END-TO-END restart drill for the mixing plan's live input (the
