@@ -19,14 +19,19 @@ import org.apache.spark.sql.functions._
   * CvM the gap averaged over the pooled sample (sensitive to many
   * small gaps KS ignores), AD the same average reweighted by the
   * pooled ECDF's variance 1/(H(1−H)) (sensitive in the TAILS, where
-  * mixing/quality-threshold decisions live).
+  * mixing/quality-threshold decisions live), and ENERGY DISTANCE the
+  * squared-gap transport 2∫(F_A−F_B)²dx (Székely–Rizzo; in one
+  * dimension 2E|X−Y| − E|X−X'| − E|Y−Y'| collapses to exactly this
+  * integral) — a metric on distributions that, unlike CvM/AD, keeps
+  * the VALUE SCALE (units of x, like W1) while squaring the gap
+  * (sensitive to sustained displacement, robust to single spikes).
   *
   * Exactness contract (the q185/q203 discipline): inputs are integer
   * counts on an integer value grid; the KS numerator max|a·n2 − b·n1|,
   * the W1 sum Σ|a·n2 − b·n1|·gap, the CvM sum Σ(cA+cB)·(a·n2−b·n1)²,
-  * and the AD sum of per-value FLOOR-quantized rational terms all run
-  * in decimal(38,0), and the only float operations are the final
-  * divisions.
+  * the energy sum Σ(a·n2−b·n1)²·gap, and the AD sum of per-value
+  * FLOOR-quantized rational terms all run in decimal(38,0), and the
+  * only float operations are the final divisions.
   *
   * Headroom (now GUARDED at runtime, not just documented): the CvM
   * numerator is bounded by N·(n1·n2)² — decimal(38,0)/int128 covers
@@ -34,7 +39,9 @@ import org.apache.spark.sql.functions._
   * separation, |F_A−F_B| = 1); a typical drift gap D buys a further
   * D^(−2/5) (D = 0.01 → ~2·10⁸ per side). AD's ×10⁶ term quantization
   * costs 6 more digits (~2·10⁶ worst-case rows per side); W1 needs
-  * n1·n2·(v_max−v_min) < 10³⁸. Past the bound a decimal product or
+  * n1·n2·(v_max−v_min) < 10³⁸; energy needs
+  * (n1·n2)²·(v_max−v_min) < 10³⁸ (~3·10⁶ worst-case rows per side on
+  * a 10⁶-wide grid, a typical gap D buying D⁻¹ more). Past the bound a decimal product or
   * accumulator overflows. Under ANSI semantics (the Spark 4 default,
   * and what every graft session runs) the overflow itself raises
   * NUMERIC_VALUE_OUT_OF_RANGE — already loud. Under NON-ANSI semantics
@@ -69,16 +76,23 @@ object Drift {
     *               not be. The group's maximum value (j = N) is
     *               excluded: both ECDFs have reached 1 there, dev = 0,
     *               and the variance weight 1/(H(1−H)) is undefined.
-    * @return partCols ++ (n1, n2, dnum, wsum, csum [, asum]) — the
-    *         sample sizes and the EXACT decimal(38,0) numerators (KS
-    *         max, W1 Riemann sum, CvM pooled sum of squares, quantized
-    *         AD sum), for callers that finish with their own
-    *         units/rounding (q203's dollars). Raises at runtime on
-    *         decimal(38,0) overflow (see the headroom note above)
-    *         instead of silently dropping overflowed terms.
+    * @param withEnergy also compute `esum`, the energy-distance
+    *               numerator: Σ over non-maximal values of
+    *               dev²·(next−v) — the squared-gap Riemann sum, exact
+    *               in decimal(38,0) like the others (no per-term
+    *               division, so no quantization is needed)
+    * @return partCols ++ (n1, n2, dnum, wsum, csum [, asum] [, esum])
+    *         — the sample sizes and the EXACT decimal(38,0) numerators
+    *         (KS max, W1 Riemann sum, CvM pooled sum of squares,
+    *         quantized AD sum, energy squared-gap sum), for callers
+    *         that finish with their own units/rounding (q203's
+    *         dollars). Raises at runtime on decimal(38,0) overflow
+    *         (see the headroom note above) instead of silently
+    *         dropping overflowed terms.
     */
   def reductions(hist: DataFrame, partCols: Seq[String], v: String,
-      cA: String, cB: String, withAd: Boolean = false): DataFrame = {
+      cA: String, cB: String, withAd: Boolean = false,
+      withEnergy: Boolean = false): DataFrame = {
     val dec = "decimal(38,0)"
     val cum = Ecdf.groupedCumsum(hist, partCols, v, Seq(cA, cB),
       withNext = true)
@@ -117,18 +131,27 @@ object Drift {
         ((num - num % den) / den).cast(dec))
         .otherwise(lit(0).cast(dec))
     }
+    // energy: the same Riemann gaps as W1 with the deviation SQUARED —
+    // zero-count padding rows split an interval [v, next] into pieces
+    // carrying the identical dev, so dev²·gap re-sums exactly (inert,
+    // like every other reduction)
+    val eTerm = if (!withEnergy) lit(0).cast(dec) else
+      when(col(s"next_$v").isNotNull,
+        dev * dev * (col(s"next_$v") - col(v))).otherwise(lit(0).cast(dec))
     // overflow sentry: a decimal product past 38 digits is NULL under
     // non-ANSI semantics and sum/max would skip it SILENTLY — count
     // bad terms in the same aggregate and fail the query loudly below
     val badTerm = when(dev.isNull || w1Term.isNull || cvmTerm.isNull
-      || (if (withAd) adTerm.isNull else lit(false)), 1L).otherwise(0L)
+      || (if (withAd) adTerm.isNull else lit(false))
+      || (if (withEnergy) eTerm.isNull else lit(false)), 1L).otherwise(0L)
     val aggd = cum
       .groupBy((partCols.map(col)
         :+ col(s"tot_$cA") :+ col(s"tot_$cB")): _*)
       .agg(max(dev).as("dnum"),
         (sum(w1Term).as("wsum") +: sum(cvmTerm).as("csum")
           +: sum(badTerm).as("__bad")
-          +: (if (withAd) Seq(sum(adTerm).as("asum")) else Nil)): _*)
+          +: ((if (withAd) Seq(sum(adTerm).as("asum")) else Nil)
+            ++ (if (withEnergy) Seq(sum(eTerm).as("esum")) else Nil))): _*)
     def guarded(c: Column, stat: String): Column =
       when(col("__bad") > 0 || c.isNull,
         raise_error(concat(
@@ -144,25 +167,30 @@ object Drift {
       :+ guarded(col("dnum"), "ks").as("dnum")
       :+ guarded(col("wsum"), "w1").as("wsum")
       :+ guarded(col("csum"), "cvm").as("csum"))
-      ++ (if (withAd) Seq(guarded(col("asum"), "ad").as("asum")) else Nil): _*)
+      ++ (if (withAd) Seq(guarded(col("asum"), "ad").as("asum")) else Nil)
+      ++ (if (withEnergy) Seq(guarded(col("esum"), "energy").as("esum"))
+          else Nil): _*)
   }
 
   /** [[reductions]] finished at 6 dp: partCols ++ (n1, n2, ks_d, w1,
-    * cvm [, ad]) — ks_d ∈ [0,1], w1 in VALUE UNITS (callers rescale,
-    * e.g. cents → dollars), cvm the two-sample Cramér–von Mises
-    * criterion n1·n2/N² · Σ_pooled (F_A−F_B)², ad (with
+    * cvm [, ad] [, energy]) — ks_d ∈ [0,1], w1 in VALUE UNITS (callers
+    * rescale, e.g. cents → dollars), cvm the two-sample Cramér–von
+    * Mises criterion n1·n2/N² · Σ_pooled (F_A−F_B)², ad (with
     * `withAd = true`) the two-sample Anderson–Darling statistic
     * (Pettitt's A² = 1/(n1·n2) · Σ_pooled (a·n2−b·n1)²/(j·(N−j)),
     * counting each pooled observation at its value's right-continuous
     * cumulative — ties collapse onto the value grain — and quantized
     * per term to the 10⁻⁶ grid, error < |values|·10⁻⁶/(n1·n2), far
-    * below the 6-dp output rounding). A group with an EMPTY side has
-    * no drift comparison — all statistics emit NULL (not the 0/0 NaN
-    * a bare division would give), and oracle twins must mirror the
-    * guard (`CASE WHEN n1 > 0 AND n2 > 0 THEN … END`). */
+    * below the 6-dp output rounding), energy (with `withEnergy =
+    * true`) the Székely–Rizzo energy distance 2∫(F_A−F_B)²dx =
+    * 2·esum/(n1·n2)², in VALUE UNITS like w1. A group with an EMPTY
+    * side has no drift comparison — all statistics emit NULL (not the
+    * 0/0 NaN a bare division would give), and oracle twins must mirror
+    * the guard (`CASE WHEN n1 > 0 AND n2 > 0 THEN … END`). */
   def ksAndW1(hist: DataFrame, partCols: Seq[String], v: String,
-      cA: String, cB: String, withAd: Boolean = false): DataFrame = {
-    val r = reductions(hist, partCols, v, cA, cB, withAd)
+      cA: String, cB: String, withAd: Boolean = false,
+      withEnergy: Boolean = false): DataFrame = {
+    val r = reductions(hist, partCols, v, cA, cB, withAd, withEnergy)
     val ok = col("n1") > 0 && col("n2") > 0
     val nn = col("n1").cast("double") * col("n2")
     val bigN = (col("n1") + col("n2")).cast("double")
@@ -177,6 +205,11 @@ object Drift {
       // ×10⁶ — so divide the quantization back out here
       ++ (if (withAd) Seq(when(ok, round(col("asum").cast("double")
             / (nn * 1e6), 6)).as("ad"))
+          else Nil)
+      // E = 2∫(F_A−F_B)²dx, and dev = (F_A−F_B)·n1·n2, so
+      // E = 2·esum/(n1·n2)²
+      ++ (if (withEnergy) Seq(when(ok, round(lit(2) *
+            col("esum").cast("double") / (nn * nn), 6)).as("energy"))
           else Nil): _*)
   }
 }

@@ -2862,6 +2862,84 @@ object RelationalQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** The FULL drift panel — all FIVE alarm statistics from the one
+    * cumsum pass (`Drift.ksAndW1(withAd = true, withEnergy = true)`):
+    * q207's monitor plus the Székely–Rizzo ENERGY DISTANCE
+    * 2∫(F_A−F_B)²dx, the member the panel was missing — a true METRIC
+    * on distributions (in 1-D, 2E|X−Y| − E|X−X'| − E|Y−Y'| collapses
+    * to exactly that integral) that keeps the value scale like W1
+    * (cents here) while squaring the gap like CvM: sensitive to
+    * sustained displacement, robust to the single spike that saturates
+    * KS. Exactness: the energy numerator Σ dev²·gap needs no per-term
+    * division, so it is a plain decimal(38,0) sum mirrored by the
+    * twin's HUGEINT (headroom (n1·n2)²·range < 10³⁸ — the tightest of
+    * the five, runtime-guarded like the rest). This is the query a
+    * production fleet registers INSTEAD of q185+q203+q205+q207: the
+    * per-statistic reads exist to pin its columns bit-equal (StatsSpec)
+    * and to serve as single-statistic deep reads. Plan: IDENTICAL to
+    * q205/q207 — one orders scan, one (segment, value) aggregate, one
+    * range exchange, group-grain out (PlanSpec pins it). */
+  val q210DriftPanel = Q(
+    "q210_drift_panel",
+    """WITH j AS (
+      |  SELECT c_mktsegment, CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+      |    CASE WHEN year(o_orderdate) < 1998 THEN 1 ELSE 0 END AS g
+      |  FROM orders JOIN customer ON c_custkey = o_custkey),
+      |d AS (
+      |  SELECT c_mktsegment, v, CAST(sum(g) AS BIGINT) AS c1,
+      |    CAST(sum(1 - g) AS BIGINT) AS c2
+      |  FROM j GROUP BY 1, 2),
+      |c AS (
+      |  SELECT c_mktsegment, v, c1 + c2 AS cnt,
+      |    sum(c1) OVER w AS a, sum(c2) OVER w AS b,
+      |    sum(c1) OVER (PARTITION BY c_mktsegment) AS n1,
+      |    sum(c2) OVER (PARTITION BY c_mktsegment) AS n2,
+      |    lead(v) OVER (PARTITION BY c_mktsegment ORDER BY v) AS nv
+      |  FROM d
+      |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY v))
+      |SELECT c_mktsegment, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |    round(CAST(max(abs(a * n2 - b * n1)) AS DOUBLE)
+      |      / (CAST(n1 AS DOUBLE) * n2), 6) END AS ks_d,
+      |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |    round(CAST(sum(CASE WHEN nv IS NULL THEN CAST(0 AS HUGEINT)
+      |        ELSE CAST(abs(a * n2 - b * n1) AS HUGEINT) * (nv - v) END) AS DOUBLE)
+      |      / (CAST(n1 AS DOUBLE) * n2), 6) END AS w1_cents,
+      |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |    round(CAST(sum(CAST(cnt AS HUGEINT)
+      |        * abs(a * n2 - b * n1) * abs(a * n2 - b * n1)) AS DOUBLE)
+      |      / (CAST(n1 AS DOUBLE) * n2
+      |        * CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)), 6) END AS cvm,
+      |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |    round(CAST(sum(CASE WHEN nv IS NULL THEN CAST(0 AS HUGEINT)
+      |        ELSE (CAST(cnt AS HUGEINT) * abs(a * n2 - b * n1)
+      |          * abs(a * n2 - b * n1) * 1000000)
+      |          // ((a + b) * (n1 + n2 - a - b)) END) AS DOUBLE)
+      |      / (CAST(n1 AS DOUBLE) * n2 * 1e6), 6) END AS ad,
+      |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |    round(2 * CAST(sum(CASE WHEN nv IS NULL THEN CAST(0 AS HUGEINT)
+      |        ELSE CAST(abs(a * n2 - b * n1) AS HUGEINT)
+      |          * abs(a * n2 - b * n1) * (nv - v) END) AS DOUBLE)
+      |      / (CAST(n1 AS DOUBLE) * n2 * (CAST(n1 AS DOUBLE) * n2)), 6)
+      |    END AS energy_cents
+      |FROM c
+      |GROUP BY c_mktsegment, n1, n2
+      |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    val d = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment"),
+        round(col("o_totalprice") * 100).cast("long").as("v"),
+        when(year(col("o_orderdate")) < 1998, 1L).otherwise(0L).as("g"))
+      .groupBy(col("c_mktsegment"), col("v"))
+      .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c2"))
+    graft.operators.Drift
+      .ksAndW1(d, Seq("c_mktsegment"), "v", "c1", "c2", withAd = true,
+        withEnergy = true)
+      .withColumnRenamed("w1", "w1_cents")
+      .withColumnRenamed("energy", "energy_cents")
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** The months of [[q209DriftTrajectory]]'s monitoring window —
     * 1998-01 through 2001-08 (the corpus's last order month; the
     * pre-1998 remainder is the fixed reference), rendered into BOTH
@@ -2872,6 +2950,63 @@ object RelationalQueries {
     * overlapped months (their mk never matches the grid). */
   private[queries] val TrajectoryMonths: Seq[Int] =
     for (y <- 1998 to 2001; m <- 1 to 12 if y < 2001 || m <= 8) yield y * 100 + m
+
+  /** Shared by q209/q211: the (month, cell) two-sided histogram — every
+    * month's $100-cell order-value counts (`cm`) next to the FIXED
+    * pre-1998 reference counts (`cr`), built from ONE orders scan with
+    * no join (cell-grain collapse carrying the reference count and the
+    * month→count map, then the static month grid explodes back out
+    * IN-ROW — the q196/q201 single-consumer playbook). Zero-count
+    * (month, cell) rows are harmless by construction for every Drift
+    * reduction. */
+  private[queries] def trajectoryHist(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val d = Tables.orders(spark, dir)
+      .select(
+        when(year(col("o_orderdate")) < 1998, lit(-1))
+          .otherwise(year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .as("mk"),
+        round(col("o_totalprice") / 100).cast("long").as("v"))
+      .groupBy(col("mk"), col("v")).agg(count(lit(1)).as("c"))
+    d.groupBy(col("v"))
+      .agg(sum(when(col("mk") === -1, col("c")).otherwise(0L)).as("cr"),
+        map_from_arrays(collect_list(col("mk")), collect_list(col("c")))
+          .as("mm"))
+      .select(col("v"), col("cr"),
+        explode(array(TrajectoryMonths.map(lit): _*)).as("m"),
+        col("mm"))
+      .select(col("m"), col("v"), col("cr"),
+        coalesce(element_at(col("mm"), col("m")), lit(0L)).as("cm"))
+  }
+
+  /** [[trajectoryHist]]'s twin rendered once for both q209/q211 oracle
+    * SQLs — the CTE chain ends at `c`, the per-(month, value) cumulative
+    * table with totals and the lead value. */
+  private val trajectorySqlCtes: String =
+    s"""base AS (
+      |  SELECT CASE WHEN year(o_orderdate) < 1998 THEN -1
+      |              ELSE year(o_orderdate) * 100 + month(o_orderdate) END AS mk,
+      |    CAST(round(o_totalprice / 100) AS BIGINT) AS v
+      |  FROM orders),
+      |d AS (SELECT mk, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+      |vals AS (
+      |  SELECT v, CAST(sum(CASE WHEN mk = -1 THEN c ELSE 0 END) AS BIGINT) AS cr
+      |  FROM d GROUP BY v),
+      |months AS (SELECT unnest([${TrajectoryMonths.mkString(",")}]) AS m),
+      |monc AS (SELECT v, mk AS m, c FROM d WHERE mk <> -1),
+      |grid AS (
+      |  SELECT months.m, vals.v, vals.cr,
+      |    CAST(coalesce(monc.c, 0) AS BIGINT) AS cm
+      |  FROM vals CROSS JOIN months
+      |  LEFT JOIN monc ON monc.m = months.m AND monc.v = vals.v),
+      |c AS (
+      |  SELECT m, v,
+      |    sum(cr) OVER w AS a, sum(cm) OVER w AS b,
+      |    sum(cr) OVER (PARTITION BY m) AS n1,
+      |    sum(cm) OVER (PARTITION BY m) AS n2,
+      |    lead(v) OVER (PARTITION BY m ORDER BY v) AS nv
+      |  FROM grid
+      |  WINDOW w AS (PARTITION BY m ORDER BY v))""".stripMargin
 
   /** Drift TRAJECTORY — the alarm-timeline read a production monitor
     * actually issues: for every month of the configured window, KS and
@@ -2906,30 +3041,7 @@ object RelationalQueries {
     * orders emit NULL statistics (empty-side guard, both dialects). */
   val q209DriftTrajectory = Q(
     "q209_drift_trajectory",
-    s"""WITH base AS (
-      |  SELECT CASE WHEN year(o_orderdate) < 1998 THEN -1
-      |              ELSE year(o_orderdate) * 100 + month(o_orderdate) END AS mk,
-      |    CAST(round(o_totalprice / 100) AS BIGINT) AS v
-      |  FROM orders),
-      |d AS (SELECT mk, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
-      |vals AS (
-      |  SELECT v, CAST(sum(CASE WHEN mk = -1 THEN c ELSE 0 END) AS BIGINT) AS cr
-      |  FROM d GROUP BY v),
-      |months AS (SELECT unnest([${TrajectoryMonths.mkString(",")}]) AS m),
-      |monc AS (SELECT v, mk AS m, c FROM d WHERE mk <> -1),
-      |grid AS (
-      |  SELECT months.m, vals.v, vals.cr,
-      |    CAST(coalesce(monc.c, 0) AS BIGINT) AS cm
-      |  FROM vals CROSS JOIN months
-      |  LEFT JOIN monc ON monc.m = months.m AND monc.v = vals.v),
-      |c AS (
-      |  SELECT m, v,
-      |    sum(cr) OVER w AS a, sum(cm) OVER w AS b,
-      |    sum(cr) OVER (PARTITION BY m) AS n1,
-      |    sum(cm) OVER (PARTITION BY m) AS n2,
-      |    lead(v) OVER (PARTITION BY m ORDER BY v) AS nv
-      |  FROM grid
-      |  WINDOW w AS (PARTITION BY m ORDER BY v))
+    s"""WITH $trajectorySqlCtes
       |SELECT m AS month, CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_month,
       |  CASE WHEN n1 > 0 AND n2 > 0 THEN
       |    round(CAST(max(abs(a * n2 - b * n1)) AS DOUBLE)
@@ -2941,26 +3053,8 @@ object RelationalQueries {
       |FROM c
       |GROUP BY m, n1, n2
       |ORDER BY month""".stripMargin) { (spark, dir) =>
-    val d = Tables.orders(spark, dir)
-      .select(
-        when(year(col("o_orderdate")) < 1998, lit(-1))
-          .otherwise(year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
-          .as("mk"),
-        round(col("o_totalprice") / 100).cast("long").as("v"))
-      .groupBy(col("mk"), col("v")).agg(count(lit(1)).as("c"))
-    // cell-grain collapse: reference count + month→count map per cell,
-    // then the static month window explodes back out in-row — one scan,
-    // no join (the q196/q201 single-consumer playbook)
-    val hist = d.groupBy(col("v"))
-      .agg(sum(when(col("mk") === -1, col("c")).otherwise(0L)).as("cr"),
-        map_from_arrays(collect_list(col("mk")), collect_list(col("c")))
-          .as("mm"))
-      .select(col("v"), col("cr"),
-        explode(array(TrajectoryMonths.map(lit): _*)).as("m"),
-        col("mm"))
-      .select(col("m"), col("v"), col("cr"),
-        coalesce(element_at(col("mm"), col("m")), lit(0L)).as("cm"))
-    val r = graft.operators.Drift.reductions(hist, Seq("m"), "v", "cr", "cm")
+    val r = graft.operators.Drift
+      .reductions(trajectoryHist(spark, dir), Seq("m"), "v", "cr", "cm")
     val ok = col("n1") > 0 && col("n2") > 0
     val nn = col("n1").cast("double") * col("n2")
     r.select(col("m").as("month"), col("n1").as("n_ref"),
@@ -2970,6 +3064,87 @@ object RelationalQueries {
         // rescale to dollars BEFORE the rounding, like q203's cents
         when(ok, round(col("wsum").cast("double") / nn * 100, 6))
           .as("w1_dollars"))
+      .orderBy(col("month"))
+  }
+
+  /** The trajectory's ALARM layer — q209 answers "how far is each
+    * month from the reference"; this answers the question the on-call
+    * actually has: "which months DRIFTED, after accounting for 44
+    * simultaneous tests". q199's machinery (asymptotic two-sample KS
+    * p-value p = min(1, 2·exp(−2D²·n₁n₂/(n₁+n₂))), then
+    * Benjamini–Hochberg at α = 0.05) applied along the TIME axis of
+    * q209's one-vs-many read instead of q199's segment axis — alarming
+    * on every month with p < 0.05 across a 44-month window guarantees
+    * false fires; BH flags the largest prefix of ascending p-values
+    * with p₍ᵢ₎ ≤ i·α/m. Sample-size awareness is the point: a late
+    * thin month needs a LARGER D to alarm than a full one, which a
+    * bare ks_d threshold gets wrong in both directions. Plan: the
+    * SHARED [[trajectoryHist]] scan shape (one orders scan, no join,
+    * one range exchange via `Drift.reductions`), then the p-value +
+    * BH pass runs entirely on the 44-row month-grain relation (the
+    * q199 dimension-grain window class). Months with an empty side
+    * have no test and are excluded from the BH family (none exist in
+    * this corpus; the filter keeps the BH ordering deterministic on
+    * degenerate windows in both dialects). */
+  val q211TrajectoryAlarms = Q(
+    "q211_trajectory_alarms",
+    s"""WITH $trajectorySqlCtes,
+      |ks AS (
+      |  SELECT m, n1, n2,
+      |    CAST(max(abs(a * n2 - b * n1)) AS DOUBLE)
+      |      / (CAST(n1 AS DOUBLE) * n2) AS dd
+      |  FROM c
+      |  WHERE n1 > 0 AND n2 > 0
+      |  GROUP BY m, n1, n2),
+      |p AS (
+      |  SELECT m, n1, n2, dd,
+      |    least(1.0, 2 * exp(-2 * dd * dd
+      |      * (CAST(n1 AS DOUBLE) * n2 / (n1 + n2)))) AS pv
+      |  FROM ks),
+      |bh AS (
+      |  SELECT m, n1, n2, dd, pv,
+      |    CAST(row_number() OVER (ORDER BY pv, m) AS BIGINT) AS i,
+      |    CAST(count(*) OVER () AS BIGINT) AS m_tests
+      |  FROM p),
+      |pass AS (
+      |  SELECT *, CASE WHEN pv <= 0.05 * i / m_tests THEN 1 ELSE 0 END AS ok
+      |  FROM bh),
+      |cut AS (SELECT coalesce(max(CASE WHEN ok = 1 THEN i END), 0) AS kmax FROM pass)
+      |SELECT m AS month, CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_month,
+      |  round(dd, 6) AS ks_d, round(pv, 6) + 0.0 AS p_value,
+      |  round(0.05 * i / m_tests, 6) AS bh_threshold,
+      |  CAST(CASE WHEN i <= kmax THEN 1 ELSE 0 END AS INT) AS drifted
+      |FROM pass CROSS JOIN cut
+      |ORDER BY month""".stripMargin) { (spark, dir) =>
+    val r = graft.operators.Drift
+      .reductions(trajectoryHist(spark, dir), Seq("m"), "v", "cr", "cm")
+      .filter(col("n1") > 0 && col("n2") > 0)
+    val p = r
+      .select(col("m"), col("n1"), col("n2"),
+        (col("dnum").cast("double")
+          / (col("n1").cast("double") * col("n2"))).as("dd"))
+      .withColumn("pv",
+        least(lit(1.0), lit(2) * exp(lit(-2) * col("dd") * col("dd")
+          * (col("n1").cast("double") * col("n2")
+            / (col("n1") + col("n2"))))))
+    // BH over the 44-row month-grain relation — same bounded
+    // no-PARTITION window class as q199's segment pass
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val bh = p
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("pv"), col("m"))).cast("long"))
+      .withColumn("m_tests", count(lit(1)).over(wAll))
+      .withColumn("ok", when(col("pv") <= lit(0.05) * col("i") / col("m_tests"), 1L)
+        .otherwise(0L))
+      .withColumn("kmax", coalesce(
+        max(when(col("ok") === 1, col("i"))).over(wAll), lit(0L)))
+    bh.select(col("m").as("month"), col("n1").as("n_ref"),
+        col("n2").as("n_month"),
+        round(col("dd"), 6).as("ks_d"),
+        Q.noNegZero(round(col("pv"), 6)).as("p_value"),
+        round(lit(0.05) * col("i") / col("m_tests"), 6).as("bh_threshold"),
+        when(col("i") <= col("kmax"), 1).otherwise(0).cast("int").as("drifted"))
       .orderBy(col("month"))
   }
 
@@ -2990,5 +3165,6 @@ object RelationalQueries {
     q181AnovaF, q182ChiSqIndependence, q183MannKendall,
     q184GiniConcentration, q185KsDrift, q186MutualInformation, q187RevenueAcf,
     q197RobustMeans, q198SpearmanRank, q199DriftAlarmsBh, q200HillTailIndex,
-    q203WassersteinDrift, q205DriftMonitor, q207AdMonitor, q209DriftTrajectory)
+    q203WassersteinDrift, q205DriftMonitor, q207AdMonitor, q209DriftTrajectory,
+    q210DriftPanel, q211TrajectoryAlarms)
 }

@@ -429,6 +429,15 @@ object DiagScale {
         "q209_traj" -> (() =>
           graft.queries.RelationalQueries.q209DriftTrajectory
             .run(spark, relTables(spark, sfDir, k)).count()),
+        // r11 late wave: q210 rides q205/q207's aggregate with a fifth
+        // reduction (expect their exponents unchanged); q211 is q209's
+        // trajectory plus a 44-row BH pass (expect q209's shape)
+        "q210_panel" -> (() =>
+          graft.queries.RelationalQueries.q210DriftPanel
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        "q211_alarms" -> (() =>
+          graft.queries.RelationalQueries.q211TrajectoryAlarms
+            .run(spark, relTables(spark, sfDir, k)).count()),
         // r11: q208 is the no-exchange drift read — one narrow feature
         // pass into a |labels|×33 aggregate; expect flat-to-linear
         // (compute-bound once past fixed overhead, like q165)

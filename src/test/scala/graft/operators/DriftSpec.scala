@@ -9,16 +9,19 @@ class DriftSpec extends SparkSpec {
   private def hist2(rows: Seq[(String, Long, Long, Long)]) =
     rows.toDF("g", "v", "c1", "c2")
 
-  test("ksAndW1(withAd) matches the hand-computed Pettitt A² on tied data") {
+  test("ksAndW1(withAd, withEnergy) matches the hand-computed statistics") {
     // A = {5, 7, 7}, B = {5, 9}: n1=3, n2=2, N=5
-    // v=5: a=1,b=1,j=2, dev=|1·2−1·3|=1, c=2 → term 2·1/(2·3) = 1/3
-    // v=7: a=3,b=1,j=4, dev=|3·2−1·3|=3, c=2 → term 2·9/(4·1) = 4.5
+    // v=5: a=1,b=1,j=2, dev=|1·2−1·3|=1, c=2 → AD term 2·1/(2·3) = 1/3
+    // v=7: a=3,b=1,j=4, dev=|3·2−1·3|=3, c=2 → AD term 2·9/(4·1) = 4.5
     // v=9: j=N, excluded (dev=0, H(1−H)=0)
     // A² = (1/3 + 9/2) / (3·2) = 0.805555…
+    // energy: gaps 5→7 (dev=1, 1²·2=2) + 7→9 (dev=3, 3²·2=18) → esum=20,
+    // E = 2·20/(3·2)² = 40/36 = 1.111111…
     val h = hist2(Seq(("s", 5L, 1L, 1L), ("s", 7L, 2L, 0L), ("s", 9L, 0L, 1L)))
-    val r = Drift.ksAndW1(h, Seq("g"), "v", "c1", "c2", withAd = true)
-      .select("g", "n1", "n2", "ks_d", "w1", "cvm", "ad")
-      .as[(String, Long, Long, Double, Double, Double, Double)].head()
+    val r = Drift.ksAndW1(h, Seq("g"), "v", "c1", "c2", withAd = true,
+        withEnergy = true)
+      .select("g", "n1", "n2", "ks_d", "w1", "cvm", "ad", "energy")
+      .as[(String, Long, Long, Double, Double, Double, Double, Double)].head()
     assert(r._2 === 3L && r._3 === 2L)
     assert(math.abs(r._4 - 0.5) < 1e-9)          // KS unchanged
     assert(math.abs(r._5 - 8.0 / 6) < 1e-6)      // W1 unchanged
@@ -28,32 +31,37 @@ class DriftSpec extends SparkSpec {
     val want = BigDecimal(4833333.0 / 6e6)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(r._7 - want) < 1e-9, s"ad=${r._7} want=$want")
+    assert(math.abs(r._8 - BigDecimal(40.0 / 36)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+      s"energy=${r._8}")
   }
 
-  test("asum equals a BigInt floor-division reference on random histograms") {
+  test("asum and esum equal BigInt references on random histograms") {
     val rng = new scala.util.Random(42)
     val rows = for (g <- Seq("a", "b"); v <- 0 until 40 if rng.nextInt(3) > 0)
       yield (g, v.toLong, rng.nextInt(50).toLong, rng.nextInt(50).toLong)
     val got = Drift.reductions(hist2(rows), Seq("g"), "v", "c1", "c2",
-        withAd = true)
-      .select(col("g"), col("asum").cast("string"))
-      .as[(String, String)].collect().toMap.map { case (k, s) => k -> BigInt(s) }
+        withAd = true, withEnergy = true)
+      .select(col("g"), col("asum").cast("string"), col("esum").cast("string"))
+      .as[(String, String, String)].collect()
+      .map(r => r._1 -> ((BigInt(r._2), BigInt(r._3)))).toMap
     val want = rows.groupBy(_._1).map { case (g, rs) =>
       val byV = rs.sortBy(_._2)
       val n1 = BigInt(byV.map(_._3).sum); val n2 = BigInt(byV.map(_._4).sum)
       val n = n1 + n2
-      var (a, b, acc) = (BigInt(0), BigInt(0), BigInt(0))
-      for ((_, _, c1, c2) <- byV) {
+      var (a, b, acc, eacc) = (BigInt(0), BigInt(0), BigInt(0), BigInt(0))
+      for (((v, _, c1, c2), i) <- byV.map(r => (r._2, r._1, r._3, r._4)).zipWithIndex) {
         a += c1; b += c2
         val j = a + b
         if (j < n) { // the maximal value is excluded
           val dev = (a * n2 - b * n1).abs
           acc += (c1 + c2) * dev * dev * 1000000 / (j * (n - j))
+          eacc += dev * dev * (byV(i + 1)._2 - v)
         }
       }
-      g -> acc
+      g -> ((acc, eacc))
     }
-    assert(got === want && got.values.exists(_ > 0))
+    assert(got === want && got.values.exists(_._2 > 0))
   }
 
   test("an untied two-sample reproduces the classical Pettitt formula") {
@@ -93,8 +101,9 @@ class DriftSpec extends SparkSpec {
       ("s", 4L, 0L, 0L), ("s", 5L, 1L, 1L), ("s", 6L, 0L, 0L),
       ("s", 7L, 2L, 0L), ("s", 9L, 0L, 1L), ("s", 10L, 0L, 0L)))
     def run(h: org.apache.spark.sql.DataFrame) =
-      Drift.ksAndW1(h, Seq("g"), "v", "c1", "c2", withAd = true)
-        .select("n1", "n2", "ks_d", "w1", "cvm", "ad").head()
+      Drift.ksAndW1(h, Seq("g"), "v", "c1", "c2", withAd = true,
+          withEnergy = true)
+        .select("n1", "n2", "ks_d", "w1", "cvm", "ad", "energy").head()
     assert(run(padded) === run(bare))
   }
 
@@ -140,14 +149,16 @@ class DriftSpec extends SparkSpec {
 
   test("healthy groups pass the guard untouched (no false positives)") {
     val h = hist2(Seq(("g", 1L, 1000000L, 2000000L), ("g", 2L, 3000000L, 500000L)))
-    val r = Drift.ksAndW1(h, Seq("g"), "v", "c1", "c2", withAd = true).collect()
+    val r = Drift.ksAndW1(h, Seq("g"), "v", "c1", "c2", withAd = true,
+      withEnergy = true).collect()
     assert(r.length === 1 && !r.head.anyNull)
   }
 
   test("an empty side yields NULL statistics, not NaN (dialect guard)") {
     val h = hist2(Seq(("g", 1L, 5L, 0L), ("g", 2L, 3L, 0L)))
-    val r = Drift.ksAndW1(h, Seq("g"), "v", "c1", "c2", withAd = true).head()
-    for (c <- Seq("ks_d", "w1", "cvm", "ad"))
+    val r = Drift.ksAndW1(h, Seq("g"), "v", "c1", "c2", withAd = true,
+      withEnergy = true).head()
+    for (c <- Seq("ks_d", "w1", "cvm", "ad", "energy"))
       assert(r.isNullAt(r.fieldIndex(c)), s"$c should be NULL on an empty side")
   }
 }

@@ -448,6 +448,35 @@ class PlanSpec extends SparkSpec {
     assert(!fin.contains("SortMergeJoin"), "month grid joined the scan:\n" + fin)
   }
 
+  test("q210 five-statistic panel keeps q205's shape: ONE orders scan") {
+    // adding AD + energy must not re-plan the fact pipeline or add a
+    // scan — the panel's reason to exist is replacing four single-
+    // statistic reads with the SAME one-pass plan
+    val df = RelationalQueries.q210DriftPanel.run(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val ordersScans = fin.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("orders"))
+    assert(ordersScans === 1, s"expected one orders scan, got $ordersScans:\n$fin")
+    assert(fin.contains("ReusedExchange") || fin.contains("ReusedQueryStage"),
+      "Ecdf offs consumer re-planned the fact pipeline:\n" + fin)
+  }
+
+  test("q211 trajectory alarms keep q209's shape: ONE orders scan, no join") {
+    // the p-value + BH layer runs entirely on the 44-row month-grain
+    // relation — it must not add a scan or join to the trajectory read
+    val df = RelationalQueries.q211TrajectoryAlarms.run(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = fin.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("orders"))
+    assert(scans === 1, s"expected one orders scan, got $scans:\n$fin")
+    assert(fin.contains("ReusedExchange") || fin.contains("ReusedQueryStage"), fin)
+    assert(!fin.contains("SortMergeJoin"), "month grid joined the scan:\n" + fin)
+  }
+
   test("q208 MMD is one narrow pass: one embeddings scan, no fact-sized join") {
     // the drift family's cheapest member: 32 quantized features per row
     // fold into a 10-row label aggregate — no range exchange, no join

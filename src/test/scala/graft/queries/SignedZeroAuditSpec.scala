@@ -194,6 +194,13 @@ class SignedZeroAuditSpec extends SparkSpec {
     ("q208_mmd_drift", "mmd2"),     // squared mean-embedding distance ≥ 0
     ("q209_drift_trajectory", "ks_d"),       // max|F_A−F_B| ∈ [0,1]
     ("q209_drift_trajectory", "w1_dollars"), // integral of |F_A−F_B| ≥ 0
+    ("q210_drift_panel", "ks_d"),         // max|F_A−F_B| ∈ [0,1]
+    ("q210_drift_panel", "w1_cents"),     // integral of |F_A−F_B| ≥ 0
+    ("q210_drift_panel", "cvm"),          // pooled sum of squares ≥ 0
+    ("q210_drift_panel", "ad"),           // variance-weighted sum of squares ≥ 0
+    ("q210_drift_panel", "energy_cents"), // 2∫(F_A−F_B)²dx ≥ 0
+    ("q211_trajectory_alarms", "ks_d"),         // max|F_A−F_B| ∈ [0,1]
+    ("q211_trajectory_alarms", "bh_threshold"), // i·α/m > 0; p_value IS finished
     ("q202_brier_decomposition", "base_rate"),
     ("q202_brier_decomposition", "brier"),
     ("q202_brier_decomposition", "reliability"),
