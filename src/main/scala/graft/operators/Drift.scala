@@ -38,10 +38,12 @@ import org.apache.spark.sql.functions._
   * equal sides to ~3.5·10⁷ rows each at WORST CASE (complete
   * separation, |F_A−F_B| = 1); a typical drift gap D buys a further
   * D^(−2/5) (D = 0.01 → ~2·10⁸ per side). AD's ×10⁶ term quantization
-  * costs 6 more digits (~2·10⁶ worst-case rows per side); W1 needs
+  * costs 6 more digits (~2·10⁶ worst-case rows per side — the
+  * TIGHTEST bound of the five statistics); W1 needs
   * n1·n2·(v_max−v_min) < 10³⁸; energy needs
-  * (n1·n2)²·(v_max−v_min) < 10³⁸ (~3·10⁶ worst-case rows per side on
-  * a 10⁶-wide grid, a typical gap D buying D⁻¹ more). Past the bound a decimal product or
+  * (n1·n2)²·(v_max−v_min) < 10³⁸ (~10⁸ worst-case rows per side on a
+  * 10⁶-wide grid — n⁴·range < 10³⁸ — with a typical gap D buying a
+  * further D^(−1/2) per side, dev ~ D·n1·n2). Past the bound a decimal product or
   * accumulator overflows. Under ANSI semantics (the Spark 4 default,
   * and what every graft session runs) the overflow itself raises
   * NUMERIC_VALUE_OUT_OF_RANGE — already loud. Under NON-ANSI semantics

@@ -2550,11 +2550,11 @@ object RelationalQueries {
       |  FROM ks),
       |bh AS (
       |  SELECT c_mktsegment, n1, n2, dd, pv,
-      |    CAST(row_number() OVER (ORDER BY pv, c_mktsegment) AS BIGINT) AS i,
+      |    CAST(row_number() OVER (ORDER BY round(pv, 6), c_mktsegment) AS BIGINT) AS i,
       |    CAST(count(*) OVER () AS BIGINT) AS m
       |  FROM p),
       |pass AS (
-      |  SELECT *, CASE WHEN pv <= 0.05 * i / m THEN 1 ELSE 0 END AS ok
+      |  SELECT *, CASE WHEN round(pv, 6) <= 0.05 * i / m THEN 1 ELSE 0 END AS ok
       |  FROM bh),
       |cut AS (SELECT coalesce(max(CASE WHEN ok = 1 THEN i END), 0) AS kmax FROM pass)
       |SELECT c_mktsegment, round(dd, 6) AS ks_d, round(pv, 6) + 0.0 AS p_value,
@@ -2583,11 +2583,17 @@ object RelationalQueries {
     // no-PARTITION windows here run over a bounded aggregate, the
     // same dimension-grain class as q188's calendar windows
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // rank and compare on the 6-dp ROUNDED p-value: pv contains exp(),
+    // which the two engines' libm may round a final ulp apart — ordering
+    // unrounded doubles would let near-tied tests swap ranks (and so
+    // bh_threshold) across engines, while the 6-dp grid is stable and
+    // already the output's resolution
     val bh = p
       .withColumn("i", row_number().over(
-        Window.orderBy(col("pv"), col("c_mktsegment"))).cast("long"))
+        Window.orderBy(round(col("pv"), 6), col("c_mktsegment"))).cast("long"))
       .withColumn("m", count(lit(1)).over(wAll))
-      .withColumn("ok", when(col("pv") <= lit(0.05) * col("i") / col("m"), 1L)
+      .withColumn("ok",
+        when(round(col("pv"), 6) <= lit(0.05) * col("i") / col("m"), 1L)
         .otherwise(0L))
       .withColumn("kmax", coalesce(
         max(when(col("ok") === 1, col("i"))).over(wAll), lit(0L)))
@@ -2872,8 +2878,10 @@ object RelationalQueries {
     * sustained displacement, robust to the single spike that saturates
     * KS. Exactness: the energy numerator Σ dev²·gap needs no per-term
     * division, so it is a plain decimal(38,0) sum mirrored by the
-    * twin's HUGEINT (headroom (n1·n2)²·range < 10³⁸ — the tightest of
-    * the five, runtime-guarded like the rest). This is the query a
+    * twin's HUGEINT (headroom (n1·n2)²·range < 10³⁸ ≈ 10⁸ worst-case
+    * rows per side on a 10⁶-wide grid; AD's quantized term remains
+    * the panel's binding bound at ~2·10⁶ — all runtime-guarded, see
+    * the Drift scaladoc). This is the query a
     * production fleet registers INSTEAD of q185+q203+q205+q207: the
     * per-statistic reads exist to pin its columns bit-equal (StatsSpec)
     * and to serve as single-statistic deep reads. Plan: IDENTICAL to
@@ -3103,11 +3111,11 @@ object RelationalQueries {
       |  FROM ks),
       |bh AS (
       |  SELECT m, n1, n2, dd, pv,
-      |    CAST(row_number() OVER (ORDER BY pv, m) AS BIGINT) AS i,
+      |    CAST(row_number() OVER (ORDER BY round(pv, 6), m) AS BIGINT) AS i,
       |    CAST(count(*) OVER () AS BIGINT) AS m_tests
       |  FROM p),
       |pass AS (
-      |  SELECT *, CASE WHEN pv <= 0.05 * i / m_tests THEN 1 ELSE 0 END AS ok
+      |  SELECT *, CASE WHEN round(pv, 6) <= 0.05 * i / m_tests THEN 1 ELSE 0 END AS ok
       |  FROM bh),
       |cut AS (SELECT coalesce(max(CASE WHEN ok = 1 THEN i END), 0) AS kmax FROM pass)
       |SELECT m AS month, CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_month,
@@ -3131,11 +3139,14 @@ object RelationalQueries {
     // no-PARTITION window class as q199's segment pass
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
+    // rank and compare on the 6-dp ROUNDED p-value (the q199 ulp
+    // discipline — with 44 tests the near-tie surface is 9x q199's)
     val bh = p
       .withColumn("i", row_number().over(
-        Window.orderBy(col("pv"), col("m"))).cast("long"))
+        Window.orderBy(round(col("pv"), 6), col("m"))).cast("long"))
       .withColumn("m_tests", count(lit(1)).over(wAll))
-      .withColumn("ok", when(col("pv") <= lit(0.05) * col("i") / col("m_tests"), 1L)
+      .withColumn("ok",
+        when(round(col("pv"), 6) <= lit(0.05) * col("i") / col("m_tests"), 1L)
         .otherwise(0L))
       .withColumn("kmax", coalesce(
         max(when(col("ok") === 1, col("i"))).over(wAll), lit(0L)))

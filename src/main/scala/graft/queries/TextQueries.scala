@@ -3888,7 +3888,9 @@ object TextQueries {
       |  SELECT source, row_number() OVER (ORDER BY sum(c) DESC, source) AS rnk
       |  FROM per_src GROUP BY source),
       |ps2 AS (
-      |  SELECT CASE WHEN r.rnk <= $JsdSourceCap THEN p.source
+      |  SELECT CASE WHEN p.source = '(other)'
+      |                THEN error('graft.q196: input source ''(other)'' collides with the tail-fold sentinel; rename the source upstream')
+      |              WHEN r.rnk <= $JsdSourceCap THEN p.source
       |              ELSE '(other)' END AS source,
       |    p.b, CAST(sum(p.c) AS BIGINT) AS c
       |  FROM per_src p JOIN rk r ON r.source = p.source GROUP BY 1, 2),

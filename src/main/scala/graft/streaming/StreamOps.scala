@@ -506,21 +506,42 @@ object StreamOps {
     * checkpoint replay hasn't rewritten it yet — and serving it would
     * silently compute over partial state. Such versions are skipped and
     * the next-newest complete one served; the replayed batch overwrites
-    * the torn directory (including a fresh `_SUCCESS`) idempotently. */
+    * the torn directory (including a fresh `_SUCCESS`) idempotently.
+    *
+    * If candidate versions EXIST but NONE carries the marker, the read
+    * fails loudly instead of returning None: on a filesystem where
+    * markers are disabled (`mapreduce.fileoutputcommitter
+    * .marksuccessfuljobs=false`, or a lifecycle rule deleting
+    * zero-byte files) a silent None would make every upsert merge
+    * against nothing — each batch would quietly REPLACE the
+    * accumulated state with its own keys and persist the truncated
+    * result. None is reserved for "no snapshot was ever written". */
   def latestSnapshot(spark: SparkSession, snapDir: String,
       beforeId: Long = Long.MaxValue): Option[DataFrame] = {
     val path = new org.apache.hadoop.fs.Path(snapDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) None
-    else fs.listStatus(path).toSeq
-      .map(_.getPath.getName)
-      .filter(_.matches("v-?\\d+"))
-      .map(_.drop(1).toLong)
-      .filter(_ < beforeId)
-      .sorted(Ordering[Long].reverse)
-      .find(v => fs.exists(
+    else {
+      val versions = fs.listStatus(path).toSeq
+        .map(_.getPath.getName)
+        .filter(_.matches("v-?\\d+"))
+        .map(_.drop(1).toLong)
+        .filter(_ < beforeId)
+        .sorted(Ordering[Long].reverse)
+      val complete = versions.find(v => fs.exists(
         new org.apache.hadoop.fs.Path(s"$snapDir/v$v/_SUCCESS")))
-      .map(v => spark.read.parquet(s"$snapDir/v$v"))
+      if (versions.nonEmpty && complete.isEmpty)
+        throw new IllegalStateException(
+          s"graft.latestSnapshot: $snapDir holds ${versions.size} version " +
+            "directories but none carries a _SUCCESS marker - either every " +
+            "version is torn (crash mid-write before any commit) or success " +
+            "markers are disabled/stripped on this filesystem " +
+            "(mapreduce.fileoutputcommitter.marksuccessfuljobs=false, or a " +
+            "lifecycle rule deleting zero-byte files). Serving or merging " +
+            "without a complete base would silently drop accumulated state; " +
+            "re-enable markers or repair the newest version before reading")
+      complete.map(v => spark.read.parquet(s"$snapDir/v$v"))
+    }
   }
 
   /** Run a streaming DataFrame to completion against a memory sink and

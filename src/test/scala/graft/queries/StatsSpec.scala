@@ -929,13 +929,15 @@ class StatsSpec extends SparkSpec {
         2 * math.exp(-2 * dd * dd * (n1.toDouble * n2 / (n1 + n2))))
       (m, n1, n2, dd, pv)
     }
-    val ranked = p.sortBy(t => (t._5, t._1)).zipWithIndex
-      .map { case ((m, n1, n2, dd, pv), i0) => (m, n1, n2, dd, pv, i0 + 1L) }
-    val mT = ranked.length.toLong
-    val kmax = ranked.filter(t => t._5 <= 0.05 * t._6 / mT)
-      .map(_._6).reduceOption(_ max _).getOrElse(0L)
+    // ranking and the BH comparison run on the 6-dp ROUNDED p-value
+    // (the cross-engine ulp discipline the query adopts)
     def r6(x: Double): Double = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ranked = p.sortBy(t => (r6(t._5), t._1)).zipWithIndex
+      .map { case ((m, n1, n2, dd, pv), i0) => (m, n1, n2, dd, pv, i0 + 1L) }
+    val mT = ranked.length.toLong
+    val kmax = ranked.filter(t => r6(t._5) <= 0.05 * t._6 / mT)
+      .map(_._6).reduceOption(_ max _).getOrElse(0L)
     ranked.foreach { case (m, n1, n2, dd, pv, i) =>
       val (gn1, gn2, gks, gpv, gthr, gdrift) = got(m)
       assert(gn1 === n1 && gn2 === n2, s"month $m sizes")

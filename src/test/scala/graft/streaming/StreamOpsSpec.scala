@@ -407,11 +407,20 @@ class StreamOpsSpec extends SparkSpec {
     Seq(("k1", 2L)).toDF("k", "n").write.mode("overwrite").parquet(s"$dir/v1")
     assert(StreamOps.latestSnapshot(spark, dir).get
       .as[(String, Long)].collect().toSet === Set(("k1", 2L)))
-    // a snapDir holding ONLY torn versions serves nothing, not junk
+    // a snapDir holding ONLY torn versions fails LOUDLY: a silent None
+    // here is indistinguishable from "no snapshot ever written", and on
+    // a markers-disabled filesystem it would make every upsert merge
+    // against nothing — quietly replacing accumulated state
     val dir2 = java.nio.file.Files.createTempDirectory("snap-torn2").toString
     Seq(("k1", 3L)).toDF("k", "n").write.parquet(s"$dir2/v0")
     assert(new java.io.File(s"$dir2/v0/_SUCCESS").delete())
-    assert(StreamOps.latestSnapshot(spark, dir2).isEmpty)
+    val e = intercept[IllegalStateException] {
+      StreamOps.latestSnapshot(spark, dir2)
+    }
+    assert(e.getMessage.contains("_SUCCESS")
+      && e.getMessage.contains("marksuccessfuljobs"), e.getMessage)
+    // None stays reserved for a genuinely empty/absent snapshot dir
+    assert(StreamOps.latestSnapshot(spark, s"$dir2/never-written").isEmpty)
   }
 
   test("waterfill availability state survives a checkpoint bounce") {
