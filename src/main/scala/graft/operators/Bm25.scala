@@ -119,16 +119,19 @@ object Bm25 {
   /** Score a (qid, t) query-term set against a posting index — fresh
     * from [[postingIndex]] or a PRECOMPUTED bucketed table (in which
     * case the join reads the index in bucket layout, no exchange under
-    * it). Self-retrieval rows (index id == qid) are excluded so a
-    * corpus doc used as its own query doesn't trivially win.
+    * it). With `excludeSelf` (the default) self-retrieval rows (index
+    * id == qid) are excluded so a corpus doc used as its own query
+    * doesn't trivially win; a KNOWN-ITEM evaluation (q212) passes
+    * `excludeSelf = false` because retrieving the source document IS
+    * the ground truth there.
     *
     * @return (qid, rnk 1..k, <idCol>, score) */
   def topKAgainstIndex(queryTerms: DataFrame, index: DataFrame,
-      idCol: String, k: Int): DataFrame = {
+      idCol: String, k: Int, excludeSelf: Boolean = true): DataFrame = {
     val byQ = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("score").desc, col(idCol))
-    queryTerms.join(index, "t")
-      .filter(col(idCol) =!= col("qid"))
+    val cands = queryTerms.join(index, "t")
+    (if (excludeSelf) cands.filter(col(idCol) =!= col("qid")) else cands)
       .groupBy(col("qid"), col(idCol))
       .agg(round(sum(col("wgt")), 4).as("score"))
       .withColumn("rnk", row_number().over(byQ))

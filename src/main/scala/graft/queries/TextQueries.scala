@@ -1913,6 +1913,122 @@ object TextQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Retrieval-quality metrics for the BM25 ranker — the eval leg the
+    * retrieval stack was missing (q153/q155/q202/q204 evaluate the
+    * CLASSIFIER; q103 evaluates ANN recall; nothing scored the RANKERS
+    * q137/q141/q142/q169 rank with). KNOWN-ITEM evaluation — the one
+    * ranking eval whose ground truth exists on ANY corpus: the query
+    * is a doc's own opening (first 6 tokens → 4 shingles, every 7th
+    * doc), the uniquely relevant result is the source document itself
+    * (so `topKAgainstIndex(excludeSelf = false)`), and the per-source
+    * report carries MRR@10, nDCG@10 (single-relevant: 1/log₂(1+rank)),
+    * hit@1 and hit@10. The short shared prefix is what makes the task
+    * non-trivial — template openings collide across documents, so the
+    * ranker must win on the tf/idf/length evidence, and the measured
+    * corpus values sit strictly inside (0, 1) rather than saturating.
+    *
+    * Exactness (the house discipline for "mean of per-query ratios"):
+    * a rank ∈ 1..10 admits only ten values of 1/rank and
+    * 1/log₂(rank+1), each quantized per query to the 1e9 grid
+    * (`round(1e9/rank)`, `round(1e9/log2(rank+1))` — none of the ten
+    * constants sits near a rounding boundary), so every per-source
+    * aggregate is an exact BIGINT sum and only the final divisions are
+    * float. A probe whose source doc misses the top 10 contributes 0
+    * to every metric but stays in the denominator (LEFT join from the
+    * probe set, which requires ≥ 3 tokens in both dialects). Headroom:
+    * per-query terms ≤ 1e9 → BIGINT sums hold to ~9e9 probes/source. */
+  val q212RetrievalNdcg = Q(
+    "q212_retrieval_ndcg",
+    """WITH docs AS (
+      |  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS tk
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, s AS t FROM docs,
+      |    unnest(list_transform(range(1, len(tk) - 1),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS u(s)
+      |  WHERE len(tk) >= 3),
+      |tf AS (SELECT doc_id, t, count(*) AS cnt FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |vocab AS (
+      |  SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t
+      |  HAVING count(*) BETWEEN 2 AND
+      |    (SELECT greatest(8, CAST(floor(10 * log2(greatest(2, count(*)))) AS INT))
+      |     FROM documents)),
+      |w AS (
+      |  SELECT tf.doc_id, tf.t,
+      |    ln(1 + (s.n_docs - v.df + 0.5) / (v.df + 0.5)) *
+      |      (tf.cnt * 2.2) / (tf.cnt + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) AS wgt
+      |  FROM tf JOIN vocab v ON tf.t = v.t
+      |  JOIN dl d ON d.doc_id = tf.doc_id CROSS JOIN stats s),
+      |qt AS (
+      |  SELECT DISTINCT qid, source,
+      |    half[i] || ' ' || half[i+1] || ' ' || half[i+2] AS t
+      |  FROM (SELECT doc_id AS qid, source, tk[1 : 6] AS half
+      |        FROM docs WHERE doc_id % 7 = 0 AND len(tk) >= 3) h,
+      |    unnest(range(1, len(half) - 1)) AS u(i)),
+      |sc AS (
+      |  SELECT q.qid, w.doc_id, round(sum(w.wgt), 4) AS score
+      |  FROM (SELECT DISTINCT qid, t FROM qt) q JOIN w ON q.t = w.t
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT qid, doc_id,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+      |  FROM sc),
+      |hit AS (SELECT qid, rnk FROM rk WHERE rnk <= 10 AND doc_id = qid),
+      |probes AS (SELECT DISTINCT qid, source FROM qt),
+      |perq AS (
+      |  SELECT pr.source,
+      |    coalesce(CAST(round(1e9 / h.rnk) AS BIGINT), 0) AS rr,
+      |    coalesce(CAST(round(1e9 / log2(h.rnk + 1)) AS BIGINT), 0) AS dg,
+      |    CASE WHEN h.rnk = 1 THEN 1 ELSE 0 END AS h1,
+      |    CASE WHEN h.rnk IS NOT NULL THEN 1 ELSE 0 END AS h10
+      |  FROM probes pr LEFT JOIN hit h ON h.qid = pr.qid)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_queries,
+      |  round(CAST(sum(rr) AS DOUBLE) / (count(*) * 1e9), 6) AS mrr_at_10,
+      |  round(CAST(sum(dg) AS DOUBLE) / (count(*) * 1e9), 6) AS ndcg_at_10,
+      |  round(CAST(sum(h1) AS DOUBLE) / count(*), 6) AS hit_at_1,
+      |  round(CAST(sum(h10) AS DOUBLE) / count(*), 6) AS hit_at_10
+      |FROM perq GROUP BY source
+      |ORDER BY source""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val index = Bm25.postingIndex(docs, "doc_id", "text")
+      .repartition(col("t"))
+    // queries: first 6 tokens of every 7th doc -> its 4 opening
+    // shingles, distinct (qid carries source for the per-source roll-up)
+    val qt = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("qid"), col("source"),
+        slice(TextFns.tokens(col("text")), 1, 6).as("half"))
+      .filter(size(col("half")) >= 3)
+      .select(col("qid"), col("source"), col("half"),
+        explode(TextFns.shinglePositions(col("half"), 3)).as("i"))
+      .select(col("qid"), col("source"),
+        TextFns.shingleAt(col("half"), col("i"), 3).as("t"))
+      .distinct()
+    val top = Bm25.topKAgainstIndex(qt.select(col("qid"), col("t")), index,
+      "doc_id", k = 10, excludeSelf = false)
+    val hit = top.filter(col("doc_id") === col("qid"))
+      .select(col("qid"), col("rnk"))
+    qt.select(col("qid"), col("source")).distinct()
+      .join(hit, Seq("qid"), "left")
+      .select(col("source"),
+        coalesce(round(lit(1e9) / col("rnk")).cast("long"), lit(0L)).as("rr"),
+        coalesce(round(lit(1e9) / log2(col("rnk") + 1)).cast("long"), lit(0L))
+          .as("dg"),
+        when(col("rnk") === 1, 1L).otherwise(0L).as("h1"),
+        when(col("rnk").isNotNull, 1L).otherwise(0L).as("h10"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(col("rr")).cast("double") / (count(lit(1)) * 1e9), 6)
+          .as("mrr_at_10"),
+        round(sum(col("dg")).cast("double") / (count(lit(1)) * 1e9), 6)
+          .as("ndcg_at_10"),
+        round(sum(col("h1")).cast("double") / count(lit(1)), 6).as("hit_at_1"),
+        round(sum(col("h10")).cast("double") / count(lit(1)), 6).as("hit_at_10"))
+      .orderBy(col("source"))
+  }
+
   /** Training-shard manifest — [[Sampling.assignShards]] over the
     * corpus (16 shards), reduced to the per-shard manifest a trainer
     * reads before an epoch: doc count, byte mass, and an
@@ -4188,6 +4304,7 @@ object TextQueries {
     q108SkipgramPairs, q113MixtureSample, q114GopherRules, q118PipelineE2e,
     q119DsirWeights, q120VocabCoverage, q121SourceDivergence, q128PrefixFilterPairs,
     q130SegmentDedup, q137Bm25TopK, q138TrainShards, q140RendezvousShards,
+    q212RetrievalNdcg,
     q141RetrieveRerank, q142MmrRerank, q143DedupRecall, q144PrepPipeline,
     q146SpanScrubbed, q148PortableHll, q149CorpusDrift, q150SourceAffinity,
     q153QualityAuc, q155ScoreCalibration, q160PhraseSearch,

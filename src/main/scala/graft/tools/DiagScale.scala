@@ -438,6 +438,12 @@ object DiagScale {
         "q211_alarms" -> (() =>
           graft.queries.RelationalQueries.q211TrajectoryAlarms
             .run(spark, relTables(spark, sfDir, k)).count()),
+        // r11 late wave: q212 is q137's posting equi-join (measured
+        // <=0.6 exponents) plus dimension-grain metric joins — expect
+        // the q137 shape
+        "q212_ndcg" -> (() =>
+          graft.queries.TextQueries.q212RetrievalNdcg
+            .run(spark, relTables(spark, sfDir, k)).count()),
         // r11: q208 is the no-exchange drift read — one narrow feature
         // pass into a |labels|×33 aggregate; expect flat-to-linear
         // (compute-bound once past fixed overhead, like q165)

@@ -30,6 +30,25 @@ class Bm25Spec extends SparkSpec {
     assert(!got.exists(Set(6L, 7L, 8L))) // df=1 terms prune — no match
   }
 
+  test("excludeSelf=false keeps the source doc retrievable (known-item mode)") {
+    // the q212 eval mode: the query IS a corpus doc, so the source doc
+    // must stay in the candidate set and (sharing all its own shingles
+    // at full tf) rank first; the default mode must keep excluding it
+    val index = Bm25.postingIndex(corpus, "doc_id", "text")
+    val q1 = corpus.filter(col("doc_id") === 1)
+      .select(col("doc_id").as("qid"),
+        explode(graft.functions.TextFns.shingles(
+          graft.functions.TextFns.tokens(col("text")), 3)).as("t"))
+      .distinct()
+    val withSelf = Bm25.topKAgainstIndex(q1, index, "doc_id", k = 3,
+        excludeSelf = false)
+      .orderBy("rnk").select("doc_id").as[Long].collect().toSeq
+    assert(withSelf.head === 1L, s"source doc not first: $withSelf")
+    val without = Bm25.topKAgainstIndex(q1, index, "doc_id", k = 3)
+      .orderBy("rnk").select("doc_id").as[Long].collect().toSeq
+    assert(!without.contains(1L) && without.take(2).toSet === Set(2L, 3L))
+  }
+
   test("retrieval is deterministic under repartitioning") {
     val a = Bm25.topK(corpus, "doc_id", "text", col("doc_id") % 2 === 1, k = 3)
       .orderBy("qid", "rnk").collect().map(_.toString).toSeq

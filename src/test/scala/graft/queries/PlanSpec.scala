@@ -187,6 +187,21 @@ class PlanSpec extends SparkSpec {
       "documents scan reads more than doc_id+text:\n" + p)
   }
 
+  test("q212 retrieval eval keeps q137's join discipline: no product join") {
+    // the metric layer joins only tiny relations (probe set, top-10
+    // hits, |sources| roll-up) onto q137's posting equi-join — adding
+    // the eval must not introduce a cartesian or an unbounded BNLJ
+    // (the 1-row stats broadcasts are the same bounded BNLJ class as
+    // q137's, build side always the 1-row aggregate)
+    val p = plan(TextQueries.q212RetrievalNdcg)
+    assert(!p.contains("CartesianProduct"),
+      "retrieval eval degraded to a cartesian product:\n" + p)
+    val bnljBuilds = "BroadcastNestedLoopJoin BuildRight".r.findAllIn(p).size
+    val bnljAll = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnljAll == bnljBuilds && bnljAll <= 2,
+      "an unexpected nested-loop join appeared:\n" + p)
+  }
+
   test("q194 documents scan is pruned to doc_id+text+source") {
     val reads = plan(TextQueries.q194HeapsLaw).linesIterator
       .filter(_.contains("ReadSchema")).mkString("\n")

@@ -201,6 +201,10 @@ class SignedZeroAuditSpec extends SparkSpec {
     ("q210_drift_panel", "energy_cents"), // 2∫(F_A−F_B)²dx ≥ 0
     ("q211_trajectory_alarms", "ks_d"),         // max|F_A−F_B| ∈ [0,1]
     ("q211_trajectory_alarms", "bh_threshold"), // i·α/m > 0; p_value IS finished
+    ("q212_retrieval_ndcg", "mrr_at_10"),  // mean of 1/rank ∈ [0,1]
+    ("q212_retrieval_ndcg", "ndcg_at_10"), // mean of 1/log2(1+rank) ∈ [0,1]
+    ("q212_retrieval_ndcg", "hit_at_1"),   // rate ∈ [0,1]
+    ("q212_retrieval_ndcg", "hit_at_10"),  // rate ∈ [0,1]
     ("q202_brier_decomposition", "base_rate"),
     ("q202_brier_decomposition", "brier"),
     ("q202_brier_decomposition", "reliability"),

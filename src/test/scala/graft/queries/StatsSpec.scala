@@ -958,6 +958,66 @@ class StatsSpec extends SparkSpec {
       "p-values did not spread over (0,1]")
   }
 
+  test("q212 retrieval metrics equal a BigInt replay of the metric layer") {
+    import graft.functions.TextFns
+    val got = TextQueries.q212RetrievalNdcg.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.nonEmpty)
+    // per-source and per-query the rank-metric chain is ordered:
+    // hit@1 ≤ MRR ≤ nDCG ≤ hit@10 (1/rank ≤ 1/log2(1+rank) ≤ 1 for
+    // rank ≥ 1), up to the final roundings
+    got.foreach { case (s, (_, mrr, ndcg, h1, h10)) =>
+      assert(h1 <= mrr + 1e-6 && mrr <= ndcg + 1e-6 && ndcg <= h10 + 1e-6,
+        s"$s: metric chain violated ($h1, $mrr, $ndcg, $h10)")
+    }
+    // replay the METRIC layer from the ranker's own top-10 (the same
+    // operator call the query makes), with BigInt-quantized terms
+    val docs = Tables.documents(spark, sfDir)
+    val index = graft.operators.Bm25.postingIndex(docs, "doc_id", "text")
+      .repartition(col("t"))
+    val qt = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("qid"), col("source"),
+        slice(TextFns.tokens(col("text")), 1, 6).as("half"))
+      .filter(size(col("half")) >= 3)
+      .select(col("qid"), col("source"), col("half"),
+        explode(TextFns.shinglePositions(col("half"), 3)).as("i"))
+      .select(col("qid"), col("source"),
+        TextFns.shingleAt(col("half"), col("i"), 3).as("t"))
+      .distinct()
+    val probes = qt.select("qid", "source").distinct().collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val rankOfSelf = graft.operators.Bm25
+      .topKAgainstIndex(qt.select(col("qid"), col("t")), index, "doc_id",
+        k = 10, excludeSelf = false)
+      .filter(col("doc_id") === col("qid"))
+      .select(col("qid"), col("rnk")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def q9(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = probes.groupBy(_._2).map { case (src, ps) =>
+      val ranks = ps.map(p => rankOfSelf.get(p._1))
+      val n = ranks.length
+      val rr = ranks.map(_.map(r => q9(1e9 / r)).getOrElse(0L)).sum
+      val dg = ranks.map(_.map(r =>
+        q9(1e9 / (math.log(r + 1.0) / math.log(2.0)))).getOrElse(0L)).sum
+      val h1 = ranks.count(_.contains(1)).toLong
+      val h10 = ranks.count(_.isDefined).toLong
+      src -> ((n.toLong, r6(rr.toDouble / (n * 1e9)), r6(dg.toDouble / (n * 1e9)),
+        r6(h1.toDouble / n), r6(h10.toDouble / n)))
+    }
+    assert(got.keySet === want.keySet)
+    for (s <- got.keySet) {
+      val (gn, gm, gd, g1, g10) = got(s); val (wn, wm, wd, w1, w10) = want(s)
+      assert(gn === wn, s"$s n_queries")
+      assert(math.abs(gm - wm) <= 1e-9 && math.abs(gd - wd) <= 1e-9
+        && math.abs(g1 - w1) <= 1e-9 && math.abs(g10 - w10) <= 1e-9,
+        s"$s: got ($gm,$gd,$g1,$g10) want ($wm,$wd,$w1,$w10)")
+    }
+  }
+
   test("q208 MMD: matches a driver-side feature replay; duplicated clouds give 0") {
     val got = VectorQueries.q208MmdDrift.run(spark, sfDir).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
