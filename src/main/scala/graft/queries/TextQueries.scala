@@ -1913,6 +1913,29 @@ object TextQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** q212's probe set — every 7th doc with >= 3 tokens, at doc grain
+    * (the denominator side; a member always yields >= 1 query shingle). */
+  private[queries] def bm25KnownItemProbes(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.filter(col("doc_id") % 7 === 0
+        && size(TextFns.tokens(col("text"))) >= 3)
+      .select(col("doc_id").as("qid"), col("source"))
+
+  /** q212's query terms — each probe doc's opening (first 6 tokens ->
+    * its <= 4 distinct shingles), shared with StatsSpec's replay so the
+    * probe construction cannot drift between query and test. */
+  private[queries] def bm25KnownItemQueries(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("qid"), col("source"),
+        slice(TextFns.tokens(col("text")), 1, 6).as("half"))
+      .filter(size(col("half")) >= 3)
+      .select(col("qid"), col("source"), col("half"),
+        explode(TextFns.shinglePositions(col("half"), 3)).as("i"))
+      .select(col("qid"), col("source"),
+        TextFns.shingleAt(col("half"), col("i"), 3).as("t"))
+      .distinct()
+
   /** Retrieval-quality metrics for the BM25 ranker — the eval leg the
     * retrieval stack was missing (q153/q155/q202/q204 evaluate the
     * CLASSIFIER; q103 evaluates ANN recall; nothing scored the RANKERS
@@ -1977,7 +2000,9 @@ object TextQueries {
       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
       |  FROM sc),
       |hit AS (SELECT qid, rnk FROM rk WHERE rnk <= 10 AND doc_id = qid),
-      |probes AS (SELECT DISTINCT qid, source FROM qt),
+      |probes AS (
+      |  SELECT doc_id AS qid, source FROM docs
+      |  WHERE doc_id % 7 = 0 AND len(tk) >= 3),
       |perq AS (
       |  SELECT pr.source,
       |    coalesce(CAST(round(1e9 / h.rnk) AS BIGINT), 0) AS rr,
@@ -1995,22 +2020,15 @@ object TextQueries {
     val docs = Tables.documents(spark, dir)
     val index = Bm25.postingIndex(docs, "doc_id", "text")
       .repartition(col("t"))
-    // queries: first 6 tokens of every 7th doc -> its 4 opening
-    // shingles, distinct (qid carries source for the per-source roll-up)
-    val qt = docs.filter(col("doc_id") % 7 === 0)
-      .select(col("doc_id").as("qid"), col("source"),
-        slice(TextFns.tokens(col("text")), 1, 6).as("half"))
-      .filter(size(col("half")) >= 3)
-      .select(col("qid"), col("source"), col("half"),
-        explode(TextFns.shinglePositions(col("half"), 3)).as("i"))
-      .select(col("qid"), col("source"),
-        TextFns.shingleAt(col("half"), col("i"), 3).as("t"))
-      .distinct()
-    val top = Bm25.topKAgainstIndex(qt.select(col("qid"), col("t")), index,
+    val top = Bm25.topKAgainstIndex(
+      bm25KnownItemQueries(docs).select(col("qid"), col("t")), index,
       "doc_id", k = 10, excludeSelf = false)
     val hit = top.filter(col("doc_id") === col("qid"))
       .select(col("qid"), col("rnk"))
-    qt.select(col("qid"), col("source")).distinct()
+    // the denominator needs only probe MEMBERSHIP (a doc with >= 3
+    // tokens always yields >= 1 shingle), so it is a doc-grain
+    // predicate — not a second run of the shingle explode + distinct
+    bm25KnownItemProbes(docs)
       .join(hit, Seq("qid"), "left")
       .select(col("source"),
         coalesce(round(lit(1e9) / col("rnk")).cast("long"), lit(0L)).as("rr"),
@@ -4304,7 +4322,6 @@ object TextQueries {
     q108SkipgramPairs, q113MixtureSample, q114GopherRules, q118PipelineE2e,
     q119DsirWeights, q120VocabCoverage, q121SourceDivergence, q128PrefixFilterPairs,
     q130SegmentDedup, q137Bm25TopK, q138TrainShards, q140RendezvousShards,
-    q212RetrievalNdcg,
     q141RetrieveRerank, q142MmrRerank, q143DedupRecall, q144PrepPipeline,
     q146SpanScrubbed, q148PortableHll, q149CorpusDrift, q150SourceAffinity,
     q153QualityAuc, q155ScoreCalibration, q160PhraseSearch,
@@ -4313,5 +4330,5 @@ object TextQueries {
     q176HllOverlap, q177Readability, q180DatasetCard, q191ZipfFit,
     q192QuantileNormalize, q193PerplexityFilter, q194HeapsLaw,
     q195TokenWaterfill, q196JsDivergence, q201ShardBalance,
-    q202BrierDecomposition, q204ConformalThreshold)
+    q202BrierDecomposition, q204ConformalThreshold, q212RetrievalNdcg)
 }

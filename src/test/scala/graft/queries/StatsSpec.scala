@@ -972,20 +972,13 @@ class StatsSpec extends SparkSpec {
         s"$s: metric chain violated ($h1, $mrr, $ndcg, $h10)")
     }
     // replay the METRIC layer from the ranker's own top-10 (the same
-    // operator call the query makes), with BigInt-quantized terms
+    // operator call the query makes, via the SHARED probe construction
+    // so query and test cannot drift), with BigInt-quantized terms
     val docs = Tables.documents(spark, sfDir)
     val index = graft.operators.Bm25.postingIndex(docs, "doc_id", "text")
       .repartition(col("t"))
-    val qt = docs.filter(col("doc_id") % 7 === 0)
-      .select(col("doc_id").as("qid"), col("source"),
-        slice(TextFns.tokens(col("text")), 1, 6).as("half"))
-      .filter(size(col("half")) >= 3)
-      .select(col("qid"), col("source"), col("half"),
-        explode(TextFns.shinglePositions(col("half"), 3)).as("i"))
-      .select(col("qid"), col("source"),
-        TextFns.shingleAt(col("half"), col("i"), 3).as("t"))
-      .distinct()
-    val probes = qt.select("qid", "source").distinct().collect()
+    val qt = TextQueries.bm25KnownItemQueries(docs)
+    val probes = TextQueries.bm25KnownItemProbes(docs).collect()
       .map(r => r.getLong(0) -> r.getString(1))
     val rankOfSelf = graft.operators.Bm25
       .topKAgainstIndex(qt.select(col("qid"), col("t")), index, "doc_id",
