@@ -373,14 +373,20 @@ class StreamOpsSpec extends SparkSpec {
     // version, no re-ingest of batch1's files (state merged, not doubled)
     assert(versions.last > afterFirst.last,
       s"restart landed no newer version: $afterFirst -> $versions")
+    // the serving read folds the FULL five-statistic panel (the q210
+    // production read) over the landed state — every statistic must
+    // equal the one-shot batch panel over the union
     val served = graft.operators.Drift.ksAndW1(
-        StreamOps.latestSnapshot(spark, histDir).get, Seq("seg"), "v", "c1", "c2")
-      .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+        StreamOps.latestSnapshot(spark, histDir).get, Seq("seg"), "v",
+        "c1", "c2", withAd = true, withEnergy = true)
+      .as[(String, Long, Long, Double, Double, Double, Double, Double)]
+      .collect().toSet
     val batchAll = graft.operators.Drift.ksAndW1(
         StreamOps.segmentValueCounts(
           (batch1 ++ batch2).toDF("seg", "v", "side"), "seg", "v", "side"),
-        Seq("seg"), "v", "c1", "c2")
-      .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+        Seq("seg"), "v", "c1", "c2", withAd = true, withEnergy = true)
+      .as[(String, Long, Long, Double, Double, Double, Double, Double)]
+      .collect().toSet
     assert(served === batchAll && served.size === 2,
       s"serving read diverged across the bounce: $served vs $batchAll")
     // same hand-checked sB numbers as the memory-sink test — the
