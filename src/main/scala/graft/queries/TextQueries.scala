@@ -2047,6 +2047,291 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Retrieval-quality for the FULL deployed chain, side by side —
+    * q212 scores only the raw BM25 ranker, but the rankers users
+    * actually run are q141's cosine rerank, q142's MMR
+    * diversification, and q169's RRF fusion, and none of them had a
+    * quality number (q142's diversification could be HURTING known-item
+    * retrieval and nothing would show it). Same known-item harness as
+    * q212 ([[bm25KnownItemProbes]]/[[bm25KnownItemQueries]] — shared,
+    * so the fixtures cannot drift apart), ONE posting-index candidate
+    * stage shared by all four legs (lineage cut once, the q142
+    * pattern), then per (source, leg): MRR, nDCG, hit@1, hit@depth on
+    * the same 1e9-grid exact BIGINT sums as q212.
+    *
+    * The four legs, each at its DEPLOYED configuration:
+    *  - `bm25`   — the shared BM25 top-10 itself (depth 10, ≡ q212);
+    *  - `rerank` — q141's stage 2: cosine of each candidate's embedding
+    *    against the probe doc's own embedding re-ranks the 10 (depth
+    *    10). Known-item makes this leg STRUCTURALLY saturating — the
+    *    query embedding IS the target's embedding (cos = 1.0), so
+    *    rerank recovers every candidate-set hit to rank 1 (modulo
+    *    6-dp cosine ties losing the doc_id tiebreak to a near-dup):
+    *    measured, its MRR rides the hit@10 ceiling. That is the honest
+    *    upper envelope of dense reranking on this harness, not a bug —
+    *    documented here so nobody reads it as "rerank is perfect";
+    *  - `mmr`    — q142's deployed config exactly (λ=0.5, 3 greedy
+    *    picks from the BM25 top-5, unrolled rounds, pre-rounded
+    *    rel/sim, doc_id tiebreaks), depth 3: a probe whose target is
+    *    diversified out of the 3-slot page scores 0 — the measured
+    *    MRR delta vs `bm25` is the price of diversification on
+    *    known-item traffic (nonzero on this corpus);
+    *  - `rrf`    — q169's Σ 1/(60+rank) fusion of the sparse rank and
+    *    the dense (rerank) rank over the SHARED candidate pool (depth
+    *    10). q169's corpus-wide brute-force dense leg would cost
+    *    |corpus|/7 × |corpus| cosines at this probe grain — the eval
+    *    stays candidate-bounded by fusing two rankings of the same
+    *    top-10, the standard common-pool RRF deployment.
+    *
+    * Exactness: rank metrics quantize per query to the 1e9 grid
+    * (q212's discipline); the rerank order runs on 6-dp-rounded
+    * [[Q.noNegZero]]-finished cosines; MMR rounds run on pre-rounded
+    * rel(4dp)/sim(6dp) with doc_id tiebreaks (q142's discipline); the
+    * RRF score is a two-term expression over integer ranks rounded at
+    * 7dp (q169's). All joins are equi-joins on qid/doc_id over
+    * |probes|×10-bounded relations — the corpus is touched only by the
+    * shared posting stage and the embedding lookups. */
+  val q213ChainNdcg = Q(
+    "q213_chain_ndcg",
+    """WITH docs AS (
+      |  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS tk
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, s AS t FROM docs,
+      |    unnest(list_transform(range(1, len(tk) - 1),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS u(s)
+      |  WHERE len(tk) >= 3),
+      |tf AS (SELECT doc_id, t, count(*) AS cnt FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |vocab AS (
+      |  SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t
+      |  HAVING count(*) BETWEEN 2 AND
+      |    (SELECT greatest(8, CAST(floor(10 * log2(greatest(2, count(*)))) AS INT))
+      |     FROM documents)),
+      |w AS (
+      |  SELECT tf.doc_id, tf.t,
+      |    ln(1 + (s.n_docs - v.df + 0.5) / (v.df + 0.5)) *
+      |      (tf.cnt * 2.2) / (tf.cnt + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) AS wgt
+      |  FROM tf JOIN vocab v ON tf.t = v.t
+      |  JOIN dl d ON d.doc_id = tf.doc_id CROSS JOIN stats s),
+      |qt AS (
+      |  SELECT DISTINCT qid, half[i] || ' ' || half[i+1] || ' ' || half[i+2] AS t
+      |  FROM (SELECT doc_id AS qid, tk[1 : 6] AS half
+      |        FROM docs WHERE doc_id % 7 = 0 AND len(tk) >= 3) h,
+      |    unnest(range(1, len(half) - 1)) AS u(i)),
+      |sc AS (
+      |  SELECT q.qid, w.doc_id, round(sum(w.wgt), 4) AS score
+      |  FROM qt q JOIN w ON q.t = w.t
+      |  GROUP BY 1, 2),
+      |top10 AS (
+      |  SELECT qid, doc_id, score, CAST(rnk AS INT) AS rnk FROM (
+      |    SELECT qid, doc_id, score,
+      |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+      |    FROM sc) WHERE rnk <= 10),
+      |rr AS (
+      |  SELECT c.qid, c.doc_id,
+      |    row_number() OVER (PARTITION BY c.qid
+      |      ORDER BY round(list_cosine_similarity(CAST(ed.embedding AS DOUBLE[]),
+      |                     CAST(eq.embedding AS DOUBLE[])), 6) + 0.0 DESC,
+      |        c.doc_id) AS rnk
+      |  FROM top10 c
+      |  JOIN embeddings ed ON ed.vec_id = c.doc_id
+      |  JOIN embeddings eq ON eq.vec_id = c.qid),
+      |cand AS (SELECT qid, doc_id, score AS rel FROM top10 WHERE rnk <= 5),
+      |pair AS (
+      |  SELECT a.qid, a.doc_id AS da, b.doc_id AS db,
+      |    round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+      |                                 CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+      |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.doc_id <> b.doc_id
+      |  JOIN embeddings ea ON ea.vec_id = a.doc_id
+      |  JOIN embeddings eb ON eb.vec_id = b.doc_id),
+      |s1 AS (
+      |  SELECT qid, doc_id, rel FROM (
+      |    SELECT qid, doc_id, rel,
+      |      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS rn
+      |    FROM cand) WHERE rn = 1),
+      |m2 AS (
+      |  SELECT c.qid, c.doc_id, c.rel, 0.5 * c.rel - 0.5 * p.sim AS mmr
+      |  FROM cand c
+      |  JOIN s1 ON s1.qid = c.qid AND c.doc_id <> s1.doc_id
+      |  JOIN pair p ON p.qid = c.qid AND p.da = c.doc_id AND p.db = s1.doc_id),
+      |s2 AS (
+      |  SELECT qid, doc_id, mmr FROM (
+      |    SELECT qid, doc_id, mmr,
+      |      row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, doc_id) AS rn
+      |    FROM m2) WHERE rn = 1),
+      |m3 AS (
+      |  SELECT c.qid, c.doc_id,
+      |    0.5 * c.rel - 0.5 * greatest(p1.sim, p2.sim) AS mmr
+      |  FROM cand c
+      |  JOIN s1 ON s1.qid = c.qid
+      |  JOIN s2 ON s2.qid = c.qid
+      |  JOIN pair p1 ON p1.qid = c.qid AND p1.da = c.doc_id AND p1.db = s1.doc_id
+      |  JOIN pair p2 ON p2.qid = c.qid AND p2.da = c.doc_id AND p2.db = s2.doc_id
+      |  WHERE c.doc_id <> s1.doc_id AND c.doc_id <> s2.doc_id),
+      |s3 AS (
+      |  SELECT qid, doc_id, mmr FROM (
+      |    SELECT qid, doc_id, mmr,
+      |      row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, doc_id) AS rn
+      |    FROM m3) WHERE rn = 1),
+      |mmrleg AS (
+      |  SELECT qid, doc_id, 1 AS rnk FROM s1
+      |  UNION ALL SELECT qid, doc_id, 2 FROM s2
+      |  UNION ALL SELECT qid, doc_id, 3 FROM s3),
+      |rrf0 AS (
+      |  SELECT t.qid, t.doc_id,
+      |    round(1.0 / (60 + t.rnk) + 1.0 / (60 + r.rnk), 7) AS rrf
+      |  FROM top10 t JOIN rr r ON r.qid = t.qid AND r.doc_id = t.doc_id),
+      |rrfleg AS (
+      |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+      |    ORDER BY rrf DESC, doc_id) AS rnk
+      |  FROM rrf0),
+      |hits AS (
+      |  SELECT 'bm25' AS leg, qid, rnk FROM top10 WHERE doc_id = qid
+      |  UNION ALL SELECT 'rerank', qid, rnk FROM rr WHERE doc_id = qid
+      |  UNION ALL SELECT 'mmr', qid, rnk FROM mmrleg WHERE doc_id = qid
+      |  UNION ALL SELECT 'rrf', qid, rnk FROM rrfleg WHERE doc_id = qid),
+      |probes AS (
+      |  SELECT doc_id AS qid, source FROM docs
+      |  WHERE doc_id % 7 = 0 AND len(tk) >= 3),
+      |perq AS (
+      |  SELECT pr.source, l.leg,
+      |    coalesce(CAST(round(1e9 / h.rnk) AS BIGINT), 0) AS rr_t,
+      |    coalesce(CAST(round(1e9 / log2(h.rnk + 1)) AS BIGINT), 0) AS dg,
+      |    CASE WHEN h.rnk = 1 THEN 1 ELSE 0 END AS h1,
+      |    CASE WHEN h.rnk IS NOT NULL THEN 1 ELSE 0 END AS hk
+      |  FROM probes pr CROSS JOIN (VALUES ('bm25'),('rerank'),('mmr'),('rrf')) l(leg)
+      |  LEFT JOIN hits h ON h.qid = pr.qid AND h.leg = l.leg)
+      |SELECT source, leg,
+      |  CAST(CASE WHEN leg = 'mmr' THEN 3 ELSE 10 END AS INT) AS depth,
+      |  CAST(count(*) AS BIGINT) AS n_queries,
+      |  round(CAST(sum(rr_t) AS DOUBLE) / (count(*) * 1e9), 6) AS mrr,
+      |  round(CAST(sum(dg) AS DOUBLE) / (count(*) * 1e9), 6) AS ndcg,
+      |  round(CAST(sum(h1) AS DOUBLE) / count(*), 6) AS hit_at_1,
+      |  round(CAST(sum(hk) AS DOUBLE) / count(*), 6) AS hit_at_k
+      |FROM perq GROUP BY source, leg
+      |ORDER BY source, leg""".stripMargin) { (spark, dir) =>
+    import graft.functions.VectorFns
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val index = Bm25.postingIndex(docs, "doc_id", "text")
+      .repartition(col("t"))
+    // ONE candidate stage for all four legs; the lineage is the whole
+    // BM25 pipeline and downstream references it many times — cut it
+    // once so the posting join runs once (the q142 pattern)
+    val top10 = Bm25.topKAgainstIndex(
+        bm25KnownItemQueries(docs).select(col("qid"), col("t")), index,
+        "doc_id", k = 10, excludeSelf = false)
+      .localCheckpoint()
+    val emb = Tables.embeddings(spark, dir)
+    // leg 2: dense rerank of the shared candidates (query = probe
+    // doc's own embedding — the known-item saturation documented
+    // above); checkpointed because both the hits union and the RRF
+    // fusion consume it, and recomputing would re-scan embeddings
+    val rr = top10
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding").as("e_d")),
+        "doc_id")
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("e_q")),
+        "qid")
+      .select(col("qid"), col("doc_id"),
+        Q.noNegZero(round(VectorFns.cosine(col("e_d"), col("e_q")), 6)).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("doc_id"))))
+      .select(col("qid"), col("doc_id"), col("rnk"))
+      .localCheckpoint()
+    // leg 3: q142's MMR at its deployed config — λ=0.5, 3 picks from
+    // the BM25 top-5, unrolled greedy rounds over O(probes×5) rows
+    val cand = top10.filter(col("rnk") <= 5)
+      .select(col("qid"), col("doc_id"), col("score").as("rel"))
+    val candE = cand.join(
+      emb.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+    val pair = candE.as("a").join(candE.as("b"),
+        col("a.qid") === col("b.qid") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.qid").as("qid"), col("a.doc_id").as("da"),
+        col("b.doc_id").as("db"),
+        round(VectorFns.cosine(col("a.embedding"), col("b.embedding")), 6)
+          .as("sim"))
+    def top1(df: org.apache.spark.sql.DataFrame,
+        order: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+      df.withColumn("__rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(order.desc, col("doc_id"))))
+        .filter(col("__rn") === 1).drop("__rn")
+    val s1 = top1(cand, col("rel"))
+    val m2 = cand.as("c")
+      .join(s1.as("s1"),
+        col("c.qid") === col("s1.qid") && col("c.doc_id") =!= col("s1.doc_id"))
+      .join(pair.as("p"), col("p.qid") === col("c.qid") &&
+        col("p.da") === col("c.doc_id") && col("p.db") === col("s1.doc_id"))
+      .select(col("c.qid").as("qid"), col("c.doc_id").as("doc_id"),
+        col("c.rel").as("rel"),
+        (lit(0.5) * col("c.rel") - lit(0.5) * col("p.sim")).as("mmr"))
+    val s2 = top1(m2.select(col("qid"), col("doc_id"), col("mmr")), col("mmr"))
+    val m3 = cand.as("c")
+      .join(s1.as("s1"), col("c.qid") === col("s1.qid"))
+      .join(s2.as("s2"), col("c.qid") === col("s2.qid"))
+      .join(pair.as("p1"), col("p1.qid") === col("c.qid") &&
+        col("p1.da") === col("c.doc_id") && col("p1.db") === col("s1.doc_id"))
+      .join(pair.as("p2"), col("p2.qid") === col("c.qid") &&
+        col("p2.da") === col("c.doc_id") && col("p2.db") === col("s2.doc_id"))
+      .filter(col("c.doc_id") =!= col("s1.doc_id")
+        && col("c.doc_id") =!= col("s2.doc_id"))
+      .select(col("c.qid").as("qid"), col("c.doc_id").as("doc_id"),
+        (lit(0.5) * col("c.rel")
+          - lit(0.5) * greatest(col("p1.sim"), col("p2.sim"))).as("mmr"))
+    val s3 = top1(m3, col("mmr"))
+    val mmrleg =
+      s1.select(col("qid"), col("doc_id"), lit(1).as("rnk"))
+        .unionAll(s2.select(col("qid"), col("doc_id"), lit(2).as("rnk")))
+        .unionAll(s3.select(col("qid"), col("doc_id"), lit(3).as("rnk")))
+    // leg 4: q169's RRF over the shared pool — both ranks always
+    // present (same candidate set), so a plain equi-join fuses them
+    val rrfleg = top10.select(col("qid"), col("doc_id"), col("rnk").as("rs"))
+      .join(rr.select(col("qid"), col("doc_id"), col("rnk").as("rd")),
+        Seq("qid", "doc_id"))
+      .select(col("qid"), col("doc_id"),
+        round(lit(1.0) / (lit(60) + col("rs"))
+          + lit(1.0) / (lit(60) + col("rd")), 7).as("rrf"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id"))))
+    val hits =
+      top10.filter(col("doc_id") === col("qid"))
+        .select(lit("bm25").as("leg"), col("qid"), col("rnk"))
+      .unionAll(rr.filter(col("doc_id") === col("qid"))
+        .select(lit("rerank").as("leg"), col("qid"), col("rnk")))
+      .unionAll(mmrleg.filter(col("doc_id") === col("qid"))
+        .select(lit("mmr").as("leg"), col("qid"), col("rnk")))
+      .unionAll(rrfleg.filter(col("doc_id") === col("qid"))
+        .select(lit("rrf").as("leg"), col("qid"), col("rnk")))
+    // denominator: probe membership × the 4-leg literal, exploded
+    // IN-ROW (no join); a probe whose target misses a leg's list
+    // contributes 0 to every metric but stays in that leg's count
+    bm25KnownItemProbes(docs)
+      .withColumn("leg", explode(array(
+        lit("bm25"), lit("mmr"), lit("rerank"), lit("rrf"))))
+      .join(hits, Seq("qid", "leg"), "left")
+      .select(col("source"), col("leg"),
+        coalesce(round(lit(1e9) / col("rnk")).cast("long"), lit(0L)).as("rr_t"),
+        coalesce(round(lit(1e9) / log2(col("rnk") + 1)).cast("long"), lit(0L))
+          .as("dg"),
+        when(col("rnk") === 1, 1L).otherwise(0L).as("h1"),
+        when(col("rnk").isNotNull, 1L).otherwise(0L).as("hk"))
+      .groupBy(col("source"), col("leg"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(col("rr_t")).cast("double") / (count(lit(1)) * 1e9), 6)
+          .as("mrr"),
+        round(sum(col("dg")).cast("double") / (count(lit(1)) * 1e9), 6)
+          .as("ndcg"),
+        round(sum(col("h1")).cast("double") / count(lit(1)), 6).as("hit_at_1"),
+        round(sum(col("hk")).cast("double") / count(lit(1)), 6).as("hit_at_k"))
+      .select(col("source"), col("leg"),
+        when(col("leg") === "mmr", 3).otherwise(10).cast("int").as("depth"),
+        col("n_queries"), col("mrr"), col("ndcg"),
+        col("hit_at_1"), col("hit_at_k"))
+      .orderBy(col("source"), col("leg"))
+  }
+
   /** Training-shard manifest — [[Sampling.assignShards]] over the
     * corpus (16 shards), reduced to the per-shard manifest a trainer
     * reads before an epoch: doc count, byte mass, and an
@@ -4330,5 +4615,6 @@ object TextQueries {
     q176HllOverlap, q177Readability, q180DatasetCard, q191ZipfFit,
     q192QuantileNormalize, q193PerplexityFilter, q194HeapsLaw,
     q195TokenWaterfill, q196JsDivergence, q201ShardBalance,
-    q202BrierDecomposition, q204ConformalThreshold, q212RetrievalNdcg)
+    q202BrierDecomposition, q204ConformalThreshold, q212RetrievalNdcg,
+    q213ChainNdcg)
 }

@@ -202,6 +202,29 @@ class PlanSpec extends SparkSpec {
       "an unexpected nested-loop join appeared:\n" + p)
   }
 
+  test("q213 chain eval: one shared posting stage, equi-joins only") {
+    val p = plan(TextQueries.q213ChainNdcg)
+    assert(!p.contains("CartesianProduct"),
+      "chain eval degraded to a cartesian product:\n" + p)
+    // the final plan is all equi-joins over checkpoint-bounded
+    // relations — q137's 1-row stats broadcasts (the only legal BNLJ
+    // class here) live inside the checkpointed candidate stage, so
+    // none may appear in the serving plan at all
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "a nested-loop join appeared in the metric/leg layer:\n" + p)
+    // ONE posting stage shared by all four legs: the candidates enter
+    // this plan through the checkpoint RDD, and the only documents
+    // text scan left is the probe-membership predicate — a rework
+    // that re-derives BM25 per leg would add text scans (and the
+    // t-equi-join) back into this plan
+    val textReads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
+      .map(_.group(1)).count(_.contains("text"))
+    assert(textReads <= 1,
+      s"documents text scanned $textReads times — posting stage re-derived per leg?\n" + p)
+    assert(p.contains("ExistingRDD"),
+      "shared candidate checkpoint missing from the plan:\n" + p)
+  }
+
   test("q194 documents scan is pruned to doc_id+text+source") {
     val reads = plan(TextQueries.q194HeapsLaw).linesIterator
       .filter(_.contains("ReadSchema")).mkString("\n")

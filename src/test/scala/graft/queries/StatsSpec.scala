@@ -1011,6 +1011,120 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q213 chain metrics equal a driver-side replay of all four legs") {
+    val got = TextQueries.q213ChainNdcg.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getInt(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    assert(got.nonEmpty)
+    // always-true rank-metric chain per (source, leg), and the depth
+    // column states each leg's deployed list length
+    got.foreach { case ((s, l), (depth, _, mrr, ndcg, h1, hk)) =>
+      assert(depth === (if (l == "mmr") 3 else 10), s"$s/$l depth")
+      assert(h1 <= mrr + 1e-6 && mrr <= ndcg + 1e-6 && ndcg <= hk + 1e-6,
+        s"$s/$l: metric chain violated ($h1, $mrr, $ndcg, $hk)")
+    }
+    // independent driver-side replay: the shared candidate stage comes
+    // from the same operator call (the metric layer and all three
+    // derived legs are what's under test), then rerank/MMR/RRF are
+    // recomputed in plain Scala — JVM doubles through the same
+    // rounding/tiebreak discipline — and the metrics re-summed in
+    // BigInt-quantized terms
+    val docs = Tables.documents(spark, sfDir)
+    val index = graft.operators.Bm25.postingIndex(docs, "doc_id", "text")
+      .repartition(col("t"))
+    val top10 = graft.operators.Bm25
+      .topKAgainstIndex(TextQueries.bm25KnownItemQueries(docs)
+        .select(col("qid"), col("t")), index, "doc_id", k = 10,
+        excludeSelf = false)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val probes = TextQueries.bm25KnownItemProbes(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val emb = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // CosineSimExpr's exact double sequence: one pass, dot/(√na²·√nb²)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na2 = 0.0; var nb2 = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na2 += a(i) * a(i); nb2 += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na2) * math.sqrt(nb2))
+    }
+    def rd(x: Double, s: Int): Double = BigDecimal(x)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def q9(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val byQ = top10.groupBy(_._1)
+    // rank-of-self per leg, per qid (None = target missed the list)
+    val bm25Rank = top10.filter(t => t._3 == t._1).map(t => t._1 -> t._2).toMap
+    val rerankRanks: Map[Long, Map[Long, Int]] = byQ.map { case (qid, cs) =>
+      val ranked = cs.toSeq
+        .flatMap { c => for (ed <- emb.get(c._3); eq <- emb.get(qid))
+          yield (c._3, rd(cos(ed, eq), 6) + 0.0) }
+        .sortBy { case (d, c) => (-c, d) }.zipWithIndex
+        .map { case ((d, _), i) => d -> (i + 1) }
+      qid -> ranked.toMap
+    }
+    val mmrRank: Map[Long, Int] = byQ.flatMap { case (qid, cs) =>
+      val cand = cs.filter(_._2 <= 5).map(c => (c._3, c._4)).toSeq
+      val sim = (for {
+        (a, _) <- cand; (b, _) <- cand if a != b
+        ea <- emb.get(a); eb <- emb.get(b)
+      } yield (a, b) -> rd(cos(ea, eb), 6)).toMap
+      def pick(pool: Seq[(Long, Double)]): Option[Long] =
+        pool.sortBy { case (d, v) => (-v, d) }.headOption.map(_._1)
+      val s1 = pick(cand)
+      val s2 = s1.flatMap { p1 =>
+        pick(cand.filter(_._1 != p1).flatMap { case (d, rel) =>
+          sim.get((d, p1)).map(sm => (d, 0.5 * rel - 0.5 * sm)) })
+      }
+      val s3 = for {
+        p1 <- s1; p2 <- s2
+        r <- pick(cand.filter(c => c._1 != p1 && c._1 != p2)
+          .flatMap { case (d, rel) =>
+            for (m1 <- sim.get((d, p1)); m2 <- sim.get((d, p2)))
+              yield (d, 0.5 * rel - 0.5 * math.max(m1, m2)) })
+      } yield r
+      (Seq(s1, s2, s3).flatten.zipWithIndex.collectFirst {
+        case (d, i) if d == qid => qid -> (i + 1) }): Option[(Long, Int)]
+    }
+    val rrfRank: Map[Long, Int] = byQ.flatMap { case (qid, cs) =>
+      val rks = rerankRanks(qid)
+      cs.toSeq.flatMap { c => rks.get(c._3).map(rdk =>
+          (c._3, rd(1.0 / (60 + c._2) + 1.0 / (60 + rdk), 7))) }
+        .sortBy { case (d, v) => (-v, d) }.zipWithIndex
+        .collectFirst { case ((d, _), i) if d == qid => qid -> (i + 1) }
+    }
+    val legs = Map[String, Long => Option[Int]](
+      "bm25" -> (q => bm25Rank.get(q)),
+      "rerank" -> (q => rerankRanks.get(q).flatMap(_.find(_._1 == q)).map(_._2)),
+      "mmr" -> (q => mmrRank.get(q)),
+      "rrf" -> (q => rrfRank.get(q)))
+    val want = for {
+      (src, ps) <- probes.groupBy(_._2); (leg, rankOf) <- legs
+    } yield {
+      val ranks = ps.map(p => rankOf(p._1))
+      val n = ranks.length
+      val rr = ranks.map(_.map(r => q9(1e9 / r)).getOrElse(0L)).sum
+      val dg = ranks.map(_.map(r =>
+        q9(1e9 / (math.log(r + 1.0) / math.log(2.0)))).getOrElse(0L)).sum
+      val h1 = ranks.count(_.contains(1)).toLong
+      val hk = ranks.count(_.isDefined).toLong
+      (src, leg) -> ((n.toLong, rd(rr.toDouble / (n * 1e9), 6),
+        rd(dg.toDouble / (n * 1e9), 6), rd(h1.toDouble / n, 6),
+        rd(hk.toDouble / n, 6)))
+    }
+    assert(got.keySet === want.keySet)
+    for (k <- got.keySet) {
+      val (_, gn, gm, gd, g1, gk) = got(k); val (wn, wm, wd, w1, wk) = want(k)
+      assert(gn === wn, s"$k n_queries")
+      assert(math.abs(gm - wm) <= 1e-9 && math.abs(gd - wd) <= 1e-9
+        && math.abs(g1 - w1) <= 1e-9 && math.abs(gk - wk) <= 1e-9,
+        s"$k: got ($gm,$gd,$g1,$gk) want ($wm,$wd,$w1,$wk)")
+    }
+  }
+
   test("q208 MMD: matches a driver-side feature replay; duplicated clouds give 0") {
     val got = VectorQueries.q208MmdDrift.run(spark, sfDir).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
