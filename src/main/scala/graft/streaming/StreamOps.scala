@@ -411,7 +411,9 @@ object StreamOps {
     * Scale shape: the rewrite is proportional to the STATE (distinct
     * (segment, grid-value) pairs — the same bound the batch query's
     * shuffle carries), never to the corpus; old versions are
-    * retention-GC'd out of band. Survives a checkpoint bounce: a
+    * retention-GC'd with [[gcSnapshots]] (a standing monitor at
+    * production cadence would otherwise accumulate versions without
+    * bound). Survives a checkpoint bounce: a
     * restarted query resumes its state and batch ids from the
     * checkpoint and lands strictly newer versions (StreamOpsSpec
     * drills stop → new files while down → restart → serving read
@@ -498,6 +500,65 @@ object StreamOps {
   def bootstrapSnapshot(base: DataFrame, snapDir: String): Unit =
     base.write.mode("overwrite").parquet(s"$snapDir/v-1")
 
+  /** Retention GC for a versioned snapshot directory (the
+    * [[sinkCompleteVersions]] / [[upsertBatches]] /
+    * [[bootstrapSnapshot]] layout): deletes every version that can no
+    * longer be served or repaired, keeps everything else. A standing
+    * monitor lands a full new `v<batchId>` every micro-batch, so
+    * without GC the directory grows without bound — this is the
+    * "out of band" maintenance call, safe to run at any time,
+    * including concurrently with serving reads (a serving read only
+    * ever opens the newest complete version, which GC never touches).
+    *
+    * Reclaimable, by construction:
+    *  - COMPLETE versions older than the `keepLast` newest complete
+    *    ones (history beyond the retention window);
+    *  - TORN versions (no `_SUCCESS`) strictly older than the newest
+    *    complete version — the stream has already committed past
+    *    them, so no replay will rewrite them and no read will ever
+    *    serve them.
+    *
+    * Never touched:
+    *  - the `keepLast` newest COMPLETE versions (the newest complete
+    *    one in particular — `keepLast` is required >= 1);
+    *  - torn versions NEWER than the newest complete one: those are
+    *    in-flight (a restart's idempotent replay rewrites them);
+    *  - anything, when NO complete version exists: an all-torn
+    *    directory is a crash scene ([[latestSnapshot]] fails loudly on
+    *    it) and GC must not destroy the evidence a repair needs.
+    *
+    * Completeness is judged by the `_SUCCESS` marker only — on a
+    * markers-disabled filesystem GC reclaims nothing (conservative by
+    * design; re-enable markers to reclaim).
+    *
+    * @return the version directory names deleted, oldest first */
+  def gcSnapshots(spark: SparkSession, snapDir: String,
+      keepLast: Int): Seq[String] = {
+    require(keepLast >= 1,
+      s"gcSnapshots: keepLast must be >= 1 (got $keepLast) - retaining " +
+        "zero complete versions would delete the serving snapshot itself")
+    val path = new org.apache.hadoop.fs.Path(snapDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return Seq.empty
+    val versions = fs.listStatus(path).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("v-?\\d+"))
+      .map(_.drop(1).toLong)
+      .sorted(Ordering[Long].reverse)
+    val complete = versions.filter(v => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$snapDir/v$v/_SUCCESS")))
+    if (complete.isEmpty) return Seq.empty
+    val keep = complete.take(keepLast).toSet
+    val newestComplete = complete.head
+    versions.filter(v =>
+        !keep.contains(v) && (complete.contains(v) || v < newestComplete))
+      .sorted
+      .map { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$snapDir/v$v"), true)
+        s"v$v"
+      }
+  }
+
   /** The newest COMPLETE snapshot version with id < `beforeId`, if any.
     *
     * Completeness is the committer's `_SUCCESS` marker (written last by
@@ -515,11 +576,31 @@ object StreamOps {
     * zero-byte files) a silent None would make every upsert merge
     * against nothing — each batch would quietly REPLACE the
     * accumulated state with its own keys and persist the truncated
-    * result. None is reserved for "no snapshot was ever written". */
+    * result. None is reserved for "no snapshot was ever written".
+    *
+    * A deployment that LEGITIMATELY disables success markers opts out
+    * with `requireMarkers = false`: completeness then falls back to a
+    * file-shape probe — at least one `part-*` data file, none of them
+    * zero-length (the common truncation shape on marker-stripped
+    * stores). The fallback is explicitly WEAKER than the marker: it
+    * cannot detect a missing part file from a multi-file write torn
+    * mid-commit, which is why it is an opt-in for markers-off
+    * filesystems, never the default. [[gcSnapshots]] stays marker-only
+    * regardless (it reclaims nothing under markers-off — conservative). */
   def latestSnapshot(spark: SparkSession, snapDir: String,
-      beforeId: Long = Long.MaxValue): Option[DataFrame] = {
+      beforeId: Long = Long.MaxValue,
+      requireMarkers: Boolean = true): Option[DataFrame] = {
     val path = new org.apache.hadoop.fs.Path(snapDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def servable(v: Long): Boolean =
+      if (requireMarkers)
+        fs.exists(new org.apache.hadoop.fs.Path(s"$snapDir/v$v/_SUCCESS"))
+      else {
+        val parts = fs.listStatus(
+            new org.apache.hadoop.fs.Path(s"$snapDir/v$v")).toSeq
+          .filter(_.getPath.getName.startsWith("part-"))
+        parts.nonEmpty && parts.forall(_.getLen > 0)
+      }
     if (!fs.exists(path)) None
     else {
       val versions = fs.listStatus(path).toSeq
@@ -528,18 +609,23 @@ object StreamOps {
         .map(_.drop(1).toLong)
         .filter(_ < beforeId)
         .sorted(Ordering[Long].reverse)
-      val complete = versions.find(v => fs.exists(
-        new org.apache.hadoop.fs.Path(s"$snapDir/v$v/_SUCCESS")))
+      val complete = versions.find(servable)
       if (versions.nonEmpty && complete.isEmpty)
         throw new IllegalStateException(
           s"graft.latestSnapshot: $snapDir holds ${versions.size} version " +
-            "directories but none carries a _SUCCESS marker - either every " +
-            "version is torn (crash mid-write before any commit) or success " +
-            "markers are disabled/stripped on this filesystem " +
-            "(mapreduce.fileoutputcommitter.marksuccessfuljobs=false, or a " +
-            "lifecycle rule deleting zero-byte files). Serving or merging " +
+            "directories but none is complete (" +
+            (if (requireMarkers) "no _SUCCESS marker anywhere - either every " +
+              "version is torn (crash mid-write before any commit) or success " +
+              "markers are disabled/stripped on this filesystem " +
+              "(mapreduce.fileoutputcommitter.marksuccessfuljobs=false, or a " +
+              "lifecycle rule deleting zero-byte files); for a deployment " +
+              "that intentionally disables markers, pass " +
+              "requireMarkers = false"
+            else "markers-off probe: no version has exclusively non-empty " +
+              "part-* files") +
+            "). Serving or merging " +
             "without a complete base would silently drop accumulated state; " +
-            "re-enable markers or repair the newest version before reading")
+            "repair the newest version before reading")
       complete.map(v => spark.read.parquet(s"$snapDir/v$v"))
     }
   }

@@ -429,6 +429,110 @@ class StreamOpsSpec extends SparkSpec {
     assert(StreamOps.latestSnapshot(spark, s"$dir2/never-written").isEmpty)
   }
 
+  test("gcSnapshots reclaims old complete + stale torn versions; serving and restart unaffected") {
+    import spark.implicits._
+    // the retention story sinkCompleteVersions' scaladoc promises:
+    // ingest N batches -> GC -> serving read unchanged -> restart on
+    // the same checkpoint still lands strictly newer versions
+    val base = java.nio.file.Files.createTempDirectory("snap-gc").toString
+    val (srcDir, ckDir, histDir) = (s"$base/src", s"$base/ck", s"$base/hist")
+    def land(rows: Seq[(String, Long, Int)], mode: String): Unit = {
+      rows.toDF("seg", "v", "side").coalesce(1)
+        .write.mode(mode).parquet(srcDir)
+      val schema = spark.read.parquet(srcDir).schema
+      StreamOps.sinkCompleteVersions(
+        StreamOps.segmentValueCounts(
+          StreamOps.parquetStream(spark, schema, srcDir), "seg", "v", "side"),
+        histDir, ckDir)
+    }
+    val b1 = Seq(("sA", 10L, 0), ("sA", 20L, 1))
+    val b2 = Seq(("sA", 30L, 1), ("sB", 5L, 0))
+    val b3 = Seq(("sB", 7L, 1), ("sB", 5L, 1))
+    land(b1, "overwrite"); land(b2, "append"); land(b3, "append")
+    def versions = new java.io.File(histDir).listFiles()
+      .map(_.getName).filter(_.matches("v\\d+")).sortBy(_.drop(1).toLong).toSeq
+    assert(versions.size >= 3, s"rig expected >=3 versions, got $versions")
+    val Seq(v0, v1, v2) = versions.takeRight(3)
+    // manufacture: a torn version OLDER than the newest complete (tear
+    // v1 by removing its marker), and a torn version NEWER than it
+    // (an in-flight write a restart would rewrite)
+    assert(new java.io.File(s"$histDir/$v1/_SUCCESS").delete())
+    Seq(("sX", 1L, 1)).toDF("seg", "v", "side").coalesce(1)
+      .write.parquet(s"$histDir/v999")
+    assert(new java.io.File(s"$histDir/v999/_SUCCESS").delete())
+    val servedBefore = StreamOps.latestSnapshot(spark, histDir).get
+      .as[(String, Long, Long, Long)].collect().toSet
+    val deleted = StreamOps.gcSnapshots(spark, histDir, keepLast = 1)
+    // reclaimed: the old complete v0 and the stale torn v1; kept: the
+    // newest complete v2 and the in-flight torn v999
+    assert(deleted === Seq(v0, v1), s"gc deleted $deleted")
+    assert(versions === Seq(v2, "v999"), s"post-gc versions: $versions")
+    val servedAfter = StreamOps.latestSnapshot(spark, histDir).get
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(servedAfter === servedBefore && servedAfter.nonEmpty,
+      "GC changed the serving read")
+    // keepLast wider than history: nothing to reclaim
+    assert(StreamOps.gcSnapshots(spark, histDir, keepLast = 5) === Seq.empty)
+    // restart on the SAME checkpoint after GC: strictly newer version,
+    // state still the full union (GC never touched the checkpoint)
+    land(Seq(("sA", 10L, 1)), "append")
+    val newest = versions.filter(_ != "v999").map(_.drop(1).toLong).max
+    assert(newest > v2.drop(1).toLong,
+      s"restart after GC landed no newer version: $versions")
+    val served = StreamOps.latestSnapshot(spark, histDir).get
+    val batchAll = StreamOps.segmentValueCounts(
+      (b1 ++ b2 ++ b3 ++ Seq(("sA", 10L, 1))).toDF("seg", "v", "side"),
+      "seg", "v", "side")
+    assert(served.as[(String, Long, Long, Long)].collect().toSet
+      === batchAll.as[(String, Long, Long, Long)].collect().toSet,
+      "post-GC restart diverged from the one-shot batch state")
+    // all-torn directory: GC refuses to touch the crash scene
+    val dirT = java.nio.file.Files.createTempDirectory("snap-gc-torn").toString
+    Seq(("k", 1L)).toDF("k", "n").write.parquet(s"$dirT/v0")
+    Seq(("k", 2L)).toDF("k", "n").write.parquet(s"$dirT/v1")
+    assert(new java.io.File(s"$dirT/v0/_SUCCESS").delete())
+    assert(new java.io.File(s"$dirT/v1/_SUCCESS").delete())
+    assert(StreamOps.gcSnapshots(spark, dirT, keepLast = 1) === Seq.empty)
+    assert(new java.io.File(dirT).listFiles().map(_.getName).toSet
+      === Set("v0", "v1"), "GC deleted from an all-torn directory")
+    // guard: retaining zero complete versions is never legal
+    intercept[IllegalArgumentException] {
+      StreamOps.gcSnapshots(spark, histDir, keepLast = 0)
+    }
+    // absent dir: a no-op, not an error
+    assert(StreamOps.gcSnapshots(spark, s"$base/never", 1) === Seq.empty)
+  }
+
+  test("latestSnapshot requireMarkers=false serves a markers-off store") {
+    import spark.implicits._
+    // the opt-out for deployments that legitimately disable success
+    // markers (mapreduce.fileoutputcommitter.marksuccessfuljobs=false):
+    // completeness falls back to the file-shape probe
+    val dir = java.nio.file.Files.createTempDirectory("snap-nomark").toString
+    Seq(("k1", 1L)).toDF("k", "n").write.parquet(s"$dir/v0")
+    Seq(("k1", 2L)).toDF("k", "n").write.parquet(s"$dir/v1")
+    for (v <- Seq("v0", "v1"))
+      assert(new java.io.File(s"$dir/$v/_SUCCESS").delete())
+    // default stays loud (healthy state is indistinguishable from torn)
+    intercept[IllegalStateException] { StreamOps.latestSnapshot(spark, dir) }
+    // opt-out serves the newest version with non-empty part files
+    assert(StreamOps.latestSnapshot(spark, dir, requireMarkers = false).get
+      .as[(String, Long)].collect().toSet === Set(("k1", 2L)))
+    // a zero-length part file (the common truncation shape) is skipped
+    val v2 = new java.io.File(s"$dir/v2"); v2.mkdirs()
+    assert(new java.io.File(v2, "part-00000.snappy.parquet").createNewFile())
+    assert(StreamOps.latestSnapshot(spark, dir, requireMarkers = false).get
+      .as[(String, Long)].collect().toSet === Set(("k1", 2L)),
+      "fallback served a truncated version")
+    // no servable version under the probe: still loud, never None
+    val dir2 = java.nio.file.Files.createTempDirectory("snap-nomark2").toString
+    val v0 = new java.io.File(s"$dir2/v0"); v0.mkdirs()
+    assert(new java.io.File(v0, "part-00000.snappy.parquet").createNewFile())
+    intercept[IllegalStateException] {
+      StreamOps.latestSnapshot(spark, dir2, requireMarkers = false)
+    }
+  }
+
   test("waterfill availability state survives a checkpoint bounce") {
     import spark.implicits._
     // END-TO-END restart drill for the mixing plan's live input (the
