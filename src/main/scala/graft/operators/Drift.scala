@@ -94,9 +94,11 @@ object Drift {
     */
   def reductions(hist: DataFrame, partCols: Seq[String], v: String,
       cA: String, cB: String, withAd: Boolean = false,
-      withEnergy: Boolean = false): DataFrame = {
+      withEnergy: Boolean = false, autoCoarsen: Boolean = false): DataFrame = {
     val dec = "decimal(38,0)"
-    val cum = Ecdf.groupedCumsum(hist, partCols, v, Seq(cA, cB),
+    val h0 = if (!autoCoarsen) hist else coarsened(
+      hist, partCols, v, cA, cB, withEnergy)
+    val cum = Ecdf.groupedCumsum(h0, partCols, v, Seq(cA, cB),
       withNext = true)
     // |F_A − F_B| scaled by n1·n2, exact: the KS numerator per value,
     // the W1 integrand once multiplied by the gap to the next value,
@@ -140,38 +142,101 @@ object Drift {
     val eTerm = if (!withEnergy) lit(0).cast(dec) else
       when(col(s"next_$v").isNotNull,
         dev * dev * (col(s"next_$v") - col(v))).otherwise(lit(0).cast(dec))
-    // overflow sentry: a decimal product past 38 digits is NULL under
-    // non-ANSI semantics and sum/max would skip it SILENTLY — count
-    // bad terms in the same aggregate and fail the query loudly below
-    val badTerm = when(dev.isNull || w1Term.isNull || cvmTerm.isNull
-      || (if (withAd) adTerm.isNull else lit(false))
-      || (if (withEnergy) eTerm.isNull else lit(false)), 1L).otherwise(0L)
+    // overflow sentry, PER STATISTIC: a decimal product past 38 digits
+    // is NULL under non-ANSI semantics and sum/max would skip it
+    // SILENTLY — count each statistic's bad terms in the same aggregate
+    // and fail only the statistic whose terms actually overflowed (AD's
+    // ~2e6-rows/side bound is ~17× tighter than CvM's and ~50× tighter
+    // than the core KS/W1 bounds, so one shared counter would abort
+    // statistics that still have full headroom; with per-statistic
+    // counters a caller gets the safe ones by simply not selecting the
+    // overflowed column — column pruning drops its guard entirely)
+    def bad(t: Column): Column = when(t.isNull, 1L).otherwise(0L)
     val aggd = cum
       .groupBy((partCols.map(col)
-        :+ col(s"tot_$cA") :+ col(s"tot_$cB")): _*)
+        :+ col(s"tot_$cA") :+ col(s"tot_$cB")
+        :++ (if (autoCoarsen) Seq(col("__gf")) else Nil)): _*)
       .agg(max(dev).as("dnum"),
         (sum(w1Term).as("wsum") +: sum(cvmTerm).as("csum")
-          +: sum(badTerm).as("__bad")
-          +: ((if (withAd) Seq(sum(adTerm).as("asum")) else Nil)
-            ++ (if (withEnergy) Seq(sum(eTerm).as("esum")) else Nil))): _*)
-    def guarded(c: Column, stat: String): Column =
-      when(col("__bad") > 0 || c.isNull,
+          +: sum(bad(dev)).as("__bad_ks") +: sum(bad(w1Term)).as("__bad_w1")
+          +: sum(bad(cvmTerm)).as("__bad_cvm")
+          +: ((if (withAd) Seq(sum(adTerm).as("asum"),
+                sum(bad(adTerm)).as("__bad_ad")) else Nil)
+            ++ (if (withEnergy) Seq(sum(eTerm).as("esum"),
+                sum(bad(eTerm)).as("__bad_e")) else Nil))): _*)
+    def guarded(c: Column, stat: String, badCol: String): Column =
+      when(col(badCol) > 0 || c.isNull,
         raise_error(concat(
           lit(s"graft.Drift: decimal(38,0) overflow computing $stat for group ("),
           concat_ws(", ", partCols.map(p => col(p).cast("string")): _*),
           lit(") with n1="), col(s"tot_$cA").cast("string"),
           lit(" n2="), col(s"tot_$cB").cast("string"),
-          lit(" — past the int128 headroom (see Drift scaladoc); " +
-            "subsample each side or coarsen the value grid"))))
+          lit(s" — past the int128 headroom (see Drift scaladoc); " +
+            "subsample each side" +
+            (if (stat == "w1" || stat == "energy")
+              " or coarsen the value grid (autoCoarsen = true)" else
+              " (the grid cannot help this statistic's count-driven bound)") +
+            "; other statistics may still be served - select them " +
+            s"without the $stat column"))))
         .otherwise(c)
     aggd.select((partCols.map(col)
       :+ col(s"tot_$cA").as("n1") :+ col(s"tot_$cB").as("n2")
-      :+ guarded(col("dnum"), "ks").as("dnum")
-      :+ guarded(col("wsum"), "w1").as("wsum")
-      :+ guarded(col("csum"), "cvm").as("csum"))
-      ++ (if (withAd) Seq(guarded(col("asum"), "ad").as("asum")) else Nil)
-      ++ (if (withEnergy) Seq(guarded(col("esum"), "energy").as("esum"))
-          else Nil): _*)
+      :+ guarded(col("dnum"), "ks", "__bad_ks").as("dnum")
+      :+ guarded(col("wsum"), "w1", "__bad_w1").as("wsum")
+      :+ guarded(col("csum"), "cvm", "__bad_cvm").as("csum"))
+      ++ (if (withAd) Seq(guarded(col("asum"), "ad", "__bad_ad").as("asum"))
+          else Nil)
+      ++ (if (withEnergy)
+          Seq(guarded(col("esum"), "energy", "__bad_e").as("esum")) else Nil)
+      ++ (if (autoCoarsen) Seq(col("__gf").as("grid_factor")) else Nil): _*)
+  }
+
+  /** The self-serve leg of the overflow story: re-bin `hist` onto a
+    * coarser integer grid (`v → ⌊v/f⌋`, counts re-summed — EXACT for
+    * the coarsened distribution) with the per-group factor `f` derived
+    * at plan time from the observed sizes and span against the
+    * RANGE-DRIVEN decimal(38,0) bounds (W1 needs n1·n2·range < 10³⁸,
+    * energy (n1·n2)²·range < 10³⁸ — the two statistics whose headroom
+    * the grid actually buys; CvM/AD bounds depend on counts alone and
+    * stay with the sentry + subsampling). `f` is the smallest power of
+    * ten covering the worst-case need with one digit of sum headroom,
+    * CAPPED so the coarse grid keeps ≥ ~1000 cells — a factor past
+    * that would quietly crush the distribution into a handful of bins
+    * (dev → 0) and serve a meaningless zero instead of the loud raise
+    * the sentry owes the caller. Healthy groups get f = 1 and pass
+    * through bit-identically (DriftSpec pins this). Output carries
+    * `__gf`; [[reductions]] surfaces it as `grid_factor` and
+    * [[ksAndW1]] multiplies it back into the value-unit statistics
+    * (w1, energy), so a coarsened read keeps the caller's units. */
+  private def coarsened(hist: DataFrame, partCols: Seq[String], v: String,
+      cA: String, cB: String, withEnergy: Boolean): DataFrame = {
+    val lim = 1e37 // one digit under decimal(38,0) for the sum headroom
+    val nn = col("__n1d") * col("__n2d")
+    val range = col("__vmax") - col("__vmin")
+    val need = greatest(
+      nn * range / lim,
+      if (withEnergy) nn * nn * range / lim else lit(0.0),
+      lit(1.0))
+    val fNeed = pow(lit(10.0), ceil(log10(need)))
+    val fCap = pow(lit(10.0),
+      floor(log10(greatest(range / 1000.0, lit(1.0)))))
+    // group-grain pre-pass (the factor relation is |groups| rows; AQE
+    // broadcasts it UNHINTED, the registry-wide audit's requirement)
+    val st = hist.groupBy(partCols.map(col): _*)
+      .agg(sum(col(cA)).cast("double").as("__n1d"),
+        sum(col(cB)).cast("double").as("__n2d"),
+        min(col(v)).cast("double").as("__vmin"),
+        max(col(v)).cast("double").as("__vmax"))
+      .select((partCols.map(col)
+        :+ least(fNeed, fCap).cast("long").as("__gf")): _*)
+    // ⌊v/f⌋ in pure long arithmetic ((v − pmod) is exactly divisible,
+    // `div` keeps it integral — a double `/` would lose precision past
+    // 2⁵³ on wide value domains)
+    hist.join(st, partCols)
+      .groupBy((partCols.map(col) :+ col("__gf")
+        :+ expr(s"(CAST($v AS BIGINT) - pmod(CAST($v AS BIGINT), __gf)) div __gf")
+          .as(v)): _*)
+      .agg(sum(col(cA)).as(cA), sum(col(cB)).as(cB))
   }
 
   /** [[reductions]] finished at 6 dp: partCols ++ (n1, n2, ks_d, w1,
@@ -191,14 +256,19 @@ object Drift {
     * the guard (`CASE WHEN n1 > 0 AND n2 > 0 THEN … END`). */
   def ksAndW1(hist: DataFrame, partCols: Seq[String], v: String,
       cA: String, cB: String, withAd: Boolean = false,
-      withEnergy: Boolean = false): DataFrame = {
-    val r = reductions(hist, partCols, v, cA, cB, withAd, withEnergy)
+      withEnergy: Boolean = false, autoCoarsen: Boolean = false): DataFrame = {
+    val r = reductions(hist, partCols, v, cA, cB, withAd, withEnergy,
+      autoCoarsen)
     val ok = col("n1") > 0 && col("n2") > 0
     val nn = col("n1").cast("double") * col("n2")
     val bigN = (col("n1") + col("n2")).cast("double")
+    // with autoCoarsen the value-unit statistics come back in units of
+    // the coarse grid step — multiply the factor back in so the caller
+    // keeps their units (f = 1 on healthy groups: identical output)
+    val gf = if (autoCoarsen) col("grid_factor").cast("double") else lit(1.0)
     r.select((partCols.map(col) :+ col("n1") :+ col("n2")
       :+ when(ok, round(col("dnum").cast("double") / nn, 6)).as("ks_d")
-      :+ when(ok, round(col("wsum").cast("double") / nn, 6)).as("w1")
+      :+ when(ok, round(col("wsum").cast("double") * gf / nn, 6)).as("w1")
       // T = n1·n2/N² · Σ_pooled (F_A−F_B)², and dev = (F_A−F_B)·n1·n2,
       // so T = csum / (n1·n2·N²)
       :+ when(ok, round(col("csum").cast("double")
@@ -211,7 +281,8 @@ object Drift {
       // E = 2∫(F_A−F_B)²dx, and dev = (F_A−F_B)·n1·n2, so
       // E = 2·esum/(n1·n2)²
       ++ (if (withEnergy) Seq(when(ok, round(lit(2) *
-            col("esum").cast("double") / (nn * nn), 6)).as("energy"))
-          else Nil): _*)
+            col("esum").cast("double") * gf / (nn * nn), 6)).as("energy"))
+          else Nil)
+      ++ (if (autoCoarsen) Seq(col("grid_factor")) else Nil): _*)
   }
 }

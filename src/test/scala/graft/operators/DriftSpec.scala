@@ -161,4 +161,110 @@ class DriftSpec extends SparkSpec {
     for (c <- Seq("ks_d", "w1", "cvm", "ad", "energy"))
       assert(r.isNullAt(r.fieldIndex(c)), s"$c should be NULL on an empty side")
   }
+
+  // 3e7 rows per side at complete separation: AD's ×10⁶ numerator
+  // (2.43e43) is past 38 digits while KS (9e14), W1 (9e14), CvM
+  // (2.43e37) all still fit — the fixture that separates the
+  // per-statistic sentries
+  private def adOnlyOverflowHist = hist2(Seq(
+    ("adb", 0L, 30000000L, 0L), ("adb", 1L, 0L, 30000000L)))
+
+  test("overflow sentry is PER STATISTIC: AD overflow leaves KS/W1/CvM served") {
+    // one shared counter would abort every statistic when only AD (the
+    // ~50×-tightest bound) is past headroom, forcing a re-run with
+    // withAd=false; per-statistic counters + column pruning let the
+    // caller simply not select the overflowed column
+    for (ansi <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.ansi.enabled", ansi)
+      try {
+        val safe = Drift.ksAndW1(adOnlyOverflowHist, Seq("g"), "v",
+            "c1", "c2", withAd = true, withEnergy = true)
+          .select("g", "ks_d", "w1", "cvm", "energy").head()
+        assert(safe.getString(0) === "adb" && !safe.anyNull,
+          s"safe statistics not served under ansi=$ansi: $safe")
+        assert(math.abs(safe.getDouble(1) - 1.0) < 1e-9) // complete sep
+        val e = intercept[Exception] {
+          Drift.ksAndW1(adOnlyOverflowHist, Seq("g"), "v", "c1", "c2",
+            withAd = true).select("g", "ad").collect()
+        }
+        val all = messages(e).mkString("\n")
+        assert(all.contains("NUMERIC_VALUE_OUT_OF_RANGE")
+          || (all.contains("ad") && all.contains("overflow")),
+          s"ad column must still raise under ansi=$ansi:\n$all")
+      } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    }
+  }
+
+  // 1e6 rows per side across a 1e14-wide value span: the energy
+  // numerator (nn²·range = 1e38) is the only statistic past headroom —
+  // and its bound is RANGE-driven, exactly what autoCoarsen buys back
+  private def energyOverflowHist = hist2(Seq(
+    ("en", 0L, 1000000L, 0L), ("en", 100000000000000L, 0L, 1000000L)))
+
+  test("autoCoarsen serves the coarse-grid-exact answer instead of raising") {
+    for (ansi <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.ansi.enabled", ansi)
+      try {
+        // without coarsening: energy raises (both configurations)
+        intercept[Exception] {
+          Drift.ksAndW1(energyOverflowHist, Seq("g"), "v", "c1", "c2",
+            withEnergy = true).select("g", "energy").collect()
+        }
+        // with autoCoarsen: served, with the factor the bound demands
+        val r = Drift.ksAndW1(energyOverflowHist, Seq("g"), "v", "c1", "c2",
+            withAd = true, withEnergy = true, autoCoarsen = true)
+          .select("g", "ks_d", "w1", "cvm", "ad", "energy", "grid_factor")
+          .head()
+        assert(!r.anyNull && r.getLong(6) === 10L, s"got $r")
+        // lockstep: identical to running the PLAIN operator on a
+        // manually pre-coarsened histogram (v → v div 10), with the
+        // value-unit statistics scaled back into original units
+        val manual = Drift.ksAndW1(
+            hist2(Seq(("en", 0L, 1000000L, 0L),
+              ("en", 10000000000000L, 0L, 1000000L))),
+            Seq("g"), "v", "c1", "c2", withAd = true, withEnergy = true)
+          .select("g", "ks_d", "w1", "cvm", "ad", "energy").head()
+        assert(r.getDouble(1) === manual.getDouble(1), "ks")
+        assert(r.getDouble(3) === manual.getDouble(3), "cvm")
+        assert(r.getDouble(4) === manual.getDouble(4), "ad")
+        assert(r.getDouble(2) === manual.getDouble(2) * 10, "w1 units")
+        assert(r.getDouble(5) === manual.getDouble(5) * 10, "energy units")
+        // complete separation: E = 2∫1²dx = 2·range exactly, and the
+        // coarse grid preserves it (dev is constant across the span)
+        assert(r.getDouble(5) === 2.0e14, s"energy=${r.getDouble(5)}")
+      } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    }
+  }
+
+  test("autoCoarsen leaves healthy groups bit-identical (factor 1)") {
+    val h = hist2(Seq(("s", 5L, 1L, 1L), ("s", 7L, 2L, 0L), ("s", 9L, 0L, 1L)))
+    val plain = Drift.ksAndW1(h, Seq("g"), "v", "c1", "c2",
+      withAd = true, withEnergy = true).head()
+    val auto = Drift.ksAndW1(h, Seq("g"), "v", "c1", "c2",
+        withAd = true, withEnergy = true, autoCoarsen = true)
+      .select("g", "n1", "n2", "ks_d", "w1", "cvm", "ad", "energy",
+        "grid_factor").head()
+    assert(auto.getLong(8) === 1L, "healthy group must not coarsen")
+    for (i <- 0 until 8)
+      assert(auto.get(i) === plain.get(i), s"column $i diverged: $auto vs $plain")
+  }
+
+  test("autoCoarsen cannot mask a count-driven overflow (CvM still raises)") {
+    // overflowHist busts CvM via counts alone (dev² ~ 4.9e51 on a
+    // 1-wide grid); no grid factor helps, so the sentry must still
+    // fire — autoCoarsen is a range-bound mitigation, not a silencer
+    for (ansi <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.ansi.enabled", ansi)
+      try {
+        val e = intercept[Exception] {
+          Drift.ksAndW1(overflowHist, Seq("g"), "v", "c1", "c2",
+            autoCoarsen = true).select("g", "cvm").collect()
+        }
+        val all = messages(e).mkString("\n")
+        assert(all.contains("NUMERIC_VALUE_OUT_OF_RANGE")
+          || (all.contains("cvm") && all.contains("overflow")),
+          s"count-driven overflow slipped past autoCoarsen under ansi=$ansi:\n$all")
+      } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    }
+  }
 }
