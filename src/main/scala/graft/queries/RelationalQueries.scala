@@ -2955,9 +2955,32 @@ object RelationalQueries {
     * part of a trajectory monitor's identity (production slides it);
     * what matters is that ref + window partition the scan — a window
     * overlapping the reference would silently NULL out the
-    * overlapped months (their mk never matches the grid). */
+    * overlapped months (their mk never matches the grid), which is
+    * why [[trajectoryHist]] and [[trajectorySqlCtes]] GUARD the
+    * window they are given (see [[TrajectoryRefCutoff]]). */
   private[queries] val TrajectoryMonths: Seq[Int] =
     for (y <- 1998 to 2001; m <- 1 to 12 if y < 2001 || m <= 8) yield y * 100 + m
+
+  /** First month eligible for the monitoring window: everything before
+    * it is the fixed reference side. Both dialect renderers refuse a
+    * window that reaches into the reference — the window and the
+    * cutoff are PLAN-TIME parameters, so the guard fires at plan
+    * construction (earlier and with a better message than a
+    * constant-folded in-plan raise_error would), and it is two-sided
+    * by construction: both the Spark plan and the DuckDB twin can only
+    * be rendered through these guarded helpers. */
+  private[queries] val TrajectoryRefCutoff: Int = 199801
+
+  private def requireWindowClearOfReference(months: Seq[Int]): Unit = {
+    require(months.nonEmpty, "trajectory window is empty")
+    val overlap = months.filter(_ < TrajectoryRefCutoff)
+    require(overlap.isEmpty,
+      s"trajectory window overlaps the pre-$TrajectoryRefCutoff reference " +
+        s"period (months ${overlap.mkString(", ")}): overlapped months " +
+        "would silently emit NULL statistics (their mk is folded into the " +
+        "reference side and never matches the month grid); shrink the " +
+        "window or move the reference cutoff")
+  }
 
   /** Shared by q209/q211: the (month, cell) two-sided histogram — every
     * month's $100-cell order-value counts (`cm`) next to the FIXED
@@ -2968,10 +2991,13 @@ object RelationalQueries {
     * (month, cell) rows are harmless by construction for every Drift
     * reduction. */
   private[queries] def trajectoryHist(spark: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String,
+      months: Seq[Int] = TrajectoryMonths): org.apache.spark.sql.DataFrame = {
+    requireWindowClearOfReference(months)
+    val refYear = TrajectoryRefCutoff / 100
     val d = Tables.orders(spark, dir)
       .select(
-        when(year(col("o_orderdate")) < 1998, lit(-1))
+        when(year(col("o_orderdate")) < refYear, lit(-1))
           .otherwise(year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
           .as("mk"),
         round(col("o_totalprice") / 100).cast("long").as("v"))
@@ -2981,7 +3007,7 @@ object RelationalQueries {
         map_from_arrays(collect_list(col("mk")), collect_list(col("c")))
           .as("mm"))
       .select(col("v"), col("cr"),
-        explode(array(TrajectoryMonths.map(lit): _*)).as("m"),
+        explode(array(months.map(lit): _*)).as("m"),
         col("mm"))
       .select(col("m"), col("v"), col("cr"),
         coalesce(element_at(col("mm"), col("m")), lit(0L)).as("cm"))
@@ -2990,9 +3016,11 @@ object RelationalQueries {
   /** [[trajectoryHist]]'s twin rendered once for both q209/q211 oracle
     * SQLs — the CTE chain ends at `c`, the per-(month, value) cumulative
     * table with totals and the lead value. */
-  private val trajectorySqlCtes: String =
+  private[queries] def trajectorySqlCtes(
+      months: Seq[Int] = TrajectoryMonths): String = {
+    requireWindowClearOfReference(months)
     s"""base AS (
-      |  SELECT CASE WHEN year(o_orderdate) < 1998 THEN -1
+      |  SELECT CASE WHEN year(o_orderdate) < ${TrajectoryRefCutoff / 100} THEN -1
       |              ELSE year(o_orderdate) * 100 + month(o_orderdate) END AS mk,
       |    CAST(round(o_totalprice / 100) AS BIGINT) AS v
       |  FROM orders),
@@ -3000,7 +3028,7 @@ object RelationalQueries {
       |vals AS (
       |  SELECT v, CAST(sum(CASE WHEN mk = -1 THEN c ELSE 0 END) AS BIGINT) AS cr
       |  FROM d GROUP BY v),
-      |months AS (SELECT unnest([${TrajectoryMonths.mkString(",")}]) AS m),
+      |months AS (SELECT unnest([${months.mkString(",")}]) AS m),
       |monc AS (SELECT v, mk AS m, c FROM d WHERE mk <> -1),
       |grid AS (
       |  SELECT months.m, vals.v, vals.cr,
@@ -3015,6 +3043,7 @@ object RelationalQueries {
       |    lead(v) OVER (PARTITION BY m ORDER BY v) AS nv
       |  FROM grid
       |  WINDOW w AS (PARTITION BY m ORDER BY v))""".stripMargin
+  }
 
   /** Drift TRAJECTORY — the alarm-timeline read a production monitor
     * actually issues: for every month of the configured window, KS and
@@ -3049,7 +3078,7 @@ object RelationalQueries {
     * orders emit NULL statistics (empty-side guard, both dialects). */
   val q209DriftTrajectory = Q(
     "q209_drift_trajectory",
-    s"""WITH $trajectorySqlCtes
+    s"""WITH ${trajectorySqlCtes()}
       |SELECT m AS month, CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_month,
       |  CASE WHEN n1 > 0 AND n2 > 0 THEN
       |    round(CAST(max(abs(a * n2 - b * n1)) AS DOUBLE)
@@ -3096,7 +3125,7 @@ object RelationalQueries {
     * degenerate windows in both dialects). */
   val q211TrajectoryAlarms = Q(
     "q211_trajectory_alarms",
-    s"""WITH $trajectorySqlCtes,
+    s"""WITH ${trajectorySqlCtes()},
       |ks AS (
       |  SELECT m, n1, n2,
       |    CAST(max(abs(a * n2 - b * n1)) AS DOUBLE)

@@ -1011,6 +1011,31 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("trajectory window overlapping the reference fails loudly in both renderers") {
+    // the window is a plan-time parameter: a month that reaches into
+    // the pre-cutoff reference would silently emit NULL statistics
+    // (its orders fold into the reference side and never match the
+    // month grid) — both dialect renderers refuse at plan construction
+    val bad = Seq(199711, 199801, 199802)
+    val e1 = intercept[IllegalArgumentException] {
+      RelationalQueries.trajectoryHist(spark, sfDir, bad)
+    }
+    assert(e1.getMessage.contains("199711")
+      && e1.getMessage.contains("reference"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      RelationalQueries.trajectorySqlCtes(bad)
+    }
+    assert(e2.getMessage.contains("199711"), e2.getMessage)
+    intercept[IllegalArgumentException] {
+      RelationalQueries.trajectoryHist(spark, sfDir, Seq.empty)
+    }
+    // a clear parameterized window works and carries exactly its months
+    val months = RelationalQueries
+      .trajectoryHist(spark, sfDir, Seq(199801, 199905))
+      .select(col("m")).distinct().collect().map(_.getInt(0)).toSet
+    assert(months === Set(199801, 199905), months)
+  }
+
   test("q213 chain metrics equal a driver-side replay of all four legs") {
     val got = TextQueries.q213ChainNdcg.run(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> ((r.getInt(2), r.getLong(3),
