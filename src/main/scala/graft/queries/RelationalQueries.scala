@@ -2847,10 +2847,12 @@ object RelationalQueries {
       |      / (CAST(n1 AS DOUBLE) * n2
       |        * CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)), 6) END AS cvm,
       |  CASE WHEN n1 > 0 AND n2 > 0 THEN
-      |    round(CAST(sum(CASE WHEN nv IS NULL THEN CAST(0 AS HUGEINT)
-      |        ELSE (CAST(cnt AS HUGEINT) * abs(a * n2 - b * n1)
+      |    round(CAST(sum(CASE WHEN nv IS NOT NULL
+      |          AND (a + b) * (n1 + n2 - a - b) > 0 THEN
+      |        (CAST(cnt AS HUGEINT) * abs(a * n2 - b * n1)
       |          * abs(a * n2 - b * n1) * 1000000)
-      |          // ((a + b) * (n1 + n2 - a - b)) END) AS DOUBLE)
+      |          // ((a + b) * (n1 + n2 - a - b))
+      |        ELSE CAST(0 AS HUGEINT) END) AS DOUBLE)
       |      / (CAST(n1 AS DOUBLE) * n2 * 1e6), 6) END AS ad
       |FROM c
       |GROUP BY c_mktsegment, n1, n2
@@ -2919,10 +2921,12 @@ object RelationalQueries {
       |      / (CAST(n1 AS DOUBLE) * n2
       |        * CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)), 6) END AS cvm,
       |  CASE WHEN n1 > 0 AND n2 > 0 THEN
-      |    round(CAST(sum(CASE WHEN nv IS NULL THEN CAST(0 AS HUGEINT)
-      |        ELSE (CAST(cnt AS HUGEINT) * abs(a * n2 - b * n1)
+      |    round(CAST(sum(CASE WHEN nv IS NOT NULL
+      |          AND (a + b) * (n1 + n2 - a - b) > 0 THEN
+      |        (CAST(cnt AS HUGEINT) * abs(a * n2 - b * n1)
       |          * abs(a * n2 - b * n1) * 1000000)
-      |          // ((a + b) * (n1 + n2 - a - b)) END) AS DOUBLE)
+      |          // ((a + b) * (n1 + n2 - a - b))
+      |        ELSE CAST(0 AS HUGEINT) END) AS DOUBLE)
       |      / (CAST(n1 AS DOUBLE) * n2 * 1e6), 6) END AS ad,
       |  CASE WHEN n1 > 0 AND n2 > 0 THEN
       |    round(2 * CAST(sum(CASE WHEN nv IS NULL THEN CAST(0 AS HUGEINT)

@@ -1154,7 +1154,13 @@ object VectorQueries {
     * quantizes to the 1e-6 grid per ROW (cos/sin agree across
     * JVM/libm to ~1 ulp ≈ 5e-16, six orders below the grid step, so
     * the BIGINT feature sums are engine-identical where a raw double
-    * sum would be partition-order-dependent); the rest-side sums are
+    * sum would be partition-order-dependent — RESIDUAL RISK, same
+    * accepted class as q206: the ulp bound caps the error MAGNITUDE,
+    * not boundary crossing, so a value landing within 1 ulp of a .5
+    * rounding boundary could still round 1 apart between engines; no
+    * corpus value does today, and if a flake ever surfaces on a new
+    * corpus the remedy is a guard band — compare at 1e6 but hash at a
+    * coarser grid); the rest-side sums are
     * total − label from the SAME aggregate (one window over the
     * 10-row label relation — no second consumer re-planning the scan,
     * the Ecdf-totals lesson), and the finish is a fixed-order double
