@@ -1251,10 +1251,263 @@ object VectorQueries {
       .orderBy(col("label"))
   }
 
+  /** Known-item retrieval quality THROUGH the ANN indexes — the eval
+    * leg the compression family was missing: q103/q143 measure recall
+    * against exact cosine, but nothing measured END-TASK retrieval
+    * quality (can the index still find the one known-relevant vector?)
+    * at the registered codebook sizes. Same harness as q212/q213
+    * (known-item: the query IS a corpus vector — every 7th — and the
+    * uniquely relevant result is itself; q212's 1e9-grid exact metric
+    * sums), evaluated per label over three deployed rankers, all
+    * restricted to the probe's IVF cell (the q122 serving shape — the
+    * probe's own cell always contains the target, so cell restriction
+    * costs no known-item headroom and keeps every leg
+    * O(probes × cell)):
+    *  - `ivf_exact` — q45's exact cosine within the probed cell: the
+    *    ceiling (the target scores cos = 1.0 against itself);
+    *  - `ivf_pq`    — q122's asymmetric-distance ranking (8×16
+    *    codebook, PqEncodeExpr codes, in-row ADC from a per-probe
+    *    distance table carried as one 8×16 array column — no per-pair
+    *    join);
+    *  - `sq8`       — q139's int8 integer-dot ranking within the cell.
+    *
+    * Measured (sf0.01/sf0.1): ivf_pq matches the exact ceiling —
+    * PQ quantization costs NO known-item MRR at the registered
+    * codebook sizes (the target's own ADC error stays below other
+    * candidates' true distances on this corpus); sq8 measurably DOES
+    * (per-label MRR 0.38–0.93): its deployed ranking is an
+    * UNNORMALIZED integer dot, so larger-norm candidates out-dot the
+    * target — the metric mismatch (dot vs cosine), amplified by
+    * quantization, is exactly what an end-task eval exists to catch
+    * before an index ships.
+    *
+    * Exactness: the rank-metric layer is q213's (per-query 1e9-grid
+    * BIGINT terms, only final divisions float); rerank orders are
+    * 6-dp-rounded (cos, ADC) or integer (sq8) with vec_id tiebreaks;
+    * assignment/codebook arithmetic is q122/q139's established
+    * cross-engine parity. */
+  val q214AnnNdcg = Q(
+    "q214_ann_ndcg",
+    s"""WITH cent0 AS (
+       |  SELECT vec_id % 8 AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+       |  FROM embeddings, range(1, ${Dim + 1}) t(i)
+       |  GROUP BY 1, 2),
+       |cent AS (SELECT cell, list(m ORDER BY i) AS c FROM cent0 GROUP BY cell),
+       |sims AS (
+       |  SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v, cent.cell,
+       |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cent.c) AS sim
+       |  FROM embeddings e CROSS JOIN cent),
+       |assign AS (
+       |  SELECT vec_id, label, v, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+       |    FROM sims) t
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, label AS p_label, v AS pv, cell
+       |  FROM assign WHERE vec_id % 7 = 0),
+       |cands AS (
+       |  SELECT p.qid, a.vec_id, a.v, p.pv
+       |  FROM assign a JOIN probes p USING (cell)),
+       |ex AS (
+       |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY round(list_cosine_similarity(v, pv), 6) + 0.0 DESC, vec_id) AS rnk
+       |  FROM cands),
+       |cbc AS (
+       |  SELECT CAST((i - 1) // $PqSub AS INT) AS m, CAST(vec_id % $PqC AS INT) AS j, i,
+       |    round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+       |  FROM embeddings, range(1, ${Dim + 1}) t(i)
+       |  GROUP BY 1, 2, i),
+       |vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |dists AS (
+       |  SELECT b.vec_id, cb.m, cb.j, sum((b.e[cb.i] - cb.c) * (b.e[cb.i] - cb.c)) AS d
+       |  FROM vv b JOIN cbc cb ON true
+       |  GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT vec_id, m, j AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, j) AS rn
+       |    FROM dists) t
+       |  WHERE rn = 1),
+       |pdist AS (
+       |  SELECT p.qid, cb.m, cb.j, sum((p.pv[cb.i] - cb.c) * (p.pv[cb.i] - cb.c)) AS d
+       |  FROM probes p JOIN cbc cb ON true
+       |  GROUP BY 1, 2, 3),
+       |adc AS (
+       |  SELECT c.qid, c.vec_id, sum(pd.d) AS ad
+       |  FROM cands c
+       |  JOIN codes k ON k.vec_id = c.vec_id
+       |  JOIN pdist pd ON pd.qid = c.qid AND pd.m = k.m AND pd.j = k.code
+       |  GROUP BY 1, 2),
+       |pq AS (
+       |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY round(ad, 6) ASC, vec_id) AS rnk
+       |  FROM adc),
+       |d AS (
+       |  SELECT i, min(e[i]) AS lo, max(e[i]) AS hi
+       |  FROM vv, unnest(range(1, len(e) + 1)) AS u(i)
+       |  GROUP BY i
+       |  HAVING max(e[i]) > min(e[i])),
+       |codes8 AS (
+       |  SELECT vec_id, i,
+       |    CAST(floor((e[i] - d.lo) * 255.0 / (d.hi - d.lo)) AS BIGINT) AS c
+       |  FROM vv, unnest(range(1, len(e) + 1)) AS u(i) JOIN d USING (i)),
+       |sq8sc AS (
+       |  SELECT c.qid, c.vec_id, CAST(sum(a.c * p.c) AS BIGINT) AS score
+       |  FROM cands c
+       |  JOIN codes8 a ON a.vec_id = c.vec_id
+       |  JOIN codes8 p ON p.vec_id = c.qid AND p.i = a.i
+       |  GROUP BY 1, 2),
+       |sq8 AS (
+       |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, vec_id) AS rnk
+       |  FROM sq8sc),
+       |hits AS (
+       |  SELECT 'ivf_exact' AS leg, qid, rnk FROM ex WHERE vec_id = qid AND rnk <= 10
+       |  UNION ALL SELECT 'ivf_pq', qid, rnk FROM pq WHERE vec_id = qid AND rnk <= 10
+       |  UNION ALL SELECT 'sq8', qid, rnk FROM sq8 WHERE vec_id = qid AND rnk <= 10),
+       |perq AS (
+       |  SELECT pr.p_label AS label, l.leg,
+       |    coalesce(CAST(round(1e9 / h.rnk) AS BIGINT), 0) AS rr_t,
+       |    coalesce(CAST(round(1e9 / log2(h.rnk + 1)) AS BIGINT), 0) AS dg,
+       |    CASE WHEN h.rnk = 1 THEN 1 ELSE 0 END AS h1,
+       |    CASE WHEN h.rnk IS NOT NULL THEN 1 ELSE 0 END AS hk
+       |  FROM probes pr
+       |  CROSS JOIN (VALUES ('ivf_exact'),('ivf_pq'),('sq8')) l(leg)
+       |  LEFT JOIN hits h ON h.qid = pr.qid AND h.leg = l.leg)
+       |SELECT label, leg, CAST(count(*) AS BIGINT) AS n_queries,
+       |  round(CAST(sum(rr_t) AS DOUBLE) / (count(*) * 1e9), 6) AS mrr,
+       |  round(CAST(sum(dg) AS DOUBLE) / (count(*) * 1e9), 6) AS ndcg,
+       |  round(CAST(sum(h1) AS DOUBLE) / count(*), 6) AS hit_at_1,
+       |  round(CAST(sum(hk) AS DOUBLE) / count(*), 6) AS hit_at_10
+       |FROM perq GROUP BY label, leg
+       |ORDER BY label, leg""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    // IVF codebook + assignment: q122's shape verbatim (KB-scale
+    // collected codebook, narrow in-row argmax; probe side from its
+    // own scan — the q122 self-join-dedup note)
+    val ivfCells = emb
+      .select(pmod(col("vec_id"), lit(8)).as("cell"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+      .groupBy(col("cell"), col("i")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        s => s.getField("m")).as("c"))
+      .orderBy(col("cell"))
+      .collect()
+      .map(_.getSeq[Double](1))
+    val cb = array(ivfCells.map(c => array(c.map(lit): _*)): _*)
+    def mkAssign(): org.apache.spark.sql.DataFrame = {
+      val v = col("embedding").cast("array<double>")
+      val simArr = transform(cb, c => VectorFns.cosine(v, c))
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("label"), v.as("v"),
+        (array_position(simArr, array_max(simArr)) - 1).cast("int").as("cell"))
+    }
+    val assign = mkAssign()
+    val probes = mkAssign().filter(pmod(col("vec_id"), lit(7)) === 0)
+      .select(col("vec_id").as("qid"), col("label").as("p_label"),
+        col("v").as("pv"), col("cell"))
+    def rank10(df: org.apache.spark.sql.DataFrame,
+        order: Seq[org.apache.spark.sql.Column]) =
+      df.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(order :+ col("vec_id"): _*)))
+        .filter(col("rnk") <= 10)
+        .select(col("qid"), col("vec_id"), col("rnk"))
+    // leg 1: exact cosine within the probed cell (the q45 ceiling)
+    val exactLeg = rank10(
+      assign.select(col("vec_id"), col("v"), col("cell"))
+        .join(probes.select(col("qid"), col("pv"), col("cell")), "cell")
+        .select(col("qid"), col("vec_id"),
+          Q.noNegZero(round(VectorFns.cosine(col("v"), col("pv")), 6)).as("cos")),
+      Seq(col("cos").desc))
+    // leg 2: q122's IVF-PQ ADC — probe-side 8×16 distance table built
+    // ONCE per probe as one in-row array column, candidates score by
+    // 8 array lookups (no per-pair join, no driver-side per-probe data)
+    val cbRows = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(pmod(col("vec_id"), lit(PqC)).cast("int").as("j"),
+        posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("j"), col("i")).agg(round(avg(col("x")), 6).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val pdArr = array((0 until PqM).map { m =>
+      array((0 until PqC).map { j =>
+        (0 until PqSub).map { k =>
+          val i = m * PqSub + k
+          val diff = element_at(col("pv"), i + 1) - lit(cbRows((j, i)))
+          diff * diff
+        }.reduce(_ + _)
+      }: _*)
+    }: _*)
+    val adcExpr = (0 until PqM).map { m =>
+      element_at(element_at(col("pd"), m + 1),
+        element_at(col("codes"), m + 1) + 1)
+    }.reduce(_ + _)
+    val pqLeg = rank10(
+      assign.select(col("vec_id"), col("cell"),
+          graft.plans.PqEncodeExpr.pqEncode(col("v"), cbRows, PqM, PqSub, PqC)
+            .as("codes"))
+        .join(probes.select(col("qid"), col("cell"), pdArr.as("pd")), "cell")
+        .select(col("qid"), col("vec_id"), round(adcExpr, 6).as("adc")),
+      Seq(col("adc")))
+    // leg 3: q139's SQ8 integer-dot ranking, cell-restricted
+    val v0 = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val bounds = v0
+      .select(posexplode(col("e")).as(Seq("i0", "x")))
+      .select((col("i0") + 1).as("i"), col("x"))
+      .groupBy(col("i"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .filter(col("hi") > col("lo"))
+      .agg(map_from_arrays(collect_list(col("i")), collect_list(col("lo"))).as("lom"),
+        map_from_arrays(collect_list(col("i")), collect_list(col("hi"))).as("him"))
+    val dims = filter(sequence(lit(1), size(col("e"))),
+      i => element_at(col("lom"), i).isNotNull)
+    val codes8 = transform(col("dims"), i =>
+      floor((element_at(col("e"), i) - element_at(col("lom"), i)) * 255.0 /
+        (element_at(col("him"), i) - element_at(col("lom"), i))).cast("long"))
+    val coded = v0.join(broadcast(bounds)) // 1-row bounded
+      .withColumn("dims", dims)
+      .select(col("vec_id"), codes8.as("c8"))
+    val sq8Leg = rank10(
+      coded.join(assign.select(col("vec_id"), col("cell")), "vec_id")
+        .join(coded.select(col("vec_id").as("qid"), col("c8").as("pc"))
+          .join(probes.select(col("qid"), col("cell")), "qid")
+          .select(col("qid"), col("cell"), col("pc")), "cell")
+        .select(col("qid"), col("vec_id"),
+          aggregate(zip_with(col("c8"), col("pc"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("score")),
+      Seq(col("score").desc))
+    val hits =
+      exactLeg.filter(col("vec_id") === col("qid"))
+        .select(lit("ivf_exact").as("leg"), col("qid"), col("rnk"))
+      .unionAll(pqLeg.filter(col("vec_id") === col("qid"))
+        .select(lit("ivf_pq").as("leg"), col("qid"), col("rnk")))
+      .unionAll(sq8Leg.filter(col("vec_id") === col("qid"))
+        .select(lit("sq8").as("leg"), col("qid"), col("rnk")))
+    probes.select(col("qid"), col("p_label"))
+      .withColumn("leg", explode(array(
+        lit("ivf_exact"), lit("ivf_pq"), lit("sq8"))))
+      .join(hits, Seq("qid", "leg"), "left")
+      .select(col("p_label").as("label"), col("leg"),
+        coalesce(round(lit(1e9) / col("rnk")).cast("long"), lit(0L)).as("rr_t"),
+        coalesce(round(lit(1e9) / log2(col("rnk") + 1)).cast("long"), lit(0L))
+          .as("dg"),
+        when(col("rnk") === 1, 1L).otherwise(0L).as("h1"),
+        when(col("rnk").isNotNull, 1L).otherwise(0L).as("hk"))
+      .groupBy(col("label"), col("leg"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(col("rr_t")).cast("double") / (count(lit(1)) * 1e9), 6)
+          .as("mrr"),
+        round(sum(col("dg")).cast("double") / (count(lit(1)) * 1e9), 6)
+          .as("ndcg"),
+        round(sum(col("h1")).cast("double") / count(lit(1)), 6).as("hit_at_1"),
+        round(sum(col("hk")).cast("double") / count(lit(1)), 6).as("hit_at_10"))
+      .orderBy(col("label"), col("leg"))
+  }
+
   val all: Seq[Q] = Seq(q31CosineTopK, q32CentroidNorms, q33AnnLshTopK,
     q34EmbeddingNearDups, q39CentroidAggregator, q45IvfAnn, q51DedupClusters,
     q133IncrementalClusters,
     q59DedupKeep, q91KmeansClusters, q92SemDedupKeep, q93PqAnn, q103AnnRecall,
     q104MultiprobeLsh, q117LeakageSafeSplit, q122IvfPqAnn, q139Sq8Ann,
-    q151BinaryAnn, q179DaviesBouldin, q206SlicedWasserstein, q208MmdDrift)
+    q151BinaryAnn, q179DaviesBouldin, q206SlicedWasserstein, q208MmdDrift,
+    q214AnnNdcg)
 }

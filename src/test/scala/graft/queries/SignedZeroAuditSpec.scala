@@ -209,6 +209,10 @@ class SignedZeroAuditSpec extends SparkSpec {
     ("q213_chain_ndcg", "ndcg"),           // mean of 1/log2(1+rank) ∈ [0,1]
     ("q213_chain_ndcg", "hit_at_1"),       // rate ∈ [0,1]
     ("q213_chain_ndcg", "hit_at_k"),       // rate ∈ [0,1]
+    ("q214_ann_ndcg", "mrr"),              // mean of 1/rank ∈ [0,1]
+    ("q214_ann_ndcg", "ndcg"),             // mean of 1/log2(1+rank) ∈ [0,1]
+    ("q214_ann_ndcg", "hit_at_1"),         // rate ∈ [0,1]
+    ("q214_ann_ndcg", "hit_at_10"),        // rate ∈ [0,1]
     ("q202_brier_decomposition", "base_rate"),
     ("q202_brier_decomposition", "brier"),
     ("q202_brier_decomposition", "reliability"),

@@ -1150,6 +1150,28 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q214 ANN eval: metric chain + the exact-cosine ceiling") {
+    val got = VectorQueries.q214AnnNdcg.run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+    assert(got.nonEmpty && got.map(_._1._2).toSet
+      === Set("ivf_exact", "ivf_pq", "sq8"))
+    got.foreach { case ((lb, leg), (n, mrr, ndcg, h1, hk)) =>
+      assert(n > 0, s"$lb/$leg empty probe slice")
+      assert(h1 <= mrr + 1e-6 && mrr <= ndcg + 1e-6 && ndcg <= hk + 1e-6,
+        s"$lb/$leg: metric chain violated ($h1, $mrr, $ndcg, $hk)")
+    }
+    // the exact-cosine leg is the ceiling: the probe's own cell always
+    // contains the target and it scores cos = 1.0 against itself, so
+    // known-item hit@10 saturates (the quantized legs are measured
+    // AGAINST this ceiling — on this corpus ivf_pq holds it and sq8
+    // loses MRR to unnormalized-dot norm bias; those magnitudes are
+    // corpus statements the oracle hash-gate pins, not spec claims)
+    got.filter(_._1._2 == "ivf_exact").foreach { case ((lb, _), m) =>
+      assert(m._5 === 1.0, s"exact leg lost the target for label $lb: $m")
+    }
+  }
+
   test("q208 MMD: matches a driver-side feature replay; duplicated clouds give 0") {
     val got = VectorQueries.q208MmdDrift.run(spark, sfDir).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
