@@ -371,6 +371,53 @@ object StreamOps {
       .agg(sum(when(col(sideCol) === 0, 1L).otherwise(0L)).as("c1"),
         sum(when(col(sideCol) === 1, 1L).otherwise(0L)).as("c2"))
 
+  /** Month-keyed two-sided drift state — the STANDING-MONITOR leg of
+    * the q209/q211 drift trajectory: a complete-mode streaming count
+    * keyed by (month-or-reference, value), where every row older than
+    * `refCutoffMonth` folds into the fixed reference key (−1) and
+    * newer rows carry their own yyyymm. The state is value-grain ×
+    * (|months|+1) — the same bound the batch query's shuffle carries —
+    * and lands via [[sinkCompleteVersions]]; [[trajectoryGrid]] +
+    * `Drift.ksAndW1` turn the newest snapshot into exactly the batch
+    * q209 read (StreamOpsSpec pins serving ≡ batch across a
+    * checkpoint bounce). */
+  def monthValueCounts(rows: DataFrame, dateCol: String, valueCol: String,
+      refCutoffMonth: Int): DataFrame = {
+    val mk = year(col(dateCol)) * 100 + month(col(dateCol))
+    rows
+      .groupBy(when(mk < refCutoffMonth, lit(-1)).otherwise(mk).as("mk"),
+        col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Serving-side companion of [[monthValueCounts]]: turn the landed
+    * (mk, v, c) state into the (m, v, cr, cm) two-sided histogram the
+    * trajectory statistics fold over — the reference count and the
+    * month→count map collapse to value grain, then the configured
+    * month window explodes back out IN-ROW (the batch q209 shape: no
+    * join, zero-count rows inert for every Drift reduction). Refuses a
+    * window month older than `refCutoffMonth` — such a month's rows
+    * were folded into the reference key at ingest and would silently
+    * emit NULL statistics (the same guard the batch renderers carry). */
+  def trajectoryGrid(counts: DataFrame, months: Seq[Int],
+      refCutoffMonth: Int): DataFrame = {
+    require(months.nonEmpty, "trajectory window is empty")
+    val overlap = months.filter(_ < refCutoffMonth)
+    require(overlap.isEmpty,
+      s"trajectory window overlaps the pre-$refCutoffMonth reference " +
+        s"period (months ${overlap.mkString(", ")}): overlapped months " +
+        "were folded into the reference at ingest and would silently " +
+        "emit NULL statistics")
+    counts.groupBy(col("v"))
+      .agg(sum(when(col("mk") === -1, col("c")).otherwise(0L)).as("cr"),
+        map_from_arrays(collect_list(col("mk")), collect_list(col("c")))
+          .as("mm"))
+      .select(col("v"), col("cr"),
+        explode(array(months.map(lit): _*)).as("m"), col("mm"))
+      .select(col("m"), col("v"), col("cr"),
+        coalesce(element_at(col("mm"), col("m")), lit(0L)).as("cm"))
+  }
+
   /** Incremental BM25 posting ingest — the serving-index face of the
     * q94 cross-corpus incremental pattern: each micro-batch of NEW
     * documents lands its per-doc posting delta (id, t, cnt, dl —

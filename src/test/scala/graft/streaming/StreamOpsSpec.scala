@@ -503,6 +503,71 @@ class StreamOpsSpec extends SparkSpec {
     assert(StreamOps.gcSnapshots(spark, s"$base/never", 1) === Seq.empty)
   }
 
+  test("trajectory monitor: streaming month-keyed state serves ≡ batch q209 across a bounce") {
+    import spark.implicits._
+    // the standing-monitor leg of the q209/q211 drift trajectory:
+    // month-keyed two-sided counts maintained incrementally
+    // (complete mode), landed as versioned parquet, served through
+    // trajectoryGrid + Drift.ksAndW1 — and the serving read must equal
+    // the one-shot batch trajectory over everything ingested, across a
+    // checkpoint bounce with files arriving while DOWN
+    val base = java.nio.file.Files.createTempDirectory("traj-mon").toString
+    val (srcDir, ckDir, snapDir) = (s"$base/src", s"$base/ck", s"$base/snap")
+    val cutoff = 199801
+    val months = Seq(199801, 199802, 199803)
+    def D(s: String) = java.sql.Date.valueOf(s)
+    val batch1 = Seq(
+      (D("1997-03-10"), 12L), (D("1997-07-01"), 15L), (D("1997-11-20"), 12L),
+      (D("1998-01-05"), 13L), (D("1998-01-22"), 15L), (D("1998-02-14"), 12L))
+    val batch2 = Seq(
+      (D("1997-05-05"), 18L), (D("1998-02-02"), 18L), (D("1998-02-27"), 15L),
+      (D("1998-03-03"), 12L), (D("1998-03-30"), 30L))
+    batch1.toDF("d", "v").coalesce(1).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Unit = StreamOps.sinkCompleteVersions(
+      StreamOps.monthValueCounts(
+        StreamOps.parquetStream(spark, schema, srcDir), "d", "v", cutoff),
+      snapDir, ckDir)
+    def serve(): Set[(Int, Long, Long, Option[Double], Option[Double])] =
+      graft.operators.Drift.ksAndW1(
+          StreamOps.trajectoryGrid(
+            StreamOps.latestSnapshot(spark, snapDir).get, months, cutoff),
+          Seq("m"), "v", "cr", "cm")
+        .select(col("m"), col("n1"), col("n2"), col("ks_d"), col("w1"))
+        .as[(Int, Long, Long, Option[Double], Option[Double])].collect().toSet
+    def batchRef(rows: Seq[(java.sql.Date, Long)]) =
+      graft.operators.Drift.ksAndW1(
+          StreamOps.trajectoryGrid(
+            StreamOps.monthValueCounts(rows.toDF("d", "v"), "d", "v", cutoff),
+            months, cutoff),
+          Seq("m"), "v", "cr", "cm")
+        .select(col("m"), col("n1"), col("n2"), col("ks_d"), col("w1"))
+        .as[(Int, Long, Long, Option[Double], Option[Double])].collect().toSet
+    runOnce()
+    assert(serve() === batchRef(batch1), "first serving read diverged")
+    // 1998-03 has no rows yet: it must still be on the grid with an
+    // empty month side (NULL statistics), not missing
+    val m3a = serve().find(_._1 === 199803).get
+    assert(m3a._3 === 0L)
+    batch2.toDF("d", "v").coalesce(1)
+      .write.mode("append").parquet(srcDir) // arrives while DOWN
+    runOnce()
+    val served = serve()
+    assert(served === batchRef(batch1 ++ batch2),
+      "post-bounce serving read diverged from the one-shot batch trajectory")
+    // hand-check one month: 1998-02 vs the 1997 reference
+    // ref = {12, 15, 12, 18}, feb = {12, 18, 15}: n1=4, n2=3
+    val feb = served.find(_._1 === 199802).get
+    assert(feb._2 === 4L && feb._3 === 3L)
+    // the window guard carries to the serving path: a month older than
+    // the cutoff was folded into the reference at ingest — loud refusal
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.trajectoryGrid(
+        StreamOps.latestSnapshot(spark, snapDir).get, Seq(199712, 199801), cutoff)
+    }
+    assert(e.getMessage.contains("199712"), e.getMessage)
+  }
+
   test("latestSnapshot requireMarkers=false serves a markers-off store") {
     import spark.implicits._
     // the opt-out for deployments that legitimately disable success
