@@ -58,10 +58,58 @@ import org.apache.spark.sql.functions._
   * each path). Mitigations at that scale: uniformly subsample each
   * side (every statistic here is an ECDF functional — at 10⁷ points
   * per side its sampling error is far below the 6-dp output grid), or
-  * coarsen the value grid (helps W1's range term only; CvM/AD bounds
-  * depend on the row counts, not the grid).
+  * coarsen the value grid (helps the RANGE-driven W1/energy bounds
+  * only; CvM/AD bounds depend on the row counts, not the grid).
+  * `autoCoarsen = true` makes the grid mitigation self-serve: W1 and
+  * energy move to a per-group derived coarse grid (exact for the
+  * coarsened distribution, value units restored via `grid_factor`)
+  * while KS/CvM/AD stay FINE-GRID exact — coarsening never quietly
+  * weakens the gap statistics it cannot help (a merged bin could hide
+  * a sharp localized ECDF gap from KS; DriftSpec pins fine-grid KS
+  * under an active factor).
   */
 object Drift {
+
+  /** Month-or-reference key for trajectory monitors: rows strictly
+    * older than `refCutoffMonth` (yyyymm, MONTH precision — a
+    * mid-year cutoff folds exactly at its month, not at January)
+    * collapse into the fixed reference key −1; newer rows carry their
+    * own yyyymm. The ONE fold both the batch trajectory (q209/q211)
+    * and the streaming monitor key on — shared so the two legs cannot
+    * drift. */
+  def monthKey(date: Column, refCutoffMonth: Int): Column = {
+    val mk = year(date) * 100 + month(date)
+    when(mk < refCutoffMonth, lit(-1)).otherwise(mk)
+  }
+
+  /** The (m, v, cr, cm) two-sided histogram a drift TRAJECTORY folds
+    * over, from (mk, v, c) counts keyed by [[monthKey]]: the reference
+    * count and the month→count map collapse to value grain, then the
+    * configured month window explodes back out IN-ROW — no join,
+    * zero-count rows inert for every [[reductions]] statistic. Shared
+    * by the batch q209/q211 read and the streaming monitor's serving
+    * read (StreamOpsSpec pins serving ≡ batch through this one fold).
+    * Refuses a window month older than `refCutoffMonth`: such a
+    * month's rows were folded into the reference at ingest and would
+    * silently emit NULL statistics. */
+  def trajectoryGrid(counts: DataFrame, months: Seq[Int],
+      refCutoffMonth: Int): DataFrame = {
+    require(months.nonEmpty, "trajectory window is empty")
+    val overlap = months.filter(_ < refCutoffMonth)
+    require(overlap.isEmpty,
+      s"trajectory window overlaps the pre-$refCutoffMonth reference " +
+        s"period (months ${overlap.mkString(", ")}): overlapped months " +
+        "were folded into the reference at ingest and would silently " +
+        "emit NULL statistics; shrink the window or move the cutoff")
+    counts.groupBy(col("v"))
+      .agg(sum(when(col("mk") === -1, col("c")).otherwise(0L)).as("cr"),
+        map_from_arrays(collect_list(col("mk")), collect_list(col("c")))
+          .as("mm"))
+      .select(col("v"), col("cr"),
+        explode(array(months.map(lit): _*)).as("m"), col("mm"))
+      .select(col("m"), col("v"), col("cr"),
+        coalesce(element_at(col("mm"), col("m")), lit(0L)).as("cm"))
+  }
 
   /** Per-group exact drift numerators between the two count columns of
     * a value-grain histogram.
@@ -94,11 +142,48 @@ object Drift {
     */
   def reductions(hist: DataFrame, partCols: Seq[String], v: String,
       cA: String, cB: String, withAd: Boolean = false,
-      withEnergy: Boolean = false, autoCoarsen: Boolean = false): DataFrame = {
+      withEnergy: Boolean = false, autoCoarsen: Boolean = false): DataFrame =
+    if (!autoCoarsen)
+      reductionsCore(hist, partCols, v, cA, cB, withAd, withEnergy,
+        withGf = false)
+    else {
+      // coarsening buys headroom ONLY for the RANGE-driven bounds (W1,
+      // energy) — so only those two statistics move to the coarse
+      // grid; KS/CvM/AD have count-driven bounds the grid cannot help
+      // and MUST NOT quietly degrade (a merged bin can hide a sharp
+      // localized ECDF gap from KS), so they stay on the fine grid.
+      // Column pruning drops each pass's unselected aggregates — the
+      // fine pass never evaluates the overflowing W1/energy terms and
+      // the coarse pass never re-evaluates the count-driven ones. The
+      // second cumsum runs over the COARSENED (strictly smaller)
+      // relation; the final join is group-grain.
+      val fine = reductionsCore(hist, partCols, v, cA, cB, withAd,
+          withEnergy = false, withGf = false)
+        .select((partCols.map(col) :+ col("n1") :+ col("n2")
+          :+ col("dnum") :+ col("csum"))
+          ++ (if (withAd) Seq(col("asum")) else Nil): _*)
+      val coarse = reductionsCore(
+          coarsened(hist, partCols, v, cA, cB, withEnergy),
+          partCols, v, cA, cB, withAd = false, withEnergy, withGf = true)
+        .select((partCols.map(col) :+ col("wsum"))
+          ++ (if (withEnergy) Seq(col("esum")) else Nil)
+          :+ col("grid_factor"): _*)
+      val joined =
+        if (partCols.isEmpty) fine.crossJoin(coarse)
+        else fine.join(coarse, partCols)
+      joined.select((partCols.map(col)
+        :+ col("n1") :+ col("n2") :+ col("dnum") :+ col("wsum")
+        :+ col("csum"))
+        ++ (if (withAd) Seq(col("asum")) else Nil)
+        ++ (if (withEnergy) Seq(col("esum")) else Nil)
+        :+ col("grid_factor"): _*)
+    }
+
+  private def reductionsCore(hist: DataFrame, partCols: Seq[String],
+      v: String, cA: String, cB: String, withAd: Boolean,
+      withEnergy: Boolean, withGf: Boolean): DataFrame = {
     val dec = "decimal(38,0)"
-    val h0 = if (!autoCoarsen) hist else coarsened(
-      hist, partCols, v, cA, cB, withEnergy)
-    val cum = Ecdf.groupedCumsum(h0, partCols, v, Seq(cA, cB),
+    val cum = Ecdf.groupedCumsum(hist, partCols, v, Seq(cA, cB),
       withNext = true)
     // |F_A − F_B| scaled by n1·n2, exact: the KS numerator per value,
     // the W1 integrand once multiplied by the gap to the next value,
@@ -155,7 +240,7 @@ object Drift {
     val aggd = cum
       .groupBy((partCols.map(col)
         :+ col(s"tot_$cA") :+ col(s"tot_$cB")
-        :++ (if (autoCoarsen) Seq(col("__gf")) else Nil)): _*)
+        :++ (if (withGf) Seq(col("__gf")) else Nil)): _*)
       .agg(max(dev).as("dnum"),
         (sum(w1Term).as("wsum") +: sum(cvmTerm).as("csum")
           +: sum(bad(dev)).as("__bad_ks") +: sum(bad(w1Term)).as("__bad_w1")
@@ -188,7 +273,7 @@ object Drift {
           else Nil)
       ++ (if (withEnergy)
           Seq(guarded(col("esum"), "energy", "__bad_e").as("esum")) else Nil)
-      ++ (if (autoCoarsen) Seq(col("__gf").as("grid_factor")) else Nil): _*)
+      ++ (if (withGf) Seq(col("__gf").as("grid_factor")) else Nil): _*)
   }
 
   /** The self-serve leg of the overflow story: re-bin `hist` onto a

@@ -2998,23 +2998,17 @@ object RelationalQueries {
       dir: String,
       months: Seq[Int] = TrajectoryMonths): org.apache.spark.sql.DataFrame = {
     requireWindowClearOfReference(months)
-    val refYear = TrajectoryRefCutoff / 100
+    // key fold and grid fold are graft.operators.Drift's — the SAME
+    // code the streaming monitor's serving read runs (monthKey folds
+    // at MONTH precision, so a mid-year cutoff partitions exactly at
+    // its month in both legs)
     val d = Tables.orders(spark, dir)
       .select(
-        when(year(col("o_orderdate")) < refYear, lit(-1))
-          .otherwise(year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
-          .as("mk"),
+        graft.operators.Drift
+          .monthKey(col("o_orderdate"), TrajectoryRefCutoff).as("mk"),
         round(col("o_totalprice") / 100).cast("long").as("v"))
       .groupBy(col("mk"), col("v")).agg(count(lit(1)).as("c"))
-    d.groupBy(col("v"))
-      .agg(sum(when(col("mk") === -1, col("c")).otherwise(0L)).as("cr"),
-        map_from_arrays(collect_list(col("mk")), collect_list(col("c")))
-          .as("mm"))
-      .select(col("v"), col("cr"),
-        explode(array(months.map(lit): _*)).as("m"),
-        col("mm"))
-      .select(col("m"), col("v"), col("cr"),
-        coalesce(element_at(col("mm"), col("m")), lit(0L)).as("cm"))
+    graft.operators.Drift.trajectoryGrid(d, months, TrajectoryRefCutoff)
   }
 
   /** [[trajectoryHist]]'s twin rendered once for both q209/q211 oracle
@@ -3024,7 +3018,8 @@ object RelationalQueries {
       months: Seq[Int] = TrajectoryMonths): String = {
     requireWindowClearOfReference(months)
     s"""base AS (
-      |  SELECT CASE WHEN year(o_orderdate) < ${TrajectoryRefCutoff / 100} THEN -1
+      |  SELECT CASE WHEN year(o_orderdate) * 100 + month(o_orderdate)
+      |                   < $TrajectoryRefCutoff THEN -1
       |              ELSE year(o_orderdate) * 100 + month(o_orderdate) END AS mk,
       |    CAST(round(o_totalprice / 100) AS BIGINT) AS v
       |  FROM orders),

@@ -1402,8 +1402,13 @@ object VectorQueries {
       Tables.embeddings(spark, dir).select(col("vec_id"), col("label"), v.as("v"),
         (array_position(simArr, array_max(simArr)) - 1).cast("int").as("cell"))
     }
-    val assign = mkAssign()
-    val probes = mkAssign().filter(pmod(col("vec_id"), lit(7)) === 0)
+    // the assignment scan feeds three legs plus the probe side — cut
+    // the lineage once so the embeddings scan + 8-centroid argmax run
+    // once, not per consumer (the q213 shared-stage pattern; the cut
+    // also sidesteps q122's self-join-dedup hazard, since the
+    // transform lambda never reaches a self-join rewrite)
+    val assign = mkAssign().localCheckpoint()
+    val probes = assign.filter(pmod(col("vec_id"), lit(7)) === 0)
       .select(col("vec_id").as("qid"), col("label").as("p_label"),
         col("v").as("pv"), col("cell"))
     def rank10(df: org.apache.spark.sql.DataFrame,

@@ -377,46 +377,19 @@ object StreamOps {
     * `refCutoffMonth` folds into the fixed reference key (−1) and
     * newer rows carry their own yyyymm. The state is value-grain ×
     * (|months|+1) — the same bound the batch query's shuffle carries —
-    * and lands via [[sinkCompleteVersions]]; [[trajectoryGrid]] +
+    * and lands via [[sinkCompleteVersions]]; `Drift.trajectoryGrid` +
     * `Drift.ksAndW1` turn the newest snapshot into exactly the batch
-    * q209 read (StreamOpsSpec pins serving ≡ batch across a
-    * checkpoint bounce). */
+    * q209 read — the key fold (`Drift.monthKey`) and the grid fold are
+    * the SAME code the batch query runs, so the two legs cannot drift
+    * (StreamOpsSpec pins serving ≡ batch across a checkpoint
+    * bounce). */
   def monthValueCounts(rows: DataFrame, dateCol: String, valueCol: String,
-      refCutoffMonth: Int): DataFrame = {
-    val mk = year(col(dateCol)) * 100 + month(col(dateCol))
+      refCutoffMonth: Int): DataFrame =
     rows
-      .groupBy(when(mk < refCutoffMonth, lit(-1)).otherwise(mk).as("mk"),
+      .groupBy(graft.operators.Drift.monthKey(col(dateCol), refCutoffMonth)
+          .as("mk"),
         col(valueCol).as("v"))
       .agg(count(lit(1)).as("c"))
-  }
-
-  /** Serving-side companion of [[monthValueCounts]]: turn the landed
-    * (mk, v, c) state into the (m, v, cr, cm) two-sided histogram the
-    * trajectory statistics fold over — the reference count and the
-    * month→count map collapse to value grain, then the configured
-    * month window explodes back out IN-ROW (the batch q209 shape: no
-    * join, zero-count rows inert for every Drift reduction). Refuses a
-    * window month older than `refCutoffMonth` — such a month's rows
-    * were folded into the reference key at ingest and would silently
-    * emit NULL statistics (the same guard the batch renderers carry). */
-  def trajectoryGrid(counts: DataFrame, months: Seq[Int],
-      refCutoffMonth: Int): DataFrame = {
-    require(months.nonEmpty, "trajectory window is empty")
-    val overlap = months.filter(_ < refCutoffMonth)
-    require(overlap.isEmpty,
-      s"trajectory window overlaps the pre-$refCutoffMonth reference " +
-        s"period (months ${overlap.mkString(", ")}): overlapped months " +
-        "were folded into the reference at ingest and would silently " +
-        "emit NULL statistics")
-    counts.groupBy(col("v"))
-      .agg(sum(when(col("mk") === -1, col("c")).otherwise(0L)).as("cr"),
-        map_from_arrays(collect_list(col("mk")), collect_list(col("c")))
-          .as("mm"))
-      .select(col("v"), col("cr"),
-        explode(array(months.map(lit): _*)).as("m"), col("mm"))
-      .select(col("m"), col("v"), col("cr"),
-        coalesce(element_at(col("mm"), col("m")), lit(0L)).as("cm"))
-  }
 
   /** Incremental BM25 posting ingest — the serving-index face of the
     * q94 cross-corpus incremental pattern: each micro-batch of NEW
@@ -559,15 +532,29 @@ object StreamOps {
     *
     * Reclaimable, by construction:
     *  - COMPLETE versions older than the `keepLast` newest complete
-    *    ones (history beyond the retention window);
+    *    ones (history beyond the retention window) — EXCEPT the replay
+    *    merge base, see below;
     *  - TORN versions (no `_SUCCESS`) strictly older than the newest
-    *    complete version — the stream has already committed past
-    *    them, so no replay will rewrite them and no read will ever
-    *    serve them.
+    *    complete version — a later batch only starts after its
+    *    predecessor's foreachBatch returned, so no replay will ever
+    *    rewrite them and no read will ever serve them.
     *
     * Never touched:
     *  - the `keepLast` newest COMPLETE versions (the newest complete
     *    one in particular — `keepLast` is required >= 1);
+    *  - the REPLAY MERGE BASE: the newest complete version strictly
+    *    below the newest version STARTED (complete or torn). A fully
+    *    written parquet version (`_SUCCESS` present) does NOT prove
+    *    its streaming batch COMMITTED — a crash between the parquet
+    *    commit and the checkpoint commit makes the restart replay that
+    *    batch, and [[upsertBatches]]' replay merges against the newest
+    *    complete version below it ([[latestSnapshot]] `beforeId`);
+    *    deleting that base would make the replay merge against nothing
+    *    and silently truncate the accumulated state to the last
+    *    batch's keys. Retained regardless of `keepLast`. (Only the
+    *    LAST batch can be in this committed-parquet/uncommitted-
+    *    checkpoint window — earlier batches committed before their
+    *    successors started — so one extra version suffices.);
     *  - torn versions NEWER than the newest complete one: those are
     *    in-flight (a restart's idempotent replay rewrites them);
     *  - anything, when NO complete version exists: an all-torn
@@ -576,7 +563,10 @@ object StreamOps {
     *
     * Completeness is judged by the `_SUCCESS` marker only — on a
     * markers-disabled filesystem GC reclaims nothing (conservative by
-    * design; re-enable markers to reclaim).
+    * design; re-enable markers to reclaim). Deletion removes the
+    * `_SUCCESS` marker FIRST, then the directory: a serving read
+    * racing the recursive delete sees a torn (skippable) version, not
+    * a marked one with missing part files.
     *
     * @return the version directory names deleted, oldest first */
   def gcSnapshots(spark: SparkSession, snapDir: String,
@@ -595,12 +585,15 @@ object StreamOps {
     val complete = versions.filter(v => fs.exists(
       new org.apache.hadoop.fs.Path(s"$snapDir/v$v/_SUCCESS")))
     if (complete.isEmpty) return Seq.empty
-    val keep = complete.take(keepLast).toSet
+    val maxStarted = versions.head
+    val replayBase = complete.find(_ < maxStarted)
+    val keep = complete.take(keepLast).toSet ++ replayBase
     val newestComplete = complete.head
     versions.filter(v =>
         !keep.contains(v) && (complete.contains(v) || v < newestComplete))
       .sorted
       .map { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$snapDir/v$v/_SUCCESS"), false)
         fs.delete(new org.apache.hadoop.fs.Path(s"$snapDir/v$v"), true)
         s"v$v"
       }

@@ -236,6 +236,33 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("autoCoarsen keeps KS on the FINE grid while W1/energy coarsen") {
+    // coarsening merges v=0 and v=5 into one bin (f=10): a coarse-grid
+    // KS would see the 1e6-vs-1e6 merged cell as dev≈0 and miss the
+    // complete separation the fine grid shows — the gap statistics
+    // must never quietly move to the coarse grid (they gain no
+    // headroom there; only W1/energy do)
+    val h = hist2(Seq(
+      ("g", 0L, 1000000L, 0L), ("g", 5L, 0L, 1000000L),
+      ("g", 100000000000000L, 1L, 1L)))
+    val r = Drift.ksAndW1(h, Seq("g"), "v", "c1", "c2",
+        withAd = true, withEnergy = true, autoCoarsen = true)
+      .select("ks_d", "w1", "cvm", "ad", "energy", "grid_factor").head()
+    // n1 = n2 = 1e6+1 → worst-case nn²·range just over 1e38 → next
+    // power of ten is 100
+    assert(r.getLong(5) === 100L, s"expected an active factor: $r")
+    assert(r.getDouble(0) > 0.9,
+      s"KS degraded to the coarse grid under autoCoarsen: ks_d=${r.getDouble(0)}")
+    // and the fine-grid statistics equal the PLAIN operator's (which
+    // serves them fine-grid by definition; w1/energy differ by design)
+    val plain = Drift.ksAndW1(h, Seq("g"), "v", "c1", "c2",
+        withAd = true, withEnergy = true)
+      .select("ks_d", "cvm", "ad").head()
+    assert(r.getDouble(0) === plain.getDouble(0), "ks")
+    assert(r.getDouble(2) === plain.getDouble(1), "cvm")
+    assert(r.getDouble(3) === plain.getDouble(2), "ad")
+  }
+
   test("autoCoarsen leaves healthy groups bit-identical (factor 1)") {
     val h = hist2(Seq(("s", 5L, 1L, 1L), ("s", 7L, 2L, 0L), ("s", 9L, 0L, 1L)))
     val plain = Drift.ksAndW1(h, Seq("g"), "v", "c1", "c2",

@@ -79,4 +79,59 @@ class MaintenanceStreamSpec extends SparkSpec {
     assert(replayed.exceptAll(snap).isEmpty && snap.exceptAll(replayed).isEmpty,
       "replaying the change set changed the snapshot")
   }
+
+  test("GC keeps the replay merge base: crash-before-commit + GC + restart loses nothing") {
+    // the data-loss window gcSnapshots must respect: a version's
+    // _SUCCESS proves the PARQUET write committed, not the streaming
+    // batch — if the crash lands between the two, the restart replays
+    // that batch and its merge reads the newest complete version BELOW
+    // it. GC with keepLast=1 must keep that base alive.
+    val (base, changes) = baseAndChanges
+    val feedDir = java.nio.file.Files.createTempDirectory("cdc-feed3").toString
+    val snapDir = java.nio.file.Files.createTempDirectory("cdc-snap3").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("cdc-ck3").toString
+    for (i <- 0 until 2)
+      changes.filter(col("k") % 2 === i)
+        .coalesce(1).write.mode("append").parquet(feedDir)
+    StreamOps.bootstrapSnapshot(base, snapDir)
+    val schema = spark.read.parquet(feedDir).schema
+    def run(ck: String): Unit = StreamOps.upsertBatches(
+      StreamOps.parquetStream(spark, schema, feedDir), "k", snapDir, ck)
+    run(ckDir) // batches 0, 1 → versions v-1 (bootstrap), v0, v1
+    def versions = new java.io.File(snapDir).listFiles()
+      .map(_.getName).filter(_.matches("v-?\\d+")).sortBy(_.drop(1).toLong).toSeq
+    assert(versions === Seq("v-1", "v0", "v1"), versions)
+    val healthy = StreamOps.latestSnapshot(spark, snapDir).get
+      .orderBy("k").collect().map(_.toString).toSeq
+    // simulate the crash window: batch 1's parquet committed (v1 has
+    // _SUCCESS) but its checkpoint commit never landed. The crashed
+    // checkpoint is reconstructed at a FRESH path (same JVM caches the
+    // original's metadata log and would flag external edits as
+    // concurrent use — a restart after a real crash is a new JVM).
+    val ckDir2 = java.nio.file.Files.createTempDirectory("cdc-ck3b").toString
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(ckDir)
+    Files.walk(src).forEach { p =>
+      val dst = Paths.get(ckDir2).resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(dst)
+      else Files.copy(p, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    assert(new java.io.File(s"$ckDir2/commits/1").delete(),
+      "test rig expected a commit log entry to remove")
+    new java.io.File(s"$ckDir2/commits/.1.crc").delete() // checksum twin
+    // GC with the tightest retention: v1 (newest complete) stays, and
+    // v0 MUST stay too (the replay base below the newest started
+    // version); only the bootstrap v-1 is history
+    assert(StreamOps.gcSnapshots(spark, snapDir, keepLast = 1) === Seq("v-1"),
+      "GC reclaimed the replay merge base")
+    assert(versions === Seq("v0", "v1"), versions)
+    // restart: batch 1 replays (offsets logged, commit missing), merges
+    // against v0, rewrites v1 — the state must equal the healthy run
+    run(ckDir2)
+    val replayed = StreamOps.latestSnapshot(spark, snapDir).get
+      .orderBy("k").collect().map(_.toString).toSeq
+    assert(replayed === healthy,
+      "replay after GC diverged from the no-crash state")
+  }
 }

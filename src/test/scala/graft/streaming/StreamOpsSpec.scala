@@ -530,14 +530,14 @@ class StreamOpsSpec extends SparkSpec {
       snapDir, ckDir)
     def serve(): Set[(Int, Long, Long, Option[Double], Option[Double])] =
       graft.operators.Drift.ksAndW1(
-          StreamOps.trajectoryGrid(
+          graft.operators.Drift.trajectoryGrid(
             StreamOps.latestSnapshot(spark, snapDir).get, months, cutoff),
           Seq("m"), "v", "cr", "cm")
         .select(col("m"), col("n1"), col("n2"), col("ks_d"), col("w1"))
         .as[(Int, Long, Long, Option[Double], Option[Double])].collect().toSet
     def batchRef(rows: Seq[(java.sql.Date, Long)]) =
       graft.operators.Drift.ksAndW1(
-          StreamOps.trajectoryGrid(
+          graft.operators.Drift.trajectoryGrid(
             StreamOps.monthValueCounts(rows.toDF("d", "v"), "d", "v", cutoff),
             months, cutoff),
           Seq("m"), "v", "cr", "cm")
@@ -562,7 +562,7 @@ class StreamOpsSpec extends SparkSpec {
     // the window guard carries to the serving path: a month older than
     // the cutoff was folded into the reference at ingest — loud refusal
     val e = intercept[IllegalArgumentException] {
-      StreamOps.trajectoryGrid(
+      graft.operators.Drift.trajectoryGrid(
         StreamOps.latestSnapshot(spark, snapDir).get, Seq(199712, 199801), cutoff)
     }
     assert(e.getMessage.contains("199712"), e.getMessage)
