@@ -1256,13 +1256,19 @@ object VectorQueries {
     * against exact cosine, but nothing measured END-TASK retrieval
     * quality (can the index still find the one known-relevant vector?)
     * at the registered codebook sizes. Same harness as q212/q213
-    * (known-item: the query IS a corpus vector — every 7th — and the
-    * uniquely relevant result is itself; q212's 1e9-grid exact metric
-    * sums), evaluated per label over three deployed rankers, all
-    * restricted to the probe's IVF cell (the q122 serving shape — the
-    * probe's own cell always contains the target, so cell restriction
-    * costs no known-item headroom and keeps every leg
-    * O(probes × cell)):
+    * (known-item: the query IS a corpus vector — every 7th, CAPPED at
+    * a [[AnnEvalPanel]]-probe panel — and the uniquely relevant result
+    * is itself; q212's 1e9-grid exact metric sums), evaluated per
+    * label over three deployed rankers, all restricted to the probe's
+    * IVF cell (the q122 serving shape — the probe's own cell always
+    * contains the target, so cell restriction costs no known-item
+    * headroom and keeps every leg O(panel × cell)). The panel cap is
+    * the BOUNDED-BY-CONSTRUCTION rule applied to evals: at nlist = 8
+    * the cell is N/8, so a %-of-corpus probe sweep would make the
+    * candidate join N²/56 — quadratic in the corpus; a fixed-budget
+    * panel (how an eval is run in production anyway) keeps it linear.
+    * The cap exceeds the probe count at every gated SF, so registered
+    * results are cap-independent there:
     *  - `ivf_exact` — q45's exact cosine within the probed cell: the
     *    ceiling (the target scores cos = 1.0 against itself);
     *  - `ivf_pq`    — q122's asymmetric-distance ranking (8×16
@@ -1286,6 +1292,14 @@ object VectorQueries {
     * 6-dp-rounded (cos, ADC) or integer (sq8) with vec_id tiebreaks;
     * assignment/codebook arithmetic is q122/q139's established
     * cross-engine parity. */
+  /** q214's probe-panel budget: the first 1024 known-item probes by
+    * vec_id. 1024 exceeds the probe count at every gated SF (72 at
+    * sf0.01, 715 at sf0.1 — registered results cap-independent), and
+    * at any larger corpus it bounds the eval's candidate join at
+    * panel × cell instead of the quadratic N²/56 a %-of-corpus sweep
+    * would cost at the fixed nlist = 8. */
+  private val AnnEvalPanel = 1024L
+
   val q214AnnNdcg = Q(
     "q214_ann_ndcg",
     s"""WITH cent0 AS (
@@ -1304,7 +1318,7 @@ object VectorQueries {
        |  WHERE rn = 1),
        |probes AS (
        |  SELECT vec_id AS qid, label AS p_label, v AS pv, cell
-       |  FROM assign WHERE vec_id % 7 = 0),
+       |  FROM assign WHERE vec_id % 7 = 0 AND vec_id < ${AnnEvalPanel * 7L}),
        |cands AS (
        |  SELECT p.qid, a.vec_id, a.v, p.pv
        |  FROM assign a JOIN probes p USING (cell)),
@@ -1408,7 +1422,8 @@ object VectorQueries {
     // also sidesteps q122's self-join-dedup hazard, since the
     // transform lambda never reaches a self-join rewrite)
     val assign = mkAssign().localCheckpoint()
-    val probes = assign.filter(pmod(col("vec_id"), lit(7)) === 0)
+    val probes = assign.filter(pmod(col("vec_id"), lit(7)) === 0
+        && col("vec_id") < AnnEvalPanel * 7L)
       .select(col("vec_id").as("qid"), col("label").as("p_label"),
         col("v").as("pv"), col("cell"))
     def rank10(df: org.apache.spark.sql.DataFrame,
