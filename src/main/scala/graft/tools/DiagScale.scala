@@ -450,6 +450,20 @@ object DiagScale {
         "q208_mmd" -> (() =>
           graft.queries.VectorQueries.q208MmdDrift
             .run(spark, relTables(spark, sfDir, k)).count()),
+        // r12: q213 is q212's posting stage (measured ≤0 exponents)
+        // checkpointed once, plus |probes×10|-bounded leg joins and
+        // the embedding lookups — expect the q212 shape
+        "q213_chain" -> (() =>
+          graft.queries.TextQueries.q213ChainNdcg
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        // r12: q214's candidate joins are panel × cell; relTables
+        // grows BOTH the probe count (until the 1024 panel cap binds
+        // at k≥2: base 5k → 715 probes, ×2 → capped) and the cell
+        // size (N/8) — expect ≈ linear once the cap binds (cell side
+        // keeps growing), the bound the cap exists to provide
+        "q214_ann" -> (() =>
+          graft.queries.VectorQueries.q214AnnNdcg
+            .run(spark, relTables(spark, sfDir, k)).count()),
         // r11: Ecdf slice-width A/B — groupedCumsum now derives its
         // range-partition width from spark.sql.shuffle.partitions; the
         // growth EXPONENT of a cumsum-dominated registered query must
