@@ -152,6 +152,13 @@ object Drift {
       // grid; KS/CvM/AD have count-driven bounds the grid cannot help
       // and MUST NOT quietly degrade (a merged bin can hide a sharp
       // localized ECDF gap from KS), so they stay on the fine grid.
+      // COST NOTE: the fine pass, the coarse pass, and the factor
+      // pre-pass each consume `hist` independently (constraint-derived
+      // filters defeat AQE stage reuse across the subtrees) — a caller
+      // whose histogram carries expensive lineage (a fact-scale
+      // groupBy) should persist()/localCheckpoint it before calling
+      // with autoCoarsen = true; the value-grain relation itself is
+      // the small thing here.
       // Column pruning drops each pass's unselected aggregates — the
       // fine pass never evaluates the overflowing W1/energy terms and
       // the coarse pass never re-evaluates the count-driven ones. The
