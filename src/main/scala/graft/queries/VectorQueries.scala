@@ -1251,6 +1251,22 @@ object VectorQueries {
       .orderBy(col("label"))
   }
 
+  /** q214's probe-panel budget, as an ID WINDOW: eligible probes are
+    * `vec_id % 7 = 0 AND vec_id < AnnEvalPanel · 7` — a fixed id
+    * budget, not a rank cap (a rank cap would need a global window
+    * over the N/7 eligible rows: one task sorting a %-of-corpus
+    * relation, exactly the shape the cap exists to avoid; a production
+    * eval panel is a configured id set anyway, the q169 literal-list
+    * shape). On a dense 0-based id domain (this corpus) the window IS
+    * the first 1024 eligible probes; a sparse or offset id domain
+    * should size the window to its own density. The window exceeds
+    * the probe count at every gated SF (72 at sf0.01, 715 at sf0.1 —
+    * registered results cap-independent), and at any larger corpus it
+    * bounds the eval's candidate join at panel × cell instead of the
+    * quadratic N²/56 a %-of-corpus sweep would cost at the fixed
+    * nlist = 8. */
+  private val AnnEvalPanel = 1024L
+
   /** Known-item retrieval quality THROUGH the ANN indexes — the eval
     * leg the compression family was missing: q103/q143 measure recall
     * against exact cosine, but nothing measured END-TASK retrieval
@@ -1292,14 +1308,6 @@ object VectorQueries {
     * 6-dp-rounded (cos, ADC) or integer (sq8) with vec_id tiebreaks;
     * assignment/codebook arithmetic is q122/q139's established
     * cross-engine parity. */
-  /** q214's probe-panel budget: the first 1024 known-item probes by
-    * vec_id. 1024 exceeds the probe count at every gated SF (72 at
-    * sf0.01, 715 at sf0.1 — registered results cap-independent), and
-    * at any larger corpus it bounds the eval's candidate join at
-    * panel × cell instead of the quadratic N²/56 a %-of-corpus sweep
-    * would cost at the fixed nlist = 8. */
-  private val AnnEvalPanel = 1024L
-
   val q214AnnNdcg = Q(
     "q214_ann_ndcg",
     s"""WITH cent0 AS (

@@ -111,12 +111,13 @@ class MaintenanceStreamSpec extends SparkSpec {
     val ckDir2 = java.nio.file.Files.createTempDirectory("cdc-ck3b").toString
     import java.nio.file.{Files, Paths}
     val src = Paths.get(ckDir)
-    Files.walk(src).forEach { p =>
+    val walk = Files.walk(src)
+    try walk.forEach { p =>
       val dst = Paths.get(ckDir2).resolve(src.relativize(p))
       if (Files.isDirectory(p)) Files.createDirectories(dst)
       else Files.copy(p, dst,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    } finally walk.close()
     assert(new java.io.File(s"$ckDir2/commits/1").delete(),
       "test rig expected a commit log entry to remove")
     new java.io.File(s"$ckDir2/commits/.1.crc").delete() // checksum twin
