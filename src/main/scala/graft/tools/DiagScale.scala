@@ -475,7 +475,37 @@ object DiagScale {
             .run(spark, relTables(spark, sfDir, k)).count() }),
         "q200_hill_s64" -> (() => withShufflePartitions(spark, "64") {
           graft.queries.RelationalQueries.q200HillTailIndex
-            .run(spark, relTables(spark, sfDir, k)).count() }))
+            .run(spark, relTables(spark, sfDir, k)).count() }),
+        // r12 A/B: ksAndW1 autoCoarsen on the q205 histogram shape —
+        // the split fine/coarse design costs a second (coarse-grid)
+        // cumsum plus the factor pre-pass; this measures the overhead
+        // RATIO vs the plain read on identical inputs and that the
+        // exponent stays in the q205 family (both paths over the same
+        // cached value-grain hist, so lineage re-planning is excluded
+        // from the measurement per the operator's documented contract)
+        "drift_plain" -> (() => driftHistAb(spark,
+          relTables(spark, sfDir, k), autoCoarsen = false)),
+        "drift_autocoarsen" -> (() => driftHistAb(spark,
+          relTables(spark, sfDir, k), autoCoarsen = true)))
+    }
+
+    def driftHistAb(spark: SparkSession, dir: String,
+        autoCoarsen: Boolean): Long = {
+      val hist = graft.sources.Tables.orders(spark, dir)
+        .join(graft.sources.Tables.customer(spark, dir),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          round(col("o_totalprice") * 100).cast("long").as("v"),
+          when(year(col("o_orderdate")) < 1998, 1L).otherwise(0L).as("g"))
+        .groupBy(col("seg"), col("v"))
+        .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c2"))
+        .localCheckpoint()
+      val n = graft.operators.Drift.ksAndW1(hist, Seq("seg"), "v",
+          "c1", "c2", withAd = true, withEnergy = true,
+          autoCoarsen = autoCoarsen)
+        .count()
+      hist.unpersist()
+      n
     }
 
     // the q137 BM25 shape: precomputed doc-side weights, query set =

@@ -276,6 +276,55 @@ class DriftSpec extends SparkSpec {
       assert(auto.get(i) === plain.get(i), s"column $i diverged: $auto vs $plain")
   }
 
+  test("autoCoarsen lockstep holds on random overflow-regime histograms") {
+    // randomized version of the fixed lockstep fixture: counts
+    // 1e4..1e5 per row over a ~1e18 value span put ONLY energy past
+    // the decimal(38,0) bound (nn²·range ≳ 1e40; w1 ~1e29, ad ≤ ~5e33
+    // even at complete separation), so every trial exercises an
+    // active factor. Laws: (a) the count-driven statistics equal the
+    // PLAIN fine-grid read; (b) the value-unit statistics equal the
+    // plain operator on a manually ⌊v/f⌋-coarsened histogram, scaled
+    // back by f
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val nVals = 3 + rng.nextInt(6)
+      val vals = Seq.fill(nVals)(math.abs(rng.nextLong()) % 900000000000000000L)
+        .distinct.sorted
+      val rows = vals.map(v => ("g", v,
+        (10000 + rng.nextInt(90000)).toLong,
+        (10000 + rng.nextInt(90000)).toLong))
+      val auto = Drift.ksAndW1(hist2(rows), Seq("g"), "v", "c1", "c2",
+          withAd = true, withEnergy = true, autoCoarsen = true)
+        .select("ks_d", "w1", "cvm", "ad", "energy", "grid_factor").head()
+      val f = auto.getLong(5)
+      assert(f > 1L, s"trial $trial: expected an active factor, got $f")
+      val fine = Drift.ksAndW1(hist2(rows), Seq("g"), "v", "c1", "c2",
+          withAd = true, withEnergy = true)
+        .select("ks_d", "cvm", "ad").head()
+      assert(auto.getDouble(0) === fine.getDouble(0), s"trial $trial ks")
+      assert(auto.getDouble(2) === fine.getDouble(1), s"trial $trial cvm")
+      assert(auto.getDouble(3) === fine.getDouble(2), s"trial $trial ad")
+      val manualRows = rows.groupBy(r => Math.floorDiv(r._2, f))
+        .map { case (v, rs) =>
+          ("g", v, rs.map(_._3).sum, rs.map(_._4).sum) }.toSeq
+      val manual = Drift.ksAndW1(hist2(manualRows), Seq("g"), "v",
+          "c1", "c2", withEnergy = true)
+        .select("w1", "energy").head()
+      // the operator multiplies f INSIDE the rounded division while
+      // this replay multiplies the rounded quotient — at ~1e16
+      // magnitudes (where 6-dp rounding is sub-ulp) the two orders
+      // differ by the last ulp, so the product law is relative, not
+      // bit-exact (the fixed-fixture lockstep test pins bit-equality
+      // where magnitudes allow it)
+      def relEq(a: Double, b: Double): Boolean =
+        math.abs(a - b) <= 1e-12 * math.max(math.abs(a), math.abs(b))
+      assert(relEq(auto.getDouble(1), manual.getDouble(0) * f),
+        s"trial $trial w1: ${auto.getDouble(1)} vs ${manual.getDouble(0) * f}")
+      assert(relEq(auto.getDouble(4), manual.getDouble(1) * f),
+        s"trial $trial energy: ${auto.getDouble(4)} vs ${manual.getDouble(1) * f}")
+    }
+  }
+
   test("autoCoarsen cannot mask a count-driven overflow (CvM still raises)") {
     // overflowHist busts CvM via counts alone (dev² ~ 4.9e51 on a
     // 1-wide grid); no grid factor helps, so the sentry must still
