@@ -3187,6 +3187,256 @@ object RelationalQueries {
       .orderBy(col("month"))
   }
 
+  /** k-anonymity / l-diversity release audit over the customer table —
+    * the pre-release privacy screen a training-data pipeline runs before
+    * publishing a table keyed on people (SURVEY §2.11 north-star: the
+    * governance leg next to the PII scrub q73). Quasi-identifier =
+    * (c_nationkey, 1000-wide acctbal band) — the columns an adversary
+    * can link from outside; sensitive attribute = c_mktsegment. Per
+    * nation: equivalence-class count, the smallest class (k of
+    * k-anonymity), the suppression cost of enforcing k ≥ 5 (rows that
+    * would have to be dropped or generalized), and the l-diversity floor
+    * (distinct sensitive values in the worst class — a class can be
+    * 5-anonymous yet leak the segment if all 5 share it).
+    *
+    * Exactness: everything is BIGINT counts over exact groupings (the
+    * band edge is `floor` of the same double in both engines — no
+    * arithmetic before it, so no boundary risk); the two ratios are
+    * single final divisions of exact sums. Scale: two hash aggregates —
+    * QI-grain (bounded by |nation|×|bands|, data-independent) then
+    * nation-grain; no join, no window, one scan. */
+  val q215KAnonymity = Q(
+    "q215_k_anonymity",
+    """WITH cls AS (
+      |  SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+      |    CAST(count(*) AS BIGINT) AS sz,
+      |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+      |  FROM customer
+      |  GROUP BY 1, 2)
+      |SELECT c_nationkey,
+      |  CAST(sum(sz) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_classes,
+      |  CAST(min(sz) AS BIGINT) AS k_min,
+      |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_k,
+      |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rows_suppressed,
+      |  round(CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+      |    / sum(sz), 6) AS pct_suppressed,
+      |  CAST(min(l_div) AS BIGINT) AS min_l_diversity,
+      |  round(CAST(sum(l_div) AS DOUBLE) / count(*), 6) AS avg_l_diversity
+      |FROM cls
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("sz"),
+        countDistinct(col("c_mktsegment")).as("l_div"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("sz")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("sz")).as("k_min"),
+        sum(when(col("sz") < 5, 1L).otherwise(0L)).as("classes_below_k"),
+        sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("rows_suppressed"),
+        round(sum(when(col("sz") < 5, col("sz")).otherwise(0L)).cast("double")
+          / sum(col("sz")), 6).as("pct_suppressed"),
+        min(col("l_div")).as("min_l_diversity"),
+        round(sum(col("l_div")).cast("double") / count(lit(1)), 6)
+          .as("avg_l_diversity"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** q216's shared constants: feature dimension, iteration budget, and
+    * the DuckDB feature CTE (the Spark side mirrors it column by
+    * column). Feature grids are chosen so every feature is a SMALL
+    * exact integer (≤ ~10³ on this corpus): the centered-moment
+    * numerators N·P_ij − S_i·S_j then stay within int64 up to ~3×10⁷
+    * customers — past that BOTH dialects fail loudly (Scala require /
+    * DuckDB error()) with the same remedy (subsample customers or
+    * coarsen the feature grids — the Drift.autoCoarsen trade). */
+  private val PcaDim = 6
+  private val PcaIters = 48
+  private val PcaFeatNames =
+    Seq("n_orders", "spend_10k", "max_price_k", "min_price_k",
+      "active_months", "n_urgent")
+  private val PcaFeatSql =
+    """SELECT o_custkey,
+      |  CAST(count(*) AS BIGINT) AS f1,
+      |  (sum(CAST(round(o_totalprice * 100) AS BIGINT)) + 500000) // 1000000 AS f2,
+      |  (max(CAST(round(o_totalprice * 100) AS BIGINT)) + 50000) // 100000 AS f3,
+      |  (min(CAST(round(o_totalprice * 100) AS BIGINT)) + 50000) // 100000 AS f4,
+      |  CAST(count(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT) AS f5,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS f6
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
+  /** Generated oracle for q216: the exact-integer power iteration
+    * unrolled as `PcaIters` pairs of MATERIALIZED HUGEINT CTEs (the
+    * q142 unrolled-rounds pattern — MATERIALIZED is load-bearing:
+    * un-materialized, DuckDB inlines the chain exponentially). Every
+    * integer op mirrors [[graft.operators.Pca]] exactly; see that
+    * object's scaladoc for why no float boundary can diverge. */
+  private def pcaOracleSql: String = {
+    val D = PcaDim
+    val K = graft.operators.Pca.Grid
+    val setup =
+      s"""WITH feats AS MATERIALIZED (
+         |$PcaFeatSql),
+         |base AS MATERIALIZED (
+         |  SELECT o_custkey, i,
+         |    CASE i WHEN 1 THEN f1 WHEN 2 THEN f2 WHEN 3 THEN f3 WHEN 4 THEN f4
+         |           WHEN 5 THEN f5 WHEN 6 THEN f6
+         |           ELSE CAST(1 AS BIGINT) END AS x
+         |  FROM feats, range(1, ${D + 2}) t(i)),
+         |gram AS MATERIALIZED (
+         |  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS p
+         |  FROM base a JOIN base b ON a.o_custkey = b.o_custkey
+         |  GROUP BY 1, 2),
+         |nmom AS MATERIALIZED (
+         |  SELECT p.i, p.j, nn.n * p.p - sa.s * sb.s AS c
+         |  FROM (SELECT i, j, p FROM gram WHERE i <= $D AND j <= $D) p
+         |  JOIN (SELECT i, p AS s FROM gram WHERE j = ${D + 1} AND i <= $D) sa
+         |    ON sa.i = p.i
+         |  JOIN (SELECT i, p AS s FROM gram WHERE j = ${D + 1} AND i <= $D) sb
+         |    ON sb.i = p.j
+         |  CROSS JOIN (SELECT p AS n FROM gram
+         |              WHERE i = ${D + 1} AND j = ${D + 1}) nn),
+         |grd AS MATERIALIZED (
+         |  SELECT CASE
+         |    WHEN max(abs(c)) > CAST(9223372036854775807 AS HUGEINT)
+         |      THEN error('q216: moment overflow past int64 — subsample customers or coarsen the feature grids')
+         |    WHEN min(CASE WHEN i = j THEN c END) <= 0
+         |      THEN error('q216: constant feature — correlation undefined; drop it')
+         |    ELSE 1 END AS ok
+         |  FROM nmom),
+         |cmat AS MATERIALIZED (
+         |  SELECT q.i, q.j,
+         |    CAST(CASE WHEN q.v >= 0 THEN floor(q.v + 0.5)
+         |              ELSE -floor(-q.v + 0.5) END AS BIGINT) AS c
+         |  FROM (SELECT n1.i, n1.j,
+         |          $K * CAST(n1.c AS DOUBLE) /
+         |            sqrt(CAST(d1.c AS DOUBLE) * CAST(d2.c AS DOUBLE)) AS v
+         |        FROM nmom n1
+         |        JOIN nmom d1 ON d1.i = n1.i AND d1.j = n1.i
+         |        JOIN nmom d2 ON d2.i = n1.j AND d2.j = n1.j) q, grd),
+         |it0 AS MATERIALIZED (
+         |  SELECT i, CAST($K + i AS HUGEINT) AS v FROM range(1, ${D + 1}) t(i))""".stripMargin
+    val its = (1 to PcaIters).map { k =>
+      s"""w$k AS MATERIALIZED (
+         |  SELECT c.i, sum(c.c * p.v) AS w
+         |  FROM cmat c JOIN it${k - 1} p ON p.i = c.j GROUP BY c.i),
+         |it$k AS MATERIALIZED (
+         |  SELECT i, CASE WHEN w >= 0 THEN (2 * $K * w + m) // (2 * m)
+         |                 ELSE -((2 * $K * (-w) + m) // (2 * m)) END AS v
+         |  FROM w$k, (SELECT max(abs(w)) AS m FROM w$k))""".stripMargin
+    }
+    val names = PcaFeatNames.zipWithIndex
+      .map { case (n, i) => s"WHEN ${i + 1} THEN '$n'" }.mkString(" ")
+    val fin =
+      s"""wf AS MATERIALIZED (
+         |  SELECT c.i, sum(c.c * p.v) AS w
+         |  FROM cmat c JOIN it$PcaIters p ON p.i = c.j GROUP BY c.i),
+         |ray AS MATERIALIZED (
+         |  SELECT ((SELECT sum(p.v * wf.w) FROM it$PcaIters p JOIN wf ON wf.i = p.i) * $K)
+         |         // ((SELECT sum(v * v) FROM it$PcaIters)
+         |            * (SELECT sum(c) FROM cmat WHERE i = j)) AS ev_grid),
+         |sgn AS (
+         |  SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS s
+         |  FROM it$PcaIters ORDER BY abs(v) DESC, i LIMIT 1)
+         |SELECT CAST(p.i AS INT) AS i,
+         |  CASE p.i $names END AS feature,
+         |  round(CAST(sgn.s * p.v AS DOUBLE) / $K, 6) + 0.0 AS loading,
+         |  round(CAST(ray.ev_grid AS DOUBLE) / $K, 6) AS ev_share
+         |FROM it$PcaIters p, sgn, ray
+         |ORDER BY i""".stripMargin
+    (Seq(setup) ++ its ++ Seq(fin)).mkString(",\n")
+  }
+
+  /** Distributed PCA over per-customer order-behavior features — the
+    * dominant mode of customer behavior as ONE top eigenpair of the
+    * feature correlation matrix (SURVEY §2.11 north-star: the
+    * dimensionality-reduction leg of the analytics stack, the same
+    * Gram-then-driver-eigensolve split as `spark.mllib` RowMatrix PCA).
+    *
+    * Pipeline: one orders scan → per-customer exact-integer features
+    * (order count, total spend on a $10k grid, max/min order price on a
+    * $1k grid, distinct active months, urgent-priority count — every
+    * one quantized BEFORE any aggregation crosses rows, so no float sum
+    * exists anywhere) → the (D+1)-dim augmented Gram trick (a constant
+    * 1 appended to each feature vector makes ONE (i,j) aggregate yield
+    * P_ij, the sums S_i = P_i,D+1 AND the count N = P_D+1,D+1 — one
+    * shuffle, 49 cells) → collect the 49 exact decimal(38,0) cells (the
+    * KB-scale codebook-collect house class) → correlation quantization
+    * + 48 exact-integer power-iteration steps on the driver
+    * ([[graft.operators.Pca]]) → a 6-row literal result.
+    *
+    * Result: per feature, its loading on the top principal component
+    * (∞-normalized: max-|loading| = 1, sign fixed so that component is
+    * positive) and the explained-variance share (Rayleigh / trace). On
+    * this corpus the top PC explains ~0.59 of the correlation trace and
+    * loads positively on count/spend/months/urgency and negatively on
+    * min price — the "many cheap frequent orders" behavioral axis.
+    *
+    * Scale: the only data-sized stages are the orders scan and the
+    * custkey shuffle (both linear, the q197 grain); the Gram explode is
+    * 49 rows per customer collapsing map-side into 49 partial cells.
+    * Headroom: moment numerators stay int64-exact to ~3×10⁷ customers
+    * at these grids; past that both dialects raise loudly with the
+    * remedy (subsample or coarsen — see grd / Pca.corrGrid). The
+    * iteration count is fixed (λ₂/λ₁ ≈ 0.30 on this corpus ⇒ 48 steps
+    * converge far past the 1e-6 grid); parity never depends on
+    * convergence (both engines compute the identical iterate). */
+  /** q216's distributed stage: the (D+1)-dim augmented moment cells —
+    * exposed so PlanSpec can pin the scan pruning and exchange shape of
+    * the part of the query that actually touches data (the registered
+    * result itself is a driver-built literal relation). */
+  private[graft] def pcaMoments(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("ym"),
+      when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+        .otherwise(0L).as("urgent"))
+    val feats = o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("f1"), sum(col("cents")).as("sc"),
+        max(col("cents")).as("mxc"), min(col("cents")).as("mnc"),
+        countDistinct(col("ym")).as("f5"), sum(col("urgent")).as("f6"))
+      .select(col("f1"),
+        expr("(sc + 500000) div 1000000").as("f2"),
+        expr("(mxc + 50000) div 100000").as("f3"),
+        expr("(mnc + 50000) div 100000").as("f4"),
+        col("f5"), col("f6"))
+    val fa = array(col("f1"), col("f2"), col("f3"), col("f4"),
+      col("f5"), col("f6"), lit(1L))
+    feats.select(fa.as("fa"))
+      .select(col("fa"), posexplode(col("fa")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("fa")).as(Seq("j", "xj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("xi") * col("xj")).cast(DecimalType(38, 0))).as("p"))
+  }
+
+  val q216FeaturePca = Q("q216_feature_pca", pcaOracleSql) { (spark, dir) =>
+    val cells = pcaMoments(spark, dir).collect()
+    val D = PcaDim
+    val P = Array.ofDim[BigInt](D + 1, D + 1)
+    cells.foreach { r =>
+      P(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).toBigInteger
+    }
+    val n = P(D)(D)
+    val num = Array.tabulate(D, D)((i, j) => n * P(i)(j) - P(i)(D) * P(j)(D))
+    val mx = num.flatten.map(_.abs).max
+    require(mx <= BigInt(Long.MaxValue),
+      "q216: moment overflow past int64 — subsample customers or coarsen the feature grids")
+    val (v, evGrid) =
+      graft.operators.Pca.powerTop(graft.operators.Pca.corrGrid(num), PcaIters)
+    val k = graft.operators.Pca.Grid.toDouble
+    import spark.implicits._
+    (0 until D).map { i =>
+      (i + 1, PcaFeatNames(i), v(i).toDouble / k, evGrid.toDouble / k)
+    }.toDF("i", "feature", "loading", "ev_share").orderBy(col("i"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -3205,5 +3455,5 @@ object RelationalQueries {
     q184GiniConcentration, q185KsDrift, q186MutualInformation, q187RevenueAcf,
     q197RobustMeans, q198SpearmanRank, q199DriftAlarmsBh, q200HillTailIndex,
     q203WassersteinDrift, q205DriftMonitor, q207AdMonitor, q209DriftTrajectory,
-    q210DriftPanel, q211TrajectoryAlarms)
+    q210DriftPanel, q211TrajectoryAlarms, q215KAnonymity, q216FeaturePca)
 }

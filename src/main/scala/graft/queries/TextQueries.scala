@@ -4596,6 +4596,81 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Curriculum ordering for training: interleave sources round-robin
+    * by within-source quality rank, and report where each source's
+    * docs land in the global schedule (SURVEY §2.11 north-star: the
+    * data-ORDERING leg of the training-prep stack — q113/q119/q195
+    * decide how much of each source to take, this decides WHEN each
+    * doc is seen; a source whose docs cluster late trains on stale
+    * gradients).
+    *
+    * Quality = q25's stopword ratio (most natural-language-like first —
+    * easy-to-hard curriculum), ranked within source with doc_id
+    * tiebreaks. The global position of source s's rank-r doc is
+    * `Σ_{r'<r} |sources with ≥ r' docs| + |{s' ≤ s present at rank r}|`
+    * — algebraically `row_number() OVER (ORDER BY r, source)` (the
+    * oracle's formulation), but computed WITHOUT the global sort that
+    * window plans (Exchange SinglePartition — one task holding the
+    * corpus): the first term is [[graft.operators.Ecdf.groupedCumsum]]
+    * over the RANK-GRAIN count relation (≤ max-docs-per-source rows),
+    * the second a window partitioned BY RANK. Two value-grain
+    * exchanges, zero global sorts — the house cumsum shape.
+    *
+    * Exactness: the quality score is one division of exact ints
+    * (identical doubles both engines); everything after is BIGINT
+    * ranks/counts; mean position is one final division of exact sums. */
+  val q218CurriculumOrder = Q(
+    "q218_curriculum_order",
+    """WITH sc AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |      t -> list_contains(['the','a','of','and','to','in','is','on','for'], t)))
+      |      AS DOUBLE)
+      |      / greatest(len(string_split_regex(lower(text), '\s+')), 1) AS score
+      |  FROM documents),
+      |rk AS (
+      |  SELECT source,
+      |    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS r
+      |  FROM sc),
+      |pos AS (
+      |  SELECT source, CAST(row_number() OVER (ORDER BY r, source) AS BIGINT) AS p
+      |  FROM rk)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(min(p) AS BIGINT) AS first_pos,
+      |  CAST(max(p) AS BIGINT) AS last_pos,
+      |  round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS mean_pos
+      |FROM pos
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        (TextFns.markerHits(col("toks"), Stopwords).cast("double")
+          / greatest(size(col("toks")), lit(1))).as("score"))
+    val ranked = docs
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .select(col("source"), col("r"))
+    // rank-grain counts → exclusive cumsum = docs scheduled before
+    // rank r's round begins (bounded at max docs-per-source rows)
+    val base = graft.operators.Ecdf
+      .groupedCumsum(ranked.groupBy(col("r")).agg(count(lit(1)).as("cnt")),
+        Seq.empty, "r", Seq("cnt"))
+      .select(col("r"), (col("cum_cnt") - col("cnt")).as("base"))
+    val pos = ranked
+      .withColumn("ord", row_number().over(
+        Window.partitionBy(col("r")).orderBy(col("source"))))
+      .join(base, Seq("r"))
+      .select(col("source"), (col("base") + col("ord")).as("p"))
+    pos.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), min(col("p")).as("first_pos"),
+        max(col("p")).as("last_pos"),
+        round(sum(col("p")).cast("double") / count(lit(1)), 6).as("mean_pos"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -4616,5 +4691,5 @@ object TextQueries {
     q192QuantileNormalize, q193PerplexityFilter, q194HeapsLaw,
     q195TokenWaterfill, q196JsDivergence, q201ShardBalance,
     q202BrierDecomposition, q204ConformalThreshold, q212RetrievalNdcg,
-    q213ChainNdcg)
+    q213ChainNdcg, q218CurriculumOrder)
 }

@@ -1531,11 +1531,112 @@ object VectorQueries {
       .orderBy(col("label"), col("leg"))
   }
 
+  /** Matryoshka-style dimension-ablation eval: at what truncated
+    * embedding dimension does retrieval still reproduce the full-dim
+    * exact top-10? (SURVEY §2.11 north-star: the capacity-tuning leg of
+    * the similarity stack — q103/q143/q214 score INDEX approximations,
+    * this scores the EMBEDDING itself, the number a team needs before
+    * shipping truncated vectors to cut index cost 8×.)
+    *
+    * For each probe (known-panel convention: every 7th vec_id, capped
+    * by the [[AnnEvalPanel]] id window — see that val for why a rank
+    * cap is the wrong shape), candidates are the probe's
+    * random-hyperplane LSH bucket (4 bits → 16 buckets; a probe alone
+    * in its bucket has no neighbors and drops out — the panel is
+    * "probes with ≥1 same-bucket neighbor", identical across legs).
+    * Each leg ranks the SAME candidates by cosine over the first
+    * d ∈ {8,16,32,64} components; ground truth is the d=64 leg itself,
+    * so recall@10(64) ≡ 1 is a built-in sanity pin. Recall is a
+    * ratio of exact BIGINT sums (Σ overlap / Σ |gt|) — one final
+    * division, no per-probe float averaging.
+    *
+    * Scale: the candidate join is a bucket equi-join bounded at
+    * panel × bucket (the q214 argument: a fixed-budget panel holds the
+    * eval linear in the corpus; production grows the bucket bits with
+    * log₂N — VectorFns.bitsForCorpus). The ×4 leg explode is in-row.
+    * Exactness: both engines fold the identical truncated DOUBLE
+    * slices sequentially (CosineSimExpr ≡ list_cosine_similarity, the
+    * q31 parity), ranked on the 6-dp-rounded noNegZero-finished value
+    * with vec_id tiebreaks. */
+  val q217DimAblation = Q(
+    "q217_dim_ablation",
+    s"""WITH buck AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    ${duckBucketExpr("embedding", 4)} AS bucket
+       |  FROM embeddings),
+       |probes AS (
+       |  SELECT vec_id AS qid, e AS pv, bucket FROM buck
+       |  WHERE vec_id % 7 = 0 AND vec_id < ${AnnEvalPanel * 7L}),
+       |cand AS (
+       |  SELECT p.qid, b.vec_id, b.e, p.pv
+       |  FROM buck b JOIN probes p USING (bucket)
+       |  WHERE b.vec_id <> p.qid),
+       |legs AS (
+       |  SELECT qid, vec_id, d,
+       |    round(list_cosine_similarity(e[1:d], pv[1:d]), 6) + 0.0 AS cs
+       |  FROM cand, unnest([8, 16, 32, 64]) AS u(d)),
+       |rk AS (
+       |  SELECT qid, vec_id, d, row_number() OVER (PARTITION BY qid, d
+       |    ORDER BY cs DESC, vec_id) AS rnk
+       |  FROM legs),
+       |top AS (SELECT qid, vec_id, d FROM rk WHERE rnk <= 10),
+       |gt AS (SELECT qid, vec_id FROM top WHERE d = 64),
+       |ov AS (
+       |  SELECT t.d, CAST(count(*) AS BIGINT) AS o
+       |  FROM top t JOIN gt g ON g.qid = t.qid AND g.vec_id = t.vec_id
+       |  GROUP BY t.d),
+       |gtn AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS g,
+       |    CAST(count(DISTINCT qid) AS BIGINT) AS np
+       |  FROM gt)
+       |SELECT CAST(d AS INT) AS dim, np AS n_probes, g AS gt_pairs,
+       |  CASE WHEN g = 0 THEN error('q217: empty ground truth — no probe has a same-bucket neighbor')
+       |       ELSE round(CAST(o AS DOUBLE) / g, 6) END AS recall_at_10
+       |FROM ov, gtn
+       |ORDER BY dim""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", VectorFns.lshBucket(col("embedding"), Dim, nBits = 4))
+    val probes = emb
+      .filter(col("vec_id") % 7 === 0 && col("vec_id") < AnnEvalPanel * 7L)
+      .select(col("vec_id").as("qid"), col("embedding").as("pv"), col("bucket"))
+    val cands = emb.join(probes, Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+    val legs = cands
+      .select(col("qid"), col("vec_id"), col("embedding"), col("pv"),
+        explode(array(lit(8), lit(16), lit(32), lit(64))).as("d"))
+      .select(col("qid"), col("vec_id"), col("d"),
+        Q.noNegZero(round(VectorFns.cosine(
+          slice(col("embedding"), lit(1), col("d")),
+          slice(col("pv"), lit(1), col("d"))), 6)).as("cs"))
+    val top = legs
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"), col("d"))
+          .orderBy(col("cs").desc, col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("vec_id"), col("d"))
+    val gt = top.filter(col("d") === 64).select(col("qid"), col("vec_id"))
+    val ov = top.join(gt, Seq("qid", "vec_id"))
+      .groupBy(col("d")).agg(count(lit(1)).as("o"))
+    val gtn = gt.agg(count(lit(1)).as("g"), countDistinct(col("qid")).as("np"))
+    // 1-row global-aggregate build side — the registry audit's allowed
+    // bounded-BNLJ class
+    ov.crossJoin(broadcast(gtn))
+      .select(col("d").cast("int").as("dim"), col("np").as("n_probes"),
+        col("g").as("gt_pairs"),
+        when(col("g") === 0, raise_error(lit(
+          "q217: empty ground truth — no probe has a same-bucket neighbor"))
+          .cast("double"))
+          .otherwise(round(col("o").cast("double") / col("g"), 6))
+          .as("recall_at_10"))
+      .orderBy(col("dim"))
+  }
+
   val all: Seq[Q] = Seq(q31CosineTopK, q32CentroidNorms, q33AnnLshTopK,
     q34EmbeddingNearDups, q39CentroidAggregator, q45IvfAnn, q51DedupClusters,
     q133IncrementalClusters,
     q59DedupKeep, q91KmeansClusters, q92SemDedupKeep, q93PqAnn, q103AnnRecall,
     q104MultiprobeLsh, q117LeakageSafeSplit, q122IvfPqAnn, q139Sq8Ann,
     q151BinaryAnn, q179DaviesBouldin, q206SlicedWasserstein, q208MmdDrift,
-    q214AnnNdcg)
+    q214AnnNdcg, q217DimAblation)
 }

@@ -464,6 +464,31 @@ object DiagScale {
         "q214_ann" -> (() =>
           graft.queries.VectorQueries.q214AnnNdcg
             .run(spark, relTables(spark, sfDir, k)).count()),
+        // r12 extension wave: q215 is two hash aggregates (QI-grain then
+        // nation-grain) — expect the flat/sublinear value-grain shape
+        "q215_kanon" -> (() =>
+          graft.queries.RelationalQueries.q215KAnonymity
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        // q216: one orders scan + custkey shuffle + a 49-cell aggregate;
+        // replication grows customers ×k (custkey lands in the ×k
+        // keyspace) — expect ≈ linear scan/shuffle, constant driver math
+        "q216_pca" -> (() =>
+          graft.queries.RelationalQueries.q216FeaturePca
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        // q217: candidate join is panel × bucket; replication grows BOTH
+        // the probe count (until the 1024 cap binds: base 286 → ×4
+        // would be 1143 > cap) and bucket population (N/16) — expect
+        // ≈ linear once the cap binds, the same bound as q214
+        "q217_ablation" -> (() =>
+          graft.queries.VectorQueries.q217DimAblation
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        // q218: per-source rank window + rank-grain cumsum; replicas add
+        // sources (r<r>_src*) at the same docs-per-source, so the rank
+        // DOMAIN stays fixed while doc rows grow ×k — expect ≈ linear
+        // window/shuffle, constant cumsum state
+        "q218_curr" -> (() =>
+          graft.queries.TextQueries.q218CurriculumOrder
+            .run(spark, relTables(spark, sfDir, k)).count()),
         // r11: Ecdf slice-width A/B — groupedCumsum now derives its
         // range-partition width from spark.sql.shuffle.partitions; the
         // growth EXPONENT of a cumsum-dominated registered query must

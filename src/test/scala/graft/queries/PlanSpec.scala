@@ -225,6 +225,44 @@ class PlanSpec extends SparkSpec {
       "shared candidate checkpoint missing from the plan:\n" + p)
   }
 
+  test("q216 moment stage: one pruned orders scan, custkey exchange, no product") {
+    // the registered result is a driver-built literal; the plan that
+    // matters is the exposed distributed stage
+    val p = RelationalQueries.pcaMoments(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(reads.contains("o_totalprice") && reads.contains("o_orderpriority"))
+    assert(!reads.contains("o_orderstatus") && !reads.contains("o_orderkey"),
+      "orders scan over-reads:\n" + reads)
+    assert("ReadSchema".r.findAllIn(p).size === 1,
+      "moment stage scans orders more than once:\n" + p)
+  }
+
+  test("q217 ablation: bucket equi-join only; single bounded 1-row BNLJ") {
+    val p = plan(VectorQueries.q217DimAblation)
+    assert(!p.contains("CartesianProduct"),
+      "ablation eval degraded to a cartesian product:\n" + p)
+    // the one legal BNLJ is the 1-row (gt_pairs, n_probes) global
+    // aggregate broadcast under the final 4-row projection
+    val bnljBuilds = "BroadcastNestedLoopJoin BuildRight".r.findAllIn(p).size
+    val bnljAll = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnljAll == bnljBuilds && bnljAll <= 1,
+      "an unexpected nested-loop join appeared:\n" + p)
+  }
+
+  test("q218 curriculum: range-partitioned cumsum, no corpus-wide single-partition sort") {
+    val p = plan(TextQueries.q218CurriculumOrder)
+    // Ecdf.groupedCumsum engaged (the global-sort-free position path)
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      "rank cumsum lost its range exchange:\n" + p)
+    // the documents scan must not read lang/n_chars
+    val reads = p.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("text")).mkString("\n")
+    assert(reads.nonEmpty && !reads.contains("lang") && !reads.contains("n_chars"),
+      "documents scan over-reads:\n" + reads)
+  }
+
   test("q194 documents scan is pruned to doc_id+text+source") {
     val reads = plan(TextQueries.q194HeapsLaw).linesIterator
       .filter(_.contains("ReadSchema")).mkString("\n")

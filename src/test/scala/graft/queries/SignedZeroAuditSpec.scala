@@ -209,6 +209,10 @@ class SignedZeroAuditSpec extends SparkSpec {
     ("q213_chain_ndcg", "ndcg"),           // mean of 1/log2(1+rank) ∈ [0,1]
     ("q213_chain_ndcg", "hit_at_1"),       // rate ∈ [0,1]
     ("q213_chain_ndcg", "hit_at_k"),       // rate ∈ [0,1]
+    ("q215_k_anonymity", "pct_suppressed"),   // ratio of counts ∈ [0,1]
+    ("q215_k_anonymity", "avg_l_diversity"),  // mean of counts ≥ 1
+    ("q217_dim_ablation", "recall_at_10"),    // ratio of counts ∈ [0,1]
+    ("q218_curriculum_order", "mean_pos"),    // mean of positions ≥ 1
     ("q214_ann_ndcg", "mrr"),              // mean of 1/rank ∈ [0,1]
     ("q214_ann_ndcg", "ndcg"),             // mean of 1/log2(1+rank) ∈ [0,1]
     ("q214_ann_ndcg", "hit_at_1"),         // rate ∈ [0,1]

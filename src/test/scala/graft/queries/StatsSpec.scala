@@ -1260,6 +1260,120 @@ class StatsSpec extends SparkSpec {
     assert(z === 0.0, "identical clouds must show zero drift on every slice")
   }
 
+  test("q215 k-anonymity: full driver-side replay on collected customers") {
+    val got = RelationalQueries.q215KAnonymity.run(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val rows = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .collect()
+      .map(r => (r.getInt(0), math.floor(r.getDouble(1) / 1000).toLong, r.getString(2)))
+    val byNation = rows.groupBy(_._1)
+    assert(got.keySet === byNation.keySet)
+    byNation.foreach { case (nat, rs) =>
+      val classes = rs.groupBy(_._2).toSeq.map { case (_, cs) =>
+        (cs.size.toLong, cs.map(_._3).distinct.size.toLong)
+      }
+      val r = got(nat)
+      assert(r.getLong(1) === rs.size.toLong, s"n_rows nation $nat")
+      assert(r.getLong(2) === classes.size.toLong, s"n_classes nation $nat")
+      assert(r.getLong(3) === classes.map(_._1).min, s"k_min nation $nat")
+      assert(r.getLong(4) === classes.count(_._1 < 5).toLong, s"classes_below_k $nat")
+      val supp = classes.filter(_._1 < 5).map(_._1).sum
+      assert(r.getLong(5) === supp, s"rows_suppressed $nat")
+      assert(r.getDouble(6) ===
+        BigDecimal(supp.toDouble / rs.size).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, s"pct_suppressed $nat")
+      assert(r.getLong(7) === classes.map(_._2).min, s"min_l_diversity $nat")
+    }
+  }
+
+  test("q216 PCA: loading/share invariants + double-precision replay") {
+    val rows = RelationalQueries.q216FeaturePca.run(spark, sfDir)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.length === 6)
+    val loadings = rows.map(_.getDouble(2))
+    val share = rows.head.getDouble(3)
+    assert(rows.forall(_.getDouble(3) === share), "ev_share constant across rows")
+    assert(share > 0 && share <= 1, s"ev_share $share")
+    assert(loadings.map(math.abs).max === 1.0, "∞-normalization: max |loading| = 1")
+    // independent replay: double-precision features → correlation →
+    // 512 float power-iteration steps (no integer lattice anywhere)
+    val feats = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_totalprice"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("ym"),
+        col("o_orderpriority"))
+      .collect()
+      .groupBy(_.getLong(0)).values.map { os =>
+        val cents = os.map(r => math.round(r.getDouble(1) * 100))
+        Array(os.size.toDouble,
+          ((cents.sum + 500000L) / 1000000L).toDouble,
+          ((cents.max + 50000L) / 100000L).toDouble,
+          ((cents.min + 50000L) / 100000L).toDouble,
+          os.map(_.getInt(2)).distinct.size.toDouble,
+          os.count(r => Set("1-URGENT", "2-HIGH")(r.getString(3))).toDouble)
+      }.toArray
+    val d = 6
+    val n = feats.length.toDouble
+    val mean = Array.tabulate(d)(i => feats.map(_(i)).sum / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      feats.map(f => (f(i) - mean(i)) * (f(j) - mean(j))).sum)
+    val corr = Array.tabulate(d, d)((i, j) =>
+      cov(i)(j) / math.sqrt(cov(i)(i) * cov(j)(j)))
+    var v = Array.tabulate(d)(i => 1.0 + i * 1e-6)
+    (1 to 512).foreach { _ =>
+      val w = Array.tabulate(d)(i => (0 until d).map(j => corr(i)(j) * v(j)).sum)
+      val m = w.map(math.abs).max
+      v = w.map(_ / m)
+    }
+    val iStar = (0 until d).maxBy(i => math.abs(v(i)))
+    if (v(iStar) < 0) v = v.map(-_)
+    (0 until d).foreach { i =>
+      assert(math.abs(loadings(i) - v(i)) <= 2e-3,
+        s"loading $i: grid ${loadings(i)} vs float ${v(i)}")
+    }
+    val w = Array.tabulate(d)(i => (0 until d).map(j => corr(i)(j) * v(j)).sum)
+    val lam = (0 until d).map(i => v(i) * w(i)).sum / v.map(x => x * x).sum
+    assert(math.abs(share - lam / d) <= 1e-3, s"share $share vs float ${lam / d}")
+  }
+
+  test("q217 ablation invariants: full dim reproduces itself, shared panel") {
+    val rows = VectorQueries.q217DimAblation.run(spark, sfDir)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq === Seq(8, 16, 32, 64))
+    val np = rows.map(_.getLong(1)).distinct
+    val gp = rows.map(_.getLong(2)).distinct
+    assert(np.size === 1 && gp.size === 1, "panel identical across legs")
+    assert(np.head > 0 && gp.head > 0)
+    rows.foreach(r => assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1))
+    assert(rows.last.getDouble(3) === 1.0, "recall@10 at d=64 is 1 by construction")
+  }
+
+  test("q218 cumsum curriculum ≡ the global-sort formulation") {
+    // the query computes positions WITHOUT a global sort; the oracle
+    // shape (row_number over ORDER BY r, source) is the definition —
+    // recompute it in Spark and compare the aggregated result exactly
+    import org.apache.spark.sql.expressions.Window
+    val got = TextQueries.q218CurriculumOrder.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for")
+    val sc = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        (graft.functions.TextFns.markerHits(col("toks"), stop).cast("double")
+          / greatest(size(col("toks")), lit(1))).as("score"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("score").desc, col("doc_id"))))
+      .withColumn("p", row_number().over(Window.orderBy(col("r"), col("source")))
+        .cast("long"))
+    val want = sc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), min(col("p")).as("f"), max(col("p")).as("l"),
+        round(sum(col("p")).cast("double") / count(lit(1)), 6).as("m"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.sortBy(_._1).toSeq === want.sortBy(_._1).toSeq)
+  }
+
   test("q186 MI invariants: 0 ≤ MI ≤ min(Hx, Hy), NMI in [0, 1]") {
     val rows = RelationalQueries.q186MutualInformation.run(spark, sfDir).collect()
     assert(rows.length > 0)
