@@ -3226,23 +3226,15 @@ object RelationalQueries {
       |FROM cls
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin) { (spark, dir) =>
-    Tables.customer(spark, dir)
-      .groupBy(col("c_nationkey"),
-        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
-      .agg(count(lit(1)).as("sz"),
-        countDistinct(col("c_mktsegment")).as("l_div"))
-      .groupBy(col("c_nationkey"))
-      .agg(sum(col("sz")).as("n_rows"),
-        count(lit(1)).as("n_classes"),
-        min(col("sz")).as("k_min"),
-        sum(when(col("sz") < 5, 1L).otherwise(0L)).as("classes_below_k"),
-        sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("rows_suppressed"),
-        round(sum(when(col("sz") < 5, col("sz")).otherwise(0L)).cast("double")
-          / sum(col("sz")), 6).as("pct_suppressed"),
-        min(col("l_div")).as("min_l_diversity"),
-        round(sum(col("l_div")).cast("double") / count(lit(1)), 6)
-          .as("avg_l_diversity"))
-      .orderBy(col("c_nationkey"))
+    // both stages route through the SHARED Privacy fold — the streaming
+    // standing monitor (StreamOps.qiClassCounts + sinkCompleteVersions)
+    // serves the identical audit from the identical code
+    graft.operators.Privacy.audit(
+      graft.operators.Privacy.classState(
+        Tables.customer(spark, dir)
+          .withColumn("bal_band", floor(col("c_acctbal") / 1000).cast("long")),
+        Seq("c_nationkey", "bal_band"), "c_mktsegment"),
+      Seq("c_nationkey", "bal_band"), "c_nationkey")
   }
 
   /** q216's shared constants: feature dimension, iteration budget, and
@@ -3437,6 +3429,123 @@ object RelationalQueries {
     }.toDF("i", "feature", "loading", "ev_share").orderBy(col("i"))
   }
 
+  /** RFM (recency / frequency / monetary) segmentation — the classic
+    * customer-base cube next to q216's behavioral axis (SURVEY §2.11
+    * north-star: the segmentation leg of the analytics stack). Per
+    * customer: R = recency (represented as −last-order-month — quintiles
+    * are shift-invariant, so this is label-identical to
+    * months-since-anchor while removing the global-max anchor pass the
+    * textbook formulation needs), F = order count, M = total spend in
+    * exact cents; each metric scored into quintiles, customers rolled
+    * up per (r,f,m) segment.
+    *
+    * The quintile is TIE-COHERENT by construction: every customer with
+    * the same metric VALUE gets the same score
+    * (`q(v) = ⌈5·cum(v)/N⌉` over the value-grain cumulative count —
+    * NTILE's arbitrary tie-splitting would be nondeterministic across
+    * engines), with M pre-gridded to $10k (q216's f2 grid) so its value
+    * domain stays bounded. Recency inverts (`6 − q`): recent = high.
+    *
+    * Scale: the three metric cumsums run as ONE
+    * [[graft.operators.Ecdf.groupedCumsum]] partitioned by metric over
+    * the in-row-exploded (metric, value) counts — one value-grain
+    * shuffle for all three, no corpus-wide NTILE sort anywhere; the
+    * three quintile maps are bounded (R ≤ months, F ≤ max orders,
+    * M/$10k) so AQE broadcasts the join-backs unhinted. The
+    * customer-grain relation is consumed twice (counts + join-back) —
+    * two orders scans, the documented trade against caching a
+    * fact-proportional relation.
+    *
+    * Exactness: cents quantized per order row before any sum; all
+    * ranks/counts BIGINT; quintiles are pure integer arithmetic
+    * (`(5·cum + N − 1) div N`); avg_monetary is one final division of
+    * exact sums (exact under 2^53 total segment cents — past that the
+    * accepted identical-inputs class). */
+  val q219RfmSegments = Q(
+    "q219_rfm_segments",
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    year(o_orderdate) * 12 + month(o_orderdate) AS ym
+      |  FROM orders),
+      |cust AS (
+      |  SELECT o_custkey, max(ym) AS lastym, CAST(count(*) AS BIGINT) AS f,
+      |    CAST(sum(cents) AS BIGINT) AS m
+      |  FROM o GROUP BY 1),
+      |feat AS (
+      |  SELECT o_custkey, CAST(-lastym AS BIGINT) AS r,
+      |    f, m, m // 1000000 AS mg
+      |  FROM cust),
+      |vals AS (
+      |  SELECT 'r' AS metric, r AS v FROM feat
+      |  UNION ALL SELECT 'f', f FROM feat
+      |  UNION ALL SELECT 'm', mg FROM feat),
+      |cnt AS (SELECT metric, v, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT metric, v,
+      |    sum(c) OVER (PARTITION BY metric ORDER BY v) AS cum,
+      |    sum(c) OVER (PARTITION BY metric) AS tot
+      |  FROM cnt),
+      |qmap AS (SELECT metric, v, (5 * cum + tot - 1) // tot AS q FROM cum)
+      |SELECT rq.q AS r_q, fq.q AS f_q, mq.q AS m_q,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  round(CAST(sum(feat.m) AS DOUBLE) / (count(*) * 100), 2) AS avg_monetary
+      |FROM feat
+      |JOIN (SELECT v, CAST(6 - q AS INT) AS q FROM qmap WHERE metric = 'r') rq
+      |  ON rq.v = feat.r
+      |JOIN (SELECT v, CAST(q AS INT) AS q FROM qmap WHERE metric = 'f') fq
+      |  ON fq.v = feat.f
+      |JOIN (SELECT v, CAST(q AS INT) AS q FROM qmap WHERE metric = 'm') mq
+      |  ON mq.v = feat.mg
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("ym"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(max(col("ym")).as("lastym"), count(lit(1)).as("f"),
+        sum(col("cents")).as("m"))
+    // recency metric = −lastym, NOT months-since-anchor: quintiles are
+    // shift-invariant, so subtracting the global max month changes no
+    // label while costing a 1-row anchor aggregate whose BNLJ inside
+    // this multiply-consumed subtree re-planned the whole orders
+    // pipeline per consumer (measured: 7 BNLJs / 7 scans in the first
+    // formulation)
+    val feat = cust
+      .select(col("o_custkey"), (-col("lastym")).as("r"),
+        col("f"), col("m"), expr("m div 1000000").as("mg"))
+    val vals = feat.select(explode(array(
+        struct(lit("r").as("metric"), col("r").as("v")),
+        struct(lit("f").as("metric"), col("f").as("v")),
+        struct(lit("m").as("metric"), col("mg").as("v")))).as("mv"))
+      .select(col("mv.metric").as("metric"), col("mv.v").as("v"))
+    val cum = graft.operators.Ecdf.groupedCumsum(
+      vals.groupBy(col("metric"), col("v")).agg(count(lit(1)).as("c")),
+      Seq("metric"), "v", Seq("c"))
+    // the quintile map is bounded (|months| + |max orders| + |$10k
+    // grid| rows) — checkpointed so its three filter-consumers read
+    // the materialized relation instead of re-planning the cumsum
+    // pipeline (and its orders scan) once per metric
+    val qmap = cum.select(col("metric"), col("v"),
+      expr("(5 * cum_c + tot_c - 1) div tot_c").as("q"))
+      .localCheckpoint()
+    def qm(metric: String, outCol: String, invert: Boolean) = {
+      val q = if (invert) lit(6) - col("q") else col("q")
+      qmap.filter(col("metric") === metric)
+        .select(col("v"), q.cast("int").as(outCol))
+    }
+    feat
+      .join(qm("r", "r_q", invert = true).withColumnRenamed("v", "r"), Seq("r"))
+      .join(qm("f", "f_q", invert = false).withColumnRenamed("v", "f"), Seq("f"))
+      .join(qm("m", "m_q", invert = false).withColumnRenamed("v", "mg"), Seq("mg"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("m")).cast("double") / (count(lit(1)) * 100), 2)
+          .as("avg_monetary"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -3455,5 +3564,5 @@ object RelationalQueries {
     q184GiniConcentration, q185KsDrift, q186MutualInformation, q187RevenueAcf,
     q197RobustMeans, q198SpearmanRank, q199DriftAlarmsBh, q200HillTailIndex,
     q203WassersteinDrift, q205DriftMonitor, q207AdMonitor, q209DriftTrajectory,
-    q210DriftPanel, q211TrajectoryAlarms, q215KAnonymity, q216FeaturePca)
+    q210DriftPanel, q211TrajectoryAlarms, q215KAnonymity, q216FeaturePca, q219RfmSegments)
 }

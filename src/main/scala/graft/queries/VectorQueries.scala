@@ -1632,11 +1632,79 @@ object VectorQueries {
       .orderBy(col("dim"))
   }
 
+  /** kNN-distance outlier screen over the embedding corpus — the
+    * vector-space leg of the anomaly stack (q106 MADs scalars, this
+    * flags vectors whose 10-NN neighborhood is remote: mislabeled
+    * points, corrupt embeddings, out-of-distribution inserts — the
+    * screen a team runs before an embedding batch enters the ANN
+    * index). Score = mean cosine to the 10 nearest same-bucket
+    * neighbors; the 20 LOWEST-scoring vectors surface.
+    *
+    * Scale: candidates come from the same 4-bit random-hyperplane
+    * bucket as q217 — a bucket equi-self-join, the q34/q51/q133 banded
+    * class (within-bucket population is N/2^bits; production grows
+    * bits with log₂N — VectorFns.bitsForCorpus — holding the pair
+    * stage linear). Per-vector top-10 is a bucket-partitioned window;
+    * the final top-20 is a TakeOrdered, no global sort. Singleton
+    * buckets have no neighbors and drop out (documented — a singleton
+    * IS an outlier signal, but with no in-bucket evidence to score;
+    * the bucket-count profile covers it).
+    *
+    * Exactness: each cosine quantizes to the 1e-6 grid as BIGINT
+    * BEFORE any aggregation (q208's discipline), so the neighbor
+    * ranking and the score sum are exact integer arithmetic; the one
+    * final division consumes exact ints. */
+  val q220KnnOutliers = Q(
+    "q220_knn_outliers",
+    s"""WITH buck AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+       |    ${duckBucketExpr("embedding", 4)} AS bucket
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id, a.label, b.vec_id AS nb,
+       |    CAST(round(list_cosine_similarity(a.e, b.e) * 1000000) AS BIGINT) AS cq
+       |  FROM buck a JOIN buck b USING (bucket)
+       |  WHERE a.vec_id <> b.vec_id),
+       |k AS (
+       |  SELECT vec_id, label, cq, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cq DESC, nb) AS rnk
+       |  FROM p),
+       |g AS (
+       |  SELECT vec_id, label, CAST(count(*) AS BIGINT) AS n_neighbors,
+       |    sum(cq) AS s
+       |  FROM k WHERE rnk <= 10 GROUP BY 1, 2)
+       |SELECT vec_id, label, n_neighbors,
+       |  round(CAST(s AS DOUBLE) / (n_neighbors * 1e6), 6) + 0.0 AS mean_knn_cos
+       |FROM g
+       |ORDER BY mean_knn_cos, vec_id
+       |LIMIT 20""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", VectorFns.lshBucket(col("embedding"), Dim, nBits = 4))
+    val b = emb.select(col("bucket"), col("vec_id").as("nb"),
+      col("embedding").as("nemb"))
+    val pairs = emb.join(b, Seq("bucket")).filter(col("vec_id") =!= col("nb"))
+      .select(col("vec_id"), col("label"), col("nb"),
+        round(VectorFns.cosine(col("embedding"), col("nemb")) * 1e6)
+          .cast("long").as("cq"))
+    pairs
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cq").desc, col("nb"))))
+      .filter(col("rnk") <= 10)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(count(lit(1)).as("n_neighbors"), sum(col("cq")).as("s"))
+      .select(col("vec_id"), col("label"), col("n_neighbors"),
+        Q.noNegZero(round(col("s").cast("double") / (col("n_neighbors") * 1e6), 6))
+          .as("mean_knn_cos"))
+      .orderBy(col("mean_knn_cos"), col("vec_id"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(q31CosineTopK, q32CentroidNorms, q33AnnLshTopK,
     q34EmbeddingNearDups, q39CentroidAggregator, q45IvfAnn, q51DedupClusters,
     q133IncrementalClusters,
     q59DedupKeep, q91KmeansClusters, q92SemDedupKeep, q93PqAnn, q103AnnRecall,
     q104MultiprobeLsh, q117LeakageSafeSplit, q122IvfPqAnn, q139Sq8Ann,
     q151BinaryAnn, q179DaviesBouldin, q206SlicedWasserstein, q208MmdDrift,
-    q214AnnNdcg, q217DimAblation)
+    q214AnnNdcg, q217DimAblation, q220KnnOutliers)
 }

@@ -391,6 +391,22 @@ object StreamOps {
         col(valueCol).as("v"))
       .agg(count(lit(1)).as("c"))
 
+  /** Standing k-anonymity monitor state — the STREAMING leg of the
+    * q215 release audit: (quasi-identifier × sensitive)-grain counts
+    * maintained incrementally in complete mode. The (QI, sensitive)
+    * grain is what makes l-diversity streamable — the per-class
+    * distinct-sensitive count is the class's state ROW count, so the
+    * whole state is plain additive counts, bounded by the QI ×
+    * sensitive value domain (dimension-grain). Land via
+    * [[sinkCompleteVersions]]; the serving read is
+    * `Privacy.audit(latestSnapshot)` — the SAME fold the batch q215
+    * runs (StreamOpsSpec pins serving ≡ batch across a checkpoint
+    * bounce), so a release gate wired to the monitor and the batch
+    * audit can never disagree. */
+  def qiClassCounts(rows: DataFrame, qiCols: Seq[String],
+      sensCol: String): DataFrame =
+    graft.operators.Privacy.classState(rows, qiCols, sensCol)
+
   /** Incremental BM25 posting ingest — the serving-index face of the
     * q94 cross-corpus incremental pattern: each micro-batch of NEW
     * documents lands its per-doc posting delta (id, t, cnt, dl —

@@ -482,6 +482,21 @@ object DiagScale {
         "q217_ablation" -> (() =>
           graft.queries.VectorQueries.q217DimAblation
             .run(spark, relTables(spark, sfDir, k)).count()),
+        // q219: customer features (custkey in the ×k keyspace → ×k
+        // customers) + the metric-partitioned value-grain cumsum —
+        // expect the q215/q216 linear-scan shape
+        "q219_rfm" -> (() =>
+          graft.queries.RelationalQueries.q219RfmSegments
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        // q220: within-bucket self-join at FIXED 4 bits — replication
+        // grows bucket population ×k, so pairs grow ×k² BY DESIGN at
+        // the fixed probe-less self-join; this measures the quadratic
+        // a production caller avoids by growing bits with log₂N
+        // (bitsForCorpus) — expect exponent drifting toward 2, the
+        // honest fixed-bits bound the scaladoc documents
+        "q220_outliers" -> (() =>
+          graft.queries.VectorQueries.q220KnnOutliers
+            .run(spark, relTables(spark, sfDir, k)).count()),
         // q218: per-source rank window + rank-grain cumsum; replicas add
         // sources (r<r>_src*) at the same docs-per-source, so the rank
         // DOMAIN stays fixed while doc rows grow ×k — expect ≈ linear

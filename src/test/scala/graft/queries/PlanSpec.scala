@@ -263,6 +263,35 @@ class PlanSpec extends SparkSpec {
       "documents scan over-reads:\n" + reads)
   }
 
+  test("q219 RFM serving plan: ONE pruned orders scan, checkpointed quintile maps") {
+    val p = plan(RelationalQueries.q219RfmSegments)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "RFM plans a product join:\n" + p)
+    // the quintile map is checkpointed (bounded: |months|+|max orders|+
+    // |$10k grid| rows), so its three filter-consumers must NOT re-plan
+    // the cumsum pipeline — the serving plan reads orders exactly once
+    // (the first formulation re-planned it 7 times; shift-invariant
+    // recency + the checkpoint got it to 1)
+    assert(p.contains("ExistingRDD"),
+      "quintile-map checkpoint missing from the serving plan:\n" + p)
+    val reads = p.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("o_totalprice"))
+      .mkString("\n")
+    assert(reads.nonEmpty && !reads.contains("o_orderpriority")
+      && !reads.contains("o_orderstatus"),
+      "orders scan over-reads:\n" + reads)
+    assert("ReadSchema".r.findAllIn(p).size === 1,
+      "serving plan scans orders more than once:\n" + p)
+  }
+
+  test("q220 outliers: bucket equi-join, top-20 as TakeOrdered") {
+    val p = plan(VectorQueries.q220KnnOutliers)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "outlier screen degraded to a product:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 plans a global sort instead of TakeOrdered:\n" + p)
+  }
+
   test("q194 documents scan is pruned to doc_id+text+source") {
     val reads = plan(TextQueries.q194HeapsLaw).linesIterator
       .filter(_.contains("ReadSchema")).mkString("\n")

@@ -1374,6 +1374,72 @@ class StatsSpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq === want.sortBy(_._1).toSeq)
   }
 
+  test("q219 RFM: full driver-side replay of features, quintiles, segments") {
+    val got = RelationalQueries.q219RfmSegments.run(spark, sfDir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), (r.getLong(3), r.getDouble(4))))
+      .sortBy(_._1)
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_totalprice"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("ym"))
+      .collect()
+    val cust = orders.groupBy(_.getLong(0)).values.map { os =>
+      val cents = os.map(r => math.round(r.getDouble(1) * 100)).sum
+      (os.map(_.getInt(2)).max, os.size.toLong, cents)
+    }.toSeq
+    val anchor = cust.map(_._1).max
+    val feat = cust.map { case (ly, f, m) => ((anchor - ly).toLong, f, m, m / 1000000) }
+    val n = feat.size.toLong
+    def qOf(vals: Seq[Long]): Map[Long, Int] = {
+      val cnt = vals.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val cums = cnt.scanLeft(0L)(_ + _._2).tail
+      cnt.map(_._1).zip(cums).map { case (v, cum) =>
+        v -> ((5 * cum + n - 1) / n).toInt
+      }.toMap
+    }
+    val rq = qOf(feat.map(_._1)); val fq = qOf(feat.map(_._2)); val mq = qOf(feat.map(_._4))
+    val want = feat.groupBy(f => (6 - rq(f._1), fq(f._2), mq(f._4))).toSeq
+      .map { case (k, fs) =>
+        (k, (fs.size.toLong,
+          BigDecimal(fs.map(_._3).sum.toDouble / (fs.size * 100))
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }.sortBy(_._1)
+    assert(got.toSeq === want)
+  }
+
+  test("q220 kNN outliers: driver replay of ranking + score from Spark's own pairs") {
+    // buckets/cosines come from the registered expressions (collected
+    // once); the test independently replays the top-10 ranking, the
+    // exact integer score sum, and the top-20 selection
+    import graft.functions.VectorFns
+    val got = VectorQueries.q220KnnOutliers.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        VectorFns.lshBucket(col("embedding"), 64, nBits = 4).as("bucket"),
+        col("embedding").cast("array<double>").as("e"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getSeq[Double](3)))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byBucket = emb.groupBy(_._3)
+    val scored = emb.flatMap { case (id, label, bkt, e) =>
+      val nbs = byBucket(bkt).filter(_._1 != id)
+        .map { case (nid, _, _, ne) => (math.round(cos(e, ne) * 1e6), nid) }
+        .sortBy { case (cq, nid) => (-cq, nid) }
+        .take(10)
+      if (nbs.isEmpty) None
+      else Some((id, label, nbs.size.toLong,
+        BigDecimal(nbs.map(_._1).sum.toDouble / (nbs.size * 1e6))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0))
+    }
+    val want = scored.sortBy { case (id, _, _, s) => (s, id) }.take(20)
+      .map(t => (t._1, t._3, t._4))
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("q186 MI invariants: 0 ≤ MI ≤ min(Hx, Hy), NMI in [0, 1]") {
     val rows = RelationalQueries.q186MutualInformation.run(spark, sfDir).collect()
     assert(rows.length > 0)

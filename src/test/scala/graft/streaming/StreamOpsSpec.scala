@@ -568,6 +568,53 @@ class StreamOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("199712"), e.getMessage)
   }
 
+  test("k-anonymity monitor: streaming class state serves ≡ batch q215 audit across a bounce") {
+    import spark.implicits._
+    // the standing-monitor leg of the q215 release audit: (QI,
+    // sensitive)-grain counts maintained incrementally, landed as
+    // versioned parquet, served through the SAME Privacy.audit fold the
+    // batch query runs — serving must equal the one-shot batch audit
+    // over everything ingested, across a checkpoint bounce with rows
+    // arriving while DOWN
+    val base = java.nio.file.Files.createTempDirectory("kanon-mon").toString
+    val (srcDir, ckDir, snapDir) = (s"$base/src", s"$base/ck", s"$base/snap")
+    val qi = Seq("nat", "band")
+    // nation 1: one class of 3 then 5 (crosses the k=5 line at batch 2);
+    // nation 2: two classes, one singleton (stays below k)
+    val batch1 = Seq((1, 0L, "A"), (1, 0L, "A"), (1, 0L, "B"),
+      (2, 1L, "A"), (2, 3L, "C"))
+    val batch2 = Seq((1, 0L, "B"), (1, 0L, "C"), (2, 1L, "B"))
+    batch1.toDF("nat", "band", "seg").coalesce(1).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Unit = StreamOps.sinkCompleteVersions(
+      StreamOps.qiClassCounts(
+        StreamOps.parquetStream(spark, schema, srcDir), qi, "seg"),
+      snapDir, ckDir)
+    def audit(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Privacy.audit(df, qi, "nat")
+        .as[(Int, Long, Long, Long, Long, Long, Double, Long, Double)]
+        .collect().toSet
+    def serve() = audit(StreamOps.latestSnapshot(spark, snapDir).get)
+    def batchRef(rows: Seq[(Int, Long, String)]) = audit(
+      graft.operators.Privacy.classState(rows.toDF("nat", "band", "seg"), qi, "seg"))
+    runOnce()
+    assert(serve() === batchRef(batch1), "first serving read diverged")
+    // hand-check: nation 1 has one class of 3 (below k=5, suppressed,
+    // l = 2); nation 2 has two singleton-ish classes (k_min = 1, l = 1)
+    val n1a = serve().find(_._1 === 1).get
+    assert(n1a._2 === 3L && n1a._4 === 3L && n1a._6 === 3L && n1a._8 === 2L)
+    batch2.toDF("nat", "band", "seg").coalesce(1)
+      .write.mode("append").parquet(srcDir) // arrives while DOWN
+    runOnce()
+    val served = serve()
+    assert(served === batchRef(batch1 ++ batch2),
+      "post-bounce serving read diverged from the one-shot batch audit")
+    // nation 1's class grew to 5: no longer suppressed, l-diversity 3
+    val n1b = served.find(_._1 === 1).get
+    assert(n1b._2 === 5L && n1b._4 === 5L && n1b._5 === 0L
+      && n1b._6 === 0L && n1b._8 === 3L)
+  }
+
   test("latestSnapshot requireMarkers=false serves a markers-off store") {
     import spark.implicits._
     // the opt-out for deployments that legitimately disable success
