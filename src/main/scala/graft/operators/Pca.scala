@@ -104,4 +104,35 @@ object Pca {
     val sign = if (v(iStar).signum < 0) -1 else 1
     (v.map(_ * sign), evGrid)
   }
+
+  /** Exact Rayleigh numerator/denominator of `v` against `c`:
+    * `(vᵀCv, vᵀv)`. Sign-invariant, so it accepts the sign-fixed
+    * vector [[powerTop]] returns. */
+  def rayleigh(c: Array[Array[BigInt]], v: Array[BigInt]): (BigInt, BigInt) = {
+    val d = c.length
+    val w = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+    ((0 until d).map(i => v(i) * w(i)).sum, v.map(x => x * x).sum)
+  }
+
+  /** Hotelling deflation on the lattice: with λ₁ = num/den (den = vᵀv),
+    * `C₂ = C − num·vvᵀ/den²` scaled to exact integers
+    * (`C·den² − num·vvᵀ`) and re-quantized onto ±Grid via [[rhalf]] by
+    * its own max — eigenvectors are preserved under the uniform scale,
+    * and the re-quantization is the same integer rounding both engines
+    * share, so the SECOND power iteration stays exactly mirrored.
+    *
+    * Magnitude bound (the oracle's HUGEINT budget): |C·den²| ≤
+    * Grid·(D·Grid²)² and |num·v_iv_j| ≤ (D·Grid·D·Grid²)·Grid² — for
+    * D ≤ 6 the re-quantization numerator 2·Grid·max stays under
+    * ~7.2×10³⁷ < HUGEINT max. Larger D needs a coarser grid. */
+  def deflate(c: Array[Array[BigInt]], v: Array[BigInt],
+      rayNum: BigInt, rayDen: BigInt): Array[Array[BigInt]] = {
+    val d = c.length
+    require(rayDen > 0, "deflate: zero vector")
+    val raw = Array.tabulate(d, d)((i, j) =>
+      c(i)(j) * rayDen * rayDen - rayNum * v(i) * v(j))
+    val mx = raw.flatten.map(_.abs).max
+    require(mx > 0, "deflate: rank-1 matrix — no second component")
+    raw.map(_.map(x => rhalf(G * x, mx)))
+  }
 }

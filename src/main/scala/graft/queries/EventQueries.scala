@@ -929,10 +929,87 @@ object EventQueries {
       .orderBy(col("t_days"))
   }
 
+  /** Time-WINDOWED conversion funnel — q62 counts ordered step
+    * completion ever; real funnel analytics bounds each step by a
+    * conversion window (the ClickHouse `windowFunnel` semantic): the
+    * first click within 24 h of the user's FIRST view, then the first
+    * purchase within 72 h of that click. Reported per view-date cohort
+    * with exact-count conversion rates.
+    *
+    * Shape: three CHAINED window aggregates over ONE user partition —
+    * each step's timestamp is a conditional min that references the
+    * previous step's column, so the whole funnel costs a single
+    * exchange (the q63 lesson: a window min over user is one shuffle
+    * where aggregate-then-join is two; PlanSpec pins the single
+    * hashpartitioning(user_id) exchange). At 100 TB this is the only
+    * funnel shape that survives: per-user state never leaves its
+    * partition, and the cohort rollup is date-grain.
+    *
+    * Exactness: timestamps compare at exact micros in both engines;
+    * interval arithmetic is `+ INTERVAL 24/72 HOURS` on both sides;
+    * counts are BIGINT; rates are single final divisions of exact
+    * counts. */
+  val q222WindowedFunnel = Q(
+    "q222_windowed_funnel",
+    """WITH f AS (
+      |  SELECT user_id, ts, event_type,
+      |    min(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t_v
+      |  FROM events),
+      |c AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_v
+      |                     AND ts <= t_v + INTERVAL 24 HOURS THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t_c
+      |  FROM f),
+      |p AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_c
+      |                     AND ts <= t_c + INTERVAL 72 HOURS THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t_p
+      |  FROM c),
+      |u AS (
+      |  SELECT DISTINCT user_id, CAST(t_v AS DATE) AS cohort, t_c, t_p
+      |  FROM p WHERE t_v IS NOT NULL)
+      |SELECT cohort, CAST(count(*) AS BIGINT) AS n_view,
+      |  CAST(count(t_c) AS BIGINT) AS n_click_24h,
+      |  CAST(count(t_p) AS BIGINT) AS n_purchase_72h,
+      |  round(CAST(count(t_c) AS DOUBLE) / count(*), 6) AS view_to_click,
+      |  round(CAST(count(t_p) AS DOUBLE) / count(*), 6) AS view_to_purchase
+      |FROM u
+      |GROUP BY cohort
+      |ORDER BY cohort""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+    val p = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("t_v",
+        min(when(col("event_type") === "view", col("ts"))).over(byUser))
+      .withColumn("t_c",
+        min(when(col("event_type") === "click" && col("ts") > col("t_v")
+          && col("ts") <= col("t_v") + expr("INTERVAL 24 HOURS"), col("ts")))
+          .over(byUser))
+      .withColumn("t_p",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_c")
+          && col("ts") <= col("t_c") + expr("INTERVAL 72 HOURS"), col("ts")))
+          .over(byUser))
+    p.filter(col("t_v").isNotNull)
+      .select(col("user_id"), col("t_v").cast("date").as("cohort"),
+        col("t_c"), col("t_p")).distinct()
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_view"),
+        count(col("t_c")).as("n_click_24h"),
+        count(col("t_p")).as("n_purchase_72h"),
+        round(count(col("t_c")).cast("double") / count(lit(1)), 6)
+          .as("view_to_click"),
+        round(count(col("t_p")).cast("double") / count(lit(1)), 6)
+          .as("view_to_purchase"))
+      .orderBy(col("cohort"))
+  }
+
   val all: Seq[Q] = Seq(q18JsonProps, q19HourlyAgg, q20SlidingAgg, q21Sessions,
     q22AsofViewPurchase, q50MapFuncs, q52IntervalJoin, q62Funnel, q63Retention,
     q65AsofNextView, q71GapfillHourly, q72Transitions, q86VolumeAnomalies,
     q87Scd2Intervals, q89TopPaths, q99RollingHour, q105HllRollup,
     q106MadOutliers, q107DecayedActivity, q109Scd2Lookup, q123SessionSequences,
-    q147AbWelch, q154BootstrapCi, q163TimeWeightedAvg, q188KaplanMeier)
+    q147AbWelch, q154BootstrapCi, q163TimeWeightedAvg, q188KaplanMeier,
+    q222WindowedFunnel)
 }

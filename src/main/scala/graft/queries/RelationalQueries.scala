@@ -3267,7 +3267,44 @@ object RelationalQueries {
     * un-materialized, DuckDB inlines the chain exponentially). Every
     * integer op mirrors [[graft.operators.Pca]] exactly; see that
     * object's scaladoc for why no float boundary can diverge. */
-  private def pcaOracleSql: String = {
+  /** Shared oracle pieces for q216/q223: [[pcaSetupCtes]] builds the
+    * exact-integer correlation matrix `cmat`; [[pcaChainCtes]] unrolls
+    * one `PcaIters`-step power iteration over a given matrix CTE with a
+    * name prefix (so q223 can run TWO chains — original and deflated —
+    * in one statement). */
+  private def pcaChainCtes(mat: String, pfx: String): String = {
+    val D = PcaDim
+    val K = graft.operators.Pca.Grid
+    val it0 =
+      s"""${pfx}it0 AS MATERIALIZED (
+         |  SELECT i, CAST($K + i AS HUGEINT) AS v FROM range(1, ${D + 1}) t(i))""".stripMargin
+    val its = (1 to PcaIters).map { k =>
+      s"""${pfx}w$k AS MATERIALIZED (
+         |  SELECT c.i, sum(c.c * p.v) AS w
+         |  FROM $mat c JOIN ${pfx}it${k - 1} p ON p.i = c.j GROUP BY c.i),
+         |${pfx}it$k AS MATERIALIZED (
+         |  SELECT i, CASE WHEN w >= 0 THEN (2 * $K * w + m) // (2 * m)
+         |                 ELSE -((2 * $K * (-w) + m) // (2 * m)) END AS v
+         |  FROM ${pfx}w$k, (SELECT max(abs(w)) AS m FROM ${pfx}w$k))""".stripMargin
+    }
+    // the FINAL matvec runs against the ORIGINAL cmat in both chains —
+    // the Rayleigh quotient that prices a component is always taken on
+    // the undeflated matrix
+    val fin =
+      s"""${pfx}wf AS MATERIALIZED (
+         |  SELECT c.i, sum(c.c * p.v) AS w
+         |  FROM cmat c JOIN ${pfx}it$PcaIters p ON p.i = c.j GROUP BY c.i),
+         |${pfx}ray AS MATERIALIZED (
+         |  SELECT (SELECT sum(p.v * f.w) FROM ${pfx}it$PcaIters p
+         |          JOIN ${pfx}wf f ON f.i = p.i) AS num,
+         |         (SELECT sum(v * v) FROM ${pfx}it$PcaIters) AS den),
+         |${pfx}sgn AS (
+         |  SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS s
+         |  FROM ${pfx}it$PcaIters ORDER BY abs(v) DESC, i LIMIT 1)""".stripMargin
+    (Seq(it0) ++ its ++ Seq(fin)).mkString(",\n")
+  }
+
+  private def pcaSetupCtes: String = {
     val D = PcaDim
     val K = graft.operators.Pca.Grid
     val setup =
@@ -3310,37 +3347,25 @@ object RelationalQueries {
          |        FROM nmom n1
          |        JOIN nmom d1 ON d1.i = n1.i AND d1.j = n1.i
          |        JOIN nmom d2 ON d2.i = n1.j AND d2.j = n1.j) q, grd),
-         |it0 AS MATERIALIZED (
-         |  SELECT i, CAST($K + i AS HUGEINT) AS v FROM range(1, ${D + 1}) t(i))""".stripMargin
-    val its = (1 to PcaIters).map { k =>
-      s"""w$k AS MATERIALIZED (
-         |  SELECT c.i, sum(c.c * p.v) AS w
-         |  FROM cmat c JOIN it${k - 1} p ON p.i = c.j GROUP BY c.i),
-         |it$k AS MATERIALIZED (
-         |  SELECT i, CASE WHEN w >= 0 THEN (2 * $K * w + m) // (2 * m)
-         |                 ELSE -((2 * $K * (-w) + m) // (2 * m)) END AS v
-         |  FROM w$k, (SELECT max(abs(w)) AS m FROM w$k))""".stripMargin
-    }
-    val names = PcaFeatNames.zipWithIndex
-      .map { case (n, i) => s"WHEN ${i + 1} THEN '$n'" }.mkString(" ")
+         |trc AS MATERIALIZED (SELECT sum(c) AS t FROM cmat WHERE i = j)""".stripMargin
+    setup
+  }
+
+  private def pcaFeatureNamesCase: String =
+    "CASE p.i " + PcaFeatNames.zipWithIndex
+      .map { case (n, i) => s"WHEN ${i + 1} THEN '$n'" }.mkString(" ") + " END"
+
+  private def pcaOracleSql: String = {
+    val K = graft.operators.Pca.Grid
     val fin =
-      s"""wf AS MATERIALIZED (
-         |  SELECT c.i, sum(c.c * p.v) AS w
-         |  FROM cmat c JOIN it$PcaIters p ON p.i = c.j GROUP BY c.i),
-         |ray AS MATERIALIZED (
-         |  SELECT ((SELECT sum(p.v * wf.w) FROM it$PcaIters p JOIN wf ON wf.i = p.i) * $K)
-         |         // ((SELECT sum(v * v) FROM it$PcaIters)
-         |            * (SELECT sum(c) FROM cmat WHERE i = j)) AS ev_grid),
-         |sgn AS (
-         |  SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS s
-         |  FROM it$PcaIters ORDER BY abs(v) DESC, i LIMIT 1)
-         |SELECT CAST(p.i AS INT) AS i,
-         |  CASE p.i $names END AS feature,
+      s"""SELECT CAST(p.i AS INT) AS i,
+         |  ${pcaFeatureNamesCase} AS feature,
          |  round(CAST(sgn.s * p.v AS DOUBLE) / $K, 6) + 0.0 AS loading,
-         |  round(CAST(ray.ev_grid AS DOUBLE) / $K, 6) AS ev_share
-         |FROM it$PcaIters p, sgn, ray
+         |  round(CAST((ray.num * $K) // (ray.den * trc.t) AS DOUBLE) / $K, 6)
+         |    AS ev_share
+         |FROM it$PcaIters p, sgn, ray, trc
          |ORDER BY i""".stripMargin
-    (Seq(setup) ++ its ++ Seq(fin)).mkString(",\n")
+    Seq(pcaSetupCtes, pcaChainCtes("cmat", "")).mkString(",\n") + "\n" + fin
   }
 
   /** Distributed PCA over per-customer order-behavior features — the
@@ -3546,6 +3571,179 @@ object RelationalQueries {
       .orderBy(col("r_q"), col("f_q"), col("m_q"))
   }
 
+  /** Weight-of-evidence / information-value feature screening — the
+    * credit-scoring staple that ranks candidate features by how much
+    * they separate a binary label BEFORE any model is trained (SURVEY
+    * §2.11 north-star: the feature-selection leg next to q216's PCA and
+    * q153's AUC). Label: urgent-priority order. Three candidate
+    * features binned in-row: price band ($10k), order month-of-year
+    * (seasonality), customer nation (one equi-join).
+    *
+    * Per (feature, bin): WOE with Laplace-0.5 smoothing —
+    * `ln(((2·pos+1)·N) / ((2·neg+1)·P))`, the +0.5-per-cell variant
+    * folded into exact integers so both engines take `ln` of the
+    * IDENTICAL double (no zero-cell −∞, no float before the ln);
+    * per feature: IV = Σ(dpos − dneg)·woe with each bin's term
+    * quantized to the 1e-9 grid as BIGINT before the window sum
+    * (q212's exact-metric discipline — a float Σ over bins would be
+    * summation-order sensitive across engines). IV reading: <0.02
+    * useless, 0.1–0.3 medium, >0.5 suspicious.
+    *
+    * Scale: ONE orders scan (the three features explode in-row after
+    * the customer equi-join), one hash aggregate to the bounded
+    * (feature, bin) grain (12 + |bands| + 25 rows), and the P/N
+    * normalizers are window sums over that bounded relation — every
+    * feature partitions the same order set, so no global-aggregate
+    * join is needed at all (the q219 lesson: a 1-row build inside a
+    * multiply-consumed subtree re-plans the pipeline per consumer). */
+  val q221WoeIv = Q(
+    "q221_woe_iv",
+    """WITH o AS (
+      |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |              THEN 1 ELSE 0 END AS pos,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) // 1000000 AS band,
+      |    CAST(month(o_orderdate) AS BIGINT) AS mth,
+      |    CAST(c_nationkey AS BIGINT) AS nat
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |bins AS (
+      |  SELECT f.feature, f.bin,
+      |    CAST(sum(pos) AS BIGINT) AS n_pos,
+      |    CAST(sum(1 - pos) AS BIGINT) AS n_neg
+      |  FROM o, LATERAL (VALUES ('price_band', band), ('order_month', mth),
+      |                          ('nation', nat)) f(feature, bin)
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT feature, bin, n_pos, n_neg,
+      |    sum(n_pos) OVER (PARTITION BY feature) AS p,
+      |    sum(n_neg) OVER (PARTITION BY feature) AS n
+      |  FROM bins),
+      |t AS (
+      |  SELECT feature, bin, n_pos, n_neg,
+      |    ln(CAST((2 * n_pos + 1) * n AS DOUBLE)
+      |       / CAST((2 * n_neg + 1) * p AS DOUBLE)) AS woe,
+      |    CAST(round((CAST(n_pos AS DOUBLE) / p - CAST(n_neg AS DOUBLE) / n)
+      |      * ln(CAST((2 * n_pos + 1) * n AS DOUBLE)
+      |           / CAST((2 * n_neg + 1) * p AS DOUBLE)) * 1e9) AS BIGINT) AS ivt
+      |  FROM w)
+      |SELECT feature, bin, n_pos, n_neg,
+      |  round(woe, 6) + 0.0 AS woe,
+      |  round(CAST(sum(ivt) OVER (PARTITION BY feature) AS DOUBLE) / 1e9, 6) + 0.0
+      |    AS iv
+      |FROM t
+      |ORDER BY feature, bin""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("pos"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT) div 1000000").as("band"),
+        month(col("o_orderdate")).cast("long").as("mth"),
+        col("c_nationkey").cast("long").as("nat"))
+    val bins = o
+      .select(col("pos"), explode(array(
+        struct(lit("price_band").as("feature"), col("band").as("bin")),
+        struct(lit("order_month").as("feature"), col("mth").as("bin")),
+        struct(lit("nation").as("feature"), col("nat").as("bin")))).as("fb"))
+      .groupBy(col("fb.feature").as("feature"), col("fb.bin").as("bin"))
+      .agg(sum(col("pos")).as("n_pos"), sum(lit(1L) - col("pos")).as("n_neg"))
+    val byFeature = Window.partitionBy(col("feature"))
+    val w = bins
+      .withColumn("p", sum(col("n_pos")).over(byFeature))
+      .withColumn("n", sum(col("n_neg")).over(byFeature))
+    val woe = log(((lit(2) * col("n_pos") + 1) * col("n")).cast("double")
+      / ((lit(2) * col("n_neg") + 1) * col("p")).cast("double"))
+    val t = w.withColumn("woe_raw", woe)
+      .withColumn("ivt",
+        round((col("n_pos").cast("double") / col("p")
+          - col("n_neg").cast("double") / col("n")) * col("woe_raw") * 1e9)
+          .cast("long"))
+    t.select(col("feature"), col("bin"), col("n_pos"), col("n_neg"),
+        Q.noNegZero(round(col("woe_raw"), 6)).as("woe"),
+        Q.noNegZero(round(sum(col("ivt")).over(byFeature).cast("double") / 1e9, 6))
+          .as("iv"))
+      .orderBy(col("feature"), col("bin"))
+  }
+
+  /** Generated oracle for q223: TWO unrolled power-iteration chains —
+    * the original `cmat` (prefix `a`) and the Hotelling-deflated
+    * `cmat2` (prefix `b`) — with the deflation itself in exact HUGEINT
+    * arithmetic mirroring [[graft.operators.Pca.deflate]]. Both
+    * components' Rayleigh quotients price against the ORIGINAL matrix. */
+  private def pca2OracleSql: String = {
+    val K = graft.operators.Pca.Grid
+    val defl =
+      s"""c2raw AS MATERIALIZED (
+         |  SELECT c.i, c.j, c.c * r.den * r.den - r.num * va.v * vb.v AS c
+         |  FROM cmat c CROSS JOIN aray r
+         |  JOIN ait$PcaIters va ON va.i = c.i
+         |  JOIN ait$PcaIters vb ON vb.i = c.j),
+         |cmat2 AS MATERIALIZED (
+         |  SELECT i, j, CASE WHEN c >= 0 THEN (2 * $K * c + m) // (2 * m)
+         |               ELSE -((2 * $K * (-c) + m) // (2 * m)) END AS c
+         |  FROM c2raw, (SELECT max(abs(c)) AS m FROM c2raw))""".stripMargin
+    val fin =
+      s"""SELECT u.component, CAST(u.i AS INT) AS i,
+         |  ${pcaFeatureNamesCase.replace("p.i", "u.i")} AS feature,
+         |  round(CAST(u.sv AS DOUBLE) / $K, 6) + 0.0 AS loading,
+         |  round(CAST((u.num * $K) // (u.den * trc.t) AS DOUBLE) / $K, 6)
+         |    AS ev_share
+         |FROM (
+         |  SELECT 1 AS component, p.i, s.s * p.v AS sv, r.num, r.den
+         |  FROM ait$PcaIters p, asgn s, aray r
+         |  UNION ALL
+         |  SELECT 2, p.i, s.s * p.v, r.num, r.den
+         |  FROM bit$PcaIters p, bsgn s, bray r) u, trc
+         |ORDER BY component, i""".stripMargin
+    Seq(pcaSetupCtes, pcaChainCtes("cmat", "a"), defl,
+      pcaChainCtes("cmat2", "b")).mkString(",\n") + "\n" + fin
+  }
+
+  /** Two-component PCA — q216's top eigenpair plus the SECOND principal
+    * component via Hotelling deflation, both on the exact-integer
+    * lattice (SURVEY §2.11: the two-axis map of the customer-behavior
+    * space — PC1 is the "many cheap frequent orders" volume axis, PC2
+    * on this corpus is a price-range axis loading on max/min order
+    * price against order count).
+    *
+    * The deflation `C₂ = C·den² − num·vvᵀ` (λ₁ = num/den) is exact
+    * integer arithmetic re-quantized onto the ±Grid lattice by its own
+    * max ([[graft.operators.Pca.deflate]] — magnitude bound documented
+    * there, D ≤ 6 fits HUGEINT), so the second chain is as exactly
+    * mirrored as the first; both components' explained-variance shares
+    * are Rayleigh quotients against the ORIGINAL matrix. The
+    * distributed stage is the same ONE 49-cell moment aggregate as
+    * q216 ([[pcaMoments]]); everything after is KB-scale driver math.
+    * Component 1 rows are BY CONSTRUCTION identical to q216's output
+    * (StatsSpec pins the cross-query consistency). */
+  val q223PcaTwo = Q("q223_pca_two", pca2OracleSql) { (spark, dir) =>
+    import graft.operators.Pca
+    val cells = pcaMoments(spark, dir).collect()
+    val D = PcaDim
+    val P = Array.ofDim[BigInt](D + 1, D + 1)
+    cells.foreach { r =>
+      P(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).toBigInteger
+    }
+    val n = P(D)(D)
+    val num = Array.tabulate(D, D)((i, j) => n * P(i)(j) - P(i)(D) * P(j)(D))
+    require(num.flatten.map(_.abs).max <= BigInt(Long.MaxValue),
+      "q223: moment overflow past int64 — subsample customers or coarsen the feature grids")
+    val c = Pca.corrGrid(num)
+    val trace = (0 until D).map(i => c(i)(i)).sum
+    val (v1, _) = Pca.powerTop(c, PcaIters)
+    val (n1, d1) = Pca.rayleigh(c, v1)
+    val (v2, _) = Pca.powerTop(Pca.deflate(c, v1, n1, d1), PcaIters)
+    val (n2, d2) = Pca.rayleigh(c, v2)
+    val k = Pca.Grid.toDouble
+    val g = BigInt(Pca.Grid)
+    import spark.implicits._
+    Seq((1, v1, n1, d1), (2, v2, n2, d2)).flatMap { case (comp, v, nm, dn) =>
+      val ev = ((nm * g) / (dn * trace)).toDouble / k
+      (0 until D).map(i => (comp, i + 1, PcaFeatNames(i), v(i).toDouble / k, ev))
+    }.toDF("component", "i", "feature", "loading", "ev_share")
+      .orderBy(col("component"), col("i"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -3564,5 +3762,5 @@ object RelationalQueries {
     q184GiniConcentration, q185KsDrift, q186MutualInformation, q187RevenueAcf,
     q197RobustMeans, q198SpearmanRank, q199DriftAlarmsBh, q200HillTailIndex,
     q203WassersteinDrift, q205DriftMonitor, q207AdMonitor, q209DriftTrajectory,
-    q210DriftPanel, q211TrajectoryAlarms, q215KAnonymity, q216FeaturePca, q219RfmSegments)
+    q210DriftPanel, q211TrajectoryAlarms, q215KAnonymity, q216FeaturePca, q219RfmSegments, q221WoeIv, q223PcaTwo)
 }

@@ -66,10 +66,11 @@ object DiagScale {
     * k and reused across runs (delete /tmp/graft_scale_rel_k* to
     * rebuild). */
   private def relTables(spark: SparkSession, sfDir: String, k: Int): String = {
-    // v2: the dir name versions the TABLE SET (v2 added embeddings) —
-    // a stale _done marker from an earlier round must not satisfy a
-    // probe that needs a table the old build never wrote
-    val dir = s"/tmp/graft_scale_rel_v2_k$k"
+    // v3: the dir name versions the TABLE SET (v2 added embeddings,
+    // v3 added events) — a stale _done marker from an earlier round
+    // must not satisfy a probe that needs a table the old build never
+    // wrote
+    val dir = s"/tmp/graft_scale_rel_v3_k$k"
     val done = new java.io.File(s"$dir/_done")
     if (!done.exists()) {
       val docs = graft.sources.Tables.documents(spark, sfDir)
@@ -108,6 +109,11 @@ object DiagScale {
       val emb = graft.sources.Tables.embeddings(spark, sfDir)
       replicateEmb(emb, k)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      // events: replicateEvents' id-shift scheme — per-user streams
+      // (funnel step order, session structure) preserved exactly
+      // within each replica, replicas never share a user
+      replicateEvents(graft.sources.Tables.events(spark, sfDir), k)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
       done.createNewFile()
     }
     dir
@@ -496,6 +502,17 @@ object DiagScale {
         // honest fixed-bits bound the scaladoc documents
         "q220_outliers" -> (() =>
           graft.queries.VectorQueries.q220KnnOutliers
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        // q221: one orders⋈customer equi-join + in-row feature explode
+        // into a bounded (feature, bin) aggregate — expect ≈ linear
+        "q221_woe" -> (() =>
+          graft.queries.RelationalQueries.q221WoeIv
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        // q222: three chained window aggs over ONE user partition;
+        // replicateEvents grows users ×k at fixed per-user streams —
+        // expect ≈ linear shuffle, constant per-user state
+        "q222_funnel" -> (() =>
+          graft.queries.EventQueries.q222WindowedFunnel
             .run(spark, relTables(spark, sfDir, k)).count()),
         // q218: per-source rank window + rank-grain cumsum; replicas add
         // sources (r<r>_src*) at the same docs-per-source, so the rank

@@ -90,6 +90,41 @@ class PcaSpec extends AnyFunSuite {
     assert((ev - BigInt(750000)).abs <= BigInt(1), s"ev=$ev") // 3G / 4G
   }
 
+  test("rayleigh: exact quotient pieces, sign-invariant") {
+    val c = Array(Array(2 * G, BigInt(0)), Array(BigInt(0), G))
+    val v = Array(G, BigInt(0))
+    val (num, den) = Pca.rayleigh(c, v)
+    assert(num === 2 * G * G * G && den === G * G)
+    val (num2, den2) = Pca.rayleigh(c, v.map(-_))
+    assert(num2 === num && den2 === den)
+  }
+
+  test("deflate removes the top component: second iteration finds eigenpair 2") {
+    // [[3G, G],[G, 3G]]: eigenpairs (1,1)/λ=4G and (1,−1)/λ=2G
+    val c = Array(Array(3 * G, G), Array(G, 3 * G))
+    val (v1, ev1) = Pca.powerTop(c, 64)
+    assert(v1(0) === G && (v1(1) - G).abs <= BigInt(2), s"v1=${v1.toSeq}")
+    assert((ev1 - BigInt(666666)).abs <= BigInt(2)) // 4G / 6G
+    val (n1, d1) = Pca.rayleigh(c, v1)
+    val c2 = Pca.deflate(c, v1, n1, d1)
+    val (v2, _) = Pca.powerTop(c2, 64)
+    assert(v2(0) === G && (v2(1) + G).abs <= BigInt(2), s"v2=${v2.toSeq}")
+    // PC2 priced on the ORIGINAL matrix: 2G / 6G
+    val (n2, d2) = Pca.rayleigh(c, v2)
+    val ev2 = (n2 * G) / (d2 * (6 * G))
+    assert((ev2 - BigInt(333333)).abs <= BigInt(2), s"ev2=$ev2")
+  }
+
+  test("deflate raises on a rank-1 matrix (no second component)") {
+    // vvᵀ itself: deflating its own top component zeroes everything
+    val v = Array(G, G)
+    val c = Array.tabulate(2, 2)((i, j) => v(i) * v(j) / G)
+    val (v1, _) = Pca.powerTop(c, 16)
+    val (n1, d1) = Pca.rayleigh(c, v1)
+    val e = intercept[IllegalArgumentException](Pca.deflate(c, v1, n1, d1))
+    assert(e.getMessage.contains("rank-1"))
+  }
+
   test("powerTop agrees with a double-precision reference on a dense PSD matrix") {
     // deterministic B, C = BᵀB (PSD), integer entries; compare against
     // 512 double power-iteration steps

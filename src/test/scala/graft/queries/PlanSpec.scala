@@ -292,6 +292,31 @@ class PlanSpec extends SparkSpec {
       "top-20 plans a global sort instead of TakeOrdered:\n" + p)
   }
 
+  test("q221 WOE/IV: one orders scan, one customer scan, bounded window grain") {
+    val p = plan(RelationalQueries.q221WoeIv)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "WOE screen plans a product join:\n" + p)
+    // the three features explode IN-ROW after one equi-join — a rework
+    // that unions three scans would read orders three times
+    val ordersReads = p.linesIterator
+      .count(l => l.contains("ReadSchema") && l.contains("o_totalprice"))
+    assert(ordersReads === 1, s"orders scanned $ordersReads times:\n" + p)
+    val custReads = p.linesIterator
+      .count(l => l.contains("ReadSchema") && l.contains("c_nationkey"))
+    assert(custReads === 1, s"customer scanned $custReads times:\n" + p)
+  }
+
+  test("q222 funnel: three chained step windows share ONE user exchange") {
+    val p = plan(EventQueries.q222WindowedFunnel)
+    // each funnel step is a conditional min referencing the previous
+    // step's column over the SAME user partition — one shuffle total;
+    // an aggregate-then-join rework would add a user exchange per step
+    val userOnly = "hashpartitioning\\(user_id#\\d+L?, \\d+\\)".r.findAllIn(p).size
+    assert(userOnly === 1,
+      s"expected exactly one user-keyed exchange, found $userOnly:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q194 documents scan is pruned to doc_id+text+source") {
     val reads = plan(TextQueries.q194HeapsLaw).linesIterator
       .filter(_.contains("ReadSchema")).mkString("\n")

@@ -1440,6 +1440,103 @@ class StatsSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("q221 WOE/IV: full driver-side replay with the exact integer-arg ln") {
+    val got = RelationalQueries.q221WoeIv.run(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val rows = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        month(col("o_orderdate")).as("mth"), col("c_nationkey"))
+      .collect()
+      .map { r =>
+        val pos = if (Set("1-URGENT", "2-HIGH")(r.getString(0))) 1L else 0L
+        val band = math.round(r.getDouble(1) * 100) / 1000000L
+        (pos, Seq(("price_band", band), ("order_month", r.getInt(2).toLong),
+          ("nation", r.getInt(3).toLong)))
+      }
+    val binAgg = rows.flatMap { case (pos, fs) => fs.map(f => (f, pos)) }
+      .groupBy(_._1).view.mapValues { xs =>
+        (xs.map(_._2).sum, xs.size.toLong - xs.map(_._2).sum)
+      }.toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val byFeature = binAgg.groupBy(_._1._1)
+    assert(got.keySet === binAgg.keySet)
+    byFeature.foreach { case (_, bins) =>
+      val p = bins.values.map(_._1).sum
+      val n = bins.values.map(_._2).sum
+      val ivGrid = bins.toSeq.map { case (_, (np, nn)) =>
+        val woe = math.log(((2 * np + 1) * n).toDouble / ((2 * nn + 1) * p))
+        math.round((np.toDouble / p - nn.toDouble / n) * woe * 1e9)
+      }.sum
+      bins.foreach { case (k, (np, nn)) =>
+        val woe = math.log(((2 * np + 1) * n).toDouble / ((2 * nn + 1) * p))
+        val g = got(k)
+        assert(g._1 === np && g._2 === nn, s"counts $k")
+        assert(g._3 === r6(woe), s"woe $k: ${g._3} vs ${r6(woe)}")
+        assert(g._4 === r6(ivGrid.toDouble / 1e9), s"iv $k")
+      }
+    }
+  }
+
+  test("q222 windowed funnel: driver replay + step monotonicity") {
+    val got = EventQueries.q222WindowedFunnel.run(spark, sfDir)
+      .selectExpr("CAST(cohort AS STRING)", "n_view", "n_click_24h",
+        "n_purchase_72h")
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    got.values.foreach { case (v, c, p) =>
+      assert(p <= c && c <= v, "funnel steps must be monotone")
+    }
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_millis(ts)").as("tsm"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val want = ev.groupBy(_._1).values.flatMap { es =>
+      val views = es.filter(_._3 == "view").map(_._2)
+      if (views.isEmpty) None
+      else {
+        val tv = views.min
+        val tc = es.filter(e => e._3 == "click" && e._2 > tv
+          && e._2 <= tv + 24L * 3600 * 1000).map(_._2)
+          .reduceOption(_ min _)
+        val tp = tc.flatMap(c => es.filter(e => e._3 == "purchase" && e._2 > c
+          && e._2 <= c + 72L * 3600 * 1000).map(_._2)
+          .reduceOption(_ min _))
+        // session TZ is UTC — mirror Spark's cast(timestamp AS date)
+        Some((java.time.Instant.ofEpochMilli(tv)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString,
+          tc.isDefined, tp.isDefined))
+      }
+    }.toSeq.groupBy(_._1).view.mapValues { xs =>
+      (xs.size.toLong, xs.count(_._2).toLong, xs.count(_._3).toLong)
+    }.toMap
+    assert(got.view.mapValues(identity).toMap === want)
+  }
+
+  test("q223 two-component PCA: component 1 ≡ q216; components near-orthogonal") {
+    val rows = RelationalQueries.q223PcaTwo.run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length === 12)
+    val c1 = rows.filter(_._1 === 1).sortBy(_._2)
+    val c2 = rows.filter(_._1 === 2).sortBy(_._2)
+    // cross-query consistency: component 1 is BY CONSTRUCTION q216
+    val q216 = RelationalQueries.q216FeaturePca.run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(c1.map(t => (t._2, t._3, t._4, t._5)).toSeq === q216.toSeq)
+    // shares ordered and sane; loadings ∞-normalized
+    assert(c1.head._5 > c2.head._5 && c2.head._5 > 0)
+    assert(c1.map(t => math.abs(t._4)).max === 1.0)
+    assert(c2.map(t => math.abs(t._4)).max === 1.0)
+    // near-orthogonality (lattice rounding allows a small residual)
+    val dot = c1.map(_._4).zip(c2.map(_._4)).map { case (a, b) => a * b }.sum
+    val n1 = math.sqrt(c1.map(t => t._4 * t._4).sum)
+    val n2 = math.sqrt(c2.map(t => t._4 * t._4).sum)
+    assert(math.abs(dot / (n1 * n2)) < 1e-3, s"cos(v1,v2)=${dot / (n1 * n2)}")
+  }
+
   test("q186 MI invariants: 0 ≤ MI ≤ min(Hx, Hy), NMI in [0, 1]") {
     val rows = RelationalQueries.q186MutualInformation.run(spark, sfDir).collect()
     assert(rows.length > 0)
