@@ -3744,6 +3744,138 @@ object RelationalQueries {
       .orderBy(col("component"), col("i"))
   }
 
+  /** Decision-stump split finding — per candidate feature, the best
+    * single split by Gini gain against the urgent-priority label
+    * (SURVEY §2.11 north-star: the split-screening companion to q221's
+    * WOE — WOE ranks features by global separation, this finds the
+    * actionable THRESHOLD, the building block of any distributed tree
+    * learner). Ordered features (price in $1k bands, order month)
+    * split as `≤ v` over every present cutpoint; the categorical
+    * feature (nation) splits one-vs-rest (`= v`).
+    *
+    * Exactness: the weighted-child-impurity objective is minimized by
+    * maximizing `Q = ((pL²+nL²)·tR + (pR²+nR²)·tL) / (tL·tR)` — every
+    * term an exact BIGINT from the label counts, so both engines
+    * compute the IDENTICAL double for Q and the per-feature argmax
+    * (rank by Q desc, threshold asc) is deterministic; the reported
+    * gain re-derives from the same exact integers and rounds once.
+    *
+    * Scale: one orders scan + one customer equi-join, in-row feature
+    * explode to (feature, value, pos, neg) counts (bounded: |$1k
+    * bands| + 12 + 25 rows), cumulative label counts via the SAME
+    * metric-partitioned [[graft.operators.Ecdf.groupedCumsum]] as
+    * q219, and the argmax is a window over the bounded cutpoint
+    * relation. No NTILE, no global sort, no per-row anything. */
+  val q224SplitGain = Q(
+    "q224_split_gain",
+    """WITH o AS (
+      |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |              THEN 1 ELSE 0 END AS pos,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) // 100000 AS band,
+      |    CAST(month(o_orderdate) AS BIGINT) AS mth,
+      |    CAST(c_nationkey AS BIGINT) AS nat
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |cnt AS (
+      |  SELECT f.feature, f.kind, f.v,
+      |    CAST(sum(pos) AS BIGINT) AS p, CAST(sum(1 - pos) AS BIGINT) AS q
+      |  FROM o, LATERAL (VALUES ('price_band_1k', 'le', band),
+      |                          ('order_month', 'le', mth),
+      |                          ('nation', 'eq', nat)) f(feature, kind, v)
+      |  GROUP BY 1, 2, 3),
+      |cum AS (
+      |  SELECT feature, kind, v,
+      |    CASE WHEN kind = 'le'
+      |         THEN sum(p) OVER (PARTITION BY feature ORDER BY v) ELSE p END AS pl,
+      |    CASE WHEN kind = 'le'
+      |         THEN sum(q) OVER (PARTITION BY feature ORDER BY v) ELSE q END AS nl,
+      |    sum(p) OVER (PARTITION BY feature) AS pt,
+      |    sum(q) OVER (PARTITION BY feature) AS nt
+      |  FROM cnt),
+      |sc AS (
+      |  SELECT feature, kind, v, pl, nl, pt, nt,
+      |    pl + nl AS tl, (pt + nt) - (pl + nl) AS tr,
+      |    pt - pl AS pr, nt - nl AS nr,
+      |    CASE WHEN pt + nt > 2000000
+      |         THEN error('q224: label count past the int64 objective headroom (T^3) — subsample rows')
+      |         ELSE 1 END AS ok
+      |  FROM cum
+      |  WHERE pl + nl > 0 AND (pt + nt) - (pl + nl) > 0),
+      |qq AS (
+      |  SELECT *, ok * CAST((pl * pl + nl * nl) * tr + (pr * pr + nr * nr) * tl
+      |                 AS DOUBLE) / (CAST(tl AS DOUBLE) * tr) AS qv,
+      |    row_number() OVER (PARTITION BY feature ORDER BY
+      |      ok * CAST((pl * pl + nl * nl) * tr + (pr * pr + nr * nr) * tl AS DOUBLE)
+      |        / (CAST(tl AS DOUBLE) * tr) DESC, v) AS rn
+      |  FROM sc)
+      |SELECT feature, kind AS split_kind, CAST(v AS BIGINT) AS threshold,
+      |  CAST(tl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
+      |  round((1.0 - (CAST(pt AS DOUBLE) * pt + CAST(nt AS DOUBLE) * nt)
+      |           / (CAST(pt + nt AS DOUBLE) * (pt + nt)))
+      |        - (1.0 - qv / (pt + nt)), 6) + 0.0 AS gini_gain
+      |FROM qq WHERE rn = 1
+      |ORDER BY feature""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("pos"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT) div 100000").as("band"),
+        month(col("o_orderdate")).cast("long").as("mth"),
+        col("c_nationkey").cast("long").as("nat"))
+    val cnt = o
+      .select(col("pos"), explode(array(
+        struct(lit("price_band_1k").as("feature"), lit("le").as("kind"),
+          col("band").as("v")),
+        struct(lit("order_month").as("feature"), lit("le").as("kind"),
+          col("mth").as("v")),
+        struct(lit("nation").as("feature"), lit("eq").as("kind"),
+          col("nat").as("v")))).as("fk"))
+      .groupBy(col("fk.feature").as("feature"), col("fk.kind").as("kind"),
+        col("fk.v").as("v"))
+      .agg(sum(col("pos")).as("p"), sum(lit(1L) - col("pos")).as("q"))
+    // ordered features take the metric-partitioned cumsum; the
+    // categorical one uses its own bin counts directly — both ride the
+    // same bounded (feature, v) relation
+    val cum = graft.operators.Ecdf
+      .groupedCumsum(cnt, Seq("feature", "kind"), "v", Seq("p", "q"))
+      .select(col("feature"), col("kind"), col("v"),
+        when(col("kind") === "le", col("cum_p")).otherwise(col("p")).as("pl"),
+        when(col("kind") === "le", col("cum_q")).otherwise(col("q")).as("nl"),
+        col("tot_p").as("pt"), col("tot_q").as("nt"))
+    val sc = cum
+      .withColumn("tl", col("pl") + col("nl"))
+      .withColumn("tr", col("pt") + col("nt") - col("tl"))
+      .withColumn("pr", col("pt") - col("pl"))
+      .withColumn("nr", col("nt") - col("nl"))
+      .filter(col("tl") > 0 && col("tr") > 0)
+      // two-sided loud guard (the house convention): pl²·tr needs T³
+      // within int64 — past ~2×10⁶ labeled rows both dialects raise
+      // with the same remedy instead of silently wrapping
+      .withColumn("ok", when(col("pt") + col("nt") > 2000000L,
+        raise_error(lit("q224: label count past the int64 objective headroom (T^3) — subsample rows")).cast("int"))
+        .otherwise(lit(1)))
+    // ok multiplies INTO the objective so column pruning cannot drop
+    // the guard (ok = 1 on the safe path — exact identity)
+    val qv = col("ok") * ((col("pl") * col("pl") + col("nl") * col("nl")) * col("tr")
+      + (col("pr") * col("pr") + col("nr") * col("nr")) * col("tl"))
+      .cast("double") / (col("tl").cast("double") * col("tr"))
+    val qq = sc.withColumn("qv", qv)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("feature")).orderBy(col("qv").desc, col("v"))))
+      .filter(col("rn") === 1)
+    val t = col("pt") + col("nt")
+    qq.select(col("feature"), col("kind").as("split_kind"),
+        col("v").as("threshold"), col("tl").as("n_left"),
+        col("pl").as("pos_left"),
+        Q.noNegZero(round(
+          (lit(1.0) - (col("pt").cast("double") * col("pt")
+            + col("nt").cast("double") * col("nt"))
+            / (t.cast("double") * t))
+          - (lit(1.0) - col("qv") / t), 6)).as("gini_gain"))
+      .orderBy(col("feature"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -3762,5 +3894,6 @@ object RelationalQueries {
     q184GiniConcentration, q185KsDrift, q186MutualInformation, q187RevenueAcf,
     q197RobustMeans, q198SpearmanRank, q199DriftAlarmsBh, q200HillTailIndex,
     q203WassersteinDrift, q205DriftMonitor, q207AdMonitor, q209DriftTrajectory,
-    q210DriftPanel, q211TrajectoryAlarms, q215KAnonymity, q216FeaturePca, q219RfmSegments, q221WoeIv, q223PcaTwo)
+    q210DriftPanel, q211TrajectoryAlarms, q215KAnonymity, q216FeaturePca, q219RfmSegments, q221WoeIv, q223PcaTwo,
+    q224SplitGain)
 }

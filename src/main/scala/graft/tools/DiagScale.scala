@@ -514,6 +514,11 @@ object DiagScale {
         "q222_funnel" -> (() =>
           graft.queries.EventQueries.q222WindowedFunnel
             .run(spark, relTables(spark, sfDir, k)).count()),
+        // q224: q221's join/explode shape plus the metric-partitioned
+        // cutpoint cumsum — expect q221's ≈ linear profile
+        "q224_split" -> (() =>
+          graft.queries.RelationalQueries.q224SplitGain
+            .run(spark, relTables(spark, sfDir, k)).count()),
         // q218: per-source rank window + rank-grain cumsum; replicas add
         // sources (r<r>_src*) at the same docs-per-source, so the rank
         // DOMAIN stays fixed while doc rows grow ×k — expect ≈ linear

@@ -317,6 +317,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q224 split gain: cumsum-ranged cutpoints, no product, pruned scans") {
+    val p = plan(RelationalQueries.q224SplitGain)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "split finder plans a product join:\n" + p)
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      "cutpoint cumsum lost its range exchange:\n" + p)
+    val reads = p.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("o_totalprice"))
+      .mkString("\n")
+    assert(reads.nonEmpty && !reads.contains("o_orderstatus")
+      && !reads.contains("o_orderkey"), "orders scan over-reads:\n" + reads)
+  }
+
   test("q194 documents scan is pruned to doc_id+text+source") {
     val reads = plan(TextQueries.q194HeapsLaw).linesIterator
       .filter(_.contains("ReadSchema")).mkString("\n")

@@ -1537,6 +1537,60 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(dot / (n1 * n2)) < 1e-3, s"cos(v1,v2)=${dot / (n1 * n2)}")
   }
 
+  test("q224 split gain: brute-force driver replay finds the same best splits") {
+    val got = RelationalQueries.q224SplitGain.run(spark, sfDir).collect()
+      .map(r => (r.getString(0),
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    val rows = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        month(col("o_orderdate")).as("mth"), col("c_nationkey"))
+      .collect()
+      .map { r =>
+        val pos = if (Set("1-URGENT", "2-HIGH")(r.getString(0))) 1L else 0L
+        (pos, math.round(r.getDouble(1) * 100) / 100000L,
+          r.getInt(2).toLong, r.getInt(3).toLong)
+      }
+    val t = rows.size.toLong
+    val pt = rows.map(_._1).sum
+    val nt = t - pt
+    def best(vals: Seq[(Long, Long)], le: Boolean): (Long, Long, Long, Double) = {
+      // vals: (value, pos) per row; candidates = distinct values
+      val byV = vals.groupBy(_._1).view
+        .mapValues(xs => (xs.map(_._2).sum, xs.size.toLong - xs.map(_._2).sum))
+        .toSeq.sortBy(_._1)
+      val cands = if (le) {
+        byV.scanLeft((0L, 0L, 0L)) { case ((_, cp, cn), (v, (p, n))) =>
+          (v, cp + p, cn + n)
+        }.tail
+      } else byV.map { case (v, (p, n)) => (v, p, n) }
+      val scored = cands
+        .filter { case (_, pl, nl) => pl + nl > 0 && t - pl - nl > 0 }
+        .map { case (v, pl, nl) =>
+          val (tl, tr) = (pl + nl, t - pl - nl)
+          val (pr, nr) = (pt - pl, nt - nl)
+          val q = ((pl * pl + nl * nl) * tr + (pr * pr + nr * nr) * tl).toDouble /
+            (tl.toDouble * tr)
+          (v, pl, nl, q)
+        }
+      val (v, pl, nl, q) = scored.minBy { case (v, _, _, q) => (-q, v) }
+      val gain = (1.0 - (pt.toDouble * pt + nt.toDouble * nt) / (t.toDouble * t)) -
+        (1.0 - q / t)
+      assert(gain >= -1e-12, s"gini concavity violated: $gain") // gain ≥ 0 always
+      (v, pl + nl, pl,
+        BigDecimal(gain).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+    }
+    val want = Map(
+      "price_band_1k" -> ("le", best(rows.map(r => (r._2, r._1)), le = true)),
+      "order_month" -> ("le", best(rows.map(r => (r._3, r._1)), le = true)),
+      "nation" -> ("eq", best(rows.map(r => (r._4, r._1)), le = false)))
+    assert(got.keySet === want.keySet)
+    want.foreach { case (f, (kind, (v, tl, pl, gain))) =>
+      assert(got(f) === ((kind, v, tl, pl, gain)), s"feature $f: ${got(f)}")
+    }
+  }
+
   test("q186 MI invariants: 0 ≤ MI ≤ min(Hx, Hy), NMI in [0, 1]") {
     val rows = RelationalQueries.q186MutualInformation.run(spark, sfDir).collect()
     assert(rows.length > 0)
