@@ -4671,6 +4671,93 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Isotonic score calibration — the monotone-regression completion of
+    * the calibration family (q155 reports the RAW per-bin positive
+    * rate; q202 decomposes the Brier score; this fits the best
+    * MONOTONE rate curve, the standard production calibrator for
+    * classifier scores). Same 16 fixed-width bins over the shared
+    * quality-score/label fixture as q155, so the two curves are
+    * directly comparable.
+    *
+    * No iterative PAVA anywhere: the fit uses the closed-form minimax
+    * characterization `iso(i) = max_{j≤i} min_{k≥i} mean(pos[j..k])` —
+    * over BIN grain that is a ≤136-row triangular self-join plus two
+    * windows (suffix-min per start, prefix-max per end), identical in
+    * both dialects. StatsSpec pins this minimax ≡ an actual
+    * pool-adjacent-violators run, so the formulation itself is
+    * regression-tested.
+    *
+    * Scale: the corpus is touched once (score + bin assignment, the
+    * q155 shape); everything after runs on the 16-row bin relation —
+    * its global windows are the bounded-relation class (q199's BH
+    * precedent). Exactness: segment means are ratios of exact BIGINT
+    * cumsum differences — identical doubles both engines — and
+    * min/max over identical doubles cannot diverge; one final 6-dp
+    * round. */
+  val q225IsotonicCalibration = Q(
+    "q225_isotonic_calibration",
+    s"""WITH $qualityLabSql,
+       |bounds AS (SELECT min(score) AS lo, max(score) AS hi FROM lab),
+       |b AS (
+       |  SELECT least(greatest(CAST(floor((score - lo) / ((hi - lo) / 16))
+       |      AS INT), 0), 15) AS bin, pos
+       |  FROM lab, bounds),
+       |bins AS (
+       |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p
+       |  FROM b GROUP BY bin),
+       |cum AS (
+       |  SELECT bin, n, p,
+       |    sum(n) OVER (ORDER BY bin) AS cn,
+       |    sum(p) OVER (ORDER BY bin) AS cp
+       |  FROM bins),
+       |seg AS (
+       |  SELECT j.bin AS j, k.bin AS k,
+       |    CAST(k.cp - (j.cp - j.p) AS DOUBLE)
+       |      / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS m
+       |  FROM cum j JOIN cum k ON j.bin <= k.bin),
+       |sufmin AS (
+       |  SELECT j, k, min(m) OVER (PARTITION BY j ORDER BY k DESC) AS sm
+       |  FROM seg),
+       |iso AS (
+       |  SELECT k AS bin, max(sm) OVER (PARTITION BY k ORDER BY j) AS iso_m, j
+       |  FROM sufmin)
+       |SELECT b.bin, b.n AS n_docs, b.p AS n_pos,
+       |  round(CAST(b.p AS DOUBLE) / b.n, 6) AS raw_rate,
+       |  round(i.iso_m, 6) AS iso_rate
+       |FROM bins b JOIN iso i ON i.bin = b.bin AND i.j = b.bin
+       |ORDER BY b.bin""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val lab = qualityLab(spark, dir)
+    val bounds = lab.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    val bins = lab.crossJoin(broadcast(bounds))
+      .select(least(greatest(floor((col("score") - col("lo")) /
+          ((col("hi") - col("lo")) / 16)).cast("int"), lit(0)), lit(15)).as("bin"),
+        col("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("p"))
+    val wBin = Window.orderBy(col("bin"))
+    val cum = bins
+      .withColumn("cn", sum(col("n")).over(wBin))
+      .withColumn("cp", sum(col("p")).over(wBin))
+    val seg = cum.as("j").join(cum.as("k"), col("j.bin") <= col("k.bin"))
+      .select(col("j.bin").as("j"), col("k.bin").as("k"),
+        ((col("k.cp") - (col("j.cp") - col("j.p"))).cast("double")
+          / (col("k.cn") - (col("j.cn") - col("j.n"))).cast("double")).as("m"))
+    val sufmin = seg.withColumn("sm",
+      min(col("m")).over(Window.partitionBy(col("j")).orderBy(col("k").desc)))
+    val iso = sufmin.withColumn("iso_m",
+        max(col("sm")).over(Window.partitionBy(col("k")).orderBy(col("j"))))
+      .filter(col("j") === col("k"))
+      .select(col("k").as("bin"), col("iso_m"))
+    bins.join(iso, Seq("bin"))
+      .select(col("bin"), col("n").as("n_docs"), col("p").as("n_pos"),
+        round(col("p").cast("double") / col("n"), 6).as("raw_rate"),
+        round(col("iso_m"), 6).as("iso_rate"))
+      .orderBy(col("bin"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -4691,5 +4778,5 @@ object TextQueries {
     q192QuantileNormalize, q193PerplexityFilter, q194HeapsLaw,
     q195TokenWaterfill, q196JsDivergence, q201ShardBalance,
     q202BrierDecomposition, q204ConformalThreshold, q212RetrievalNdcg,
-    q213ChainNdcg, q218CurriculumOrder)
+    q213ChainNdcg, q218CurriculumOrder, q225IsotonicCalibration)
 }

@@ -519,6 +519,11 @@ object DiagScale {
         "q224_split" -> (() =>
           graft.queries.RelationalQueries.q224SplitGain
             .run(spark, relTables(spark, sfDir, k)).count()),
+        // q225: the q155 one-scan bin shape + 16-row isotonic windows —
+        // expect flat-to-linear (corpus scan dominates, fit is constant)
+        "q225_isotonic" -> (() =>
+          graft.queries.TextQueries.q225IsotonicCalibration
+            .run(spark, relTables(spark, sfDir, k)).count()),
         // q218: per-source rank window + rank-grain cumsum; replicas add
         // sources (r<r>_src*) at the same docs-per-source, so the rank
         // DOMAIN stays fixed while doc rows grow ×k — expect ≈ linear

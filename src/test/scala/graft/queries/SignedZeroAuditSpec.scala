@@ -210,6 +210,8 @@ class SignedZeroAuditSpec extends SparkSpec {
     ("q213_chain_ndcg", "hit_at_1"),       // rate ∈ [0,1]
     ("q213_chain_ndcg", "hit_at_k"),       // rate ∈ [0,1]
     ("q219_rfm_segments", "avg_monetary"),    // mean of positive cents
+    ("q225_isotonic_calibration", "raw_rate"), // rate ∈ [0,1]
+    ("q225_isotonic_calibration", "iso_rate"), // max-min of rates ∈ [0,1]
     ("q222_windowed_funnel", "view_to_click"),    // rate ∈ [0,1]
     ("q222_windowed_funnel", "view_to_purchase"), // rate ∈ [0,1]
     ("q215_k_anonymity", "pct_suppressed"),   // ratio of counts ∈ [0,1]

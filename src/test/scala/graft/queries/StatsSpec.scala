@@ -1591,6 +1591,41 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q225 isotonic: minimax formulation ≡ actual pool-adjacent-violators") {
+    val rows = TextQueries.q225IsotonicCalibration.run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // monotone by construction
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 <= b._5 + 1e-12, s"non-monotone at ${b._1}")
+      case _ =>
+    }
+    // PAVA on the SAME binned counts: pool adjacent violators to
+    // weighted means until monotone — the iterative algorithm the
+    // closed-form minimax must reproduce
+    case class Block(p: Long, n: Long) { def mean: Double = p.toDouble / n }
+    var blocks = List.empty[Block]
+    rows.foreach { r =>
+      blocks = Block(r._3, r._2) :: blocks
+      while (blocks.lengthCompare(2) >= 0 &&
+          blocks.head.mean < blocks.tail.head.mean) {
+        val a :: b :: rest = blocks: @unchecked
+        blocks = Block(a.p + b.p, a.n + b.n) :: rest
+      }
+    }
+    val pava = blocks.reverse.flatMap(b => List.fill(b.n.toInt)(b.mean))
+    // expand back to bins by cumulative doc counts
+    val binIso = rows.scanLeft(0L)((acc, r) => acc + r._2).zip(rows)
+      .map { case (offset, r) =>
+        BigDecimal(pava(offset.toInt)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      }
+    rows.map(_._5).zip(binIso).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(got === want, s"bin ${rows(i)._1}: minimax $got vs PAVA $want")
+    }
+  }
+
   test("q186 MI invariants: 0 ≤ MI ≤ min(Hx, Hy), NMI in [0, 1]") {
     val rows = RelationalQueries.q186MutualInformation.run(spark, sfDir).collect()
     assert(rows.length > 0)
