@@ -266,7 +266,12 @@ object Drift {
           lit(s" — past the int128 headroom (see Drift scaladoc); " +
             "subsample each side" +
             (if (stat == "w1" || stat == "energy")
-              " or coarsen the value grid (autoCoarsen = true)" else
+              // inside the coarse pass (withGf) the grid factor is
+              // already at its cap — advising the flag that is already
+              // on would send the caller in a circle
+              (if (withGf) " (the grid factor is already at its cell-count cap)"
+               else " or coarsen the value grid (autoCoarsen = true)")
+             else
               " (the grid cannot help this statistic's count-driven bound)") +
             "; other statistics may still be served - select them " +
             s"without the $stat column"))))
@@ -295,7 +300,10 @@ object Drift {
     * CAPPED so the coarse grid keeps ≥ ~1000 cells — a factor past
     * that would quietly crush the distribution into a handful of bins
     * (dev → 0) and serve a meaningless zero instead of the loud raise
-    * the sentry owes the caller. Healthy groups get f = 1 and pass
+    * the sentry owes the caller. INTEGER value grids only — the long
+    * re-bin would truncate a fractional grid even at f = 1, so a
+    * fractional grid is refused loudly (pre-scale to cents/micros).
+    * Healthy integer-grid groups get f = 1 and pass
     * through bit-identically (DriftSpec pins this). Output carries
     * `__gf`; [[reductions]] surfaces it as `grid_factor` and
     * [[ksAndW1]] multiplies it back into the value-unit statistics
@@ -318,13 +326,28 @@ object Drift {
       .agg(sum(col(cA)).cast("double").as("__n1d"),
         sum(col(cB)).cast("double").as("__n2d"),
         min(col(v)).cast("double").as("__vmin"),
-        max(col(v)).cast("double").as("__vmax"))
+        max(col(v)).cast("double").as("__vmax"),
+        // the ⌊v/f⌋ re-bin below runs in pure long arithmetic, which
+        // TRUNCATES a fractional grid (even at f = 1) — refuse loudly
+        // instead of serving a silently corrupted distribution; callers
+        // on fractional grids pre-scale onto integers (cents, micros)
+        max(abs(col(v).cast("double") - floor(col(v).cast("double"))))
+          .as("__frac"))
       .select((partCols.map(col)
-        :+ least(fNeed, fCap).cast("long").as("__gf")): _*)
+        // folded into __gf so column pruning cannot drop the guard
+        :+ when(col("__frac") > 0, raise_error(lit(
+            "graft.Drift: autoCoarsen requires an integer value grid " +
+              "(the long re-bin would truncate fractional values) — " +
+              "pre-scale the grid to integers (e.g. cents, micros)"))
+            .cast("long"))
+          .otherwise(least(fNeed, fCap).cast("long")).as("__gf")): _*)
     // ⌊v/f⌋ in pure long arithmetic ((v − pmod) is exactly divisible,
     // `div` keeps it integral — a double `/` would lose precision past
     // 2⁵³ on wide value domains)
-    hist.join(st, partCols)
+    val withFactor =
+      if (partCols.isEmpty) hist.crossJoin(st) // the reductions() rule
+      else hist.join(st, partCols)
+    withFactor
       .groupBy((partCols.map(col) :+ col("__gf")
         :+ expr(s"(CAST($v AS BIGINT) - pmod(CAST($v AS BIGINT), __gf)) div __gf")
           .as(v)): _*)

@@ -40,7 +40,15 @@ object Privacy {
       k: Int = 5): DataFrame = {
     require(qiCols.contains(reportCol),
       s"audit: reportCol '$reportCol' must be one of the QI columns $qiCols")
-    val cls = state
+    // [[classState]] is additive under union, so a caller may pass a
+    // UNION of ingest deltas — canonicalize to one row per
+    // (QI, sensitive) first, or l_div (= state-row count per class)
+    // would count duplicates and OVER-report the l-diversity floor (a
+    // release gate passing a table that actually leaks)
+    val canon = state
+      .groupBy(state.columns.filterNot(_ == "c").map(col): _*)
+      .agg(sum(col("c")).as("c"))
+    val cls = canon
       .groupBy(qiCols.map(col): _*)
       .agg(sum(col("c")).as("sz"), count(lit(1)).as("l_div"))
     cls.groupBy(col(reportCol))

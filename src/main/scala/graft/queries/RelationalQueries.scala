@@ -3619,12 +3619,14 @@ object RelationalQueries {
       |  FROM bins),
       |t AS (
       |  SELECT feature, bin, n_pos, n_neg,
-      |    ln(CAST((2 * n_pos + 1) * n AS DOUBLE)
+      |    ok * ln(CAST((2 * n_pos + 1) * n AS DOUBLE)
       |       / CAST((2 * n_neg + 1) * p AS DOUBLE)) AS woe,
-      |    CAST(round((CAST(n_pos AS DOUBLE) / p - CAST(n_neg AS DOUBLE) / n)
+      |    CAST(round(ok * (CAST(n_pos AS DOUBLE) / p - CAST(n_neg AS DOUBLE) / n)
       |      * ln(CAST((2 * n_pos + 1) * n AS DOUBLE)
       |           / CAST((2 * n_neg + 1) * p AS DOUBLE)) * 1e9) AS BIGINT) AS ivt
-      |  FROM w)
+      |  FROM (SELECT *, CASE WHEN p + n > 2000000000
+      |          THEN error('q221: label count past the int64 smoothing headroom (2T^2) — subsample rows')
+      |          ELSE 1 END AS ok FROM w) w2)
       |SELECT feature, bin, n_pos, n_neg,
       |  round(woe, 6) + 0.0 AS woe,
       |  round(CAST(sum(ivt) OVER (PARTITION BY feature) AS DOUBLE) / 1e9, 6) + 0.0
@@ -3651,9 +3653,16 @@ object RelationalQueries {
     val w = bins
       .withColumn("p", sum(col("n_pos")).over(byFeature))
       .withColumn("n", sum(col("n_neg")).over(byFeature))
-    val woe = log(((lit(2) * col("n_pos") + 1) * col("n")).cast("double")
+    // two-sided loud guard (the q224 convention): (2·pos+1)·n needs
+    // 2T² within int64 — past ~2×10⁹ labeled rows the long product
+    // would wrap silently under non-ANSI while the oracle's HUGEINT
+    // stays exact; ok multiplies INTO woe so pruning cannot drop it
+    val wg = w.withColumn("ok", when(col("p") + col("n") > 2000000000L,
+      raise_error(lit("q221: label count past the int64 smoothing headroom (2T^2) — subsample rows")).cast("int"))
+      .otherwise(lit(1)))
+    val woe = col("ok") * log(((lit(2) * col("n_pos") + 1) * col("n")).cast("double")
       / ((lit(2) * col("n_neg") + 1) * col("p")).cast("double"))
-    val t = w.withColumn("woe_raw", woe)
+    val t = wg.withColumn("woe_raw", woe)
       .withColumn("ivt",
         round((col("n_pos").cast("double") / col("p")
           - col("n_neg").cast("double") / col("n")) * col("woe_raw") * 1e9)

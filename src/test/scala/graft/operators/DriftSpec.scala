@@ -276,6 +276,42 @@ class DriftSpec extends SparkSpec {
       assert(auto.get(i) === plain.get(i), s"column $i diverged: $auto vs $plain")
   }
 
+  test("autoCoarsen with empty partCols (ungrouped read) serves like the plain path") {
+    // regression: coarsened() joined hist to the factor relation with
+    // join(st, Seq.empty) — an implicit no-condition inner join that
+    // fails under spark.sql.crossJoin.enabled=false; the crossJoin
+    // special-case reductions() itself uses must apply here too
+    val rows = Seq(("g", 1L, 3L, 1L), ("g", 5L, 1L, 2L), ("g", 9L, 2L, 3L))
+    val auto = Drift.ksAndW1(hist2(rows).drop("g"), Seq.empty, "v", "c1", "c2",
+        withAd = true, withEnergy = true, autoCoarsen = true)
+      .select("ks_d", "w1", "cvm", "ad", "energy", "grid_factor").head()
+    val plain = Drift.ksAndW1(hist2(rows).drop("g"), Seq.empty, "v", "c1", "c2",
+        withAd = true, withEnergy = true)
+      .select("ks_d", "w1", "cvm", "ad", "energy").head()
+    assert(auto.getLong(5) === 1L, "healthy ungrouped read must get factor 1")
+    (0 to 4).foreach(i => assert(auto.getDouble(i) === plain.getDouble(i), s"col $i"))
+  }
+
+  test("autoCoarsen refuses a fractional value grid loudly") {
+    // the long re-bin would TRUNCATE fractional values (even at f = 1,
+    // v=0.25 and v=0.75 both land in bin 0 — a silently corrupted
+    // distribution); the guard must raise with the pre-scale remedy
+    import spark.implicits._
+    val frac = Seq(("g", 0.25d, 3L, 1L), ("g", 0.75d, 1L, 2L))
+      .toDF("g", "v", "c1", "c2")
+    val e = intercept[Exception] {
+      Drift.ksAndW1(frac, Seq("g"), "v", "c1", "c2",
+        withAd = false, withEnergy = false, autoCoarsen = true)
+        .collect()
+    }
+    assert(e.getMessage.contains("integer value grid"), e.getMessage)
+    // the PLAIN path accepts the same fractional grid fine
+    val plain = Drift.ksAndW1(frac, Seq("g"), "v", "c1", "c2",
+      withAd = false, withEnergy = false)
+      .select("ks_d").head()
+    assert(plain.getDouble(0) > 0)
+  }
+
   test("autoCoarsen lockstep holds on random overflow-regime histograms") {
     // randomized version of the fixed lockstep fixture: counts
     // 1e4..1e5 per row over a ~1e18 value span put ONLY energy past
