@@ -85,11 +85,57 @@ object VectorFns {
   }
 
   /** bitsPerBand needed to hold within-band buckets at ~`targetBucket`
-    * members for an `n`-vector corpus: log₂(n / targetBucket). The
-    * registered queries pin constants (the oracle SQL is static); a
-    * 100 TB caller derives bits from its corpus estimate instead. */
+    * members for an `n`-vector corpus: log₂(n / targetBucket). Driver-side
+    * twin of [[bitsForCorpusCol]] (same floor of 4, same ceil-log₂). */
   def bitsForCorpus(n: Long, targetBucket: Int = 64): Int =
     math.max(4, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+
+  /** In-query [[bitsForCorpus]]: the smallest b in [minBits, maxBits]
+    * with n ≤ targetBucket·2^b, as an exact-integer comparison chain —
+    * no log/ceil float boundary, so a SQL twin generated from the same
+    * loop resolves to the IDENTICAL bit count in any engine. This is
+    * what holds the LSH self-join linear at 100×: within-bucket
+    * population stays ~targetBucket instead of growing ∝N. */
+  def bitsForCorpusCol(n: Column, minBits: Int, maxBits: Int,
+      targetBucket: Int): Column =
+    (minBits until maxBits).foldRight(lit(maxBits): Column) { (b, els) =>
+      when(n <= lit(targetBucket.toLong << b), lit(b)).otherwise(els)
+    }
+
+  /** [[lshBucket]] with a RUNTIME bit count: the expression is unrolled
+    * to a static `maxBits` width and each bit b contributes only when
+    * `b < bits` — `And` short-circuits, so masked-off planes cost
+    * nothing at runtime, and the static unrolling keeps a SQL oracle
+    * expressible while the bucket count scales with the corpus
+    * ([[bitsForCorpusCol]] supplies `bits` from an in-query count). */
+  def lshBucketMasked(vec: Column, dim: Int, bits: Column, maxBits: Int,
+      seed: Long = 42L): Column = {
+    val v = d(vec)
+    (0 until maxBits).map { b =>
+      val coefs = array(lshCoefs(b, dim, seed).map(lit): _*)
+      when(lit(b) < bits &&
+          graft.plans.CosineSimExpr.cosineSim(v, coefs) >= 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** [[lshBandKeys]] with a RUNTIME per-band bit count (same masking
+    * contract as [[lshBucketMasked]]). Band b draws planes from the
+    * STATIC window b·maxBitsPerBand+r — plane identity never depends
+    * on the resolved bit count, so growing the corpus only APPENDS
+    * sign bits to each band key (prefix-stable bucketing). */
+  def lshBandKeysMasked(vec: Column, dim: Int, nBands: Int, bits: Column,
+      maxBitsPerBand: Int, seed: Long = 42L): Column = {
+    val v = d(vec)
+    array((0 until nBands).map { b =>
+      (0 until maxBitsPerBand).map { r =>
+        val coefs = array(lshCoefs(b * maxBitsPerBand + r, dim, seed).map(lit): _*)
+        when(lit(r) < bits &&
+            graft.plans.CosineSimExpr.cosineSim(v, coefs) >= 0,
+          lit(1L << r)).otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y))
+    }: _*)
+  }
 
   /** The ±1 hyperplane coefficients for bit `b` — deterministic per
     * (bit, dimension) from a splitmix-style mix. Public so the DuckDB

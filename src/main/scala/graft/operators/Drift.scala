@@ -310,6 +310,21 @@ object Drift {
     * (w1, energy), so a coarsened read keeps the caller's units. */
   private def coarsened(hist: DataFrame, partCols: Seq[String], v: String,
       cA: String, cB: String, withEnergy: Boolean): DataFrame = {
+    // the runtime __frac guard below is EXACT for float/double grids (a
+    // binary float ≥ 2^53 cannot carry a fraction, so the double probe
+    // never misses one) — but a fractional-SCALE decimal CAN hold
+    // fractions past 2^53 that the double cast rounds integral, sailing
+    // through the probe into the silent long-truncation the guard
+    // exists to refuse. Close that blind spot statically: a decimal
+    // grid must arrive with scale 0 (pre-scale to cents/micros).
+    hist.schema(v).dataType match {
+      case d: org.apache.spark.sql.types.DecimalType =>
+        require(d.scale <= 0,
+          "graft.Drift: autoCoarsen requires an integer value grid — " +
+            s"column '$v' is decimal(${d.precision},${d.scale}); " +
+            "pre-scale the grid to integers (e.g. cents, micros)")
+      case _ => ()
+    }
     val lim = 1e37 // one digit under decimal(38,0) for the sum headroom
     val nn = col("__n1d") * col("__n2d")
     val range = col("__vmax") - col("__vmin")

@@ -27,10 +27,18 @@ object Privacy {
     * under union — the same call works on a batch DataFrame and on a
     * complete-mode stream. */
   def classState(rows: DataFrame, qiCols: Seq[String],
-      sensCol: String): DataFrame =
+      sensCol: String): DataFrame = {
+    // the count column's name is part of the state contract (audit()
+    // canonicalizes by grouping on every OTHER column) — a QI or
+    // sensitive column named "c" would silently drop out of the grain
+    // and corrupt the l-diversity floor, so refuse it loudly
+    require(!(qiCols :+ sensCol).contains("c"),
+      "Privacy: 'c' is reserved for the class-state count column — " +
+        "rename the conflicting QI/sensitive column before auditing")
     rows
       .groupBy((qiCols :+ sensCol).map(col): _*)
       .agg(count(lit(1)).as("c"))
+  }
 
   /** The release audit over [[classState]] output: per `reportCol`
     * (one of the QI columns) — row/class counts, the smallest class
@@ -40,6 +48,9 @@ object Privacy {
       k: Int = 5): DataFrame = {
     require(qiCols.contains(reportCol),
       s"audit: reportCol '$reportCol' must be one of the QI columns $qiCols")
+    require(!qiCols.contains("c"),
+      "Privacy: 'c' is reserved for the class-state count column — " +
+        "rename the conflicting QI column before auditing")
     // [[classState]] is additive under union, so a caller may pass a
     // UNION of ingest deltas — canonicalize to one row per
     // (QI, sensitive) first, or l_div (= state-row count per class)

@@ -3278,13 +3278,18 @@ object RelationalQueries {
     val it0 =
       s"""${pfx}it0 AS MATERIALIZED (
          |  SELECT i, CAST($K + i AS HUGEINT) AS v FROM range(1, ${D + 1}) t(i))""".stripMargin
+    // the m = 0 branch mirrors the Scala require("zero iterate") — on a
+    // degenerate matrix BOTH dialects raise loudly with the same text,
+    // instead of DuckDB dividing by zero (the r12 advisory)
     val its = (1 to PcaIters).map { k =>
       s"""${pfx}w$k AS MATERIALIZED (
          |  SELECT c.i, sum(c.c * p.v) AS w
          |  FROM $mat c JOIN ${pfx}it${k - 1} p ON p.i = c.j GROUP BY c.i),
          |${pfx}it$k AS MATERIALIZED (
-         |  SELECT i, CASE WHEN w >= 0 THEN (2 * $K * w + m) // (2 * m)
-         |                 ELSE -((2 * $K * (-w) + m) // (2 * m)) END AS v
+         |  SELECT i, CASE
+         |    WHEN m = 0 THEN error('q216: zero iterate — degenerate correlation matrix')
+         |    WHEN w >= 0 THEN (2 * $K * w + m) // (2 * m)
+         |    ELSE -((2 * $K * (-w) + m) // (2 * m)) END AS v
          |  FROM ${pfx}w$k, (SELECT max(abs(w)) AS m FROM ${pfx}w$k))""".stripMargin
     }
     // the FINAL matvec runs against the ORIGINAL cmat in both chains —
@@ -3295,9 +3300,12 @@ object RelationalQueries {
          |  SELECT c.i, sum(c.c * p.v) AS w
          |  FROM cmat c JOIN ${pfx}it$PcaIters p ON p.i = c.j GROUP BY c.i),
          |${pfx}ray AS MATERIALIZED (
-         |  SELECT (SELECT sum(p.v * f.w) FROM ${pfx}it$PcaIters p
-         |          JOIN ${pfx}wf f ON f.i = p.i) AS num,
-         |         (SELECT sum(v * v) FROM ${pfx}it$PcaIters) AS den),
+         |  SELECT CASE WHEN num <= 0
+         |    THEN error('q216: non-positive Rayleigh quotient — correlation matrix is not PSD-dominant')
+         |    ELSE num END AS num, den
+         |  FROM (SELECT (SELECT sum(p.v * f.w) FROM ${pfx}it$PcaIters p
+         |                JOIN ${pfx}wf f ON f.i = p.i) AS num,
+         |               (SELECT sum(v * v) FROM ${pfx}it$PcaIters) AS den) r0),
          |${pfx}sgn AS (
          |  SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS s
          |  FROM ${pfx}it$PcaIters ORDER BY abs(v) DESC, i LIMIT 1)""".stripMargin

@@ -75,6 +75,18 @@ object VectorQueries {
       s"(CASE WHEN list_dot_product(CAST($embCol AS DOUBLE[]), CAST($coefs AS DOUBLE[])) >= 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Single-bucket twin of [[duckBandMaskedExpr]] (plane window 0..maxBits,
+    * matching VectorFns.lshBucketMasked): the count-derived `bits` mask
+    * makes the bucket count scale with the corpus while the SQL stays
+    * static. Used by the self-join sites (q217/q220) — the probe-bounded
+    * single-probe queries (q33/q104) keep their fixed width, their cost
+    * is 1 probe × bucket, linear by construction. */
+  private def duckBucketMaskedExpr(embCol: String, maxBits: Int): String =
+    (0 until maxBits).map { b =>
+      val coefs = VectorFns.lshCoefs(b, Dim).mkString("[", ",", "]")
+      s"(CASE WHEN $b < bits AND list_cosine_similarity(CAST($embCol AS DOUBLE[]), CAST($coefs AS DOUBLE[])) >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+
   /** ANN via random-hyperplane LSH: 6-bit bucket signature, then exact
     * cosine only within the probe's bucket. Hyperplanes are deterministic
     * and inlined into the DuckDB twin (`duckBucketExpr`) → full
@@ -106,27 +118,71 @@ object VectorQueries {
   }
 
   /** Near-dup banding parameters for the registered q34/q51/q59 queries.
-    * Constants because the oracle SQL is a static string; a production
-    * caller derives bitsPerBand from its corpus size instead
-    * (VectorFns.bitsForCorpus — within-band bucket population is
-    * N / 2^bitsPerBand, so growing bits with log₂N holds the self-join
-    * linear where the old single fixed 256-bucket signature went
-    * quadratic). 4 bands buy back the recall the longer keys cost —
-    * the same OR-of-ANDs S-curve as Dedup.minhashLshPairs. */
+    * The per-band bit count is NOT a constant: it is derived in-query
+    * from the corpus count (VectorFns.bitsForCorpusCol — within-band
+    * bucket population is N / 2^bits, so growing bits with log₂N holds
+    * the self-join linear; a compile-time-pinned width is quadratic at
+    * 100×, the r12 verdict's one scale-killer class). The EXPRESSION is
+    * static — unrolled to `NdMaxBits` sign planes and masked to the low
+    * `bits` at runtime — which keeps the DuckDB oracle expressible: both
+    * dialects resolve `bits` from the same exact-integer comparison
+    * chain over the same count, so the buckets stay bit-identical.
+    * 4 bands buy back the recall longer keys cost — the same
+    * OR-of-ANDs S-curve as Dedup.minhashLshPairs. */
   private val NdBands = 4
-  private val NdBits = 10
+  private val NdMaxBits = 24   // static expression width (≤16M buckets/band)
+  private val NdMinBits = 4
+  private val NdTarget = 16    // per-band expected bucket population
+
+  /** Single-bucket adaptive parameters for the q217/q220 self-join
+    * sites: bucket population targets ~64 (a 10-NN neighborhood plus
+    * headroom), floor of 4 bits, static width 24 (16M buckets — enough
+    * for a 10⁹-vector corpus at the target population). */
+  private val KnnMinBits = 4
+  private val KnnMaxBits = 24
+  private val KnnTarget = 64
+
+  /** Near-dup verify threshold. Calibrated to the FAR TAIL of the
+    * corpus' random-cosine distribution: 64-dim embeddings have
+    * pairwise cosines ~N(0, 1/64) (σ = 0.125), so 0.35 ≈ 2.8σ admits
+    * ~0.3% of random pairs, while the old 0.2 (1.6σ) admitted ~5%. At
+    * the pre-r13 fixed 10-bit bands that bulk threshold was masked by
+    * near-zero candidate recall; at full adaptive-bits recall it welded
+    * all 500 gate vectors into ONE transitive component (the classic
+    * connected-components dedup failure mode) — a near-dup predicate
+    * must sit outside the noise bulk, not inside it. */
+  private val NdThreshold = 0.35
+
+  /** The in-query bit count shared by every masked-LSH site: ONE row
+    * (global aggregate — the registry broadcast audit's bounded class),
+    * cross-joined under every embedding row. */
+  private def lshBitsDf(spark: org.apache.spark.sql.SparkSession, dir: String,
+      minBits: Int, maxBits: Int, target: Int) =
+    Tables.embeddings(spark, dir).agg(count(lit(1)).as("n"))
+      .select(VectorFns.bitsForCorpusCol(col("n"), minBits, maxBits, target)
+        .as("bits"))
+
+  /** DuckDB twin of VectorFns.bitsForCorpusCol — the IDENTICAL
+    * exact-integer comparison chain (no float log/ceil boundary), so
+    * both engines resolve the same bit count from the same count. */
+  private def duckBitsExpr(minBits: Int, maxBits: Int, target: Int): String =
+    "CASE " + (minBits until maxBits)
+      .map(b => s"WHEN n <= ${target.toLong << b} THEN $b").mkString(" ") +
+      s" ELSE $maxBits END"
 
   /** Shared by q34/q51/q59: banded-LSH near-dup candidate pairs
     * (unordered), verified by exact cosine ≥ threshold. posexplode emits
     * one (band, bkey) row per band; repartition by the join key makes
     * both self-join sides IDENTICAL shuffles, so ReuseExchange computes
-    * the 40 hyperplane projections once, not twice. dropDuplicates
+    * the hyperplane projections once, not twice. dropDuplicates
     * collapses pairs that collide in several bands before the exact
     * cosine is spent on them. */
   private[graft] def nearDupPairs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     val banded = Tables.embeddings(spark, dir)
+      .crossJoin(broadcast(lshBitsDf(spark, dir, NdMinBits, NdMaxBits, NdTarget)))
       .select(col("vec_id"), col("embedding"),
-        posexplode(VectorFns.lshBandKeys(col("embedding"), Dim, NdBands, NdBits))
+        posexplode(VectorFns.lshBandKeysMasked(col("embedding"), Dim, NdBands,
+            col("bits"), NdMaxBits))
           .as(Seq("band", "bkey")))
       .repartition(col("band"), col("bkey"))
     banded.as("a").join(banded.as("b"),
@@ -137,33 +193,40 @@ object VectorQueries {
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         Q.noNegZero(round(VectorFns.cosine(col("emb_a"), col("emb_b")), 6)).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.2)
+      .filter(col("cos_sim") >= NdThreshold)
   }
 
-  /** One band's bucket key in DuckDB form — the IDENTICAL hyperplanes
-    * (VectorFns.lshCoefs) inlined as DOUBLE[] literals, and the
-    * IDENTICAL sign predicate (list_cosine_similarity ≥ 0 ≡ the Spark
-    * side's CosineSimExpr ≥ 0; sign(cos) = sign(dot)). */
-  private def duckBandExpr(embCol: String, band: Int, bits: Int): String =
-    (0 until bits).map { r =>
-      val coefs = VectorFns.lshCoefs(band * bits + r, Dim).mkString("[", ",", "]")
-      s"(CASE WHEN list_cosine_similarity(CAST($embCol AS DOUBLE[]), CAST($coefs AS DOUBLE[])) >= 0 THEN ${1L << r} ELSE 0 END)"
+  /** One band's MASKED bucket key in DuckDB form — the IDENTICAL
+    * hyperplanes (VectorFns.lshCoefs, STATIC plane window
+    * band·NdMaxBits+r, matching lshBandKeysMasked), the IDENTICAL sign
+    * predicate (list_cosine_similarity ≥ 0 ≡ the Spark side's
+    * CosineSimExpr ≥ 0; sign(cos) = sign(dot)), and the IDENTICAL
+    * runtime mask `r < bits` — so the adaptive bucket keys are
+    * bit-equal across engines at any corpus size. */
+  private def duckBandMaskedExpr(embCol: String, band: Int,
+      maxBitsPerBand: Int): String =
+    (0 until maxBitsPerBand).map { r =>
+      val coefs = VectorFns.lshCoefs(band * maxBitsPerBand + r, Dim)
+        .mkString("[", ",", "]")
+      s"(CASE WHEN $r < bits AND list_cosine_similarity(CAST($embCol AS DOUBLE[]), CAST($coefs AS DOUBLE[])) >= 0 THEN ${1L << r} ELSE 0 END)"
     }.mkString(" + ")
 
   /** The q34/q51/q59 pair-generation CTEs in DuckDB form (mirrors
-    * nearDupPairs: per-band keys, ≥1-band collision, DISTINCT pair,
-    * exact-cosine verify). */
+    * nearDupPairs: count-derived masked band keys, ≥1-band collision,
+    * DISTINCT pair, exact-cosine verify). */
   private def duckPairsCtes: String = {
     val bandRows = (0 until NdBands).map { b =>
       s"SELECT vec_id, e, $b AS band, k$b AS bkey FROM buck"
     }.mkString("\n  UNION ALL ")
     val keyCols = (0 until NdBands).map { b =>
-      s"    ${duckBandExpr("embedding", b, NdBits)} AS k$b"
+      s"    ${duckBandMaskedExpr("embedding", b, NdMaxBits)} AS k$b"
     }.mkString(",\n")
-    s"""buck AS (
+    s"""nc AS (SELECT count(*) AS n FROM embeddings),
+       |bc AS (SELECT ${duckBitsExpr(NdMinBits, NdMaxBits, NdTarget)} AS bits FROM nc),
+       |buck AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
        |$keyCols
-       |  FROM embeddings),
+       |  FROM embeddings, bc),
        |bands AS (
        |  $bandRows),
        |pairs AS (
@@ -171,14 +234,16 @@ object VectorQueries {
        |    round(list_cosine_similarity(a.e, b.e), 6) + 0.0 AS cos_sim
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
-       |  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.2)""".stripMargin
+       |  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= $NdThreshold)""".stripMargin
   }
 
   /** Embedding-cosine near-duplicate pairs, banded-LSH: pairs that
-    * collide in ≥1 of 4 band keys (10 sign bits each) with exact
-    * cosine ≥ 0.2. Candidate generation is a band-key equi-join —
-    * shuffle by (band, bkey), no cross join, bucket width tunable to
-    * corpus size. Deterministic hyperplanes → oracle-checked like q33. */
+    * collide in ≥1 of 4 band keys (count-derived sign-bit width) with
+    * exact cosine ≥ NdThreshold. Candidate generation is a band-key equi-join —
+    * shuffle by (band, bkey), no cross join, and the bucket count grows
+    * with the corpus (bits = ⌈log₂(N/16)⌉ per band), so within-band
+    * population — and hence the pair stage — stays LINEAR at any scale.
+    * Deterministic hyperplanes → oracle-checked like q33. */
   val q34EmbeddingNearDups = Q(
     "q34_embedding_near_dups",
     s"""WITH $duckPairsCtes
@@ -241,15 +306,24 @@ object VectorQueries {
        |ORDER BY cluster_id""".stripMargin) { (spark, dir) =>
     import graft.operators.Dedup
     val all = Tables.embeddings(spark, dir)
+    // adaptive bits come from the FULL corpus count — the index epoch's
+    // bit width. A vector's buckets depend on (vector, epoch bits) only,
+    // so old/delta views filtered from the same banded corpus stay
+    // subset-stable; a production incremental index pins bits at
+    // index-build time and re-buckets on a corpus-doubling migration
+    // (the same epoch discipline as any LSH index).
+    val bits = lshBitsDf(spark, dir, NdMinBits, NdMaxBits, NdTarget)
     def banded(df: org.apache.spark.sql.DataFrame) =
-      df.select(col("vec_id"), col("embedding"),
-        posexplode(VectorFns.lshBandKeys(col("embedding"), Dim, NdBands, NdBits))
-          .as(Seq("band", "bkey")))
+      df.crossJoin(broadcast(bits))
+        .select(col("vec_id"), col("embedding"),
+          posexplode(VectorFns.lshBandKeysMasked(col("embedding"), Dim, NdBands,
+              col("bits"), NdMaxBits))
+            .as(Seq("band", "bkey")))
     def verify(cands: org.apache.spark.sql.DataFrame) = cands
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         Q.noNegZero(round(VectorFns.cosine(col("emb_a"), col("emb_b")), 6)).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.2)
+      .filter(col("cos_sim") >= NdThreshold)
       .select(col("id_a"), col("id_b"))
     // the banded corpus is computed ONCE and cached — the in-memory
     // stand-in for the materialized band-index table a deployment keeps
@@ -1541,9 +1615,10 @@ object VectorQueries {
     * For each probe (known-panel convention: every 7th vec_id, capped
     * by the [[AnnEvalPanel]] id window — see that val for why a rank
     * cap is the wrong shape), candidates are the probe's
-    * random-hyperplane LSH bucket (4 bits → 16 buckets; a probe alone
-    * in its bucket has no neighbors and drops out — the panel is
-    * "probes with ≥1 same-bucket neighbor", identical across legs).
+    * random-hyperplane LSH bucket (count-derived width, ~64 vectors a
+    * bucket at any corpus size; a probe alone in its bucket has no
+    * neighbors and drops out — the panel is "probes with ≥1
+    * same-bucket neighbor", identical across legs).
     * Each leg ranks the SAME candidates by cosine over the first
     * d ∈ {8,16,32,64} components; ground truth is the d=64 leg itself,
     * so recall@10(64) ≡ 1 is a built-in sanity pin. Recall is a
@@ -1551,19 +1626,23 @@ object VectorQueries {
     * division, no per-probe float averaging.
     *
     * Scale: the candidate join is a bucket equi-join bounded at
-    * panel × bucket (the q214 argument: a fixed-budget panel holds the
-    * eval linear in the corpus; production grows the bucket bits with
-    * log₂N — VectorFns.bitsForCorpus). The ×4 leg explode is in-row.
+    * panel × bucket, and the bucket WIDTH now grows in-query with
+    * log₂N (VectorFns.bitsForCorpusCol over the corpus count, masked
+    * into a static 24-plane expression) — so bucket population, and
+    * with it the whole eval, is constant-bounded per probe at any
+    * corpus size. The ×4 leg explode is in-row.
     * Exactness: both engines fold the identical truncated DOUBLE
     * slices sequentially (CosineSimExpr ≡ list_cosine_similarity, the
     * q31 parity), ranked on the 6-dp-rounded noNegZero-finished value
     * with vec_id tiebreaks. */
   val q217DimAblation = Q(
     "q217_dim_ablation",
-    s"""WITH buck AS (
+    s"""WITH nc AS (SELECT count(*) AS n FROM embeddings),
+       |bc AS (SELECT ${duckBitsExpr(KnnMinBits, KnnMaxBits, KnnTarget)} AS bits FROM nc),
+       |buck AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-       |    ${duckBucketExpr("embedding", 4)} AS bucket
-       |  FROM embeddings),
+       |    ${duckBucketMaskedExpr("embedding", KnnMaxBits)} AS bucket
+       |  FROM embeddings, bc),
        |probes AS (
        |  SELECT vec_id AS qid, e AS pv, bucket FROM buck
        |  WHERE vec_id % 7 = 0 AND vec_id < ${AnnEvalPanel * 7L}),
@@ -1588,15 +1667,18 @@ object VectorQueries {
        |gtn AS (
        |  SELECT CAST(count(*) AS BIGINT) AS g,
        |    CAST(count(DISTINCT qid) AS BIGINT) AS np
-       |  FROM gt)
-       |SELECT CAST(d AS INT) AS dim, np AS n_probes, g AS gt_pairs,
+       |  FROM gt),
+       |dims AS (SELECT unnest([8, 16, 32, 64]) AS d)
+       |SELECT CAST(dims.d AS INT) AS dim, np AS n_probes, g AS gt_pairs,
        |  CASE WHEN g = 0 THEN error('q217: empty ground truth — no probe has a same-bucket neighbor')
-       |       ELSE round(CAST(o AS DOUBLE) / g, 6) END AS recall_at_10
-       |FROM ov, gtn
+       |       ELSE round(CAST(coalesce(o, 0) AS DOUBLE) / g, 6) END AS recall_at_10
+       |FROM dims CROSS JOIN gtn LEFT JOIN ov ON ov.d = dims.d
        |ORDER BY dim""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, dir)
-      .withColumn("bucket", VectorFns.lshBucket(col("embedding"), Dim, nBits = 4))
+      .crossJoin(broadcast(lshBitsDf(spark, dir, KnnMinBits, KnnMaxBits, KnnTarget)))
+      .withColumn("bucket",
+        VectorFns.lshBucketMasked(col("embedding"), Dim, col("bits"), KnnMaxBits))
     val probes = emb
       .filter(col("vec_id") % 7 === 0 && col("vec_id") < AnnEvalPanel * 7L)
       .select(col("vec_id").as("qid"), col("embedding").as("pv"), col("bucket"))
@@ -1619,15 +1701,20 @@ object VectorQueries {
     val ov = top.join(gt, Seq("qid", "vec_id"))
       .groupBy(col("d")).agg(count(lit(1)).as("o"))
     val gtn = gt.agg(count(lit(1)).as("g"), countDistinct(col("qid")).as("np"))
-    // 1-row global-aggregate build side — the registry audit's allowed
-    // bounded-BNLJ class
-    ov.crossJoin(broadcast(gtn))
+    // the final select is DRIVEN from the always-4-row dims × 1-row gtn
+    // relation (bounded-BNLJ class), with ov LEFT-joined in — so on an
+    // empty panel (gt empty ⇒ ov empty) the g = 0 branch still
+    // EVALUATES and raises, instead of an empty ov silently producing
+    // an empty result (the r12 unreachable-guard finding)
+    import spark.implicits._
+    val dims = Seq(8, 16, 32, 64).toDF("d")
+    dims.crossJoin(broadcast(gtn)).join(ov, Seq("d"), "left")
       .select(col("d").cast("int").as("dim"), col("np").as("n_probes"),
         col("g").as("gt_pairs"),
         when(col("g") === 0, raise_error(lit(
           "q217: empty ground truth — no probe has a same-bucket neighbor"))
           .cast("double"))
-          .otherwise(round(col("o").cast("double") / col("g"), 6))
+          .otherwise(round(coalesce(col("o"), lit(0L)).cast("double") / col("g"), 6))
           .as("recall_at_10"))
       .orderBy(col("dim"))
   }
@@ -1640,11 +1727,13 @@ object VectorQueries {
     * index). Score = mean cosine to the 10 nearest same-bucket
     * neighbors; the 20 LOWEST-scoring vectors surface.
     *
-    * Scale: candidates come from the same 4-bit random-hyperplane
-    * bucket as q217 — a bucket equi-self-join, the q34/q51/q133 banded
-    * class (within-bucket population is N/2^bits; production grows
-    * bits with log₂N — VectorFns.bitsForCorpus — holding the pair
-    * stage linear). Per-vector top-10 is a bucket-partitioned window;
+    * Scale: candidates come from the same count-derived
+    * random-hyperplane bucket as q217 — a bucket equi-self-join, the
+    * q34/q51/q133 banded class, with bits = ⌈log₂(N/64)⌉ resolved
+    * IN-QUERY (VectorFns.bitsForCorpusCol) so within-bucket population
+    * stays ~64 and the pair stage is linear at any corpus size (the
+    * r12 DiagScale fixed-bits probe measured the ∝N² alternative this
+    * replaces). Per-vector top-10 is a bucket-partitioned window;
     * the final top-20 is a TakeOrdered, no global sort. Singleton
     * buckets have no neighbors and drop out (documented — a singleton
     * IS an outlier signal, but with no in-bucket evidence to score;
@@ -1656,10 +1745,12 @@ object VectorQueries {
     * final division consumes exact ints. */
   val q220KnnOutliers = Q(
     "q220_knn_outliers",
-    s"""WITH buck AS (
+    s"""WITH nc AS (SELECT count(*) AS n FROM embeddings),
+       |bc AS (SELECT ${duckBitsExpr(KnnMinBits, KnnMaxBits, KnnTarget)} AS bits FROM nc),
+       |buck AS (
        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
-       |    ${duckBucketExpr("embedding", 4)} AS bucket
-       |  FROM embeddings),
+       |    ${duckBucketMaskedExpr("embedding", KnnMaxBits)} AS bucket
+       |  FROM embeddings, bc),
        |p AS (
        |  SELECT a.vec_id, a.label, b.vec_id AS nb,
        |    CAST(round(list_cosine_similarity(a.e, b.e) * 1000000) AS BIGINT) AS cq
@@ -1680,7 +1771,9 @@ object VectorQueries {
        |LIMIT 20""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, dir)
-      .withColumn("bucket", VectorFns.lshBucket(col("embedding"), Dim, nBits = 4))
+      .crossJoin(broadcast(lshBitsDf(spark, dir, KnnMinBits, KnnMaxBits, KnnTarget)))
+      .withColumn("bucket",
+        VectorFns.lshBucketMasked(col("embedding"), Dim, col("bits"), KnnMaxBits))
     val b = emb.select(col("bucket"), col("vec_id").as("nb"),
       col("embedding").as("nemb"))
     val pairs = emb.join(b, Seq("bucket")).filter(col("vec_id") =!= col("nb"))

@@ -168,10 +168,10 @@ object DiagScale {
             round(VectorFns.cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
           .filter(col("cos_sim") >= 0.2)
       }
-      // the registered q34's shape: bits pinned at 10 (the oracle SQL
-      // is static) — candidate pairs per bucket grow quadratically once
-      // the corpus outgrows the bucket count, which is exactly what the
-      // fixed-bits probe shows at k=8
+      // the FIXED-bits before-picture (the pre-r13 registered q34's
+      // shape, bits pinned at 10): candidate pairs per bucket grow
+      // quadratically once the corpus outgrows the bucket count —
+      // retained as the control the adaptive probe is measured against
       def nearDupEdges() = nearDupEdgesWith(10)
       // the 100 TB shape: bits derived from the corpus size
       // (VectorFns.bitsForCorpus), holding expected bucket occupancy
@@ -481,10 +481,10 @@ object DiagScale {
         "q216_pca" -> (() =>
           graft.queries.RelationalQueries.q216FeaturePca
             .run(spark, relTables(spark, sfDir, k)).count()),
-        // q217: candidate join is panel × bucket; replication grows BOTH
-        // the probe count (until the 1024 cap binds: base 286 → ×4
-        // would be 1143 > cap) and bucket population (N/16) — expect
-        // ≈ linear once the cap binds, the same bound as q214
+        // q217: candidate join is panel × bucket; replication grows the
+        // probe count (until the 1024 cap binds: base 286 → ×4 would be
+        // 1143 > cap) while adaptive bits (r13) hold bucket population
+        // ~constant — expect ≈ linear, then flat once the cap binds
         "q217_ablation" -> (() =>
           graft.queries.VectorQueries.q217DimAblation
             .run(spark, relTables(spark, sfDir, k)).count()),
@@ -494,12 +494,12 @@ object DiagScale {
         "q219_rfm" -> (() =>
           graft.queries.RelationalQueries.q219RfmSegments
             .run(spark, relTables(spark, sfDir, k)).count()),
-        // q220: within-bucket self-join at FIXED 4 bits — replication
-        // grows bucket population ×k, so pairs grow ×k² BY DESIGN at
-        // the fixed probe-less self-join; this measures the quadratic
-        // a production caller avoids by growing bits with log₂N
-        // (bitsForCorpus) — expect exponent drifting toward 2, the
-        // honest fixed-bits bound the scaladoc documents
+        // q220 (r13: adaptive bits wired in) — the bucket width now
+        // grows with log₂N in-query (bitsForCorpusCol), so replication
+        // holds within-bucket population ~constant and the pair stage
+        // LINEAR; the r12 run of this same probe at fixed 4 bits
+        // measured the exponent drifting toward 2 (the before-picture,
+        // DIAG_SCALE_STATS_r12.txt) — expect ≈ linear now
         "q220_outliers" -> (() =>
           graft.queries.VectorQueries.q220KnnOutliers
             .run(spark, relTables(spark, sfDir, k)).count()),

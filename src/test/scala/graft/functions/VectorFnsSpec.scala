@@ -51,4 +51,52 @@ class VectorFnsSpec extends SparkSpec {
     assert(b1.toSeq === b2.toSeq)
     assert(b1.forall(b => b >= 0 && b < 64))
   }
+
+  test("bitsForCorpusCol matches the driver-side bitsForCorpus on every regime") {
+    // floor, interior, exact power-of-two boundaries, and the maxBits cap
+    val ns = Seq(1L, 63L, 64L, 65L, 500L, 1024L, 1025L, 2000L, 2048L,
+      1000000L, 64L << 24, (64L << 24) + 1)
+    val got = ns.toDF("n")
+      .select(VectorFns.bitsForCorpusCol(col("n"), 4, 24, 64).as("b"))
+      .as[Int].collect()
+    ns.zip(got).foreach { case (n, b) =>
+      val want = math.min(24, VectorFns.bitsForCorpus(n, 64))
+      assert(b === want, s"n=$n: col=$b driver=$want")
+    }
+  }
+
+  test("lshBucketMasked at literal bits B equals lshBucket at nBits B") {
+    // identical plane window 0..B-1, so the mask must be a pure width cut
+    val vecs = Seq.tabulate(50)(i =>
+      Tuple1(Array.tabulate(16)(j => ((i * 31 + j * 7) % 19).toFloat / 10 - 0.9f)))
+      .toDF("v")
+    for (b <- Seq(4, 7, 12)) {
+      val masked = vecs.select(
+        VectorFns.lshBucketMasked(col("v"), 16, lit(b), 24).as("k")).as[Long].collect()
+      val fixed = vecs.select(
+        VectorFns.lshBucket(col("v"), 16, b).as("k")).as[Long].collect()
+      assert(masked.toSeq === fixed.toSeq, s"bits=$b")
+    }
+  }
+
+  test("lshBandKeysMasked: prefix-stable growth and static plane windows") {
+    val vecs = Seq.tabulate(40)(i =>
+      Tuple1(Array.tabulate(16)(j => ((i * 13 + j * 5) % 23).toFloat / 12 - 0.9f)))
+      .toDF("v")
+    def keys(bits: Int) = vecs.select(
+        VectorFns.lshBandKeysMasked(col("v"), 16, 4, lit(bits), 24).as("ks"))
+      .as[Seq[Long]].collect()
+    val k5 = keys(5); val k8 = keys(8)
+    // growing the corpus only APPENDS sign bits: the 5-bit key is the
+    // low-bit prefix of the 8-bit key, per band (index-epoch migration
+    // can rebucket by masking, without recomputing planes)
+    k5.zip(k8).foreach { case (a, b) =>
+      (0 until 4).foreach { band =>
+        assert((b(band) & 31L) === a(band), s"band $band not prefix-stable")
+      }
+    }
+    // bands draw from disjoint static plane windows — keys must differ
+    // across bands for at least one vector (else the windows collided)
+    assert(k8.exists(ks => ks.distinct.size > 1))
+  }
 }

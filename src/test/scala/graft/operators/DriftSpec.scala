@@ -312,6 +312,34 @@ class DriftSpec extends SparkSpec {
     assert(plain.getDouble(0) > 0)
   }
 
+  test("autoCoarsen refuses a fractional-SCALE decimal grid statically") {
+    // the runtime __frac probe casts through double, and a decimal with
+    // |v| ≥ 2^53 rounds integral under that cast — a fractional decimal
+    // grid would sail through into the silent long truncation (the r12
+    // advisory). The static schema check catches it regardless of the
+    // data's magnitude; a scale-0 decimal stays accepted.
+    import spark.implicits._
+    val dec = Seq(("g", BigDecimal("9007199254740993.25"), 3L, 1L),
+        ("g", BigDecimal("9007199254740995.75"), 1L, 2L))
+      .toDF("g", "v", "c1", "c2")
+      .select(col("g"), col("v").cast("decimal(38,2)").as("v"),
+        col("c1"), col("c2"))
+    val e = intercept[IllegalArgumentException] {
+      Drift.ksAndW1(dec, Seq("g"), "v", "c1", "c2",
+        withAd = false, withEnergy = false, autoCoarsen = true)
+    }
+    assert(e.getMessage.contains("integer value grid")
+      && e.getMessage.contains("decimal(38,2)"), e.getMessage)
+    val ok = Seq(("g", 5L, 1L, 1L), ("g", 9L, 2L, 1L))
+      .toDF("g", "v", "c1", "c2")
+      .select(col("g"), col("v").cast("decimal(38,0)").as("v"),
+        col("c1"), col("c2"))
+    val r = Drift.ksAndW1(ok, Seq("g"), "v", "c1", "c2",
+        withAd = false, withEnergy = false, autoCoarsen = true)
+      .select("ks_d").head()
+    assert(r.getDouble(0) >= 0)
+  }
+
   test("autoCoarsen lockstep holds on random overflow-regime histograms") {
     // randomized version of the fixed lockstep fixture: counts
     // 1e4..1e5 per row over a ~1e18 value span put ONLY energy past

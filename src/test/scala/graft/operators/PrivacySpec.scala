@@ -40,4 +40,25 @@ class PrivacySpec extends SparkSpec {
       Privacy.audit(st, Seq("nat", "band"), "seg"))
     assert(e.getMessage.contains("reportCol"))
   }
+
+  test("a QI or sensitive column named 'c' is refused loudly") {
+    // the count column's name is part of the state contract — audit()
+    // canonicalizes on every column EXCEPT 'c', so a caller column of
+    // that name would silently drop out of the grain and corrupt the
+    // l-diversity floor (the r12 advisory); both entry points refuse
+    import spark.implicits._
+    val df = Seq((1, 0L, "A")).toDF("c", "band", "seg")
+    val e1 = intercept[IllegalArgumentException](
+      Privacy.classState(df, Seq("c", "band"), "seg"))
+    assert(e1.getMessage.contains("reserved"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Privacy.classState(df.toDF("nat", "band", "c"), Seq("nat", "band"), "c"))
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+    val st = Privacy.classState(
+      Seq((1, 0L, "A")).toDF("nat", "band", "seg"), Seq("nat", "band"), "seg")
+      .withColumnRenamed("nat", "c")
+    val e3 = intercept[IllegalArgumentException](
+      Privacy.audit(st, Seq("c", "band"), "band"))
+    assert(e3.getMessage.contains("reserved"), e3.getMessage)
+  }
 }

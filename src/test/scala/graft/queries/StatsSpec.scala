@@ -1413,9 +1413,14 @@ class StatsSpec extends SparkSpec {
     import graft.functions.VectorFns
     val got = VectorQueries.q220KnnOutliers.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // the replay resolves the adaptive bit count the same way the query
+    // does: smallest b ≥ 4 with n ≤ 64·2^b (VectorFns.bitsForCorpus) —
+    // masked-to-B equals lshBucket at nBits = B (identical plane window)
+    val nCorpus = Tables.embeddings(spark, sfDir).count()
+    val nBits = VectorFns.bitsForCorpus(nCorpus, 64)
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"),
-        VectorFns.lshBucket(col("embedding"), 64, nBits = 4).as("bucket"),
+        VectorFns.lshBucket(col("embedding"), 64, nBits = nBits).as("bucket"),
         col("embedding").cast("array<double>").as("e"))
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getSeq[Double](3)))

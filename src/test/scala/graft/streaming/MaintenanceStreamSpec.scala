@@ -135,4 +135,87 @@ class MaintenanceStreamSpec extends SparkSpec {
     assert(replayed === healthy,
       "replay after GC diverged from the no-crash state")
   }
+
+  test("GC-vs-serving race: a read at EVERY deletion point lands on a complete version") {
+    // gcSnapshots' ordering argument (delete _SUCCESS first, then the
+    // directory) was reasoned but untested (r12 verdict #5). This drill
+    // replays the EXACT published deletion sequence step-wise — marker
+    // gone, directory half-deleted, directory gone — and interleaves a
+    // serving read at every point, including the adversarial
+    // beforeId-bounded reader whose preferred version is the one being
+    // deleted. The reader must always land on a COMPLETE version's
+    // exact rows, or fail loudly (all-torn) — never serve a
+    // half-deleted directory. A twin directory then runs the real
+    // gcSnapshots to pin that the replayed sequence IS the
+    // implementation's (same deletion set + order, same survivors).
+    import java.nio.file.{Files, Paths}
+    def buildVersions(dir: String): Unit =
+      for (v <- -1 to 3)
+        spark.range(10).select((col("id") + lit(100L * (v + 2))).as("k"))
+          .coalesce(1).write.parquet(s"$dir/v$v")
+    val manual = Files.createTempDirectory("gc-race-man").toString
+    val twin = Files.createTempDirectory("gc-race-twin").toString
+    buildVersions(manual); buildVersions(twin)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.orderBy("k").collect().map(_.getLong(0)).toSeq
+    val vRows = (-1 to 3).map(v =>
+      v -> rows(spark.read.parquet(s"$manual/v$v"))).toMap
+    // keepLast=2 over complete v-1..v3 (maxStarted v3, replay base v2):
+    // deletes v-1, v0, v1, oldest first, marker-then-directory each
+    val toDelete = Seq(-1L, 0L, 1L)
+    def assertServingInvariant(deletedSoFar: Set[Long], midDelete: Set[Long]): Unit = {
+      // unbounded reader: always the newest complete version, exact rows
+      assert(rows(StreamOps.latestSnapshot(spark, manual).get) === vRows(3),
+        s"unbounded read diverged (deleted=$deletedSoFar mid=$midDelete)")
+      // adversarial bounded readers: one per version boundary
+      for (b <- -1L to 3L) {
+        val aliveBelow = (-1L to 3L).filter(v =>
+          v < b && !deletedSoFar.contains(v) && !midDelete.contains(v))
+        if (aliveBelow.nonEmpty)
+          assert(rows(StreamOps.latestSnapshot(spark, manual, beforeId = b).get)
+              === vRows(aliveBelow.max.toInt),
+            s"bounded read beforeId=$b (deleted=$deletedSoFar mid=$midDelete)")
+        else {
+          // every candidate below b is deleted or torn: either nothing
+          // is listed (None) or the all-torn loud failure — NEVER data
+          val torn = (-1L until b).exists(midDelete.contains)
+          if (torn)
+            intercept[IllegalStateException](
+              StreamOps.latestSnapshot(spark, manual, beforeId = b))
+          else
+            assert(StreamOps.latestSnapshot(spark, manual, beforeId = b).isEmpty)
+        }
+      }
+    }
+    var deleted = Set.empty[Long]
+    assertServingInvariant(deleted, Set.empty)
+    for (v <- toDelete) {
+      // step 1: the marker goes first — the version turns torn/skippable
+      assert(Files.deleteIfExists(Paths.get(s"$manual/v$v/_SUCCESS")))
+      Files.deleteIfExists(Paths.get(s"$manual/v$v/._SUCCESS.crc"))
+      assertServingInvariant(deleted, Set(v))
+      // step 2: recursive delete is not atomic — part files vanish one
+      // at a time; serving must keep skipping the unmarked remains
+      val parts = new java.io.File(s"$manual/v$v").listFiles()
+        .filter(_.getName.startsWith("part-"))
+      assert(parts.nonEmpty)
+      parts.headOption.foreach(f => assert(f.delete()))
+      assertServingInvariant(deleted, Set(v))
+      // step 3: the directory is gone
+      val walk = Files.walk(Paths.get(s"$manual/v$v"))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      finally walk.close()
+      deleted += v
+      assertServingInvariant(deleted, Set.empty)
+    }
+    // the replayed sequence is the implementation's: same deletion set
+    // and order, same survivors, same serving result
+    assert(StreamOps.gcSnapshots(spark, twin, keepLast = 2)
+      === toDelete.map(v => s"v$v"))
+    def survivors(dir: String) = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.matches("v-?\\d+")).sorted.toSeq
+    assert(survivors(twin) === survivors(manual))
+    assert(rows(StreamOps.latestSnapshot(spark, twin).get) === vRows(3))
+  }
 }
