@@ -537,6 +537,62 @@ object DiagScale {
         // not depend on the setting (a parallelism knob, not an
         // algorithm knob — same data, same shuffled bytes, different
         // fan-out). Probed at 16 and 64 around the rig's 32.
+        // r13 ledger closure (verdict #3): the riskiest registered
+        // queries with no measured exponent on record, probed on the
+        // real query code over relTables.
+        // q175: sorted-neighborhood record linkage — blocking-key
+        // equi-join; replicas add customers at the same per-block
+        // density, expect ≈ linear
+        "q175_linkage" -> (() =>
+          graft.queries.RelationalQueries.q175RecordLinkage
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        // q124/q125 maintenance twins: one key-keyed merge shuffle /
+        // partial-agg merge — both claim O(rows) with no pair stage,
+        // expect ≈ linear
+        "q124_upsert" -> (() =>
+          graft.queries.RelationalQueries.q124UpsertMerge
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        "q125_incr" -> (() =>
+          graft.queries.RelationalQueries.q125IncrementalAgg
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        // q89: per-user ordered path assembly (collect_list under a
+        // user-keyed window) then path-grain count — replicas add
+        // users at fixed per-user streams, expect ≈ linear
+        "q89_paths" -> (() =>
+          graft.queries.EventQueries.q89TopPaths
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        // q99: event-time range-frame window per (user, hour-ish key) —
+        // the one registered sliding-frame query, expect ≈ linear
+        "q99_rolling" -> (() =>
+          graft.queries.EventQueries.q99RollingHour
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        // q77: hash-threshold stratified sample — one scan + one
+        // (source-grain) rate table, no sort; expect ≈ linear
+        "q77_stratified" -> (() =>
+          graft.queries.TextQueries.q77StratifiedSample
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        // q82: bloom build on the dim side + might_contain probe on the
+        // fact scan + exactness semi-join; expect ≈ linear
+        "q82_bloom" -> (() =>
+          graft.queries.RelationalQueries.q82BloomSemiJoin
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        // q112: personalized PageRank — the size-gated iterate class
+        // (local under PageRank.LocalEdgeLimit); replicas grow the
+        // edge list ×k at fixed diameter, expect ≈ linear per round
+        "q112_ppr" -> (() =>
+          graft.queries.GraphQueries.q112PersonalizedPagerank
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        // q92: SemDeDup — k-means fit (KB codebook collect) + narrow
+        // argmax assignment + per-cell cosine screen; expect ≈ linear
+        "q92_semdedup" -> (() =>
+          graft.queries.VectorQueries.q92SemDedupKeep
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        // q68: benchmark-contamination shingle equi-join — bench side
+        // is DISTINCT shingles of a 1/97 slice; replicas share no
+        // shingles, so the join stays replica-local, expect ≈ linear
+        "q68_contamination" -> (() =>
+          graft.queries.TextQueries.q68Contamination
+            .run(spark, relTables(spark, sfDir, k)).count()),
         "q200_hill_s16" -> (() => withShufflePartitions(spark, "16") {
           graft.queries.RelationalQueries.q200HillTailIndex
             .run(spark, relTables(spark, sfDir, k)).count() }),

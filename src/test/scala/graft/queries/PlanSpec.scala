@@ -380,6 +380,67 @@ class PlanSpec extends SparkSpec {
       s"queries planning a non-broadcast cartesian product: ${offenders.mkString(", ")}")
   }
 
+  test("no registered query runs an unpartitioned window over an unbounded child") {
+    // The missing sibling of the no-cartesian and bounded-broadcast
+    // sweeps (r12 verdict #2): a Window with an EMPTY partition spec
+    // plans Exchange SinglePartition — the whole input serializes into
+    // ONE task, the q69 failure mode. That is only acceptable over a
+    // relation whose cardinality is dimension-grain: a global aggregate
+    // (1 row), a grouped aggregate at a bounded grain (segment, source,
+    // label, bin, month, priority, day-offset, bucket, cumsum offset
+    // table ≤ shuffle partitions), or a LIMIT-bounded top-k. Every such
+    // site must be classified here; anything else is an offender.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit,
+      LocalRelation, OneRowRelation, Window => LWindow}
+    val allowed = Map(
+      // query -> (site, why the window's input is bounded)
+      "q66_revenue_share" -> "order-priority-grain aggregate (5 rows)",
+      "q113_mixture_sample" -> "source-grain availability table (Mixing.waterfill)",
+      "q195_token_waterfill" -> "source-grain availability table (Mixing.waterfill, 3 windows)",
+      "q188_kaplan_meier" -> "day-offset-grain survival table (EventQueries lifetimes)",
+      "q196_js_divergence" -> "source-grain divergence table",
+      "q199_drift_alarms_bh" -> "segment-grain BH rank pass (Drift alarms)",
+      "q211_trajectory_alarms" -> "44-month trajectory BH pass",
+      "q225_isotonic_calibration" -> "16-bin calibration table",
+      "q164_pareto_frontier" -> "bucket-grain prefix-max (Pareto, ≤B buckets)",
+      "q139_sq8_ann" -> "global 1-row aggregate (SQ8 scale factors)",
+      "q120_vocab_coverage" -> "LIMIT maxK top-k before the cumulative window",
+      "q218_curriculum_order" -> "groupedCumsum offset table (≤ shuffle partitions rows)",
+      "q208_mmd_drift" -> "label-grain kernel-stat table")
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    val observed = scala.collection.mutable.Set.empty[String]
+    graft.SparkEntry.registry.foreach { q =>
+      val lp = q.run(spark, sfDir).queryExecution.optimizedPlan
+      val wins = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      if (wins.nonEmpty) {
+        observed += q.name
+        if (!allowed.contains(q.name))
+          offenders += s"${q.name}: unpartitioned window not in the audit allowlist"
+        // mechanical floor under the classification: the window's input
+        // must pass through an Aggregate or a Limit, or be literal-only
+        wins.foreach { w =>
+          val bounded = w.child.collectFirst {
+            case a: Aggregate => a
+            case l: GlobalLimit => l
+          }.nonEmpty || w.child.collectLeaves().forall {
+            case _: LocalRelation | _: OneRowRelation => true
+            case _: org.apache.spark.sql.catalyst.plans.logical.Range => true
+            case _ => false
+          }
+          if (!bounded)
+            offenders += s"${q.name}: unpartitioned window directly over " +
+              s"an unaggregated, unlimited child:\n${w.child.treeString.take(2000)}"
+        }
+      }
+    }
+    val stale = allowed.keySet -- observed
+    assert(stale.isEmpty,
+      s"allowlist entries with no unpartitioned window anymore (stale): $stale")
+    assert(offenders.isEmpty,
+      s"${offenders.size} unpartitioned-window offender(s):\n" +
+        offenders.mkString("\n---\n"))
+  }
+
   test("no registered query hint-broadcasts an unbounded table") {
     // A broadcast() HINT overrides Catalyst's size check, so it is only
     // safe on relations whose cardinality does not grow with the scale
