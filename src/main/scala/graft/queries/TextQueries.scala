@@ -4758,6 +4758,128 @@ object TextQueries {
       .orderBy(col("bin"))
   }
 
+  /** Planted near-duplicate recall for the MinHash LSH text screen
+    * (r12 verdict #6, the q226 harness applied to q29's operator): each
+    * panel document (every 22nd id — inside q29's 1-in-2 sampled
+    * universe) gets four planted variants built by DROPPING every d-th
+    * token, d ∈ {3, 4, 6, 12} — graded shingle damage whose true
+    * 3-gram Jaccard lands ≈ 0 / 0.33 / 0.6 / 0.8, straddling the
+    * screen's 0.5 estimated-Jaccard threshold. The IDENTICAL screen
+    * (Dedup.minhashLshPairs, 16×4 portable signatures) runs over
+    * originals + plants; the report is per-band detection recall plus
+    * the exact mean TRUE Jaccard — where the text screen's cliff sits.
+    * Precision is structurally governed by the estimator only (the
+    * 64-hash estimate IS the reported score, oracle-mirrored), so as
+    * with q226 the measured quantity is candidate+estimator RECALL.
+    *
+    * The panel is restricted to plants whose shingle sets are nonempty
+    * on BOTH sides (a sub-3-token variant has no shingle
+    * representation and cannot be screened by ANY shingle method —
+    * excluded from the denominator, same both engines). Scale: plant
+    * stage is panel-bounded; the screen inherits q29's banded shape. */
+  val q227PlantedTextDupRecall: Q = {
+    val bandsSpec = Seq((0, 3), (1, 4), (2, 6), (3, 12))
+    val plvSelects = bandsSpec.map { case (b, d) =>
+      s"""  SELECT doc_id * 4 + 1000000 + $b AS doc_id, doc_id AS base_id,
+         |    $b AS band, $d AS d,
+         |    list_transform(list_filter(range(1, len(t) + 1), i -> i % $d != 0),
+         |      i -> t[i]) AS t
+         |  FROM bt""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    Q("q227_planted_text_dup_recall",
+      s"""WITH bt AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+         |  FROM documents WHERE doc_id % 22 = 0),
+         |od AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |plv AS (
+         |$plvSelects),
+         |plcorpus AS (
+         |  SELECT doc_id, t FROM od UNION ALL SELECT doc_id, t FROM plv),
+         |${minhashCtes(bands = 16, rowsPerBand = 4,
+             docsSql = "SELECT doc_id, t FROM plcorpus")},
+         |pairs AS (
+         |  SELECT id_a, id_b FROM cands
+         |  WHERE len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0 >= 0.5),
+         |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |gt AS (
+         |  SELECT v.band, v.d, v.base_id, v.doc_id AS vid, sa.n AS na, sb.n AS nb
+         |  FROM plv v
+         |  JOIN szs sa ON sa.doc_id = v.base_id
+         |  JOIN szs sb ON sb.doc_id = v.doc_id),
+         |ints AS (
+         |  SELECT g.base_id, g.vid, count(*) AS ni
+         |  FROM gt g
+         |  JOIN sh a ON a.doc_id = g.base_id
+         |  JOIN sh b ON b.doc_id = g.vid AND b.s = a.s
+         |  GROUP BY 1, 2),
+         |det AS (
+         |  SELECT g.band, g.d,
+         |    CAST(round(CAST(coalesce(i.ni, 0) AS DOUBLE)
+         |      / (g.na + g.nb - coalesce(i.ni, 0)) * 1000000) AS BIGINT) AS jq,
+         |    CASE WHEN p.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM gt g
+         |  LEFT JOIN ints i ON i.base_id = g.base_id AND i.vid = g.vid
+         |  LEFT JOIN pairs p ON p.id_a = g.base_id AND p.id_b = g.vid)
+         |SELECT CAST(band AS INT) AS band, CAST(d AS INT) AS drop_period,
+         |  CAST(count(*) AS BIGINT) AS n_planted,
+         |  CAST(sum(hit) AS BIGINT) AS n_detected,
+         |  round(CAST(sum(hit) AS DOUBLE) / count(*), 4) AS recall,
+         |  round(CAST(sum(jq) AS DOUBLE) / (count(*) * 1e6), 6) + 0.0 AS mean_jaccard
+         |FROM det
+         |GROUP BY band, d
+         |ORDER BY band""".stripMargin) { (spark, dir) =>
+      import graft.functions.TextFns
+      import graft.operators.Dedup
+      val bt = Tables.documents(spark, dir).filter(col("doc_id") % 22 === 0)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      val plv = bandsSpec.map { case (b, d) =>
+        bt.select((col("doc_id") * 4 + lit(1000000L + b)).as("doc_id"),
+          col("doc_id").as("base_id"), lit(b).as("band"), lit(d).as("d"),
+          filter(col("t"), (x, i) => ((i + 1) % d) =!= 0).as("t"))
+      }.reduce(_ unionByName _)
+      // token-level plants rebuilt as text: tokens are \s+-split, so
+      // they carry no whitespace and concat_ws(" ") round-trips them
+      // through the screen's own tokenizer verbatim (both engines'
+      // shingle CTEs consume the identical token sequences)
+      val corpus = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(plv.select(col("doc_id"),
+          concat_ws(" ", col("t")).as("text")))
+      val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      val sh = corpus
+        .filter(col("doc_id") % 22 === 0 || col("doc_id") >= 1000000L)
+        .select(col("doc_id"),
+          explode(TextFns.shingleSet(col("text"), 3)).as("s"))
+      val szs = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val gt = plv.select(col("band"), col("d"), col("base_id"),
+          col("doc_id").as("vid"))
+        .join(szs.select(col("doc_id").as("base_id"), col("n").as("na")), Seq("base_id"))
+        .join(szs.select(col("doc_id").as("vid"), col("n").as("nb")), Seq("vid"))
+      val ints = gt
+        .join(sh.select(col("doc_id").as("base_id"), col("s")), Seq("base_id"))
+        .join(sh.select(col("doc_id").as("vid"), col("s")), Seq("vid", "s"))
+        .groupBy(col("base_id"), col("vid")).agg(count(lit(1)).as("ni"))
+      gt.join(ints, Seq("base_id", "vid"), "left")
+        .join(pairs.select(col("id_a").as("base_id"), col("id_b").as("vid"),
+          lit(1).as("hit")), Seq("base_id", "vid"), "left")
+        .select(col("band"), col("d"),
+          round(coalesce(col("ni"), lit(0L)).cast("double")
+            / (col("na") + col("nb") - coalesce(col("ni"), lit(0L))) * 1e6)
+            .cast("long").as("jq"),
+          coalesce(col("hit"), lit(0)).as("hit"))
+        .groupBy(col("band").cast("int").as("band"), col("d").cast("int").as("drop_period"))
+        .agg(count(lit(1)).as("n_planted"),
+          sum(col("hit")).cast("long").as("n_detected"),
+          round(sum(col("hit")).cast("double") / count(lit(1)), 4).as("recall"),
+          Q.noNegZero(round(sum(col("jq")).cast("double") / (count(lit(1)) * 1e6), 6))
+            .as("mean_jaccard"))
+        .orderBy(col("band"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -4778,5 +4900,6 @@ object TextQueries {
     q192QuantileNormalize, q193PerplexityFilter, q194HeapsLaw,
     q195TokenWaterfill, q196JsDivergence, q201ShardBalance,
     q202BrierDecomposition, q204ConformalThreshold, q212RetrievalNdcg,
-    q213ChainNdcg, q218CurriculumOrder, q225IsotonicCalibration)
+    q213ChainNdcg, q218CurriculumOrder, q225IsotonicCalibration,
+    q227PlantedTextDupRecall)
 }

@@ -177,9 +177,18 @@ object VectorQueries {
     * the hyperplane projections once, not twice. dropDuplicates
     * collapses pairs that collide in several bands before the exact
     * cosine is spent on them. */
-  private[graft] def nearDupPairs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
-    val banded = Tables.embeddings(spark, dir)
-      .crossJoin(broadcast(lshBitsDf(spark, dir, NdMinBits, NdMaxBits, NdTarget)))
+  private[graft] def nearDupPairs(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    nearDupPairsOf(Tables.embeddings(spark, dir))
+
+  /** The same screen over an arbitrary (vec_id, embedding) corpus —
+    * adaptive bits derived from THAT corpus's count (q226 runs it over
+    * the planted union). */
+  private def nearDupPairsOf(corpus: org.apache.spark.sql.DataFrame) = {
+    val bits = corpus.agg(count(lit(1)).as("n"))
+      .select(VectorFns.bitsForCorpusCol(col("n"), NdMinBits, NdMaxBits, NdTarget)
+        .as("bits"))
+    val banded = corpus
+      .crossJoin(broadcast(bits))
       .select(col("vec_id"), col("embedding"),
         posexplode(VectorFns.lshBandKeysMasked(col("embedding"), Dim, NdBands,
             col("bits"), NdMaxBits))
@@ -213,20 +222,23 @@ object VectorQueries {
 
   /** The q34/q51/q59 pair-generation CTEs in DuckDB form (mirrors
     * nearDupPairs: count-derived masked band keys, ≥1-band collision,
-    * DISTINCT pair, exact-cosine verify). */
-  private def duckPairsCtes: String = {
+    * DISTINCT pair, exact-cosine verify). `src`/`embCol` parameterize
+    * the corpus relation so q226 can run the IDENTICAL screen over its
+    * planted union. */
+  private def duckPairsCtes(src: String = "embeddings",
+      embCol: String = "embedding"): String = {
     val bandRows = (0 until NdBands).map { b =>
       s"SELECT vec_id, e, $b AS band, k$b AS bkey FROM buck"
     }.mkString("\n  UNION ALL ")
     val keyCols = (0 until NdBands).map { b =>
-      s"    ${duckBandMaskedExpr("embedding", b, NdMaxBits)} AS k$b"
+      s"    ${duckBandMaskedExpr(embCol, b, NdMaxBits)} AS k$b"
     }.mkString(",\n")
-    s"""nc AS (SELECT count(*) AS n FROM embeddings),
+    s"""nc AS (SELECT count(*) AS n FROM $src),
        |bc AS (SELECT ${duckBitsExpr(NdMinBits, NdMaxBits, NdTarget)} AS bits FROM nc),
        |buck AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |  SELECT vec_id, CAST($embCol AS DOUBLE[]) AS e,
        |$keyCols
-       |  FROM embeddings, bc),
+       |  FROM $src, bc),
        |bands AS (
        |  $bandRows),
        |pairs AS (
@@ -246,7 +258,7 @@ object VectorQueries {
     * Deterministic hyperplanes → oracle-checked like q33. */
   val q34EmbeddingNearDups = Q(
     "q34_embedding_near_dups",
-    s"""WITH $duckPairsCtes
+    s"""WITH ${duckPairsCtes()}
        |SELECT id_a, id_b, cos_sim FROM pairs
        |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
     nearDupPairs(spark, dir).orderBy(col("id_a"), col("id_b"))
@@ -273,7 +285,7 @@ object VectorQueries {
 
   val q51DedupClusters = Q(
     "q51_dedup_clusters",
-    s"""WITH RECURSIVE $duckPairsCtes,
+    s"""WITH RECURSIVE ${duckPairsCtes()},
        |$duckComponentsCtes
        |SELECT comp AS cluster_id, CAST(count(*) AS BIGINT) AS n_members
        |FROM comp
@@ -298,7 +310,7 @@ object VectorQueries {
     * lands on exactly the full answer. */
   val q133IncrementalClusters = Q(
     "q133_incremental_clusters",
-    s"""WITH RECURSIVE $duckPairsCtes,
+    s"""WITH RECURSIVE ${duckPairsCtes()},
        |$duckComponentsCtes
        |SELECT comp AS cluster_id, CAST(count(*) AS BIGINT) AS n_members
        |FROM comp
@@ -366,7 +378,7 @@ object VectorQueries {
     * with the recursive CTE. */
   val q59DedupKeep = Q(
     "q59_dedup_keep",
-    s"""WITH RECURSIVE $duckPairsCtes,
+    s"""WITH RECURSIVE ${duckPairsCtes()},
        |$duckComponentsCtes
        |SELECT label, CAST(count(*) AS BIGINT) AS n_kept
        |FROM embeddings
@@ -394,7 +406,7 @@ object VectorQueries {
     * corpus-pairwise. */
   val q117LeakageSafeSplit = Q(
     "q117_leakage_safe_split",
-    s"""WITH RECURSIVE $duckPairsCtes,
+    s"""WITH RECURSIVE ${duckPairsCtes()},
        |$duckComponentsCtes,
        |grp AS (
        |  SELECT e.vec_id, coalesce(c.comp, e.vec_id) AS grp
@@ -1793,11 +1805,99 @@ object VectorQueries {
       .limit(20)
   }
 
+  /** Planted near-duplicate recall for the embedding dedup screen
+    * (r12 verdict #6): the q34/q51 banded sign-LSH screen gets graded,
+    * KNOWN ground truth injected IN-QUERY — each panel vector (every
+    * 7th id, offset 3 to stay disjoint from q217's panel, capped at
+    * 256) is perturbed at four magnitudes ε ∈ {0.025, 0.06, 0.13,
+    * 0.25} along a deterministic ±1 pattern, giving planted pairs at
+    * cosine ≈ 0.98 / 0.89 / 0.71 / 0.45 on the unit-norm corpus. The
+    * IDENTICAL screen (nearDupPairsOf — adaptive bits from the UNION
+    * count, same bands, same ≥ NdThreshold verify) runs over
+    * originals + plants; the report is per-band detection recall plus
+    * the exact mean planted cosine — the measured detection cliff of
+    * the candidate stage. Precision is structurally 1: the verify step
+    * is an exact cosine, so every reported pair true-passes the
+    * threshold; what banding can lose is RECALL, which is exactly what
+    * this measures (the band-0.25 plants sit just above the 0.35
+    * threshold where the LSH S-curve bites hardest).
+    *
+    * Exactness: perturbed values are x + ε·(±1) folded identically in
+    * both engines; per-pair cosines quantize to the 1e-6 BIGINT grid
+    * before the mean (q208's discipline); recall is one division of
+    * exact counts. Scale: the plant stage is panel-bounded (≤1024
+    * rows); the screen inherits q34's adaptive-bits linearity. */
+  val q226PlantedDupRecall: Q = {
+    val bands = Seq((0, 0.025), (1, 0.06), (2, 0.13), (3, 0.25))
+    val panelCap = 7L * 256 + 3
+    val sbValues = bands.map { case (b, eps) =>
+      val s = VectorFns.lshCoefs(3000 + b, Dim).mkString("[", ",", "]")
+      s"($b, CAST($eps AS DOUBLE), CAST($s AS DOUBLE[]))"
+    }.mkString(",\n       ")
+    Q("q226_planted_dup_recall",
+      s"""WITH pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |pan AS (SELECT vec_id, e FROM pe WHERE vec_id % 7 = 3 AND vec_id < $panelCap),
+         |sb AS (SELECT * FROM (VALUES
+         |       $sbValues) t(band, eps, s)),
+         |var AS (
+         |  SELECT p.vec_id * 4 + 1000000 + b.band AS vec_id,
+         |    list_transform(range(1, ${Dim + 1}), i -> p.e[i] + b.eps * b.s[i]) AS e,
+         |    p.vec_id AS base_id, b.band, b.eps
+         |  FROM pan p CROSS JOIN sb b),
+         |corpus AS (SELECT vec_id, e FROM pe UNION ALL SELECT vec_id, e FROM var),
+         |${duckPairsCtes(src = "corpus", embCol = "e")},
+         |gt AS (
+         |  SELECT v.band, v.eps, v.base_id, v.vec_id AS vid,
+         |    CAST(round(list_cosine_similarity(p.e, v.e) * 1000000) AS BIGINT) AS cq
+         |  FROM var v JOIN pan p ON p.vec_id = v.base_id),
+         |det AS (
+         |  SELECT g.band, g.eps, g.cq,
+         |    CASE WHEN pr.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM gt g LEFT JOIN pairs pr
+         |    ON pr.id_a = g.base_id AND pr.id_b = g.vid)
+         |SELECT CAST(band AS INT) AS band, eps,
+         |  CAST(count(*) AS BIGINT) AS n_planted,
+         |  CAST(sum(hit) AS BIGINT) AS n_detected,
+         |  round(CAST(sum(hit) AS DOUBLE) / count(*), 4) AS recall,
+         |  round(CAST(sum(cq) AS DOUBLE) / (count(*) * 1e6), 6) + 0.0 AS mean_cos
+         |FROM det
+         |GROUP BY band, eps
+         |ORDER BY band""".stripMargin) { (spark, dir) =>
+      val base = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val panel = base.filter(col("vec_id") % 7 === 3 && col("vec_id") < panelCap)
+      val variants = bands.map { case (b, eps) =>
+        val s = array(VectorFns.lshCoefs(3000 + b, Dim).map(lit): _*)
+        panel.select(
+          (col("vec_id") * 4 + lit(1000000L + b)).as("vec_id"),
+          zip_with(col("e"), s, (x, sv) => x + lit(eps) * sv).as("e"),
+          col("vec_id").as("base_id"), lit(b).as("band"), lit(eps).as("eps"))
+      }.reduce(_ unionByName _)
+      val corpus = base.unionByName(
+        variants.select(col("vec_id"), col("e")))
+      val pairs = nearDupPairsOf(corpus.select(col("vec_id"), col("e").as("embedding")))
+      val gt = variants.join(
+          panel.select(col("vec_id").as("base_id"), col("e").as("be")), Seq("base_id"))
+        .select(col("band"), col("eps"), col("base_id"), col("vec_id").as("vid"),
+          round(VectorFns.cosine(col("be"), col("e")) * 1e6).cast("long").as("cq"))
+      gt.join(pairs.select(col("id_a"), col("id_b"), lit(1).as("hit")),
+          col("id_a") === col("base_id") && col("id_b") === col("vid"), "left")
+        .groupBy(col("band").cast("int").as("band"), col("eps"))
+        .agg(count(lit(1)).as("n_planted"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_detected"),
+          round(sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)), 4)
+            .as("recall"),
+          Q.noNegZero(round(sum(col("cq")).cast("double") / (count(lit(1)) * 1e6), 6))
+            .as("mean_cos"))
+        .orderBy(col("band"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q31CosineTopK, q32CentroidNorms, q33AnnLshTopK,
     q34EmbeddingNearDups, q39CentroidAggregator, q45IvfAnn, q51DedupClusters,
     q133IncrementalClusters,
     q59DedupKeep, q91KmeansClusters, q92SemDedupKeep, q93PqAnn, q103AnnRecall,
     q104MultiprobeLsh, q117LeakageSafeSplit, q122IvfPqAnn, q139Sq8Ann,
     q151BinaryAnn, q179DaviesBouldin, q206SlicedWasserstein, q208MmdDrift,
-    q214AnnNdcg, q217DimAblation, q220KnnOutliers)
+    q214AnnNdcg, q217DimAblation, q220KnnOutliers, q226PlantedDupRecall)
 }

@@ -1644,4 +1644,119 @@ class StatsSpec extends SparkSpec {
       assert(nmi >= -1e-6 && nmi <= 1 + 1e-6, s"${r.getString(0)}: NMI $nmi")
     }
   }
+
+  test("q226 planted embedding recall: full driver replay of the adaptive-bits screen") {
+    // independent re-derivation of plants, band keys (masked adaptive
+    // bits from the union count), candidate pairs, exact-cosine verify,
+    // and the per-band rollup — from the raw vectors, not the query's
+    // own intermediates
+    import graft.functions.VectorFns
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def q6(x: Double) = BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val got = VectorQueries.q226PlantedDupRecall.run(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val bands = Seq((0, 0.025), (1, 0.06), (2, 0.13), (3, 0.25))
+    val panel = base.keys.filter(id => id % 7 == 3 && id < 7L * 256 + 3).toSeq.sorted
+    val plants = for ((b, eps) <- bands; id <- panel) yield {
+      val s = VectorFns.lshCoefs(3000 + b, 64)
+      (id * 4 + 1000000L + b, b, id, base(id).zip(s).map { case (x, sv) => x + eps * sv })
+    }
+    val corpus: Map[Long, Array[Double]] =
+      base ++ plants.map(p => p._1 -> p._4)
+    // adaptive bits: smallest b in [4,24] with n <= 16 * 2^b
+    val bits = (4 to 24).find(b => corpus.size <= (16L << b)).get
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      (d, na, nb)
+    }
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val (d, na, nb) = dot(a, b); d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def bandKey(e: Array[Double], band: Int): Long =
+      (0 until bits).map { r =>
+        val plane = VectorFns.lshCoefs(band * 24 + r, 64).toArray
+        if (cos(e, plane) >= 0) 1L << r else 0L
+      }.foldLeft(0L)(_ | _)
+    val byKey = corpus.toSeq.flatMap { case (id, e) =>
+      (0 until 4).map(b => ((b, bandKey(e, b)), id)) }.groupBy(_._1)
+    val cand = byKey.values.flatMap { grp =>
+      val ids = grp.map(_._2).toSeq.sorted
+      for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+    }.toSet
+    val detected = cand.filter { case (a, b) => r6(cos(corpus(a), corpus(b))) >= 0.35 }
+    val want = bands.map { case (b, _) =>
+      val ps = plants.filter(_._2 == b)
+      val hits = ps.count(p => detected.contains((p._3, p._1)))
+      val meanCq = ps.map(p => q6(cos(base(p._3), p._4))).sum
+      b -> (ps.size.toLong, hits.toLong,
+        BigDecimal(hits.toDouble / ps.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(meanCq.toDouble / (ps.size * 1e6)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+    }.toMap
+    assert(got === want)
+  }
+
+  test("q227 planted text recall: full driver replay of the minhash screen") {
+    // the screen math (shingles, portable 60-bit hash, 64 affine
+    // min-hashes, 16x4 banding, estimate threshold) re-derived in plain
+    // driver code from the tokenizer output
+    import graft.functions.TextFns
+    import graft.operators.Dedup
+    val got = TextQueries.q227PlantedTextDupRecall.run(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val bandsSpec = Seq((0, 3), (1, 4), (2, 6), (3, 12))
+    val panel = toks.keys.filter(_ % 22 == 0).toSeq.sorted
+    val plants = for ((b, d) <- bandsSpec; id <- panel) yield
+      (id * 4 + 1000000L + b, b, d, id,
+        toks(id).zipWithIndex.collect { case (t, i) if (i + 1) % d != 0 => t })
+    val corpus: Map[Long, Vector[String]] =
+      toks.filter(_._1 % 2 == 0).toMap ++ plants.map(p => p._1 -> p._5.toVector)
+    def shingleSet(t: Vector[String]): Set[String] =
+      if (t.size < 3) Set.empty
+      else (0 to t.size - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+    val sh = corpus.map { case (id, t) => id -> shingleSet(t) }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(str: String): Long = {
+      val hex = md.digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val P = Dedup.MinhashP
+    val params = Dedup.minhashParams(64)
+    val sigs = sh.collect { case (id, ss) if ss.nonEmpty =>
+      val xs = ss.toSeq.map(s => h60(s) % P)
+      id -> params.map { case (a, b) => xs.map(x => (a * x + b) % P).min }.toVector
+    }
+    val byKey = sigs.toSeq.flatMap { case (id, sig) =>
+      (0 until 16).map(b => ((b, sig.slice(b * 4, b * 4 + 4).mkString(",")), id))
+    }.groupBy(_._1)
+    val cand = byKey.values.flatMap { grp =>
+      val ids = grp.map(_._2).toSeq.sorted
+      for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+    }.toSet
+    val detected = cand.filter { case (a, b) =>
+      sigs(a).zip(sigs(b)).count(p => p._1 == p._2) / 64.0 >= 0.5 }
+    val want = bandsSpec.map { case (b, d) =>
+      val ps = plants.filter(p => p._2 == b &&
+        sh(p._4).nonEmpty && sh(p._1).nonEmpty)
+      val hits = ps.count(p => detected.contains((p._4, p._1)))
+      val jqs = ps.map { p =>
+        val (sa, sb) = (sh(p._4), sh(p._1))
+        val ni = (sa intersect sb).size
+        BigDecimal(ni.toDouble / (sa.size + sb.size - ni) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      b -> (ps.size.toLong, hits.toLong,
+        BigDecimal(hits.toDouble / ps.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(jqs.sum.toDouble / (ps.size * 1e6)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+    }.toMap
+    assert(got === want)
+  }
 }
