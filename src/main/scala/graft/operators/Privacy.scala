@@ -75,4 +75,67 @@ object Privacy {
           .as("avg_l_diversity"))
       .orderBy(col(reportCol))
   }
+
+  /** t-closeness audit over [[classState]] output (Li, Li &
+    * Venkatasubramanian 2007, total-variation instance for categorical
+    * sensitive attributes): per QI class, the distance between its
+    * sensitive-value distribution and the GLOBAL one —
+    * t_c = ½ Σ_v |p_c(v) − p(v)| — then per `reportCol`: worst and
+    * mean class distance, and the classes/rows past the release
+    * threshold `t`. Completes the release-audit family: k-anonymity
+    * bounds re-identification, l-diversity bounds value disclosure
+    * within a class, t-closeness bounds what a class reveals RELATIVE
+    * to background knowledge (a 5-anonymous, 3-diverse class still
+    * leaks if its segment mix is far from the population's).
+    *
+    * Exactness: the per-class numerator is the exact integer
+    * Σ_v |cnt_cv·N − g_v·n_c| (absent values contribute g_v·n_c —
+    * folded in via the complement term (N − Σ_present g_v)·n_c, so the
+    * class × sensitive grid is never materialized); t_c quantizes to
+    * the 1e-9 grid as a BIGINT before any cross-class aggregation.
+    * Headroom: cnt·N needs N ≤ ~2×10⁹ in int64 — guarded loudly, the
+    * q221 convention (the guard multiplies into the quantized value so
+    * pruning cannot drop it). Scale: the state is (QI × sensitive)-
+    * grain; everything after is one sensitive-grain join + class-grain
+    * aggregates. Additive-under-union like [[audit]] (same
+    * canonicalization), so the standing streaming monitor serves this
+    * from the identical fold. */
+  def tCloseness(state: DataFrame, qiCols: Seq[String], sensCol: String,
+      reportCol: String, t: Double = 0.3): DataFrame = {
+    require(qiCols.contains(reportCol),
+      s"tCloseness: reportCol '$reportCol' must be one of the QI columns $qiCols")
+    require(!(qiCols :+ sensCol).contains("c"),
+      "Privacy: 'c' is reserved for the class-state count column — " +
+        "rename the conflicting QI/sensitive column before auditing")
+    val canon = state
+      .groupBy(state.columns.filterNot(_ == "c").map(col): _*)
+      .agg(sum(col("c")).as("c"))
+    val szs = canon.groupBy(qiCols.map(col): _*).agg(sum(col("c")).as("sz"))
+    val g = canon.groupBy(col(sensCol)).agg(sum(col("c")).as("gv"))
+    val nn = canon.agg(sum(col("c")).as("n"))
+    val tq = canon
+      .join(g, Seq(sensCol))
+      .join(szs, qiCols)
+      .crossJoin(broadcast(nn))
+      .groupBy(qiCols.map(col): _*)
+      .agg(sum(abs(col("c") * col("n") - col("gv") * col("sz"))).as("pnum"),
+        sum(col("gv")).as("pg"), max(col("sz")).as("sz"), max(col("n")).as("n"))
+      .withColumn("ok", when(col("n") > 2000000000L, raise_error(lit(
+          "Privacy.tCloseness: row count past the int64 cnt*N headroom — " +
+            "subsample or shard the audit")).cast("long"))
+        .otherwise(lit(1L)))
+      .withColumn("tq",
+        round((col("ok") * (col("pnum") + (col("n") - col("pg")) * col("sz")))
+          .cast("double")
+          / (lit(2L) * col("sz") * col("n")).cast("double") * 1e9)
+          .cast("long"))
+    val tLong = math.round(t * 1e9)
+    tq.groupBy(col(reportCol))
+      .agg(count(lit(1)).as("n_classes"),
+        round(max(col("tq")).cast("double") / 1e9, 6).as("max_t"),
+        round(sum(col("tq")).cast("double") / count(lit(1)) / 1e9, 6).as("avg_t"),
+        sum(when(col("tq") > tLong, 1L).otherwise(0L)).as("classes_above_t"),
+        sum(when(col("tq") > tLong, col("sz")).otherwise(0L)).as("rows_exposed"))
+      .orderBy(col(reportCol))
+  }
 }

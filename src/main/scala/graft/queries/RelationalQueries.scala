@@ -3237,6 +3237,73 @@ object RelationalQueries {
       Seq("c_nationkey", "bal_band"), "c_nationkey")
   }
 
+  /** t-closeness release audit (Li et al. 2007) — the third leg of the
+    * governance family on q215's exact grain (QI = (nation, $1k
+    * balance band), sensitive = market segment, report by nation):
+    * per class, the total-variation distance between its segment mix
+    * and the population's; per nation, the worst/mean class distance
+    * and the classes/rows past the t = 0.3 release bar. k-anonymity
+    * (q215) bounds re-identification and l-diversity bounds in-class
+    * value disclosure — t-closeness bounds the ATTRIBUTE INFERENCE a
+    * class permits relative to background knowledge, the leak the
+    * other two can pass (a 5-anonymous, 3-diverse class whose segment
+    * mix is 90% one value still tells an adversary plenty).
+    *
+    * Routed through the SHARED Privacy fold ([[graft.operators
+    * .Privacy.classState]] → tCloseness): the state is the SAME
+    * (QI × sensitive)-grain relation the streaming k-anonymity
+    * monitor maintains, additive under union — the standing monitor
+    * serves this audit from the identical fold with zero new state.
+    * Exactness/scale: see the operator scaladoc (exact-integer TVD
+    * numerators with the complement-term trick, 1e-9-grid BIGINT
+    * quantization before cross-class aggregation, loud int64 guard in
+    * both dialects). */
+  val q229TCloseness = Q(
+    "q229_t_closeness",
+    """WITH cls AS (
+      |  SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+      |    c_mktsegment, CAST(count(*) AS BIGINT) AS c
+      |  FROM customer GROUP BY 1, 2, 3),
+      |szs AS (SELECT c_nationkey, bal_band, CAST(sum(c) AS BIGINT) AS sz
+      |        FROM cls GROUP BY 1, 2),
+      |g AS (SELECT c_mktsegment, CAST(sum(c) AS BIGINT) AS gv FROM cls GROUP BY 1),
+      |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cls),
+      |pres AS (
+      |  SELECT cl.c_nationkey, cl.bal_band,
+      |    CAST(sum(abs(cl.c * nn.n - g.gv * s.sz)) AS BIGINT) AS pnum,
+      |    CAST(sum(g.gv) AS BIGINT) AS pg,
+      |    CAST(max(s.sz) AS BIGINT) AS sz, CAST(max(nn.n) AS BIGINT) AS n
+      |  FROM cls cl
+      |  JOIN g USING (c_mktsegment)
+      |  JOIN szs s USING (c_nationkey, bal_band)
+      |  CROSS JOIN nn
+      |  GROUP BY 1, 2),
+      |tc AS (
+      |  SELECT c_nationkey, bal_band, sz,
+      |    CAST(round(CAST(ok * (pnum + (n - pg) * sz) AS DOUBLE)
+      |      / CAST(2 * sz * n AS DOUBLE) * 1e9) AS BIGINT) AS tq
+      |  FROM (SELECT *, CASE WHEN n > 2000000000
+      |          THEN error('Privacy.tCloseness: row count past the int64 cnt*N headroom — subsample or shard the audit')
+      |          ELSE 1 END AS ok FROM pres) p)
+      |SELECT c_nationkey,
+      |  CAST(count(*) AS BIGINT) AS n_classes,
+      |  round(CAST(max(tq) AS DOUBLE) / 1e9, 6) AS max_t,
+      |  round(CAST(sum(tq) AS DOUBLE) / count(*) / 1e9, 6) AS avg_t,
+      |  CAST(sum(CASE WHEN tq > 300000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS classes_above_t,
+      |  CAST(sum(CASE WHEN tq > 300000000 THEN sz ELSE 0 END) AS BIGINT)
+      |    AS rows_exposed
+      |FROM tc
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin) { (spark, dir) =>
+    graft.operators.Privacy.tCloseness(
+      graft.operators.Privacy.classState(
+        Tables.customer(spark, dir)
+          .withColumn("bal_band", floor(col("c_acctbal") / 1000).cast("long")),
+        Seq("c_nationkey", "bal_band"), "c_mktsegment"),
+      Seq("c_nationkey", "bal_band"), "c_mktsegment", "c_nationkey", t = 0.3)
+  }
+
   /** q216's shared constants: feature dimension, iteration budget, and
     * the DuckDB feature CTE (the Spark side mirrors it column by
     * column). Feature grids are chosen so every feature is a SMALL
@@ -3911,6 +3978,6 @@ object RelationalQueries {
     q184GiniConcentration, q185KsDrift, q186MutualInformation, q187RevenueAcf,
     q197RobustMeans, q198SpearmanRank, q199DriftAlarmsBh, q200HillTailIndex,
     q203WassersteinDrift, q205DriftMonitor, q207AdMonitor, q209DriftTrajectory,
-    q210DriftPanel, q211TrajectoryAlarms, q215KAnonymity, q216FeaturePca, q219RfmSegments, q221WoeIv, q223PcaTwo,
+    q210DriftPanel, q211TrajectoryAlarms, q215KAnonymity, q216FeaturePca, q229TCloseness, q219RfmSegments, q221WoeIv, q223PcaTwo,
     q224SplitGain)
 }

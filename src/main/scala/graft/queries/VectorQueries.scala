@@ -1805,6 +1805,95 @@ object VectorQueries {
       .limit(20)
   }
 
+  /** TwoNN intrinsic-dimension estimate per label (Facco et al. 2017):
+    * the dimensionality-diagnostics leg of the embedding stack — a
+    * corpus whose ESTIMATED intrinsic dimension collapses far below
+    * the ambient 64 signals redundant/degenerate embeddings (mode
+    * collapse, truncation damage — the q217 ablation's sibling
+    * question), and the estimate feeds index tuning (IVF cell counts,
+    * PQ subspace budgets scale with intrinsic, not ambient, dimension).
+    *
+    * Estimator: for each vector, μ = d₂/d₁ over its two nearest
+    * same-bucket neighbors (cosine distance on the 1e-6 grid);
+    * id = n / Σ ln μ — the TwoNN maximum-likelihood form. Exact-dup
+    * points (d₁ = 0) are discarded (standard TwoNN prescription;
+    * μ undefined), as are single-neighbor points.
+    *
+    * Scale: q220's exact candidate structure — the count-derived
+    * adaptive bucket (bits = ⌈log₂(N/64)⌉ in-query) holds the
+    * within-bucket pair stage linear; per-vector top-2 is a
+    * bucket-partitioned window. Exactness: cosines quantize to BIGINT
+    * on the 1e-6 grid BEFORE ranking; each ln term is the ln of a
+    * ratio of exact integers (identical doubles both engines — the
+    * q221 integer-arg convention) quantized to the 1e9 grid; the
+    * final division consumes exact sums. The all-ties degenerate case
+    * (Σ ln μ = 0) raises loudly in BOTH dialects. */
+  val q228IntrinsicDim = Q(
+    "q228_intrinsic_dim",
+    s"""WITH nc AS (SELECT count(*) AS n FROM embeddings),
+       |bc AS (SELECT ${duckBitsExpr(KnnMinBits, KnnMaxBits, KnnTarget)} AS bits FROM nc),
+       |buck AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+       |    ${duckBucketMaskedExpr("embedding", KnnMaxBits)} AS bucket
+       |  FROM embeddings, bc),
+       |p AS (
+       |  SELECT a.vec_id, a.label, b.vec_id AS nb,
+       |    CAST(round(list_cosine_similarity(a.e, b.e) * 1000000) AS BIGINT) AS cq
+       |  FROM buck a JOIN buck b USING (bucket)
+       |  WHERE a.vec_id <> b.vec_id),
+       |k AS (
+       |  SELECT vec_id, label, cq, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cq DESC, nb) AS rnk
+       |  FROM p),
+       |tw AS (
+       |  SELECT vec_id, label,
+       |    max(CASE WHEN rnk = 1 THEN cq END) AS cq1,
+       |    max(CASE WHEN rnk = 2 THEN cq END) AS cq2
+       |  FROM k WHERE rnk <= 2 GROUP BY 1, 2 HAVING count(*) = 2),
+       |lg AS (
+       |  SELECT label,
+       |    CAST(round(ln(CAST(1000000 - cq2 AS DOUBLE) / (1000000 - cq1)) * 1e9)
+       |      AS BIGINT) AS lq
+       |  FROM tw WHERE cq1 < 1000000)
+       |SELECT CAST(label AS INT) AS label, CAST(count(*) AS BIGINT) AS n_points,
+       |  CASE WHEN sum(lq) = 0
+       |    THEN error('q228: degenerate neighbor distances - every 2nd neighbor ties the 1st on the 1e-6 grid; refine the grid or dedup first')
+       |    ELSE round(CAST(count(*) AS DOUBLE) * 1e9 / sum(lq), 4) END AS intrinsic_dim
+       |FROM lg GROUP BY label ORDER BY label""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .crossJoin(broadcast(lshBitsDf(spark, dir, KnnMinBits, KnnMaxBits, KnnTarget)))
+      .withColumn("bucket",
+        VectorFns.lshBucketMasked(col("embedding"), Dim, col("bits"), KnnMaxBits))
+    val b = emb.select(col("bucket"), col("vec_id").as("nb"),
+      col("embedding").as("nemb"))
+    val pairs = emb.join(b, Seq("bucket")).filter(col("vec_id") =!= col("nb"))
+      .select(col("vec_id"), col("label"), col("nb"),
+        round(VectorFns.cosine(col("embedding"), col("nemb")) * 1e6)
+          .cast("long").as("cq"))
+    val tw = pairs
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cq").desc, col("nb"))))
+      .filter(col("rnk") <= 2)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("rnk") === 1, col("cq"))).as("cq1"),
+        max(when(col("rnk") === 2, col("cq"))).as("cq2"),
+        count(lit(1)).as("nn"))
+      .filter(col("nn") === 2 && col("cq1") < 1000000L)
+    tw.select(col("label"),
+        round(log((lit(1000000L) - col("cq2")).cast("double")
+          / (lit(1000000L) - col("cq1"))) * 1e9).cast("long").as("lq"))
+      .groupBy(col("label").cast("int").as("label"))
+      .agg(count(lit(1)).as("n_points"), sum(col("lq")).as("s"))
+      .select(col("label"), col("n_points"),
+        when(col("s") === 0, raise_error(lit(
+          "q228: degenerate neighbor distances - every 2nd neighbor ties the 1st on the 1e-6 grid; refine the grid or dedup first"))
+          .cast("double"))
+          .otherwise(round(col("n_points").cast("double") * 1e9 / col("s"), 4))
+          .as("intrinsic_dim"))
+      .orderBy(col("label"))
+  }
+
   /** Planted near-duplicate recall for the embedding dedup screen
     * (r12 verdict #6): the q34/q51 banded sign-LSH screen gets graded,
     * KNOWN ground truth injected IN-QUERY — each panel vector (every
@@ -1899,5 +1988,6 @@ object VectorQueries {
     q59DedupKeep, q91KmeansClusters, q92SemDedupKeep, q93PqAnn, q103AnnRecall,
     q104MultiprobeLsh, q117LeakageSafeSplit, q122IvfPqAnn, q139Sq8Ann,
     q151BinaryAnn, q179DaviesBouldin, q206SlicedWasserstein, q208MmdDrift,
-    q214AnnNdcg, q217DimAblation, q220KnnOutliers, q226PlantedDupRecall)
+    q214AnnNdcg, q217DimAblation, q220KnnOutliers, q226PlantedDupRecall,
+    q228IntrinsicDim)
 }

@@ -593,6 +593,22 @@ object DiagScale {
         "q68_contamination" -> (() =>
           graft.queries.TextQueries.q68Contamination
             .run(spark, relTables(spark, sfDir, k)).count()),
+        // r13 extension wave: q226/q227 are panel-bounded planted
+        // evals over the q34/q29 screens (expect the screens' shapes);
+        // q228 rides q220's bucket structure (expect its ~linear);
+        // q229 is q215's two-hash-agg family (expect flat/sublinear)
+        "q226_planted_emb" -> (() =>
+          graft.queries.VectorQueries.q226PlantedDupRecall
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        "q227_planted_text" -> (() =>
+          graft.queries.TextQueries.q227PlantedTextDupRecall
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        "q228_intrinsic" -> (() =>
+          graft.queries.VectorQueries.q228IntrinsicDim
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        "q229_tclose" -> (() =>
+          graft.queries.RelationalQueries.q229TCloseness
+            .run(spark, relTables(spark, sfDir, k)).count()),
         "q200_hill_s16" -> (() => withShufflePartitions(spark, "16") {
           graft.queries.RelationalQueries.q200HillTailIndex
             .run(spark, relTables(spark, sfDir, k)).count() }),

@@ -246,6 +246,15 @@ class SignedZeroAuditSpec extends SparkSpec {
     ("q161_link_predict", "aa_score"),
     ("q189_local_clustering", "lcc"),
     ("q79_domain_budget", "avg_depth"),
+    // r13 additions — all ratios/statistics nonnegative by construction:
+    // recall = hits/total in [0,1]; intrinsic_dim = n·1e9/Σln μ with
+    // μ ≥ 1 terms and a loud Σ=0 guard (so the served value is > 0);
+    // t-closeness max_t/avg_t are total-variation distances in [0,1]
+    ("q226_planted_dup_recall", "recall"),
+    ("q227_planted_text_dup_recall", "recall"),
+    ("q228_intrinsic_dim", "intrinsic_dim"),
+    ("q229_t_closeness", "max_t"),
+    ("q229_t_closeness", "avg_t"),
   )
 
   test("every rounded double output is noNegZero-finished or allowlisted nonnegative") {

@@ -1700,6 +1700,46 @@ class StatsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q228 intrinsic dimension: driver replay of 2-NN ratios and the MLE") {
+    // buckets re-derived from the raw vectors at the replay-resolved
+    // adaptive bit count; 2-NN ranking, the ln-ratio 1e9 quantization,
+    // and the per-label MLE all recomputed independently
+    import graft.functions.VectorFns
+    val got = VectorQueries.q228IntrinsicDim.run(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val nCorpus = Tables.embeddings(spark, sfDir).count()
+    val nBits = VectorFns.bitsForCorpus(nCorpus, 64)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        VectorFns.lshBucket(col("embedding"), 64, nBits = nBits).as("bucket"),
+        col("embedding").cast("array<double>").as("e"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getSeq[Double](3)))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def q0(x: Double) = BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val byBucket = emb.groupBy(_._3)
+    val terms = emb.flatMap { case (id, label, bkt, e) =>
+      val nbs = byBucket(bkt).filter(_._1 != id)
+        .map { case (nid, _, _, ne) => (q0(cos(e, ne) * 1e6), nid) }
+        .sortBy { case (cq, nid) => (-cq, nid) }
+        .take(2)
+      if (nbs.size < 2 || nbs.head._1 >= 1000000L) None
+      else Some((label,
+        q0(math.log((1000000L - nbs(1)._1).toDouble / (1000000L - nbs.head._1)) * 1e9)))
+    }
+    val want = terms.groupBy(_._1).map { case (label, ts) =>
+      val spend = ts.map(_._2).sum
+      label -> (ts.size.toLong,
+        BigDecimal(ts.size.toDouble * 1e9 / spend)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got === want)
+  }
+
   test("q227 planted text recall: full driver replay of the minhash screen") {
     // the screen math (shingles, portable 60-bit hash, 64 affine
     // min-hashes, 16x4 banding, estimate threshold) re-derived in plain
