@@ -1005,11 +1005,79 @@ object EventQueries {
       .orderBy(col("cohort"))
   }
 
+  /** Markov next-event prediction eval — the sequence-predictability
+    * diagnostic over the event stream (completes the q72 transition
+    * family the way q212/q213 complete retrieval: the MODEL the
+    * transition counts imply, graded on held-out data). A first-order
+    * Markov predictor is fit on the even-event_id half of the
+    * consecutive-pair stream (argmax next-type per prev-type,
+    * deterministic count-DESC/type-ASC tie rule) and scored top-1 on
+    * the odd half, per prior event type. Low accuracy on a type whose
+    * transitions LOOK concentrated in q72's counts = heterogeneity the
+    * aggregate hides; the number also baselines any sequence model
+    * trained on this stream (beat the Markov floor or don't ship).
+    *
+    * Scale: ONE user-keyed window (the q72 exchange), a transition
+    * aggregate at |types|² grain, and a test join against the
+    * |types|-row predictor (AQE broadcasts it unhinted). Exactness:
+    * BIGINT counts, one final division; the even/odd split keys on
+    * event_id so both engines split identically. */
+  val q231MarkovEval = Q(
+    "q231_markov_eval",
+    """WITH seq AS (
+      |  SELECT event_type AS prev, event_id,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS nxt
+      |  FROM events),
+      |pr AS (SELECT prev, nxt, event_id FROM seq WHERE nxt IS NOT NULL),
+      |tr AS (SELECT prev, nxt, CAST(count(*) AS BIGINT) AS c
+      |       FROM pr WHERE event_id % 2 = 0 GROUP BY 1, 2),
+      |pd AS (
+      |  SELECT prev, nxt AS predicted FROM (
+      |    SELECT prev, nxt, row_number() OVER (PARTITION BY prev
+      |      ORDER BY c DESC, nxt) AS rn
+      |    FROM tr) t WHERE rn = 1),
+      |te AS (SELECT prev, nxt FROM pr WHERE event_id % 2 = 1)
+      |SELECT te.prev AS prev_type, pd.predicted AS predicted_next,
+      |  CAST(count(*) AS BIGINT) AS n_test,
+      |  CAST(sum(CASE WHEN te.nxt = pd.predicted THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_correct,
+      |  round(CAST(sum(CASE WHEN te.nxt = pd.predicted THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6) AS accuracy
+      |FROM te JOIN pd ON pd.prev = te.prev
+      |GROUP BY 1, 2
+      |ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val seq = Tables.events(spark, dir)
+      .select(col("event_type").as("prev"), col("event_id"),
+        lead(col("event_type"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")))
+          .as("nxt"))
+      .filter(col("nxt").isNotNull)
+    val tr = seq.filter(col("event_id") % 2 === 0)
+      .groupBy(col("prev"), col("nxt")).agg(count(lit(1)).as("c"))
+    val pd = tr
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("prev")).orderBy(col("c").desc, col("nxt"))))
+      .filter(col("rn") === 1)
+      .select(col("prev"), col("nxt").as("predicted"))
+    seq.filter(col("event_id") % 2 === 1)
+      .join(pd, Seq("prev"))
+      .groupBy(col("prev").as("prev_type"), col("predicted").as("predicted_next"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("nxt") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"),
+        round(sum(when(col("nxt") === col("predicted"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("accuracy"))
+      .orderBy(col("prev_type"))
+  }
+
   val all: Seq[Q] = Seq(q18JsonProps, q19HourlyAgg, q20SlidingAgg, q21Sessions,
     q22AsofViewPurchase, q50MapFuncs, q52IntervalJoin, q62Funnel, q63Retention,
     q65AsofNextView, q71GapfillHourly, q72Transitions, q86VolumeAnomalies,
     q87Scd2Intervals, q89TopPaths, q99RollingHour, q105HllRollup,
     q106MadOutliers, q107DecayedActivity, q109Scd2Lookup, q123SessionSequences,
     q147AbWelch, q154BootstrapCi, q163TimeWeightedAvg, q188KaplanMeier,
-    q222WindowedFunnel)
+    q222WindowedFunnel,
+    q231MarkovEval)
 }

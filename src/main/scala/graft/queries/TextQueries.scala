@@ -2397,6 +2397,77 @@ object TextQueries {
       .orderBy(col("shard"))
   }
 
+  /** Reshard-movement audit — the operational number behind choosing a
+    * shard-assignment strategy (completes the q138/q140 family): when
+    * the shard count grows 16 → 17, what fraction of the corpus MOVES
+    * under (a) mod-hash and (b) rendezvous/HRW assignment? Mod-hash
+    * remaps ~S/(S+1) ≈ 94% of every shard (a full-corpus rewrite per
+    * rescale); rendezvous moves only the docs whose new shard WINS the
+    * score race — the theoretical minimum 1/(S+1) ≈ 5.9% (Thaler &
+    * Ravishankar 1998). The paired fractions ARE the deployment
+    * decision: at 100 TB a rescale under mod-hash re-copies the
+    * corpus, under rendezvous it touches one new shard's worth.
+    *
+    * Scale: pure in-row hash expressions (17 md5s/doc for the HRW
+    * race) into a global 2-row aggregate — no shuffle beyond the final
+    * rollup, the q138 class. Exactness: BIGINT counts, one final
+    * division; both engines run the identical md5-derived scores and
+    * the identical (score DESC, shard ASC) tie rule. */
+  val q230ReshardMovement = Q(
+    "q230_reshard_movement",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM documents),
+      |hs AS (
+      |  SELECT doc_id, s,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR)),
+      |      1, 15))::BIGINT AS hh
+      |  FROM documents, unnest(range(0, 17)) AS u(s)),
+      |p16 AS (
+      |  SELECT doc_id, s AS shard FROM (
+      |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY hh DESC, s) AS rn
+      |    FROM hs WHERE s < 16) t WHERE rn = 1),
+      |p17 AS (
+      |  SELECT doc_id, s AS shard FROM (
+      |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY hh DESC, s) AS rn
+      |    FROM hs) t WHERE rn = 1),
+      |mv AS (
+      |  SELECT 'mod' AS strategy, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN h % 16 <> h % 17 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_moved
+      |  FROM h
+      |  UNION ALL
+      |  SELECT 'rendezvous', CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM p16 a JOIN p17 b USING (doc_id))
+      |SELECT strategy, n_docs, n_moved,
+      |  round(CAST(n_moved AS DOUBLE) / n_docs, 6) AS moved_frac
+      |FROM mv ORDER BY strategy""".stripMargin) { (spark, dir) =>
+    import graft.functions.Sampling
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val d = Tables.documents(spark, dir).select(
+      (pmod(h, lit(16L)) =!= pmod(h, lit(17L))).as("mod_moved"),
+      (Sampling.rendezvousShard(col("doc_id"), 16)
+        =!= Sampling.rendezvousShard(col("doc_id"), 17)).as("rv_moved"))
+    d.agg(count(lit(1)).as("n"),
+        sum(when(col("mod_moved"), 1L).otherwise(0L)).as("m_mod"),
+        sum(when(col("rv_moved"), 1L).otherwise(0L)).as("m_rv"))
+      .select(explode(array(
+        struct(lit("mod").as("strategy"), col("n").as("n_docs"),
+          col("m_mod").as("n_moved")),
+        struct(lit("rendezvous").as("strategy"), col("n").as("n_docs"),
+          col("m_rv").as("n_moved")))).as("r"))
+      .select(col("r.strategy").as("strategy"), col("r.n_docs").as("n_docs"),
+        col("r.n_moved").as("n_moved"),
+        round(col("r.n_moved").cast("double") / col("r.n_docs"), 6)
+          .as("moved_frac"))
+      .orderBy(col("strategy"))
+  }
+
   /** Retrieve-then-rerank — the canonical two-stage RAG pipeline:
     * sparse BM25 recall (the q137 posting join, cheap and bounded)
     * nominates top-5 candidates per query, then DENSE cosine scores
@@ -4901,5 +4972,5 @@ object TextQueries {
     q195TokenWaterfill, q196JsDivergence, q201ShardBalance,
     q202BrierDecomposition, q204ConformalThreshold, q212RetrievalNdcg,
     q213ChainNdcg, q218CurriculumOrder, q225IsotonicCalibration,
-    q227PlantedTextDupRecall)
+    q227PlantedTextDupRecall, q230ReshardMovement)
 }

@@ -609,6 +609,15 @@ object DiagScale {
         "q229_tclose" -> (() =>
           graft.queries.RelationalQueries.q229TCloseness
             .run(spark, relTables(spark, sfDir, k)).count()),
+        // q230 is pure in-row hashing into a 2-row aggregate; q231 is
+        // q72's one user-keyed window + a types^2 aggregate — expect
+        // flat-to-linear for both
+        "q230_reshard" -> (() =>
+          graft.queries.TextQueries.q230ReshardMovement
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        "q231_markov" -> (() =>
+          graft.queries.EventQueries.q231MarkovEval
+            .run(spark, relTables(spark, sfDir, k)).count()),
         "q200_hill_s16" -> (() => withShufflePartitions(spark, "16") {
           graft.queries.RelationalQueries.q200HillTailIndex
             .run(spark, relTables(spark, sfDir, k)).count() }),

@@ -255,6 +255,9 @@ class SignedZeroAuditSpec extends SparkSpec {
     ("q228_intrinsic_dim", "intrinsic_dim"),
     ("q229_t_closeness", "max_t"),
     ("q229_t_closeness", "avg_t"),
+    // ratios in [0, 1] by construction
+    ("q230_reshard_movement", "moved_frac"),
+    ("q231_markov_eval", "accuracy"),
   )
 
   test("every rounded double output is noNegZero-finished or allowlisted nonnegative") {

@@ -613,6 +613,16 @@ class StreamOpsSpec extends SparkSpec {
     val n1b = served.find(_._1 === 1).get
     assert(n1b._2 === 5L && n1b._4 === 5L && n1b._5 === 0L
       && n1b._6 === 0L && n1b._8 === 3L)
+    // r13: the t-closeness audit (q229) rides the IDENTICAL fold — the
+    // standing monitor's snapshot must serve it equal to the one-shot
+    // batch audit with zero new state
+    def tclose(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Privacy.tCloseness(df, qi, "seg", "nat")
+        .as[(Int, Long, Double, Double, Long, Long)].collect().toSet
+    assert(tclose(StreamOps.latestSnapshot(spark, snapDir).get)
+        === tclose(graft.operators.Privacy.classState(
+          (batch1 ++ batch2).toDF("nat", "band", "seg"), qi, "seg")),
+      "streamed t-closeness serving diverged from the batch audit")
   }
 
   test("latestSnapshot requireMarkers=false serves a markers-off store") {
