@@ -1805,6 +1805,72 @@ object VectorQueries {
       .limit(20)
   }
 
+  /** Quality-aware dedup canonical selection — the POLICY layer over
+    * the q51/q59 cluster machinery: q59 keeps the MIN-ID member per
+    * near-dup cluster (the arbitrary-but-deterministic default); a
+    * training-data pipeline keeps the BEST member (here: longest text,
+    * the standard length-quality proxy — the policy column is
+    * pluggable). This query runs BOTH policies over the same clusters
+    * and prices the difference: clusters where they diverge, total
+    * kept characters under each, and the percentage quality gain —
+    * the number that justifies wiring a quality model into the dedup
+    * keep step at all. Uses the synthetic corpus' doc_id ↔ vec_id
+    * bridge to join text stats onto embedding clusters.
+    *
+    * Scale: q34's adaptive-bits pairs + components (measured family)
+    * plus one id-keyed join to documents and comp-grain windows.
+    * Exactness: BIGINT character sums, one final division; argmax tie
+    * rule (n_chars DESC, id ASC) identical in both dialects. */
+  val q232QualityDedupKeep = Q(
+    "q232_quality_dedup_keep",
+    s"""WITH RECURSIVE ${duckPairsCtes()},
+       |$duckComponentsCtes,
+       |mem AS (
+       |  SELECT c.node, c.comp, d.n_chars
+       |  FROM comp c JOIN documents d ON d.doc_id = c.node),
+       |best AS (
+       |  SELECT comp, node, n_chars FROM (
+       |    SELECT comp, node, n_chars, row_number() OVER (PARTITION BY comp
+       |      ORDER BY n_chars DESC, node) AS rn
+       |    FROM mem) t WHERE rn = 1),
+       |firstid AS (
+       |  SELECT comp, node, n_chars FROM (
+       |    SELECT comp, node, n_chars, row_number() OVER (PARTITION BY comp
+       |      ORDER BY node) AS rn
+       |    FROM mem) t WHERE rn = 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sum(CASE WHEN b.node <> f.node THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_divergent,
+       |  CAST(sum(b.n_chars) AS BIGINT) AS best_kept_chars,
+       |  CAST(sum(f.n_chars) AS BIGINT) AS minid_kept_chars,
+       |  round((CAST(sum(b.n_chars) AS DOUBLE) - sum(f.n_chars))
+       |    / sum(f.n_chars), 6) + 0.0 AS quality_gain
+       |FROM best b JOIN firstid f USING (comp)""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Dedup
+    val mem = Dedup.connectedComponents(
+        nearDupPairs(spark, dir).select(col("id_a"), col("id_b")))
+      .join(Tables.documents(spark, dir).select(col("doc_id").as("node"),
+        col("n_chars")), Seq("node"))
+    def keeper(w: org.apache.spark.sql.expressions.WindowSpec, tag: String) = mem
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("comp"), col("node").as(s"${tag}_node"),
+        col("n_chars").as(s"${tag}_chars"))
+    val best = keeper(Window.partitionBy(col("comp"))
+      .orderBy(col("n_chars").desc, col("node")), "best")
+    val firstid = keeper(Window.partitionBy(col("comp"))
+      .orderBy(col("node")), "first")
+    best.join(firstid, Seq("comp"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(when(col("best_node") =!= col("first_node"), 1L).otherwise(0L))
+          .as("n_divergent"),
+        sum(col("best_chars")).as("best_kept_chars"),
+        sum(col("first_chars")).as("minid_kept_chars"),
+        Q.noNegZero(round(
+          (sum(col("best_chars")).cast("double") - sum(col("first_chars")))
+            / sum(col("first_chars")), 6)).as("quality_gain"))
+  }
+
   /** TwoNN intrinsic-dimension estimate per label (Facco et al. 2017):
     * the dimensionality-diagnostics leg of the embedding stack — a
     * corpus whose ESTIMATED intrinsic dimension collapses far below
@@ -1989,5 +2055,5 @@ object VectorQueries {
     q104MultiprobeLsh, q117LeakageSafeSplit, q122IvfPqAnn, q139Sq8Ann,
     q151BinaryAnn, q179DaviesBouldin, q206SlicedWasserstein, q208MmdDrift,
     q214AnnNdcg, q217DimAblation, q220KnnOutliers, q226PlantedDupRecall,
-    q228IntrinsicDim)
+    q228IntrinsicDim, q232QualityDedupKeep)
 }

@@ -618,6 +618,11 @@ object DiagScale {
         "q231_markov" -> (() =>
           graft.queries.EventQueries.q231MarkovEval
             .run(spark, relTables(spark, sfDir, k)).count()),
+        // q232 composes the q34-family pairs + components with one
+        // id-keyed join — expect the q51_adaptive shape (<= ~0.5)
+        "q232_qkeep" -> (() =>
+          graft.queries.VectorQueries.q232QualityDedupKeep
+            .run(spark, relTables(spark, sfDir, k)).count()),
         "q200_hill_s16" -> (() => withShufflePartitions(spark, "16") {
           graft.queries.RelationalQueries.q200HillTailIndex
             .run(spark, relTables(spark, sfDir, k)).count() }),
