@@ -102,22 +102,30 @@ object VectorFns {
       when(n <= lit(targetBucket.toLong << b), lit(b)).otherwise(els)
     }
 
-  /** [[lshBucket]] with a RUNTIME bit count: the expression is unrolled
-    * to a static `maxBits` width and each bit b contributes only when
-    * `b < bits` — `And` short-circuits, so masked-off planes cost
-    * nothing at runtime, and the static unrolling keeps a SQL oracle
-    * expressible while the bucket count scales with the corpus
-    * ([[bitsForCorpusCol]] supplies `bits` from an in-query count). */
-  def lshBucketMasked(vec: Column, dim: Int, bits: Column, maxBits: Int,
-      seed: Long = 42L): Column = {
-    val v = d(vec)
-    (0 until maxBits).map { b =>
-      val coefs = array(lshCoefs(b, dim, seed).map(lit): _*)
-      when(lit(b) < bits &&
+  /** ONE masked band key: sign bits of planes planeBase..planeBase+
+    * maxBits-1, each contributing only when its in-band index r is
+    * below the runtime `bits` — the single implementation both
+    * [[lshBucketMasked]] and [[lshBandKeysMasked]] delegate to, so the
+    * mask/plane-window contract cannot desynchronize between the
+    * bucket and band forms (r13 review). `And` short-circuits, so
+    * masked-off planes cost nothing at runtime. */
+  private def maskedBandKey(v: Column, dim: Int, bits: Column, maxBits: Int,
+      planeBase: Int, seed: Long): Column =
+    (0 until maxBits).map { r =>
+      val coefs = array(lshCoefs(planeBase + r, dim, seed).map(lit): _*)
+      when(lit(r) < bits &&
           graft.plans.CosineSimExpr.cosineSim(v, coefs) >= 0,
-        lit(1L << b)).otherwise(lit(0L))
+        lit(1L << r)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
-  }
+
+  /** [[lshBucket]] with a RUNTIME bit count: the expression is unrolled
+    * to a static `maxBits` width and masked to the low `bits` — the
+    * static unrolling keeps a SQL oracle expressible while the bucket
+    * count scales with the corpus ([[bitsForCorpusCol]] supplies `bits`
+    * from an in-query count). ≡ band 0 of [[lshBandKeysMasked]]. */
+  def lshBucketMasked(vec: Column, dim: Int, bits: Column, maxBits: Int,
+      seed: Long = 42L): Column =
+    maskedBandKey(d(vec), dim, bits, maxBits, planeBase = 0, seed)
 
   /** [[lshBandKeys]] with a RUNTIME per-band bit count (same masking
     * contract as [[lshBucketMasked]]). Band b draws planes from the
@@ -128,12 +136,7 @@ object VectorFns {
       maxBitsPerBand: Int, seed: Long = 42L): Column = {
     val v = d(vec)
     array((0 until nBands).map { b =>
-      (0 until maxBitsPerBand).map { r =>
-        val coefs = array(lshCoefs(b * maxBitsPerBand + r, dim, seed).map(lit): _*)
-        when(lit(r) < bits &&
-            graft.plans.CosineSimExpr.cosineSim(v, coefs) >= 0,
-          lit(1L << r)).otherwise(lit(0L))
-      }.reduce((x, y) => x.bitwiseOR(y))
+      maskedBandKey(v, dim, bits, maxBitsPerBand, b * maxBitsPerBand, seed)
     }: _*)
   }
 

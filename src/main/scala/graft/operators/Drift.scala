@@ -312,16 +312,22 @@ object Drift {
       cA: String, cB: String, withEnergy: Boolean): DataFrame = {
     // the runtime __frac guard below is EXACT for float/double grids (a
     // binary float ≥ 2^53 cannot carry a fraction, so the double probe
-    // never misses one) — but a fractional-SCALE decimal CAN hold
-    // fractions past 2^53 that the double cast rounds integral, sailing
-    // through the probe into the silent long-truncation the guard
-    // exists to refuse. Close that blind spot statically: a decimal
-    // grid must arrive with scale 0 (pre-scale to cents/micros).
+    // never misses one) — but a wide fractional-SCALE decimal CAN hold
+    // fractions whose double cast rounds integral, sailing through the
+    // probe into the silent long-truncation the guard exists to refuse.
+    // The probe is provably exact while the double grid is finer than
+    // the decimal's: the smallest representable fraction is 10^-scale
+    // and the ulp at max magnitude 10^(precision-scale) stays below it
+    // iff 10^precision < 2^52 — i.e. precision ≤ 15. Past that, refuse
+    // statically (r13 review narrowed the r12 scale>0 blanket refusal,
+    // which broke integral-valued narrow-decimal callers the runtime
+    // probe handles exactly).
     hist.schema(v).dataType match {
       case d: org.apache.spark.sql.types.DecimalType =>
-        require(d.scale <= 0,
+        require(d.scale <= 0 || d.precision <= 15,
           "graft.Drift: autoCoarsen requires an integer value grid — " +
-            s"column '$v' is decimal(${d.precision},${d.scale}); " +
+            s"column '$v' is decimal(${d.precision},${d.scale}), wide " +
+            "enough to hold fractions the double-cast probe cannot see; " +
             "pre-scale the grid to integers (e.g. cents, micros)")
       case _ => ()
     }

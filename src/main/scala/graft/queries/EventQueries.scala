@@ -1044,7 +1044,7 @@ object EventQueries {
       |    AS n_correct,
       |  round(CAST(sum(CASE WHEN te.nxt = pd.predicted THEN 1 ELSE 0 END)
       |    AS DOUBLE) / count(*), 6) AS accuracy
-      |FROM te JOIN pd ON pd.prev = te.prev
+      |FROM te LEFT JOIN pd ON pd.prev = te.prev
       |GROUP BY 1, 2
       |ORDER BY 1""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
@@ -1061,8 +1061,11 @@ object EventQueries {
         Window.partitionBy(col("prev")).orderBy(col("c").desc, col("nxt"))))
       .filter(col("rn") === 1)
       .select(col("prev"), col("nxt").as("predicted"))
+    // LEFT join: a prior type whose pairs all landed in the test half
+    // has no predictor — it must surface as a zero-accuracy row, not
+    // silently vanish from the report (r13 review)
     seq.filter(col("event_id") % 2 === 1)
-      .join(pd, Seq("prev"))
+      .join(pd, Seq("prev"), "left")
       .groupBy(col("prev").as("prev_type"), col("predicted").as("predicted_next"))
       .agg(count(lit(1)).as("n_test"),
         sum(when(col("nxt") === col("predicted"), 1L).otherwise(0L))

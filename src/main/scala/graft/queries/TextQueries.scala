@@ -3373,7 +3373,11 @@ object TextQueries {
     * excerpts appended (id + 1e6), and with threshold 0.8 every
     * excerpt must pair with its source through the rare-shingle
     * candidate stage (shared with q28 — same df-cap scale contract)
-    * while those same pairs sit far below q28's 0.5 Jaccard bar. */
+    * while those same pairs sit far below q28's 0.5 Jaccard bar.
+    * (Synthetic-id note, r13 review: this fixture family's fixed +1e6
+    * id offset assumes the GATE corpora's id range; q226/q227 derive
+    * their plant offset from max(id)+1 in-query — the scheme any
+    * production-corpus fixture should copy.) */
   val q166ContainmentPairs = Q(
     "q166_containment_pairs",
     """WITH corpus AS (
@@ -4851,16 +4855,17 @@ object TextQueries {
   val q227PlantedTextDupRecall: Q = {
     val bandsSpec = Seq((0, 3), (1, 4), (2, 6), (3, 12))
     val plvSelects = bandsSpec.map { case (b, d) =>
-      s"""  SELECT doc_id * 4 + 1000000 + $b AS doc_id, doc_id AS base_id,
+      s"""  SELECT mo.off + doc_id * 4 + $b AS doc_id, doc_id AS base_id,
          |    $b AS band, $d AS d,
          |    list_transform(list_filter(range(1, len(t) + 1), i -> i % $d != 0),
          |      i -> t[i]) AS t
-         |  FROM bt""".stripMargin
+         |  FROM bt CROSS JOIN mo""".stripMargin
     }.mkString("\n  UNION ALL\n")
     Q("q227_planted_text_dup_recall",
       s"""WITH bt AS (
          |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
          |  FROM documents WHERE doc_id % 22 = 0),
+         |mo AS (SELECT max(doc_id) + 1 AS off FROM documents),
          |od AS (
          |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
          |  FROM documents WHERE doc_id % 2 = 0),
@@ -4905,8 +4910,13 @@ object TextQueries {
       import graft.operators.Dedup
       val bt = Tables.documents(spark, dir).filter(col("doc_id") % 22 === 0)
         .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      // plant ids live ABOVE the corpus' max id, derived in-query —
+      // a fixed 1e6 offset collides with real ids past a million docs,
+      // corrupting the merged shingle sets silently (r13 review)
+      val off = Tables.documents(spark, dir).agg((max(col("doc_id")) + 1).as("off"))
       val plv = bandsSpec.map { case (b, d) =>
-        bt.select((col("doc_id") * 4 + lit(1000000L + b)).as("doc_id"),
+        bt.crossJoin(broadcast(off))
+          .select((col("off") + col("doc_id") * 4 + lit(b.toLong)).as("doc_id"),
           col("doc_id").as("base_id"), lit(b).as("band"), lit(d).as("d"),
           filter(col("t"), (x, i) => ((i + 1) % d) =!= 0).as("t"))
       }.reduce(_ unionByName _)
@@ -4921,7 +4931,9 @@ object TextQueries {
       val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
         n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
       val sh = corpus
-        .filter(col("doc_id") % 22 === 0 || col("doc_id") >= 1000000L)
+        .crossJoin(broadcast(off))
+        .filter(col("doc_id") % 22 === 0 || col("doc_id") >= col("off"))
+        .drop("off")
         .select(col("doc_id"),
           explode(TextFns.shingleSet(col("text"), 3)).as("s"))
       val szs = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

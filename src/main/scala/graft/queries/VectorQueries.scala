@@ -75,17 +75,14 @@ object VectorQueries {
       s"(CASE WHEN list_dot_product(CAST($embCol AS DOUBLE[]), CAST($coefs AS DOUBLE[])) >= 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")
 
-  /** Single-bucket twin of [[duckBandMaskedExpr]] (plane window 0..maxBits,
-    * matching VectorFns.lshBucketMasked): the count-derived `bits` mask
-    * makes the bucket count scale with the corpus while the SQL stays
-    * static. Used by the self-join sites (q217/q220) — the probe-bounded
+  /** Single-bucket twin of [[duckBandMaskedExpr]] — exactly its band 0
+    * (matching VectorFns.lshBucketMasked ≡ band 0 of the band form, so
+    * the two SQL generators cannot desynchronize — r13 review). Used by
+    * the self-join sites (q217/q220/q228); the probe-bounded
     * single-probe queries (q33/q104) keep their fixed width, their cost
     * is 1 probe × bucket, linear by construction. */
   private def duckBucketMaskedExpr(embCol: String, maxBits: Int): String =
-    (0 until maxBits).map { b =>
-      val coefs = VectorFns.lshCoefs(b, Dim).mkString("[", ",", "]")
-      s"(CASE WHEN $b < bits AND list_cosine_similarity(CAST($embCol AS DOUBLE[]), CAST($coefs AS DOUBLE[])) >= 0 THEN ${1L << b} ELSE 0 END)"
-    }.mkString(" + ")
+    duckBandMaskedExpr(embCol, band = 0, maxBitsPerBand = maxBits)
 
   /** ANN via random-hyperplane LSH: 6-bit bucket signature, then exact
     * cosine only within the probe's bucket. Hyperplanes are deterministic
@@ -1992,13 +1989,14 @@ object VectorQueries {
     Q("q226_planted_dup_recall",
       s"""WITH pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |pan AS (SELECT vec_id, e FROM pe WHERE vec_id % 7 = 3 AND vec_id < $panelCap),
+         |mo AS (SELECT max(vec_id) + 1 AS off FROM embeddings),
          |sb AS (SELECT * FROM (VALUES
          |       $sbValues) t(band, eps, s)),
          |var AS (
-         |  SELECT p.vec_id * 4 + 1000000 + b.band AS vec_id,
+         |  SELECT mo.off + p.vec_id * 4 + b.band AS vec_id,
          |    list_transform(range(1, ${Dim + 1}), i -> p.e[i] + b.eps * b.s[i]) AS e,
          |    p.vec_id AS base_id, b.band, b.eps
-         |  FROM pan p CROSS JOIN sb b),
+         |  FROM pan p CROSS JOIN sb b CROSS JOIN mo),
          |corpus AS (SELECT vec_id, e FROM pe UNION ALL SELECT vec_id, e FROM var),
          |${duckPairsCtes(src = "corpus", embCol = "e")},
          |gt AS (
@@ -2021,10 +2019,14 @@ object VectorQueries {
       val base = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       val panel = base.filter(col("vec_id") % 7 === 3 && col("vec_id") < panelCap)
+      // plant ids live ABOVE the corpus' max id, derived in-query (a
+      // 1-row bounded broadcast) — a fixed 1e6 offset collides with
+      // real ids on corpora past a million vectors (r13 review)
+      val off = base.agg((max(col("vec_id")) + 1).as("off"))
       val variants = bands.map { case (b, eps) =>
         val s = array(VectorFns.lshCoefs(3000 + b, Dim).map(lit): _*)
-        panel.select(
-          (col("vec_id") * 4 + lit(1000000L + b)).as("vec_id"),
+        panel.crossJoin(broadcast(off)).select(
+          (col("off") + col("vec_id") * 4 + lit(b.toLong)).as("vec_id"),
           zip_with(col("e"), s, (x, sv) => x + lit(eps) * sv).as("e"),
           col("vec_id").as("base_id"), lit(b).as("band"), lit(eps).as("eps"))
       }.reduce(_ unionByName _)

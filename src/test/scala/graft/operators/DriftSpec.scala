@@ -338,6 +338,29 @@ class DriftSpec extends SparkSpec {
         withAd = false, withEnergy = false, autoCoarsen = true)
       .select("ks_d").head()
     assert(r.getDouble(0) >= 0)
+    // NARROW fractional-scale decimals (precision ≤ 15) stay accepted:
+    // the double probe is provably exact there — integral values pass,
+    // fractional values are still caught at RUNTIME (r13: the static
+    // refusal is precision-scoped, not a scale>0 blanket)
+    val okNarrow = Seq(("g", BigDecimal("5.00"), 1L, 1L),
+        ("g", BigDecimal("9.00"), 2L, 1L))
+      .toDF("g", "v", "c1", "c2")
+      .select(col("g"), col("v").cast("decimal(12,2)").as("v"),
+        col("c1"), col("c2"))
+    val rn = Drift.ksAndW1(okNarrow, Seq("g"), "v", "c1", "c2",
+        withAd = false, withEnergy = false, autoCoarsen = true)
+      .select("ks_d").head()
+    assert(rn.getDouble(0) >= 0)
+    val fracNarrow = Seq(("g", BigDecimal("5.25"), 1L, 1L),
+        ("g", BigDecimal("9.75"), 2L, 1L))
+      .toDF("g", "v", "c1", "c2")
+      .select(col("g"), col("v").cast("decimal(12,2)").as("v"),
+        col("c1"), col("c2"))
+    val e2 = intercept[Exception] {
+      Drift.ksAndW1(fracNarrow, Seq("g"), "v", "c1", "c2",
+        withAd = false, withEnergy = false, autoCoarsen = true).collect()
+    }
+    assert(e2.getMessage.contains("integer value grid"), e2.getMessage)
   }
 
   test("autoCoarsen lockstep holds on random overflow-regime histograms") {

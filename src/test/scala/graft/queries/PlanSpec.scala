@@ -249,10 +249,11 @@ class PlanSpec extends SparkSpec {
     // broadcast under the final 4-row projection. All must be
     // BuildRight (broadcasting the bounded side); the corpus-side
     // candidate join must stay a bucket EQUI-join.
-    val bnljBuilds = "BroadcastNestedLoopJoin BuildRight".r.findAllIn(p).size
     val bnljAll = "BroadcastNestedLoopJoin".r.findAllIn(p).size
-    assert(bnljAll == bnljBuilds,
-      "a BNLJ building the unbounded side appeared:\n" + p)
+    val bnljCross = "(?m)BroadcastNestedLoopJoin BuildRight, Cross\\s*$".r
+      .findAllIn(p.linesIterator.map(_.trim).mkString("\n")).size
+    assert(bnljAll == bnljCross,
+      s"a conditioned/unbounded BNLJ appeared ($bnljCross of $bnljAll are bare 1-row cross builds):\n$p")
     assert(p.contains("BroadcastHashJoin"),
       "bucket candidate join lost its equi-join form:\n" + p)
   }
@@ -294,12 +295,18 @@ class PlanSpec extends SparkSpec {
     val p = plan(VectorQueries.q220KnnOutliers)
     assert(!p.contains("CartesianProduct"),
       "outlier screen degraded to a product:\n" + p)
-    // the corpus self-join must be a bucket EQUI-join; the only BNLJ
-    // allowed is the 1-row adaptive-bits broadcast (global aggregate —
-    // the registry audit's bounded class), which the audit verifies
-    // registry-wide; here pin that the pair stage itself is keyed
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
-      || "BroadcastHashJoin".r.findAllIn(p).nonEmpty,
+    // the only BNLJ allowed is the unconditioned 1-row adaptive-bits
+    // cross broadcast ("BuildRight, Cross" with no join condition) — a
+    // corpus join degraded to a BNLJ prints its condition after the
+    // join type and fails this exact-form count (r13 review: the
+    // earlier rewrite had dropped the BNLJ ban entirely)
+    val bnljAll = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    val bnljCross = "(?m)BroadcastNestedLoopJoin BuildRight, Cross\\s*$".r
+      .findAllIn(p.linesIterator.map(_.trim).mkString("\n")).size
+    assert(bnljAll == bnljCross,
+      s"a conditioned/unbounded BNLJ appeared ($bnljCross of $bnljAll are bare 1-row cross builds):\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"),
       "bucket self-join not an equi-join:\n" + p)
     assert(p.contains("TakeOrderedAndProject"),
       "top-20 plans a global sort instead of TakeOrdered:\n" + p)

@@ -1661,9 +1661,10 @@ class StatsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
     val bands = Seq((0, 0.025), (1, 0.06), (2, 0.13), (3, 0.25))
     val panel = base.keys.filter(id => id % 7 == 3 && id < 7L * 256 + 3).toSeq.sorted
+    val off = base.keys.max + 1
     val plants = for ((b, eps) <- bands; id <- panel) yield {
       val s = VectorFns.lshCoefs(3000 + b, 64)
-      (id * 4 + 1000000L + b, b, id, base(id).zip(s).map { case (x, sv) => x + eps * sv })
+      (off + id * 4 + b, b, id, base(id).zip(s).map { case (x, sv) => x + eps * sv })
     }
     val corpus: Map[Long, Array[Double]] =
       base ++ plants.map(p => p._1 -> p._4)
@@ -1754,8 +1755,9 @@ class StatsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
     val bandsSpec = Seq((0, 3), (1, 4), (2, 6), (3, 12))
     val panel = toks.keys.filter(_ % 22 == 0).toSeq.sorted
+    val off = toks.keys.max + 1
     val plants = for ((b, d) <- bandsSpec; id <- panel) yield
-      (id * 4 + 1000000L + b, b, d, id,
+      (off + id * 4 + b, b, d, id,
         toks(id).zipWithIndex.collect { case (t, i) if (i + 1) % d != 0 => t })
     val corpus: Map[Long, Vector[String]] =
       toks.filter(_._1 % 2 == 0).toMap ++ plants.map(p => p._1 -> p._5.toVector)
