@@ -1802,6 +1802,103 @@ object VectorQueries {
       .limit(20)
   }
 
+  /** Second-moment (covariance-structure) drift between corpus halves,
+    * per label — the MULTIVARIATE companion to the drift family: q206
+    * slices the clouds onto 8 directions and q208 compares kernel
+    * means, but a rotation/correlation shift that preserves every
+    * marginal and the mean slips past both; the Frobenius distance
+    * between second-moment matrices ‖M_A − M_B‖_F (M = E[xxᵀ]) is the
+    * classic detector for exactly that class (embedding-space
+    * "covariate structure" drift after a model refresh or a pipeline
+    * reorder).
+    *
+    * Exactness: coordinates quantize to the 1e-3 BIGINT grid; per
+    * (label, i ≤ j) cell the product sums are exact int64; the halves
+    * compare CROSS-SCALED (d = S_A·n_B − S_B·n_A — no per-cell
+    * division), squares accumulate in decimal(38,0), and the single
+    * final sqrt consumes the same exact integer in both engines (the
+    * Drift decimal convention). Loud int64 headroom guard at
+    * n_A·n_B > 9×10¹² (folded into the value so pruning cannot drop
+    * it; remedy: coarsen the grid or subsample — both dialects).
+    *
+    * Scale: one narrow pass explodes each vector into its D(D+1)/2
+    * upper-triangle cells — state is (label × 2080)-grain, rows
+    * explode ×2080 but carry 3 small ints; at 100 TB the same
+    * statistic comes from the identical partial+final aggregate. */
+  val q233CovarianceDrift = Q(
+    "q233_covariance_drift",
+    s"""WITH e AS (
+       |  SELECT label, vec_id % 2 AS h,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(round(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |cells AS (
+       |  SELECT label, h, u.i, v.j, e.q[u.i] * e.q[v.j] AS p
+       |  FROM e, unnest(range(1, ${Dim + 1})) AS u(i),
+       |       unnest(range(1, ${Dim + 1})) AS v(j)
+       |  WHERE v.j >= u.i),
+       |cs AS (
+       |  SELECT label, i, j,
+       |    CAST(sum(CASE WHEN h = 0 THEN p ELSE 0 END) AS BIGINT) AS sa,
+       |    CAST(sum(CASE WHEN h = 1 THEN p ELSE 0 END) AS BIGINT) AS sb
+       |  FROM cells GROUP BY 1, 2, 3),
+       |ns AS (
+       |  SELECT label,
+       |    CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |    CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+       |  FROM e GROUP BY 1),
+       |f2 AS (
+       |  SELECT cs.label, ns.na, ns.nb,
+       |    sum(CAST(CASE WHEN i = j THEN 1 ELSE 2 END AS HUGEINT)
+       |      * CAST(ok * (sa * nb - sb * na) AS HUGEINT)
+       |      * CAST(sa * nb - sb * na AS HUGEINT)) AS ss
+       |  FROM cs JOIN (SELECT *, CASE WHEN na * nb > 9000000000000
+       |      THEN error('q233: half sizes past the int64 cross-scale headroom — coarsen the grid or subsample')
+       |      ELSE 1 END AS ok FROM ns) ns ON ns.label = cs.label
+       |  GROUP BY 1, 2, 3)
+       |SELECT CAST(label AS INT) AS label, na AS n_a, nb AS n_b,
+       |  round(sqrt(CAST(ss AS DOUBLE)) / (na * nb) / 1e6, 6) + 0.0
+       |    AS frob_dist
+       |FROM f2
+       |ORDER BY label""".stripMargin) { (spark, dir) =>
+    val e = Tables.embeddings(spark, dir)
+      .select(col("label"), (col("vec_id") % 2).as("h"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 1000).cast("long")).as("q"))
+    val cells = e
+      .select(col("label"), col("h"), col("q"),
+        explode(sequence(lit(1), lit(Dim))).as("i"))
+      .select(col("label"), col("h"), col("q"), col("i"),
+        explode(sequence(lit(1), lit(Dim))).as("j"))
+      .filter(col("j") >= col("i"))
+      .select(col("label"), col("h"), col("i"), col("j"),
+        (element_at(col("q"), col("i")) * element_at(col("q"), col("j")))
+          .as("p"))
+    val cs = cells.groupBy(col("label"), col("i"), col("j"))
+      .agg(sum(when(col("h") === 0, col("p")).otherwise(0L)).as("sa"),
+        sum(when(col("h") === 1, col("p")).otherwise(0L)).as("sb"))
+    val ns = e.groupBy(col("label"))
+      .agg(sum(when(col("h") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("h") === 1, 1L).otherwise(0L)).as("nb"))
+      .withColumn("ok", when(col("na") * col("nb") > 9000000000000L,
+        raise_error(lit("q233: half sizes past the int64 cross-scale " +
+          "headroom — coarsen the grid or subsample")).cast("long"))
+        .otherwise(lit(1L)))
+    val d = (col("sa") * col("nb") - col("sb") * col("na"))
+    cs.join(ns, Seq("label"))
+      .groupBy(col("label"), col("na"), col("nb"))
+      .agg(sum(when(col("i") === col("j"), lit(1L)).otherwise(lit(2L))
+          .cast("decimal(38,0)")
+        * (col("ok") * d).cast("decimal(38,0)") * d.cast("decimal(38,0)"))
+        .as("ss"))
+      .select(col("label").cast("int").as("label"), col("na").as("n_a"),
+        col("nb").as("n_b"),
+        Q.noNegZero(round(
+          sqrt(col("ss").cast("double")) / (col("na") * col("nb")) / 1e6, 6))
+          .as("frob_dist"))
+      .orderBy(col("label"))
+  }
+
   /** Quality-aware dedup canonical selection — the POLICY layer over
     * the q51/q59 cluster machinery: q59 keeps the MIN-ID member per
     * near-dup cluster (the arbitrary-but-deterministic default); a
@@ -2057,5 +2154,5 @@ object VectorQueries {
     q104MultiprobeLsh, q117LeakageSafeSplit, q122IvfPqAnn, q139Sq8Ann,
     q151BinaryAnn, q179DaviesBouldin, q206SlicedWasserstein, q208MmdDrift,
     q214AnnNdcg, q217DimAblation, q220KnnOutliers, q226PlantedDupRecall,
-    q228IntrinsicDim, q232QualityDedupKeep)
+    q228IntrinsicDim, q232QualityDedupKeep, q233CovarianceDrift)
 }

@@ -618,6 +618,11 @@ object DiagScale {
         "q231_markov" -> (() =>
           graft.queries.EventQueries.q231MarkovEval
             .run(spark, relTables(spark, sfDir, k)).count()),
+        // q233 explodes each vector into 2080 upper-triangle cells
+        // into a (label x 2080)-grain aggregate — expect ≈ linear
+        "q233_covdrift" -> (() =>
+          graft.queries.VectorQueries.q233CovarianceDrift
+            .run(spark, relTables(spark, sfDir, k)).count()),
         // q232 composes the q34-family pairs + components with one
         // id-keyed join — expect the q51_adaptive shape (<= ~0.5)
         "q232_qkeep" -> (() =>

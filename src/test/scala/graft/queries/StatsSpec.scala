@@ -1741,6 +1741,43 @@ class StatsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q233 covariance drift: exact BigInt driver replay of the Frobenius chain") {
+    val got = VectorQueries.q233CovarianceDrift.run(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def q3(x: Double) = BigDecimal(x * 1000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).map(q3).toArray))
+    val want = emb.groupBy(_._2).map { case (label, vs) =>
+      val a = vs.filter(_._1 % 2 == 0).map(_._3)
+      val b = vs.filter(_._1 % 2 == 1).map(_._3)
+      val (na, nb) = (a.length.toLong, b.length.toLong)
+      var ss = BigInt(0)
+      for (i <- 0 until 64; j <- i until 64) {
+        val sa = a.map(v => v(i) * v(j)).sum
+        val sb = b.map(v => v(i) * v(j)).sum
+        val d = BigInt(sa) * nb - BigInt(sb) * na
+        ss += (if (i == j) BigInt(1) else BigInt(2)) * d * d
+      }
+      val frob = BigDecimal(
+        math.sqrt(ss.toDouble) / (na * nb) / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      label -> (na, nb, frob)
+    }
+    assert(got === want)
+    // sanity invariant of the statistic itself: identical halves => 0
+    val v = emb.take(5).map(_._3)
+    var z = BigInt(0)
+    for (i <- 0 until 64; j <- i until 64) {
+      val sa = v.map(x => x(i) * x(j)).sum
+      val d = BigInt(sa) * v.length - BigInt(sa) * v.length
+      z += d * d
+    }
+    assert(z == 0)
+  }
+
   test("q227 planted text recall: full driver replay of the minhash screen") {
     // the screen math (shingles, portable 60-bit hash, 64 affine
     // min-hashes, 16x4 banding, estimate threshold) re-derived in plain
