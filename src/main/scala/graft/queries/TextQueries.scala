@@ -2397,6 +2397,105 @@ object TextQueries {
       .orderBy(col("shard"))
   }
 
+  /** Verbatim 8-gram novelty / memorization screen — the
+    * span-granular sibling of q68's document-level contamination
+    * check, and the standard audit run over GENERATED or suspect text
+    * before it enters a training mix (Carlini et al.'s verbatim-recall
+    * framing made relational): for each held-out document
+    * (doc_id % 2 = 1), what fraction of its distinct 8-token spans
+    * appears verbatim anywhere in the train half? Per source: span
+    * totals, the novelty rate, and the count of documents whose spans
+    * are ≥ 50% memorized (the per-doc flag a filtering pipeline acts
+    * on). q68 asks "does this doc share ≥3 rare 3-grams with a tiny
+    * benchmark"; this asks "how much of this doc is a verbatim copy of
+    * the corpus" — different span width, different denominator,
+    * different action.
+    *
+    * Scale: one shingle equi-join (shuffle by span hash), train side
+    * DISTINCT — the q68 class; everything after is doc- then
+    * source-grain. Exactness: BIGINT counts, one final division; the
+    * ≥50% flag is the integer comparison 2·seen ≥ spans. Sub-8-token
+    * docs have no spans and are excluded from the denominator
+    * (documented — no span method can screen them). */
+  val q234NgramNovelty = Q(
+    "q234_ngram_novelty",
+    """WITH docs AS (
+      |  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents),
+      |sp AS (
+      |  SELECT DISTINCT doc_id, source,
+      |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS sh
+      |  FROM docs,
+      |    unnest(list_transform(range(1, len(t) - 6),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |        || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]))
+      |    AS u(s)
+      |  WHERE len(t) >= 8 AND doc_id % 2 = 1),
+      |tr AS (
+      |  SELECT DISTINCT ('0x' || substr(md5(s), 1, 15))::BIGINT AS sh
+      |  FROM docs,
+      |    unnest(list_transform(range(1, len(t) - 6),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |        || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]))
+      |    AS u(s)
+      |  WHERE len(t) >= 8 AND doc_id % 2 = 0),
+      |per AS (
+      |  SELECT sp.doc_id, sp.source,
+      |    CAST(count(*) AS BIGINT) AS n_spans,
+      |    CAST(sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_seen
+      |  FROM sp LEFT JOIN tr ON tr.sh = sp.sh
+      |  GROUP BY 1, 2)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_spans) AS BIGINT) AS n_spans,
+      |  CAST(sum(n_seen) AS BIGINT) AS n_seen,
+      |  round(CAST(sum(n_spans) - sum(n_seen) AS DOUBLE) / sum(n_spans), 6)
+      |    AS novelty_rate,
+      |  CAST(sum(CASE WHEN 2 * n_seen >= n_spans THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_flagged
+      |FROM per
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (spark, dir) =>
+    import graft.functions.TextFns
+    import graft.operators.Dedup
+    // spans travel as 60-bit portable fingerprints (the q28 hashing
+    // precedent): the join shuffles 8 bytes per span instead of the
+    // ~50-byte raw string — measured 13 s -> seconds at the x1 probe.
+    // A fingerprint collision flips one span to "seen" with p ~ 2^-60
+    // per pair, IDENTICALLY in both engines (same md5), so the oracle
+    // compare is unaffected and the metric error is negligible by
+    // construction (documented approximation, like every q28-family op)
+    // codegen-narrow span pipeline (the q83 lesson): positions explode
+    // first, the 8-token concat + hash run as plain row-level
+    // expressions inside whole-stage codegen — the transform-HOF
+    // shingles() form evaluates an interpreted lambda per span
+    def spans(half: Int) = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 2 === half)
+      .select(col("doc_id"), col("source"),
+        TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        explode(TextFns.shinglePositions(col("toks"), 8)).as("pos"), col("toks"))
+      .select(col("doc_id"), col("source"),
+        Dedup.portableHash60(TextFns.shingleAt(col("toks"), col("pos"), 8)).as("sh"))
+      .dropDuplicates("doc_id", "sh")
+    val tr = spans(0).select(col("sh")).distinct()
+    val per = spans(1)
+      .join(tr.withColumn("seen", lit(1)), Seq("sh"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("seen"), lit(0))).cast("long").as("n_seen"))
+    per.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_spans")).as("n_spans"),
+        sum(col("n_seen")).as("n_seen"),
+        round((sum(col("n_spans")) - sum(col("n_seen"))).cast("double")
+          / sum(col("n_spans")), 6).as("novelty_rate"),
+        sum(when(lit(2) * col("n_seen") >= col("n_spans"), 1L).otherwise(0L))
+          .as("n_flagged"))
+      .orderBy(col("source"))
+  }
+
   /** Reshard-movement audit — the operational number behind choosing a
     * shard-assignment strategy (completes the q138/q140 family): when
     * the shard count grows 16 → 17, what fraction of the corpus MOVES
@@ -4984,5 +5083,5 @@ object TextQueries {
     q195TokenWaterfill, q196JsDivergence, q201ShardBalance,
     q202BrierDecomposition, q204ConformalThreshold, q212RetrievalNdcg,
     q213ChainNdcg, q218CurriculumOrder, q225IsotonicCalibration,
-    q227PlantedTextDupRecall, q230ReshardMovement)
+    q227PlantedTextDupRecall, q230ReshardMovement, q234NgramNovelty)
 }

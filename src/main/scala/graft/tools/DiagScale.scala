@@ -618,6 +618,12 @@ object DiagScale {
         "q231_markov" -> (() =>
           graft.queries.EventQueries.q231MarkovEval
             .run(spark, relTables(spark, sfDir, k)).count()),
+        // q234 is q68's shingle equi-join class at width 8 with a
+        // DISTINCT train side — replicas share no shingles, expect
+        // ≈ linear
+        "q234_novelty" -> (() =>
+          graft.queries.TextQueries.q234NgramNovelty
+            .run(spark, relTables(spark, sfDir, k)).count()),
         // q233 explodes each vector into 2080 upper-triangle cells
         // into a (label x 2080)-grain aggregate — expect ≈ linear
         "q233_covdrift" -> (() =>

@@ -258,6 +258,7 @@ class SignedZeroAuditSpec extends SparkSpec {
     // ratios in [0, 1] by construction
     ("q230_reshard_movement", "moved_frac"),
     ("q231_markov_eval", "accuracy"),
+    ("q234_ngram_novelty", "novelty_rate"),
   )
 
   test("every rounded double output is noNegZero-finished or allowlisted nonnegative") {
