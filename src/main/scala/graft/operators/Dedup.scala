@@ -852,4 +852,29 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Distinct 60-bit verbatim-span fingerprints per document — the
+    * codegen-narrow positions/shingleAt pipeline (the q83 lesson: the
+    * transform-HOF shingle form evaluates an interpreted lambda per
+    * span) hashed through [[portableHash60]] so spans travel as 8-byte
+    * keys. Shared by the q234 batch novelty screen and the streaming
+    * incremental store ([[graft.streaming.StreamOps.spanFingerprintDeltas]]):
+    * a fingerprint is a pure per-document function, so deltas are
+    * append-only and the accumulated store needs no rebuild — the q94
+    * band-index / BM25-posting property applied to memorization
+    * screening. Collisions flip a span to "seen" with p ≈ 2⁻⁶⁰ per
+    * pair, identically in any engine that replays the same md5.
+    * @return (id, sh) — distinct per document */
+  def spanFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, carry: Seq[String] = Nil): DataFrame = {
+    import graft.functions.TextFns
+    val cs = carry.map(col)
+    docs
+      .select(col(idCol).as("id") +: (cs :+ TextFns.tokens(col(textCol)).as("toks")): _*)
+      .select(col("id") +: (cs :+
+        explode(TextFns.shinglePositions(col("toks"), n)).as("pos") :+ col("toks")): _*)
+      .select(col("id") +: (cs :+
+        portableHash60(TextFns.shingleAt(col("toks"), col("pos"), n)).as("sh")): _*)
+      .dropDuplicates("id", "sh")
+  }
 }

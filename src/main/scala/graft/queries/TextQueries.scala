@@ -2466,19 +2466,15 @@ object TextQueries {
     // per pair, IDENTICALLY in both engines (same md5), so the oracle
     // compare is unaffected and the metric error is negligible by
     // construction (documented approximation, like every q28-family op)
-    // codegen-narrow span pipeline (the q83 lesson): positions explode
-    // first, the 8-token concat + hash run as plain row-level
-    // expressions inside whole-stage codegen — the transform-HOF
-    // shingles() form evaluates an interpreted lambda per span
-    def spans(half: Int) = Tables.documents(spark, dir)
-      .filter(col("doc_id") % 2 === half)
-      .select(col("doc_id"), col("source"),
-        TextFns.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("source"),
-        explode(TextFns.shinglePositions(col("toks"), 8)).as("pos"), col("toks"))
-      .select(col("doc_id"), col("source"),
-        Dedup.portableHash60(TextFns.shingleAt(col("toks"), col("pos"), 8)).as("sh"))
-      .dropDuplicates("doc_id", "sh")
+    // the SHARED span-fingerprint operator (Dedup.spanFingerprints —
+    // codegen-narrow positions/shingleAt pipeline, 60-bit portable
+    // hashes; the streaming incremental store lands the identical
+    // deltas, so the standing screen and this batch audit cannot
+    // disagree)
+    def spans(half: Int) = Dedup.spanFingerprints(
+        Tables.documents(spark, dir).filter(col("doc_id") % 2 === half),
+        "doc_id", "text", n = 8, carry = Seq("source"))
+      .withColumnRenamed("id", "doc_id")
     val tr = spans(0).select(col("sh")).distinct()
     val per = spans(1)
       .join(tr.withColumn("seen", lit(1)), Seq("sh"), "left")

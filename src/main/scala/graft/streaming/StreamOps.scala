@@ -433,6 +433,51 @@ object StreamOps {
     finally q.stop()
   }
 
+  /** Incremental verbatim-span fingerprint store — the q234 novelty
+    * screen's train side as an append-only stream (the
+    * [[bm25IndexDeltas]] pattern): each micro-batch of NEW train
+    * documents lands its distinct 60-bit span fingerprints
+    * ([[graft.operators.Dedup.spanFingerprints]] — a pure per-document
+    * function, so deltas never invalidate landed rows) as one
+    * exactly-once parquet batch partition (foreachBatch + checkpoint:
+    * a replayed batch id overwrites its own partition instead of
+    * duplicating). Survives a checkpoint bounce like the BM25 store
+    * (file-source log skips ingested files — StreamOpsSpec drill). */
+  def spanFingerprintDeltas(newDocs: DataFrame, idCol: String,
+      textCol: String, outDir: String, checkpointDir: String,
+      n: Int = 8): Unit = {
+    val q = newDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.operators.Dedup.spanFingerprints(batch, idCol, textCol, n)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
+  /** The serving read over [[spanFingerprintDeltas]]' accumulated
+    * store: per test document, its distinct span count and how many of
+    * those spans the store has seen — the q234 per-document statistic,
+    * from the SAME [[graft.operators.Dedup.spanFingerprints]] pipeline
+    * the batch audit runs, so the standing screen and the batch query
+    * cannot disagree (the qiClassCounts/Privacy contract applied to
+    * memorization screening). The store side is read as DISTINCT
+    * fingerprints — duplicates across deltas (the same span arriving
+    * in several batches) must not double-count.
+    * @return (id, carry..., n_spans, n_seen) */
+  def noveltyAgainstStore(spark: SparkSession, storeDir: String,
+      testDocs: DataFrame, idCol: String, textCol: String, n: Int = 8,
+      carry: Seq[String] = Nil): DataFrame = {
+    val store = spark.read.parquet(storeDir).select(col("sh")).distinct()
+    graft.operators.Dedup.spanFingerprints(testDocs, idCol, textCol, n, carry)
+      .join(store.withColumn("seen", lit(1)), Seq("sh"), "left")
+      .groupBy((col("id") +: carry.map(col)): _*)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("seen"), lit(0))).cast("long").as("n_seen"))
+  }
+
   /** Production landing for a COMPLETE-mode streaming aggregate — the
     * [[segmentValueCounts]] drift histogram's parquet path: every
     * micro-batch rewrites the FULL (bounded, value-grain) state as a

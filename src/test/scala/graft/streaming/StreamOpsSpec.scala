@@ -625,6 +625,55 @@ class StreamOpsSpec extends SparkSpec {
       "streamed t-closeness serving diverged from the batch audit")
   }
 
+  test("span-fingerprint store: streamed deltas serve ≡ the batch novelty screen across a bounce") {
+    import spark.implicits._
+    // the q234 train side as an append-only stream: two train chunks
+    // arrive as separate micro-batches (the second while the query is
+    // DOWN), the serving read after the bounce must equal the one-shot
+    // batch screen over everything ingested — same operator both paths
+    val base = java.nio.file.Files.createTempDirectory("spanfp").toString
+    val (srcDir, ckDir, storeDir) = (s"$base/src", s"$base/ck", s"$base/store")
+    val sfDir = "/root/testdata/sf0.001"
+    val train = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+    val test_ = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text"))
+    train.filter(col("doc_id") % 4 === 0).coalesce(1).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Unit = StreamOps.spanFingerprintDeltas(
+      StreamOps.parquetStream(spark, schema, srcDir), "doc_id", "text",
+      storeDir, ckDir)
+    runOnce()
+    train.filter(col("doc_id") % 4 === 2).coalesce(1)
+      .write.mode("append").parquet(srcDir) // arrives while DOWN
+    runOnce()
+    // exactly-once: the accumulated store's distinct fingerprints equal
+    // the batch operator's over the full train half — no loss from the
+    // bounce, no duplication from the two deltas
+    val storeFps = spark.read.parquet(storeDir).select("sh")
+      .distinct().as[Long].collect().toSet
+    val batchFps = graft.operators.Dedup.spanFingerprints(
+        train, "doc_id", "text", 8)
+      .select("sh").distinct().as[Long].collect().toSet
+    assert(storeFps === batchFps, "store fingerprints diverged from batch")
+    // serving ≡ batch per-document statistics
+    val served = StreamOps.noveltyAgainstStore(spark, storeDir, test_,
+        "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    val batchScreen = graft.operators.Dedup.spanFingerprints(
+        test_, "doc_id", "text", 8)
+      .join(graft.operators.Dedup.spanFingerprints(train, "doc_id", "text", 8)
+        .select(col("sh")).distinct().withColumn("seen", lit(1)),
+        Seq("sh"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("seen"), lit(0))).cast("long").as("n_seen"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served === batchScreen,
+      "post-bounce serving screen diverged from the one-shot batch screen")
+    assert(served.exists(_._3 > 0) || served.forall(_._3 == 0)) // shape sanity
+  }
+
   test("latestSnapshot requireMarkers=false serves a markers-off store") {
     import spark.implicits._
     // the opt-out for deployments that legitimately disable success
