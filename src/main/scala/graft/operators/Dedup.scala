@@ -864,6 +864,13 @@ object Dedup {
     * band-index / BM25-posting property applied to memorization
     * screening. Collisions flip a span to "seen" with p ≈ 2⁻⁶⁰ per
     * pair, identically in any engine that replays the same md5.
+    *
+    * Carry-column contract: dedup is on (id, sh) ONLY, so each `carry`
+    * column MUST be functionally dependent on `idCol` (constant per
+    * document — q234's per-doc `source` is; a per-span attribute is
+    * not). A non-constant carry would survive with a partition-order-
+    * nondeterministic value; include such a column in the dedup key
+    * yourself before calling (r13 ADVICE).
     * @return (id, sh) — distinct per document */
   def spanFingerprints(docs: DataFrame, idCol: String, textCol: String,
       n: Int, carry: Seq[String] = Nil): DataFrame = {

@@ -1818,8 +1818,12 @@ object VectorQueries {
     * division), squares accumulate in decimal(38,0), and the single
     * final sqrt consumes the same exact integer in both engines (the
     * Drift decimal convention). Loud int64 headroom guard at
-    * n_A·n_B > 9×10¹² (folded into the value so pruning cannot drop
-    * it; remedy: coarsen the grid or subsample — both dialects).
+    * n_A·n_B > 4.5×10¹² (folded into the value so pruning cannot drop
+    * it; remedy: coarsen the grid or subsample — both dialects). The
+    * bound covers the DIFFERENCE, not just each product: |S| ≤ n·10⁶
+    * on the 1e-3 grid, so |d| ≤ 2·n_A·n_B·10⁶ ≤ 9×10¹⁸ < 2⁶³ — a 9e12
+    * guard would admit opposite-sign halves whose d wraps silently in
+    * Spark's non-ANSI int64 while DuckDB raises (r13 ADVICE).
     *
     * Scale: one narrow pass explodes each vector into its D(D+1)/2
     * upper-triangle cells — state is (label × 2080)-grain, rows
@@ -1852,7 +1856,7 @@ object VectorQueries {
        |    sum(CAST(CASE WHEN i = j THEN 1 ELSE 2 END AS HUGEINT)
        |      * CAST(ok * (sa * nb - sb * na) AS HUGEINT)
        |      * CAST(sa * nb - sb * na AS HUGEINT)) AS ss
-       |  FROM cs JOIN (SELECT *, CASE WHEN na * nb > 9000000000000
+       |  FROM cs JOIN (SELECT *, CASE WHEN na * nb > 4500000000000
        |      THEN error('q233: half sizes past the int64 cross-scale headroom — coarsen the grid or subsample')
        |      ELSE 1 END AS ok FROM ns) ns ON ns.label = cs.label
        |  GROUP BY 1, 2, 3)
@@ -1880,7 +1884,7 @@ object VectorQueries {
     val ns = e.groupBy(col("label"))
       .agg(sum(when(col("h") === 0, 1L).otherwise(0L)).as("na"),
         sum(when(col("h") === 1, 1L).otherwise(0L)).as("nb"))
-      .withColumn("ok", when(col("na") * col("nb") > 9000000000000L,
+      .withColumn("ok", when(col("na") * col("nb") > 4500000000000L,
         raise_error(lit("q233: half sizes past the int64 cross-scale " +
           "headroom — coarsen the grid or subsample")).cast("long"))
         .otherwise(lit(1L)))
