@@ -140,6 +140,30 @@ object VectorFns {
     }: _*)
   }
 
+  /** [[lshBandKeysMasked]] with a RUNTIME band count as well as a
+    * runtime bit count: the array is unrolled to a static `maxBands`
+    * width and bands ≥ `nBands` yield NULL (callers filter
+    * `pos < nBands` after posexplode; a NULL key never equi-joins
+    * regardless). Band b still draws planes from the STATIC window
+    * b·maxBitsPerBand+r, so growing the corpus only APPENDS bands —
+    * the prefix-stability contract of [[lshBandKeysMasked]] extended
+    * to the band axis. The band gate short-circuits, so per-row cost
+    * is nBands·bits plane projections, not maxBands·maxBitsPerBand.
+    * This is the knob that lets the OR-of-ANDs recall survive the
+    * adaptive bit growth: bits ∝ log₂N holds buckets bounded (runtime)
+    * while bands ∝ 1/p₁^bits holds candidate recall at the design
+    * similarity (quality) — together the standard L = O(N^ρ) LSH
+    * schedule. */
+  def lshBandKeysMaskedBands(vec: Column, dim: Int, maxBands: Int,
+      nBands: Column, bits: Column, maxBitsPerBand: Int,
+      seed: Long = 42L): Column = {
+    val v = d(vec)
+    array((0 until maxBands).map { b =>
+      when(lit(b) < nBands,
+        maskedBandKey(v, dim, bits, maxBitsPerBand, b * maxBitsPerBand, seed))
+    }: _*)
+  }
+
   /** The ±1 hyperplane coefficients for bit `b` — deterministic per
     * (bit, dimension) from a splitmix-style mix. Public so the DuckDB
     * oracle SQL can inline the IDENTICAL planes as list literals: both

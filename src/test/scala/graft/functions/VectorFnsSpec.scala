@@ -99,4 +99,26 @@ class VectorFnsSpec extends SparkSpec {
     // across bands for at least one vector (else the windows collided)
     assert(k8.exists(ks => ks.distinct.size > 1))
   }
+
+  test("lshBandKeysMaskedBands: band gate nulls the tail, live bands match the fixed form") {
+    val vecs = Seq.tabulate(30)(i =>
+      Tuple1(Array.tabulate(16)(j => ((i * 17 + j * 3) % 29).toFloat / 14 - 0.9f)))
+      .toDF("v")
+    val maxBands = 8
+    for (nb <- Seq(2, 5, 8)) {
+      val gated = vecs.select(VectorFns.lshBandKeysMaskedBands(
+          col("v"), 16, maxBands, lit(nb), lit(6), 24).as("ks"))
+        .as[Seq[Option[Long]]].collect()
+      val fixed = vecs.select(VectorFns.lshBandKeysMasked(
+          col("v"), 16, maxBands, lit(6), 24).as("ks"))
+        .as[Seq[Long]].collect()
+      gated.zip(fixed).foreach { case (g, f) =>
+        assert(g.length === maxBands)
+        (0 until maxBands).foreach { b =>
+          if (b < nb) assert(g(b) === Some(f(b)), s"live band $b diverged at nBands=$nb")
+          else assert(g(b).isEmpty, s"masked band $b not null at nBands=$nb")
+        }
+      }
+    }
+  }
 }
