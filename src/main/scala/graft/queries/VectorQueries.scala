@@ -173,6 +173,45 @@ object VectorQueries {
       .map(b => s"WHEN $b THEN ${bandsForBits(b)}").mkString(" ") +
       s" ELSE ${bandsForBits(NdMaxBits)} END"
 
+  /** THIRD adaptive axis: the verify threshold itself. A fixed absolute
+    * threshold sitting in the random-cosine tail is ill-posed at scale:
+    * 64-dim cosines under the null are ~N(0, 1/64), so a fixed 0.35
+    * (2.8σ) admits ~0.3% of the N²/2 random pairs — the OUTPUT is
+    * Θ(N²) no matter how good the candidate stage is (measured: the
+    * r14 ×32 probe's verified pair count grew 1.1k → 34k → 309k). The
+    * noise floor therefore rises with the corpus: t(bits) = max(floor,
+    * σ·z) where Q(z) = 2/N_max(bits) caps EXPECTED noise pairs at ~N
+    * (the Bonferroni-style multiple-comparisons correction), N_max =
+    * NdTarget·2^bits the largest corpus resolving to `bits`, and
+    * σ = 1/√Dim. z solves the Gaussian tail via the Mills-ratio
+    * iteration z ← √(2·ln(1/(ε·z·√2π))) — driver-side float math run
+    * ONCE, rounded to 3 decimals, embedded as identical literals in
+    * both dialects. At gate sizes (bits ≤ 5) the 0.35 floor binds, so
+    * small-corpus semantics are unchanged; past that the policy keeps
+    * verified output linear in N — the only way a near-dup screen's
+    * result SET (not just its runtime) survives 100×. */
+  private[graft] def thresholdForBits(bits: Int): Double = {
+    val sigma = 1.0 / math.sqrt(Dim.toDouble)
+    val eps = 2.0 / (NdTarget.toDouble * math.pow(2.0, bits))
+    var z = math.sqrt(-2.0 * math.log(eps))
+    (0 until 64).foreach { _ =>
+      z = math.sqrt(2.0 * math.log(1.0 / (eps * z * math.sqrt(2.0 * math.Pi))))
+    }
+    math.max(NdThreshold, math.round(sigma * z * 1000.0) / 1000.0)
+  }
+
+  /** In-query [[thresholdForBits]] — Spark form. */
+  private def thresholdForBitsCol(bits: Column): Column =
+    (NdMinBits until NdMaxBits).foldRight(lit(thresholdForBits(NdMaxBits)): Column) {
+      (b, els) => when(bits === lit(b), lit(thresholdForBits(b))).otherwise(els)
+    }
+
+  /** In-query [[thresholdForBits]] — DuckDB form (references `bits`). */
+  private def duckThrExpr: String =
+    "CASE bits " + (NdMinBits until NdMaxBits)
+      .map(b => s"WHEN $b THEN ${thresholdForBits(b)}").mkString(" ") +
+      s" ELSE ${thresholdForBits(NdMaxBits)} END"
+
   /** Single-bucket adaptive parameters for the q217/q220 self-join
     * sites: bucket population targets ~64 (a 10-NN neighborhood plus
     * headroom), floor of 4 bits, static width 24 (16M buckets — enough
@@ -181,15 +220,19 @@ object VectorQueries {
   private val KnnMaxBits = 24
   private val KnnTarget = 64
 
-  /** Near-dup verify threshold. Calibrated to the FAR TAIL of the
-    * corpus' random-cosine distribution: 64-dim embeddings have
+  /** Near-dup verify threshold FLOOR. Calibrated to the FAR TAIL of
+    * the corpus' random-cosine distribution: 64-dim embeddings have
     * pairwise cosines ~N(0, 1/64) (σ = 0.125), so 0.35 ≈ 2.8σ admits
     * ~0.3% of random pairs, while the old 0.2 (1.6σ) admitted ~5%. At
     * the pre-r13 fixed 10-bit bands that bulk threshold was masked by
     * near-zero candidate recall; at full adaptive-bits recall it welded
     * all 500 gate vectors into ONE transitive component (the classic
     * connected-components dedup failure mode) — a near-dup predicate
-    * must sit outside the noise bulk, not inside it. */
+    * must sit outside the noise bulk, not inside it. As of r14 this is
+    * the FLOOR of the count-adaptive [[thresholdForBits]] policy (a
+    * fixed 2.8σ cut admits Θ(N²) noise pairs as the corpus grows; the
+    * effective threshold rises with the noise floor, binding at the
+    * floor for gate-sized corpora). */
   private val NdThreshold = 0.35
 
   /** The in-query bit count shared by every masked-LSH site: ONE row
@@ -226,25 +269,36 @@ object VectorQueries {
     val params = corpus.agg(count(lit(1)).as("n"))
       .select(VectorFns.bitsForCorpusCol(col("n"), NdMinBits, NdMaxBits, NdTarget)
         .as("bits"))
-      .select(col("bits"), bandsForBitsCol(col("bits")).as("n_bands"))
+      .select(col("bits"), bandsForBitsCol(col("bits")).as("n_bands"),
+        thresholdForBitsCol(col("bits")).as("thr"))
     val banded = corpus
       .crossJoin(broadcast(params))
-      .select(col("vec_id"), col("embedding"), col("n_bands"),
+      .select(col("vec_id"), col("embedding"), col("n_bands"), col("thr"),
         posexplode(VectorFns.lshBandKeysMaskedBands(col("embedding"), Dim,
             NdMaxBands, col("n_bands"), col("bits"), NdMaxBits))
           .as(Seq("band", "bkey")))
       .filter(col("band") < col("n_bands"))
-      .select(col("vec_id"), col("embedding"), col("band"), col("bkey"))
+      .select(col("vec_id"), col("embedding"), col("thr"), col("band"), col("bkey"))
       .repartition(col("band"), col("bkey"))
+    // verify-then-dedup, NOT dedup-then-verify: the exact cosine and
+    // the ≥ threshold filter run inside the bucket join's output
+    // projection, so the pair-dedup shuffle carries 24-byte verified
+    // (id_a, id_b, cos_sim) rows instead of ~1 KB candidate rows
+    // dragging both embeddings. A pair colliding in several bands
+    // recomputes its (deterministic) cosine once per collision — FLOPs
+    // are ~40× cheaper than the shuffle bytes the old order spent
+    // (measured: the r14 ×32 probe's q34 leg shuffled ~10 GB of wide
+    // candidates; this order shuffles the verified survivors only).
+    // Mirrors the oracle's `SELECT DISTINCT ... WHERE cos >= t` shape.
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"))
+        Q.noNegZero(round(VectorFns.cosine(col("a.embedding"), col("b.embedding")), 6))
+          .as("cos_sim"), col("a.thr").as("thr"))
+      .filter(col("cos_sim") >= col("thr"))
       .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("id_b"),
-        Q.noNegZero(round(VectorFns.cosine(col("emb_a"), col("emb_b")), 6)).as("cos_sim"))
-      .filter(col("cos_sim") >= NdThreshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
   /** One band's MASKED bucket key in DuckDB form — the IDENTICAL
@@ -282,7 +336,7 @@ object VectorQueries {
          |  FROM buck, bc WHERE $b < nbands""".stripMargin
     }.mkString("\n  UNION ALL ")
     s"""nc AS (SELECT count(*) AS n FROM $src),
-       |bc AS (SELECT bits, $duckBandsExpr AS nbands
+       |bc AS (SELECT bits, $duckBandsExpr AS nbands, $duckThrExpr AS thr
        |  FROM (SELECT ${duckBitsExpr(NdMinBits, NdMaxBits, NdTarget)} AS bits FROM nc)),
        |buck AS (SELECT vec_id, CAST($embCol AS DOUBLE[]) AS e FROM $src),
        |bands AS (
@@ -292,7 +346,7 @@ object VectorQueries {
        |    round(list_cosine_similarity(a.e, b.e), 6) + 0.0 AS cos_sim
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
-       |  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= $NdThreshold)""".stripMargin
+       |  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= (SELECT thr FROM bc))""".stripMargin
   }
 
   /** Embedding-cosine near-duplicate pairs, banded-LSH: pairs that
@@ -372,20 +426,24 @@ object VectorQueries {
     // re-buckets on a corpus-doubling migration (the same epoch
     // discipline as any LSH index).
     val params = lshBitsDf(spark, dir, NdMinBits, NdMaxBits, NdTarget)
-      .select(col("bits"), bandsForBitsCol(col("bits")).as("n_bands"))
+      .select(col("bits"), bandsForBitsCol(col("bits")).as("n_bands"),
+        thresholdForBitsCol(col("bits")).as("thr"))
     def banded(df: org.apache.spark.sql.DataFrame) =
       df.crossJoin(broadcast(params))
-        .select(col("vec_id"), col("embedding"), col("n_bands"),
+        .select(col("vec_id"), col("embedding"), col("n_bands"), col("thr"),
           posexplode(VectorFns.lshBandKeysMaskedBands(col("embedding"), Dim,
               NdMaxBands, col("n_bands"), col("bits"), NdMaxBits))
             .as(Seq("band", "bkey")))
         .filter(col("band") < col("n_bands"))
-        .select(col("vec_id"), col("embedding"), col("band"), col("bkey"))
+        .select(col("vec_id"), col("embedding"), col("thr"), col("band"), col("bkey"))
+    // verify-then-dedup (same ordering rationale as nearDupPairsOf:
+    // dedup shuffles skinny verified pairs, not wide candidates); thr
+    // is the epoch threshold carried through the banded index
     def verify(cands: org.apache.spark.sql.DataFrame) = cands
-      .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("id_b"),
+      .select(col("id_a"), col("id_b"), col("thr"),
         Q.noNegZero(round(VectorFns.cosine(col("emb_a"), col("emb_b")), 6)).as("cos_sim"))
-      .filter(col("cos_sim") >= NdThreshold)
+      .filter(col("cos_sim") >= col("thr"))
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"))
     // the banded corpus is computed ONCE and cached — the in-memory
     // stand-in for the materialized band-index table a deployment keeps
@@ -398,7 +456,7 @@ object VectorQueries {
     val oldPairs = verify(ob.as("a").join(ob.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("a.thr").as("thr"),
         col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b")))
     val oldLabels = Dedup.connectedComponents(oldPairs)
     // today's batch: delta bands join the full band index — covers
@@ -409,7 +467,7 @@ object VectorQueries {
         col("d.band") === col("r.band") && col("d.bkey") === col("r.bkey") &&
           col("d.vec_id") =!= col("r.vec_id"))
       .select(least(col("d.vec_id"), col("r.vec_id")).as("id_a"),
-        greatest(col("d.vec_id"), col("r.vec_id")).as("id_b"),
+        greatest(col("d.vec_id"), col("r.vec_id")).as("id_b"), col("d.thr").as("thr"),
         col("d.embedding").as("emb_a"), col("r.embedding").as("emb_b")))
     // connectedComponents materializes its labeling (checkpoint or local
     // relation), so the cache can drop before the final rollup
@@ -2122,11 +2180,16 @@ object VectorQueries {
     * count, same bands, same ≥ NdThreshold verify) runs over
     * originals + plants; the report is per-band detection recall plus
     * the exact mean planted cosine — the measured detection cliff of
-    * the candidate stage. Precision is structurally 1: the verify step
-    * is an exact cosine, so every reported pair true-passes the
-    * threshold; what banding can lose is RECALL, which is exactly what
-    * this measures (the band-0.25 plants sit just above the 0.35
-    * threshold where the LSH S-curve bites hardest).
+    * the END-TO-END screen. Precision is structurally 1: the verify
+    * step is an exact cosine, so every reported pair true-passes the
+    * resolved threshold; what the screen can lose is RECALL, which is
+    * exactly what this measures. Two mechanisms shape the cliff: the
+    * banding S-curve (candidate loss) and, as the corpus grows, the
+    * count-adaptive [[thresholdForBits]] noise-floor policy
+    * (deliberate verify loss below the rising threshold — the
+    * band-0.25 plants sit at cosine ≈ 0.45, inside the floor's reach
+    * once bits ≥ 10, so their measured recall maps the POLICY, not a
+    * banding defect).
     *
     * Exactness: perturbed values are x + ε·(±1) folded identically in
     * both engines; per-pair cosines quantize to the 1e-6 BIGINT grid

@@ -603,6 +603,39 @@ object DiagScale {
         "q227_planted_text" -> (() =>
           graft.queries.TextQueries.q227PlantedTextDupRecall
             .run(spark, relTables(spark, sfDir, k)).count()),
+        // r14 acceptance probes: the registered q34 screen end-to-end
+        // (bits AND bands now both count-derived — runtime must stay
+        // ≤~0.4 while the q226/q227 VALUE tables below prove recall
+        // holds), and the planted evals' recall tables printed per k —
+        // bits resolve 7→10→12 across k=1/8/32 (n=2k/16k/64k at
+        // target 16) and bands follow 8→14→20, so a fixed-band
+        // schedule would show the per-grade recall DECAYING here;
+        // MinHash (q227) keys on content signatures, so theory says
+        // its table is k-independent.
+        "q34_registered" -> (() =>
+          graft.queries.VectorQueries.q34EmbeddingNearDups
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        "q226_recall" -> (() => {
+          val dir = relTables(spark, sfDir, k)
+          val n = graft.sources.Tables.embeddings(spark, dir).count()
+          val nCorpus = n + 4 * math.min((n + 3) / 7, 256L) // plants
+          val bits = (4 to 24).find(b => nCorpus <= (16L << b)).getOrElse(24)
+          val bands = graft.queries.VectorQueries.bandsForBits(bits)
+          val rows = graft.queries.VectorQueries.q226PlantedDupRecall
+            .run(spark, dir).collect()
+          rows.foreach(r => println(f"[recall] k=$k%-2d q226 bits=$bits bands=$bands " +
+            f"eps=${r.getDouble(1)}%5.3f mean_cos=${r.getDouble(5)}%9.6f " +
+            f"recall=${r.getDouble(4)}%6.4f (${r.getLong(3)}/${r.getLong(2)})"))
+          rows.length.toLong
+        }),
+        "q227_recall" -> (() => {
+          val rows = graft.queries.TextQueries.q227PlantedTextDupRecall
+            .run(spark, relTables(spark, sfDir, k)).collect()
+          rows.foreach(r => println(f"[recall] k=$k%-2d q227 " +
+            s"grade=${r.get(0)} ${r.get(1)} recall=${r.get(4)} " +
+            s"(${r.get(3)}/${r.get(2)})"))
+          rows.length.toLong
+        }),
         "q228_intrinsic" -> (() =>
           graft.queries.VectorQueries.q228IntrinsicDim
             .run(spark, relTables(spark, sfDir, k)).count()),
