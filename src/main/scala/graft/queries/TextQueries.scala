@@ -5058,6 +5058,50 @@ object TextQueries {
     }
   }
 
+  /** Distributed BPE merge learning (Sennrich et al. 2016) — the
+    * vocabulary-induction capability q43 stops short of: q43 counts
+    * pre-tokenization tokens; this query LEARNS the first 20 merges of
+    * a BPE vocabulary from the corpus, exactly ([[graft.operators.Bpe]]
+    * carries the shapes: one corpus-sized word-dict groupBy, then 20
+    * dict-grain rounds of pair-count → 1-row argmax → greedy merge
+    * apply, each round lineage-cut). The oracle replays the identical
+    * 20 rounds as generated MATERIALIZED CTE pairs (the q216
+    * unrolled-rounds precedent — MATERIALIZED is load-bearing: wd_k is
+    * referenced twice, and default inlining would expand wd20 to 2^20
+    * copies of the corpus scan). Argmax ties break (count DESC, lhs,
+    * rhs) — the q231 convention, binary collation both engines. */
+  val q235BpeMerges: Q = {
+    val rounds = 20
+    def roundCtes(k: Int): String =
+      s"""pc$k AS (
+         |  SELECT a[i] AS lhs, a[i + 1] AS rhs, CAST(sum(cnt) AS BIGINT) AS pair_count
+         |  FROM (SELECT cnt, string_split(trim(s, '~'), '~~') AS a FROM wd${k - 1}) t,
+         |    UNNEST(range(1, len(a))) AS u(i)
+         |  GROUP BY 1, 2),
+         |m$k AS MATERIALIZED (SELECT lhs, rhs, pair_count FROM pc$k
+         |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+         |wd$k AS MATERIALIZED (
+         |  SELECT word, cnt,
+         |    replace(s, '~' || lhs || '~~' || rhs || '~', '~' || lhs || rhs || '~') AS s
+         |  FROM wd${k - 1}, m$k)""".stripMargin
+    val finalSel = (1 to rounds).map(k =>
+      s"SELECT CAST($k AS INT) AS step, lhs, rhs, pair_count FROM m$k")
+      .mkString("\n  UNION ALL ")
+    Q("q235_bpe_merges",
+      s"""WITH wd0 AS MATERIALIZED (
+         |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt,
+         |    '~' || array_to_string(regexp_extract_all(w, '.'), '~~') || '~' AS s
+         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |        FROM documents) t
+         |  GROUP BY 1),
+         |${(1 to rounds).map(roundCtes).mkString(",\n")}
+         |SELECT * FROM (
+         |  $finalSel)
+         |ORDER BY step""".stripMargin) { (spark, dir) =>
+      graft.operators.Bpe.learnMerges(Tables.documents(spark, dir), "text", rounds)
+    }
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -5079,5 +5123,6 @@ object TextQueries {
     q195TokenWaterfill, q196JsDivergence, q201ShardBalance,
     q202BrierDecomposition, q204ConformalThreshold, q212RetrievalNdcg,
     q213ChainNdcg, q218CurriculumOrder, q225IsotonicCalibration,
-    q227PlantedTextDupRecall, q230ReshardMovement, q234NgramNovelty)
+    q227PlantedTextDupRecall, q230ReshardMovement, q234NgramNovelty,
+    q235BpeMerges)
 }
