@@ -156,6 +156,18 @@ object VectorFns {
     * schedule. */
   def lshBandKeysMaskedBands(vec: Column, dim: Int, maxBands: Int,
       nBands: Column, bits: Column, maxBitsPerBand: Int,
+      seed: Long = 42L): Column =
+    graft.plans.LshBandKeysMaskedExpr.bandKeys(d(vec), nBands.cast("int"),
+      bits.cast("int"), maxBands, maxBitsPerBand, dim, seed)
+
+  /** The unfused CaseWhen/[[maskedBandKey]] composition of
+    * [[lshBandKeysMaskedBands]] — retained as the REFERENCE form the
+    * native [[graft.plans.LshBandKeysMaskedExpr]] is property-tested
+    * against (VectorFnsSpec): at the full 24×24 static width the
+    * composed tree blows Janino's method limit inside whole-stage
+    * codegen, so the serving path fuses it into one call. */
+  private[graft] def lshBandKeysMaskedBandsComposed(vec: Column, dim: Int,
+      maxBands: Int, nBands: Column, bits: Column, maxBitsPerBand: Int,
       seed: Long = 42L): Column = {
     val v = d(vec)
     array((0 until maxBands).map { b =>

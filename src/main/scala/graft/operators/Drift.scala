@@ -421,4 +421,64 @@ object Drift {
           else Nil)
       ++ (if (autoCoarsen) Seq(col("grid_factor")) else Nil): _*)
   }
+
+  /** Additive second-moment drift state (the q233 covariance monitor):
+    * one row per (label, half, upper-triangle cell i ≤ j) carrying the
+    * EXACT int64 product sum over the half's quantized vectors plus
+    * the half's vector count. Every vector contributes every cell
+    * exactly once, so `n` is constant across a (label, half)'s cells
+    * and the whole state is plain additive counts/sums — a streaming
+    * complete-mode aggregate maintains it incrementally
+    * ([[graft.streaming.StreamOps.covarianceCellCounts]]) and
+    * [[covarianceDrift]] serves the same number the batch q233
+    * computes, the qiClassCounts/Privacy.audit split applied to drift.
+    * Input columns: (label, h ∈ {0,1}, q ARRAY<BIGINT> on the caller's
+    * integer grid). State size: labels × 2 × D(D+1)/2 rows. */
+  def covarianceCellState(rows: DataFrame): DataFrame =
+    rows
+      .select(col("label"), col("h"), col("q"),
+        explode(sequence(lit(1), size(col("q")))).as("i"))
+      .select(col("label"), col("h"), col("q"), col("i"),
+        explode(sequence(lit(1), size(col("q")))).as("j"))
+      .filter(col("j") >= col("i"))
+      .select(col("label"), col("h"), col("i"), col("j"),
+        (element_at(col("q"), col("i")) * element_at(col("q"), col("j")))
+          .as("p"))
+      .groupBy(col("label"), col("h"), col("i"), col("j"))
+      .agg(sum(col("p")).as("s"), count(lit(1)).as("n"))
+
+  /** The q233 Frobenius fold over [[covarianceCellState]] — the ONE
+    * implementation both the batch query and the standing monitor's
+    * serving read run, so they can never disagree: cross-scaled
+    * difference d = S_A·n_B − S_B·n_A in int64 under the loud 4.5e12
+    * guard (|d| ≤ 2·n_A·n_B·10⁶ ≤ 9×10¹⁸), squares accumulated in
+    * decimal(38,0), one final sqrt. */
+  def covarianceDrift(state: DataFrame): DataFrame = {
+    val cs = state.groupBy(col("label"), col("i"), col("j"))
+      .agg(sum(when(col("h") === 0, col("s")).otherwise(0L)).as("sa"),
+        sum(when(col("h") === 1, col("s")).otherwise(0L)).as("sb"))
+    // n is cell-constant per (label, half); the (1,1) slice is the
+    // canonical carrier (dim ≥ 1 always)
+    val ns = state.filter(col("i") === 1 && col("j") === 1)
+      .groupBy(col("label"))
+      .agg(sum(when(col("h") === 0, col("n")).otherwise(0L)).as("na"),
+        sum(when(col("h") === 1, col("n")).otherwise(0L)).as("nb"))
+      .withColumn("ok", when(col("na") * col("nb") > 4500000000000L,
+        raise_error(lit("q233: half sizes past the int64 cross-scale " +
+          "headroom — coarsen the grid or subsample")).cast("long"))
+        .otherwise(lit(1L)))
+    val d = (col("sa") * col("nb") - col("sb") * col("na"))
+    cs.join(ns, Seq("label"))
+      .groupBy(col("label"), col("na"), col("nb"))
+      .agg(sum(when(col("i") === col("j"), lit(1L)).otherwise(lit(2L))
+          .cast("decimal(38,0)")
+        * (col("ok") * d).cast("decimal(38,0)") * d.cast("decimal(38,0)"))
+        .as("ss"))
+      .select(col("label").cast("int").as("label"), col("na").as("n_a"),
+        col("nb").as("n_b"),
+        (round(
+          sqrt(col("ss").cast("double")) / (col("na") * col("nb")) / 1e6, 6)
+          + lit(0.0d)).as("frob_dist"))
+      .orderBy(col("label"))
+  }
 }

@@ -271,14 +271,27 @@ object VectorQueries {
         .as("bits"))
       .select(col("bits"), bandsForBitsCol(col("bits")).as("n_bands"),
         thresholdForBitsCol(col("bits")).as("thr"))
+    // plan-shape notes (each measured, r14):
+    //  - the key array is ONE native expression (LshBandKeysMaskedExpr)
+    //    — the composed 24×24 CaseWhen tree blew Janino's method limit
+    //    and dropped the stage to interpreted eval;
+    //  - posexplode_OUTER: the non-outer form lets the optimizer infer
+    //    a size(bkeys) > 0 filter whose pushdown re-inlines the key
+    //    expression into the params-join condition, evaluating it
+    //    twice per row (the array is never null/empty, so outer is
+    //    result-identical and infers nothing);
+    //  - thr deliberately NOT carried here: both self-join sides must
+    //    stay column-identical so ReuseExchange materializes the
+    //    banded shuffle once (it joins back at the pair stage below).
     val banded = corpus
-      .crossJoin(broadcast(params))
-      .select(col("vec_id"), col("embedding"), col("n_bands"), col("thr"),
-        posexplode(VectorFns.lshBandKeysMaskedBands(col("embedding"), Dim,
-            NdMaxBands, col("n_bands"), col("bits"), NdMaxBits))
-          .as(Seq("band", "bkey")))
+      .crossJoin(broadcast(params.select(col("bits"), col("n_bands"))))
+      .select(col("vec_id"), col("embedding"), col("n_bands"),
+        VectorFns.lshBandKeysMaskedBands(col("embedding"), Dim,
+          NdMaxBands, col("n_bands"), col("bits"), NdMaxBits).as("bkeys"))
+      .select(col("vec_id"), col("embedding"), col("n_bands"),
+        posexplode_outer(col("bkeys")).as(Seq("band", "bkey")))
       .filter(col("band") < col("n_bands"))
-      .select(col("vec_id"), col("embedding"), col("thr"), col("band"), col("bkey"))
+      .select(col("vec_id"), col("embedding"), col("band"), col("bkey"))
       .repartition(col("band"), col("bkey"))
     // verify-then-dedup, NOT dedup-then-verify: the exact cosine and
     // the ≥ threshold filter run inside the bucket join's output
@@ -293,9 +306,10 @@ object VectorQueries {
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.vec_id") < col("b.vec_id"))
+      .crossJoin(broadcast(params.select(col("thr"))))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         Q.noNegZero(round(VectorFns.cosine(col("a.embedding"), col("b.embedding")), 6))
-          .as("cos_sim"), col("a.thr").as("thr"))
+          .as("cos_sim"), col("thr"))
       .filter(col("cos_sim") >= col("thr"))
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("cos_sim"))
@@ -429,17 +443,20 @@ object VectorQueries {
       .select(col("bits"), bandsForBitsCol(col("bits")).as("n_bands"),
         thresholdForBitsCol(col("bits")).as("thr"))
     def banded(df: org.apache.spark.sql.DataFrame) =
-      df.crossJoin(broadcast(params))
-        .select(col("vec_id"), col("embedding"), col("n_bands"), col("thr"),
-          posexplode(VectorFns.lshBandKeysMaskedBands(col("embedding"), Dim,
-              NdMaxBands, col("n_bands"), col("bits"), NdMaxBits))
-            .as(Seq("band", "bkey")))
+      df.crossJoin(broadcast(params.select(col("bits"), col("n_bands"))))
+        .select(col("vec_id"), col("embedding"), col("n_bands"),
+          VectorFns.lshBandKeysMaskedBands(col("embedding"), Dim,
+            NdMaxBands, col("n_bands"), col("bits"), NdMaxBits).as("bkeys"))
+        .select(col("vec_id"), col("embedding"), col("n_bands"),
+          posexplode_outer(col("bkeys")).as(Seq("band", "bkey")))
         .filter(col("band") < col("n_bands"))
-        .select(col("vec_id"), col("embedding"), col("thr"), col("band"), col("bkey"))
+        .select(col("vec_id"), col("embedding"), col("band"), col("bkey"))
     // verify-then-dedup (same ordering rationale as nearDupPairsOf:
-    // dedup shuffles skinny verified pairs, not wide candidates); thr
-    // is the epoch threshold carried through the banded index
+    // dedup shuffles skinny verified pairs, not wide candidates); the
+    // epoch threshold joins back as a 1-row broadcast so the banded
+    // index itself stays thr-free (column-identical self-join sides)
     def verify(cands: org.apache.spark.sql.DataFrame) = cands
+      .crossJoin(broadcast(params.select(col("thr"))))
       .select(col("id_a"), col("id_b"), col("thr"),
         Q.noNegZero(round(VectorFns.cosine(col("emb_a"), col("emb_b")), 6)).as("cos_sim"))
       .filter(col("cos_sim") >= col("thr"))
@@ -456,7 +473,7 @@ object VectorQueries {
     val oldPairs = verify(ob.as("a").join(ob.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("a.thr").as("thr"),
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b")))
     val oldLabels = Dedup.connectedComponents(oldPairs)
     // today's batch: delta bands join the full band index — covers
@@ -467,7 +484,7 @@ object VectorQueries {
         col("d.band") === col("r.band") && col("d.bkey") === col("r.bkey") &&
           col("d.vec_id") =!= col("r.vec_id"))
       .select(least(col("d.vec_id"), col("r.vec_id")).as("id_a"),
-        greatest(col("d.vec_id"), col("r.vec_id")).as("id_b"), col("d.thr").as("thr"),
+        greatest(col("d.vec_id"), col("r.vec_id")).as("id_b"),
         col("d.embedding").as("emb_a"), col("r.embedding").as("emb_b")))
     // connectedComponents materializes its labeling (checkpoint or local
     // relation), so the cache can drop before the final rollup
@@ -1976,42 +1993,16 @@ object VectorQueries {
        |    AS frob_dist
        |FROM f2
        |ORDER BY label""".stripMargin) { (spark, dir) =>
-    val e = Tables.embeddings(spark, dir)
-      .select(col("label"), (col("vec_id") % 2).as("h"),
-        transform(col("embedding").cast("array<double>"),
-          x => round(x * 1000).cast("long")).as("q"))
-    val cells = e
-      .select(col("label"), col("h"), col("q"),
-        explode(sequence(lit(1), lit(Dim))).as("i"))
-      .select(col("label"), col("h"), col("q"), col("i"),
-        explode(sequence(lit(1), lit(Dim))).as("j"))
-      .filter(col("j") >= col("i"))
-      .select(col("label"), col("h"), col("i"), col("j"),
-        (element_at(col("q"), col("i")) * element_at(col("q"), col("j")))
-          .as("p"))
-    val cs = cells.groupBy(col("label"), col("i"), col("j"))
-      .agg(sum(when(col("h") === 0, col("p")).otherwise(0L)).as("sa"),
-        sum(when(col("h") === 1, col("p")).otherwise(0L)).as("sb"))
-    val ns = e.groupBy(col("label"))
-      .agg(sum(when(col("h") === 0, 1L).otherwise(0L)).as("na"),
-        sum(when(col("h") === 1, 1L).otherwise(0L)).as("nb"))
-      .withColumn("ok", when(col("na") * col("nb") > 4500000000000L,
-        raise_error(lit("q233: half sizes past the int64 cross-scale " +
-          "headroom — coarsen the grid or subsample")).cast("long"))
-        .otherwise(lit(1L)))
-    val d = (col("sa") * col("nb") - col("sb") * col("na"))
-    cs.join(ns, Seq("label"))
-      .groupBy(col("label"), col("na"), col("nb"))
-      .agg(sum(when(col("i") === col("j"), lit(1L)).otherwise(lit(2L))
-          .cast("decimal(38,0)")
-        * (col("ok") * d).cast("decimal(38,0)") * d.cast("decimal(38,0)"))
-        .as("ss"))
-      .select(col("label").cast("int").as("label"), col("na").as("n_a"),
-        col("nb").as("n_b"),
-        Q.noNegZero(round(
-          sqrt(col("ss").cast("double")) / (col("na") * col("nb")) / 1e6, 6))
-          .as("frob_dist"))
-      .orderBy(col("label"))
+    // state + fold both live in Drift (covarianceCellState /
+    // covarianceDrift) so the batch query and the standing streaming
+    // monitor (StreamOps.covarianceCellCounts) run the IDENTICAL
+    // exact-integer chain — the r14 streaming leg rides this split
+    import graft.operators.Drift
+    Drift.covarianceDrift(Drift.covarianceCellState(
+      Tables.embeddings(spark, dir)
+        .select(col("label"), (col("vec_id") % 2).as("h"),
+          transform(col("embedding").cast("array<double>"),
+            x => round(x * 1000).cast("long")).as("q"))))
   }
 
   /** Quality-aware dedup canonical selection — the POLICY layer over

@@ -407,6 +407,20 @@ object StreamOps {
       sensCol: String): DataFrame =
     graft.operators.Privacy.classState(rows, qiCols, sensCol)
 
+  /** Standing covariance-drift monitor state — the STREAMING leg of
+    * the q233 second-moment audit (r13 verdict #7): per (label, half,
+    * upper-triangle cell) exact int64 product sums plus half row
+    * counts, maintained incrementally in complete mode — the state is
+    * additive under union exactly like the k-anonymity class counts,
+    * and it is (labels × 2 × D(D+1)/2)-grain, never row-grain. Land
+    * via [[sinkCompleteVersions]]; the serving read is
+    * `Drift.covarianceDrift(latestSnapshot)` — the SAME fold the batch
+    * q233 runs (StreamOpsSpec pins serving ≡ batch across a bounce),
+    * so a drift alarm wired to the monitor and the batch audit can
+    * never disagree. Input: (label, h ∈ {0,1}, q ARRAY<BIGINT>). */
+  def covarianceCellCounts(rows: DataFrame): DataFrame =
+    graft.operators.Drift.covarianceCellState(rows)
+
   /** Incremental BM25 posting ingest — the serving-index face of the
     * q94 cross-corpus incremental pattern: each micro-batch of NEW
     * documents lands its per-doc posting delta (id, t, cnt, dl —

@@ -625,6 +625,53 @@ class StreamOpsSpec extends SparkSpec {
       "streamed t-closeness serving diverged from the batch audit")
   }
 
+  test("covariance-drift monitor: streamed cell state serves ≡ batch q233 fold across a bounce") {
+    import spark.implicits._
+    // the standing-monitor leg of the q233 second-moment audit:
+    // (label, half, cell)-grain sums maintained incrementally, landed
+    // as versioned parquet, served through the SAME Drift fold the
+    // batch query runs — including rows that arrive while DOWN
+    val base = java.nio.file.Files.createTempDirectory("covdrift").toString
+    val (srcDir, ckDir, snapDir) = (s"$base/src", s"$base/ck", s"$base/snap")
+    // dim-3 quantized vectors, two labels; label 1's halves share
+    // marginals but differ in cross-terms (the rotation-shift class
+    // q233 exists to catch), label 2's halves are identical
+    val batch1 = Seq(
+      (1, 0L, Seq(1000L, 2000L, -500L)), (1, 0L, Seq(-1000L, 2000L, 500L)),
+      (1, 1L, Seq(1000L, -2000L, 500L)), (2, 0L, Seq(300L, 300L, 300L)),
+      (2, 1L, Seq(300L, 300L, 300L)))
+    val batch2 = Seq(
+      (1, 1L, Seq(-1000L, -2000L, -500L)), (2, 0L, Seq(-300L, 0L, 300L)),
+      (2, 1L, Seq(-300L, 0L, 300L)))
+    batch1.toDF("label", "h", "q").coalesce(1).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Unit = StreamOps.sinkCompleteVersions(
+      StreamOps.covarianceCellCounts(
+        StreamOps.parquetStream(spark, schema, srcDir)),
+      snapDir, ckDir)
+    def fold(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Drift.covarianceDrift(df)
+        .as[(Int, Long, Long, Double)].collect().toSeq
+    def serve() = fold(StreamOps.latestSnapshot(spark, snapDir).get)
+    def batchRef(rows: Seq[(Int, Long, Seq[Long])]) = fold(
+      graft.operators.Drift.covarianceCellState(rows.toDF("label", "h", "q")))
+    runOnce()
+    assert(serve() === batchRef(batch1), "first serving read diverged")
+    // hand-check: label 2's halves are identical → zero drift
+    assert(serve().find(_._1 === 2).get._4 === 0.0)
+    batch2.toDF("label", "h", "q").coalesce(1)
+      .write.mode("append").parquet(srcDir) // arrives while DOWN
+    runOnce()
+    val served = serve()
+    assert(served === batchRef(batch1 ++ batch2),
+      "post-bounce serving read diverged from the one-shot batch fold")
+    // label 2 stays mirror-identical after the second batch too
+    val l2 = served.find(_._1 === 2).get
+    assert(l2._2 === 2L && l2._3 === 2L && l2._4 === 0.0)
+    // label 1 now has 2 vs 2 with flipped cross-terms → nonzero drift
+    assert(served.find(_._1 === 1).get._4 > 0.0)
+  }
+
   test("span-fingerprint store: streamed deltas serve ≡ the batch novelty screen across a bounce") {
     import spark.implicits._
     // the q234 train side as an append-only stream: two train chunks
