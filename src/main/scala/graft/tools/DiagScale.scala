@@ -66,11 +66,11 @@ object DiagScale {
     * k and reused across runs (delete /tmp/graft_scale_rel_k* to
     * rebuild). */
   private def relTables(spark: SparkSession, sfDir: String, k: Int): String = {
-    // v3: the dir name versions the TABLE SET (v2 added embeddings,
-    // v3 added events) — a stale _done marker from an earlier round
-    // must not satisfy a probe that needs a table the old build never
-    // wrote
-    val dir = s"/tmp/graft_scale_rel_v3_k$k"
+    // v4: the dir name versions the TABLE SET (v2 added embeddings,
+    // v3 added events, v4 added supplier for the distributed-graph-leg
+    // probes) — a stale _done marker from an earlier round must not
+    // satisfy a probe that needs a table the old build never wrote
+    val dir = s"/tmp/graft_scale_rel_v4_k$k"
     val done = new java.io.File(s"$dir/_done")
     if (!done.exists()) {
       val docs = graft.sources.Tables.documents(spark, sfDir)
@@ -103,6 +103,12 @@ object DiagScale {
       // q198's per-nation groups simply grow ×k in rows, which is the
       // honest test of its rank-table and join paths
       nat.write.mode("overwrite").parquet(s"$dir/nation.parquet")
+      // supplier stays FIXED like nation (the q127/q131 seed set is
+      // s_suppkey <= 3 and must not multiply); replicated orders and
+      // lineitem still grow the bipartite edge list x k through the
+      // shared supplier nodes
+      graft.sources.Tables.supplier(spark, sfDir)
+        .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
       // embeddings: the replicateEmb ±1 diagonal transform (same
       // geometry per replica, decorrelated across), with ids in the ×k
       // keyspace so the q206 halves split evenly at every k
@@ -126,6 +132,10 @@ object DiagScale {
   }
 
   def main(args: Array[String]): Unit = {
+    // must precede any touch of the PageRank object: its size gate
+    // reads graft.localEdgeLimit once at class init
+    sys.env.get("SPARK_GRAFT_LOCAL_EDGE_LIMIT")
+      .foreach(v => sys.props("graft.localEdgeLimit") = v)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val ks = sys.env.getOrElse("SPARK_GRAFT_SCALE_KS", "1,2,4")
@@ -666,6 +676,17 @@ object DiagScale {
         // id-keyed join — expect the q51_adaptive shape (<= ~0.5)
         "q232_qkeep" -> (() =>
           graft.queries.VectorQueries.q232QualityDedupKeep
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        // r14 (verdict #6): the distributed graph leg, probed through
+        // the REGISTERED query code — run with
+        // SPARK_GRAFT_LOCAL_EDGE_LIMIT=0 so the size gate never takes
+        // the local twin and the exponent measures the delta-iteration
+        // path itself (the ledger previously only had the local leg's)
+        "q127_crawl_depth" -> (() =>
+          graft.queries.GraphQueries.q127CrawlDepth
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        "q131_paths" -> (() =>
+          graft.queries.GraphQueries.q131CheapestPaths
             .run(spark, relTables(spark, sfDir, k)).count()),
         "q200_hill_s16" -> (() => withShufflePartitions(spark, "16") {
           graft.queries.RelationalQueries.q200HillTailIndex
