@@ -70,7 +70,10 @@ object Bpe {
     * bounded-collect class — the argmax IS the learned parameter, one
     * row per round) and embedded as a literal, so the merge apply is a
     * narrow stacked projection over the checkpointed dictionary — no
-    * per-round shuffle, no growing lineage. Production vocab induction
+    * per-round shuffle, and a lineage cut every 8 rounds bounds the
+    * stacked-projection depth (round k otherwise re-executes all k−1
+    * prior replaces — trivial at dict grain for 20 rounds, quadratic
+    * at production round counts). Production vocab induction
     * (30–50k merges) batches the selection — take the top-B mutually
     * non-adjacent pairs per round, the standard rounds-reduction — on
     * exactly these shapes; the exact top-1 form here is the
@@ -92,6 +95,7 @@ object Bpe {
         cur = cur.withColumn("s",
           replace(col("s"), lit(s"~$l~~$r~"), lit(s"~$l$r~")))
       }
+      if (step % 8 == 0) cur = cur.localCheckpoint()
     }
     merges.toSeq.toDF("step", "lhs", "rhs", "pair_count")
       .orderBy(col("step"))

@@ -436,6 +436,11 @@ object Drift {
     * integer grid). State size: labels × 2 × D(D+1)/2 rows. */
   def covarianceCellState(rows: DataFrame): DataFrame =
     rows
+      // empty vectors carry no second-moment information and are
+      // dropped (they also don't count toward the half sizes); without
+      // the guard, sequence(1, 0) DESCENDS and element_at(q, 0) kills
+      // a standing streaming query at runtime (r14 review)
+      .filter(size(col("q")) >= 1)
       .select(col("label"), col("h"), col("q"),
         explode(sequence(lit(1), size(col("q")))).as("i"))
       .select(col("label"), col("h"), col("q"), col("i"),

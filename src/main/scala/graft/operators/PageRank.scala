@@ -60,15 +60,9 @@ object PageRank {
     * fragile under a loaded 32-thread session — r2-r4 bench artifacts
     * read 130-230 s for a graph the local path ranks in <1 s); the
     * distributed loop below the same API is for edge sets that don't
-    * fit a driver.
-    *
-    * The `graft.localEdgeLimit` system property overrides the gate —
-    * diagnostics only (DiagScale sets it to 0 to force the REGISTERED
-    * query code through the distributed leg under replication, giving
-    * the non-local path its own measured exponent instead of only the
-    * local twin's); production never sets it. */
-  val LocalEdgeLimit: Long =
-    sys.props.get("graft.localEdgeLimit").map(_.toLong).getOrElse(8L << 20)
+    * fit a driver. Diagnostics that need the distributed leg set the
+    * per-call [[GateOverrideProp]] — NOT a different constant. */
+  val LocalEdgeLimit: Long = 8L << 20
 
   /** @param edges directed edges, columns (src, dst); duplicates
     *              count as parallel edges (weight = multiplicity).

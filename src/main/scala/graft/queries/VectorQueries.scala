@@ -141,9 +141,9 @@ object VectorQueries {
     * recall gracefully (never runtime) — a larger corpus epoch raises
     * the two width constants and pays cost linear in bands. */
   private val NdMaxBands = 24  // static band-array width
-  private val NdMaxBits = 24   // static expression width (≤16M buckets/band)
-  private val NdMinBits = 4
-  private val NdTarget = 16    // per-band expected bucket population
+  private[graft] val NdMaxBits = 24 // static expr width (≤16M buckets/band)
+  private[graft] val NdMinBits = 4
+  private[graft] val NdTarget = 16  // per-band expected bucket population
   private val NdSimTarget = 0.89    // design similarity the recall target pins
   private val NdRecallTarget = 0.95 // candidate recall target at NdSimTarget
 
@@ -256,9 +256,10 @@ object VectorQueries {
     * (unordered), verified by exact cosine ≥ threshold. posexplode emits
     * one (band, bkey) row per band; repartition by the join key makes
     * both self-join sides IDENTICAL shuffles, so ReuseExchange computes
-    * the hyperplane projections once, not twice. dropDuplicates
-    * collapses pairs that collide in several bands before the exact
-    * cosine is spent on them. */
+    * the hyperplane projections once, not twice. Verify runs BEFORE the
+    * pair dedup (r14): a multi-band collision recomputes its
+    * deterministic cosine, and in exchange the dedup shuffle carries
+    * 24-byte verified pairs instead of wide candidates. */
   private[graft] def nearDupPairs(spark: org.apache.spark.sql.SparkSession, dir: String) =
     nearDupPairsOf(Tables.embeddings(spark, dir))
 
@@ -306,6 +307,10 @@ object VectorQueries {
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.vec_id") < col("b.vec_id"))
+      // second reference to params: only the 1-row CASE projection runs
+      // twice — the corpus-count aggregate underneath ends in an
+      // Exchange that ReuseExchange shares with the banding broadcast
+      // (ReusedExchange [count] verified in the executed plan)
       .crossJoin(broadcast(params.select(col("thr"))))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         Q.noNegZero(round(VectorFns.cosine(col("a.embedding"), col("b.embedding")), 6))

@@ -132,10 +132,12 @@ object DiagScale {
   }
 
   def main(args: Array[String]): Unit = {
-    // must precede any touch of the PageRank object: its size gate
-    // reads graft.localEdgeLimit once at class init
+    // the per-call diagnostic gate override (PageRank.GateOverrideProp,
+    // read inside takeUnderGate on every invocation — no init-order
+    // hazard): "0" forces every size-gated graph op down its
+    // distributed leg for this process (r14 q127/q131 probes)
     sys.env.get("SPARK_GRAFT_LOCAL_EDGE_LIMIT")
-      .foreach(v => sys.props("graft.localEdgeLimit") = v)
+      .foreach(v => sys.props(graft.operators.PageRank.GateOverrideProp) = v)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val ks = sys.env.getOrElse("SPARK_GRAFT_SCALE_KS", "1,2,4")
@@ -628,11 +630,17 @@ object DiagScale {
         "q226_recall" -> (() => {
           val dir = relTables(spark, sfDir, k)
           val n = graft.sources.Tables.embeddings(spark, dir).count()
-          val nCorpus = n + 4 * math.min((n + 3) / 7, 256L) // plants
-          val bits = (4 to 24).find(b => nCorpus <= (16L << b)).getOrElse(24)
-          val bands = graft.queries.VectorQueries.bandsForBits(bits)
           val rows = graft.queries.VectorQueries.q226PlantedDupRecall
             .run(spark, dir).collect()
+          // the resolved schedule, derived from the query's OWN output
+          // (n_planted per grade) + its real constants — no hand-copied
+          // panel formula to drift out of lockstep (r14 review)
+          val nCorpus = n + rows.map(_.getLong(2)).sum
+          val bits = (graft.queries.VectorQueries.NdMinBits to
+              graft.queries.VectorQueries.NdMaxBits)
+            .find(b => nCorpus <= (graft.queries.VectorQueries.NdTarget.toLong << b))
+            .getOrElse(graft.queries.VectorQueries.NdMaxBits)
+          val bands = graft.queries.VectorQueries.bandsForBits(bits)
           rows.foreach(r => println(f"[recall] k=$k%-2d q226 bits=$bits bands=$bands " +
             f"eps=${r.getDouble(1)}%5.3f mean_cos=${r.getDouble(5)}%9.6f " +
             f"recall=${r.getDouble(4)}%6.4f (${r.getLong(3)}/${r.getLong(2)})"))

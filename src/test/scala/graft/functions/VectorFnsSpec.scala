@@ -100,18 +100,27 @@ class VectorFnsSpec extends SparkSpec {
     assert(k8.exists(ks => ks.distinct.size > 1))
   }
 
-  test("lshBandKeysMaskedBands: band gate nulls the tail, live bands match the fixed form") {
+  test("lshBandKeysMaskedBands: native expr ≡ composed reference, gate nulls the tail") {
     val vecs = Seq.tabulate(30)(i =>
       Tuple1(Array.tabulate(16)(j => ((i * 17 + j * 3) % 29).toFloat / 14 - 0.9f)))
       .toDF("v")
     val maxBands = 8
     for (nb <- Seq(2, 5, 8)) {
+      // serving path: the fused native LshBandKeysMaskedExpr
       val gated = vecs.select(VectorFns.lshBandKeysMaskedBands(
+          col("v"), 16, maxBands, lit(nb), lit(6), 24).as("ks"))
+        .as[Seq[Option[Long]]].collect()
+      // reference: the unfused CaseWhen composition (the form the
+      // native expression replaced for codegen health)
+      val composed = vecs.select(VectorFns.lshBandKeysMaskedBandsComposed(
           col("v"), 16, maxBands, lit(nb), lit(6), 24).as("ks"))
         .as[Seq[Option[Long]]].collect()
       val fixed = vecs.select(VectorFns.lshBandKeysMasked(
           col("v"), 16, maxBands, lit(6), 24).as("ks"))
         .as[Seq[Long]].collect()
+      gated.zip(composed).foreach { case (g, c) =>
+        assert(g === c, s"native diverged from composed at nBands=$nb")
+      }
       gated.zip(fixed).foreach { case (g, f) =>
         assert(g.length === maxBands)
         (0 until maxBands).foreach { b =>

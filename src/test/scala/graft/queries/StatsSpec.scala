@@ -1668,8 +1668,11 @@ class StatsSpec extends SparkSpec {
     }
     val corpus: Map[Long, Array[Double]] =
       base ++ plants.map(p => p._1 -> p._4)
-    // adaptive bits: smallest b in [4,24] with n <= 16 * 2^b
+    // adaptive bits: smallest b in [4,24] with n <= 16 * 2^b; bands and
+    // the verify threshold follow the r14 count-adaptive schedules
     val bits = (4 to 24).find(b => corpus.size <= (16L << b)).get
+    val nBands = VectorQueries.bandsForBits(bits)
+    val thr = VectorQueries.thresholdForBits(bits)
     def dot(a: Array[Double], b: Array[Double]) = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
@@ -1684,12 +1687,12 @@ class StatsSpec extends SparkSpec {
         if (cos(e, plane) >= 0) 1L << r else 0L
       }.foldLeft(0L)(_ | _)
     val byKey = corpus.toSeq.flatMap { case (id, e) =>
-      (0 until 4).map(b => ((b, bandKey(e, b)), id)) }.groupBy(_._1)
+      (0 until nBands).map(b => ((b, bandKey(e, b)), id)) }.groupBy(_._1)
     val cand = byKey.values.flatMap { grp =>
       val ids = grp.map(_._2).toSeq.sorted
       for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
     }.toSet
-    val detected = cand.filter { case (a, b) => r6(cos(corpus(a), corpus(b))) >= 0.35 }
+    val detected = cand.filter { case (a, b) => r6(cos(corpus(a), corpus(b))) >= thr }
     val want = bands.map { case (b, _) =>
       val ps = plants.filter(_._2 == b)
       val hits = ps.count(p => detected.contains((p._3, p._1)))
