@@ -110,4 +110,52 @@ object Bpe {
       d.withColumn("s",
         expr(s"replace(s, '~$l~~$r~', '~$l$r~')"))
     }
+
+  /** The APPLY-side efficiency curve: [[learnMerges]]' loop, also
+    * recording after every merge the corpus-weighted total token
+    * (symbol) count — the diminishing-returns curve a tokenizer team
+    * reads to size the vocabulary (marginal compression per merge).
+    * Step 0 is the pre-merge character baseline (null merge columns).
+    * Same per-round shapes and bounded 1-row collects as learnMerges;
+    * the extra aggregate per round is dict-grain.
+    * @return (step, lhs, rhs, pair_count, total_tokens,
+    *         tokens_per_word) — tokens_per_word is corpus-weighted,
+    *         rounded half-up to 6 dp (both engines' round convention
+    *         for positive values) */
+  def compressionCurve(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var cur = wordDict(docs, textCol).localCheckpoint()
+    def totals(d: DataFrame): (Long, Long) = d
+      .select(sum(col("cnt") * size(split(trim(col("s"), "~"), "~~"))).as("t"),
+        sum(col("cnt")).as("w"))
+      .as[(Long, Long)].head()
+    val (t0, w) = totals(cur)
+    val rows = scala.collection.mutable.Buffer[
+      (Int, Option[String], Option[String], Option[Long], Long)](
+      (0, None, None, None, t0))
+    for (step <- 1 to rounds) {
+      val top = pairCounts(cur)
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .as[(String, String, Long)].collect()
+      top.foreach { case (l, r, c) =>
+        cur = cur.withColumn("s",
+          replace(col("s"), lit(s"~$l~~$r~"), lit(s"~$l$r~")))
+        val (tk, _) = totals(cur)
+        rows += ((step, Some(l), Some(r), Some(c), tk))
+      }
+      if (step % 8 == 0) cur = cur.localCheckpoint()
+    }
+    // the ratio rounds through Catalyst's round (exact-decimal HALF_UP)
+    // — the same convention every oracle-matched double in the registry
+    // uses, rather than a driver-side float rounding
+    rows.toSeq
+      .toDF("step", "lhs", "rhs", "pair_count", "total_tokens")
+      .select(col("step"), col("lhs"), col("rhs"), col("pair_count"),
+        col("total_tokens"),
+        (round(col("total_tokens").cast("double") / lit(w), 6) + lit(0.0d))
+          .as("tokens_per_word"))
+      .orderBy(col("step"))
+  }
 }

@@ -5070,35 +5070,75 @@ object TextQueries {
     * referenced twice, and default inlining would expand wd20 to 2^20
     * copies of the corpus scan). Argmax ties break (count DESC, lhs,
     * rhs) — the q231 convention, binary collation both engines. */
+  private val BpeRounds = 20
+
+  /** Shared BPE oracle scaffolding (q235/q236): the word dictionary and
+    * one (pair-count, argmax, merge-apply) CTE triple per round. */
+  private def bpeWd0Cte: String =
+    """wd0 AS MATERIALIZED (
+      |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt,
+      |    '~' || array_to_string(regexp_extract_all(w, '.'), '~~') || '~' AS s
+      |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |        FROM documents) t
+      |  GROUP BY 1)""".stripMargin
+
+  private def bpeRoundCtes(k: Int): String =
+    s"""pc$k AS (
+       |  SELECT a[i] AS lhs, a[i + 1] AS rhs, CAST(sum(cnt) AS BIGINT) AS pair_count
+       |  FROM (SELECT cnt, string_split(trim(s, '~'), '~~') AS a FROM wd${k - 1}) t,
+       |    UNNEST(range(1, len(a))) AS u(i)
+       |  GROUP BY 1, 2),
+       |m$k AS MATERIALIZED (SELECT lhs, rhs, pair_count FROM pc$k
+       |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+       |wd$k AS MATERIALIZED (
+       |  SELECT word, cnt,
+       |    replace(s, '~' || lhs || '~~' || rhs || '~', '~' || lhs || rhs || '~') AS s
+       |  FROM wd${k - 1}, m$k)""".stripMargin
+
   val q235BpeMerges: Q = {
-    val rounds = 20
-    def roundCtes(k: Int): String =
-      s"""pc$k AS (
-         |  SELECT a[i] AS lhs, a[i + 1] AS rhs, CAST(sum(cnt) AS BIGINT) AS pair_count
-         |  FROM (SELECT cnt, string_split(trim(s, '~'), '~~') AS a FROM wd${k - 1}) t,
-         |    UNNEST(range(1, len(a))) AS u(i)
-         |  GROUP BY 1, 2),
-         |m$k AS MATERIALIZED (SELECT lhs, rhs, pair_count FROM pc$k
-         |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
-         |wd$k AS MATERIALIZED (
-         |  SELECT word, cnt,
-         |    replace(s, '~' || lhs || '~~' || rhs || '~', '~' || lhs || rhs || '~') AS s
-         |  FROM wd${k - 1}, m$k)""".stripMargin
-    val finalSel = (1 to rounds).map(k =>
+    val finalSel = (1 to BpeRounds).map(k =>
       s"SELECT CAST($k AS INT) AS step, lhs, rhs, pair_count FROM m$k")
       .mkString("\n  UNION ALL ")
     Q("q235_bpe_merges",
-      s"""WITH wd0 AS MATERIALIZED (
-         |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt,
-         |    '~' || array_to_string(regexp_extract_all(w, '.'), '~~') || '~' AS s
-         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-         |        FROM documents) t
-         |  GROUP BY 1),
-         |${(1 to rounds).map(roundCtes).mkString(",\n")}
+      s"""WITH $bpeWd0Cte,
+         |${(1 to BpeRounds).map(bpeRoundCtes).mkString(",\n")}
          |SELECT * FROM (
          |  $finalSel)
          |ORDER BY step""".stripMargin) { (spark, dir) =>
-      graft.operators.Bpe.learnMerges(Tables.documents(spark, dir), "text", rounds)
+      graft.operators.Bpe.learnMerges(Tables.documents(spark, dir), "text", BpeRounds)
+    }
+  }
+
+  /** The BPE APPLY-side efficiency curve (q235's sibling): after every
+    * learned merge, the corpus-weighted total token count and
+    * tokens-per-word — the diminishing-returns curve that sizes a
+    * vocabulary (step 0 = the pre-merge character baseline). Oracle =
+    * the q235 round CTEs plus one dict-grain total per step. */
+  val q236BpeCompression: Q = {
+    val tkCtes = (1 to BpeRounds).map(k =>
+      s"""tk$k AS (SELECT CAST(sum(cnt * len(string_split(trim(s, '~'), '~~'))) AS BIGINT)
+         |  AS total FROM wd$k)""".stripMargin).mkString(",\n")
+    val stepSel = (1 to BpeRounds).map(k =>
+      s"""SELECT CAST($k AS INT) AS step, lhs, rhs, pair_count, tk$k.total AS total_tokens,
+         |    round(CAST(tk$k.total AS DOUBLE) / w, 6) + 0.0 AS tokens_per_word
+         |  FROM m$k, tk$k, wc""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    Q("q236_bpe_compression",
+      s"""WITH $bpeWd0Cte,
+         |${(1 to BpeRounds).map(bpeRoundCtes).mkString(",\n")},
+         |wc AS (SELECT CAST(sum(cnt) AS BIGINT) AS w FROM wd0),
+         |t0 AS (SELECT CAST(sum(cnt * len(string_split(trim(s, '~'), '~~'))) AS BIGINT)
+         |  AS total FROM wd0),
+         |$tkCtes
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS INT) AS step, CAST(NULL AS VARCHAR) AS lhs,
+         |    CAST(NULL AS VARCHAR) AS rhs, CAST(NULL AS BIGINT) AS pair_count,
+         |    t0.total AS total_tokens,
+         |    round(CAST(t0.total AS DOUBLE) / w, 6) + 0.0 AS tokens_per_word
+         |  FROM t0, wc
+         |  UNION ALL $stepSel)
+         |ORDER BY step""".stripMargin) { (spark, dir) =>
+      graft.operators.Bpe.compressionCurve(Tables.documents(spark, dir), "text", BpeRounds)
     }
   }
 
@@ -5124,5 +5164,5 @@ object TextQueries {
     q202BrierDecomposition, q204ConformalThreshold, q212RetrievalNdcg,
     q213ChainNdcg, q218CurriculumOrder, q225IsotonicCalibration,
     q227PlantedTextDupRecall, q230ReshardMovement, q234NgramNovelty,
-    q235BpeMerges)
+    q235BpeMerges, q236BpeCompression)
 }

@@ -74,6 +74,22 @@ class BpeSpec extends SparkSpec {
     assert(remaining.intersect(merges.toSet).isEmpty)
   }
 
+  test("compressionCurve: strictly decreasing totals, step-0 = char baseline, drop = pair_count") {
+    val rounds = 10
+    val curve = Bpe.compressionCurve(sennrichDocs, "text", rounds)
+      .as[(Int, Option[String], Option[String], Option[Long], Long, Double)]
+      .collect().toSeq.sortBy(_._1)
+    assert(curve.map(_._1) === (0 to rounds))
+    // step 0 is the per-character baseline: sum over words of len * freq
+    val baseline = sennrich.map { case (w, c) => w.length * c }.sum
+    assert(curve.head._5 === baseline)
+    // each merge of a pair with count c removes exactly c symbols
+    curve.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._5 === a._5 - b._4.get,
+        s"step ${b._1}: total ${b._5} != ${a._5} - ${b._4.get}")
+    }
+  }
+
   test("registered q235 learns 20 deterministic merges at the gate") {
     val df = graft.queries.TextQueries.q235BpeMerges.run(spark, "/root/testdata/sf0.001")
       .as[(Int, String, String, Long)].collect().toSeq
