@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE (byte-pair encoding) merge learning — the vocabulary
@@ -14,29 +14,41 @@ import org.apache.spark.sql.functions._
   * stage is the word-dictionary build — one explode + one groupBy —
   * because pair counts factor through word frequencies. Every merge
   * round then runs at DICT grain (Heaps-law bounded, ~O(corpusᵝ),
-  * β≈0.5): one dict-grain pair aggregate, a 1-row argmax (count DESC,
-  * pair ASC — the q231 argmax convention), and a dict-grain merge
-  * apply, with a `localCheckpoint` lineage cut per round (the
-  * Iterate.fixpoint discipline) so plan depth stays constant across
-  * rounds instead of accumulating 20 nested aggregates.
+  * β≈0.5). Like every iterate-class operator here
+  * ([[PageRank.LocalEdgeLimit]], `Dedup.connectedComponents`), the
+  * round loop is SIZE-GATED: a dictionary under [[LocalDictLimit]]
+  * rows collects once and the rounds run driver-local (a k-round
+  * DataFrame loop pays k× scheduler/AQE latency that dwarfs the
+  * compute for small dictionaries); above the gate the same algorithm
+  * runs as a distributed loop with a lineage cut every 8 rounds. The
+  * two paths are property-tested equal (BpeSpec forces the distributed
+  * leg with localDictLimit = 0).
   *
-  * Symbol encoding: a word's current segmentation travels as ONE
-  * string with every symbol wrapped in `~` fences — "low" starts as
-  * "~l~~o~~w~" — so applying merge (l, r) is a plain
+  * Symbol encoding (distributed path): a word's current segmentation
+  * travels as ONE string with every symbol wrapped in `~` fences —
+  * "low" starts as "~l~~o~~w~" — so applying merge (l, r) is a plain
   * `replace(s, "~l~~r~", "~lr~")`. The doubled fence makes adjacent
   * occurrences share no characters, so the left-to-right
   * non-overlapping `replace` both engines implement IS the standard
   * greedy BPE apply (overlaps like "aaa" merge left-first; consecutive
   * pairs like "abab" both merge). `~` cannot collide with symbol text:
-  * words are [a-z]+ only.
+  * words are [a-z]+ only (which also makes the local path's per-char
+  * split equal to the distributed regex split — ASCII only).
   *
   * Determinism: counts are exact integers; the argmax tie rule is
   * (pair_count DESC, lhs ASC, rhs ASC) over ASCII strings — binary
   * collation in any engine. If the dictionary runs out of pairs before
   * `rounds` merges (single-symbol words only), the remaining rounds
-  * emit no row, identically in both dialects.
+  * emit no row, identically in both dialects and both legs.
   */
 object Bpe {
+
+  /** At or below this dictionary row count the merge rounds run
+    * driver-local over collected (word, cnt) pairs — ~4M words ≈ a few
+    * hundred MB of driver strings, the [[PageRank.LocalEdgeLimit]]
+    * convention. Real web-corpus dictionaries (tens of millions of
+    * words) take the distributed loop. */
+  val LocalDictLimit: Long = 4L << 20
 
   /** The (word, cnt, s) dictionary: lowercase [a-z]+ word frequencies
     * with the initial per-character segmentation string. This is the
@@ -63,41 +75,118 @@ object Bpe {
       .groupBy(col("lhs"), col("rhs"))
       .agg(sum(col("cnt")).as("pair_count"))
 
-  /** N rounds of exact merge learning over the corpus' word dictionary.
-    *
-    * Each round runs ONE distributed job: the dict-grain pair
-    * aggregate's 1-row argmax is collected (the k-means-codebook
-    * bounded-collect class — the argmax IS the learned parameter, one
-    * row per round) and embedded as a literal, so the merge apply is a
-    * narrow stacked projection over the checkpointed dictionary — no
-    * per-round shuffle, and a lineage cut every 8 rounds bounds the
-    * stacked-projection depth (round k otherwise re-executes all k−1
-    * prior replaces — trivial at dict grain for 20 rounds, quadratic
-    * at production round counts). Production vocab induction
-    * (30–50k merges) batches the selection — take the top-B mutually
-    * non-adjacent pairs per round, the standard rounds-reduction — on
-    * exactly these shapes; the exact top-1 form here is the
-    * reference-semantics deep prefix of that.
-    * @return (step, lhs, rhs, pair_count) — the learned merge table in
-    *         merge order */
-  def learnMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    val spark = docs.sparkSession
+  /** The per-round record both output shapes derive from:
+    * (step, lhs, rhs, pair_count, total symbols AFTER the merge). */
+  private type Step = (Int, String, String, Long, Long)
+
+  /** Driver-local rounds over a collected (word, cnt) dictionary — the
+    * gate's fast leg, byte-for-byte the same algorithm as the
+    * distributed loop (greedy left-to-right apply, count-DESC/pair-ASC
+    * argmax). */
+  private def localRounds(rows: Array[Row], rounds: Int): (Long, Long, Seq[Step]) = {
+    var dict: Array[(Array[String], Long)] = rows.map { r =>
+      (r.getString(0).map(_.toString).toArray, r.getLong(1))
+    }
+    val w = dict.iterator.map(_._2).sum
+    val t0 = dict.iterator.map { case (syms, c) => syms.length * c }.sum
+    var total = t0
+    val out = scala.collection.mutable.Buffer[Step]()
+    var step = 1
+    var exhausted = false
+    while (step <= rounds && !exhausted) {
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      dict.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) { pc((syms(i), syms(i + 1))) += c; i += 1 }
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = pc.minBy { case ((pl, pr), n) => (-n, pl, pr) }
+        dict = dict.map { case (syms, cnt) =>
+          if (syms.length < 2) (syms, cnt)
+          else {
+            val b = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                b += (l + r); i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            (b.toArray, cnt)
+          }
+        }
+        // RECOUNT rather than total -= c: a self-overlapping pair
+        // (lhs == rhs inside a letter run, "aaa") merges fewer
+        // occurrences than its pair count, so the decrement law only
+        // holds for lhs != rhs — the oracle recounts wd_k per step and
+        // both legs must match it
+        total = dict.iterator.map { case (syms, c2) => syms.length * c2 }.sum
+        out += ((step, l, r, c, total))
+        step += 1
+      }
+    }
+    (w, t0, out.toSeq)
+  }
+
+  /** Distributed rounds (the over-gate leg): 1-row bounded argmax
+    * collect per round (the k-means-codebook class — the argmax IS the
+    * learned parameter), merge apply as a narrow stacked projection
+    * with a lineage cut every 8 rounds. `withTotals` adds one
+    * dict-grain aggregate per round for the compression curve. */
+  private def distRounds(cur0: DataFrame, rounds: Int,
+      withTotals: Boolean): (Long, Long, Seq[Step]) = {
+    val spark = cur0.sparkSession
     import spark.implicits._
-    var cur = wordDict(docs, textCol).localCheckpoint()
-    val merges = scala.collection.mutable.Buffer[(Int, String, String, Long)]()
+    var cur = cur0
+    def totals(d: DataFrame): (Long, Long) = d
+      .select(sum(col("cnt") * size(split(trim(col("s"), "~"), "~~"))).as("t"),
+        sum(col("cnt")).as("w"))
+      .as[(Long, Long)].head()
+    val (t0, w) = totals(cur)
+    var total = t0
+    val out = scala.collection.mutable.Buffer[Step]()
     for (step <- 1 to rounds) {
       val top = pairCounts(cur)
         .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
         .limit(1)
         .as[(String, String, Long)].collect()
       top.foreach { case (l, r, c) =>
-        merges += ((step, l, r, c))
         cur = cur.withColumn("s",
           replace(col("s"), lit(s"~$l~~$r~"), lit(s"~$l$r~")))
+        total = if (withTotals) totals(cur)._1 else 0L // unused w/o totals
+        out += ((step, l, r, c, total))
       }
       if (step % 8 == 0) cur = cur.localCheckpoint()
     }
-    merges.toSeq.toDF("step", "lhs", "rhs", "pair_count")
+    (w, t0, out.toSeq)
+  }
+
+  private def runRounds(docs: DataFrame, textCol: String, rounds: Int,
+      localDictLimit: Long, withTotals: Boolean): (Long, Long, Seq[Step]) = {
+    val cur0 = wordDict(docs, textCol).localCheckpoint()
+    PageRank.takeUnderGate(cur0.select(col("word"), col("cnt")),
+        localDictLimit, "bpe") match {
+      case Some(rows) => localRounds(rows, rounds)
+      case None => distRounds(cur0, rounds, withTotals)
+    }
+  }
+
+  /** N rounds of exact merge learning over the corpus' word dictionary.
+    * Production vocab induction (30–50k merges) batches the selection —
+    * top-B mutually non-adjacent pairs per round, the standard
+    * rounds-reduction — on exactly these shapes; the exact top-1 form
+    * here is the reference-semantics deep prefix of that.
+    * @return (step, lhs, rhs, pair_count) — the learned merge table in
+    *         merge order */
+  def learnMerges(docs: DataFrame, textCol: String, rounds: Int,
+      localDictLimit: Long = LocalDictLimit): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (_, _, steps) = runRounds(docs, textCol, rounds, localDictLimit,
+      withTotals = false)
+    steps.map(s => (s._1, s._2, s._3, s._4))
+      .toDF("step", "lhs", "rhs", "pair_count")
       .orderBy(col("step"))
   }
 
@@ -111,47 +200,31 @@ object Bpe {
         expr(s"replace(s, '~$l~~$r~', '~$l$r~')"))
     }
 
-  /** The APPLY-side efficiency curve: [[learnMerges]]' loop, also
+  /** The APPLY-side efficiency curve: [[learnMerges]]' rounds, also
     * recording after every merge the corpus-weighted total token
     * (symbol) count — the diminishing-returns curve a tokenizer team
     * reads to size the vocabulary (marginal compression per merge).
     * Step 0 is the pre-merge character baseline (null merge columns).
-    * Same per-round shapes and bounded 1-row collects as learnMerges;
-    * the extra aggregate per round is dict-grain.
+    * Conservation law (BpeSpec pins it): a merge of a pair with
+    * lhs != rhs removes exactly pair_count symbols; a self-pair
+    * (lhs == rhs) removes FEWER when occurrences overlap inside a
+    * letter run ("aaa" counts 2 but greedily merges 1), which is why
+    * both legs RECOUNT the total instead of decrementing.
     * @return (step, lhs, rhs, pair_count, total_tokens,
-    *         tokens_per_word) — tokens_per_word is corpus-weighted,
-    *         rounded half-up to 6 dp (both engines' round convention
-    *         for positive values) */
-  def compressionCurve(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    *         tokens_per_word) */
+  def compressionCurve(docs: DataFrame, textCol: String, rounds: Int,
+      localDictLimit: Long = LocalDictLimit): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var cur = wordDict(docs, textCol).localCheckpoint()
-    def totals(d: DataFrame): (Long, Long) = d
-      .select(sum(col("cnt") * size(split(trim(col("s"), "~"), "~~"))).as("t"),
-        sum(col("cnt")).as("w"))
-      .as[(Long, Long)].head()
-    val (t0, w) = totals(cur)
-    val rows = scala.collection.mutable.Buffer[
-      (Int, Option[String], Option[String], Option[Long], Long)](
-      (0, None, None, None, t0))
-    for (step <- 1 to rounds) {
-      val top = pairCounts(cur)
-        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
-        .limit(1)
-        .as[(String, String, Long)].collect()
-      top.foreach { case (l, r, c) =>
-        cur = cur.withColumn("s",
-          replace(col("s"), lit(s"~$l~~$r~"), lit(s"~$l$r~")))
-        val (tk, _) = totals(cur)
-        rows += ((step, Some(l), Some(r), Some(c), tk))
-      }
-      if (step % 8 == 0) cur = cur.localCheckpoint()
-    }
+    val (w, t0, steps) = runRounds(docs, textCol, rounds, localDictLimit,
+      withTotals = true)
+    val rows = (0, None: Option[String], None: Option[String],
+        None: Option[Long], t0) +:
+      steps.map(s => (s._1, Some(s._2), Some(s._3), Some(s._4), s._5))
     // the ratio rounds through Catalyst's round (exact-decimal HALF_UP)
     // — the same convention every oracle-matched double in the registry
     // uses, rather than a driver-side float rounding
-    rows.toSeq
-      .toDF("step", "lhs", "rhs", "pair_count", "total_tokens")
+    rows.toDF("step", "lhs", "rhs", "pair_count", "total_tokens")
       .select(col("step"), col("lhs"), col("rhs"), col("pair_count"),
         col("total_tokens"),
         (round(col("total_tokens").cast("double") / lit(w), 6) + lit(0.0d))

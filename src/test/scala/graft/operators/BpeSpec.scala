@@ -83,11 +83,50 @@ class BpeSpec extends SparkSpec {
     // step 0 is the per-character baseline: sum over words of len * freq
     val baseline = sennrich.map { case (w, c) => w.length * c }.sum
     assert(curve.head._5 === baseline)
-    // each merge of a pair with count c removes exactly c symbols
+    // a merge of a pair with lhs != rhs removes exactly pair_count
+    // symbols; a self-pair (lhs == rhs) can remove fewer (overlapping
+    // occurrences in a letter run merge greedily)
     curve.sliding(2).foreach { case Seq(a, b) =>
-      assert(b._5 === a._5 - b._4.get,
-        s"step ${b._1}: total ${b._5} != ${a._5} - ${b._4.get}")
+      if (b._2.get != b._3.get)
+        assert(b._5 === a._5 - b._4.get,
+          s"step ${b._1}: total ${b._5} != ${a._5} - ${b._4.get}")
+      else {
+        assert(b._5 < a._5, s"step ${b._1}: total did not decrease")
+        assert(b._5 >= a._5 - b._4.get, s"step ${b._1}: drop exceeds pair count")
+      }
     }
+  }
+
+  test("overlapping self-pair: greedy apply and true recount (the aaa case)") {
+    // "aaaa bb" x3 + "aaa" x2: pair (a,a) counts 3*3 + 2*2 = 13 but the
+    // greedy merge only removes 2 per "aaaa" and 1 per "aaa" = 8 symbols
+    val docs = Seq("aaaa bb aaaa bb aaaa bb aaa aaa").toDF("text")
+    val curve = Bpe.compressionCurve(docs, "text", 1)
+      .as[(Int, Option[String], Option[String], Option[Long], Long, Double)]
+      .collect().toSeq.sortBy(_._1)
+    assert(curve(1)._2 === Some("a") && curve(1)._3 === Some("a"))
+    assert(curve(1)._4 === Some(13L), "weighted pair count")
+    assert(curve(0)._5 - curve(1)._5 === 8L, "greedy removes 8, not 13")
+    // the distributed leg must agree exactly
+    val dist = Bpe.compressionCurve(docs, "text", 1, localDictLimit = 0)
+      .as[(Int, Option[String], Option[String], Option[Long], Long, Double)]
+      .collect().toSeq.sortBy(_._1)
+    assert(dist === curve)
+  }
+
+  test("local twin ≡ distributed leg (localDictLimit = 0 forces the loop)") {
+    val a = Bpe.learnMerges(sennrichDocs, "text", 10)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val b = Bpe.learnMerges(sennrichDocs, "text", 10, localDictLimit = 0)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(a === b)
+    val ca = Bpe.compressionCurve(sennrichDocs, "text", 6)
+      .as[(Int, Option[String], Option[String], Option[Long], Long, Double)]
+      .collect().toSeq.sortBy(_._1)
+    val cb = Bpe.compressionCurve(sennrichDocs, "text", 6, localDictLimit = 0)
+      .as[(Int, Option[String], Option[String], Option[Long], Long, Double)]
+      .collect().toSeq.sortBy(_._1)
+    assert(ca === cb)
   }
 
   test("registered q235 learns 20 deterministic merges at the gate") {
