@@ -696,6 +696,18 @@ object DiagScale {
         "q131_paths" -> (() =>
           graft.queries.GraphQueries.q131CheapestPaths
             .run(spark, relTables(spark, sfDir, k)).count()),
+        // r14: BPE — the corpus stage is one word-dict groupBy; the 20
+        // rounds run at dict grain (replicas add r<r>x-prefixed token
+        // families, so the dict grows ~×k — the honest dict-grain
+        // probe). The local/distributed legs are size-gated; with
+        // SPARK_GRAFT_LOCAL_EDGE_LIMIT=0 the gate override forces the
+        // distributed rounds (same prop via takeUnderGate)
+        "q235_bpe" -> (() =>
+          graft.queries.TextQueries.q235BpeMerges
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        "q236_bpe_curve" -> (() =>
+          graft.queries.TextQueries.q236BpeCompression
+            .run(spark, relTables(spark, sfDir, k)).count()),
         "q200_hill_s16" -> (() => withShufflePartitions(spark, "16") {
           graft.queries.RelationalQueries.q200HillTailIndex
             .run(spark, relTables(spark, sfDir, k)).count() }),
