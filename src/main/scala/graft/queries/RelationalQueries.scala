@@ -3960,6 +3960,83 @@ object RelationalQueries {
       .orderBy(col("feature"))
   }
 
+  /** Bradley–Terry preference-strength fit (Bradley & Terry 1952;
+    * Hunter 2004 MM) over within-order brand duels — the aggregation
+    * layer of preference/reward data work (human-preference scoring,
+    * policy/annotator ranking, reward-dataset QA) expressed on the
+    * synthetic schema: within each order, the brand with the larger
+    * total quantity beats every other brand in that order (ties emit
+    * no duel). ~1M duels at sf0.1 collapse to a 25-brand pair table.
+    *
+    * Scale split (the q216 PCA precedent): the corpus-sized stage is
+    * ONE (winner, loser) count aggregate at item-pair grain; the MM
+    * iterations run driver-side over the collected ≤ items² pair rows
+    * (25 brands → ≤ 600) in exact BigInt lattice arithmetic —
+    * θ⁰ = 10⁹; Sᵢ = Σⱼ ⌊m(i,j)·10¹⁸/(θᵢ+θⱼ)⌋; θ'ᵢ = max(⌊wᵢ·10¹⁸/Sᵢ⌋, 1);
+    * mean-1 renormalize — mirrored term-for-term by 30 generated
+    * MATERIALIZED HUGEINT CTE rounds, so both engines land on the
+    * IDENTICAL theta_nano integers (zero float boundary; floor
+    * divisions of nonnegative integers agree in BigInt and `//`). */
+  val q237BradleyTerry: Q = {
+    val rounds = 30 // past the MM geometric knee (spec: ~2.5e-6 by 40 on a 3-item design; 25 well-connected items converge faster)
+    val E18 = "CAST('1000000000000000000' AS HUGEINT)"
+    def roundCtes(t: Int): String =
+      s"""s$t AS (
+         |  SELECT p.i,
+         |    sum(CAST(p.n AS HUGEINT) * $E18 // (a.th + b.th)) AS s
+         |  FROM st p JOIN th${t - 1} a ON a.i = p.i JOIN th${t - 1} b ON b.i = p.j
+         |  GROUP BY 1),
+         |raw$t AS (
+         |  SELECT w.i,
+         |    greatest(CASE WHEN s.s = 0 THEN CAST(1 AS HUGEINT)
+         |      ELSE CAST(w.w AS HUGEINT) * $E18 // s.s END, 1) AS th
+         |  FROM wtot w JOIN s$t s ON s.i = w.i),
+         |tot$t AS (SELECT sum(th) AS tot FROM raw$t),
+         |th$t AS MATERIALIZED (
+         |  SELECT r.i, greatest(r.th * ic.k * CAST(1000000000 AS HUGEINT) // t.tot, 1) AS th
+         |  FROM raw$t r, tot$t t, ic)""".stripMargin
+    Q("q237_bradley_terry",
+      s"""WITH cmp AS (
+         |  SELECT l_orderkey AS o, p_brand AS b,
+         |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+         |  FROM lineitem l JOIN part p ON p_partkey = l_partkey
+         |  GROUP BY 1, 2),
+         |wins AS MATERIALIZED (
+         |  SELECT a.b AS i, b.b AS j, CAST(count(*) AS BIGINT) AS n
+         |  FROM cmp a JOIN cmp b ON a.o = b.o AND a.b <> b.b AND a.q > b.q
+         |  GROUP BY 1, 2),
+         |st AS MATERIALIZED (
+         |  SELECT i, j, CAST(sum(n) AS BIGINT) AS n FROM (
+         |    SELECT i, j, n FROM wins
+         |    UNION ALL SELECT j AS i, i AS j, n FROM wins) t
+         |  GROUP BY 1, 2),
+         |it AS MATERIALIZED (SELECT DISTINCT i FROM st),
+         |wtot AS MATERIALIZED (
+         |  SELECT it.i, CAST(coalesce(sum(w.n), 0) AS BIGINT) AS w
+         |  FROM it LEFT JOIN wins w ON w.i = it.i GROUP BY 1),
+         |ltot AS (
+         |  SELECT it.i, CAST(coalesce(sum(w.n), 0) AS BIGINT) AS lo
+         |  FROM it LEFT JOIN wins w ON w.j = it.i GROUP BY 1),
+         |ic AS (SELECT CAST(count(*) AS HUGEINT) AS k FROM it),
+         |th0 AS MATERIALIZED (SELECT i, CAST(1000000000 AS HUGEINT) AS th FROM it),
+         |${(1 to rounds).map(roundCtes).mkString(",\n")}
+         |SELECT th.i AS item, w.w AS n_wins, l.lo AS n_losses,
+         |  CAST(th.th AS BIGINT) AS theta_nano
+         |FROM th$rounds th JOIN wtot w ON w.i = th.i JOIN ltot l ON l.i = th.i
+         |ORDER BY theta_nano DESC, item""".stripMargin) { (spark, dir) =>
+      val cmp = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir), col("p_partkey") === col("l_partkey"))
+        .groupBy(col("l_orderkey").as("o"), col("p_brand").as("b"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      val duels = cmp.as("a").join(cmp.as("b"),
+          col("a.o") === col("b.o") && col("a.b") =!= col("b.b") &&
+            col("a.q") > col("b.q"))
+        .select(col("a.b").as("winner"), col("b.b").as("loser"))
+      graft.operators.BradleyTerry.fit(duels, rounds)
+        .orderBy(col("theta_nano").desc, col("item"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RegionActivity, q03ShippingPriority, q04SemiJoin,
     q05AntiJoin, q06ForecastRevenue, q07TopOrders, q08LatestOrderPerCustomer,
@@ -3979,5 +4056,5 @@ object RelationalQueries {
     q197RobustMeans, q198SpearmanRank, q199DriftAlarmsBh, q200HillTailIndex,
     q203WassersteinDrift, q205DriftMonitor, q207AdMonitor, q209DriftTrajectory,
     q210DriftPanel, q211TrajectoryAlarms, q215KAnonymity, q216FeaturePca, q229TCloseness, q219RfmSegments, q221WoeIv, q223PcaTwo,
-    q224SplitGain)
+    q224SplitGain, q237BradleyTerry)
 }

@@ -90,39 +90,56 @@ object TextQueries {
   /** Language-ID n-gram/marker heuristic: score each doc against
     * per-language marker lists, predict the argmax (deterministic
     * precedence on ties), report the confusion vs the labeled lang. */
-  val q26LangId = Q(
-    "q26_langid",
-    """WITH t AS (SELECT lang, string_split_regex(lower(text), '\s+') AS toks FROM documents),
-      |scores AS (
-      |  SELECT lang,
-      |    len(list_filter(toks, x -> list_contains(['the','and','of','is'], x))) AS s_en,
-      |    len(list_filter(toks, x -> list_contains(['el','la','de','que'], x))) AS s_es,
-      |    len(list_filter(toks, x -> list_contains(['le','et','un','est'], x))) AS s_fr,
-      |    len(list_filter(toks, x -> list_contains(['der','und','die','ist'], x))) AS s_de
-      |  FROM t)
-      |SELECT lang,
-      |  CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
-      |       WHEN s_en >= greatest(s_es, s_fr, s_de) THEN 'en'
-      |       WHEN s_es >= greatest(s_fr, s_de) THEN 'es'
-      |       WHEN s_fr >= s_de THEN 'fr'
-      |       ELSE 'de' END AS predicted,
-      |  CAST(count(*) AS BIGINT) AS n
-      |FROM scores
-      |GROUP BY 1, 2
-      |ORDER BY lang, predicted""".stripMargin) { (spark, dir) =>
-    Tables.documents(spark, dir)
-      .select(col("lang"), TextFns.tokens(col("text")).as("toks"))
-      .select(col("lang"),
+  /** The shared language-ID scoring (q26 + q238): marker-token hit
+    * counts per language and the argmax-with-ties-toward-en/es/fr
+    * decision, identical in both dialects. `extraCols` ride along
+    * (q238 keeps `source`). */
+  private def langScored(docs: org.apache.spark.sql.DataFrame,
+      extraCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val keep = extraCols.map(col) :+ col("lang")
+    docs
+      .select(keep :+ TextFns.tokens(col("text")).as("toks"): _*)
+      .select(keep ++ Seq(
         TextFns.markerHits(col("toks"), Seq("the", "and", "of", "is")).as("s_en"),
         TextFns.markerHits(col("toks"), Seq("el", "la", "de", "que")).as("s_es"),
         TextFns.markerHits(col("toks"), Seq("le", "et", "un", "est")).as("s_fr"),
-        TextFns.markerHits(col("toks"), Seq("der", "und", "die", "ist")).as("s_de"))
+        TextFns.markerHits(col("toks"), Seq("der", "und", "die", "ist")).as("s_de")): _*)
       .withColumn("predicted",
         when(greatest(col("s_en"), col("s_es"), col("s_fr"), col("s_de")) === 0, "und")
           .when(col("s_en") >= greatest(col("s_es"), col("s_fr"), col("s_de")), "en")
           .when(col("s_es") >= greatest(col("s_fr"), col("s_de")), "es")
           .when(col("s_fr") >= col("s_de"), "fr")
           .otherwise("de"))
+  }
+
+  /** DuckDB twin of [[langScored]]: (t, scores) CTEs; `cols` are the
+    * ride-along columns. */
+  private def duckLangScoredCtes(cols: String): String =
+    s"""t AS (SELECT $cols lang, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+       |scores AS (
+       |  SELECT $cols lang,
+       |    len(list_filter(toks, x -> list_contains(['the','and','of','is'], x))) AS s_en,
+       |    len(list_filter(toks, x -> list_contains(['el','la','de','que'], x))) AS s_es,
+       |    len(list_filter(toks, x -> list_contains(['le','et','un','est'], x))) AS s_fr,
+       |    len(list_filter(toks, x -> list_contains(['der','und','die','ist'], x))) AS s_de
+       |  FROM t),
+       |scored AS (
+       |  SELECT $cols lang,
+       |    CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+       |         WHEN s_en >= greatest(s_es, s_fr, s_de) THEN 'en'
+       |         WHEN s_es >= greatest(s_fr, s_de) THEN 'es'
+       |         WHEN s_fr >= s_de THEN 'fr'
+       |         ELSE 'de' END AS predicted
+       |  FROM scores)""".stripMargin
+
+  val q26LangId = Q(
+    "q26_langid",
+    s"""WITH ${duckLangScoredCtes("")}
+      |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+      |FROM scored
+      |GROUP BY 1, 2
+      |ORDER BY lang, predicted""".stripMargin) { (spark, dir) =>
+    langScored(Tables.documents(spark, dir), Nil)
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("predicted"))
@@ -5142,6 +5159,56 @@ object TextQueries {
     }
   }
 
+  /** Per-source Cohen's kappa between the language-ID prediction (the
+    * q26 classifier, via the SHARED langScored expressions) and the
+    * labeled `lang` column — inter-annotator agreement as a first-class
+    * operator, the labeling-QA statistic a training-data pipeline runs
+    * between raters, between a model and gold labels, or between two
+    * labeling pipeline versions. kappa = (po − pe)/(1 − pe) with po the
+    * observed agreement and pe the marginal-chance agreement.
+    *
+    * Exactness: everything is exact integers until ONE final division —
+    * po_num = Σ diag, pe_num = Σ_k row_k·col_k, and
+    * kappa = (agree·n − pe_num)/(n² − pe_num); the n² terms carry a
+    * loud int64 guard at n > 3×10⁹ per source (folded into the value),
+    * and a degenerate source where chance agreement is total
+    * (n² = pe_num) yields NULL identically in both dialects.
+    * Scale: confusion-matrix grain per source (classes², tiny), one
+    * doc-grain scan. */
+  val q238CohenKappa = Q(
+    "q238_cohen_kappa",
+    s"""WITH ${duckLangScoredCtes("source,")},
+       |cm AS (
+       |  SELECT source, lang, predicted, CAST(count(*) AS BIGINT) AS n
+       |  FROM scored GROUP BY 1, 2, 3),
+       |per AS (
+       |  SELECT source, CAST(sum(n) AS BIGINT) AS nd,
+       |    CAST(sum(CASE WHEN lang = predicted THEN n ELSE 0 END) AS BIGINT) AS agree,
+       |    CASE WHEN sum(n) > 3000000000 THEN error('cohen_kappa: per-group item count past the int64 n^2 headroom — subsample or shard')
+       |         ELSE 1 END AS ok
+       |  FROM cm GROUP BY 1),
+       |marg AS (
+       |  SELECT rm.source, CAST(sum(rm.r * c2.c) AS BIGINT) AS pe_num
+       |  FROM (SELECT source, lang AS k, CAST(sum(n) AS BIGINT) AS r
+       |        FROM cm GROUP BY 1, 2) rm
+       |  JOIN (SELECT source, predicted AS k, CAST(sum(n) AS BIGINT) AS c
+       |        FROM cm GROUP BY 1, 2) c2
+       |    ON c2.source = rm.source AND c2.k = rm.k
+       |  GROUP BY 1)
+       |SELECT p.source, p.nd AS n_docs, p.agree AS n_agree,
+       |  round(CAST(p.agree * p.ok AS DOUBLE) / p.nd, 6) + 0.0 AS po,
+       |  round(CAST(coalesce(m.pe_num, 0) AS DOUBLE) / (p.nd * p.nd), 6) + 0.0 AS pe,
+       |  CASE WHEN p.nd * p.nd = coalesce(m.pe_num, 0) THEN NULL
+       |       ELSE round(CAST(p.agree * p.nd - coalesce(m.pe_num, 0) AS DOUBLE)
+       |         / (p.nd * p.nd - coalesce(m.pe_num, 0)), 6) + 0.0 END AS kappa
+       |FROM per p LEFT JOIN marg m ON m.source = p.source
+       |ORDER BY p.source""".stripMargin) { (spark, dir) =>
+    graft.operators.Agreement.cohenKappa(
+        langScored(Tables.documents(spark, dir), Seq("source")),
+        "source", "lang", "predicted")
+      .withColumnRenamed("n_items", "n_docs")
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -5164,5 +5231,5 @@ object TextQueries {
     q202BrierDecomposition, q204ConformalThreshold, q212RetrievalNdcg,
     q213ChainNdcg, q218CurriculumOrder, q225IsotonicCalibration,
     q227PlantedTextDupRecall, q230ReshardMovement, q234NgramNovelty,
-    q235BpeMerges, q236BpeCompression)
+    q235BpeMerges, q236BpeCompression, q238CohenKappa)
 }
