@@ -209,8 +209,8 @@ object TextQueries {
     """SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
       |  FROM documents WHERE doc_id % 2 = 0""".stripMargin
 
-  private def minhashCtes(bands: Int, rowsPerBand: Int,
-      docsSql: String = MinhashDefaultDocsSql): String = {
+  private[graft] def minhashCtes(bands: Int, rowsPerBand: Int,
+      docsSql: String = MinhashDefaultDocsSql, pfx: String = ""): String = {
     val k = bands * rowsPerBand
     val p = Dedup.MinhashP
     val mins = Dedup.minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
@@ -219,22 +219,22 @@ object TextQueries {
     val sigList = (0 until k).map(i => s"h$i").mkString("[", ",", "]")
     val bandSels = (0 until bands).map { b =>
       val slots = (0 until rowsPerBand).map(r => s"sig[${b * rowsPerBand + r + 1}]").mkString(", ")
-      s"SELECT doc_id, sig, $b AS band, concat_ws(',', $slots) AS bkey FROM sigl"
+      s"SELECT doc_id, sig, $b AS band, concat_ws(',', $slots) AS bkey FROM ${pfx}sigl"
     }.mkString(" UNION ALL ")
-    s"""docs AS (
+    s"""${pfx}docs AS (
        |  $docsSql),
-       |sh AS (
-       |  SELECT DISTINCT doc_id, s FROM docs,
+       |${pfx}sh AS (
+       |  SELECT DISTINCT doc_id, s FROM ${pfx}docs,
        |    unnest(list_transform(range(1, len(t) - 1),
        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(s)
        |  WHERE len(t) >= 3),
-       |hx AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % $p AS xm FROM sh),
-       |sigs AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id),
-       |sigl AS (SELECT doc_id, $sigList AS sig FROM sigs),
-       |bands AS ($bandSels),
-       |cands AS (
+       |${pfx}hx AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % $p AS xm FROM ${pfx}sh),
+       |${pfx}sigs AS (SELECT doc_id, $mins FROM ${pfx}hx GROUP BY doc_id),
+       |${pfx}sigl AS (SELECT doc_id, $sigList AS sig FROM ${pfx}sigs),
+       |${pfx}bands AS ($bandSels),
+       |${pfx}cands AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
-       |  FROM bands a JOIN bands b
+       |  FROM ${pfx}bands a JOIN ${pfx}bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
   }
 

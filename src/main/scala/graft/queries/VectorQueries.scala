@@ -2263,6 +2263,80 @@ object VectorQueries {
     }
   }
 
+  /** Dedup-screen DISAGREEMENT audit — the cross-check between the two
+    * near-dup families at their deployed configs: the embedding screen
+    * (q34's banded sign-LSH + noise-floor verify) and the text screen
+    * (q29's MinHash family, est-Jaccard ≥ 0.5) run over the SAME id
+    * domain (docs that also have an embedding), and every pair either
+    * screen reports is classified both/emb_only/text_only with its
+    * exact mean cosine. emb_only pairs are where the text screen is
+    * blind (paraphrase-level similarity with low shingle overlap);
+    * text_only pairs with LOW mean cosine are the embedding-quality
+    * alarm (verbatim-ish text the embedding space fails to co-locate)
+    * — the disagreement rate is the number that decides whether the
+    * two screens are redundant or complementary in a dedup stack.
+    *
+    * Exactness: both pair sets are the oracle-matched screens
+    * themselves; cosines quantize to the 1e-6 BIGINT grid before the
+    * mean. Scale: pair-volume-bounded joins onto the embedding table;
+    * both screens inherit their families' measured linearity. */
+  val q239ScreenDisagreement: Q = {
+    val k = 16 * 4
+    val simExpr = s"len(list_filter(range(1, ${k + 1}), i -> sa[i] = sb[i])) / $k.0"
+    Q("q239_screen_disagreement",
+      s"""WITH ${duckPairsCtes()},
+         |${TextQueries.minhashCtes(16, 4,
+            docsSql = """SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+                        |  FROM documents WHERE doc_id IN (SELECT vec_id FROM embeddings)""".stripMargin,
+            pfx = "mh_")},
+         |tp AS (SELECT id_a, id_b FROM mh_cands WHERE $simExpr >= 0.5),
+         |ep AS (SELECT id_a, id_b FROM pairs),
+         |allp AS (
+         |  SELECT coalesce(e.id_a, t.id_a) AS id_a,
+         |    coalesce(e.id_b, t.id_b) AS id_b,
+         |    CASE WHEN e.id_a IS NOT NULL AND t.id_a IS NOT NULL THEN 'both'
+         |         WHEN e.id_a IS NOT NULL THEN 'emb_only'
+         |         ELSE 'text_only' END AS screen
+         |  FROM ep e FULL OUTER JOIN tp t
+         |    ON t.id_a = e.id_a AND t.id_b = e.id_b),
+         |cq AS (
+         |  SELECT p.screen,
+         |    CAST(round(list_cosine_similarity(x.e, y.e) * 1000000) AS BIGINT) AS c
+         |  FROM allp p JOIN buck x ON x.vec_id = p.id_a
+         |              JOIN buck y ON y.vec_id = p.id_b)
+         |SELECT screen, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(CAST(sum(c) AS DOUBLE) / (count(*) * 1e6), 6) + 0.0 AS mean_cos
+         |FROM cq
+         |GROUP BY screen
+         |ORDER BY screen""".stripMargin) { (spark, dir) =>
+      import graft.operators.Dedup
+      val emb = Tables.embeddings(spark, dir)
+      val docsCommon = Tables.documents(spark, dir)
+        .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      val ep = nearDupPairs(spark, dir)
+        .select(col("id_a"), col("id_b"), lit(1).as("in_e"))
+      val tp = Dedup.minhashLshPairs(docsCommon, "doc_id", "text",
+          n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), lit(1).as("in_t"))
+      val allp = ep.join(tp, Seq("id_a", "id_b"), "full_outer")
+        .select(col("id_a"), col("id_b"),
+          when(col("in_e").isNotNull && col("in_t").isNotNull, "both")
+            .when(col("in_e").isNotNull, "emb_only")
+            .otherwise("text_only").as("screen"))
+      val ev = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      allp
+        .join(ev.select(col("vec_id").as("id_a"), col("e").as("ea")), Seq("id_a"))
+        .join(ev.select(col("vec_id").as("id_b"), col("e").as("eb")), Seq("id_b"))
+        .select(col("screen"),
+          round(VectorFns.cosine(col("ea"), col("eb")) * 1e6).cast("long").as("c"))
+        .groupBy(col("screen"))
+        .agg(count(lit(1)).as("n_pairs"),
+          Q.noNegZero(round(sum(col("c")).cast("double") / (count(lit(1)) * 1e6), 6))
+            .as("mean_cos"))
+        .orderBy(col("screen"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q31CosineTopK, q32CentroidNorms, q33AnnLshTopK,
     q34EmbeddingNearDups, q39CentroidAggregator, q45IvfAnn, q51DedupClusters,
     q133IncrementalClusters,
@@ -2270,5 +2344,6 @@ object VectorQueries {
     q104MultiprobeLsh, q117LeakageSafeSplit, q122IvfPqAnn, q139Sq8Ann,
     q151BinaryAnn, q179DaviesBouldin, q206SlicedWasserstein, q208MmdDrift,
     q214AnnNdcg, q217DimAblation, q220KnnOutliers, q226PlantedDupRecall,
-    q228IntrinsicDim, q232QualityDedupKeep, q233CovarianceDrift)
+    q228IntrinsicDim, q232QualityDedupKeep, q233CovarianceDrift,
+    q239ScreenDisagreement)
 }
