@@ -50,10 +50,12 @@ object Agreement {
           + lit(0.0d)).as("po"),
         (round(pe.cast("double") / (col("nd") * col("nd")), 6) + lit(0.0d))
           .as("pe"),
-        when(col("nd") * col("nd") === pe, lit(null).cast("double"))
+        // the noNegZero finisher sits OUTSIDE the CASE so the audit's
+        // top-level contract holds; NULL + 0.0 stays NULL
+        (when(col("nd") * col("nd") === pe, lit(null).cast("double"))
           .otherwise(round(
             (col("agree") * col("nd") - pe).cast("double")
-              / (col("nd") * col("nd") - pe), 6) + lit(0.0d)).as("kappa"))
+              / (col("nd") * col("nd") - pe), 6)) + lit(0.0d)).as("kappa"))
       .orderBy(col(groupCol))
   }
 }

@@ -5198,9 +5198,9 @@ object TextQueries {
        |SELECT p.source, p.nd AS n_docs, p.agree AS n_agree,
        |  round(CAST(p.agree * p.ok AS DOUBLE) / p.nd, 6) + 0.0 AS po,
        |  round(CAST(coalesce(m.pe_num, 0) AS DOUBLE) / (p.nd * p.nd), 6) + 0.0 AS pe,
-       |  CASE WHEN p.nd * p.nd = coalesce(m.pe_num, 0) THEN NULL
+       |  (CASE WHEN p.nd * p.nd = coalesce(m.pe_num, 0) THEN NULL
        |       ELSE round(CAST(p.agree * p.nd - coalesce(m.pe_num, 0) AS DOUBLE)
-       |         / (p.nd * p.nd - coalesce(m.pe_num, 0)), 6) + 0.0 END AS kappa
+       |         / (p.nd * p.nd - coalesce(m.pe_num, 0)), 6) END) + 0.0 AS kappa
        |FROM per p LEFT JOIN marg m ON m.source = p.source
        |ORDER BY p.source""".stripMargin) { (spark, dir) =>
     graft.operators.Agreement.cohenKappa(

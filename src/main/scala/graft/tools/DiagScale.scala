@@ -66,11 +66,11 @@ object DiagScale {
     * k and reused across runs (delete /tmp/graft_scale_rel_k* to
     * rebuild). */
   private def relTables(spark: SparkSession, sfDir: String, k: Int): String = {
-    // v4: the dir name versions the TABLE SET (v2 added embeddings,
-    // v3 added events, v4 added supplier for the distributed-graph-leg
-    // probes) — a stale _done marker from an earlier round must not
+    // v5: the dir name versions the TABLE SET (v2 added embeddings,
+    // v3 added events, v4 added supplier, v5 added part for the q237
+    // duels) — a stale _done marker from an earlier round must not
     // satisfy a probe that needs a table the old build never wrote
-    val dir = s"/tmp/graft_scale_rel_v4_k$k"
+    val dir = s"/tmp/graft_scale_rel_v5_k$k"
     val done = new java.io.File(s"$dir/_done")
     if (!done.exists()) {
       val docs = graft.sources.Tables.documents(spark, sfDir)
@@ -109,6 +109,11 @@ object DiagScale {
       // shared supplier nodes
       graft.sources.Tables.supplier(spark, sfDir)
         .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+      // part stays FIXED too (l_partkey is not remapped, so replicated
+      // lineitem rows keep pointing at the same parts — duels and the
+      // brand item set hold their per-replica structure)
+      graft.sources.Tables.part(spark, sfDir)
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
       // embeddings: the replicateEmb ±1 diagonal transform (same
       // geometry per replica, decorrelated across), with ids in the ×k
       // keyspace so the q206 halves split evenly at every k
@@ -707,6 +712,19 @@ object DiagScale {
             .run(spark, relTables(spark, sfDir, k)).count()),
         "q236_bpe_curve" -> (() =>
           graft.queries.TextQueries.q236BpeCompression
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        // r14 late wave: q237 is one pair-grain duel aggregate + driver
+        // MM (expect ≈ linear scan); q238 is a confusion-grain fold
+        // (expect flat-linear); q239 composes the two measured near-dup
+        // screens + pair-bounded joins (expect their envelope)
+        "q237_bt" -> (() =>
+          graft.queries.RelationalQueries.q237BradleyTerry
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        "q238_kappa" -> (() =>
+          graft.queries.TextQueries.q238CohenKappa
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        "q239_disagree" -> (() =>
+          graft.queries.VectorQueries.q239ScreenDisagreement
             .run(spark, relTables(spark, sfDir, k)).count()),
         "q200_hill_s16" -> (() => withShufflePartitions(spark, "16") {
           graft.queries.RelationalQueries.q200HillTailIndex
