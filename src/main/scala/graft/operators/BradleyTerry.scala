@@ -73,17 +73,30 @@ object BradleyTerry {
       .sortBy { case (i, _, _, t) => (-t, i) }
   }
 
-  /** Fit strengths from a duels DataFrame with columns
-    * (winner, loser) — one row per duel. The groupBy to (winner,
-    * loser, n) is the one corpus-sized stage; the collect is bounded
-    * by items² ordered pairs. */
-  def fit(duels: DataFrame, rounds: Int = 10): DataFrame = {
-    val spark = duels.sparkSession
-    import spark.implicits._
-    val wins = duels.groupBy(col("winner"), col("loser"))
+  /** The additive monitor state: (winner, loser, n) duel counts — one
+    * row per ordered pair, items²-grain. Additive under union, so a
+    * streaming complete-mode aggregate maintains it incrementally
+    * ([[graft.streaming.StreamOps.duelCounts]]) and [[fitFromCounts]]
+    * serves the same strengths the batch fit computes. */
+  def duelState(duels: DataFrame): DataFrame =
+    duels.groupBy(col("winner"), col("loser"))
       .agg(count(lit(1)).as("n"))
+
+  /** The MM fold over [[duelState]] — the ONE implementation the batch
+    * fit and the standing monitor's serving read share. Collect is
+    * bounded by items² ordered pairs. */
+  def fitFromCounts(state: DataFrame, rounds: Int = 10): DataFrame = {
+    val spark = state.sparkSession
+    import spark.implicits._
+    val wins = state.select(col("winner"), col("loser"), col("n"))
       .as[(String, String, Long)].collect().toSeq
     mmRounds(wins, rounds)
       .toDF("item", "n_wins", "n_losses", "theta_nano")
   }
+
+  /** Fit strengths from a duels DataFrame with columns
+    * (winner, loser) — one row per duel. The groupBy to (winner,
+    * loser, n) is the one corpus-sized stage. */
+  def fit(duels: DataFrame, rounds: Int = 10): DataFrame =
+    fitFromCounts(duelState(duels), rounds)
 }

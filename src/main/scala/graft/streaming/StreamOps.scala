@@ -421,6 +421,18 @@ object StreamOps {
   def covarianceCellCounts(rows: DataFrame): DataFrame =
     graft.operators.Drift.covarianceCellState(rows)
 
+  /** Standing preference monitor state — the STREAMING leg of the q237
+    * Bradley–Terry fit (reward/preference data arrives continuously):
+    * (winner, loser) duel counts maintained incrementally in complete
+    * mode — items²-grain additive counts, the qiClassCounts class.
+    * Land via [[sinkCompleteVersions]]; the serving read is
+    * `BradleyTerry.fitFromCounts(latestSnapshot)` — the SAME MM fold
+    * the batch q237 runs (StreamOpsSpec pins serving ≡ batch across a
+    * bounce), so a leaderboard wired to the monitor and the batch fit
+    * can never disagree. Input columns: (winner, loser). */
+  def duelCounts(duels: DataFrame): DataFrame =
+    graft.operators.BradleyTerry.duelState(duels)
+
   /** Incremental BM25 posting ingest — the serving-index face of the
     * q94 cross-corpus incremental pattern: each micro-batch of NEW
     * documents lands its per-doc posting delta (id, t, cnt, dl —

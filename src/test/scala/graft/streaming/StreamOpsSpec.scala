@@ -625,6 +625,42 @@ class StreamOpsSpec extends SparkSpec {
       "streamed t-closeness serving diverged from the batch audit")
   }
 
+  test("preference monitor: streamed duel counts serve ≡ batch Bradley-Terry fit across a bounce") {
+    import spark.implicits._
+    // the standing-monitor leg of the q237 preference fit: duel counts
+    // maintained incrementally (items²-grain, additive), landed as
+    // versioned parquet, served through the SAME MM fold the batch fit
+    // runs — including duels that arrive while DOWN
+    val base = java.nio.file.Files.createTempDirectory("btmon").toString
+    val (srcDir, ckDir, snapDir) = (s"$base/src", s"$base/ck", s"$base/snap")
+    val batch1 = Seq.fill(9)(("a", "b")) ++ Seq.fill(1)(("b", "a")) ++
+      Seq.fill(6)(("b", "c")) ++ Seq.fill(2)(("c", "b"))
+    val batch2 = Seq.fill(3)(("b", "c")) ++ Seq.fill(9)(("a", "c")) ++
+      Seq.fill(1)(("c", "a"))
+    batch1.toDF("winner", "loser").coalesce(1).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Unit = StreamOps.sinkCompleteVersions(
+      StreamOps.duelCounts(StreamOps.parquetStream(spark, schema, srcDir)),
+      snapDir, ckDir)
+    def fit(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.BradleyTerry.fitFromCounts(df)
+        .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    def serve() = fit(StreamOps.latestSnapshot(spark, snapDir).get)
+    def batchRef(rows: Seq[(String, String)]) = fit(
+      graft.operators.BradleyTerry.duelState(rows.toDF("winner", "loser")))
+    runOnce()
+    assert(serve() === batchRef(batch1), "first serving read diverged")
+    batch2.toDF("winner", "loser").coalesce(1)
+      .write.mode("append").parquet(srcDir) // arrives while DOWN
+    runOnce()
+    val served = serve()
+    assert(served === batchRef(batch1 ++ batch2),
+      "post-bounce serving read diverged from the one-shot batch fit")
+    // the leaderboard after all duels: a > b > c on the lattice
+    val th = served.map(r => r._1 -> r._4).toMap
+    assert(th("a") > th("b") && th("b") > th("c"))
+  }
+
   test("covariance-drift monitor: streamed cell state serves ≡ batch q233 fold across a bounce") {
     import spark.implicits._
     // the standing-monitor leg of the q233 second-moment audit:
