@@ -642,9 +642,9 @@ object DiagScale {
           // panel formula to drift out of lockstep (r14 review)
           val nCorpus = n + rows.map(_.getLong(2)).sum
           val bits = (graft.queries.VectorQueries.NdMinBits to
-              graft.queries.VectorQueries.NdMaxBits)
+              graft.queries.VectorQueries.NdGuaranteedBits)
             .find(b => nCorpus <= (graft.queries.VectorQueries.NdTarget.toLong << b))
-            .getOrElse(graft.queries.VectorQueries.NdMaxBits)
+            .getOrElse(graft.queries.VectorQueries.NdGuaranteedBits)
           val bands = graft.queries.VectorQueries.bandsForBits(bits)
           rows.foreach(r => println(f"[recall] k=$k%-2d q226 bits=$bits bands=$bands " +
             f"eps=${r.getDouble(1)}%5.3f mean_cos=${r.getDouble(5)}%9.6f " +
