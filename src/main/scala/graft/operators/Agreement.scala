@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * division — agree = Σ diag of the confusion matrix, pe_num =
   * Σ_k row_k·col_k over classes present in BOTH marginals, and
   * kappa = (agree·n − pe_num)/(n² − pe_num). The n² terms carry a
-  * loud int64 guard at n > 3×10⁹ rows per group (folded into the
-  * value so pruning cannot drop it); a degenerate group whose chance
+  * loud int64 guard at n > 3×10⁹ rows per group, folded into EVERY
+  * output that computes an n² product (po, pe, kappa) so column
+  * pruning can never drop it; a degenerate group whose chance
   * agreement is total (n² = pe_num, e.g. both raters constant) yields
   * NULL, identically in any engine.
   *
@@ -45,17 +46,21 @@ object Agreement {
       .agg(sum(col("r") * col("c")).as("pe_num"))
     val pe: Column = coalesce(col("pe_num"), lit(0L))
     per.join(marg, Seq(groupCol), "left")
+      // `ok` (1, or raise_error past the n² headroom) is folded into
+      // EVERY output that touches an n² term — po, pe, AND kappa — so
+      // a caller selecting any single column still carries the guard
+      // (pruning po alone used to drop it — r14 advice)
       .select(col(groupCol), col("nd").as("n_items"), col("agree").as("n_agree"),
         (round((col("agree") * col("ok")).cast("double") / col("nd"), 6)
           + lit(0.0d)).as("po"),
-        (round(pe.cast("double") / (col("nd") * col("nd")), 6) + lit(0.0d))
-          .as("pe"),
+        (round((pe * col("ok")).cast("double") / (col("nd") * col("nd")), 6)
+          + lit(0.0d)).as("pe"),
         // the noNegZero finisher sits OUTSIDE the CASE so the audit's
         // top-level contract holds; NULL + 0.0 stays NULL
-        (when(col("nd") * col("nd") === pe, lit(null).cast("double"))
+        (when(col("nd") * col("ok") * col("nd") === pe, lit(null).cast("double"))
           .otherwise(round(
             (col("agree") * col("nd") - pe).cast("double")
-              / (col("nd") * col("nd") - pe), 6)) + lit(0.0d)).as("kappa"))
+              / (col("nd") * col("ok") * col("nd") - pe), 6)) + lit(0.0d)).as("kappa"))
       .orderBy(col(groupCol))
   }
 }

@@ -146,11 +146,17 @@ object Bpe {
     val (t0, w) = totals(cur)
     var total = t0
     val out = scala.collection.mutable.Buffer[Step]()
-    for (step <- 1 to rounds) {
+    var step = 1
+    var exhausted = false
+    while (step <= rounds && !exhausted) {
       val top = pairCounts(cur)
         .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
         .limit(1)
         .as[(String, String, Long)].collect()
+      // dictionary out of pairs: STOP, mirroring the local leg's
+      // `exhausted` break — every further round would pay a provably
+      // empty distributed argmax (r14 advice)
+      if (top.isEmpty) exhausted = true
       top.foreach { case (l, r, c) =>
         cur = cur.withColumn("s",
           replace(col("s"), lit(s"~$l~~$r~"), lit(s"~$l$r~")))
@@ -158,6 +164,7 @@ object Bpe {
         out += ((step, l, r, c, total))
       }
       if (step % 8 == 0) cur = cur.localCheckpoint()
+      step += 1
     }
     (w, t0, out.toSeq)
   }

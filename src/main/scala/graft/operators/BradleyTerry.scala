@@ -83,13 +83,24 @@ object BradleyTerry {
       .agg(count(lit(1)).as("n"))
 
   /** The MM fold over [[duelState]] — the ONE implementation the batch
-    * fit and the standing monitor's serving read share. Collect is
-    * bounded by items² ordered pairs. */
-  def fitFromCounts(state: DataFrame, rounds: Int = 10): DataFrame = {
+    * fit and the standing monitor's serving read share. The collect is
+    * bounded by items² ordered pairs AND ENFORCED (r14 verdict #2, the
+    * Agreement.cohenKappa loud-guard pattern): a caller fitting
+    * duels at too fine an item grain (users instead of brands/policies)
+    * fails loudly at `maxPairs` instead of silently OOMing the driver —
+    * the collect itself is limit-bounded, so the guard never
+    * materializes more than maxPairs+1 rows driver-side. */
+  def fitFromCounts(state: DataFrame, rounds: Int = 10,
+      maxPairs: Int = 2000000): DataFrame = {
     val spark = state.sparkSession
     import spark.implicits._
     val wins = state.select(col("winner"), col("loser"), col("n"))
-      .as[(String, String, Long)].collect().toSeq
+      .as[(String, String, Long)].limit(maxPairs + 1).collect().toSeq
+    if (wins.size > maxPairs)
+      throw new IllegalArgumentException(
+        s"bradley_terry: duel state exceeds the documented items^2 driver " +
+          s"bound ($maxPairs ordered pairs) — fit at a coarser item grain " +
+          "or raise maxPairs explicitly")
     mmRounds(wins, rounds)
       .toDF("item", "n_wins", "n_losses", "theta_nano")
   }

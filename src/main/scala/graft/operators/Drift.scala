@@ -462,16 +462,37 @@ object Drift {
     val cs = state.groupBy(col("label"), col("i"), col("j"))
       .agg(sum(when(col("h") === 0, col("s")).otherwise(0L)).as("sa"),
         sum(when(col("h") === 1, col("s")).otherwise(0L)).as("sb"))
-    // n is cell-constant per (label, half); the (1,1) slice is the
-    // canonical carrier (dim ≥ 1 always)
-    val ns = state.filter(col("i") === 1 && col("j") === 1)
+    // n is cell-constant per (label, half) — but ONLY when every input
+    // vector shares one dimension; ragged `q` arrays populate high
+    // cells with fewer rows and would silently mis-scale frob_dist off
+    // the (1,1) carrier. The uniformity is therefore CHECKED at state
+    // grain (max ≠ min of per-cell counts within a half) and raised
+    // loudly, the same contract as the int64 headroom guard beside it
+    // (r14 advice). cellN first re-sums per cell so a union of additive
+    // state deltas never false-positives the check.
+    val cellN = state.groupBy(col("label"), col("h"), col("i"), col("j"))
+      .agg(sum(col("n")).as("cn"))
+    def half(h: Int, f: Column => Column) =
+      f(when(col("h") === h, col("cn")))
+    val ns = cellN
       .groupBy(col("label"))
-      .agg(sum(when(col("h") === 0, col("n")).otherwise(0L)).as("na"),
-        sum(when(col("h") === 1, col("n")).otherwise(0L)).as("nb"))
-      .withColumn("ok", when(col("na") * col("nb") > 4500000000000L,
-        raise_error(lit("q233: half sizes past the int64 cross-scale " +
-          "headroom — coarsen the grid or subsample")).cast("long"))
-        .otherwise(lit(1L)))
+      .agg(sum(when(col("h") === 0 && col("i") === 1 && col("j") === 1,
+          col("cn")).otherwise(0L)).as("na"),
+        sum(when(col("h") === 1 && col("i") === 1 && col("j") === 1,
+          col("cn")).otherwise(0L)).as("nb"),
+        (half(0, max) =!= half(0, min)).as("ra"),
+        (half(1, max) =!= half(1, min)).as("rb"))
+      .withColumn("ok",
+        when(coalesce(col("ra"), lit(false)) || coalesce(col("rb"), lit(false)),
+          raise_error(lit("covariance_drift: ragged vector dimensions " +
+            "within a (label, half) — the half sizes (and frob_dist " +
+            "scaling) require one fixed dim; pad or filter the input"))
+            .cast("long"))
+        .otherwise(when(col("na") * col("nb") > 4500000000000L,
+          raise_error(lit("q233: half sizes past the int64 cross-scale " +
+            "headroom — coarsen the grid or subsample")).cast("long"))
+          .otherwise(lit(1L))))
+      .drop("ra", "rb")
     val d = (col("sa") * col("nb") - col("sb") * col("na"))
     cs.join(ns, Seq("label"))
       .groupBy(col("label"), col("na"), col("nb"))

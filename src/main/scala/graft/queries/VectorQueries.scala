@@ -2335,7 +2335,9 @@ object VectorQueries {
                         |  FROM documents WHERE doc_id IN (SELECT vec_id FROM embeddings)""".stripMargin,
             pfx = "mh_")},
          |tp AS (SELECT id_a, id_b FROM mh_cands WHERE $simExpr >= 0.5),
-         |ep AS (SELECT id_a, id_b FROM pairs),
+         |ep AS (SELECT id_a, id_b FROM pairs
+         |  WHERE id_a IN (SELECT doc_id FROM documents)
+         |    AND id_b IN (SELECT doc_id FROM documents)),
          |allp AS (
          |  SELECT coalesce(e.id_a, t.id_a) AS id_a,
          |    coalesce(e.id_b, t.id_b) AS id_b,
@@ -2358,7 +2360,16 @@ object VectorQueries {
       val emb = Tables.embeddings(spark, dir)
       val docsCommon = Tables.documents(spark, dir)
         .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      // BOTH screens are restricted to the SAME id domain (docs ∩
+      // embeddings): the embedding screen runs over all embeddings (its
+      // schedule is the deployed config), but its pairs are semi-joined
+      // to documents on both endpoints — without this, an embedding id
+      // lacking a document inflates emb_only with pairs the text screen
+      // structurally cannot report (r14 advice)
+      val docIds = Tables.documents(spark, dir).select(col("doc_id"))
       val ep = nearDupPairs(spark, dir)
+        .join(docIds.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+        .join(docIds.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
         .select(col("id_a"), col("id_b"), lit(1).as("in_e"))
       val tp = Dedup.minhashLshPairs(docsCommon, "doc_id", "text",
           n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)

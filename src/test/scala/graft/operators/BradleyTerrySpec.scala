@@ -86,4 +86,20 @@ class BradleyTerrySpec extends SparkSpec {
       assert(math.abs(v - ref(i)) / ref(i) < 1e-5, s"$i: $v vs ${ref(i)}")
     }
   }
+
+  test("the items^2 driver bound fails loudly instead of collecting unbounded state") {
+    // 4 distinct ordered pairs of duel state; a 3-pair cap must refuse
+    // (the limit-bounded collect materializes at most cap+1 rows), the
+    // exact-cap fit must succeed — r14 verdict #2, the cohenKappa
+    // loud-guard contract applied to the driver-side MM fold
+    val state = BradleyTerry.duelState(
+      Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+        .toDF("winner", "loser"))
+    val e = intercept[IllegalArgumentException] {
+      BradleyTerry.fitFromCounts(state, rounds = 2, maxPairs = 3)
+    }
+    assert(e.getMessage.contains("items^2 driver bound"))
+    assert(BradleyTerry.fitFromCounts(state, rounds = 2, maxPairs = 4)
+      .count() === 4L)
+  }
 }

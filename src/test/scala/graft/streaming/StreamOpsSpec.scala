@@ -708,6 +708,32 @@ class StreamOpsSpec extends SparkSpec {
     assert(served.find(_._1 === 1).get._4 > 0.0)
   }
 
+  test("covariance-drift fold refuses ragged vector dimensions loudly") {
+    import spark.implicits._
+    // half sizes derive from the (1,1) cell, which is only the group
+    // count under one fixed dim — ragged q arrays must raise, not
+    // silently mis-scale frob_dist (r14 advice)
+    val ragged = Seq(
+      (1, 0L, Seq(1000L, 2000L)), (1, 0L, Seq(-1000L, 2000L, 500L)),
+      (1, 1L, Seq(1000L, -2000L)), (1, 1L, Seq(500L, -100L)))
+    val e = intercept[Exception] {
+      graft.operators.Drift.covarianceDrift(
+        graft.operators.Drift.covarianceCellState(
+          ragged.toDF("label", "h", "q"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("ragged vector dimensions")),
+      s"wrong failure: ${e.getMessage}")
+    // uniform dims (even when the two halves DIFFER in content) pass
+    val uniform = Seq(
+      (1, 0L, Seq(1000L, 2000L)), (1, 0L, Seq(-1000L, 500L)),
+      (1, 1L, Seq(1000L, -2000L)), (1, 1L, Seq(500L, -100L)))
+    assert(graft.operators.Drift.covarianceDrift(
+      graft.operators.Drift.covarianceCellState(
+        uniform.toDF("label", "h", "q"))).count() === 1L)
+  }
+
   test("span-fingerprint store: streamed deltas serve ≡ the batch novelty screen across a bounce") {
     import spark.implicits._
     // the q234 train side as an append-only stream: two train chunks
