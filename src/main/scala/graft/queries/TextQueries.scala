@@ -4948,10 +4948,11 @@ object TextQueries {
   /** Planted near-duplicate recall for the MinHash LSH text screen
     * (r12 verdict #6, the q226 harness applied to q29's operator): each
     * panel document (every 22nd id — inside q29's 1-in-2 sampled
-    * universe) gets four planted variants built by DROPPING every d-th
-    * token, d ∈ {3, 4, 6, 12} — graded shingle damage whose true
-    * 3-gram Jaccard lands ≈ 0 / 0.33 / 0.6 / 0.8, straddling the
-    * screen's 0.5 estimated-Jaccard threshold. The IDENTICAL screen
+    * universe) gets six planted variants built by DROPPING every d-th
+    * token, d ∈ {3, 4, 6, 8, 9, 12} — graded shingle damage whose true
+    * 3-gram Jaccard straddles the screen's 0.5 estimated-Jaccard
+    * threshold, with the d=8/9 grades (r15) filling the mid-cliff the
+    * four-grade ladder jumped over. The IDENTICAL screen
     * (Dedup.minhashLshPairs, 16×4 portable signatures) runs over
     * originals + plants; the report is per-band detection recall plus
     * the exact mean TRUE Jaccard — where the text screen's cliff sits.
@@ -4965,9 +4966,14 @@ object TextQueries {
     * excluded from the denominator, same both engines). Scale: plant
     * stage is panel-bounded; the screen inherits q29's banded shape. */
   val q227PlantedTextDupRecall: Q = {
-    val bandsSpec = Seq((0, 3), (1, 4), (2, 6), (3, 12))
+    // r15 (verdict #4): grades 4/5 (drop periods 8 and 9) map the
+    // mid-cliff the r14 table jumped over — the detection S-curve
+    // between the d=6 and d=12 grades' true-Jaccard levels, so the
+    // text screen's cliff is graded as finely as the embedding
+    // screen's ε ladder
+    val bandsSpec = Seq((0, 3), (1, 4), (2, 6), (3, 12), (4, 8), (5, 9))
     val plvSelects = bandsSpec.map { case (b, d) =>
-      s"""  SELECT mo.off + doc_id * 4 + $b AS doc_id, doc_id AS base_id,
+      s"""  SELECT mo.off + doc_id * 6 + $b AS doc_id, doc_id AS base_id,
          |    $b AS band, $d AS d,
          |    list_transform(list_filter(range(1, len(t) + 1), i -> i % $d != 0),
          |      i -> t[i]) AS t
@@ -5028,7 +5034,7 @@ object TextQueries {
       val off = Tables.documents(spark, dir).agg((max(col("doc_id")) + 1).as("off"))
       val plv = bandsSpec.map { case (b, d) =>
         bt.crossJoin(broadcast(off))
-          .select((col("off") + col("doc_id") * 4 + lit(b.toLong)).as("doc_id"),
+          .select((col("off") + col("doc_id") * 6 + lit(b.toLong)).as("doc_id"),
           col("doc_id").as("base_id"), lit(b).as("band"), lit(d).as("d"),
           filter(col("t"), (x, i) => ((i + 1) % d) =!= 0).as("t"))
       }.reduce(_ unionByName _)

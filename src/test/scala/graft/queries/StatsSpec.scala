@@ -1793,11 +1793,11 @@ class StatsSpec extends SparkSpec {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
-    val bandsSpec = Seq((0, 3), (1, 4), (2, 6), (3, 12))
+    val bandsSpec = Seq((0, 3), (1, 4), (2, 6), (3, 12), (4, 8), (5, 9))
     val panel = toks.keys.filter(_ % 22 == 0).toSeq.sorted
     val off = toks.keys.max + 1
     val plants = for ((b, d) <- bandsSpec; id <- panel) yield
-      (off + id * 4 + b, b, d, id,
+      (off + id * 6 + b, b, d, id,
         toks(id).zipWithIndex.collect { case (t, i) if (i + 1) % d != 0 => t })
     val corpus: Map[Long, Vector[String]] =
       toks.filter(_._1 % 2 == 0).toMap ++ plants.map(p => p._1 -> p._5.toVector)
