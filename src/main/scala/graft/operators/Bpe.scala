@@ -50,18 +50,37 @@ object Bpe {
     * words) take the distributed loop. */
   val LocalDictLimit: Long = 4L << 20
 
-  /** The (word, cnt, s) dictionary: lowercase [a-z]+ word frequencies
-    * with the initial per-character segmentation string. This is the
-    * one corpus-sized stage. */
-  def wordDict(docs: DataFrame, textCol: String): DataFrame =
+  /** The additive vocabulary-induction state: (word, cnt) — word-grain
+    * lowercase [a-z]+ frequencies, the one corpus-sized stage. Additive
+    * under union (the duelCounts/qiClassCounts monitor class), so a
+    * streaming complete-mode aggregate maintains it incrementally
+    * ([[graft.streaming.StreamOps.bpeWordCounts]]) and
+    * [[learnMergesFromCounts]] serves the same merge table the batch
+    * [[learnMerges]] computes — r14 verdict #7. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
     docs
       .select(explode(regexp_extract_all(lower(col(textCol)),
         lit("[a-z]+"), lit(0))).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** (word, cnt) state → the (word, cnt, s) dictionary the merge
+    * rounds consume: re-sums per word FIRST (a union of additive state
+    * deltas folds identically to the one-shot build — the re-sum rides
+    * the count aggregate's existing hash partitioning, no extra
+    * exchange), then attaches the initial per-character segmentation
+    * string. */
+  def dictFromCounts(counts: DataFrame): DataFrame =
+    counts
+      .groupBy(col("word"))
+      .agg(sum(col("cnt")).as("cnt"))
       .withColumn("s", concat(lit("~"),
         array_join(regexp_extract_all(col("word"), lit("."), lit(0)), "~~"),
         lit("~")))
+
+  /** The (word, cnt, s) dictionary: [[wordCounts]] + [[dictFromCounts]]. */
+  def wordDict(docs: DataFrame, textCol: String): DataFrame =
+    dictFromCounts(wordCounts(docs, textCol))
 
   /** Adjacent symbol pairs of the current segmentation, weighted by
     * word frequency — dict-grain (rows ∝ Σ word symbol lengths). */
@@ -170,8 +189,13 @@ object Bpe {
   }
 
   private def runRounds(docs: DataFrame, textCol: String, rounds: Int,
+      localDictLimit: Long, withTotals: Boolean): (Long, Long, Seq[Step]) =
+    runRoundsOverDict(wordDict(docs, textCol), rounds, localDictLimit,
+      withTotals)
+
+  private def runRoundsOverDict(dict: DataFrame, rounds: Int,
       localDictLimit: Long, withTotals: Boolean): (Long, Long, Seq[Step]) = {
-    val cur0 = wordDict(docs, textCol).localCheckpoint()
+    val cur0 = dict.localCheckpoint()
     PageRank.takeUnderGate(cur0.select(col("word"), col("cnt")),
         localDictLimit, "bpe") match {
       case Some(rows) => localRounds(rows, rounds)
@@ -187,11 +211,21 @@ object Bpe {
     * @return (step, lhs, rhs, pair_count) — the learned merge table in
     *         merge order */
   def learnMerges(docs: DataFrame, textCol: String, rounds: Int,
+      localDictLimit: Long = LocalDictLimit): DataFrame =
+    learnMergesFromCounts(wordCounts(docs, textCol), rounds, localDictLimit)
+
+  /** [[learnMerges]] over ALREADY-AGGREGATED (word, cnt) state — the
+    * serving read of the standing vocabulary monitor
+    * ([[graft.streaming.StreamOps.bpeWordCounts]]): the SAME size-gated
+    * rounds the batch fit runs (StreamOpsSpec pins serving ≡ batch
+    * across a checkpoint bounce), so a tokenizer refresh wired to the
+    * monitor and the batch fit can never disagree. */
+  def learnMergesFromCounts(counts: DataFrame, rounds: Int,
       localDictLimit: Long = LocalDictLimit): DataFrame = {
-    val spark = docs.sparkSession
+    val spark = counts.sparkSession
     import spark.implicits._
-    val (_, _, steps) = runRounds(docs, textCol, rounds, localDictLimit,
-      withTotals = false)
+    val (_, _, steps) = runRoundsOverDict(dictFromCounts(counts), rounds,
+      localDictLimit, withTotals = false)
     steps.map(s => (s._1, s._2, s._3, s._4))
       .toDF("step", "lhs", "rhs", "pair_count")
       .orderBy(col("step"))

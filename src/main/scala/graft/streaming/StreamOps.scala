@@ -433,6 +433,20 @@ object StreamOps {
   def duelCounts(duels: DataFrame): DataFrame =
     graft.operators.BradleyTerry.duelState(duels)
 
+  /** Standing vocabulary-induction monitor state — the STREAMING leg of
+    * the q235/q236 BPE merge learning (r14 verdict #7): word-grain
+    * token-family counts maintained incrementally in complete mode —
+    * additive under union exactly like the duel counts, and
+    * dictionary-grain (Heaps-bounded), never corpus-grain. Land via
+    * [[sinkCompleteVersions]]; the serving read is
+    * `Bpe.learnMergesFromCounts(latestSnapshot, rounds)` — the SAME
+    * size-gated merge rounds the batch q235 runs (StreamOpsSpec pins
+    * serving ≡ batch across a bounce), so a standing tokenizer-refresh
+    * monitor over corpus deltas and the batch fit can never disagree.
+    * Input: docs with `textCol`. */
+  def bpeWordCounts(docs: DataFrame, textCol: String): DataFrame =
+    graft.operators.Bpe.wordCounts(docs, textCol)
+
   /** Incremental BM25 posting ingest — the serving-index face of the
     * q94 cross-corpus incremental pattern: each micro-batch of NEW
     * documents lands its per-doc posting delta (id, t, cnt, dl —

@@ -708,6 +708,38 @@ class StreamOpsSpec extends SparkSpec {
     assert(served.find(_._1 === 1).get._4 > 0.0)
   }
 
+  test("BPE vocabulary monitor: streamed word counts serve ≡ batch merge learning across a bounce") {
+    import spark.implicits._
+    // the q235 fit as a standing monitor over corpus deltas: word-grain
+    // additive counts land as versioned complete-mode snapshots; the
+    // serving read runs the SAME size-gated merge rounds the batch
+    // learnMerges runs — including a delta that arrives while DOWN
+    val base = java.nio.file.Files.createTempDirectory("bpedict").toString
+    val (srcDir, ckDir, snapDir) = (s"$base/src", s"$base/ck", s"$base/snap")
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Unit = StreamOps.sinkCompleteVersions(
+      StreamOps.bpeWordCounts(
+        StreamOps.parquetStream(spark, schema, srcDir), "text"),
+      snapDir, ckDir)
+    def serve() = graft.operators.Bpe.learnMergesFromCounts(
+        StreamOps.latestSnapshot(spark, snapDir).get, rounds = 12)
+      .as[(Int, String, String, Long)].collect().toSeq
+    def batchRef(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Bpe.learnMerges(d, "text", 12)
+        .as[(Int, String, String, Long)].collect().toSeq
+    runOnce()
+    assert(serve() === batchRef(docs.filter(col("doc_id") % 2 === 0)),
+      "first serving read diverged from the one-shot batch fit")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(srcDir) // arrives while DOWN
+    runOnce()
+    assert(serve() === batchRef(docs),
+      "post-bounce serving read diverged from the one-shot batch fit")
+  }
+
   test("covariance-drift fold refuses ragged vector dimensions loudly") {
     import spark.implicits._
     // half sizes derive from the (1,1) cell, which is only the group
