@@ -154,12 +154,12 @@ object VectorQueries {
     * [[NdPlaneStride]] is the FROZEN plane-table layout (band·stride+r
     * plane indexing, the r14 value): widening the epoch must never
     * re-key existing buckets. */
-  private[graft] val NdGuaranteedBits = 20 // R* holds through 16·2^20 ≈ 16.8M vectors
-  private[graft] val NdPlaneStride = 24    // frozen plane-window layout (hash-compat)
-  private[graft] val NdMinBits = 4
-  private[graft] val NdTarget = 16  // per-band expected bucket population
-  private val NdSimTarget = 0.89    // design similarity the recall target pins
-  private val NdRecallTarget = 0.95 // candidate recall target at NdSimTarget
+  private[graft] val NdGuaranteedBits = CorpusEpochs.NearDup.guaranteedBits
+  private[graft] val NdPlaneStride = CorpusEpochs.NearDupPlaneStride
+  private[graft] val NdMinBits = CorpusEpochs.NearDup.minBits
+  private[graft] val NdTarget = CorpusEpochs.NearDup.target
+  private val NdSimTarget = CorpusEpochs.NearDupDesignCosine
+  private val NdRecallTarget = CorpusEpochs.NearDupRecallTarget
 
   /** Band count for a per-band bit width: the smallest L with
     * 1 − (1 − p₁^bits)^L ≥ R* at the design similarity — UNCLAMPED as
@@ -255,12 +255,10 @@ object VectorQueries {
       s"${duckBitsExpr(NdMinBits, NdGuaranteedBits, NdTarget)} END"
 
   /** Single-bucket adaptive parameters for the q217/q220 self-join
-    * sites: bucket population targets ~64 (a 10-NN neighborhood plus
-    * headroom), floor of 4 bits, static width 24 (16M buckets — enough
-    * for a 10⁹-vector corpus at the target population). */
-  private val KnnMinBits = 4
-  private val KnnMaxBits = 24
-  private val KnnTarget = 64
+    * sites — see [[CorpusEpochs.KnnBucket]] for the epoch contract. */
+  private val KnnMinBits = CorpusEpochs.KnnBucket.minBits
+  private val KnnMaxBits = CorpusEpochs.KnnBucket.guaranteedBits
+  private val KnnTarget = CorpusEpochs.KnnBucket.target
 
   /** Near-dup verify threshold FLOOR. Calibrated to the FAR TAIL of
     * the corpus' random-cosine distribution: 64-dim embeddings have
