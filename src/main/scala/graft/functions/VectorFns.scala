@@ -170,10 +170,13 @@ object VectorFns {
       maxBands: Int, nBands: Column, bits: Column, maxBitsPerBand: Int,
       seed: Long = 42L): Column = {
     val v = d(vec)
-    array((0 until maxBands).map { b =>
+    // r15: sliced to the live-band count — the native expression emits
+    // an EXACT-LENGTH array (no padded NULL tail), so the reference
+    // composition slices its static-width form to match
+    slice(array((0 until maxBands).map { b =>
       when(lit(b) < nBands,
         maskedBandKey(v, dim, bits, maxBitsPerBand, b * maxBitsPerBand, seed))
-    }: _*)
+    }: _*), lit(1), least(coalesce(nBands, lit(0)), lit(maxBands)))
   }
 
   /** The ±1 hyperplane coefficients for bit `b` — deterministic per

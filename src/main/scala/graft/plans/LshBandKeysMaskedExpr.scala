@@ -22,15 +22,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * composition used, against the same deterministic ±1 plane table, so
   * keys are bit-identical (VectorFnsSpec pins native ≡ composed).
   *
-  * Null semantics replicate the composition exactly:
-  *  - `nBands` null, or band ≥ nBands → that band's element is NULL
-  *    (the `when(b < nBands, key)` gate with no otherwise);
+  * Output contract (r15 — exact length, see [[LshBandKeysMaskedExpr.compute]]):
+  *  - the array holds EXACTLY min(nBands, maxBands) live keys — one
+  *    per band of the resolved schedule; `nBands` null → empty array
+  *    (posexplode_outer then emits one all-null row, dropped by the
+  *    `band < n_bands` filter). The r14 form padded to the static
+  *    width with a NULL tail — VectorFnsSpec pins exact-length ≡ the
+  *    composed reference's live-band slice;
   *  - `bits` null, vec null, length mismatch, or null element → the
   *    plane's cosine is null → that BIT is 0 (the `when(...).
   *    otherwise(0)` fold), never a null key;
   *  - NaN cosine (zero vector) sets the bit: Spark's `>= 0` ranks NaN
   *    above all doubles, hence the `!(cs < 0)` form below.
-  * The array itself is never null (CreateArray), so nullable=false.
+  * The array itself is never null, so nullable=false.
   */
 case class LshBandKeysMaskedExpr(vec: Expression, nBands: Expression,
     bits: Expression, maxBands: Int, maxBitsPerBand: Int, dim: Int,
@@ -99,27 +103,34 @@ object LshBandKeysMaskedExpr {
         graft.functions.VectorFns.lshCoefs(plane, dim, seed).toArray)
     }
 
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code. The output array
+    * is EXACT-LENGTH (min(nBands, maxBands) — r15): the r14 form
+    * padded to the static width with NULLs for the masked tail, which
+    * was harmless at maxBands = 24 but at the epoch-derived width (78)
+    * made every posexplode generate 78 rows per vector at EVERY corpus
+    * size — 3.25× the live-band volume at gate sizes — before the
+    * `band < n_bands` filter dropped the padding. Exact length means
+    * the generate volume IS the resolved schedule's volume; the
+    * downstream filter is now a no-op kept as belt-and-braces. */
   def compute(v: ArrayData, nBands: java.lang.Integer,
       bits: java.lang.Integer, coefs: Array[ArrayData], maxBands: Int,
       maxBitsPerBand: Int): ArrayData = {
-    val res = new Array[Any](maxBands)
+    val nb = if (nBands == null) 0 else math.min(nBands.intValue(), maxBands)
+    val res = new Array[Any](nb)
     var b = 0
-    while (b < maxBands) {
-      if (nBands != null && b < nBands.intValue()) {
-        var key = 0L
-        if (bits != null && v != null) {
-          val bt = math.min(bits.intValue(), maxBitsPerBand)
-          var r = 0
-          while (r < bt) {
-            val cs = CosineSimExpr.cosine(v, coefs(b * maxBitsPerBand + r))
-            // !(cs < 0) ≡ Spark SQL `cs >= 0`, including NaN-ranks-high
-            if (cs != null && !(cs.doubleValue() < 0.0)) key |= 1L << r
-            r += 1
-          }
+    while (b < nb) {
+      var key = 0L
+      if (bits != null && v != null) {
+        val bt = math.min(bits.intValue(), maxBitsPerBand)
+        var r = 0
+        while (r < bt) {
+          val cs = CosineSimExpr.cosine(v, coefs(b * maxBitsPerBand + r))
+          // !(cs < 0) ≡ Spark SQL `cs >= 0`, including NaN-ranks-high
+          if (cs != null && !(cs.doubleValue() < 0.0)) key |= 1L << r
+          r += 1
         }
-        res(b) = key
       }
+      res(b) = key
       b += 1
     }
     new GenericArrayData(res)

