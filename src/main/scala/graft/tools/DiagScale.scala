@@ -632,6 +632,36 @@ object DiagScale {
         "q34_registered" -> (() =>
           graft.queries.VectorQueries.q34EmbeddingNearDups
             .run(spark, relTables(spark, sfDir, k)).count()),
+        // r15: the bare screen without q34's (since-removed) global
+        // orderBy — isolates the range-partitioner sampling pass
+        // (which re-executed the whole child plan) from the screen
+        "q34_noorder" -> (() =>
+          graft.queries.VectorQueries.nearDupPairs(
+            spark, relTables(spark, sfDir, k)).count()),
+        // r15: EXACT candidate-pair volume of the deployed schedule —
+        // sum over (band, bucket) of C(pop, 2), one cheap aggregate
+        // with no self-join. The algebraic check that candidate work
+        // stays linear as bits/bands resolve upward (wall clock on
+        // this box spreads ±3× under co-tenant noise; this number
+        // does not).
+        "q34_candvol" -> (() => {
+          val emb = graft.sources.Tables.embeddings(
+            spark, relTables(spark, sfDir, k))
+          val n = emb.count()
+          val bits = (4 to 20).find(b => n <= (16L << b))
+            .getOrElse(sys.error(s"n=$n past the NearDup epoch"))
+          val bands = graft.queries.VectorQueries.bandsForBits(bits)
+          val vol = emb.select(col("vec_id"),
+              posexplode(VectorFns.lshBandKeysMasked(
+                col("embedding"), 64, bands, lit(bits), 24))
+                .as(Seq("band", "bkey")))
+            .groupBy(col("band"), col("bkey")).count()
+            .agg(sum((col("count") * (col("count") - 1) / 2).cast("long"))
+              .as("v")).collect().head.getLong(0)
+          println(f"[scale] k=$k%-3d q34_candvol bits=$bits bands=$bands " +
+            f"candidates=$vol%,d")
+          vol
+        }),
         "q226_recall" -> (() => {
           val dir = relTables(spark, sfDir, k)
           val n = graft.sources.Tables.embeddings(spark, dir).count()
@@ -690,6 +720,46 @@ object DiagScale {
         "q232_qkeep" -> (() =>
           graft.queries.VectorQueries.q232QualityDedupKeep
             .run(spark, relTables(spark, sfDir, k)).count()),
+        // r15 (verdict #3): per-stage attribution of q232's composed
+        // cost — each stage materialized (localCheckpoint, eager)
+        // before the next starts, so the printed per-stage seconds are
+        // exclusive: pairs (the measured q34 screen), cc (components),
+        // memjoin (doc-keyed join), policy (the two canonical-selection
+        // windows + rollup — the only stage q232 adds over q51)
+        "q232_attrib" -> (() => {
+          val dir = relTables(spark, sfDir, k)
+          import org.apache.spark.sql.expressions.Window
+          def timed[T](tag: String)(f: => T): T = {
+            val t0 = System.nanoTime(); val r = f
+            println(f"[scale] k=$k%-3d q232_attrib $tag%-8s " +
+              f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+            r
+          }
+          val pairs = timed("pairs") {
+            graft.queries.VectorQueries.nearDupPairs(spark, dir)
+              .select(col("id_a"), col("id_b")).localCheckpoint()
+          }
+          val comp = timed("cc") {
+            Dedup.connectedComponents(pairs).localCheckpoint()
+          }
+          val mem = timed("memjoin") {
+            comp.join(graft.sources.Tables.documents(spark, dir)
+                .select(col("doc_id").as("node"), col("n_chars")), Seq("node"))
+              .localCheckpoint()
+          }
+          timed("policy") {
+            def keeper(w: org.apache.spark.sql.expressions.WindowSpec, tag: String) =
+              mem.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+                .select(col("comp"), col("node").as(s"${tag}_node"),
+                  col("n_chars").as(s"${tag}_chars"))
+            val best = keeper(Window.partitionBy(col("comp"))
+              .orderBy(col("n_chars").desc, col("node")), "best")
+            val firstid = keeper(Window.partitionBy(col("comp"))
+              .orderBy(col("node")), "first")
+            best.join(firstid, Seq("comp"))
+              .agg(count(lit(1)).as("n")).collect().head.getLong(0)
+          }
+        }),
         // r14 (verdict #6): the distributed graph leg, probed through
         // the REGISTERED query code — run with
         // SPARK_GRAFT_LOCAL_EDGE_LIMIT=0 so the size gate never takes
