@@ -5215,6 +5215,333 @@ object TextQueries {
       .withColumnRenamed("n_items", "n_docs")
   }
 
+
+  /** Shared three-rater vote panel (q240/q241/q243): every document is
+    * graded {low, mid, high} for LENGTH CLASS by three deterministic
+    * raters reading three different signals — `chars` (n_chars
+    * thresholds 200/400; the strong rater, always votes), `tokens`
+    * (whitespace token count, thresholds 40/80; ~88% raw agreement
+    * with `chars`), and `stop` (count of {a, the, of, to} stopword
+    * tokens, thresholds 2/5; a NOISY proxy, ~60% agreement) — with
+    * scheduled missingness: `tokens` abstains on doc_id % 7 = 0 and
+    * `stop` on doc_id % 5 = 2 (NULL votes), the shape of a campaign
+    * where each item is seen by a subset of the rater pool. Documents
+    * where both abstain leave one vote and drop out of every
+    * pairable-unit statistic. Long format (source, doc_id, rater,
+    * label), mirrored verbatim by [[duckRaterVotesCtes]]. */
+  private def raterVotes(docs: org.apache.spark.sql.DataFrame) = {
+    val base = docs
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        TextFns.tokens(col("text")).as("toks"))
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        size(col("toks")).as("tc"),
+        TextFns.markerHits(col("toks"), Seq("a", "the", "of", "to")).as("sc"))
+    def grade(v: org.apache.spark.sql.Column, lo: Int,
+        hi: Int): org.apache.spark.sql.Column =
+      when(v < lo, "low").when(v < hi, "mid").otherwise("high")
+    base.select(col("source"), col("doc_id"), lit("chars").as("rater"),
+        grade(col("n_chars"), 200, 400).as("label"))
+      .unionByName(base.select(col("source"), col("doc_id"),
+        lit("tokens").as("rater"),
+        when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(grade(col("tc"), 40, 80)).as("label")))
+      .unionByName(base.select(col("source"), col("doc_id"),
+        lit("stop").as("rater"),
+        when(col("doc_id") % 5 === 2, lit(null).cast("string"))
+          .otherwise(grade(col("sc"), 2, 5)).as("label")))
+  }
+
+  /** DuckDB twin of [[raterVotes]]: a `votes` CTE with
+    * (source, doc_id, rater, label). */
+  private def duckRaterVotesCtes: String =
+    s"""rv AS (SELECT source, doc_id, n_chars,
+       |    len(string_split_regex(lower(text), '\\s+')) AS tc,
+       |    len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      x -> list_contains(['a','the','of','to'], x))) AS sc
+       |  FROM documents),
+       |votes AS (
+       |  SELECT source, doc_id, 'chars' AS rater,
+       |    CASE WHEN n_chars < 200 THEN 'low' WHEN n_chars < 400 THEN 'mid'
+       |         ELSE 'high' END AS label
+       |  FROM rv
+       |  UNION ALL
+       |  SELECT source, doc_id, 'tokens' AS rater,
+       |    CASE WHEN doc_id % 7 = 0 THEN NULL
+       |         WHEN tc < 40 THEN 'low' WHEN tc < 80 THEN 'mid'
+       |         ELSE 'high' END AS label
+       |  FROM rv
+       |  UNION ALL
+       |  SELECT source, doc_id, 'stop' AS rater,
+       |    CASE WHEN doc_id % 5 = 2 THEN NULL
+       |         WHEN sc < 2 THEN 'low' WHEN sc < 5 THEN 'mid'
+       |         ELSE 'high' END AS label
+       |  FROM rv)""".stripMargin
+
+  /** Krippendorff's alpha per source over the three-rater panel — the
+    * many-rater, missing-tolerant upgrade of q238's two-rater kappa
+    * (Krippendorff 2011). Exact integers until ONE division via the
+    * lcm-scaled coincidence identity (see
+    * [[graft.operators.Agreement.krippendorffAlpha]]): the
+    * off-diagonal coincidence mass of a unit is
+    * (m_u^2 − Σ_c n_uc^2)/(m_u − 1) — two unit-grain aggregates, never
+    * a label-pair explode, never a unit self-join. Units where only
+    * one rater voted drop out (Krippendorff's rule); the S-scale
+    * integrality guard and the int64 headroom guard both fail loudly,
+    * folded into the value. */
+  val q240KrippendorffAlpha = Q(
+    "q240_krippendorff_alpha",
+    s"""WITH $duckRaterVotesCtes,
+       |nuc AS (
+       |  SELECT source, doc_id, label AS k, CAST(count(*) AS BIGINT) AS n
+       |  FROM votes WHERE label IS NOT NULL GROUP BY 1, 2, 3),
+       |pu AS (
+       |  SELECT source, doc_id, CAST(sum(n) AS BIGINT) AS mu,
+       |    CAST(sum(n * n) AS BIGINT) AS sumsq
+       |  FROM nuc GROUP BY 1, 2 HAVING sum(n) >= 2),
+       |puf AS (
+       |  SELECT *, CASE mu WHEN 2 THEN 2 WHEN 3 THEN 1
+       |    ELSE error('krippendorff_alpha: a unit carries more than 3 votes — raise maxRaters (cost is one more CASE arm)') END AS f
+       |  FROM pu),
+       |pg AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_units,
+       |    CAST(sum(mu) AS BIGINT) AS nv,
+       |    CAST(sum(f * (mu * mu - sumsq)) AS BIGINT) AS do_s,
+       |    CASE WHEN sum(mu) > 500000000 THEN error('krippendorff_alpha: per-group pairable values past the int64 (n-1)*do_s headroom — subsample or shard the group')
+       |         ELSE 1 END AS ok
+       |  FROM puf GROUP BY 1),
+       |mg AS (
+       |  SELECT source, CAST(sum(nc * nc) AS BIGINT) AS sumsq_c FROM (
+       |    SELECT nuc.source, nuc.k, CAST(sum(nuc.n) AS BIGINT) AS nc
+       |    FROM nuc JOIN pu ON pu.source = nuc.source AND pu.doc_id = nuc.doc_id
+       |    GROUP BY 1, 2) t
+       |  GROUP BY 1)
+       |SELECT pg.source, pg.n_units, pg.nv AS n_values,
+       |  (CASE WHEN pg.nv * pg.nv = mg.sumsq_c THEN NULL
+       |    ELSE round(1.0 - CAST((pg.nv - 1) * pg.do_s * pg.ok AS DOUBLE)
+       |      / (2 * (pg.nv * pg.nv - mg.sumsq_c)), 6) END) + 0.0 AS alpha
+       |FROM pg JOIN mg ON mg.source = pg.source
+       |ORDER BY pg.source""".stripMargin) { (spark, dir) =>
+    graft.operators.Agreement.krippendorffAlpha(
+      raterVotes(Tables.documents(spark, dir)),
+      "source", "doc_id", "label", maxRaters = 3)
+  }
+
+  /** Per-rater reliability against the strict-majority consensus —
+    * the operational labeling-QA readout (WHICH rater drifts, not just
+    * how much the pool agrees; pairs with q240's pool-level alpha).
+    * Consensus = the unique label holding a strict majority of a
+    * unit's non-null votes; tied units (1-1 splits, 1-1-1) leave every
+    * accuracy denominator. Exact integers until the one division. */
+  val q241RaterReliability = Q(
+    "q241_rater_reliability",
+    s"""WITH $duckRaterVotesCtes,
+       |cn AS (
+       |  SELECT source, doc_id, label, CAST(count(*) AS BIGINT) AS n
+       |  FROM votes WHERE label IS NOT NULL GROUP BY 1, 2, 3),
+       |cons AS (
+       |  SELECT source, doc_id, label AS consensus FROM (
+       |    SELECT *, sum(n) OVER (PARTITION BY source, doc_id) AS mu FROM cn) t
+       |  WHERE n * 2 > mu AND mu >= 2)
+       |SELECT v.source, v.rater, CAST(count(*) AS BIGINT) AS n_rated,
+       |  CAST(sum(CASE WHEN c.consensus IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_consensus_seen,
+       |  CAST(sum(CASE WHEN v.label = c.consensus THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_match,
+       |  (CASE WHEN sum(CASE WHEN c.consensus IS NOT NULL THEN 1 ELSE 0 END) = 0
+       |    THEN NULL
+       |    ELSE round(CAST(sum(CASE WHEN v.label = c.consensus THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / sum(CASE WHEN c.consensus IS NOT NULL THEN 1 ELSE 0 END), 6)
+       |    END) + 0.0 AS accuracy
+       |FROM votes v LEFT JOIN cons c
+       |  ON c.source = v.source AND c.doc_id = v.doc_id
+       |WHERE v.label IS NOT NULL
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    graft.operators.Agreement.majorityReliability(
+      raterVotes(Tables.documents(spark, dir)),
+      "source", "doc_id", "rater", "label")
+  }
+
+  /** One Dawid-Skene refinement step over the three-rater panel
+    * (Dawid & Skene 1979): learn each rater's confusion matrix against
+    * the majority consensus, then relabel EVERY voted document by the
+    * reliability-weighted posterior — the standard fix for majority
+    * voting when raters differ in quality (here the noisy `stop`
+    * rater stops outvoting `chars`/`tokens`). Whole computation in the
+    * exact nano lattice (the q237 class): ln of count ratios rounds to
+    * int64 weights, per-doc scores are exact integer sums, argmax ties
+    * break toward the smallest label identically in both dialects.
+    * Scale: confusion-grain aggregates, a broadcast raters x L^2
+    * weight table, votes x L scoring with a doc-partitioned argmax
+    * window. */
+  val q243DawidSkeneStep = Q(
+    "q243_dawid_skene_step",
+    s"""WITH $duckRaterVotesCtes,
+       |v AS (SELECT doc_id AS unit, rater, label AS given
+       |  FROM votes WHERE label IS NOT NULL),
+       |labs AS (SELECT DISTINCT given AS lab FROM v),
+       |nl AS (SELECT CAST(count(*) AS BIGINT) AS l FROM labs),
+       |cn AS (SELECT unit, given, CAST(count(*) AS BIGINT) AS n
+       |  FROM v GROUP BY 1, 2),
+       |cons AS (
+       |  SELECT unit, given AS truth FROM (
+       |    SELECT *, sum(n) OVER (PARTITION BY unit) AS mu FROM cn) t
+       |  WHERE n * 2 > mu AND mu >= 2),
+       |conf AS (
+       |  SELECT v.rater, c.truth, v.given, CAST(count(*) AS BIGINT) AS n_rtg
+       |  FROM v JOIN cons c ON c.unit = v.unit GROUP BY 1, 2, 3),
+       |rt AS (SELECT rater, truth, CAST(sum(n_rtg) AS BIGINT) AS n_rt
+       |  FROM conf GROUP BY 1, 2),
+       |rl AS (SELECT DISTINCT rater FROM v),
+       |dense AS (
+       |  SELECT r.rater, t.lab AS truth, g.lab AS given,
+       |    CAST(round(1e9 * ln((coalesce(c.n_rtg, 0) + 1)
+       |      / CAST(coalesce(x.n_rt, 0) + nl.l AS DOUBLE))) AS BIGINT) AS w
+       |  FROM rl r CROSS JOIN labs t CROSS JOIN labs g CROSS JOIN nl
+       |  LEFT JOIN conf c ON c.rater = r.rater AND c.truth = t.lab AND c.given = g.lab
+       |  LEFT JOIN rt x ON x.rater = r.rater AND x.truth = t.lab),
+       |pr AS (SELECT truth, CAST(count(*) AS BIGINT) AS n0c FROM cons GROUP BY 1),
+       |n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cons),
+       |pd AS (
+       |  SELECT t.lab AS truth,
+       |    CAST(round(1e9 * ln((coalesce(p.n0c, 0) + 1)
+       |      / CAST(n0.n + nl.l AS DOUBLE))) AS BIGINT) AS pw
+       |  FROM labs t CROSS JOIN n0 CROSS JOIN nl
+       |  LEFT JOIN pr p ON p.truth = t.lab),
+       |sc AS (
+       |  SELECT v.unit, d.truth, CAST(sum(d.w) AS BIGINT) AS sw
+       |  FROM v JOIN dense d ON d.rater = v.rater AND d.given = v.given
+       |  GROUP BY 1, 2),
+       |sp AS (SELECT sc.unit, sc.truth, sc.sw + pd.pw AS score
+       |  FROM sc JOIN pd ON pd.truth = sc.truth),
+       |post AS (
+       |  SELECT unit, truth AS posterior FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY unit
+       |      ORDER BY score DESC, truth) AS rn FROM sp) t
+       |  WHERE rn = 1)
+       |SELECT p.unit AS doc_id, c.truth AS majority, p.posterior,
+       |  CAST(CASE WHEN c.truth IS NULL OR c.truth <> p.posterior
+       |    THEN 1 ELSE 0 END AS INT) AS changed
+       |FROM post p LEFT JOIN cons c ON c.unit = p.unit
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.operators.Agreement.dawidSkeneStep(
+        raterVotes(Tables.documents(spark, dir)),
+        "doc_id", "rater", "label")
+      .select(col("unit").as("doc_id"), col("majority"), col("posterior"),
+        col("changed").cast("int").as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TRAINED multinomial Naive Bayes filter with a PLANTED-recovery
+    * eval (the q226/q227 discipline applied to a trained model): the
+    * corpus is planted with three classes of graded marker intensity —
+    * `plain` (untouched), `light` (ONE appended `zq` marker token),
+    * `heavy` (eight) — by doc_id % 3; the model trains on one md5-hash
+    * half and classifies the other, and the confusion matrix with
+    * per-class recall IS the measured readout of what a trained
+    * filter can recover at each signal strength (heavy ≈ separable by
+    * the marker count, light vs plain rides the dilution of the base
+    * mixture — the honest hard case). This is the real pipeline
+    * pattern: annotate a subset, train a cheap bounded model
+    * (label × 512 hashed buckets — the KB-scale learned-parameter
+    * class, broadcast to the apply side), apply at corpus scale.
+    * Whole pipeline in the exact nano lattice (ln weights rounded to
+    * int64, per-doc scores exact integer sums, argmax ties toward the
+    * LARGEST label in both dialects) — see
+    * [[graft.operators.NaiveBayes]]. Scale: one corpus-grain token
+    * aggregate per side; the argmax is a doc-partitioned window. */
+  val q242NbPlantedRecovery = Q(
+    "q242_nb_planted_recovery",
+    s"""WITH pl AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'plain' WHEN 1 THEN 'light'
+       |      ELSE 'heavy' END AS cls,
+       |    text || repeat(' zq', CASE doc_id % 3 WHEN 1 THEN 1 WHEN 2 THEN 8
+       |      ELSE 0 END) AS text
+       |  FROM documents),
+       |tr AS (
+       |  SELECT cls, string_split_regex(lower(text), '\\s+') AS toks
+       |  FROM pl WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 50),
+       |tok AS (
+       |  SELECT cls AS label,
+       |    ('0x' || substr(md5(t), 1, 15))::BIGINT % 512 AS b,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM tr, unnest(toks) AS u(t) WHERE t <> '' GROUP BY 1, 2),
+       |tot AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tot FROM tok GROUP BY 1),
+       |nd AS (SELECT cls AS label, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM pl WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 50 GROUP BY 1),
+       |dense AS (
+       |  SELECT l.label, g.b,
+       |    CAST(round(1e9 * ln((coalesce(k.cnt, 0) + 1)
+       |      / CAST(coalesce(t.tot, 0) + 512 AS DOUBLE))) AS BIGINT) AS w
+       |  FROM (SELECT label FROM nd) l
+       |  CROSS JOIN (SELECT unnest(range(0, 512)) AS b) g
+       |  LEFT JOIN tok k ON k.label = l.label AND k.b = g.b
+       |  LEFT JOIN tot t ON t.label = l.label),
+       |ndt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+       |  CAST(count(*) AS BIGINT) AS c FROM nd),
+       |pri AS (
+       |  SELECT nd.label,
+       |    CAST(round(1e9 * ln((nd.cnt + 1) / CAST(ndt.n + ndt.c AS DOUBLE))) AS BIGINT) AS pw
+       |  FROM nd CROSS JOIN ndt),
+       |te AS (
+       |  SELECT doc_id, cls, string_split_regex(lower(text), '\\s+') AS toks
+       |  FROM pl WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 >= 50),
+       |db AS (
+       |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % 512 AS b,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM te, unnest(toks) AS u(t) WHERE t <> '' GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT db.doc_id, d.label, CAST(sum(db.cnt * d.w) AS BIGINT) AS sw
+       |  FROM db JOIN dense d ON d.b = db.b GROUP BY 1, 2),
+       |scp AS (
+       |  SELECT sc.doc_id, sc.label, sc.sw + pri.pw AS score
+       |  FROM sc JOIN pri ON pri.label = sc.label
+       |  UNION ALL
+       |  SELECT te.doc_id, pri.label, pri.pw AS score
+       |  FROM te CROSS JOIN pri
+       |  WHERE te.doc_id NOT IN (SELECT doc_id FROM db)),
+       |pred AS (
+       |  SELECT doc_id, label AS predicted FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, label DESC) AS rn FROM scp) t
+       |  WHERE rn = 1),
+       |cm AS (
+       |  SELECT te.cls, p.predicted, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM te JOIN pred p ON p.doc_id = te.doc_id GROUP BY 1, 2),
+       |ct AS (SELECT cls, CAST(sum(n_docs) AS BIGINT) AS t FROM cm GROUP BY 1)
+       |SELECT cm.cls, cm.predicted, cm.n_docs,
+       |  round(cm.n_docs / CAST(ct.t AS DOUBLE), 6) + 0.0 AS recall
+       |FROM cm JOIN ct ON ct.cls = cm.cls
+       |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import graft.operators.NaiveBayes
+    val planted = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "plain")
+          .when(col("doc_id") % 3 === 1, "light")
+          .otherwise("heavy").as("cls"),
+        concat(col("text"), repeat(lit(" zq"),
+          when(col("doc_id") % 3 === 1, 1)
+            .when(col("doc_id") % 3 === 2, 8).otherwise(0))).as("text"))
+    // hash split, NOT doc_id parity: other synthetic columns cycle
+    // with doc_id, and the planted class itself is doc_id % 3 — the
+    // md5 split is independent of both
+    val train = planted.filter(Sampling.hashBucket(col("doc_id")) < 50)
+    val test = planted.filter(Sampling.hashBucket(col("doc_id")) >= 50)
+    val model = NaiveBayes.fit(train, "text", "cls")
+    val pred = NaiveBayes.classify(test, "doc_id", "text", model)
+    val cm = test.select(col("doc_id"), col("cls"))
+      .join(pred, Seq("doc_id"))
+      .groupBy(col("cls"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+    val ct = cm.groupBy(col("cls")).agg(sum(col("n_docs")).as("t"))
+    cm.join(ct, Seq("cls"))
+      .select(col("cls"), col("predicted"), col("n_docs"),
+        (round(col("n_docs").cast("double") / col("t"), 6) + lit(0.0d))
+          .as("recall"))
+      .orderBy(col("cls"), col("predicted"))
+  }
+
   val all: Seq[Q] = Seq(q23DedupExact, q24TokenStats, q25QualityFilter, q26LangId,
     q27Fingerprint, q28JaccardPairs, q29MinhashPairs, q30SimhashPairs, q37TfidfTopTerms,
     q43BpeTokens, q44WinnowFingerprint, q46PivotLangs, q48ExplodeOuter, q53CharEntropy,
@@ -5237,5 +5564,7 @@ object TextQueries {
     q202BrierDecomposition, q204ConformalThreshold, q212RetrievalNdcg,
     q213ChainNdcg, q218CurriculumOrder, q225IsotonicCalibration,
     q227PlantedTextDupRecall, q230ReshardMovement, q234NgramNovelty,
-    q235BpeMerges, q236BpeCompression, q238CohenKappa)
+    q235BpeMerges, q236BpeCompression, q238CohenKappa,
+    q240KrippendorffAlpha, q241RaterReliability, q242NbPlantedRecovery,
+    q243DawidSkeneStep)
 }

@@ -447,6 +447,19 @@ object StreamOps {
   def bpeWordCounts(docs: DataFrame, textCol: String): DataFrame =
     graft.operators.Bpe.wordCounts(docs, textCol)
 
+  /** Standing trained-filter monitor state — the streaming leg of the
+    * q242 Naive Bayes classifier: (label, bucket, cnt) hashed-token
+    * training counts plus per-label document counts, additive under
+    * union exactly like the BPE word dict, and (label × Dim)-bounded,
+    * never corpus-grain. Land via [[sinkCompleteVersions]]; the
+    * serving read is `NaiveBayes.modelFromState(latestSnapshot)` →
+    * `NaiveBayes.classify` — the SAME dense nano-lattice model the
+    * batch fit builds (StreamOpsSpec pins serving ≡ batch across a
+    * bounce), so a filter retrained from corpus deltas and the batch
+    * fit can never disagree. Input: docs with `textCol`, `labelCol`. */
+  def nbTrainState(docs: DataFrame, textCol: String, labelCol: String): DataFrame =
+    graft.operators.NaiveBayes.trainState(docs, textCol, labelCol)
+
   /** Incremental BM25 posting ingest — the serving-index face of the
     * q94 cross-corpus incremental pattern: each micro-batch of NEW
     * documents lands its per-doc posting delta (id, t, cnt, dl —

@@ -793,6 +793,20 @@ object DiagScale {
         "q238_kappa" -> (() =>
           graft.queries.TextQueries.q238CohenKappa
             .run(spark, relTables(spark, sfDir, k)).count()),
+        // r15 wave: q240 claims unit-grain then group-grain aggregates
+        // (never a unit self-join); q242 claims one corpus-grain token
+        // aggregate per side + a broadcast KB model + a doc-partitioned
+        // argmax window; q243 claims confusion-grain aggregates + a
+        // votes x L scoring join. All should probe ~linear or below.
+        "q240_alpha" -> (() =>
+          graft.queries.TextQueries.q240KrippendorffAlpha
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        "q242_nb" -> (() =>
+          graft.queries.TextQueries.q242NbPlantedRecovery
+            .run(spark, relTables(spark, sfDir, k)).count()),
+        "q243_ds" -> (() =>
+          graft.queries.TextQueries.q243DawidSkeneStep
+            .run(spark, relTables(spark, sfDir, k)).count()),
         "q239_disagree" -> (() =>
           graft.queries.VectorQueries.q239ScreenDisagreement
             .run(spark, relTables(spark, sfDir, k)).count()),

@@ -740,6 +740,41 @@ class StreamOpsSpec extends SparkSpec {
       "post-bounce serving read diverged from the one-shot batch fit")
   }
 
+  test("NB training monitor: streamed state serves ≡ batch fit+classify across a bounce") {
+    import spark.implicits._
+    // the q242 trained filter as a standing monitor: (label, bucket)
+    // counts land as versioned complete-mode snapshots; the serving
+    // read builds the SAME dense nano-lattice model the batch fit
+    // builds — including a delta that arrives while DOWN
+    val base = java.nio.file.Files.createTempDirectory("nbstate").toString
+    val (srcDir, ckDir, snapDir) = (s"$base/src", s"$base/ck", s"$base/snap")
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val probe = docs.limit(40).select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Unit = StreamOps.sinkCompleteVersions(
+      StreamOps.nbTrainState(
+        StreamOps.parquetStream(spark, schema, srcDir), "text", "lang"),
+      snapDir, ckDir)
+    def serve() = graft.operators.NaiveBayes.classify(probe, "doc_id", "text",
+        graft.operators.NaiveBayes.modelFromState(
+          StreamOps.latestSnapshot(spark, snapDir).get))
+      .as[(Long, String)].collect().toMap
+    def batchRef(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.NaiveBayes.classify(probe, "doc_id", "text",
+          graft.operators.NaiveBayes.fit(d, "text", "lang"))
+        .as[(Long, String)].collect().toMap
+    runOnce()
+    assert(serve() === batchRef(docs.filter(col("doc_id") % 2 === 0)),
+      "first serving read diverged from the one-shot batch fit")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(srcDir) // arrives while DOWN
+    runOnce()
+    assert(serve() === batchRef(docs),
+      "post-bounce serving read diverged from the one-shot batch fit")
+  }
+
   test("covariance-drift fold refuses ragged vector dimensions loudly") {
     import spark.implicits._
     // half sizes derive from the (1,1) cell, which is only the group
