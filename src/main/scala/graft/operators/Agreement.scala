@@ -89,9 +89,11 @@ object Agreement {
     *
     * Guards, both folded into the value (the cohenKappa pattern):
     * a unit with more than `maxRaters` votes raises loudly (the S
-    * scaling would silently stop being integral); a group with
-    * n > 5×10⁸ pairable values raises before (n−1)·do_s can overflow
-    * int64. Units with m_u < 2 and groups with zero pairable units
+    * scaling would silently stop being integral); a group whose
+    * pairable values push S·n² past int64 raises before (n−1)·do_s or
+    * the S-scaled denominator can overflow (the bound scales with S:
+    * 5×10⁸ values at maxRaters=3, ~1.4×10⁸ at the maxRaters=8
+    * default). Units with m_u < 2 and groups with zero pairable units
     * contribute nothing (Krippendorff's own rule); a group whose
     * pairable values are all one label has no chance disagreement →
     * alpha NULL.
@@ -109,9 +111,20 @@ object Agreement {
     val scaleS: Long = (1 until maxRaters).map(_.toLong).reduce { (a, b) =>
       a / BigInt(a).gcd(BigInt(b)).toLong * b
     }
+    // headroom SCALES WITH S: the worst-case numerator (nv-1)*do_s and
+    // denominator S*(nv^2 - sumsq_c) are both <= S*nv^2, so the guard
+    // admits only nv with S*nv^2 inside int64 (5e8 at S=2; ~1.4e8 at
+    // the maxRaters=8 default's S=420) — a fixed 5e8 would let larger
+    // rater pools overflow silently (review find)
+    val nvMax: Long = math.min(500000000L, math.sqrt(9.0e18 / scaleS).toLong)
+    // checkpoint the vote counts: nuc feeds BOTH the per-unit fold and
+    // the marginals, and without it the caller's vote-construction
+    // subplan (tokenization, in q240's case) executes once per branch.
+    // Bounded: <= one skinny row per (unit, label) vote pair.
     val nuc = items.filter(col(labelCol).isNotNull)
       .groupBy(col(groupCol), col(unitCol), col(labelCol).as("k"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val perUnit = nuc.groupBy(col(groupCol), col(unitCol))
       .agg(sum(col("n")).as("mu"), sum(col("n") * col("n")).as("sumsq"))
       .filter(col("mu") >= 2)
@@ -127,10 +140,10 @@ object Agreement {
     val perGroup = perUnit.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_units"), sum(col("mu")).as("nv"),
         sum(col("f") * (col("mu") * col("mu") - col("sumsq"))).as("do_s"))
-      .withColumn("ok", when(col("nv") > 500000000L,
-        raise_error(lit("krippendorff_alpha: per-group pairable values past " +
-          "the int64 (n-1)*do_s headroom — subsample or shard the group"))
-          .cast("long"))
+      .withColumn("ok", when(col("nv") > nvMax,
+        raise_error(lit(s"krippendorff_alpha: per-group pairable values past " +
+          s"the int64 S*n^2 headroom ($nvMax at maxRaters=$maxRaters) — " +
+          "subsample or shard the group")).cast("long"))
         .otherwise(lit(1L)))
     // coincidence marginals: votes of pairable units only
     val marg = nuc.join(perUnit.select(col(groupCol), col(unitCol)),
@@ -223,9 +236,14 @@ object Agreement {
     *         was NULL), the units the reliability weighting rescues */
   def dawidSkeneStep(items: DataFrame, unitCol: String, raterCol: String,
       labelCol: String): DataFrame = {
+    // checkpoint the votes: they feed five branches (labels, raters,
+    // consensus, confusion, scoring) plus an eager label-domain count,
+    // and without it the caller's vote-construction subplan would
+    // re-execute per branch. Bounded: one skinny row per vote.
     val votes = items.filter(col(labelCol).isNotNull)
       .select(col(unitCol).as("unit"), col(raterCol).as("rater"),
         col(labelCol).as("given"))
+      .localCheckpoint()
     val labels = votes.select(col("given").as("lab")).distinct()
     val raters = votes.select(col("rater")).distinct()
     val nLabels = labels.count() // label-domain cardinality: tiny by contract

@@ -43,11 +43,10 @@ object NaiveBayes {
     * numerator) inside the one additive state. */
   val DocCountBucket = -1L
 
-  /** 0-based feature bucket of one token — the portable md5 hash
-    * (QualityModel/q234 convention; DuckDB twin:
-    * `('0x' || substr(md5(t), 1, 15))::BIGINT % Dim`). */
-  def bucket(tok: Column): Column =
-    conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % Dim
+  /** 0-based feature bucket of one token — [[Dedup.portableHash60]]
+    * reduced mod [[Dim]] (the QualityModel/q234 convention; DuckDB
+    * twin: `('0x' || substr(md5(t), 1, 15))::BIGINT % Dim`). */
+  def bucket(tok: Column): Column = Dedup.portableHash60(tok) % Dim
 
   /** The additive training state: (label, bucket, cnt) token-occurrence
     * counts PLUS one ([[DocCountBucket]]) row per label carrying the
@@ -56,7 +55,7 @@ object NaiveBayes {
   def trainState(docs: DataFrame, textCol: String, labelCol: String): DataFrame = {
     val toks = docs
       .select(col(labelCol).as("label"),
-        explode(split(lower(col(textCol)), "\\s+")).as("t"))
+        explode(graft.functions.TextFns.tokens(col(textCol))).as("t"))
       .filter(col("t") =!= "")
       .groupBy(col("label"), bucket(col("t")).as("b"))
       .agg(count(lit(1)).as("cnt"))
@@ -108,36 +107,37 @@ object NaiveBayes {
     * @return (idCol, predicted) */
   def classify(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame): DataFrame = {
-    // materialize the model ONCE: it is referenced three times below
-    // (weights, priors on the scored side, priors on the empty-doc
-    // side) and without the checkpoint each broadcast re-executes the
-    // whole training subplan — measured 7.4 s → ~2 s on q242 at sf0.1.
-    // Bounded by construction: labels × (Dim+1) rows.
+    // materialize the model ONCE: weights and priors are two reads of
+    // it, and without the checkpoint each broadcast re-executes the
+    // whole training subplan. Bounded: labels × (Dim+1) rows.
     val m = model.localCheckpoint()
     val weights = m.filter(col("b") =!= DocCountBucket)
     val priors = m.filter(col("b") === DocCountBucket)
       .select(col("label"), col("w").as("pw"))
     val docBuckets = docs
-      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("t"))
+      .select(col(idCol), explode(graft.functions.TextFns.tokens(col(textCol))).as("t"))
       .filter(col("t") =!= "")
       .groupBy(col(idCol), bucket(col("t")).as("b"))
       .agg(count(lit(1)).as("cnt"))
-    val scored = docBuckets
+    val sw = docBuckets
       .join(broadcast(weights), Seq("b"))
       .groupBy(col(idCol), col("label"))
       .agg(sum(col("cnt") * col("w")).as("sw"))
-      // right outer on the doc side would lose empty docs; instead the
-      // empty-doc rows are re-attached below on the prior alone
-      .join(broadcast(priors), Seq("label"))
-      .select(col(idCol), col("label"), (col("sw") + col("pw")).as("score"))
-    val empty = docs.select(col(idCol))
-      .join(docBuckets.select(col(idCol)), Seq(idCol), "left_anti")
+    // every doc gets all L candidate rows from the prior side (docs x
+    // broadcast priors), and the token evidence joins in as a LEFT
+    // side — ONE corpus-grain aggregate total; a doc with no tokens
+    // scores on the prior alone with no second aggregate or anti-join
+    // branch (which would re-execute the whole tokenize+aggregate
+    // subplan — the same defect class the model checkpoint fixed)
+    val scored = docs.select(col(idCol))
       .crossJoin(broadcast(priors))
-      .select(col(idCol), col("label"), col("pw").as("score"))
+      .join(sw, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("label"),
+        (col("pw") + coalesce(col("sw"), lit(0L))).as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("score").desc, col("label").desc)
-    scored.unionByName(empty)
+    scored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col(idCol), col("label").as("predicted"))
