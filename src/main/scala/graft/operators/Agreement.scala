@@ -224,8 +224,10 @@ object Agreement {
     * aggregation order. L = |label domain| (add-one smoothing).
     *
     * Scale: consensus and confusion are unit-/confusion-grain
-    * aggregates; the dense weight table is raters × L² rows
-    * (broadcast — the KB-scale learned-parameter class); scoring is
+    * aggregates; the dense weight table is raters × L² rows — the
+    * KB-scale learned-parameter class, COLLECTED under loud bounds
+    * (`maxLabels`, `maxWeightRows` — the fitFromCounts limit-bounded
+    * discipline) and re-broadcast as a LocalRelation; scoring is
     * votes × L rows with a unit-partitioned argmax window — never
     * unit × unit.
     *
@@ -235,18 +237,34 @@ object Agreement {
     *         tied units; changed = posterior ≠ majority (or majority
     *         was NULL), the units the reliability weighting rescues */
   def dawidSkeneStep(items: DataFrame, unitCol: String, raterCol: String,
-      labelCol: String): DataFrame = {
+      labelCol: String, maxLabels: Int = 64,
+      maxWeightRows: Int = 2000000): DataFrame = {
+    val spark = items.sparkSession
     // checkpoint the votes: they feed five branches (labels, raters,
-    // consensus, confusion, scoring) plus an eager label-domain count,
+    // consensus, confusion, scoring) plus an eager label-domain read,
     // and without it the caller's vote-construction subplan would
     // re-execute per branch. Bounded: one skinny row per vote.
     val votes = items.filter(col(labelCol).isNotNull)
       .select(col(unitCol).as("unit"), col(raterCol).as("rater"),
         col(labelCol).as("given"))
       .localCheckpoint()
-    val labels = votes.select(col("given").as("lab")).distinct()
+    // label domain COLLECTED under a loud bound (the
+    // BradleyTerry.fitFromCounts limit-bounded-read discipline) and
+    // re-created as a LocalRelation: the same driver read that used to
+    // be a bare count() now also makes every labels broadcast below
+    // PROVABLY bounded for the registry-wide broadcast sweep (a
+    // Deduplicate over the checkpoint's LogicalRDD is opaque to it)
+    val labProj = votes.select(col("given").as("lab")).distinct()
+    val labRows = labProj.limit(maxLabels + 1).collect()
+    if (labRows.length > maxLabels)
+      throw new IllegalArgumentException(
+        s"dawid_skene: label domain exceeds the documented bound " +
+          s"($maxLabels) — relabel at a coarser class grain or raise " +
+          "maxLabels explicitly")
+    val labels = spark.createDataFrame(
+      java.util.Arrays.asList(labRows: _*), labProj.schema)
     val raters = votes.select(col("rater")).distinct()
-    val nLabels = labels.count() // label-domain cardinality: tiny by contract
+    val nLabels = labRows.length.toLong // tiny by contract (guard above)
     val consensus = votes.groupBy(col("unit"), col("given"))
       .agg(count(lit(1)).as("n"))
       .withColumn("mu",
@@ -261,7 +279,7 @@ object Agreement {
       .agg(count(lit(1)).as("n_rtg"))
     val rowTot = conf.groupBy(col("rater"), col("truth"))
       .agg(sum(col("n_rtg")).as("n_rt"))
-    val dense = raters
+    val denseDist = raters
       .crossJoin(broadcast(labels.select(col("lab").as("truth"))))
       .crossJoin(broadcast(labels.select(col("lab").as("given"))))
       .join(conf, Seq("rater", "truth", "given"), "left")
@@ -271,6 +289,18 @@ object Agreement {
           (coalesce(col("n_rtg"), lit(0L)) + 1).cast("double")
             / (coalesce(col("n_rt"), lit(0L)) + nLabels)), 0)
           .cast("long").as("w"))
+    // the raters × L² weight table is the learned parameter — the
+    // KB-scale codebook class: collect it under a loud bound and
+    // re-create a LocalRelation so its broadcast below is provably
+    // bounded (same sweep argument as the label domain above)
+    val denseRows = denseDist.limit(maxWeightRows + 1).collect()
+    if (denseRows.length > maxWeightRows)
+      throw new IllegalArgumentException(
+        s"dawid_skene: raters x labels^2 weight table exceeds the " +
+          s"documented driver bound ($maxWeightRows rows) — fit at a " +
+          "coarser rater/label grain or raise maxWeightRows explicitly")
+    val dense = spark.createDataFrame(
+      java.util.Arrays.asList(denseRows: _*), denseDist.schema)
     val prior = consensus.groupBy(col("truth")).agg(count(lit(1)).as("n0c"))
     val priorDense = labels.select(col("lab").as("truth"))
       .join(prior, Seq("truth"), "left")

@@ -104,13 +104,28 @@ object NaiveBayes {
     * ties toward the LARGEST label (row_number over score DESC, label
     * DESC — pinned identically in the oracle dialect). Documents with
     * zero tokens score on the prior alone.
+    *
+    * The model is COLLECTED once (the KB-scale learned-parameter /
+    * codebook class, the BradleyTerry.fitFromCounts loud-guard
+    * discipline: limit-bounded read, refuse past `maxLabels`×(Dim+1)
+    * rows) and re-created as a LocalRelation, so the training subplan
+    * executes exactly once AND the two broadcasts below are PROVABLY
+    * bounded for the registry-wide broadcast sweep — a localCheckpoint
+    * would hide the bound behind an opaque LogicalRDD.
     * @return (idCol, predicted) */
   def classify(docs: DataFrame, idCol: String, textCol: String,
-      model: DataFrame): DataFrame = {
-    // materialize the model ONCE: weights and priors are two reads of
-    // it, and without the checkpoint each broadcast re-executes the
-    // whole training subplan. Bounded: labels × (Dim+1) rows.
-    val m = model.localCheckpoint()
+      model: DataFrame, maxLabels: Int = 64): DataFrame = {
+    val spark = model.sparkSession
+    val bound = maxLabels * (Dim + 1)
+    val proj = model.select(col("label"), col("b"), col("w"))
+    val rows = proj.limit(bound + 1).collect()
+    if (rows.length > bound)
+      throw new IllegalArgumentException(
+        s"naive_bayes: model exceeds the documented labels x (Dim+1) driver " +
+          s"bound ($bound rows at maxLabels=$maxLabels) — classify with a " +
+          "coarser label domain or raise maxLabels explicitly")
+    val m = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), proj.schema)
     val weights = m.filter(col("b") =!= DocCountBucket)
     val priors = m.filter(col("b") === DocCountBucket)
       .select(col("label"), col("w").as("pw"))
