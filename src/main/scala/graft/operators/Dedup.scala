@@ -793,6 +793,24 @@ object Dedup {
         explode(graft.plans.WinnowExpr.winnow(col("norm"), w, k)).as("fp"): _*)
   }
 
+  /** Per-document count of distinct winnowing fingerprints, IN-ROW:
+    * WinnowExpr already emits the per-document DISTINCT fingerprint
+    * set, so the count is just the array size — no explode, no
+    * fingerprint-grain exchange, no re-group (guide §2.4: remove
+    * shuffles outright). Same normalization and length gate as
+    * [[winnowFingerprints]]; `n_fp` equals exactly the per-id row count
+    * of that method's output. */
+  def winnowFingerprintCounts(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, k: Int, carry: Seq[String] = Nil): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val carryCols = carry.map(col)
+    docs
+      .select(col(idCol).as("id") +: carryCols :+ norm.as("norm"): _*)
+      .filter(length(col("norm")) >= w + k - 1)
+      .select(col("id") +: carryCols :+
+        size(graft.plans.WinnowExpr.winnow(col("norm"), w, k)).as("n_fp"): _*)
+  }
+
   /** SimHash near-dup pairs: 64-bit signatures, candidates blocked on
     * 16-bit sub-bands (a pair within hamming distance 3 must agree on at
     * least one of the 4 bands — pigeonhole), then verified exactly.

@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   *
   * Scale: ONE corpus-grain token aggregate to train (label × bucket
   * grain out), ONE corpus-grain (doc × bucket) aggregate to apply,
-  * model joins broadcast, argmax is a doc-partitioned window. The
+  * model joins broadcast, argmax is a doc-grain aggregate. The
   * training state is additive under union (the BPE word-counts /
   * duel-counts monitor class) — see
   * [[graft.streaming.StreamOps.nbTrainState]] for the standing-monitor
@@ -101,9 +101,9 @@ object NaiveBayes {
 
   /** Classify each document against a [[modelFromState]] model:
     * score(c) = prior(c) + Σ_b cnt_b·W(c,b), exact int64; argmax with
-    * ties toward the LARGEST label (row_number over score DESC, label
-    * DESC — pinned identically in the oracle dialect). Documents with
-    * zero tokens score on the prior alone.
+    * ties toward the LARGEST label (≡ the oracle's row_number over
+    * score DESC, label DESC — computed here as one max-of-struct
+    * aggregate). Documents with zero tokens score on the prior alone.
     *
     * The model is COLLECTED once (the KB-scale learned-parameter /
     * codebook class, the BradleyTerry.fitFromCounts loud-guard
@@ -149,12 +149,14 @@ object NaiveBayes {
       .join(sw, Seq(idCol, "label"), "left")
       .select(col(idCol), col("label"),
         (col("pw") + coalesce(col("sw"), lit(0L))).as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("score").desc, col("label").desc)
+    // argmax as ONE hash aggregate instead of a doc-partitioned sort
+    // window: max score with ties toward the LARGEST label = max of the
+    // (score, label) struct (struct ordering is field-by-field — exactly
+    // "score DESC, label DESC" row 1). Partial aggregation collapses
+    // the L candidate rows map-side before the doc exchange (guide §2.3).
     scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("label").as("predicted"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("score").as("s"), col("label").as("l"))).as("m"))
+      .select(col(idCol), col("m.l").as("predicted"))
   }
 }

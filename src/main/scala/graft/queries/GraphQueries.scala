@@ -56,8 +56,16 @@ object GraphQueries {
       .filter(col("n_ab") >= CoMinShared)
       .select(col("part_a").as("a"), col("part_b").as("b"))
 
+  /** r15 perf: every graph query consumes the edge list several times
+    * (degree table + triangle/wedge self-joins), and each consumer
+    * re-planned the orders⋈lineitem⋈customer incidence build plus the
+    * basket pair fan-out (q161's executed plan carried ~27 scans). The
+    * edge list is supplier-pair grain bounded by CoMinShared — tiny
+    * against the fact tables it summarizes — so ONE lineage cut makes
+    * the incidence build run exactly once per query (q142/q143
+    * checkpointed-stage discipline; guide §2.4). */
   private[queries] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
-    coPurchaseEdges(coPurchaseIncidence(spark, dir))
+    coPurchaseEdges(coPurchaseIncidence(spark, dir)).localCheckpoint()
 
   /** Shared DuckDB CTE prefix mirroring [[coPurchaseEdges]]: incidence
     * `cs`, the capped projection `csf` (baskets over [[CoBasketCap]]

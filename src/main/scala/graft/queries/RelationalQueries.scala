@@ -1072,9 +1072,15 @@ object RelationalQueries {
       |ORDER BY p.n_ab DESC, p.part_a, p.part_b
       |LIMIT 20""".stripMargin) { (spark, dir) =>
     import graft.operators.Baskets
+    // r15 perf: the basket table feeds THREE consumers (pairs, singles,
+    // the order total) and each re-planned the lineitem distinct +
+    // collect_list build. Order-grain rows with ≤64-item arrays —
+    // bounded far below lineitem — so one lineage cut (q142/q198
+    // discipline, guide §2.4).
     val baskets = Baskets.baskets(
       Tables.lineitem(spark, dir), key = "l_orderkey", item = "l_partkey",
       maxItems = 64, metricName = "graft.q111_baskets")
+      .localCheckpoint()
     val pairs = Baskets.pairCounts(baskets)
     val singles = baskets.select(explode(col("pks")).as("pk"))
       .groupBy(col("pk")).agg(count(lit(1)).as("n"))
@@ -2472,6 +2478,14 @@ object RelationalQueries {
       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0 AS spearman_rho
       |FROM s ORDER BY n_name""".stripMargin) { (spark, dir) =>
     import graft.operators.Ecdf
+    // r15 perf: o feeds THREE consumers (dx, dy, the final sufficient-
+    // statistics join) whose diverging column pruning defeats
+    // ReuseExchange (the q83/q85 lesson) — each consumer re-planned the
+    // whole orders⋈customer⋈nation⋈lineitem join (executed plan carried
+    // ~20 scans). One lineage cut of the ORDER-GRAIN aggregate (three
+    // skinny columns, |orders| rows — far below the lineitem input it
+    // summarizes) makes the join run once (q142's checkpointed-stage
+    // pattern).
     val o = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
       .join(broadcast(Tables.nation(spark, dir)),
@@ -2480,6 +2494,7 @@ object RelationalQueries {
       .groupBy(col("n_name"), col("o_orderkey"))
       .agg(count(lit(1)).as("x"),
         round(first(col("o_totalprice")) * 100).cast("long").as("y"))
+      .localCheckpoint()
     val dx = o.groupBy(col("n_name"), col("x")).agg(count(lit(1)).as("c"))
     val dy = o.groupBy(col("n_name"), col("y")).agg(count(lit(1)).as("c"))
     val rx = Ecdf.groupedCumsum(dx, Seq("n_name"), "x", Seq("c"))

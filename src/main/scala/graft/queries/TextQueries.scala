@@ -767,9 +767,13 @@ object TextQueries {
       |FROM per
       |GROUP BY source
       |ORDER BY source""".stripMargin) { (spark, dir) =>
+    // r15 perf: the winnow expression emits the per-doc DISTINCT
+    // fingerprints, so the per-doc count is the array size in-row —
+    // the explode + (doc, source) re-group this replaced shuffled every
+    // selected gram to recount what the row already knew (guide §2.4)
     val docs = Tables.documents(spark, dir)
-    Dedup.winnowFingerprints(docs, "doc_id", "text", w = 8, k = 4, carry = Seq("source"))
-      .groupBy(col("id"), col("source")).agg(count(lit(1)).as("n_fp"))
+    Dedup.winnowFingerprintCounts(docs, "doc_id", "text", w = 8, k = 4,
+        carry = Seq("source"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("n_fp")), 4).as("avg_fps"),
@@ -2264,6 +2268,8 @@ object TextQueries {
       .select(col("qid"), col("doc_id"), col("score").as("rel"))
     val candE = cand.join(
       emb.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+    // (r15 audit: checkpointing this bounded pairwise-sim table was
+    // measured SLOWER, as in q142 — left lazy deliberately)
     val pair = candE.as("a").join(candE.as("b"),
         col("a.qid") === col("b.qid") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.qid").as("qid"), col("a.doc_id").as("da"),
@@ -2761,6 +2767,9 @@ object TextQueries {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("doc_id"), col("embedding"))
     val candE = cand.join(emb, "doc_id")
+    // (r15 audit: checkpointing this bounded pairwise-sim table was
+    // measured SLOWER — the eager extra job costs more than the three
+    // bounded re-references it saves; left lazy deliberately)
     val pair = candE.as("a").join(candE.as("b"),
         col("a.qid") === col("b.qid") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.qid").as("qid"), col("a.doc_id").as("da"), col("b.doc_id").as("db"),
@@ -5032,12 +5041,19 @@ object TextQueries {
       // a fixed 1e6 offset collides with real ids past a million docs,
       // corrupting the merged shingle sets silently (r13 review)
       val off = Tables.documents(spark, dir).agg((max(col("doc_id")) + 1).as("off"))
+      // r15 perf: the plant panel feeds THREE consumers (the merged
+      // corpus via the screen, the shingle table, and the ground-truth
+      // grid) — without a lineage cut each consumer re-executed the
+      // whole 6-branch union (6 panel scans + tokenizes APIECE; the
+      // executed plan carried ~134 documents scans). One checkpoint of
+      // the panel-bounded plant rows makes the panel a build-once input
+      // (guide §2.4 / the q143 pair-set discipline).
       val plv = bandsSpec.map { case (b, d) =>
         bt.crossJoin(broadcast(off))
           .select((col("off") + col("doc_id") * 6 + lit(b.toLong)).as("doc_id"),
           col("doc_id").as("base_id"), lit(b).as("band"), lit(d).as("d"),
           filter(col("t"), (x, i) => ((i + 1) % d) =!= 0).as("t"))
-      }.reduce(_ unionByName _)
+      }.reduce(_ unionByName _).localCheckpoint()
       // token-level plants rebuilt as text: tokens are \s+-split, so
       // they carry no whitespace and concat_ws(" ") round-trips them
       // through the screen's own tokenizer verbatim (both engines'
@@ -5048,12 +5064,16 @@ object TextQueries {
           concat_ws(" ", col("t")).as("text")))
       val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
         n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      // the shingle table is read by THREE downstream consumers (szs,
+      // both sides of the intersection join): cut it once so the corpus
+      // re-read + shingle explode run exactly once (q143 discipline)
       val sh = corpus
         .crossJoin(broadcast(off))
         .filter(col("doc_id") % 22 === 0 || col("doc_id") >= col("off"))
         .drop("off")
         .select(col("doc_id"),
           explode(TextFns.shingleSet(col("text"), 3)).as("s"))
+        .localCheckpoint()
       val szs = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val gt = plv.select(col("band"), col("d"), col("base_id"),
           col("doc_id").as("vid"))
@@ -5239,16 +5259,23 @@ object TextQueries {
     def grade(v: org.apache.spark.sql.Column, lo: Int,
         hi: Int): org.apache.spark.sql.Column =
       when(v < lo, "low").when(v < hi, "mid").otherwise("high")
-    base.select(col("source"), col("doc_id"), lit("chars").as("rater"),
-        grade(col("n_chars"), 200, 400).as("label"))
-      .unionByName(base.select(col("source"), col("doc_id"),
-        lit("tokens").as("rater"),
-        when(col("doc_id") % 7 === 0, lit(null).cast("string"))
-          .otherwise(grade(col("tc"), 40, 80)).as("label")))
-      .unionByName(base.select(col("source"), col("doc_id"),
-        lit("stop").as("rater"),
-        when(col("doc_id") % 5 === 2, lit(null).cast("string"))
-          .otherwise(grade(col("sc"), 2, 5)).as("label")))
+    // r15 perf: ONE corpus pass — the three raters ride a single
+    // scan+tokenize as an in-row explode of (rater, label) structs.
+    // The previous 3-way union planned three documents scans (two of
+    // them re-tokenizing) for the same long-format rows (guide §2.3:
+    // emit everything one pass can compute); identical row multiset.
+    base.select(col("source"), col("doc_id"),
+        explode(array(
+          struct(lit("chars").as("rater"),
+            grade(col("n_chars"), 200, 400).as("label")),
+          struct(lit("tokens").as("rater"),
+            when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+              .otherwise(grade(col("tc"), 40, 80)).as("label")),
+          struct(lit("stop").as("rater"),
+            when(col("doc_id") % 5 === 2, lit(null).cast("string"))
+              .otherwise(grade(col("sc"), 2, 5)).as("label")))).as("v"))
+      .select(col("source"), col("doc_id"),
+        col("v.rater").as("rater"), col("v.label").as("label"))
   }
 
   /** DuckDB twin of [[raterVotes]]: a `votes` CTE with
@@ -5372,8 +5399,8 @@ object TextQueries {
     * int64 weights, per-doc scores are exact integer sums, argmax ties
     * break toward the smallest label identically in both dialects.
     * Scale: confusion-grain aggregates, a broadcast raters x L^2
-    * weight table, votes x L scoring with a doc-partitioned argmax
-    * window. */
+    * weight table, votes x L scoring with a doc-grain argmax
+    * aggregate. */
   val q243DawidSkeneStep = Q(
     "q243_dawid_skene_step",
     s"""WITH $duckRaterVotesCtes,
@@ -5449,7 +5476,7 @@ object TextQueries {
     * int64, per-doc scores exact integer sums, argmax ties toward the
     * LARGEST label in both dialects) — see
     * [[graft.operators.NaiveBayes]]. Scale: one corpus-grain token
-    * aggregate per side; the argmax is a doc-partitioned window. */
+    * aggregate per side; the argmax is a doc-grain aggregate. */
   val q242NbPlantedRecovery = Q(
     "q242_nb_planted_recovery",
     s"""WITH pl AS (
