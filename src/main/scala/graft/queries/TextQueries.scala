@@ -3339,7 +3339,12 @@ object TextQueries {
        |    / CAST(count(*) AS DOUBLE), 4) AS pos_rate,
        |  round(avg(score), 4) + 0.0 AS mean_score
        |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (spark, dir) =>
-    val lab = qualityLab(spark, dir)
+    // r15 perf: lab feeds the global min/max AND the binning pass — the
+    // two-pass is fundamental (bin edges need the bounds) but without a
+    // cut both passes re-ran the per-token hashed-weight score; one
+    // checkpoint of the skinny doc-grain lab halves the score work
+    // (guide §2.4; same fix in q202/q225)
+    val lab = qualityLab(spark, dir).localCheckpoint()
     val bounds = lab.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
     lab.crossJoin(broadcast(bounds))
       .select(least(greatest(floor((col("score") - col("lo")) /
@@ -4660,7 +4665,9 @@ object TextQueries {
        |  round(wbv_n / n, 6) AS within_bin_var,
        |  round(wcv_n / n, 6) + 0.0 AS within_bin_cov
        |FROM parts""".stripMargin) { (spark, dir) =>
-    val lab = qualityLab(spark, dir)
+    // r15 perf: one cut so the bounds pass and the binning pass share a
+    // single evaluation of the per-token score (the q155 fix)
+    val lab = qualityLab(spark, dir).localCheckpoint()
     val bounds = lab.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
     val b = lab.crossJoin(broadcast(bounds))
       .select(least(greatest(floor((col("score") - col("lo")) /
@@ -4924,7 +4931,9 @@ object TextQueries {
        |FROM bins b JOIN iso i ON i.bin = b.bin AND i.j = b.bin
        |ORDER BY b.bin""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val lab = qualityLab(spark, dir)
+    // r15 perf: one cut so the bounds pass and the binning pass share a
+    // single evaluation of the per-token score (the q155 fix)
+    val lab = qualityLab(spark, dir).localCheckpoint()
     val bounds = lab.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
     val bins = lab.crossJoin(broadcast(bounds))
       .select(least(greatest(floor((col("score") - col("lo")) /
