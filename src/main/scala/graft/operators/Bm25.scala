@@ -99,7 +99,15 @@ object Bm25 {
   def postingIndex(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val id = col(idCol)
-    val tf = postingDeltas(docs, idCol, textCol, n)
+    // r15 perf: the raw posting build (scan → tokenize → shingle
+    // explode → (id,t) aggregate) feeds BOTH the df vocabulary and the
+    // final weight join; without a lineage cut it executed twice per
+    // index build. One checkpoint of the posting-grain rows halves the
+    // tokenize/shingle work for every BM25 caller (q137/q141/q142/
+    // q169/q212/q213); the at-scale deployment story is unchanged —
+    // a 100 TB corpus materializes the index ONCE bucketed by term
+    // (see the object scaladoc) and never rebuilds it per query.
+    val tf = postingDeltas(docs, idCol, textCol, n).localCheckpoint()
     // corpus stats from one narrow scan: a doc's shingle count is
     // len(toks) - (n-1), so n_docs/avgdl never need the tf exchange
     val stats = docs

@@ -1485,6 +1485,10 @@ object TextQueries {
       |WHERE dot / (na.nr * nb.nr) >= 0.3
       |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
+    // r15 perf: tf feeds BOTH the df vocabulary and the weight/norm
+    // pass — one lineage cut so the tokenize + shingle explode +
+    // (doc,t) aggregate run once, not twice (the Bm25.postingIndex
+    // fix applied to the TF-IDF side)
     val tf = docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
@@ -1493,6 +1497,7 @@ object TextQueries {
         explode(TextFns.shinglePositions(col("toks"), 3)).as("i"))
       .select(col("doc_id"), TextFns.shingleAt(col("toks"), col("i"), 3).as("t"))
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     // dfMax derives from the corpus size inside the plan, riding the
     // same 1-row count broadcast the idf uses — no extra driver action
