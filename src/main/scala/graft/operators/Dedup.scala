@@ -74,6 +74,17 @@ object Dedup {
       .select(col("id"), TextFns.shingleAt(col("toks"), col("i"), n).as("sh"))
       .dropDuplicates(Seq("id", "sh"))
 
+  /** The (id, sh) distinct shingle-set view, exposed so a caller
+    * running MORE THAN ONE shingle screen over the same corpus slice
+    * (q143 grades the exact screen against the MinHash screen) can
+    * build it once, cut its lineage, and feed both
+    * [[jaccardPairsFromShingles]] and [[minhashLshPairsFromShingles]]
+    * — one corpus tokenize+shingle pass instead of one per screen
+    * (r15, guide §2.4). Identical rows to what [[jaccardPairs]] /
+    * [[minhashLshPairs]] build internally (they delegate). */
+  def shingleSetView(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = shingleView(docs, idCol, textCol, n)
+
   /** Shared candidate stage of [[jaccardPairs]]/[[containmentPairs]]:
     * (id_a < id_b, n_inter, n_a, n_b) for pairs sharing ≥1 rare
     * shingle. One `repartition(sh)` and ReuseExchange feed every
@@ -81,8 +92,12 @@ object Dedup {
     * sizes — from the same corpus exchange (see the q29 lesson in the
     * jaccardPairs scaladoc). */
   private def rareShinglePairStats(docs: DataFrame, idCol: String,
-      textCol: String, n: Int, maxDocFreq: Int): DataFrame = {
-    val sh = shingleView(docs, idCol, textCol, n)
+      textCol: String, n: Int, maxDocFreq: Int): DataFrame =
+    rareShinglePairStatsFromShingles(
+      shingleView(docs, idCol, textCol, n), maxDocFreq)
+
+  private def rareShinglePairStatsFromShingles(sh: DataFrame,
+      maxDocFreq: Int): DataFrame = {
     val shBySh = sh.repartition(col("sh"))
     val sizes = shBySh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val rare = shBySh.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -106,7 +121,13 @@ object Dedup {
     // q29's banded self-join). sizes pays an id-sized partials exchange
     // on top of the shared layout, which at corpus scale is noise next
     // to the second full scan+shingle pass it replaces.
-    rareShinglePairStats(docs, idCol, textCol, n, maxDocFreq)
+    jaccardPairsFromShingles(shingleView(docs, idCol, textCol, n),
+      threshold, maxDocFreq)
+
+  /** [[jaccardPairs]] over a prebuilt [[shingleSetView]]. */
+  def jaccardPairsFromShingles(sh: DataFrame, threshold: Double,
+      maxDocFreq: Int): DataFrame =
+    rareShinglePairStatsFromShingles(sh, maxDocFreq)
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
@@ -469,13 +490,16 @@ object Dedup {
     * h_i(s) = (a_i·H(s) + b_i) mod P over the portable base hash H.
     * Returns (id, sig ARRAY<LONG>). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int): DataFrame = {
-    val sh = shingleView(docs, idCol, textCol, n)
-      .select(col("id"), portableShingleHash(col("sh")).as("xm"))
+      n: Int, k: Int): DataFrame =
+    minhashSignaturesFromShingles(shingleView(docs, idCol, textCol, n), k)
+
+  /** [[minhashSignatures]] over a prebuilt [[shingleSetView]]. */
+  def minhashSignaturesFromShingles(sh: DataFrame, k: Int): DataFrame = {
+    val xs = sh.select(col("id"), portableShingleHash(col("sh")).as("xm"))
     val mins = minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("xm") + lit(b)) % MinhashP).as(s"h$i")
     }
-    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+    xs.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
 
@@ -507,9 +531,17 @@ object Dedup {
     * @return (id_a, id_b, est_jaccard) with id_a < id_b
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame =
+    minhashLshPairsFromShingles(shingleView(docs, idCol, textCol, n),
+      bands, rowsPerBand, threshold)
+
+  /** [[minhashLshPairs]] over a prebuilt [[shingleSetView]] — pairs
+    * with [[jaccardPairsFromShingles]] so a caller grading the two
+    * screens against each other (q143) shingles the corpus ONCE. */
+  def minhashLshPairsFromShingles(sh: DataFrame, bands: Int,
+      rowsPerBand: Int, threshold: Double): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = minhashSignatures(docs, idCol, textCol, n, k)
+    val sigs = minhashSignaturesFromShingles(sh, k)
     // band key = the band's slice of the signature, comma-joined — an
     // engine-neutral join key (a hashed key would shuffle fewer bytes at
     // scale, but these are 4 ints ≈ the hash width anyway).

@@ -2849,15 +2849,23 @@ object TextQueries {
        |  round(n_both / CAST(greatest(1, n_exact) AS DOUBLE), 4) AS rec
        |FROM m""".stripMargin) { (spark, dir) =>
     val docs = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0)
+    // r15 perf: BOTH screens consume the same (id, sh) distinct shingle
+    // view — build it once and cut its lineage, so the corpus
+    // tokenize + shingle explode + per-doc dedup run ONCE instead of
+    // once per screen (guide §2.4; the FromShingles variants are
+    // delegation targets of the public operators, so the pair sets are
+    // bit-identical to q28/q29's)
+    val shv = Dedup.shingleSetView(docs, "doc_id", "text", n = 3)
+      .localCheckpoint()
     // both pair sets are near-dup outputs (already candidate-bounded by
     // df-cap/banding — tiny relative to the corpus); cut their lineage
     // once so the three count aggregates + intersection don't re-run
     // the dedup pipelines five times
-    val exact = Dedup.jaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.5, maxDocFreq = 100)
+    val exact = Dedup.jaccardPairsFromShingles(shv,
+        threshold = 0.5, maxDocFreq = 100)
       .select(col("id_a"), col("id_b")).localCheckpoint()
-    val approx = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+    val approx = Dedup.minhashLshPairsFromShingles(shv,
+        bands = 16, rowsPerBand = 4, threshold = 0.5)
       .select(col("id_a"), col("id_b")).localCheckpoint()
     val both = exact.join(approx, Seq("id_a", "id_b"))
     exact.agg(count(lit(1)).as("n_exact"))

@@ -43,6 +43,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("FromShingles variants reproduce the docs-path outputs exactly") {
+    // r15: q143 builds the (id, sh) view once and feeds both screens —
+    // pin that the shared-view path is bit-identical to the public
+    // docs-path operators it delegates from
+    val shv = Dedup.shingleSetView(docs, "doc_id", "text", n = 3)
+    val jDocs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.3, maxDocFreq = 10)
+      .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect().toSeq
+    val jSh = Dedup.jaccardPairsFromShingles(shv, threshold = 0.3, maxDocFreq = 10)
+      .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect().toSeq
+    assert(jSh === jDocs)
+    val mDocs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect().toSeq
+    val mSh = Dedup.minhashLshPairsFromShingles(shv,
+        bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect().toSeq
+    assert(mSh === mDocs)
+  }
+
   test("containmentPairs finds an excerpt Jaccard misses") {
     // doc 2 = first 4 tokens of doc 1 (containment 1.0 for its 2
     // trigram shingles; Jaccard = 2/8 = 0.25); doc 3 unrelated
