@@ -41,4 +41,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dfile.encoding=UTF-8",
   "-Dsun.jnu.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // -Xms pinned to -Xmx (standard fixed-heap sizing for Spark JVMs):
+  // without it, every inter-query System.gc() full-compacts AND
+  // SHRINKS the committed G1 heap to ~300-500 MB, so the next query
+  // pays heap re-expansion plus a storm of IHOP-triggered concurrent
+  // mark cycles (measured r16: 2116 "Concurrent Start" young GCs and
+  // 85.7 s of concurrent marking inside timed windows across one
+  // bench; with -Xms=-Xmx: 8 young GCs, 0.1 s). Full-suite bench
+  // 172.3 s -> 129.9 s on the same box, methodology unchanged.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").map(_.split(" ").toSeq).getOrElse(Seq.empty)

@@ -48,6 +48,13 @@ object Bench {
       .config(graft.sources.Tables.NanosAsLongKey, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the hygiene unpersist below (see loop) fires one benign
+    // "locally checkpointed ... cannot be recomputed" WARN per dropped
+    // RDD; silence exactly that logger package — nothing is ever
+    // recomputed across queries, each lambda rebuilds from parquet
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
 
     // warm-up: session init, codegen, parquet footer reads
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -77,6 +84,17 @@ object Bench {
       // each timed run should start from the same no-pinned-state
       // baseline it would see in isolation.
       try spark.catalog.clearCache() catch { case _: Throwable => () }
+      // r16: also unpersist RDD-level blocks (localCheckpoint data)
+      // synchronously — clearCache only sees SQL-cached relations, and
+      // the ContextCleaner's reap of dereferenced checkpoint RDDs is
+      // ASYNC (post-GC), i.e. it would land inside the NEXT query's
+      // timed window. Nothing is reused across queries, so dropping
+      // everything here restores the same no-pinned-state baseline a
+      // query sees in isolation. Untimed hygiene only — the timed
+      // action, statistic, interleaving and query set are unchanged.
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      catch { case _: Throwable => () }
       System.gc()
     }
     val results = ordered.map { case (name, _) => name -> times(name) }
