@@ -48,7 +48,11 @@ object QualityModel {
 
   /** Mean hashed-feature weight over a token array, plus bias. */
   def score(toks: Column): Column = {
-    val w = array(weights.map(lit): _*)
+    // ONE array literal, not Dim stacked lit() expressions: the value
+    // ships as constant ArrayData in the plan instead of 256 Literal
+    // nodes unrolled into every task binary / codegen unit (guide §5 —
+    // r16 task-binary hoist; same values, same lookup)
+    val w = typedLit(weights.toArray)
     aggregate(
       transform(toks, t => element_at(w, (bucket(t) + 1).cast("int"))),
       lit(0.0), (acc, x) => acc + x) / size(toks) + Bias

@@ -44,7 +44,7 @@ object VectorFns {
   def lshBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
     val v = d(vec)
     val bits = (0 until nBits).map { b =>
-      val coefs = array(lshCoefs(b, dim, seed).map(lit): _*)
+      val coefs = typedLit(lshCoefs(b, dim, seed).toArray)
       // sign via the native one-pass cosine (codegen'd): sign(cos) ≡
       // sign(dot) since norms are positive — the oracle's
       // list_dot_product >= 0 test matches bit for bit
@@ -77,7 +77,9 @@ object VectorFns {
     val v = d(vec)
     array((0 until nBands).map { b =>
       (0 until bitsPerBand).map { r =>
-        val coefs = array(lshCoefs(b * bitsPerBand + r, dim, seed).map(lit): _*)
+        // plane coefs as ONE array literal per plane (constant
+        // ArrayData), not dim unrolled lit()s — r16 task-binary hoist
+        val coefs = typedLit(lshCoefs(b * bitsPerBand + r, dim, seed).toArray)
         when(graft.plans.CosineSimExpr.cosineSim(v, coefs) >= 0,
           lit(1L << r)).otherwise(lit(0L))
       }.reduce((x, y) => x.bitwiseOR(y))
@@ -112,7 +114,7 @@ object VectorFns {
   private def maskedBandKey(v: Column, dim: Int, bits: Column, maxBits: Int,
       planeBase: Int, seed: Long): Column =
     (0 until maxBits).map { r =>
-      val coefs = array(lshCoefs(planeBase + r, dim, seed).map(lit): _*)
+      val coefs = typedLit(lshCoefs(planeBase + r, dim, seed).toArray)
       when(lit(r) < bits &&
           graft.plans.CosineSimExpr.cosineSim(v, coefs) >= 0,
         lit(1L << r)).otherwise(lit(0L))

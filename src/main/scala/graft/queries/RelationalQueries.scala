@@ -4043,6 +4043,12 @@ object RelationalQueries {
         .join(Tables.part(spark, dir), col("p_partkey") === col("l_partkey"))
         .groupBy(col("l_orderkey").as("o"), col("p_brand").as("b"))
         .agg(sum(col("l_quantity").cast("long")).as("q"))
+      // (r16 audit: a localCheckpoint here was A/B'd FLAT — 1.26 →
+      // 1.27 s isolated min — because the two self-join sides are the
+      // IDENTICAL subtree, so ReuseExchange already materializes the
+      // (o,b) aggregate exchange once at runtime; the cut would only
+      // add an eager job. Left lazy deliberately — the r15 "don't
+      // blind-checkpoint where ReuseExchange dedupes" rule.)
       val duels = cmp.as("a").join(cmp.as("b"),
           col("a.o") === col("b.o") && col("a.b") =!= col("b.b") &&
             col("a.q") > col("b.q"))

@@ -2044,7 +2044,13 @@ object TextQueries {
       |FROM perq GROUP BY source
       |ORDER BY source""".stripMargin) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
-    val index = Bm25.postingIndex(docs, "doc_id", "text")
+    // r16: cutLineage = false — q212 consumes the index exactly once
+    // and is the BM25 family's smallest caller, so the posting
+    // checkpoint's fixed job cost the query 2× (r15 scorecard:
+    // 0.40 → 0.81 s); the lazy path re-derives tf for the vocabulary
+    // pass instead, which is cheaper here (A/B'd, OPTIMIZATION_r16.md)
+    val index = Bm25.postingIndex(docs, "doc_id", "text",
+        cutLineage = false)
       .repartition(col("t"))
     val top = Bm25.topKAgainstIndex(
       bm25KnownItemQueries(docs).select(col("qid"), col("t")), index,
@@ -2957,25 +2963,36 @@ object TextQueries {
          |  CAST(sum(pos * (doc_id % 997)) AS BIGINT) AS ord_checksum
          |FROM p GROUP BY shard ORDER BY shard""".stripMargin) { (spark, dir) =>
       val docs = Tables.documents(spark, dir)
-      val kept = docs
+      // r16 (verdict item 1): the md5 digest is computed in the SAME
+      // corpus projection as the quality features, and the projection
+      // drops TEXT — the exact-dedup winners subtree then consumes only
+      // this SKINNY (doc_id, digest, n_tokens) relation, so the corpus
+      // is tokenized ONCE for quality+digest instead of once per
+      // consumer (the old shape ran the quality pass under BOTH the
+      // digest-agg winners subtree and the text-carrying semi-join
+      // probe side). `lab` has exactly ONE consumer, so no lineage cut
+      // is needed (r15 calibration rule: cut only ≥2 re-executions);
+      // text is restored by a plain scan-and-join.
+      val lab = docs
         .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("text"),
+        .select(col("doc_id"), md5(col("text")).as("digest"),
           size(col("toks")).as("n_tokens"),
           TextFns.punctRatio(col("text")).as("punct_ratio"),
           (TextFns.markerHits(col("toks"), Stopwords).cast("double") /
             greatest(size(col("toks")), lit(1))).as("stop_ratio"))
         .filter(col("n_tokens").between(10, 5000)
           && col("punct_ratio") < 0.2 && col("stop_ratio") >= 0.02)
+        .select(col("doc_id"), col("digest"), col("n_tokens"))
+      // exact dedup: min-of-struct picks the winning row per digest
+      // WITH its n_tokens (doc_id is unique, so field-by-field struct
+      // ordering ≡ the oracle's min(doc_id) per md5(text)); only
+      // digests and ids ever aggregate — text never does
+      val winners = lab.groupBy(col("digest"))
+        .agg(min(struct(col("doc_id"), col("n_tokens"))).as("m"))
+        .select(col("m.doc_id").as("doc_id"), col("m.n_tokens").as("n_tokens"))
+      val exact = docs.select(col("doc_id"), col("text"))
+        .join(winners, Seq("doc_id"))
         .select(col("doc_id"), col("text"), col("n_tokens"))
-      // (r15 audit: checkpointing kept was measured SLOWER — 1.20 →
-      // 1.51 s — materializing TEXT-carrying rows costs more than the
-      // one quality pass it saves; cuts pay for skinny intermediates
-      // only. Left lazy deliberately.)
-      // exact dedup: only digests and ids move — the digest-keyed agg
-      // picks winners, the semi-join restores the surviving rows in place
-      val winners = kept.groupBy(md5(col("text")))
-        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
-      val exact = kept.join(winners, Seq("doc_id"), "left_semi")
       // decontamination: distinct (doc, shingle) grain from the RAW
       // corpus (the benchmark slice must be visible even where quality
       // filtering would drop it) — q68's derivation verbatim

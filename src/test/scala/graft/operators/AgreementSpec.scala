@@ -50,6 +50,20 @@ class AgreementSpec extends SparkSpec {
     assert(r("g2")._6 === Some(-1.0))
   }
 
+  test("the int64 headroom guard survives column pruning on every n²-bearing output") {
+    // r15 advice close-out: the guard must not be prunable when a
+    // caller selects only `kappa` (or only `pe`/`po`) — each of those
+    // expressions computes an n² product, so each must carry the
+    // raise_error through the optimizer's pruning
+    val df = Agreement.cohenKappa(
+      Seq(("g", "x", "y")).toDF("g", "a", "b"), "g", "a", "b")
+    for (c <- Seq("po", "pe", "kappa")) {
+      val plan = df.select(c).queryExecution.optimizedPlan.toString
+      assert(plan.contains("raise_error"),
+        s"selecting only '$c' must keep the int64 headroom guard:\n$plan")
+    }
+  }
+
   // ---- Krippendorff's alpha ----------------------------------------
 
   /** Independent textbook implementation (plain doubles, the

@@ -129,6 +129,22 @@ class BpeSpec extends SparkSpec {
     assert(ca === cb)
   }
 
+  test("distributed rounds stop at dictionary exhaustion (no empty argmax jobs)") {
+    // r15 advice close-out: one word "ab" admits exactly one merge;
+    // rounds = 30 on the FORCED distributed leg must emit 1 step and
+    // stop, not pay 29 further provably-empty distributed argmaxes
+    val docs = Seq("ab ab ab").toDF("text")
+    val steps = Bpe.learnMerges(docs, "text", rounds = 30, localDictLimit = 0)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(steps.map(s => (s._1, s._2, s._3)) === Seq((1, "a", "b")))
+    // the curve form stops identically (its per-round total recount
+    // would otherwise also keep running)
+    val curve = Bpe.compressionCurve(docs, "text", 30, localDictLimit = 0)
+      .as[(Int, Option[String], Option[String], Option[Long], Long, Double)]
+      .collect().toSeq
+    assert(curve.map(_._1) === Seq(0, 1))
+  }
+
   test("registered q235 learns 20 deterministic merges at the gate") {
     val df = graft.queries.TextQueries.q235BpeMerges.run(spark, "/root/testdata/sf0.001")
       .as[(Int, String, String, Long)].collect().toSeq

@@ -292,6 +292,24 @@ class DriftSpec extends SparkSpec {
     (0 to 4).foreach(i => assert(auto.getDouble(i) === plain.getDouble(i), s"col $i"))
   }
 
+  test("covarianceDrift raises loudly on ragged vector dimensions") {
+    // r15 advice close-out: a half whose vectors disagree on dimension
+    // would silently mis-scale frob_dist off the (1,1) carrier cell —
+    // the state-grain uniformity check must raise instead
+    import spark.implicits._
+    val ragged = Seq((1, 0L, Seq(1L, 2L)), (1, 0L, Seq(3L)),
+      (1, 1L, Seq(1L, 2L)), (1, 1L, Seq(3L, 4L)))
+      .toDF("label", "h", "q")
+    val e = intercept[Exception] {
+      Drift.covarianceDrift(Drift.covarianceCellState(ragged)).collect()
+    }
+    assert(e.getMessage.contains("ragged"), e.getMessage)
+    // uniform dims across both halves pass untouched
+    val ok = Seq((1, 0L, Seq(1L, 2L)), (1, 1L, Seq(3L, 4L)))
+      .toDF("label", "h", "q")
+    assert(Drift.covarianceDrift(Drift.covarianceCellState(ok)).count() === 1L)
+  }
+
   test("autoCoarsen refuses a fractional value grid loudly") {
     // the long re-bin would TRUNCATE fractional values (even at f = 1,
     // v=0.25 and v=0.75 both land in bin 0 — a silently corrupted
